@@ -1,0 +1,84 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs ``local[N]``; the same config block is what we'd ship
+to a 1000-executor cluster — AQE for runtime re-planning (skew joins,
+coalesced shuffle partitions), nested-schema pruning so reshape of wide
+records reads only the selected leaves from parquet, and Arrow for the
+Pandas-UDF extension operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "avro-sql-spark", cpus: int | None = None, shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # driver testdata's events.ts is parquet TIMESTAMP(NANOS), which
+        # Spark rejects by default; read as long and convert in load_tables
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, register: bool = True):
+    """Load the driver's TPC-H-ish parquet tables (TESTDATA.md) and
+    optionally register them as temp views for ``spark.sql``."""
+    from pyspark.sql import functions as F
+
+    dfs = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        for col in _nanos_timestamp_columns(path):
+            # nanosAsLong read it as BIGINT nanos; restore a timestamp
+            # (micros precision, NTZ to match the other tables)
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz")
+            )
+        dfs[name] = df
+        if register:
+            df.createOrReplaceTempView(name)
+    return dfs
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return [f.name for f in schema if str(f.type).startswith("timestamp[ns")]
+    except Exception:
+        return []
