@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from
+SURVEY.md §2 (reshape dialect) plus the relational and LLM-pipeline
+surfaces; ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL.
+Determinism conventions shared by both sides (see
+avro_sql_spark.operators.relational): DECIMAL money math cast to DOUBLE,
+sum/count instead of avg, unique-key order tiebreaks, identical aliases.
+
+Entries with no oracle (hash functions DuckDB lacks, mapInPandas ops)
+get the driver's rows-only check and say so in their docstring.
 """
 
 from __future__ import annotations
@@ -12,27 +16,481 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from avro_sql_spark import reshape
+from avro_sql_spark.operators import dedup, multimodal, relational, similarity
+from avro_sql_spark.operators.text import analyze_documents
+from avro_sql_spark.session import load_tables
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: TPC-H-style pricing
+    summary (scan → partial agg → tiny shuffle)."""
+    return relational.q1_pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------
+# reshape dialect queries (the reference's own surface, O1-O15)
+# --------------------------------------------------------------------------
+
+def _reshape_flat_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, register=False)
+    return reshape(t["documents"], "SELECT doc_id as id, lang as language, n_chars")
+
+
+def _reshape_star_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, register=False)
+    return reshape(t["documents"], "SELECT n_chars as size, * FROM documents")
+
+
+def _nested_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, register=False)
+    return t["customer"].select(
+        "c_custkey",
+        F.struct(
+            F.col("c_name").alias("name"),
+            F.struct(
+                F.col("c_mktsegment").alias("segment"), F.col("c_acctbal").alias("balance")
+            ).alias("account"),
+        ).alias("profile"),
+    )
+
+
+def _reshape_nested_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nested = _nested_customer(spark, sf_dir)
+    return reshape(
+        nested,
+        "SELECT c_custkey as custkey, profile.name as name, profile.account.segment as segment,"
+        " profile.account.balance as balance",
+    )
+
+
+def _reshape_nested_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nested = _nested_customer(spark, sf_dir)
+    return reshape(nested, "SELECT c_custkey as custkey, profile.account.*")
+
+
+def _reshape_withstructure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """withstructure reshape (nested output), flattened afterwards so the
+    oracle can compare values."""
+    nested = _nested_customer(spark, sf_dir)
+    ws = reshape(
+        nested,
+        "SELECT c_custkey, profile.account.balance as bal FROM t withstructure",
+    )
+    # ws schema: c_custkey, profile.account.bal — flatten for comparison
+    return ws.select(
+        F.col("c_custkey").alias("custkey"), F.col("profile.account.bal").alias("bal")
+    )
+
+
+def _reshape_array_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection inside an array-of-structs (O11): pack each customer's
+    orders into an array, withstructure-project two subfields inside the
+    array elements, explode back to rows for oracle comparison."""
+    t = load_tables(spark, sf_dir, register=False)
+    packed = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("o_orderkey").alias("orderkey"),
+                    F.col("o_orderstatus").alias("status"),
+                    F.col("o_totalprice").alias("totalprice"),
+                )
+            ).alias("orders")
+        )
+    )
+    reshaped = reshape(
+        packed,
+        "SELECT o_custkey, orders.orderkey as okey, orders.totalprice as price"
+        " FROM t withstructure",
+    )
+    return (
+        reshaped.select(F.col("o_custkey").alias("custkey"), F.explode("orders").alias("o"))
+        .select("custkey", F.col("o.okey").alias("okey"), F.col("o.price").alias("price"))
+        .orderBy("okey")
+    )
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline queries
+# --------------------------------------------------------------------------
+
+def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, register=False)
+    return analyze_documents(t["documents"]).orderBy("doc_id")
+
+
+def _dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, register=False)
+    return dedup.exact_duplicates(t["documents"]).orderBy("fp")
+
+
+def _dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, register=False)
+    return dedup.dedup_exact(t["documents"]).select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, register=False)
+    return dedup.ngram_jaccard_pairs(t["documents"], threshold=0.2).orderBy("id_a", "id_b")
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidate pairs — no oracle (xxhash64 minhash not
+    reproducible in DuckDB); driver does a rows-only check."""
+    t = load_tables(spark, sf_dir, register=False)
+    return dedup.minhash_candidate_pairs(t["documents"]).orderBy("id_a", "id_b")
+
+
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints — rows-only check (xxhash64 not in DuckDB)."""
+    t = load_tables(spark, sf_dir, register=False)
+    return dedup.simhash(t["documents"]).orderBy("doc_id")
+
+
+def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, register=False)
+    pairs = dedup.embedding_near_duplicates(t["embeddings"], threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos")).orderBy("id_a", "id_b")
+
+
+def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, register=False)
+    emb = t["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(emb, queries_df, k=10)
+
+
+def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — approximate by construction, so rows-only."""
+    t = load_tables(spark, sf_dir, register=False)
+    emb = t["embeddings"]
+    return similarity.lsh_bucketed_ann(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+def _multimodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, register=False)
+    media = multimodal.attach_fake_payload(t["documents"])
+    return multimodal.payload_sizes(media).orderBy("doc_id")
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas Arrow-batched feature extraction — rows-only (byte
+    checksum has no DuckDB equivalent)."""
+    t = load_tables(spark, sf_dir, register=False)
+    media = multimodal.attach_fake_payload(t["documents"])
+    return multimodal.extract_features(media).orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # reshape dialect (SURVEY §2.1)
+        "reshape_flat_rename": _reshape_flat_rename,
+        "reshape_star_exclusion": _reshape_star_exclusion,
+        "reshape_nested_path": _reshape_nested_path,
+        "reshape_nested_star": _reshape_nested_star,
+        "reshape_withstructure": _reshape_withstructure,
+        "reshape_array_project": _reshape_array_project,
+        # relational surface (SURVEY §2.2)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "window_topk_orders": relational.top_orders_per_customer,
+        "rollup_order_priority": relational.order_priority_rollup,
+        "anti_join_no_orders": relational.customers_without_orders,
+        "intersect_brand_buyers": relational.buyers_of_both_brands,
+        "distinct_agg_segments": relational.segment_order_stats,
+        "events_hourly": relational.events_hourly,
+        "asof_latest_order": relational.events_asof_latest_order,
+        # LLM-pipeline (north star)
+        "text_profile": _text_profile,
+        "dedup_exact_groups": _dedup_exact_groups,
+        "dedup_exact_keep": _dedup_exact_keep,
+        "ngram_jaccard_pairs": _ngram_jaccard,
+        "minhash_candidate_pairs": _minhash_pairs,
+        "simhash_fingerprints": _simhash,
+        "embedding_near_dup": _embedding_near_dup,
+        "ann_cosine_topk": _ann_topk,
+        "ann_lsh_bucketed": _ann_lsh,
+        "multimodal_profile": _multimodal_profile,
+        "multimodal_features": _multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL (same aliases, same decimal/double conventions)
+# --------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "fr": [" le ", " la ", " et "],
+    "de": [" der ", " und ", " die "],
+    "es": [" el ", " los ", " y "],
+}
+_EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def _occ(needle: str, src: str = "padded") -> str:
+    n = needle.replace("'", "''")
+    return f"(length({src}) - length(replace({src}, '{n}', ''))) / {len(needle)}"
+
+
+def _lang_score(lang: str) -> str:
+    return " + ".join(_occ(m) for m in _LANG_MARKERS[lang])
+
+
+def _text_profile_oracle() -> str:
+    scores = {lang: f"({_lang_score(lang)})" for lang in _LANG_MARKERS}
+    mx = f"greatest({', '.join(scores.values())})"
+    lang_case = f"CASE WHEN {mx} <= 0 THEN 'unknown' " + " ".join(
+        f"WHEN {scores[lang]} = {mx} THEN '{lang}'" for lang in _LANG_MARKERS
+    ) + " END"
+    stop_hits = " + ".join(_occ(f" {w} ") for w in _EN_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         ' ' || lower(text) || ' ' AS padded,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
+  FROM documents
+)
+SELECT doc_id,
+  n_ws AS n_tokens_ws,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens_re,
+  CAST((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) AS DOUBLE)
+    / nullif(length(text), 0) AS punct_ratio,
+  CAST(({stop_hits}) AS DOUBLE) / nullif(CAST(n_ws AS DOUBLE), 0) AS stopword_ratio,
+  {lang_case} AS lang_guess,
+  CAST(((CASE WHEN n_ws >= 5 AND n_ws <= 100000 THEN 1.0 ELSE 0.0 END)
+      + (CASE WHEN CAST((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) AS DOUBLE)
+              / nullif(length(text), 0) <= 0.2 THEN 1.0 ELSE 0.0 END)
+      + (CASE WHEN CAST(({stop_hits}) AS DOUBLE) / nullif(CAST(n_ws AS DOUBLE), 0) >= 0.05
+              THEN 1.0 ELSE 0.0 END)) / 3.0 AS DOUBLE) AS quality,
+  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM base
+ORDER BY doc_id
+"""
+
+
+_FP = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+_SHINGLES = """
+  toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+  idx  AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks WHERE len(w) >= 3),
+  sh   AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx)
+"""
+
+_COS_PAIRS = """
+  x AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        FROM embeddings),
+  dots AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
+    FROM x a JOIN x b ON a.i = b.i
+    GROUP BY 1, 2
+  ),
+  norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+            FROM x GROUP BY 1),
+  cos AS (
+    SELECT d.id_a, d.id_b, d.dot / (na.nrm * nb.nrm) AS c
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.id_a
+    JOIN norms nb ON nb.vec_id = d.id_b
+  )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "reshape_flat_rename": (
+            "SELECT doc_id AS id, lang AS language, n_chars FROM documents"
+        ),
+        "reshape_star_exclusion": (
+            "SELECT n_chars AS size, doc_id, text, lang, source FROM documents"
+        ),
+        "reshape_nested_path": (
+            "SELECT c_custkey AS custkey, c_name AS name, c_mktsegment AS segment,"
+            " c_acctbal AS balance FROM customer"
+        ),
+        "reshape_nested_star": (
+            "SELECT c_custkey AS custkey, c_mktsegment AS segment, c_acctbal AS balance"
+            " FROM customer"
+        ),
+        "reshape_withstructure": (
+            "SELECT c_custkey AS custkey, c_acctbal AS bal FROM customer"
+        ),
+        "reshape_array_project": (
+            "SELECT o_custkey AS custkey, o_orderkey AS okey, o_totalprice AS price"
+            " FROM orders ORDER BY okey"
+        ),
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+    AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+           * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "q3_shipping_priority": """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01'
+  AND l_shipdate > TIMESTAMP '1997-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+        "q5_local_supplier_volume": """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+        "window_topk_orders": """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
+  FROM orders
+) WHERE rank <= 3
+ORDER BY o_custkey, rank
+""",
+        "rollup_order_priority": """
+SELECT o_orderstatus, o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+""",
+        "anti_join_no_orders": """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+""",
+        "intersect_brand_buyers": """
+SELECT DISTINCT o_custkey AS custkey
+FROM lineitem JOIN part ON l_partkey = p_partkey
+              JOIN orders ON l_orderkey = o_orderkey
+WHERE p_brand = 'Brand#1'
+INTERSECT
+SELECT DISTINCT o_custkey AS custkey
+FROM lineitem JOIN part ON l_partkey = p_partkey
+              JOIN orders ON l_orderkey = o_orderkey
+WHERE p_brand = 'Brand#2'
+ORDER BY custkey
+""",
+        "distinct_agg_segments": """
+SELECT c_mktsegment,
+  COUNT(DISTINCT o_custkey) AS n_buyers,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+        "events_hourly": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+""",
+        "asof_latest_order": """
+SELECT event_id, user_id, ts, o_orderkey, o_orderdate, o_totalprice FROM (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+) WHERE rn = 1
+ORDER BY event_id
+""",
+        "text_profile": _text_profile_oracle(),
+        "dedup_exact_groups": f"""
+SELECT {_FP} AS fp, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) > 1
+ORDER BY fp
+""",
+        "dedup_exact_keep": f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY {_FP})
+ORDER BY doc_id
+""",
+        "ngram_jaccard_pairs": f"""
+WITH {_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+ORDER BY id_a, id_b
+""",
+        "embedding_near_dup": f"""
+WITH {_COS_PAIRS}
+SELECT id_a, id_b, round(c, 6) AS cos
+FROM cos
+WHERE id_a < id_b AND c >= 0.5
+ORDER BY id_a, id_b
+""",
+        "ann_cosine_topk": f"""
+WITH {_COS_PAIRS},
+ranked AS (
+  SELECT id_a AS query_id, id_b AS neighbor_id, round(c, 6) AS cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY id_a
+                            ORDER BY round(c, 6) DESC, id_b) AS INTEGER) AS rank
+  FROM cos
+  WHERE id_a < 5 AND id_a <> id_b
+)
+SELECT query_id, neighbor_id, cos, rank
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+""",
+        "multimodal_profile": """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+  'image' AS kind,
+  CAST(octet_length(encode(text)) % 1920 AS INT) AS width
+FROM documents
+ORDER BY doc_id
+""",
+        # no oracle (rows-only): minhash_candidate_pairs, simhash_fingerprints,
+        # ann_lsh_bucketed, multimodal_features
+    }

@@ -1,0 +1,223 @@
+"""Deduplication operators for training-data pipelines (north-star scope;
+the reference has no dedup — SURVEY.md §2.2).
+
+Four families, all shuffle-architected for 100 TB:
+
+ - **exact**: md5 fingerprint of normalized text → groupBy hash. One
+   shuffle on a 128-bit key, partial-agg'd map-side; skew-free because
+   hashes are uniform.
+ - **MinHash + LSH**: shingle → minhash signature (xxhash64 with k seeds,
+   all JVM-side Column expressions) → band → bucket-join. Candidate pairs
+   come from joining on (band, band_hash) — i.e. only near-duplicates
+   shuffle together; the cross product never materializes.
+ - **SimHash**: 64-bit fingerprint whose Hamming distance approximates
+   cosine over token sets; banded the same way for scale.
+ - **n-gram Jaccard**: exact set Jaccard via shingle explode +
+   self-join on shingle — the verifier for candidate pairs (and the
+   DuckDB-oracle-checkable ground truth at small SF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, word_shingles
+
+# deterministic seeds for the minhash permutations
+_MINHASH_SEEDS = [1_000_003 * (i + 1) + 17 for i in range(64)]
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (post-normalization) documents:
+    (fingerprint, n_copies, canonical_id) for groups with >1 member."""
+    return (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("canonical_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per fingerprint — the 100 TB
+    version of dropDuplicates(text): dedup on the 16-byte hash, never on
+    the full text column."""
+    keep = (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_hashes: int = 64, shingle: int = 3
+) -> DataFrame:
+    """(id, signature array<bigint>) — min over shingles of seeded
+    xxhash64, all JVM-side.
+
+    Shape: explode shingles → k seeded hashes per shingle → groupBy(id)
+    with k MIN aggregates → pack array. The k aggregates are combined
+    map-side (partial aggregation), so the shuffle carries one k-long row
+    per doc per partition — not per shingle — and the expression tree
+    stays small enough for fast codegen (k wide array-fold expressions
+    were ~100× slower to compile)."""
+    sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle)).alias("s")
+    )
+    hashed = sh.select(
+        F.col(id_col),
+        *[
+            F.xxhash64("s", F.lit(seed)).alias(f"h{i}")
+            for i, seed in enumerate(_MINHASH_SEEDS[:num_hashes])
+        ],
+    )
+    mins = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        F.col(id_col), F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` rows, hash each
+    band, self-join on (band_idx, band_hash). Only same-bucket docs meet
+    in the shuffle; estimated Jaccard = matching minhash fraction."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("signature"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)[i].cast("string")
+                            for i in range(rows_per_band)
+                        ],
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.band_idx") == F.col(f"b.band_idx"))
+            & (F.col(f"a.band_hash") == F.col(f"b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("a.signature"), F.col("b.signature"), lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                )
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle:
+    explode shingles, self-join on shingle, count intersections, divide by
+    union. This shuffles |shingles| rows (not |docs|²); hot shingles are
+    the skew risk at scale — prefilter ultra-common shingles upstream or
+    run it only on LSH candidates."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), shingle)).alias("s")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word shingles: for each bit, sum +1/-1 votes of
+    each shingle's xxhash64 bit, emit the sign bitmap.
+
+    Shape: explode → hash → 64 conditional SUM aggregates (map-side
+    combined) → OR the sign bits. Same partial-agg rationale as
+    minhash_signatures: shuffle is one 64-int row per doc per partition,
+    and codegen stays fast."""
+    ex = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col))).alias("s")
+    ).select(F.col(id_col), F.xxhash64("s").alias("h"))
+
+    def _mask(b: int):
+        return F.shiftleft(F.lit(1).cast("long"), b)  # b=63 wraps, as intended
+
+    votes = ex.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("h").bitwiseAND(_mask(b)) != 0, 1).otherwise(-1)).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, _mask(b)).otherwise(F.lit(0)).cast("long")
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
+def embedding_near_duplicates(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs above threshold. Brute force
+    (all-pairs) — correctness baseline; at scale, bucket by LSH hyperplane
+    signs first (see similarity.lsh_bucketed_ann)."""
+    from ..functions.vectors import cosine
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,116 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with a typed metadata struct (north-star scope; absent in the reference).
+
+The Spark-side plumbing is real and tested — schema convention, Arrow
+batch shape, ``mapInPandas`` feature extraction, partition sizing. The
+actual codec decode is STUBBED (the image/audio libraries are not in this
+container): ``decode_image`` raises ``NotImplementedError`` unless
+``fake=True``, in which case a deterministic fake decoder stands in so
+the distributed plumbing can be exercised end-to-end.
+
+Schema convention:
+    payload  BINARY                  -- the raw media bytes
+    media    STRUCT<kind: STRING, mime: STRING, width: INT, height: INT,
+                    duration_ms: BIGINT>
+
+At 100 TB: payloads dominate row size → keep
+``spark.sql.files.maxPartitionBytes`` small enough that one Arrow batch
+of payloads fits executor memory, and always project metadata-only
+queries BEFORE touching payload (nested pruning skips the bytes)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META = StructType(
+    [
+        StructField("kind", StringType(), False),
+        StructField("mime", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+
+def attach_fake_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic binary payload derived from the text column — stands
+    in for real media bytes so the binary-column plumbing is testable."""
+    return docs.withColumn("payload", F.col(text_col).cast("binary")).withColumn(
+        "media",
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit("image/fake").alias("mime"),
+            (F.octet_length(F.col(text_col)) % 1920).cast("int").alias("width"),
+            (F.octet_length(F.col(text_col)) % 1080).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ),
+    )
+
+
+def decode_image(payload: bytes, fake: bool = False):
+    """Decode an image payload. STUB: real codecs (PIL/opencv) are not
+    available in this environment."""
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires PIL/opencv, not present in this environment; "
+            "pass fake=True for the deterministic stand-in"
+        )
+    # deterministic fake: 'pixels' are the byte histogram
+    hist = [0] * 8
+    for b in payload:
+        hist[b % 8] += 1
+    return hist
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("byte_checksum", LongType(), False),
+        StructField("hist_0", LongType(), False),
+    ]
+)
+
+
+def extract_features(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    ``mapInPandas`` — the pattern for any decode/resize/frame-sample op.
+    Python touches each payload once per batch; no per-row round trips."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": payloads.map(len),
+                    "byte_checksum": payloads.map(lambda b: sum(b) % 1_000_003),
+                    "hist_0": payloads.map(lambda b: decode_image(b, fake=True)[0]),
+                }
+            )
+
+    return media_df.select(id_col, "payload").mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+def payload_sizes(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Metadata-only profile — stays entirely JVM-side (octet_length), and
+    with parquet nested pruning never reads the payload bytes."""
+    return media_df.select(
+        F.col(id_col),
+        F.octet_length("payload").alias("n_bytes"),
+        F.col("media.kind").alias("kind"),
+        F.col("media.width").alias("width"),
+    )

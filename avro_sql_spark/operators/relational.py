@@ -1,0 +1,226 @@
+"""Standard relational surface — the categories the reference does NOT
+implement (SURVEY.md §2.2: filters, joins, aggregations, windows, sorts,
+set ops) expressed as idiomatic DataFrame plans so Catalyst supplies
+pushdown, pruning, join selection, AQE, and codegen for free.
+
+Determinism conventions (shared with the DuckDB oracle in
+``__spark_entry__.py``):
+ - money aggregates run on DECIMAL(18,2)/(18,6) casts so sums are exact
+   and order-independent, then cast to DOUBLE for a stable output schema
+ - every ORDER BY carries a unique key tiebreak
+ - every computed column is aliased identically on both sides
+
+Scale notes (100 TB):
+ - small dims (region/nation/supplier, and customer vs lineitem) are
+   explicitly ``broadcast()`` — no shuffle for the probe side
+ - fact-fact joins (orders ⋈ lineitem) shuffle on the join key once;
+   AQE coalesces/skew-splits at runtime
+ - aggregations are partial (map-side combine) by construction — we never
+   collect or loop on the driver
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..session import load_tables
+
+D182 = "decimal(18,2)"
+D186 = "decimal(18,6)"
+
+
+def _dec(col: str, scale: str = D182):
+    return F.col(col).cast(scale)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem (single scan, one
+    shuffle on the 6-value group key; partial aggregation does almost all
+    the work map-side)."""
+    t = load_tables(spark, sf_dir, register=False)
+    li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp_ntz"))
+    # all money math in DECIMAL so sums are exact/order-free; precisions
+    # are sized so even the triple product (12,2)x(5,2)x(5,2)→(24,6)
+    # stays exact in BOTH engines (no precision-overflow rescaling, no
+    # intermediate rounding — rounding rules differ between engines)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    one_minus_disc = F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    one_plus_tax = F.lit(1).cast("decimal(4,2)") + F.col("l_tax").cast("decimal(4,2)")
+    disc_price = price * one_minus_disc
+    charge = price * one_minus_disc * one_plus_tax
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / n).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: top 10 unshipped orders by revenue for one market
+    segment. customer is broadcast (tiny vs orders); orders ⋈ lineitem
+    shuffles once on the order key."""
+    t = load_tables(spark, sf_dir, register=False)
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = t["orders"].filter(F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp_ntz"))
+    li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp_ntz"))
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1).cast(D182) - _dec("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: revenue by nation where customer and supplier share
+    the nation. All dimension tables broadcast; the only shuffle is
+    orders ⋈ lineitem and the final small aggregation."""
+    t = load_tables(spark, sf_dir, register=False)
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1).cast(D182) - _dec("l_discount")))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: top-3 orders per customer by total price
+    (rank shuffle partitions by customer key only — no global sort)."""
+    t = load_tables(spark, sf_dir, register=False)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        t["orders"]
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+        .orderBy("o_custkey", "rank")
+    )
+
+
+def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping sets) over orders."""
+    t = load_tables(spark, sf_dir, register=False)
+    return (
+        t["orders"]
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first()
+        )
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers that never ordered (left_anti — Catalyst
+    builds a broadcast/hash anti join, no row explosion)."""
+    t = load_tables(spark, sf_dir, register=False)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def buyers_of_both_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op INTERSECT: customers who bought Brand#1 parts and Brand#2
+    parts. part is broadcast into lineitem both times."""
+    t = load_tables(spark, sf_dir, register=False)
+
+    def buyers(brand: str) -> DataFrame:
+        parts = t["part"].filter(F.col("p_brand") == brand).select("p_partkey")
+        return (
+            t["lineitem"]
+            .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+            .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .select(F.col("o_custkey").alias("custkey"))
+            .distinct()
+        )
+
+    return buyers("Brand#1").intersect(buyers("Brand#2")).orderBy("custkey")
+
+
+def segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates: per market segment, distinct customers with
+    orders, order count, and decimal-exact total volume."""
+    t = load_tables(spark, sf_dir, register=False)
+    return (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_buyers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("volume"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events stream table (batch
+    form; the streaming form in avro_sql_spark.streaming uses the same
+    expressions behind a watermark)."""
+    t = load_tables(spark, sf_dir, register=False)
+    return (
+        t["events"]
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value", D186)).cast("double").alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (reference lacks it; SURVEY.md §2.2 'joins'): for each
+    event, the most recent order of that user at event time.
+
+    Correctness formulation: equi-join on user + window rank — one
+    shuffle on user_id. At 100 TB the same plan holds IF the per-user
+    order history is bounded; for unbounded history, pre-bucket both
+    sides by user_id and sort within buckets (sort-merge as-of), or use
+    the range-join strategy: band the timestamps and join on
+    (user, time_bucket) before ranking."""
+    t = load_tables(spark, sf_dir, register=False)
+    ev = t["events"].select("event_id", "user_id", "ts")
+    od = t["orders"].select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    w = Window.partitionBy("event_id").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        ev.join(od, (ev.user_id == od.o_custkey) & (od.o_orderdate <= ev.ts))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("event_id")
+    )

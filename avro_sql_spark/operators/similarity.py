@@ -1,0 +1,111 @@
+"""Similarity search over embedding columns (north-star scope; absent in
+the reference — SURVEY.md §2.2).
+
+Two tiers:
+ - ``brute_force_topk`` — exact cosine top-k; the correctness baseline
+   and the DuckDB-oracle-checkable path. Query side is broadcast, so the
+   big side streams through one codegen'd stage with a bounded top-k per
+   partition (window over query_id) — no all-pairs shuffle.
+ - ``lsh_bucketed_ann`` — random-hyperplane LSH: sign-bit signature →
+   bucket join → exact cosine only within buckets. The 100 TB path:
+   candidate generation is an equi-join on the bucket key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine
+
+# deterministic pseudo-random hyperplanes: component h[j] of plane p is a
+# hash-derived value in [-1, 1); identical across runs and executors
+def _hyperplane_component(p: int, j, dim_col=None):
+    h = F.xxhash64(F.lit(p), j if dim_col is None else j)
+    return (h % F.lit(10_000_001)).cast("double") / F.lit(10_000_001.0)
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k of every corpus vector for each query vector.
+
+    ``queries`` (small) is broadcast; ranking partitions by query only.
+    Cosine is rounded to ``round_to`` decimals *before* ranking with an id
+    tiebreak, so the result is stable across float summation orders (and
+    reproducible by the DuckDB oracle)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def hyperplane_signature(vec, planes: int = 16) -> "F.Column":
+    """LSH bucket id: sign bits of dot(vec, hyperplane_p) for p in
+    0..planes-1, packed into a long. Hyperplane components are
+    hash-derived from (plane, dim index) — deterministic, no stored
+    model, computable inline on 100 TB without a join."""
+    sig = F.lit(0).cast("long")
+    for p in range(planes):
+        dot_p = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda v, j: v.cast("double")
+                * ((F.xxhash64(F.lit(p), j) % 10_000_001).cast("double") / 10_000_001.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig.bitwiseOR(F.when(dot_p > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long"))
+    return sig
+
+
+def lsh_bucketed_ann(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k: exact cosine only among corpus vectors sharing
+    the query's hyperplane bucket. Recall grows with fewer planes /
+    multiple probe tables; the join is a plain equi-join on the bucket."""
+    sig = hyperplane_signature(F.col(vec_col), planes)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), sig.alias("bucket"))
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), sig.alias("bucket"))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

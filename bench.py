@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with a noop sink (full computation, no
+collect-to-driver, no disk write) — the number is the distributed plan's
+wall time, not serialization overhead."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from avro_sql_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "window_topk_orders",
+    "asof_latest_order",
+    "reshape_star_exclusion",
+    "text_profile",
+    "dedup_exact_keep",
+    "minhash_candidate_pairs",
+    "simhash_fingerprints",
+    "ann_cosine_topk",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("avro-sql-spark-bench", cpus=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        df = fn(spark, sf_dir)  # plan (lazy)
+        start = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
