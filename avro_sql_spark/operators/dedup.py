@@ -28,11 +28,26 @@ from ..functions.text import fingerprint, word_shingles
 _MINHASH_SEEDS = [1_000_003 * (i + 1) + 17 for i in range(64)]
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition on the id before compute-heavy per-doc work.
+
+    A small/compacted input (one parquet file → one partition) would
+    otherwise serialize the whole shingle/hash computation onto a single
+    core. The partition count must be EXPLICIT: a bare repartition(col)
+    participates in AQE partition coalescing, which sees "few MB of text"
+    and merges the shuffle back to one partition — AQE can't know the
+    downstream per-row compute is heavy. defaultParallelism scales with
+    the cluster. The shuffled payload (id + text) is far cheaper than the
+    per-doc compute it unlocks."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(key))
+
+
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (post-normalization) documents:
     (fingerprint, n_copies, canonical_id) for groups with >1 member."""
     return (
-        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        _spread(docs, id_col).select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("canonical_id"))
         .filter(F.col("n_copies") > 1)
@@ -44,7 +59,7 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     version of dropDuplicates(text): dedup on the 16-byte hash, never on
     the full text column."""
     keep = (
-        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        _spread(docs, id_col).select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
         .groupBy("fp")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
@@ -64,13 +79,16 @@ def minhash_signatures(
     per doc per partition — not per shingle — and the expression tree
     stays small enough for fast codegen (k wide array-fold expressions
     were ~100× slower to compile)."""
-    sh = docs.select(
+    sh = _spread(docs, id_col).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle)).alias("s")
     )
-    hashed = sh.select(
+    # hash the string ONCE to a long, then derive the k permutations from
+    # the 8-byte base — re-hashing the string k times costs ~10× more
+    based = sh.select(F.col(id_col), F.xxhash64("s").alias("base"))
+    hashed = based.select(
         F.col(id_col),
         *[
-            F.xxhash64("s", F.lit(seed)).alias(f"h{i}")
+            F.xxhash64("base", F.lit(seed)).alias(f"h{i}")
             for i, seed in enumerate(_MINHASH_SEEDS[:num_hashes])
         ],
     )
@@ -152,7 +170,7 @@ def ngram_jaccard_pairs(
     union. This shuffles |shingles| rows (not |docs|²); hot shingles are
     the skew risk at scale — prefilter ultra-common shingles upstream or
     run it only on LSH candidates."""
-    sh = docs.select(
+    sh = _spread(docs, id_col).select(
         F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), shingle)).alias("s")
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
@@ -186,7 +204,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     combined) → OR the sign bits. Same partial-agg rationale as
     minhash_signatures: shuffle is one 64-int row per doc per partition,
     and codegen stays fast."""
-    ex = docs.select(
+    ex = _spread(docs, id_col).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col))).alias("s")
     ).select(F.col(id_col), F.xxhash64("s").alias("h"))
 

@@ -102,7 +102,14 @@ def extract_features(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return media_df.select(id_col, "payload").mapInPandas(_extract, FEATURE_SCHEMA)
+    # repartition so Arrow batches spread across cores even when the
+    # source is one compacted file (explicit count — AQE would coalesce)
+    n = media_df.sparkSession.sparkContext.defaultParallelism
+    return (
+        media_df.select(id_col, "payload")
+        .repartition(n, F.col(id_col))
+        .mapInPandas(_extract, FEATURE_SCHEMA)
+    )
 
 
 def payload_sizes(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -14,6 +14,10 @@ def analyze_documents(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     language guess, quality score, fingerprint. All codegen'd Column
     expressions — the scan cost IS the operator cost at 100 TB."""
     t = F.col(text_col)
+    # repartition first: a compacted single-file input would pin all the
+    # string work to one core (same rationale + explicit-count caveat as
+    # dedup._spread: AQE would coalesce a bare repartition(col) back)
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     return docs.select(
         F.col(id_col),
         T.whitespace_token_count(t).cast("long").alias("n_tokens_ws"),

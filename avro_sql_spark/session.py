@@ -29,6 +29,9 @@ def get_spark(app_name: str = "avro-sql-spark", cpus: int | None = None, shuffle
         # Spark rejects by default; read as long and convert in load_tables
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # wide-agg operators (minhash k columns, simhash 64 bit-votes)
+        # must stay inside whole-stage codegen
+        .config("spark.sql.codegen.maxFields", "256")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")

@@ -45,6 +45,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entry_mod.queries()
+    # warmup pass: JIT/codegen/parquet-footer caches - report steady state
+    for name in HEADLINE:
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
