@@ -116,33 +116,61 @@ def _project_any(
 
 
 def _project_map(dtype: MapType, parents: tuple[str, ...], col: Column, ctx: SqlContext) -> Column:
+    """Map semantics per AvroSql.scala:246-278: the path segment after a
+    map addresses a KEY. ``attrs.a as x`` keeps key ``a`` renamed ``x``
+    (absent keys silently skipped, :270); ``attrs.*``/bare ``attrs``
+    keeps all keys; a deeper path ``attrs.a.v`` keeps key ``a`` and
+    projects ``v`` inside its value. Per-key value projections must
+    unify to one type (Spark's map is monomorphic — analysis error
+    otherwise)."""
     entries = ctx.entries_for_path(parents)
-    if not entries and not ctx.has_entries_under(parents):
+    if not entries:
         return col
-    key_fields = [f for kind, f in entries if kind == "L" and not f.is_star]
-    star = any(kind == "L" and f.is_star for kind, f in entries)
     vtype = dtype.valueType
+    star = any(kind == "L" and f.is_star for kind, f in entries)
+    # (original key, output key, deeper-projection path or None)
+    selected: list[tuple[str, str, tuple[str, ...] | None]] = []
+    for kind, val in entries:
+        if kind == "L" and not val.is_star:
+            selected.append((val.name, val.alias, None))
+        elif kind == "R":
+            selected.append((val, val, (*parents, val)))
 
-    def vproj(v: Column) -> Column:
-        return _project_any(vtype, parents, v, ctx, dtype.valueContainsNull)
-
-    if key_fields and not star:
-        # explicit key selection + rename (AvroSql.scala:253-268); absent
-        # keys silently skipped (:270)
-        keys = [f.name for f in key_fields]
-
-        def rename(k: Column) -> Column:
-            expr = None
-            for f in key_fields:
-                cond = k == F.lit(f.name)
-                expr = F.when(cond, F.lit(f.alias)) if expr is None else expr.when(cond, F.lit(f.alias))
-            return expr.otherwise(k)
-
-        kept = F.filter(F.map_entries(col), lambda e: e["key"].isin(*keys))
-        rewritten = F.transform(
-            kept, lambda e: F.struct(rename(e["key"]).alias("key"), vproj(e["value"]).alias("value"))
+    if not selected:
+        return col
+    deeper_keys = [s for s in selected if s[2] is not None]
+    if deeper_keys and (star or len(deeper_keys) != len(selected)):
+        # Spark maps are monomorphic: a projected value type can't
+        # coexist with whole values in one map column
+        raise AvroSqlError(
+            f"Can't mix whole-value and projected-value key selections in map "
+            f"{'.'.join(parents)}"
         )
-        return F.map_from_entries(rewritten)
-    if ctx.has_entries_under(parents):
-        return F.transform_values(col, lambda _k, v: vproj(v))
-    return col
+
+    def rename(k: Column) -> Column:
+        expr = None
+        for orig, alias, _ in selected:
+            if orig != alias:
+                cond = k == F.lit(orig)
+                expr = F.when(cond, F.lit(alias)) if expr is None else expr.when(cond, F.lit(alias))
+        return k if expr is None else expr.otherwise(k)
+
+    def value_expr(e: Column) -> Column:
+        if not deeper_keys:
+            return e["value"]
+        expr = None
+        for orig, _, deeper in deeper_keys:
+            proj = _project_any(vtype, deeper, e["value"], ctx, dtype.valueContainsNull)
+            cond = e["key"] == F.lit(orig)
+            expr = F.when(cond, proj) if expr is None else expr.when(cond, proj)
+        return expr
+
+    entries_col = F.map_entries(col)
+    if not star:
+        keys = [orig for orig, _, _ in selected]
+        entries_col = F.filter(entries_col, lambda e: e["key"].isin(*keys))
+    rewritten = F.transform(
+        entries_col,
+        lambda e: F.struct(rename(e["key"]).alias("key"), value_expr(e).alias("value")),
+    )
+    return F.map_from_entries(rewritten)

