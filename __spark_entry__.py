@@ -206,6 +206,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_agg_segments": relational.segment_order_stats,
         "events_hourly": relational.events_hourly,
         "asof_latest_order": relational.events_asof_latest_order,
+        "cube_part_stats": relational.part_size_cube,
+        "exists_big_spenders": relational.big_spender_segments,
+        "except_urgent_buyers": relational.except_urgent_buyers,
+        "scalar_functions": relational.scalar_function_showcase,
+        "sessionize_events": relational.sessionize_events,
         # LLM-pipeline (north star)
         "text_profile": _text_profile,
         "dedup_exact_groups": _dedup_exact_groups,
@@ -434,6 +439,62 @@ SELECT event_id, user_id, ts, o_orderkey, o_orderdate, o_totalprice FROM (
     ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
 ) WHERE rn = 1
 ORDER BY event_id
+""",
+        "cube_part_stats": """
+SELECT p_brand, p_size,
+  COUNT(*) AS n_parts,
+  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS retail_value
+FROM part
+GROUP BY CUBE (p_brand, p_size)
+ORDER BY p_brand ASC NULLS FIRST, p_size ASC NULLS FIRST
+""",
+        "exists_big_spenders": """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+        "except_urgent_buyers": """
+SELECT DISTINCT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+ORDER BY custkey
+""",
+        "scalar_functions": """
+SELECT o_orderkey,
+  upper(substring(o_orderstatus, 1, 1)) AS status_u,
+  concat_ws('-', o_orderpriority, o_orderstatus) AS prio_tag,
+  CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+  CAST(year(o_orderdate) AS BIGINT) AS yr,
+  CAST(month(o_orderdate) AS BIGINT) AS mo,
+  CAST(day(o_orderdate) AS BIGINT) AS dom,
+  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+  abs(o_totalprice - 200000.0) AS price_dev,
+  o_orderkey % 7 AS key_mod,
+  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open
+FROM orders
+ORDER BY o_orderkey
+""",
+        "sessionize_events": """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start, CAST(COUNT(*) AS INTEGER) AS n_events
+FROM numbered
+GROUP BY user_id, sess
+ORDER BY user_id, session_start
 """,
         "text_profile": _text_profile_oracle(),
         "dedup_exact_groups": f"""

@@ -224,3 +224,83 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate", "o_totalprice")
         .orderBy("event_id")
     )
+
+
+def part_size_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all grouping-set combinations) over part."""
+    t = load_tables(spark, sf_dir, register=False)
+    return (
+        t["part"]
+        .cube("p_brand", "p_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(_dec("p_retailprice")).cast("double").alias("retail_value"),
+        )
+        .orderBy(
+            F.col("p_brand").asc_nulls_first(), F.col("p_size").asc_nulls_first()
+        )
+    )
+
+
+def big_spender_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-style semi join: segments of customers having at least one
+    order above 400k (left_semi -> no row explosion)."""
+    t = load_tables(spark, sf_dir, register=False)
+    big = t["orders"].filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def except_urgent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op EXCEPT: customers with orders minus customers with any
+    1-URGENT order."""
+    t = load_tables(spark, sf_dir, register=False)
+    all_buyers = t["orders"].select(F.col("o_custkey").alias("custkey")).distinct()
+    urgent = (
+        t["orders"]
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    return all_buyers.exceptAll(urgent).distinct().orderBy("custkey")
+
+
+def scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/date/math functions (SURVEY.md §2.2 'Scalar
+    functions') with engine-portable semantics (no round-half rules)."""
+    t = load_tables(spark, sf_dir, register=False)
+    return (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            F.upper(F.substring("o_orderstatus", 1, 1)).alias("status_u"),
+            F.concat_ws("-", F.col("o_orderpriority"), F.col("o_orderstatus")).alias("prio_tag"),
+            F.length("o_orderpriority").cast("long").alias("prio_len"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+            F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+            F.floor(F.col("o_totalprice")).alias("price_floor"),
+            F.abs(F.col("o_totalprice") - 200000.0).alias("price_dev"),
+            (F.col("o_orderkey") % 7).alias("key_mod"),
+            F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias("status_or_open"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min gap) over events via native
+    session_window - the batch twin of the streaming sessionizer."""
+    from ..streaming import sessionize
+
+    t = load_tables(spark, sf_dir, register=False)
+    return (
+        sessionize(t["events"], gap_minutes=30)
+        .select("user_id", "session_start", "n_events")
+        .orderBy("user_id", "session_start")
+    )

@@ -28,9 +28,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.astype("datetime64[us]").astype("int64")
         elif pd.api.types.is_float_dtype(s):
-            df[c] = s.map(lambda v: None if v is None or (isinstance(v, float) and math.isnan(v)) else round(v, 9))
+            # round for cross-engine float stability, and hold as object
+            # so nulls stay None (a float Series coerces None back to NaN)
+            df[c] = s.round(9).astype(object).where(pd.notna(s), None)
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("int64")
+        else:
+            # object columns: DuckDB returns NaN for null strings, Spark
+            # returns None - unify so tuple hashes agree
+            df[c] = s.where(pd.notna(s), None)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
