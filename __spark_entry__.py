@@ -119,6 +119,28 @@ def _reshape_array_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LLM-pipeline queries
 # --------------------------------------------------------------------------
 
+def _json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: extract a field from the JSON
+    ``props`` string per event, aggregate by type (SURVEY §2.2 'scalar
+    functions — json')."""
+    t = load_tables(spark, sf_dir, register=False)
+    return (
+        t["events"]
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, register=False)
     return analyze_documents(t["documents"]).orderBy("doc_id")
@@ -211,6 +233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except_urgent_buyers": relational.except_urgent_buyers,
         "scalar_functions": relational.scalar_function_showcase,
         "sessionize_events": relational.sessionize_events,
+        "json_props_stats": _json_props_stats,
         # LLM-pipeline (north star)
         "text_profile": _text_profile,
         "dedup_exact_groups": _dedup_exact_groups,
@@ -495,6 +518,16 @@ SELECT user_id, MIN(ts) AS session_start, CAST(COUNT(*) AS INTEGER) AS n_events
 FROM numbered
 GROUP BY user_id, sess
 ORDER BY user_id, session_start
+""",
+        "json_props_stats": """
+SELECT event_type,
+  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
 """,
         "text_profile": _text_profile_oracle(),
         "dedup_exact_groups": f"""
