@@ -36,6 +36,10 @@ def get_spark(app_name: str = "avro-sql-spark", cpus: int | None = None, shuffle
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/avro-sql-spark-warehouse"),
+        )
     )
     return builder.getOrCreate()
 
