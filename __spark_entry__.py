@@ -187,6 +187,13 @@ def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, queries_df, k=10)
 
 
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means cells) ANN — approximate, rows-only check."""
+    t = load_tables(spark, sf_dir, register=False)
+    emb = t["embeddings"]
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN — approximate by construction, so rows-only."""
     t = load_tables(spark, sf_dir, register=False)
@@ -244,6 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _embedding_near_dup,
         "ann_cosine_topk": _ann_topk,
         "ann_lsh_bucketed": _ann_lsh,
+        "ann_ivf": _ann_ivf,
         "multimodal_profile": _multimodal_profile,
         "multimodal_features": _multimodal_features,
     }

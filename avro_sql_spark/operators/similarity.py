@@ -109,3 +109,95 @@ def lsh_bucketed_ann(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    round_to: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer -> assign each
+    corpus vector to its nearest centroid cell -> a query scans only its
+    ``n_probe`` nearest cells.
+
+    The 100 TB shape: centroids are tiny (n_cells x dim, trained once on
+    a sample, broadcast everywhere); cell assignment is one scan; the
+    probe is an equi-join on cell id, so candidate generation shuffles
+    only matching cells. Recall is tunable via n_probe.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    dense = emb.select(
+        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    km = KMeans(k=n_cells, seed=seed, maxIter=10)
+    model = km.fit(dense)
+
+    centroids = [list(c) for c in model.clusterCenters()]
+
+    def cell_of(vec):
+        """nearest-centroid id as a Column expression over the embedding
+        array (centroids inlined as literals - no join, no model server).
+        Distances go into ONE array + argmin: a chained when/otherwise
+        accumulator would copy the growing subtree per centroid (2^n
+        expression blowup — Catalyst never finishes analyzing it)."""
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(float(x)) for x in cent]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for cent in centroids
+            ]
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        cell_of(F.col(vec_col)).alias("cell"),
+    )
+
+    # query side: its n_probe nearest cells (computed on the tiny query set)
+    import numpy as np
+
+    q_local = queries.select(id_col, vec_col).collect()
+    cents = np.array(centroids)
+    probe_rows = []
+    for row in q_local:
+        qv = np.array(row[vec_col], dtype="float64")
+        order = np.argsort(((cents - qv) ** 2).sum(axis=1))[:n_probe]
+        for cell in order:
+            probe_rows.append((row[id_col], int(cell), [float(x) for x in qv]))
+    spark = emb.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, f"query_id LONG, cell INT, qv ARRAY<DOUBLE>"
+    )
+
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -121,3 +121,21 @@ def test_lsh_ann_subset_of_bucket(spark):
     # all results share vec 0's bucket and are ranked by cosine desc
     cos_vals = [r["cos"] for r in rows_out]
     assert cos_vals == sorted(cos_vals, reverse=True)
+
+
+def test_ivf_topk_recall(spark):
+    import math
+
+    rows = [(i, [math.cos(i * 0.3), math.sin(i * 0.3), float(i % 5), 1.0]) for i in range(100)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=4)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # probing half the cells should recover most exact neighbors
+    assert len(ex & ap) / len(ex) >= 0.5
+    # and every approx hit is ranked by cosine desc within its query
+    for qid in (0, 1, 2):
+        cos = [r["cos"] for r in approx.collect() if r["query_id"] == qid]
+        assert cos == sorted(cos, reverse=True)
