@@ -10,6 +10,7 @@ Core surface:
  - :mod:`avro_sql_spark.sources` — batch/stream readers and writers
 """
 
+from .compat import AvroSqlProcessor
 from .errors import AvroSqlError
 from .plans.fields import Field, SqlContext, parse
 from .reshape import reshape, reshape_container, reshape_fields, reshape_schema

@@ -19,13 +19,6 @@ from pyspark.sql.window import Window
 
 from ..functions.vectors import cosine
 
-# deterministic pseudo-random hyperplanes: component h[j] of plane p is a
-# hash-derived value in [-1, 1); identical across runs and executors
-def _hyperplane_component(p: int, j, dim_col=None):
-    h = F.xxhash64(F.lit(p), j if dim_col is None else j)
-    return (h % F.lit(10_000_001)).cast("double") / F.lit(10_000_001.0)
-
-
 def brute_force_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -115,6 +115,12 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
         for kind in ("ident", "quoted", "star", "dot", "comma", "other"):
             val = m.group(kind)
             if val is not None:
+                if kind in ("ident", "quoted") and len(val) > 250:
+                    # Calcite config parity: identifier max length 250
+                    # (AvroSql.scala:47-51)
+                    raise AvroSqlError(
+                        f"Query is not valid. Identifier exceeds 250 characters: {val[:40]}..."
+                    )
                 tokens.append((kind, val))
                 break
     return tokens

@@ -89,3 +89,28 @@ def test_sessionize(spark):
     ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
     rows = sessionize(df, gap_minutes=30).orderBy("user_id", "session_start").collect()
     assert [(r["user_id"], r["n_events"]) for r in rows] == [(7, 2), (7, 1), (8, 1)]
+
+
+def test_stateful_running_profile(spark, tmp_path):
+    """applyInPandasWithState across two micro-batches: state carries."""
+    from avro_sql_spark.streaming.stateful import running_user_profile
+
+    src = str(tmp_path / "state_in")
+    spark.createDataFrame(
+        [(7, 1.0), (7, 3.0), (8, 10.0)], "user_id LONG, value DOUBLE"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("user_id LONG, value DOUBLE").parquet(src)
+    out = running_user_profile(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("profiles")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r["user_id"]: r for r in spark.sql(
+        "SELECT * FROM profiles"
+    ).collect()}
+    assert rows[7]["n_events"] == 2 and rows[7]["total_value"] == 4.0
+    assert rows[8]["max_value"] == 10.0
