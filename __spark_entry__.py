@@ -180,6 +180,14 @@ def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos")).orderBy("id_a", "id_b")
 
 
+def _embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup (LSH-bucketed) — approximate by
+    construction, rows-only check."""
+    t = load_tables(spark, sf_dir, register=False)
+    pairs = dedup.embedding_near_duplicates(t["embeddings"], threshold=0.5, use_lsh=True)
+    return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos")).orderBy("id_a", "id_b")
+
+
 def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, register=False)
     emb = t["embeddings"]
@@ -249,6 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidate_pairs": _minhash_pairs,
         "simhash_fingerprints": _simhash,
         "embedding_near_dup": _embedding_near_dup,
+        "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "ann_cosine_topk": _ann_topk,
         "ann_lsh_bucketed": _ann_lsh,
         "ann_ivf": _ann_ivf,

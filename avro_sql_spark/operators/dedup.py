@@ -225,17 +225,33 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 
 def embedding_near_duplicates(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    use_lsh: bool = False,
+    planes: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs above threshold. Brute force
-    (all-pairs) — correctness baseline; at scale, bucket by LSH hyperplane
-    signs first (see similarity.lsh_bucketed_ann)."""
+    """Embedding-cosine near-dup pairs above threshold.
+
+    ``use_lsh=False``: exact all-pairs — the correctness baseline (and
+    DuckDB-oracle-checkable), O(n²): small SF only. ``use_lsh=True``: the
+    scale path — bucket by random-hyperplane sign signature first, exact
+    cosine only within buckets (an equi-join, not a cross join; recall
+    <1 for pairs straddling a hyperplane — raise recall by lowering
+    ``planes`` or unioning rotated signatures)."""
     from ..functions.vectors import cosine
 
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
-        .filter(F.col("cos") >= threshold)
-    )
+    if use_lsh:
+        from .similarity import hyperplane_signature
+
+        a = a.withColumn("bucket", hyperplane_signature(F.col("va"), planes))
+        b = b.withColumn("bucket", hyperplane_signature(F.col("vb"), planes))
+        joined = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        joined = a.join(b, F.col("id_a") < F.col("id_b"))
+    return joined.select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+    ).filter(F.col("cos") >= threshold)

@@ -91,14 +91,25 @@ def extract_features(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     Python touches each payload once per batch; no per-row round trips."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def checksum(b: bytes) -> int:
+            # numpy byte view — a Python sum() loop over payload bytes is
+            # ~50× slower and dominated the whole operator
+            return int(np.frombuffer(b, dtype=np.uint8).sum(dtype=np.int64)) % 1_000_003
+
+        def hist0(b: bytes) -> int:
+            arr = np.frombuffer(b, dtype=np.uint8)
+            return int(np.count_nonzero(arr % 8 == 0))
+
         for pdf in batches:
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "n_bytes": payloads.map(len),
-                    "byte_checksum": payloads.map(lambda b: sum(b) % 1_000_003),
-                    "hist_0": payloads.map(lambda b: decode_image(b, fake=True)[0]),
+                    "byte_checksum": payloads.map(checksum),
+                    "hist_0": payloads.map(hist0),
                 }
             )
 

@@ -25,12 +25,20 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "window_topk_orders",
+    "rollup_order_priority",
+    "cube_part_stats",
     "asof_latest_order",
+    "sessionize_events",
+    "events_hourly",
+    "json_props_stats",
     "reshape_star_exclusion",
+    "reshape_array_project",
     "text_profile",
     "dedup_exact_keep",
+    "ngram_jaccard_pairs",
     "minhash_candidate_pairs",
     "simhash_fingerprints",
+    "embedding_near_dup_lsh",
     "ann_cosine_topk",
     "multimodal_features",
 ]
