@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_functions": relational.scalar_function_showcase,
         "sessionize_events": relational.sessionize_events,
         "json_props_stats": _json_props_stats,
+        "union_order_extremes": relational.union_high_low_value_orders,
         # LLM-pipeline (north star)
         "text_profile": _text_profile,
         "dedup_exact_groups": _dedup_exact_groups,
@@ -535,6 +536,12 @@ SELECT user_id, MIN(ts) AS session_start, CAST(COUNT(*) AS INTEGER) AS n_events
 FROM numbered
 GROUP BY user_id, sess
 ORDER BY user_id, session_start
+""",
+        "union_order_extremes": """
+SELECT o_orderkey, o_totalprice, 'high' AS bucket FROM orders WHERE o_totalprice > 450000
+UNION ALL
+SELECT o_orderkey, o_totalprice, 'low' AS bucket FROM orders WHERE o_totalprice < 10000
+ORDER BY o_orderkey
 """,
         "json_props_stats": """
 SELECT event_type,

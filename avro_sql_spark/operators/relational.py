@@ -304,3 +304,13 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_start", "n_events")
         .orderBy("user_id", "session_start")
     )
+
+
+def union_high_low_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op UNION ALL with a discriminator column: the very largest and
+    very smallest orders in one frame (unionByName keeps schemas honest)."""
+    t = load_tables(spark, sf_dir, register=False)
+    base = t["orders"].select("o_orderkey", "o_totalprice")
+    high = base.filter(F.col("o_totalprice") > 450000).withColumn("bucket", F.lit("high"))
+    low = base.filter(F.col("o_totalprice") < 10000).withColumn("bucket", F.lit("low"))
+    return high.unionByName(low).orderBy("o_orderkey")
