@@ -184,7 +184,9 @@ def _embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding near-dup (LSH-bucketed) — approximate by
     construction, rows-only check."""
     t = load_tables(spark, sf_dir, register=False)
-    pairs = dedup.embedding_near_duplicates(t["embeddings"], threshold=0.5, use_lsh=True)
+    pairs = dedup.embedding_near_duplicates(
+        t["embeddings"], threshold=0.3, use_lsh=True, planes=4
+    )
     return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos")).orderBy("id_a", "id_b")
 
 
