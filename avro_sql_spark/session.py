@@ -63,6 +63,17 @@ def load_tables(spark: SparkSession, sf_dir: str, register: bool = True):
     optionally register them as temp views for ``spark.sql``."""
     from pyspark.sql import functions as F
 
+    # defensive: the caller's session may not come from get_spark();
+    # without this, reading events.parquet (TIMESTAMP NANOS) throws
+    # PARQUET_TYPE_ILLEGAL. Runtime-settable, verified.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the nanos→NTZ restore goes through an instant, so the session
+        # timezone must be pinned or values shift on non-UTC sessions
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+
     dfs = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
