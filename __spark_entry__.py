@@ -168,6 +168,13 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_candidate_pairs(t["documents"]).orderBy("id_a", "id_b")
 
 
+def _near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative connected-components clustering over LSH candidate
+    pairs — genuinely iterative, rows-only check (no single SQL oracle)."""
+    t = load_tables(spark, sf_dir, register=False)
+    return dedup.near_dup_clusters(t["documents"])
+
+
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints — rows-only check (xxhash64 not in DuckDB)."""
     t = load_tables(spark, sf_dir, register=False)
@@ -258,6 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_keep": _dedup_exact_keep,
         "ngram_jaccard_pairs": _ngram_jaccard,
         "minhash_candidate_pairs": _minhash_pairs,
+        "near_dup_clusters": _near_dup_clusters,
         "simhash_fingerprints": _simhash,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,

@@ -255,3 +255,61 @@ def embedding_near_duplicates(
     return joined.select(
         "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
     ).filter(F.col("cos") >= threshold)
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    est_threshold: float = 0.5,
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: MinHash-LSH candidate pairs -> connected
+    components by iterative min-label propagation -> (id, cluster_id)
+    where cluster_id is the smallest doc id in the component.
+
+    This is the genuinely iterative operator (the driver records it
+    rows-only - no single SQL oracle): each round is one join + one
+    min-aggregate, the classic Spark connected-components loop. Rounds
+    needed = graph diameter (near-dup components are shallow - a handful
+    of rounds); each round is shuffle-bounded by the edge count, and the
+    loop exits early once labels stop changing."""
+    pairs = minhash_candidate_pairs(docs, id_col, text_col).filter(
+        F.col("est_jaccard") >= est_threshold
+    )
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = docs.select(F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")).cache()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.orderBy("id")

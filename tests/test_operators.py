@@ -139,3 +139,22 @@ def test_ivf_topk_recall(spark):
     for qid in (0, 1, 2):
         cos = [r["cos"] for r in approx.collect() if r["query_id"] == qid]
         assert cos == sorted(cos, reverse=True)
+
+
+def test_near_dup_clusters(spark):
+    rows = [
+        (1, "the cat sat on the mat and looked at the dog today ok"),
+        (2, "the cat sat on the mat and looked at the dog today ok"),
+        (3, "the cat sat on the mat and looked at the dog today no"),
+        (4, "entirely different words describing spark query engines"),
+        (5, "entirely different words describing spark query engines"),
+        (6, "nothing like any of the other documents in this tiny set"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    labels = {r["id"]: r["cluster_id"] for r in dedup.near_dup_clusters(docs).collect()}
+    assert labels[1] == labels[2] == 1  # exact dups cluster
+    assert labels[4] == labels[5] == 4
+    assert labels[6] == 6  # singleton keeps its own id
+    # transitive closure: 3 joins 1's cluster if LSH surfaced the pair
+    if labels[3] != 3:
+        assert labels[3] == 1
