@@ -259,6 +259,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": relational.sessionize_events,
         "json_props_stats": _json_props_stats,
         "union_order_extremes": relational.union_high_low_value_orders,
+        "quantity_percentiles": relational.quantity_percentiles,
+        "customer_value_vs_global": relational.customer_value_vs_global,
+        "orders_pivot_by_status": relational.orders_pivot_by_status,
         # LLM-pipeline (north star)
         "text_profile": _text_profile,
         "dedup_exact_groups": _dedup_exact_groups,
@@ -546,6 +549,38 @@ SELECT user_id, MIN(ts) AS session_start, CAST(COUNT(*) AS INTEGER) AS n_events
 FROM numbered
 GROUP BY user_id, sess
 ORDER BY user_id, session_start
+""",
+        "quantity_percentiles": """
+SELECT l_returnflag,
+  quantile_cont(l_quantity, 0.5) AS median_qty,
+  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+  quantile_cont(l_discount, 0.25) AS p25_disc
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+        "customer_value_vs_global": """
+WITH g AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS g
+  FROM orders
+)
+SELECT o_custkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+       > (SELECT g FROM g) * 1.25
+ORDER BY o_custkey
+""",
+        "orders_pivot_by_status": """
+SELECT o_orderpriority,
+  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS "F",
+  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS "O",
+  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS "P"
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
 """,
         "union_order_extremes": """
 SELECT o_orderkey, o_totalprice, 'high' AS bucket FROM orders WHERE o_totalprice > 450000

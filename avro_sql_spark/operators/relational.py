@@ -314,3 +314,60 @@ def union_high_low_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     high = base.filter(F.col("o_totalprice") > 450000).withColumn("bucket", F.lit("high"))
     low = base.filter(F.col("o_totalprice") < 10000).withColumn("bucket", F.lit("low"))
     return high.unionByName(low).orderBy("o_orderkey")
+
+
+def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per return flag (verified
+    bit-identical to DuckDB quantile_cont)."""
+    t = load_tables(spark, sf_dir, register=False)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.5).alias("median_qty"),
+            F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+            F.percentile("l_discount", 0.25).alias("p25_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def customer_value_vs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-style comparison: customers whose average order value
+    beats the global average by 25%+ (the scalar subquery becomes a
+    cross-joined broadcast literal - one extra tiny stage, no per-row
+    subquery execution)."""
+    t = load_tables(spark, sf_dir, register=False)
+    per_cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            (F.sum(_dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("avg_value"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    global_avg = t["orders"].agg(
+        (F.sum(_dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("g")
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(global_avg))
+        .filter(F.col("avg_value") > F.col("g") * 1.25)
+        .select("o_custkey", "avg_value", "n_orders")
+        .orderBy("o_custkey")
+    )
+
+
+def orders_pivot_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per priority, order counts in columns per status. Explicit
+    value list keeps the output schema static (an unlisted pivot would
+    need an extra distinct scan AND make the schema data-dependent -
+    never do that at 100 TB)."""
+    t = load_tables(spark, sf_dir, register=False)
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+        .orderBy("o_orderpriority")
+    )
