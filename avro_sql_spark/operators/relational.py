@@ -207,21 +207,52 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (reference lacks it; SURVEY.md §2.2 'joins'): for each
     event, the most recent order of that user at event time.
 
-    Correctness formulation: equi-join on user + window rank — one
-    shuffle on user_id. At 100 TB the same plan holds IF the per-user
-    order history is bounded; for unbounded history, pre-bucket both
-    sides by user_id and sort within buckets (sort-merge as-of), or use
-    the range-join strategy: band the timestamps and join on
-    (user, time_bucket) before ranking."""
+    Merge formulation: union both sides tagged, one sort per user, and a
+    running ``last(order, ignoreNulls)`` window carries the latest
+    preceding order onto each event row. Unlike the naive
+    inequality-join + rank, NO intermediate row explosion exists — an
+    event never pairs with its user's full order history, so the cost is
+    one shuffle+sort of |events|+|orders| regardless of history depth.
+    Sort key (time, is_order DESC, orderkey ASC) encodes the tie rules:
+    an order exactly at event time counts, and among same-timestamp
+    orders the highest key wins."""
     t = load_tables(spark, sf_dir, register=False)
-    ev = t["events"].select("event_id", "user_id", "ts")
-    od = t["orders"].select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-    w = Window.partitionBy("event_id").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    ev = t["events"].select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_order"),
+        F.lit(None).cast("struct<k:bigint,d:timestamp_ntz,p:double>").alias("o"),
+    )
+    od = t["orders"].select(
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(1).alias("is_order"),
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderdate").alias("d"),
+            F.col("o_totalprice").alias("p"),
+        ).alias("o"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.desc("is_order"), F.asc("o.k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = ev.unionByName(od).withColumn(
+        "last_order", F.last("o", ignorenulls=True).over(w)
+    )
     return (
-        ev.join(od, (ev.user_id == od.o_custkey) & (od.o_orderdate <= ev.ts))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate", "o_totalprice")
+        merged.filter((F.col("is_order") == 0) & F.col("last_order").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("last_order.k").alias("o_orderkey"),
+            F.col("last_order.d").alias("o_orderdate"),
+            F.col("last_order.p").alias("o_totalprice"),
+        )
         .orderBy("event_id")
     )
 
