@@ -262,6 +262,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantity_percentiles": relational.quantity_percentiles,
         "customer_value_vs_global": relational.customer_value_vs_global,
         "orders_pivot_by_status": relational.orders_pivot_by_status,
+        "q6_revenue_forecast": relational.q6_revenue_forecast,
+        "q9_nation_year_profit": relational.q9_nation_year_profit,
+        "q10_returned_items": relational.q10_returned_items,
+        "q12_late_shipments": relational.q12_late_shipments,
+        "q14_promo_effect": relational.q14_promo_effect,
+        "q18_large_volume_customers": relational.q18_large_volume_customers,
+        "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
+        "q22_idle_rich_customers": relational.q22_idle_rich_customers,
         # LLM-pipeline (north star)
         "text_profile": _text_profile,
         "dedup_exact_groups": _dedup_exact_groups,
@@ -581,6 +589,96 @@ SELECT o_orderpriority,
 FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
+""",
+        "q6_revenue_forecast": """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+              * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.06 AND l_quantity < 24
+""",
+        "q9_nation_year_profit": """
+SELECT n_name AS nation,
+  CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_type = 'STANDARD'
+GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER)
+ORDER BY nation, o_year DESC
+""",
+        "q10_returned_items": """
+SELECT c_custkey, c_name, c_acctbal, n_name AS nation,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+        "q12_late_shipments": """
+SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS ship_year,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+    AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+    AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY 1
+ORDER BY ship_year
+""",
+        "q14_promo_effect": """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+          THEN CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+  AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+""",
+        "q18_large_volume_customers": """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+        "q19_disjunctive_revenue": """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+              * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+  AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+""",
+        "q22_idle_rich_customers": """
+SELECT c_nationkey, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
 """,
         "union_order_extremes": """
 SELECT o_orderkey, o_totalprice, 'high' AS bucket FROM orders WHERE o_totalprice > 450000

@@ -402,3 +402,193 @@ def orders_pivot_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, ["F", "O", "P"])
         .orderBy("o_orderpriority")
     )
+
+
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: revenue delta from a discount change. Pure
+    filter + aggregate on a single scan — every predicate is pushed into
+    the parquet reader (shipdate/discount/quantity show up as
+    PushedFilters) and the aggregation is one map-side-combined stage
+    with a 1-row result: the cheapest possible shape at 100 TB."""
+    t = load_tables(spark, sf_dir, register=False)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * _dec("l_discount", "decimal(4,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+def q9_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style: supplier-nation profit by order year for one part
+    type family. part/supplier/nation broadcast; the only big shuffle is
+    lineitem ⋈ orders on the order key."""
+    t = load_tables(spark, sf_dir, register=False)
+    part = t["part"].filter(F.col("p_type") == "STANDARD").select("p_partkey")
+    profit = F.sum(
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(profit.cast("double").alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: top 20 customers by revenue lost to returns in
+    one quarter. customer+nation broadcast against the lineitem ⋈ orders
+    shuffle; top-k via sort+limit (TakeOrderedAndProject — no global
+    sort materialization)."""
+    t = load_tables(spark, sf_dir, register=False)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    revenue = F.sum(
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style conditional aggregation: per ship year, how many
+    late lines (shipped >90 days after order) were high vs low priority.
+    One orders ⋈ lineitem shuffle; the CASE aggregation is map-side."""
+    t = load_tables(spark, sf_dir, register=False)
+    late = t["lineitem"].join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        late.groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: share of one month's revenue from PROMO parts.
+    part broadcast; single-row ratio of two exact decimal sums (divide
+    once at the end — never per row)."""
+    t = load_tables(spark, sf_dir, register=False)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: customers behind the very largest orders
+    (order quantity > 250). The HAVING subquery is a left_semi join
+    against the aggregated lineitem — both sides shuffle on the order
+    key once and AQE turns the (tiny) filtered aggregate into a
+    broadcast at runtime."""
+    t = load_tables(spark, sf_dir, register=False)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style: revenue from three OR'ed brand/size/quantity
+    windows. The disjunction lives in ONE join filter (not a union of
+    three scans); part is broadcast so the fact table is read once."""
+    t = load_tables(spark, sf_dir, register=False)
+    branch = lambda brand, smax, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & (F.col("p_size").between(1, smax))
+        & (F.col("l_quantity").between(qlo, qhi))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch("Brand#12", 5, 1, 11) | branch("Brand#23", 10, 10, 20) | branch("Brand#3", 15, 20, 30))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: per nation, customers with above-average
+    positive balance and NO order since 2000. Scalar subquery becomes a
+    broadcast literal; the NOT EXISTS is a left_anti join on the
+    customer key against the date-filtered orders."""
+    t = load_tables(spark, sf_dir, register=False)
+    avg_bal = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("g"))
+    )
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    return (
+        t["customer"]
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("g"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )

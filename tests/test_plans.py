@@ -64,3 +64,30 @@ def test_withstructure_stays_single_project(parquet_person):
     plan = _plan(out)
     assert "Exchange" not in plan
     assert plan.count("Project") == 1
+
+
+def test_q6_predicates_reach_scan(spark):
+    """Q6 is the pushdown showcase: every WHERE predicate must appear in
+    PushedFilters, and the plan must be scan -> partial agg -> exchange
+    -> final agg with no join."""
+    df = relational.q6_revenue_forecast(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_discount" in pushed and "l_quantity" in pushed and "l_shipdate" in pushed
+    assert "Join" not in plan
+
+
+def test_q19_single_fact_scan_broadcast_dim(spark):
+    """The OR'ed brand/size/qty windows must NOT become a union of three
+    lineitem scans: one fact scan, part broadcast."""
+    df = relational.q19_disjunctive_revenue(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q9_dims_broadcast(spark):
+    df = relational.q9_nation_year_profit(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
