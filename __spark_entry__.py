@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from avro_sql_spark import reshape
-from avro_sql_spark.operators import dedup, multimodal, relational, similarity
+from avro_sql_spark.operators import curation, dedup, multimodal, relational, similarity
 from avro_sql_spark.operators.text import analyze_documents
 from avro_sql_spark.session import load_tables
 
@@ -181,6 +181,66 @@ def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(t["documents"]).orderBy("doc_id")
 
 
+def _split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split (md5-derived, engine-
+    portable, partitioning-independent) summarized per split."""
+    t = load_tables(spark, sf_dir, register=False)
+    return (
+        curation.deterministic_split(t["documents"])
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+def _sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample by id hash — reruns and engines agree on
+    the exact row set."""
+    t = load_tables(spark, sf_dir, register=False)
+    return (
+        curation.deterministic_sample(t["documents"], fraction=0.1)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def _stratified_sample_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language rebalancing: keep 20% of English, all of fr/de, none of
+    the rest — per-stratum deterministic sampling, counted per lang."""
+    t = load_tables(spark, sf_dir, register=False)
+    sampled = curation.stratified_sample(
+        t["documents"], "lang", {"en": 0.2, "fr": 1.0, "de": 1.0}
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_id"))
+        .orderBy("lang")
+    )
+
+
+def _quality_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quality sharding (shard 1 = best docs) summarized per
+    shard. min/max instead of avg(quality): double averages are
+    summation-order-dependent across engines."""
+    t = load_tables(spark, sf_dir, register=False)
+    sharded = curation.quality_shards(t["documents"], n_shards=8)
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("quality").alias("min_q"),
+            F.max("quality").alias("max_q"),
+            F.min("doc_id").alias("first_id"),
+        )
+        .orderBy("shard")
+    )
+
+
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, register=False)
     pairs = dedup.embedding_near_duplicates(t["embeddings"], threshold=0.5)
@@ -278,6 +338,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidate_pairs": _minhash_pairs,
         "near_dup_clusters": _near_dup_clusters,
         "simhash_fingerprints": _simhash,
+        "split_assignment": _split_assignment,
+        "sample_10pct": _sample_10pct,
+        "stratified_sample_lang": _stratified_sample_lang,
+        "quality_shards": _quality_shards,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "ann_cosine_topk": _ann_topk,
@@ -308,6 +372,26 @@ def _occ(needle: str, src: str = "padded") -> str:
 
 def _lang_score(lang: str) -> str:
     return " + ".join(_occ(m) for m in _LANG_MARKERS[lang])
+
+
+def _hash_unit(key_expr: str, salt: str) -> str:
+    """DuckDB twin of curation.hash_unit: md5 hex prefix -> bigint ->
+    unit interval (same 1e6-bucket arithmetic as the Spark side)."""
+    return (
+        f"(CAST(('0x' || substring(md5(CAST({key_expr} AS VARCHAR) || ':{salt}'), 1, 8)) AS BIGINT)"
+        f" % 1000000) / 1000000.0"
+    )
+
+
+def _quality_expr() -> str:
+    """Quality-score expression over a base CTE providing (text, padded,
+    n_ws) — identical arithmetic to functions.text.quality_score."""
+    stop_hits = " + ".join(_occ(f" {w} ") for w in _EN_STOPWORDS)
+    return f"""CAST(((CASE WHEN n_ws >= 5 AND n_ws <= 100000 THEN 1.0 ELSE 0.0 END)
+      + (CASE WHEN CAST((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) AS DOUBLE)
+              / nullif(length(text), 0) <= 0.2 THEN 1.0 ELSE 0.0 END)
+      + (CASE WHEN CAST(({stop_hits}) AS DOUBLE) / nullif(CAST(n_ws AS DOUBLE), 0) >= 0.05
+              THEN 1.0 ELSE 0.0 END)) / 3.0 AS DOUBLE)"""
 
 
 def _text_profile_oracle() -> str:
@@ -697,6 +781,49 @@ GROUP BY event_type
 ORDER BY event_type
 """,
         "text_profile": _text_profile_oracle(),
+        "split_assignment": f"""
+SELECT CASE WHEN {_hash_unit("doc_id", "split")} < 0.9 THEN 'train'
+            WHEN {_hash_unit("doc_id", "split")} < 0.95 THEN 'val'
+            ELSE 'test' END AS split,
+  COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+ORDER BY split
+""",
+        "sample_10pct": f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {_hash_unit("doc_id", "sample")} < 0.1
+ORDER BY doc_id
+""",
+        "stratified_sample_lang": f"""
+SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+FROM documents
+WHERE {_hash_unit("doc_id", "strata")} <
+      (CASE WHEN lang = 'en' THEN 0.2 WHEN lang = 'fr' THEN 1.0
+            WHEN lang = 'de' THEN 1.0 ELSE 0.0 END)
+GROUP BY lang
+ORDER BY lang
+""",
+        "quality_shards": f"""
+WITH base AS (
+  SELECT doc_id, text,
+         ' ' || lower(text) || ' ' AS padded,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
+  FROM documents
+), scored AS (
+  SELECT doc_id, {_quality_expr()} AS quality FROM base
+), sharded AS (
+  SELECT doc_id, quality,
+         CAST(NTILE(8) OVER (ORDER BY quality DESC, doc_id) AS INTEGER) AS shard
+  FROM scored
+)
+SELECT shard, COUNT(*) AS n_docs, MIN(quality) AS min_q, MAX(quality) AS max_q,
+       MIN(doc_id) AS first_id
+FROM sharded
+GROUP BY shard
+ORDER BY shard
+""",
         "dedup_exact_groups": f"""
 SELECT {_FP} AS fp, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
 FROM documents

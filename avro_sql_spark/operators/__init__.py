@@ -1,3 +1,3 @@
-from . import dedup, multimodal, relational, similarity, text
+from . import curation, dedup, multimodal, relational, similarity, text
 
-__all__ = ["relational", "dedup", "similarity", "text", "multimodal"]
+__all__ = ["relational", "curation", "dedup", "similarity", "text", "multimodal"]

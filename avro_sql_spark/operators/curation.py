@@ -1,0 +1,115 @@
+"""Dataset-curation operators for training-data pipelines (north-star
+scope; the reference has no relational surface at all — SURVEY.md §2.2).
+
+The common thread is **determinism**: at 100 TB a train/val/test split or
+a 1% sample must be reproducible across reruns, engines, and cluster
+sizes, so nothing here uses ``rand()`` (per-task seeding makes Spark's
+``rand`` depend on partitioning) or ``TABLESAMPLE`` (block-based, not
+row-stable). Instead every selection derives from an md5 content hash of
+the row's id — a pure Column expression that any engine reproduces
+bit-for-bit (the DuckDB oracles in ``__spark_entry__.py`` run the same
+arithmetic), and that is stable under repartitioning, AQE re-planning,
+and speculative execution.
+
+Scale shapes:
+ - split/sample/stratified-sample are stateless row-local filters — they
+   fuse into the scan (whole-stage codegen), shuffle nothing, and
+   preserve whatever partitioning the pipeline already has.
+ - ``quality_shards`` is the one shuffle-bearing op (a global NTILE needs
+   a total order); it exists for *shard assignment* at write time where a
+   single ordered pass is the point. At extreme scale swap the exact
+   NTILE for range-partitioning on a quantile sketch (approx_percentile)
+   — same output contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# denominator for the md5-derived unit interval; 1e6 buckets keeps the
+# quantization error of any fraction below 1e-6 while fitting in 32 bits
+_BUCKETS = 1_000_000
+
+
+def hash_unit(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform value in [0, 1) from a row key: the first 8
+    hex chars of md5(key[:salt]) scaled to unit. Engine-portable (md5 and
+    hex parsing agree across Spark/DuckDB) and independent of
+    partitioning — the property ``rand(seed)`` lacks."""
+    s = F.concat(key.cast("string"), F.lit(":" + salt)) if salt else key.cast("string")
+    h = F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("bigint")
+    return ((h % _BUCKETS) / F.lit(float(_BUCKETS))).cast("double")
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to one named fraction
+    (default 90/5/5 train/val/test). Assignment is a pure function of the
+    id, so it is stable across reruns and engines, and a given row keeps
+    its split even as the rest of the dataset grows — the property that
+    prevents test-set leakage when a corpus is re-crawled."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    u = hash_unit(F.col(id_col), salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str = "doc_id", fraction: float = 0.1, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by id hash — reproducible,
+    partitioning-independent, and composable (samples with different
+    salts are independent; the same salt at a larger fraction is a
+    superset, which makes growing a sample cheap)."""
+    return df.filter(hash_unit(F.col(id_col), salt) < fraction)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing:
+    keep 100% of rare languages, 5% of English). Row-local like
+    ``deterministic_sample`` — no groupBy, no sampleBy RNG."""
+    frac = None
+    for value, f in fractions.items():
+        cond = F.col(strata_col) == value
+        frac = F.when(cond, F.lit(f)) if frac is None else frac.when(cond, F.lit(f))
+    frac = F.lit(default_fraction) if frac is None else frac.otherwise(F.lit(default_fraction))
+    return df.filter(hash_unit(F.col(id_col), salt) < frac)
+
+
+def quality_shards(
+    df: DataFrame,
+    n_shards: int = 8,
+    score: Column | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign rows to ``n_shards`` quality-ordered shards (shard 1 =
+    best) via NTILE over (score desc, id) — the write-time curriculum /
+    quality-tier pass. The id tiebreak makes the assignment total and
+    deterministic despite heavily tied heuristic scores."""
+    from ..functions.text import quality_score
+
+    score = quality_score(F.col("text")) if score is None else score
+    scored = df.withColumn("quality", score)
+    w = Window.orderBy(F.desc("quality"), F.asc(id_col))
+    return scored.withColumn("shard", F.ntile(n_shards).over(w))

@@ -24,6 +24,14 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q9_nation_year_profit",
+    "q10_returned_items",
+    "q12_late_shipments",
+    "q14_promo_effect",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich_customers",
     "window_topk_orders",
     "rollup_order_priority",
     "cube_part_stats",
@@ -35,6 +43,8 @@ HEADLINE = [
     "reshape_array_project",
     "text_profile",
     "dedup_exact_keep",
+    "split_assignment",
+    "quality_shards",
     "ngram_jaccard_pairs",
     "minhash_candidate_pairs",
     "simhash_fingerprints",

@@ -1,0 +1,85 @@
+"""Dataset-curation operator invariants: determinism, partition
+independence, exact partition-of-rows semantics — the properties that
+make these ops safe to rerun at 100 TB."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from avro_sql_spark.operators import curation
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from avro_sql_spark.session import load_tables
+
+    return load_tables(spark, SF, register=False)["documents"].cache()
+
+
+def test_split_is_a_partition(docs):
+    """Every row lands in exactly one split; labels are only the three
+    requested ones."""
+    out = curation.deterministic_split(docs)
+    assert out.count() == docs.count()
+    labels = {r["split"] for r in out.select("split").distinct().collect()}
+    assert labels <= {"train", "val", "test"}
+    # 90/5/5 within loose tolerance at this tiny SF
+    n = docs.count()
+    train = out.filter(F.col("split") == "train").count()
+    assert 0.8 * n < train < 0.97 * n
+
+
+def test_split_stable_under_repartition(docs):
+    """The assignment is a pure function of the id — reshuffling the
+    input must not move any row between splits."""
+    a = curation.deterministic_split(docs).select("doc_id", "split")
+    b = curation.deterministic_split(docs.repartition(13)).select("doc_id", "split")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_sample_superset_property(docs):
+    """Same salt, larger fraction => superset (growing a sample never
+    resamples)."""
+    small = curation.deterministic_sample(docs, fraction=0.1).select("doc_id")
+    big = curation.deterministic_sample(docs, fraction=0.3).select("doc_id")
+    assert small.exceptAll(big).count() == 0
+    assert small.count() < big.count()
+
+
+def test_sample_salts_differ(docs):
+    a = curation.deterministic_sample(docs, fraction=0.5, salt="a").select("doc_id")
+    b = curation.deterministic_sample(docs, fraction=0.5, salt="b").select("doc_id")
+    assert a.exceptAll(b).count() > 0  # different salts pick different rows
+
+
+def test_stratified_fractions(docs):
+    out = curation.stratified_sample(docs, "lang", {"fr": 1.0})
+    # fr kept fully, everything else dropped (default_fraction=0)
+    assert out.filter(F.col("lang") != "fr").count() == 0
+    assert out.count() == docs.filter(F.col("lang") == "fr").count()
+
+
+def test_quality_shards_balanced(docs):
+    n = docs.count()
+    sharded = curation.quality_shards(docs, n_shards=4)
+    sizes = {r["shard"]: r["n"] for r in sharded.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(sizes) == {1, 2, 3, 4}
+    assert max(sizes.values()) - min(sizes.values()) <= 1  # NTILE balance
+    assert sum(sizes.values()) == n
+    # shard 1 holds the best-quality docs
+    q1 = sharded.filter(F.col("shard") == 1).agg(F.min("quality")).first()[0]
+    q4 = sharded.filter(F.col("shard") == 4).agg(F.max("quality")).first()[0]
+    assert q1 >= q4
+
+
+def test_splits_row_local_no_shuffle(docs):
+    """split/sample must not introduce an Exchange — they fuse into the
+    scan."""
+    plan = (
+        curation.deterministic_sample(curation.deterministic_split(docs), fraction=0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
