@@ -330,6 +330,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume_customers": relational.q18_large_volume_customers,
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
         "q22_idle_rich_customers": relational.q22_idle_rich_customers,
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q4_priority_delivery": relational.q4_priority_delivery,
+        "q7_volume_shipping": relational.q7_volume_shipping,
+        "q8_market_share": relational.q8_market_share,
+        "q11_important_parts": relational.q11_important_parts,
+        "q13_order_count_distribution": relational.q13_order_count_distribution,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q16_supplier_part_count": relational.q16_supplier_part_count,
+        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        "q20_excess_inventory_suppliers": relational.q20_excess_inventory_suppliers,
+        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
         # LLM-pipeline (north star)
         "text_profile": _text_profile,
         "dedup_exact_groups": _dedup_exact_groups,
@@ -763,6 +774,160 @@ WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) 
                     AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY c_nationkey
 ORDER BY c_nationkey
+""",
+        "q2_min_cost_supplier": """
+WITH offers AS (
+  SELECT p_partkey, p_name, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_price
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size < 10 AND p_type = 'STANDARD'
+  GROUP BY 1, 2, 3
+), best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey
+                               ORDER BY unit_price ASC, l_suppkey ASC) AS rk
+  FROM offers
+)
+SELECT p_partkey, p_name, s_name, n_name AS nation,
+       round(unit_price, 6) AS best_unit_price
+FROM best JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+WHERE rk = 1
+ORDER BY p_partkey
+""",
+        "q4_priority_delivery": """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+        "q7_volume_shipping": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+        "q8_market_share": """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+  CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+            THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+  AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'LARGE'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+GROUP BY 1
+ORDER BY 1
+""",
+        "q11_important_parts": """
+WITH pv AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM pv
+WHERE CAST(value_dec AS DOUBLE)
+      > (SELECT CAST(SUM(value_dec) AS DOUBLE) / COUNT(*) FROM pv) * 1.3
+ORDER BY part_value DESC, l_partkey
+""",
+        "q13_order_count_distribution": """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+        "q15_top_supplier": """
+WITH rev AS (
+  SELECT l_suppkey,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev_dec AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_dec = (SELECT MAX(total_rev_dec) FROM rev)
+ORDER BY s_suppkey
+""",
+        "q16_supplier_part_count": """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+        "q17_small_quantity_revenue": """
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3'
+), th AS (
+  SELECT l_partkey AS t_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 0.2 AS qty_cut
+  FROM li GROUP BY 1
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM li JOIN th ON l_partkey = t_partkey
+WHERE l_quantity < qty_cut
+""",
+        "q20_excess_inventory_suppliers": """
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%gear%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 350)
+ORDER BY s_suppkey
+""",
+        "q21_waiting_suppliers": """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS supp_last
+  FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+  GROUP BY 1, 2
+), per_order AS (
+  SELECT l_orderkey AS okey, MAX(supp_last) AS order_last, COUNT(*) AS nsupp
+  FROM per_os GROUP BY 1
+), sole AS (
+  SELECT l_orderkey, COUNT(*) AS n_latest, MIN(l_suppkey) AS suppkey
+  FROM per_os JOIN per_order ON l_orderkey = okey AND supp_last = order_last
+  WHERE nsupp > 1
+  GROUP BY l_orderkey
+  HAVING COUNT(*) = 1
+)
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM sole JOIN supplier ON suppkey = s_suppkey
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_suppkey
 """,
         "union_order_extremes": """
 SELECT o_orderkey, o_totalprice, 'high' AS bucket FROM orders WHERE o_totalprice > 450000

@@ -592,3 +592,310 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style correlated-MIN subquery, adapted (no partsupp
+    table): for each small STANDARD part, the supplier offering the
+    lowest observed unit price in lineitem. The per-(part, supplier)
+    aggregate shuffles once on the part key; the correlated MIN becomes
+    a row_number window over that same partitioning (no second shuffle),
+    and supplier/nation dims are broadcast."""
+    t = load_tables(spark, sf_dir, register=False)
+    part = t["part"].filter((F.col("p_size") < 10) & (F.col("p_type") == "STANDARD"))
+    offers = (
+        t["lineitem"]
+        .join(F.broadcast(part.select("p_partkey", "p_name")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.asc("unit_price"), F.asc("l_suppkey"))
+    best = offers.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        best.join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.round("unit_price", 6).alias("best_unit_price"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def q4_priority_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style EXISTS: orders in one quarter having at least one
+    line shipped >60 days after the order date, counted by priority.
+    The EXISTS is a left_semi join — lineitem is filtered by the join
+    condition and never duplicated, so the count stays per-order."""
+    t = load_tables(spark, sf_dir, register=False)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: bilateral trade volume between two nations by
+    ship year — the supplier sits in one nation, the customer in the
+    other, in either direction. Both nation lookups broadcast; the
+    disjunctive pair filter runs after the (cheap) dim joins so the
+    fact tables are scanned once."""
+    t = load_tables(spark, sf_dir, register=False)
+    n1 = t["nation"].select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style: NATION_3's share of LARGE-part revenue sold into
+    EUROPE, by order year. The conditional share is a ratio of two
+    exact decimal sums per year (single aggregation — the CASE runs
+    map-side, the division once per output row)."""
+    t = load_tables(spark, sf_dir, register=False)
+    europe_cust = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("c_custkey")
+    )
+    supp_nation = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    part = t["part"].filter(F.col("p_type") == "LARGE").select("p_partkey")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(europe_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(zero)).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style HAVING-over-scalar-subquery, adapted (no
+    partsupp): parts whose lineitem revenue exceeds 1.3x the mean
+    per-part revenue. One shuffle on the part key; the global total re-aggregates
+    the per-part sums (tiny) and broadcasts back as a literal — the
+    fact table is scanned once, not twice."""
+    t = load_tables(spark, sf_dir, register=False)
+    per_part = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("value_dec"))
+    )
+    total = per_part.agg(
+        (F.sum("value_dec").cast("double") / F.count(F.lit(1))).alias("mean_value")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec").cast("double") > F.col("mean_value") * 1.3)
+        .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style two-level aggregation: distribution of customers
+    by order count (non-urgent orders only), keeping 0-order customers
+    via a left outer join. First groupBy shuffles on the customer key,
+    second on the (tiny-domain) count."""
+    t = load_tables(spark, sf_dir, register=False)
+    orders = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        t["customer"]
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style: the supplier(s) with maximum revenue in one
+    quarter. The revenue view aggregates once on the supplier key; the
+    MAX scalar subquery re-aggregates that (tiny) result and the
+    equality filter compares exact decimals, so ties are kept
+    identically in both engines."""
+    t = load_tables(spark, sf_dir, register=False)
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).alias("total_rev_dec"))
+    )
+    top = revenue.agg(F.max("total_rev_dec").alias("max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_rev_dec") == F.col("max_rev"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("total_rev_dec").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style: distinct suppliers per part group, excluding a
+    brand/type and suppliers with negative balance (the NOT IN becomes
+    a broadcast left_anti join). countDistinct shuffles on the group
+    key with partial distinct-aggregation map-side."""
+    t = load_tables(spark, sf_dir, register=False)
+    part = t["part"].filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    bad_supp = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style correlated-AVG subquery: weekly revenue that
+    would vanish if sub-20%-of-average-quantity orders of one brand
+    were dropped. The per-part average is an exact decimal-sum/count
+    (double averages are summation-order-dependent across engines) and
+    joins back broadcast — the brand filter makes it tiny."""
+    t = load_tables(spark, sf_dir, register=False)
+    part = t["part"].filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    li = t["lineitem"].join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)) * 0.2).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg((F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"))
+    )
+
+
+def q20_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style nested IN: suppliers who moved >350 units of
+    'gear' parts in 1996. The inner aggregate (per-supplier quantity of
+    matching parts) shuffles on the supplier key and feeds a left_semi
+    join; the quantity sum is exact decimal so the >100 cut is
+    engine-stable."""
+    t = load_tables(spark, sf_dir, register=False)
+    gear = t["part"].filter(F.col("p_name").contains("gear")).select("p_partkey")
+    busy = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(gear), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 350)
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(busy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style EXISTS/NOT-EXISTS self-join, adapted to this
+    schema (no receipt/commit dates): on finalized multi-supplier
+    orders, count per supplier how often that supplier was the SOLE
+    latest shipper (everyone else was done; this one held the order).
+    Two aggregations over the same (order, supplier) partitioning; the
+    orders dim filter is a broadcast semi-join. Timestamps compare
+    exactly, so 'latest' and 'sole' are engine-stable."""
+    t = load_tables(spark, sf_dir, register=False)
+    final_orders = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    per_os = (
+        t["lineitem"]
+        .join(F.broadcast(final_orders), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("supp_last"))
+    )
+    per_order = per_os.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.max("supp_last").alias("order_last"), F.count(F.lit(1)).alias("nsupp")
+    )
+    sole_latest = (
+        per_os.join(
+            per_order,
+            (F.col("l_orderkey") == F.col("okey")) & (F.col("supp_last") == F.col("order_last")),
+        )
+        .filter(F.col("nsupp") > 1)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_latest"), F.min("l_suppkey").alias("suppkey"))
+        .filter(F.col("n_latest") == 1)
+    )
+    return (
+        sole_latest.groupBy("suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(t["supplier"]), F.col("suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+    )

@@ -22,15 +22,26 @@ import __spark_entry__ as entry_mod  # noqa: E402
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q3_shipping_priority",
+    "q4_priority_delivery",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q8_market_share",
     "q9_nation_year_profit",
     "q10_returned_items",
+    "q11_important_parts",
     "q12_late_shipments",
+    "q13_order_count_distribution",
     "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "q19_disjunctive_revenue",
+    "q20_excess_inventory_suppliers",
+    "q21_waiting_suppliers",
     "q22_idle_rich_customers",
     "window_topk_orders",
     "rollup_order_priority",

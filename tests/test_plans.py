@@ -91,3 +91,31 @@ def test_q9_dims_broadcast(spark):
     df = relational.q9_nation_year_profit(spark, "/root/testdata/sf0.001")
     plan = _plan(df)
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q2_correlated_min_single_shuffle(spark):
+    """The correlated-MIN rewrite must reuse the part-key partitioning:
+    one exchange for the (part, supplier) aggregate, and the row_number
+    window on part must not add a second shuffle of the aggregate."""
+    df = relational.q2_min_cost_supplier(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan  # dims all broadcast
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q4_exists_is_semi_join(spark):
+    df = relational.q4_priority_delivery(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    # orders quarter filter must reach the scan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "o_orderdate" in pushed
+
+
+def test_q21_single_lineitem_scan_per_aggregate(spark):
+    """The sole-latest-shipper self-join reads lineitem once for the
+    per-(order,supplier) aggregate and derives everything else from it
+    (exchange reuse), never re-scanning the fact table three times."""
+    df = relational.q21_waiting_suppliers(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("lineitem.parquet") <= 2
