@@ -767,10 +767,13 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15-style: the supplier(s) with maximum revenue in one
-    quarter. The revenue view aggregates once on the supplier key; the
-    MAX scalar subquery re-aggregates that (tiny) result and the
-    equality filter compares exact decimals, so ties are kept
-    identically in both engines."""
+    quarter. The MAX scalar subquery is expressed as rank()==1 over the
+    per-supplier aggregate: a MAX-subquery formulation made Spark
+    recompute the aggregate branch (no exchange reuse → lineitem scanned
+    twice), while the rank window reuses the single aggregate — one fact
+    scan, and the global window only ever sees |suppliers| tiny rows.
+    rank() keeps ties, and exact decimals order identically in both
+    engines."""
     t = load_tables(spark, sf_dir, register=False)
     rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
         F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
@@ -784,10 +787,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.sum(rev).alias("total_rev_dec"))
     )
-    top = revenue.agg(F.max("total_rev_dec").alias("max_rev"))
+    w = Window.orderBy(F.desc("total_rev_dec"))
     return (
-        revenue.crossJoin(F.broadcast(top))
-        .filter(F.col("total_rev_dec") == F.col("max_rev"))
+        revenue.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") == 1)
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", F.col("total_rev_dec").cast("double").alias("total_revenue"))
         .orderBy("s_suppkey")
