@@ -161,6 +161,16 @@ def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(t["documents"], threshold=0.2).orderBy("id_a", "id_b")
 
 
+def _ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-bounded Jaccard: shingles present in >4 docs are dropped
+    before the self-join (the web-scale boilerplate guard), then exact
+    Jaccard over the retained-shingle sets."""
+    t = load_tables(spark, sf_dir, register=False)
+    return dedup.ngram_jaccard_pairs(
+        t["documents"], threshold=0.2, max_doc_freq=4
+    ).orderBy("id_a", "id_b")
+
+
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH candidate pairs — no oracle (xxhash64 minhash not
     reproducible in DuckDB); driver does a rows-only check."""
@@ -346,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": _dedup_exact_groups,
         "dedup_exact_keep": _dedup_exact_keep,
         "ngram_jaccard_pairs": _ngram_jaccard,
+        "ngram_jaccard_capped": _ngram_jaccard_capped,
         "minhash_candidate_pairs": _minhash_pairs,
         "near_dup_clusters": _near_dup_clusters,
         "simhash_fingerprints": _simhash,
@@ -1007,6 +1018,22 @@ sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+""",
+        "ngram_jaccard_capped": f"""
+WITH {_SHINGLES},
+hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > 4),
+shf AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard

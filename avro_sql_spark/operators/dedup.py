@@ -164,15 +164,34 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle:
     explode shingles, self-join on shingle, count intersections, divide by
-    union. This shuffles |shingles| rows (not |docs|²); hot shingles are
-    the skew risk at scale — prefilter ultra-common shingles upstream or
-    run it only on LSH candidates."""
+    union. This shuffles |shingles| rows (not |docs|²).
+
+    Hot shingles are the skew risk at scale: a shingle shared by N docs
+    emits N² candidate rows, and at web scale boilerplate shingles have
+    N in the millions. ``max_doc_freq`` is the skew bound — shingles in
+    more than that many docs are dropped BEFORE the self-join (one extra
+    count per shingle, then a broadcast anti-join against the tiny hot
+    set), capping any bucket at max_doc_freq². Jaccard is then computed
+    over the retained-shingle universe on both sides of the ratio, so
+    the score stays a true set Jaccard (of the filtered sets) rather
+    than a mixed-denominator estimate."""
     sh = _spread(docs, id_col).select(
         F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), shingle)).alias("s")
     )
+    if max_doc_freq is not None:
+        # sh is distinct per (doc, shingle) (word_shingles dedupes), so
+        # a plain count per shingle IS the document frequency
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("s")
+        )
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         sh.alias("a")

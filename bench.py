@@ -57,6 +57,7 @@ HEADLINE = [
     "split_assignment",
     "quality_shards",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_capped",
     "minhash_candidate_pairs",
     "simhash_fingerprints",
     "embedding_near_dup_lsh",

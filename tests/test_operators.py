@@ -158,3 +158,22 @@ def test_near_dup_clusters(spark):
     # transitive closure: 3 joins 1's cluster if LSH surfaced the pair
     if labels[3] != 3:
         assert labels[3] == 1
+
+
+def test_ngram_jaccard_max_doc_freq_drops_boilerplate(spark):
+    """Docs that only share a boilerplate footer must stop pairing once
+    the footer shingles exceed the doc-frequency cap; genuinely similar
+    docs keep pairing on their non-boilerplate shingles."""
+    footer = "copyright acme corp all rights reserved"
+    rows = [
+        (1, f"alpha beta gamma delta epsilon {footer}"),
+        (2, f"zeta eta theta iota kappa {footer}"),
+        (3, f"lambda mu nu xi omicron {footer}"),
+        (4, f"alpha beta gamma delta epsilon unique tail {footer}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.01)
+    assert uncapped.count() == 6  # footer links every pair
+    capped = dedup.ngram_jaccard_pairs(df, threshold=0.01, max_doc_freq=3)
+    pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert pairs == {(1, 4)}  # only the real overlap survives
