@@ -251,6 +251,19 @@ def _quality_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_shards_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based (approxQuantile) shard assignment — the 100 TB path
+    with no global sort. No oracle: the GK sketch's cuts are not
+    reproducible in DuckDB; driver does a rows-only check."""
+    t = load_tables(spark, sf_dir, register=False)
+    sharded = curation.quality_shards_approx(t["documents"], n_shards=8)
+    return (
+        sharded.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("quality").alias("min_q"))
+        .orderBy("shard")
+    )
+
+
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, register=False)
     pairs = dedup.embedding_near_duplicates(t["embeddings"], threshold=0.5)
@@ -364,6 +377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_10pct": _sample_10pct,
         "stratified_sample_lang": _stratified_sample_lang,
         "quality_shards": _quality_shards,
+        "quality_shards_approx": _quality_shards_approx,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "ann_cosine_topk": _ann_topk,

@@ -113,3 +113,38 @@ def quality_shards(
     scored = df.withColumn("quality", score)
     w = Window.orderBy(F.desc("quality"), F.asc(id_col))
     return scored.withColumn("shard", F.ntile(n_shards).over(w))
+
+
+def quality_shards_approx(
+    df: DataFrame,
+    n_shards: int = 8,
+    score: Column | None = None,
+    id_col: str = "doc_id",
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """The 100 TB variant of :func:`quality_shards`: the global NTILE
+    needs a total order (one partition holds every row), which is exact
+    but caps out around 10^8 rows. Here the shard boundaries come from
+    an ``approxQuantile`` sketch (Greenwald-Khanna, driver-merged,
+    bounded memory) and shard assignment is a row-local comparison
+    against the broadcast cut list — no global sort, no shuffle beyond
+    the sketch's own tree aggregation, arbitrarily many rows.
+
+    Contract matches quality_shards (shard 1 = best) except shard sizes
+    are only approximately equal (within ``relative_error``) and rows
+    tied exactly on a cut boundary stay together instead of being split
+    by the id tiebreak."""
+    from ..functions.text import quality_score
+
+    score = quality_score(F.col("text")) if score is None else score
+    scored = df.withColumn("quality", score.cast("double"))
+    probs = [i / n_shards for i in range(1, n_shards)]
+    cuts = scored.approxQuantile("quality", probs, relative_error)
+    if not cuts:
+        return scored.withColumn("shard", F.lit(1))
+    # cuts ascend; shard 1 = best: >= the top cut, shard n = below all
+    expr = None
+    for shard, cut in enumerate(reversed(cuts), start=1):
+        cond = F.col("quality") >= F.lit(cut)
+        expr = F.when(cond, shard) if expr is None else expr.when(cond, shard)
+    return scored.withColumn("shard", expr.otherwise(F.lit(n_shards)))

@@ -83,3 +83,37 @@ def test_splits_row_local_no_shuffle(docs):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_quality_shards_approx_contract(docs):
+    """The sketch-based variant must cover every row with shard labels
+    1..n, keep shard 1 >= shard n in quality, and stay shuffle-free in
+    the assignment pass (the sketch itself is a separate aggregation)."""
+    out = curation.quality_shards_approx(docs, n_shards=4)
+    n = docs.count()
+    assert out.count() == n
+    labels = {r["shard"] for r in out.select("shard").distinct().collect()}
+    # the heavily-tied quality score may leave some shards empty (ties
+    # cross boundaries whole) but the best shard always exists
+    assert labels <= {1, 2, 3, 4} and 1 in labels
+    worst = max(labels)
+    q1 = out.filter(F.col("shard") == 1).agg(F.min("quality")).first()[0]
+    qw = out.filter(F.col("shard") == worst).agg(F.max("quality")).first()[0]
+    assert q1 >= qw
+    # assignment is row-local: no Exchange in the labeled frame's plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_quality_shards_approx_agrees_with_exact(docs):
+    """With a tight sketch and a high-cardinality score (n_chars — the
+    quality heuristic has only 4 distinct values), approx shard sizes
+    track the exact NTILE within a loose band."""
+    score = F.col("n_chars").cast("double")
+    exact = curation.quality_shards(docs, n_shards=4, score=score)
+    approx = curation.quality_shards_approx(docs, n_shards=4, score=score, relative_error=0.0001)
+    n = docs.count()
+    ex = {r["shard"]: r["n"] for r in exact.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+    ap = {r["shard"]: r["n"] for r in approx.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for s in ex:
+        assert abs(ex[s] - ap.get(s, 0)) <= 0.5 * n / 4 + 1
