@@ -114,3 +114,23 @@ def test_stateful_running_profile(spark, tmp_path):
     ).collect()}
     assert rows[7]["n_events"] == 2 and rows[7]["total_value"] == 4.0
     assert rows[8]["max_value"] == 10.0
+
+
+def test_curation_split_on_stream(spark, tmp_path):
+    """deterministic_split/sample are row-local Column expressions, so
+    they apply unchanged to a streaming frame — and assign each id the
+    SAME split a batch pass assigns (rerun-stable ingest labeling)."""
+    from avro_sql_spark.operators import curation
+
+    src = str(tmp_path / "docs_in")
+    batch = spark.createDataFrame(
+        [(i, f"doc text {i}") for i in range(200)], "doc_id LONG, text STRING"
+    )
+    batch.write.parquet(src)
+    stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(src)
+    out = curation.deterministic_split(stream)
+    assert out.isStreaming
+    _run_stream(out, "split_stream")
+    got = {r["doc_id"]: r["split"] for r in spark.sql("SELECT * FROM split_stream").collect()}
+    want = {r["doc_id"]: r["split"] for r in curation.deterministic_split(batch).collect()}
+    assert got == want
