@@ -251,6 +251,22 @@ def _quality_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-offset sequence packing (budget 512, 8 parallel groups)
+    summarized per (group, sequence)."""
+    t = load_tables(spark, sf_dir, register=False)
+    packed = curation.pack_sequences(t["documents"], budget=512, n_groups=8)
+    return (
+        packed.groupBy("pack_group", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("pack_group", "seq_id")
+    )
+
+
 def _quality_shards_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based (approxQuantile) shard assignment — the 100 TB path
     with no global sort. No oracle: the GK sketch's cuts are not
@@ -378,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_lang": _stratified_sample_lang,
         "quality_shards": _quality_shards,
         "quality_shards_approx": _quality_shards_approx,
+        "pack_sequences": _pack_sequences,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "ann_cosine_topk": _ann_topk,
@@ -1013,6 +1030,25 @@ SELECT shard, COUNT(*) AS n_docs, MIN(quality) AS min_q, MAX(quality) AS max_q,
 FROM sharded
 GROUP BY shard
 ORDER BY shard
+""",
+        "pack_sequences": f"""
+WITH g AS (
+  SELECT doc_id,
+         CAST(FLOOR({_hash_unit("doc_id", "pack")} * 8) AS INTEGER) AS pack_group,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, pack_group, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM g
+)
+SELECT pack_group, CAST(FLOOR(cb / 512) AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc
+FROM cum
+GROUP BY 1, 2
+ORDER BY pack_group, seq_id
 """,
         "dedup_exact_groups": f"""
 SELECT {_FP} AS fp, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id

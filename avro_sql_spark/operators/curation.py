@@ -148,3 +148,46 @@ def quality_shards_approx(
         cond = F.col("quality") >= F.lit(cut)
         expr = F.when(cond, shard) if expr is None else expr.when(cond, shard)
     return scored.withColumn("shard", expr.otherwise(F.lit(n_shards)))
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    n_groups: int = 64,
+    id_col: str = "doc_id",
+    tokens: Column | None = None,
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign each document a training-sequence slot: ``pack_group``
+    (which parallel packing stream), ``seq_id`` (which ~``budget``-token
+    sequence within the stream), ``seq_offset`` (the document's token
+    offset inside that sequence).
+
+    Semantics are token-offset packing — concatenate the group's docs in
+    id order and cut every ``budget`` tokens; a doc belongs to the
+    sequence where its first token falls (trainers truncate/carry the
+    tail across the cut). This is deterministic and windows-expressible,
+    unlike strict greedy first-fit, whose running remainder needs
+    sequential state.
+
+    Scale shape: docs are hash-split into ``n_groups`` independent
+    streams, so packing is one shuffle by group and each window sorts
+    only |docs|/n_groups rows — raise n_groups to bound per-partition
+    sort size (at 100 TB, ~10k groups keeps windows in memory). The
+    group hash reuses the engine-portable md5 unit interval, so the
+    DuckDB oracle reproduces the exact assignment."""
+    from ..functions.text import whitespace_token_count
+
+    tokens = whitespace_token_count(F.col("text")) if tokens is None else tokens
+    grouped = df.withColumn(
+        "pack_group", F.floor(hash_unit(F.col(id_col), salt) * n_groups).cast("int")
+    ).withColumn("n_tokens", tokens.cast("bigint"))
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return grouped.withColumn("seq_id", F.floor(cum_before / F.lit(budget))).withColumn(
+        "seq_offset", (cum_before % F.lit(budget)).cast("bigint")
+    )

@@ -56,6 +56,7 @@ HEADLINE = [
     "dedup_exact_keep",
     "split_assignment",
     "quality_shards",
+    "pack_sequences",
     "ngram_jaccard_pairs",
     "ngram_jaccard_capped",
     "minhash_candidate_pairs",

@@ -117,3 +117,31 @@ def test_quality_shards_approx_agrees_with_exact(docs):
     ap = {r["shard"]: r["n"] for r in approx.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
     for s in ex:
         assert abs(ex[s] - ap.get(s, 0)) <= 0.5 * n / 4 + 1
+
+
+def test_pack_sequences_invariants(docs):
+    """Offsets stay inside the budget, seq_ids start at 0 per group and
+    increase with id order, and the (group, seq, offset) assignment is
+    stable under repartitioning."""
+    out = curation.pack_sequences(docs, budget=256, n_groups=8)
+    assert out.count() == docs.count()
+    assert out.filter((F.col("seq_offset") < 0) | (F.col("seq_offset") >= 256)).count() == 0
+    assert out.filter(F.col("seq_id") < 0).count() == 0
+    first = out.groupBy("pack_group").agg(F.min("seq_id").alias("m"))
+    assert first.filter(F.col("m") != 0).count() == 0
+    a = out.select("doc_id", "pack_group", "seq_id", "seq_offset")
+    b = curation.pack_sequences(docs.repartition(13), budget=256, n_groups=8).select(
+        "doc_id", "pack_group", "seq_id", "seq_offset"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pack_sequences_offset_math(spark):
+    """Hand-checked: one group, docs of 10 tokens each, budget 25 —
+    cumulative offsets 0,10,20,30,... map to seqs 0,0,0,1,1,2,..."""
+    rows = [(i, " ".join(["w"] * 10)) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = curation.pack_sequences(df, budget=25, n_groups=1).orderBy("doc_id").collect()
+    assert [(r.seq_id, r.seq_offset) for r in out] == [
+        (0, 0), (0, 10), (0, 20), (1, 5), (1, 15), (2, 0)
+    ]
