@@ -251,6 +251,40 @@ def _quality_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decontam_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop train-split docs whose normalized
+    fingerprint appears in the test split, summarized per language."""
+    t = load_tables(spark, sf_dir, register=False)
+    labeled = curation.deterministic_split(t["documents"])
+    train = labeled.filter(F.col("split") == "train").drop("split")
+    test = labeled.filter(F.col("split") == "test").drop("split")
+    kept = dedup.decontaminate(train, test, method="exact")
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_id"))
+        .orderBy("lang")
+    )
+
+
+def _mixture_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixture (en x1.5, fr x2, de x0.5) — full epochs
+    plus deterministic fractional samples — counted per (source, epoch)."""
+    t = load_tables(spark, sf_dir, register=False)
+    docs = t["documents"]
+    mixed = curation.mixture(
+        {
+            "en": (docs.filter(F.col("lang") == "en"), 1.5),
+            "fr": (docs.filter(F.col("lang") == "fr"), 2.0),
+            "de": (docs.filter(F.col("lang") == "de"), 0.5),
+        }
+    )
+    return (
+        mixed.groupBy("source", "epoch")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_id"))
+        .orderBy("source", "epoch")
+    )
+
+
 def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-offset sequence packing (budget 512, 8 parallel groups)
     summarized per (group, sequence)."""
@@ -395,6 +429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_shards": _quality_shards,
         "quality_shards_approx": _quality_shards_approx,
         "pack_sequences": _pack_sequences,
+        "decontam_exact": _decontam_exact,
+        "mixture_by_lang": _mixture_by_lang,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "ann_cosine_topk": _ann_topk,
@@ -1030,6 +1066,39 @@ SELECT shard, COUNT(*) AS n_docs, MIN(quality) AS min_q, MAX(quality) AS max_q,
 FROM sharded
 GROUP BY shard
 ORDER BY shard
+""",
+        "decontam_exact": f"""
+WITH labeled AS (
+  SELECT *, CASE WHEN {_hash_unit("doc_id", "split")} < 0.9 THEN 'train'
+                 WHEN {_hash_unit("doc_id", "split")} < 0.95 THEN 'val'
+                 ELSE 'test' END AS split
+  FROM documents
+),
+test_fp AS (SELECT DISTINCT {_FP} AS fp FROM labeled WHERE split = 'test')
+SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_id
+FROM labeled
+WHERE split = 'train' AND {_FP} NOT IN (SELECT fp FROM test_fp)
+GROUP BY lang
+ORDER BY lang
+""",
+        "mixture_by_lang": f"""
+WITH mixed AS (
+  SELECT 'en' AS source, 0 AS epoch, doc_id FROM documents WHERE lang = 'en'
+  UNION ALL
+  SELECT 'en', 1, doc_id FROM documents
+  WHERE lang = 'en' AND {_hash_unit("doc_id", "mix:en:1")} < 0.5
+  UNION ALL
+  SELECT 'fr', 0, doc_id FROM documents WHERE lang = 'fr'
+  UNION ALL
+  SELECT 'fr', 1, doc_id FROM documents WHERE lang = 'fr'
+  UNION ALL
+  SELECT 'de', 0, doc_id FROM documents
+  WHERE lang = 'de' AND {_hash_unit("doc_id", "mix:de:0")} < 0.5
+)
+SELECT source, epoch, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+FROM mixed
+GROUP BY 1, 2
+ORDER BY source, epoch
 """,
         "pack_sequences": f"""
 WITH g AS (

@@ -191,3 +191,40 @@ def pack_sequences(
     return grouped.withColumn("seq_id", F.floor(cum_before / F.lit(budget))).withColumn(
         "seq_offset", (cum_before % F.lit(budget)).cast("bigint")
     )
+
+
+def mixture(
+    sources: dict[str, tuple[DataFrame, float]],
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic weighted dataset mixture: for each named source,
+    weight w keeps floor(w) full copies (tagged ``epoch`` 0..floor(w)-1)
+    plus a deterministic-hash sample of the fractional remainder — the
+    standard corpus-mixing step (e.g. wiki x2.5, web x0.3) made
+    rerun-stable.
+
+    Row-local like the samplers: no shuffle, no RNG; the remainder
+    sample reuses :func:`hash_unit` with a per-(source, epoch) salt, so
+    the same doc is chosen for the fraction on every run and engine.
+    Output adds ``source`` and ``epoch`` columns; schemas must match
+    across sources (unionByName)."""
+    out = None
+    for name, (df, weight) in sources.items():
+        if weight <= 0:
+            continue
+        whole = int(weight)
+        for epoch in range(whole):
+            part = df.withColumn("source", F.lit(name)).withColumn("epoch", F.lit(epoch))
+            out = part if out is None else out.unionByName(part)
+        frac = weight - whole
+        if frac > 0:
+            part = (
+                df.filter(hash_unit(F.col(id_col), f"{salt}:{name}:{whole}") < frac)
+                .withColumn("source", F.lit(name))
+                .withColumn("epoch", F.lit(whole))
+            )
+            out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("mixture() needs at least one source with weight > 0")
+    return out

@@ -365,3 +365,70 @@ def near_dup_clusters(
             break
     edges.unpersist()
     return labels.orderBy("id")
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "exact",
+    shingle: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Remove training documents that leak evaluation content — the
+    benchmark-decontamination pass every training pipeline needs.
+
+    ``method="exact"``: drop train docs whose normalized-text md5
+    fingerprint appears in the test set. One anti-join on a 16-byte key;
+    the test fingerprint set is usually tiny → broadcast, so the train
+    side never shuffles.
+
+    ``method="ngram"``: drop train docs sharing ≥``threshold`` n-gram
+    Jaccard with ANY test doc — catches paraphrased/partial leaks.
+    Bipartite version of :func:`ngram_jaccard_pairs`: shingles of both
+    sides meet in a shingle-keyed join (shuffle is |shingles|, never
+    |train|×|test|), with the same ``max_doc_freq`` hot-shingle guard.
+    """
+    if method == "exact":
+        test_fps = test.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+        keyed = train.withColumn("__fp", fingerprint(F.col(text_col)))
+        return (
+            keyed.join(
+                F.broadcast(test_fps), keyed["__fp"] == test_fps["fp"], "left_anti"
+            ).drop("__fp")
+        )
+    if method != "ngram":
+        raise ValueError(f"unknown method {method!r} (use 'exact' or 'ngram')")
+    tr = _spread(train, id_col).select(
+        F.col(id_col).alias("tid"), F.explode(word_shingles(F.col(text_col), shingle)).alias("s")
+    )
+    te = test.select(
+        F.col(id_col).alias("eid"), F.explode(word_shingles(F.col(text_col), shingle)).alias("s")
+    )
+    if max_doc_freq is not None:
+        hot = (
+            tr.select(F.col("tid").alias("d"), "s").union(te.select(F.col("eid").alias("d"), "s"))
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("s")
+        )
+        tr = tr.join(F.broadcast(hot), "s", "left_anti")
+        te = te.join(F.broadcast(hot), "s", "left_anti")
+    tr_sizes = tr.groupBy("tid").agg(F.count(F.lit(1)).alias("tn"))
+    te_sizes = te.groupBy("eid").agg(F.count(F.lit(1)).alias("en"))
+    inter = (
+        tr.join(te, "s")
+        .groupBy("tid", "eid")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    contaminated = (
+        inter.join(tr_sizes, "tid")
+        .join(te_sizes, "eid")
+        .filter(F.col("i").cast("double") / (F.col("tn") + F.col("en") - F.col("i")) >= threshold)
+        .select(F.col("tid").alias(id_col))
+        .distinct()
+    )
+    return train.join(contaminated, id_col, "left_anti")

@@ -57,6 +57,7 @@ HEADLINE = [
     "split_assignment",
     "quality_shards",
     "pack_sequences",
+    "decontam_exact",
     "ngram_jaccard_pairs",
     "ngram_jaccard_capped",
     "minhash_candidate_pairs",

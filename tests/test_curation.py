@@ -145,3 +145,19 @@ def test_pack_sequences_offset_math(spark):
     assert [(r.seq_id, r.seq_offset) for r in out] == [
         (0, 0), (0, 10), (0, 20), (1, 5), (1, 15), (2, 0)
     ]
+
+
+def test_mixture_weights(docs):
+    """weight 2.5 => two full epochs + ~half an epoch, all deterministic;
+    weight 0.25 => one partial epoch."""
+    n = docs.count()
+    mixed = curation.mixture({"a": (docs, 2.5), "b": (docs, 0.25)})
+    a = mixed.filter(F.col("source") == "a")
+    b = mixed.filter(F.col("source") == "b")
+    assert a.filter(F.col("epoch") == 0).count() == n
+    assert a.filter(F.col("epoch") == 1).count() == n
+    frac = a.filter(F.col("epoch") == 2).count()
+    assert 0.4 * n < frac < 0.6 * n
+    assert 0.15 * n < b.count() < 0.35 * n
+    again = curation.mixture({"a": (docs, 2.5), "b": (docs, 0.25)})
+    assert mixed.exceptAll(again).count() == 0  # rerun-stable

@@ -177,3 +177,32 @@ def test_ngram_jaccard_max_doc_freq_drops_boilerplate(spark):
     capped = dedup.ngram_jaccard_pairs(df, threshold=0.01, max_doc_freq=3)
     pairs = {(r.id_a, r.id_b) for r in capped.collect()}
     assert pairs == {(1, 4)}  # only the real overlap survives
+
+
+def test_decontaminate_exact(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "unique training text"), (3, "  The Quick   Brown Fox ")],
+        "doc_id LONG, text STRING",
+    )
+    test = spark.createDataFrame([(100, "the quick brown fox")], "doc_id LONG, text STRING")
+    kept = dedup.decontaminate(train, test, method="exact")
+    # doc 3 normalizes to the same fingerprint as the test doc -> dropped
+    assert {r.doc_id for r in kept.collect()} == {2}
+
+
+def test_decontaminate_ngram(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "totally unrelated training document here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    test = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon eta")], "doc_id LONG, text STRING"
+    )
+    kept = dedup.decontaminate(train, test, method="ngram", threshold=0.4)
+    assert {r.doc_id for r in kept.collect()} == {2}
+    # below threshold nothing is dropped
+    kept_all = dedup.decontaminate(train, test, method="ngram", threshold=0.9)
+    assert kept_all.count() == 2
