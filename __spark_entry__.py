@@ -251,6 +251,51 @@ def _quality_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gopher_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate pass rate per language (row-local
+    Column predicate — fuses into the scan)."""
+    from avro_sql_spark.functions.text import gopher_pass
+
+    t = load_tables(spark, sf_dir, register=False)
+    flagged = t["documents"].withColumn("ok", gopher_pass(F.col("text")))
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_pass"),
+            F.min(F.when(~F.col("ok"), F.col("doc_id"))).alias("first_fail"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _redact_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking over documents with deterministic synthetic PII
+    injected into every 50th doc (the corpus itself is clean), counted
+    per language."""
+    from avro_sql_spark.functions.text import redact_pii
+
+    t = load_tables(spark, sf_dir, register=False)
+    inject = F.when(
+        F.col("doc_id") % 50 == 0,
+        F.concat(
+            F.lit(" reach me: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555 123-4567"),
+        ),
+    ).otherwise(F.lit(""))
+    aug = t["documents"].withColumn("aug", F.concat(F.col("text"), inject))
+    red = aug.withColumn("clean", redact_pii(F.col("aug")))
+    return (
+        red.groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("clean") != F.col("aug"), 1).otherwise(0)).alias("n_redacted"),
+            F.sum((F.length("aug") - F.length("clean")).cast("bigint")).alias("chars_removed"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _decontam_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: drop train-split docs whose normalized
     fingerprint appears in the test split, summarized per language."""
@@ -431,6 +476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _pack_sequences,
         "decontam_exact": _decontam_exact,
         "mixture_by_lang": _mixture_by_lang,
+        "gopher_filter_stats": _gopher_filter_stats,
+        "redact_pii_stats": _redact_pii_stats,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "ann_cosine_topk": _ann_topk,
@@ -1066,6 +1113,53 @@ SELECT shard, COUNT(*) AS n_docs, MIN(quality) AS min_q, MAX(quality) AS max_q,
 FROM sharded
 GROUP BY shard
 ORDER BY shard
+""",
+        "gopher_filter_stats": f"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         ' ' || lower(text) || ' ' AS padded,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+    (n >= 30 AND n <= 100000
+     AND (length(replace(text, ' ', '')) / n) >= 3.0
+     AND (length(replace(text, ' ', '')) / n) <= 10.0
+     AND (({_occ('#', 'text')} + {_occ('...', 'text')}) / n) <= 0.05
+     AND (CAST(len(list_filter(string_split(lower(text), ' '),
+                               x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+          / len(string_split(lower(text), ' '))) >= 0.8
+     AND ({" + ".join(_occ(f" {w} ") for w in _EN_STOPWORDS)}) >= 1) AS ok
+  FROM base
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       MIN(CASE WHEN NOT ok THEN doc_id END) AS first_fail
+FROM scored
+GROUP BY lang
+ORDER BY lang
+""",
+        "redact_pii_stats": """
+WITH aug AS (
+  SELECT doc_id, lang,
+         text || CASE WHEN doc_id % 50 = 0
+                 THEN ' reach me: user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or +1 555 123-4567'
+                 ELSE '' END AS aug
+  FROM documents
+), red AS (
+  SELECT doc_id, lang, aug,
+         regexp_replace(regexp_replace(aug,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\\+?[0-9][0-9() .-]{6,}[0-9]', '[PHONE]', 'g') AS clean
+  FROM aug
+)
+SELECT lang,
+       CAST(SUM(CASE WHEN clean <> aug THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+       CAST(SUM(length(aug) - length(clean)) AS BIGINT) AS chars_removed
+FROM red
+GROUP BY lang
+ORDER BY lang
 """,
         "decontam_exact": f"""
 WITH labeled AS (

@@ -102,3 +102,80 @@ def word_shingles(text: Column, n: int = 3) -> Column:
         lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
     )
     return F.when(k > 0, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+
+
+def mean_word_length(text: Column) -> Column:
+    """Mean characters per whitespace token (Gopher repetition/quality
+    signal). Non-space chars / token count — same arithmetic as the
+    DuckDB oracle (replace + length), no split materialization."""
+    non_space = F.length(F.replace(text, F.lit(" "), F.lit("")))
+    return (non_space / F.nullif(whitespace_token_count(text).cast("double"), F.lit(0))).cast(
+        "double"
+    )
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """Gopher symbol-to-word ratio: occurrences of '#' or '...' per
+    whitespace token."""
+    hits = _occurrences(text, "#") + _occurrences(text, "...")
+    return (hits / F.nullif(whitespace_token_count(text).cast("double"), F.lit(0))).cast("double")
+
+
+def alpha_word_fraction(text: Column) -> Column:
+    """Fraction of tokens containing at least one ASCII letter (Gopher's
+    80%-alphabetic rule). Higher-order filter over the split — one pass,
+    no explode."""
+
+    def has_alpha(w: Column) -> Column:
+        return w.rlike("[a-z]")
+
+    words = F.split(F.lower(text), " ")
+    n_alpha = F.size(F.filter(words, has_alpha))
+    return (n_alpha / F.nullif(F.size(words).cast("double"), F.lit(0))).cast("double")
+
+
+def gopher_pass(
+    text: Column,
+    min_tokens: int = 30,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.05,
+    min_alpha_fraction: float = 0.8,
+    min_stopword_hits: int = 1,
+) -> Column:
+    """Gopher-style document quality gate (Rae et al. 2021 §A1.1,
+    adapted): token-count window, mean-word-length window, symbol ratio,
+    alphabetic-word fraction, and a minimum count of English stopwords.
+    Pure Column expression — fuses into the scan, row-local, no shuffle."""
+    n = whitespace_token_count(text).cast("double")
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    stop_hits = None
+    for w in EN_STOPWORDS:
+        occ = _occurrences(padded, f" {w} ")
+        stop_hits = occ if stop_hits is None else stop_hits + occ
+    mwl = mean_word_length(text)
+    return (
+        (n >= min_tokens)
+        & (n <= max_tokens)
+        & (mwl >= min_mean_word_len)
+        & (mwl <= max_mean_word_len)
+        & (symbol_word_ratio(text) <= max_symbol_ratio)
+        & (alpha_word_fraction(text) >= min_alpha_fraction)
+        & (stop_hits >= min_stopword_hits)
+    )
+
+
+# conservative patterns: the goal is deterministic, engine-portable
+# masking (both regexes are RE2/Java compatible), not perfect recall
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_PATTERN = "\\+?[0-9][0-9() .-]{6,}[0-9]"
+
+
+def redact_pii(text: Column) -> Column:
+    """Mask email addresses and phone-like digit runs with typed tokens
+    ([EMAIL], [PHONE]) — the pre-training scrub pass. Two JVM regex
+    passes, row-local; emails first so their digits don't half-match the
+    phone pattern."""
+    no_email = F.regexp_replace(text, EMAIL_PATTERN, "[EMAIL]")
+    return F.regexp_replace(no_email, PHONE_PATTERN, "[PHONE]")

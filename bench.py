@@ -58,6 +58,7 @@ HEADLINE = [
     "quality_shards",
     "pack_sequences",
     "decontam_exact",
+    "gopher_filter_stats",
     "ngram_jaccard_pairs",
     "ngram_jaccard_capped",
     "minhash_candidate_pairs",

@@ -206,3 +206,47 @@ def test_decontaminate_ngram(spark):
     # below threshold nothing is dropped
     kept_all = dedup.decontaminate(train, test, method="ngram", threshold=0.9)
     assert kept_all.count() == 2
+
+
+def test_gopher_pass_components(spark):
+    from avro_sql_spark.functions.text import (
+        alpha_word_fraction,
+        gopher_pass,
+        mean_word_length,
+        symbol_word_ratio,
+    )
+
+    good = "the quick brown fox jumps over a lazy dog near the old stone bridge " * 3
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "short text only"),                      # too few tokens
+        (3, ("#### " * 40).strip()),                 # symbols, no alpha, no stopwords
+        (4, ("the " + "abcdefghijklmnopqrstuvwxyz " * 9) * 5),  # huge words
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = df.select(
+        "doc_id",
+        gopher_pass(F.col("text")).alias("ok"),
+        mean_word_length(F.col("text")).alias("mwl"),
+        symbol_word_ratio(F.col("text")).alias("sym"),
+        alpha_word_fraction(F.col("text")).alias("alpha"),
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].ok and not by_id[2].ok and not by_id[3].ok and not by_id[4].ok
+    assert by_id[3].sym > 0.5 and by_id[3].alpha == 0.0
+    assert by_id[4].mwl > 10
+
+
+def test_redact_pii(spark):
+    from avro_sql_spark.functions.text import redact_pii
+
+    rows = [
+        (1, "contact me at jane.doe+spam@example.co.uk or +1 (555) 123-4567 ok"),
+        (2, "no pii here at all"),
+        (3, "digits 12345678901 inline and mail a@b.io end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: r.clean for r in df.select("doc_id", redact_pii(F.col("text")).alias("clean")).collect()}
+    assert got[1] == "contact me at [EMAIL] or [PHONE] ok"
+    assert got[2] == "no pii here at all"
+    assert got[3] == "digits [PHONE] inline and mail [EMAIL] end"
