@@ -410,6 +410,20 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media).orderBy("doc_id")
 
 
+def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling (64-byte frames, every 4th) counted
+    per frame index — the 1→N mapInPandas explode; the count per index
+    is pure byte-length arithmetic, so DuckDB can oracle it."""
+    t = load_tables(spark, sf_dir, register=False)
+    media = multimodal.attach_fake_payload(t["documents"])
+    frames = multimodal.sample_frames(media, frame_bytes=64, every_n=4)
+    return (
+        frames.groupBy("frame_idx")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("frame_idx")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # reshape dialect (SURVEY §2.1)
@@ -485,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _ann_ivf,
         "multimodal_profile": _multimodal_profile,
         "multimodal_features": _multimodal_features,
+        "multimodal_frames": _multimodal_frames,
     }
 
 
@@ -1113,6 +1128,13 @@ SELECT shard, COUNT(*) AS n_docs, MIN(quality) AS min_q, MAX(quality) AS max_q,
 FROM sharded
 GROUP BY shard
 ORDER BY shard
+""",
+        "multimodal_frames": """
+SELECT CAST(f AS INTEGER) AS frame_idx, COUNT(*) AS n_docs
+FROM (SELECT doc_id, unnest(range(0, octet_length(encode(text)) // 64, 4)) AS f
+      FROM documents)
+GROUP BY 1
+ORDER BY frame_idx
 """,
         "gopher_filter_stats": f"""
 WITH base AS (

@@ -132,3 +132,96 @@ def payload_sizes(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.col("media.kind").alias("kind"),
         F.col("media.width").alias("width"),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+    ]
+)
+
+
+def resize_images(
+    media_df: DataFrame, width: int = 32, height: int = 32, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resize pass over image payloads via ``mapInPandas``. The real
+    resample (PIL/opencv) is STUBBED with a deterministic stand-in —
+    nearest-neighbor over the raw byte grid, so output size is exactly
+    width*height and reruns agree byte-for-byte — but the Spark shape is
+    the production one: Arrow batches in, fixed-size payloads out, and
+    the output schema carries the new dimensions so downstream metadata
+    queries never re-read the bytes."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        target = width * height
+
+        def fake_resample(b: bytes) -> bytes:
+            arr = np.frombuffer(b, dtype=np.uint8)
+            if arr.size == 0:
+                return bytes(target)
+            # nearest-neighbor index map — deterministic, shape-true
+            idx = (np.arange(target) * arr.size) // target
+            return arr[idx].tobytes()
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": pdf["payload"].map(fake_resample),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    n = media_df.sparkSession.sparkContext.defaultParallelism
+    return (
+        media_df.select(id_col, "payload")
+        .repartition(n, F.col(id_col))
+        .mapInPandas(_resize, RESIZED_SCHEMA)
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame", BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(
+    media_df: DataFrame,
+    frame_bytes: int = 64,
+    every_n: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame sampling for video payloads: treat the payload as a run of
+    fixed-size frames and emit every ``every_n``-th one as its own row —
+    the 1→N explode shape every video pipeline needs. Real demuxing
+    (ffmpeg) is STUBBED by the fixed-stride split; the distributed
+    mechanics (Arrow batches, row multiplication inside the worker, tall
+    output schema) are the production ones."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                n_frames = len(payload) // frame_bytes
+                for fi in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    frames.append(payload[fi * frame_bytes : (fi + 1) * frame_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    n = media_df.sparkSession.sparkContext.defaultParallelism
+    return (
+        media_df.select(id_col, "payload")
+        .repartition(n, F.col(id_col))
+        .mapInPandas(_sample, FRAME_SCHEMA)
+    )

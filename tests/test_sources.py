@@ -56,3 +56,29 @@ def test_decode_stub_raises(spark):
     with pytest.raises(NotImplementedError):
         decode_image(b"bytes")
     assert sum(decode_image(b"abcd", fake=True)) == 4
+
+
+def test_multimodal_resize(spark):
+    from avro_sql_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh" * 10), (2, "xy"), (3, "")], "doc_id LONG, text STRING"
+    )
+    media = multimodal.attach_fake_payload(docs)
+    out = {r.doc_id: r for r in multimodal.resize_images(media, width=4, height=3).collect()}
+    assert all(len(out[i].payload) == 12 for i in (1, 2, 3))
+    assert all((out[i].width, out[i].height) == (4, 3) for i in (1, 2, 3))
+    # deterministic across runs
+    again = {r.doc_id: r for r in multimodal.resize_images(media, width=4, height=3).collect()}
+    assert all(bytes(out[i].payload) == bytes(again[i].payload) for i in (1, 2, 3))
+
+
+def test_multimodal_sample_frames(spark):
+    from avro_sql_spark.operators import multimodal
+
+    # payload of 100 bytes, frame=10 -> 10 frames, every 3rd -> idx 0,3,6,9
+    docs = spark.createDataFrame([(7, "x" * 100)], "doc_id LONG, text STRING")
+    media = multimodal.attach_fake_payload(docs)
+    rows = multimodal.sample_frames(media, frame_bytes=10, every_n=3).orderBy("frame_idx").collect()
+    assert [r.frame_idx for r in rows] == [0, 3, 6, 9]
+    assert all(len(r.frame) == 10 for r in rows)
