@@ -871,9 +871,12 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema (no receipt/commit dates): on finalized multi-supplier
     orders, count per supplier how often that supplier was the SOLE
     latest shipper (everyone else was done; this one held the order).
-    Two aggregations over the same (order, supplier) partitioning; the
-    orders dim filter is a broadcast semi-join. Timestamps compare
-    exactly, so 'latest' and 'sole' are engine-stable."""
+    One (order, supplier) aggregation, then window functions over the
+    ORDER-KEY partitioning answer 'how many suppliers', 'who shipped
+    last', and 'was the latest unique' in a single shuffle — three
+    window expressions sharing one spec reuse one exchange, where the
+    aggregate-and-join-back formulation shuffled twice more. Timestamps
+    compare exactly, so 'latest' and 'sole' are engine-stable."""
     t = load_tables(spark, sf_dir, register=False)
     final_orders = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey")
     per_os = (
@@ -882,21 +885,24 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("l_shipdate").alias("supp_last"))
     )
-    per_order = per_os.groupBy(F.col("l_orderkey").alias("okey")).agg(
-        F.max("supp_last").alias("order_last"), F.count(F.lit(1)).alias("nsupp")
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_os.select(
+        "l_orderkey",
+        "l_suppkey",
+        "supp_last",
+        F.max("supp_last").over(w).alias("order_last"),
+        F.count(F.lit(1)).over(w).alias("nsupp"),
+    ).withColumn(
+        "n_latest",
+        F.sum(F.when(F.col("supp_last") == F.col("order_last"), 1).otherwise(0)).over(w),
     )
-    sole_latest = (
-        per_os.join(
-            per_order,
-            (F.col("l_orderkey") == F.col("okey")) & (F.col("supp_last") == F.col("order_last")),
-        )
-        .filter(F.col("nsupp") > 1)
-        .groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_latest"), F.min("l_suppkey").alias("suppkey"))
-        .filter(F.col("n_latest") == 1)
+    waiting = flagged.filter(
+        (F.col("supp_last") == F.col("order_last"))
+        & (F.col("nsupp") > 1)
+        & (F.col("n_latest") == 1)
     )
     return (
-        sole_latest.groupBy("suppkey")
+        waiting.groupBy(F.col("l_suppkey").alias("suppkey"))
         .agg(F.count(F.lit(1)).alias("numwait"))
         .join(F.broadcast(t["supplier"]), F.col("suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "numwait")
