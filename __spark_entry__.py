@@ -251,6 +251,26 @@ def _quality_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language repetition profile: docs whose top bigram takes
+    >=6% of bigram occurrences are flagged repetitive."""
+    from avro_sql_spark.operators.text import repetition_stats
+
+    t = load_tables(spark, sf_dir, register=False)
+    rep = repetition_stats(t["documents"]).join(
+        t["documents"].select("doc_id", "lang"), "doc_id"
+    )
+    return (
+        rep.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("top_frac") >= 0.06, 1).otherwise(0)).alias("n_repetitive"),
+            F.min(F.when(F.col("top_frac") >= 0.06, F.col("doc_id"))).alias("first_rep"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _gopher_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality gate pass rate per language (row-local
     Column predicate — fuses into the scan)."""
@@ -492,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_by_lang": _mixture_by_lang,
         "gopher_filter_stats": _gopher_filter_stats,
         "redact_pii_stats": _redact_pii_stats,
+        "repetition_stats": _repetition_stats,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "ann_cosine_topk": _ann_topk,
@@ -1128,6 +1149,22 @@ SELECT shard, COUNT(*) AS n_docs, MIN(quality) AS min_q, MAX(quality) AS max_q,
 FROM sharded
 GROUP BY shard
 ORDER BY shard
+""",
+        "repetition_stats": """
+WITH toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+idx AS (SELECT doc_id, lang, w, unnest(range(1, len(w))) AS i FROM toks WHERE len(w) >= 2),
+grams AS (SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS g FROM idx),
+per_gram AS (SELECT doc_id, lang, g, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3),
+per_doc AS (
+  SELECT doc_id, lang, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_frac
+  FROM per_gram GROUP BY 1, 2
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN top_frac >= 0.06 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+       MIN(CASE WHEN top_frac >= 0.06 THEN doc_id END) AS first_rep
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
 """,
         "multimodal_frames": """
 SELECT CAST(f AS INTEGER) AS frame_idx, COUNT(*) AS n_docs

@@ -179,3 +179,16 @@ def redact_pii(text: Column) -> Column:
     phone pattern."""
     no_email = F.regexp_replace(text, EMAIL_PATTERN, "[EMAIL]")
     return F.regexp_replace(no_email, PHONE_PATTERN, "[PHONE]")
+
+
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """All n-word grams of the lowercased text (NOT deduplicated —
+    repetition analysis needs multiplicities; :func:`word_shingles` is
+    the distinct-set variant for Jaccard/MinHash)."""
+    words = F.split(F.lower(text), " ")
+    k = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
+    )
+    return F.when(k > 0, grams).otherwise(F.array().cast("array<string>"))

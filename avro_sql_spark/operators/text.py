@@ -28,3 +28,27 @@ def analyze_documents(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
         T.quality_score(t).alias("quality"),
         T.fingerprint(t).alias("fp"),
     )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition signals per document: ``top_frac`` (share
+    of n-gram occurrences taken by the single most frequent n-gram) and
+    ``dup_frac`` (share of occurrences that are repeats). Boilerplate
+    and template spam score high on both.
+
+    Shape: explode n-grams WITH multiplicity → count per (doc, gram) →
+    re-aggregate per doc. Both aggregations hash-partition on the doc id
+    (the gram only refines the first key), so the second groupBy reuses
+    the first shuffle's locality; everything is map-side combined."""
+    from ..functions.text import word_ngrams
+
+    grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+    )
+    per_gram = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy(id_col).agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("top_frac"),
+        ((F.sum("c") - F.count(F.lit(1))).cast("double") / F.sum("c")).alias("dup_frac"),
+    )

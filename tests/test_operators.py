@@ -250,3 +250,16 @@ def test_redact_pii(spark):
     assert got[1] == "contact me at [EMAIL] or [PHONE] ok"
     assert got[2] == "no pii here at all"
     assert got[3] == "digits [PHONE] inline and mail [EMAIL] end"
+
+
+def test_repetition_stats(spark):
+    from avro_sql_spark.operators.text import repetition_stats
+
+    rows = [
+        (1, "spam spam spam spam spam spam"),          # one bigram repeated
+        (2, "all words here are fully distinct okay"),  # no repeats
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert out[1].top_frac == 1.0 and out[1].dup_frac == 0.8  # 5 occurrences, 1 distinct
+    assert out[2].top_frac == 1.0 / 6.0 and out[2].dup_frac == 0.0
