@@ -493,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
         "q20_excess_inventory_suppliers": relational.q20_excess_inventory_suppliers,
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
+        "range_join_attribution": relational.clicks_before_purchase,
         # LLM-pipeline (north star)
         "text_profile": _text_profile,
         "dedup_exact_groups": _dedup_exact_groups,
@@ -1149,6 +1150,21 @@ SELECT shard, COUNT(*) AS n_docs, MIN(quality) AS min_q, MAX(quality) AS max_q,
 FROM sharded
 GROUP BY shard
 ORDER BY shard
+""",
+        "range_join_attribution": """
+WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id AS c_uid, ts AS c_ts FROM events WHERE event_type = 'click'),
+cnt AS (
+  SELECT p_id, COUNT(c_ts) AS clicks_before
+  FROM p LEFT JOIN c
+    ON c_uid = user_id AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts
+  GROUP BY p_id
+)
+SELECT clicks_before, COUNT(*) AS n_purchases
+FROM cnt
+GROUP BY 1
+ORDER BY clicks_before
 """,
         "repetition_stats": """
 WITH toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),

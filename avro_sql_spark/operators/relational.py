@@ -908,3 +908,56 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "numwait")
         .orderBy(F.desc("numwait"), "s_suppkey")
     )
+
+
+def clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join done scale-safe: for each purchase, count
+    the same user's clicks in the preceding hour, then histogram
+    purchases by that count.
+
+    A naive range join (c.ts BETWEEN p.ts - 1h AND p.ts) with only the
+    user equality would let one hot user's clicks meet all their
+    purchases; with no equality at all Spark falls back to
+    BroadcastNestedLoopJoin — both die at 100 TB. Here both sides are
+    bucketed to the hour and clicks are exploded into (bucket,
+    bucket+1), so every candidate pair meets on the (user, bucket)
+    EQUI-key exactly once (the 1-hour window spans at most two buckets)
+    and the exact range predicate only filters within-bucket pairs. Cost
+    is one hash join on uniform keys; the bucket width tunes the
+    candidate-set size."""
+    t = load_tables(spark, sf_dir, register=False)
+    ev = t["events"]
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withColumn("b", F.date_trunc("hour", F.col("p_ts")))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts"))
+        .withColumn("b0", F.date_trunc("hour", F.col("c_ts")))
+        .withColumn(
+            "b", F.explode(F.array(F.col("b0"), F.col("b0") + F.expr("INTERVAL 1 HOUR")))
+        )
+    )
+    counted = (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_uid"))
+            & (p["b"] == c["b"])
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") < F.col("p_ts")),
+            "left_outer",
+        )
+        .groupBy("p_id")
+        .agg(F.count(F.col("c_uid")).alias("clicks_before"))
+    )
+    return (
+        counted.groupBy("clicks_before")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("clicks_before")
+    )

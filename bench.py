@@ -47,6 +47,7 @@ HEADLINE = [
     "rollup_order_priority",
     "cube_part_stats",
     "asof_latest_order",
+    "range_join_attribution",
     "sessionize_events",
     "events_hourly",
     "json_props_stats",

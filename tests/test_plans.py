@@ -119,3 +119,13 @@ def test_q21_single_lineitem_scan_per_aggregate(spark):
     df = relational.q21_waiting_suppliers(spark, "/root/testdata/sf0.001")
     plan = _plan(df)
     assert plan.count("lineitem.parquet") <= 2
+
+
+def test_range_join_stays_equi(spark):
+    """The bucketized interval join must plan as a hash/broadcast EQUI
+    join — never BroadcastNestedLoopJoin (the non-equi fallback that
+    dies at scale)."""
+    df = relational.clicks_before_purchase(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan
