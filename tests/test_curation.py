@@ -161,3 +161,22 @@ def test_mixture_weights(docs):
     assert 0.15 * n < b.count() < 0.35 * n
     again = curation.mixture({"a": (docs, 2.5), "b": (docs, 0.25)})
     assert mixed.exceptAll(again).count() == 0  # rerun-stable
+
+
+def test_hash_unit_matches_reference_md5(spark):
+    """hash_unit's contract is 'any engine reproduces it bit-for-bit';
+    lock it against a pure-Python md5 reimplementation so neither the
+    Spark expression nor the DuckDB oracle can drift silently."""
+    import hashlib
+
+    ids = [0, 1, 7, 41, 999_983, 2**40 + 3]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id LONG")
+    got = {
+        r.doc_id: r.u
+        for r in df.select(
+            "doc_id", curation.hash_unit(F.col("doc_id"), "split").alias("u")
+        ).collect()
+    }
+    for i in ids:
+        h = int(hashlib.md5(f"{i}:split".encode()).hexdigest()[:8], 16)
+        assert got[i] == (h % 1_000_000) / 1_000_000.0
