@@ -251,6 +251,28 @@ def _quality_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling k-gram window-min) fingerprint counts per doc,
+    summarized per language — partial-overlap detection the whole-doc
+    md5 cannot do."""
+    from avro_sql_spark.operators.text import winnow_fingerprints
+
+    t = load_tables(spark, sf_dir, register=False)
+    fps = winnow_fingerprints(t["documents"], k=8, w=4)
+    per_doc = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    joined = per_doc.join(t["documents"].select("doc_id", "lang"), "doc_id")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_fp").alias("total_fp"),
+            F.min("n_fp").alias("min_fp"),
+            F.max("n_fp").alias("max_fp"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language repetition profile: docs whose top bigram takes
     >=6% of bigram occurrences are flagged repetitive."""
@@ -514,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter_stats": _gopher_filter_stats,
         "redact_pii_stats": _redact_pii_stats,
         "repetition_stats": _repetition_stats,
+        "winnow_fingerprints": _winnow_fingerprints,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "ann_cosine_topk": _ann_topk,
@@ -1150,6 +1173,33 @@ SELECT shard, COUNT(*) AS n_docs, MIN(quality) AS min_q, MAX(quality) AS max_q,
 FROM sharded
 GROUP BY shard
 ORDER BY shard
+""",
+        "winnow_fingerprints": """
+WITH pos AS (
+  SELECT doc_id, lang, lower(text) AS lt,
+         unnest(range(1, length(lower(text)) - 8 + 2)) AS i
+  FROM documents
+  WHERE length(text) >= 8
+), hashed AS (
+  SELECT doc_id, lang, i,
+         CAST(('0x' || substring(md5(substring(lt, CAST(i AS INTEGER), 8)), 1, 8)) AS BIGINT) AS h,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM pos
+), minima AS (
+  SELECT doc_id, lang, i, n,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM hashed
+), fps AS (
+  SELECT DISTINCT doc_id, lang, wmin FROM minima WHERE i <= n - 3
+), per_doc AS (
+  SELECT doc_id, lang, COUNT(*) AS n_fp FROM fps GROUP BY 1, 2
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_fp) AS BIGINT) AS total_fp,
+       MIN(n_fp) AS min_fp, MAX(n_fp) AS max_fp
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
 """,
         "range_join_attribution": """
 WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events

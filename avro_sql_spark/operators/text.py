@@ -52,3 +52,58 @@ def repetition_stats(
         (F.max("c").cast("double") / F.sum("c")).alias("top_frac"),
         ((F.sum("c") - F.count(F.lit(1))).cast("double") / F.sum("c")).alias("dup_frac"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every character k-gram, slide a w-window over the
+    hash sequence, keep each window's minimum — the selected minima are
+    the doc's fingerprint set, guaranteeing any shared substring of
+    length >= k+w-1 yields a shared fingerprint. The partial-overlap
+    detector that whole-doc md5 (exact dedup) cannot be.
+
+    The k-gram hash is the engine-portable md5-prefix integer (not a
+    true O(1) rolling update — portability to the DuckDB oracle beats
+    the constant factor; swap xxhash64 in for throughput if oracle
+    parity is not needed). Shape: explode positions → one window pass
+    partitioned by doc → distinct. Shuffles |chars| rows once on the
+    doc id; the window sorts each doc's positions only."""
+    from pyspark.sql.window import Window
+
+    lowered = F.lower(F.col(text_col))
+    n_grams = F.length(lowered) - (k - 1)
+    positions = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.when(n_grams > 0, F.sequence(F.lit(1), n_grams)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("i"),
+        lowered.alias("__lt"),
+    )
+    gram = F.substring(F.col("__lt"), F.col("i"), F.lit(k))
+    hashed = positions.select(
+        F.col(id_col),
+        F.col("i"),
+        F.conv(F.substring(F.md5(gram.cast("binary")), 1, 8), 16, 10).cast("bigint").alias("h"),
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    minima = hashed.withColumn("wmin", F.min("h").over(win)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    )
+    # only full windows select fingerprints (i <= n_grams - w + 1)
+    return (
+        minima.filter(F.col("i") <= F.col("n") - (w - 1))
+        .select(F.col(id_col), F.col("wmin").alias("fp"))
+        .distinct()
+    )

@@ -263,3 +263,27 @@ def test_repetition_stats(spark):
     out = {r.doc_id: r for r in repetition_stats(df).collect()}
     assert out[1].top_frac == 1.0 and out[1].dup_frac == 0.8  # 5 occurrences, 1 distinct
     assert out[2].top_frac == 1.0 / 6.0 and out[2].dup_frac == 0.0
+
+
+def test_winnow_fingerprints_overlap_guarantee(spark):
+    """Docs sharing a substring of length >= k+w-1 must share at least
+    one fingerprint; disjoint docs share none (k=8, w=4 -> guarantee
+    threshold 11 chars)."""
+    from avro_sql_spark.operators.text import winnow_fingerprints
+
+    shared = "identical shared clause kept verbatim"
+    rows = [
+        (1, f"first document prefix {shared} and a unique tail"),
+        (2, f"other opening words {shared} different ending"),
+        (3, "zx qv jk wp mn bt ld rg hs fc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    fps = winnow_fingerprints(df, k=8, w=4)
+    sets = {
+        i: {r.fp for r in fps.filter(F.col("doc_id") == i).collect()} for i in (1, 2, 3)
+    }
+    assert sets[1] & sets[2]          # shared clause -> shared fingerprint
+    assert not (sets[1] & sets[3])    # no overlap with the disjoint doc
+    # deterministic across reruns
+    again = {r.fp for r in winnow_fingerprints(df, k=8, w=4).filter(F.col("doc_id") == 1).collect()}
+    assert again == sets[1]
