@@ -273,6 +273,17 @@ def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap candidates: doc pairs sharing >=4 winnowing
+    fingerprints (k=16 grams, window 8), with the shared count."""
+    from avro_sql_spark.operators.text import winnow_overlap_pairs
+
+    t = load_tables(spark, sf_dir, register=False)
+    return winnow_overlap_pairs(t["documents"], k=16, w=8, min_shared=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def _repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language repetition profile: docs whose top bigram takes
     >=6% of bigram occurrences are flagged repetitive."""
@@ -537,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii_stats": _redact_pii_stats,
         "repetition_stats": _repetition_stats,
         "winnow_fingerprints": _winnow_fingerprints,
+        "winnow_overlap_pairs": _winnow_overlap_pairs,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "ann_cosine_topk": _ann_topk,
@@ -1200,6 +1212,31 @@ SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_fp) AS BIGINT) AS total_fp,
 FROM per_doc
 GROUP BY lang
 ORDER BY lang
+""",
+        "winnow_overlap_pairs": """
+WITH pos AS (
+  SELECT doc_id, lower(text) AS lt,
+         unnest(range(1, length(lower(text)) - 16 + 2)) AS i
+  FROM documents
+  WHERE length(text) >= 16
+), hashed AS (
+  SELECT doc_id, i,
+         CAST(('0x' || substring(md5(substring(lt, CAST(i AS INTEGER), 16)), 1, 8)) AS BIGINT) AS h,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM pos
+), minima AS (
+  SELECT doc_id, i, n,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
+  FROM hashed
+), fps AS (
+  SELECT DISTINCT doc_id, wmin AS fp FROM minima WHERE i <= n - 7
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fp
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 4
+ORDER BY id_a, id_b
 """,
         "range_join_attribution": """
 WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events

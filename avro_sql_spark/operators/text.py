@@ -107,3 +107,32 @@ def winnow_fingerprints(
         .select(F.col(id_col), F.col("wmin").alias("fp"))
         .distinct()
     )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Partial-overlap candidate pairs: docs sharing >= ``min_shared``
+    winnowing fingerprints — the copy/quotation detector (MOSS-style)
+    that exact dedup and whole-doc similarity both miss.
+
+    Scale shape mirrors ngram_jaccard but on the winnowed hash set,
+    which is ~1/w the k-gram count per doc, so the self-join shuffle is
+    proportionally smaller; fingerprints shared by huge doc sets are the
+    same skew risk as hot shingles (drop them upstream with a frequency
+    cap if the corpus has boilerplate)."""
+    fps = winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= min_shared)
+    )

@@ -287,3 +287,18 @@ def test_winnow_fingerprints_overlap_guarantee(spark):
     # deterministic across reruns
     again = {r.fp for r in winnow_fingerprints(df, k=8, w=4).filter(F.col("doc_id") == 1).collect()}
     assert again == sets[1]
+
+
+def test_winnow_overlap_pairs(spark):
+    from avro_sql_spark.operators.text import winnow_overlap_pairs
+
+    shared = "this exact sentence appears verbatim in two documents"
+    rows = [
+        (1, f"alpha opening {shared} alpha closing"),
+        (2, f"beta intro {shared} beta outro"),
+        (3, "gamma gamma entirely unrelated content stream"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    pairs = {(r.id_a, r.id_b) for r in winnow_overlap_pairs(df, min_shared=2).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
