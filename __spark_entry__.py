@@ -251,6 +251,22 @@ def _quality_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per doc, summarized: how often each term is
+    some doc's #1 keyword (top 20 terms)."""
+    from avro_sql_spark.operators.text import tfidf_top_terms
+
+    t = load_tables(spark, sf_dir, register=False)
+    top = tfidf_top_terms(t["documents"], top_k=3)
+    return (
+        top.filter(F.col("rk") == 1)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_docs_top1"), F.min("doc_id").alias("min_doc"))
+        .orderBy(F.desc("n_docs_top1"), "term")
+        .limit(20)
+    )
+
+
 def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling k-gram window-min) fingerprint counts per doc,
     summarized per language — partial-overlap detection the whole-doc
@@ -549,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _repetition_stats,
         "winnow_fingerprints": _winnow_fingerprints,
         "winnow_overlap_pairs": _winnow_overlap_pairs,
+        "tfidf_top_terms": _tfidf_top_terms,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "ann_cosine_topk": _ann_topk,
@@ -1185,6 +1202,28 @@ SELECT shard, COUNT(*) AS n_docs, MIN(quality) AS min_q, MAX(quality) AS max_q,
 FROM sharded
 GROUP BY shard
 ORDER BY shard
+""",
+        "tfidf_top_terms": """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM words WHERE term <> '' GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf * ln((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / df), 9) AS score
+  FROM tf JOIN dfreq USING (term)
+), ranked AS (
+  SELECT doc_id, term,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT term, COUNT(*) AS n_docs_top1, MIN(doc_id) AS min_doc
+FROM ranked WHERE rk = 1
+GROUP BY term
+ORDER BY n_docs_top1 DESC, term
+LIMIT 20
 """,
         "winnow_fingerprints": """
 WITH pos AS (

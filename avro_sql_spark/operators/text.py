@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import text as T
 
@@ -135,4 +136,42 @@ def winnow_overlap_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_fp"))
         .filter(F.col("shared_fp") >= min_shared)
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    top_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF (ln-smoothed:
+    tf * ln(N / df)) — keyword extraction / topic labeling.
+
+    Shape: explode words → (doc, term) counts → term doc-frequencies →
+    broadcast the (small) df table back → rank window per doc. Two
+    shuffles (doc-term, term) plus the per-doc window; everything
+    partial-aggregated. The score is rounded to 9 decimals before
+    ranking so Spark's and DuckDB's ln() agree through the rank despite
+    last-ulp libm differences, with (term) as the total tiebreak."""
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # lazy scalar N (no driver-side count action): 1-row aggregate,
+    # broadcast into the df table
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    df_ = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+    )
+    scored = tf.join(F.broadcast(df_), "term").withColumn(
+        "score", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 9)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select(id_col, "term", "score", "rk")
     )

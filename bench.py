@@ -60,6 +60,7 @@ HEADLINE = [
     "pack_sequences",
     "decontam_exact",
     "gopher_filter_stats",
+    "winnow_overlap_pairs",
     "ngram_jaccard_pairs",
     "ngram_jaccard_capped",
     "minhash_candidate_pairs",

@@ -302,3 +302,17 @@ def test_winnow_overlap_pairs(spark):
     pairs = {(r.id_a, r.id_b) for r in winnow_overlap_pairs(df, min_shared=2).collect()}
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_tfidf_top_terms(spark):
+    from avro_sql_spark.operators.text import tfidf_top_terms
+
+    rows = [
+        (1, "common common unicorn"),
+        (2, "common common dragon dragon"),
+        (3, "common phoenix"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    top1 = {r.doc_id: r.term for r in tfidf_top_terms(df, top_k=1).collect()}
+    # 'common' appears in every doc (idf = ln(1) = 0) so the rare term wins
+    assert top1 == {1: "unicorn", 2: "dragon", 3: "phoenix"}
