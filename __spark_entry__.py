@@ -543,6 +543,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_inventory_suppliers": relational.q20_excess_inventory_suppliers,
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
         "range_join_attribution": relational.clicks_before_purchase,
+        "grouping_sets_sales": relational.grouping_sets_sales,
+        "token_topk": relational.token_topk,
+        "customer_order_span": relational.customer_order_span,
+        "events_gap_fill": relational.events_gap_fill,
         # LLM-pipeline (north star)
         "text_profile": _text_profile,
         "dedup_exact_groups": _dedup_exact_groups,
@@ -765,6 +769,61 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+""",
+        "grouping_sets_sales": """
+SELECT c_mktsegment, o_orderstatus, o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus),
+                        (c_mktsegment, o_orderpriority))
+ORDER BY c_mktsegment ASC NULLS FIRST,
+         o_orderstatus ASC NULLS FIRST,
+         o_orderpriority ASC NULLS FIRST
+""",
+        "token_topk": r"""
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+      FROM documents)
+WHERE regexp_matches(token, '^[a-z]+$')
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 50
+""",
+        "customer_order_span": """
+SELECT o_custkey, n_orders, first_order, last_order, sum_gap_days FROM (
+  SELECT o_custkey,
+         COUNT(*) AS n_orders,
+         CAST(MIN(od) AS TIMESTAMP) AS first_order,
+         CAST(MAX(od) AS TIMESTAMP) AS last_order,
+         CAST(SUM(gap_days) AS BIGINT) AS sum_gap_days
+  FROM (
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+           DATEDIFF('day',
+                    LAG(CAST(o_orderdate AS DATE)) OVER (
+                      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                    CAST(o_orderdate AS DATE)) AS gap_days
+    FROM orders)
+  GROUP BY o_custkey)
+WHERE n_orders >= 2
+ORDER BY o_custkey
+""",
+        "events_gap_fill": """
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events),
+hours AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events),
+counts AS (
+  SELECT date_trunc('hour', ts) AS c_hour, event_type AS c_type,
+         COUNT(*) AS c_n
+  FROM events GROUP BY 1, 2)
+SELECT t.event_type, h.hour,
+       CAST(COALESCE(c.c_n, 0) AS BIGINT) AS n_events
+FROM hours h CROSS JOIN types t
+LEFT JOIN counts c ON h.hour = c.c_hour AND t.event_type = c.c_type
+ORDER BY t.event_type, h.hour
 """,
         "anti_join_no_orders": """
 SELECT c_custkey, c_name, c_mktsegment

@@ -961,3 +961,115 @@ def clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_purchases"))
         .orderBy("clicks_before")
     )
+
+
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS aggregation (SURVEY §2.2 "grouping sets" — the
+    non-hierarchical shape neither ROLLUP nor CUBE expresses): order
+    counts and volume by (segment × status) and (segment × priority)
+    in one pass. Catalyst expands the sets with a single Expand node
+    over one scan — at 100 TB this is one shuffle, not two queries.
+
+    customer is broadcast into orders before the aggregation."""
+    t = load_tables(spark, sf_dir, register=False)
+    joined = t["orders"].join(
+        F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+    )
+    joined.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus),
+                                (c_mktsegment, o_orderpriority))
+        ORDER BY c_mktsegment ASC NULLS FIRST,
+                 o_orderstatus ASC NULLS FIRST,
+                 o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+def token_topk(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
+    """Lateral explode + global top-k: whitespace-tokenize documents,
+    keep pure [a-z]+ tokens, count, return the k most frequent.
+
+    Scale: explode happens executor-side inside whole-stage codegen (no
+    Python), the count is a partial-aggregated shuffle on token, and the
+    top-k is a TakeOrderedAndProject — no global sort materializes."""
+    t = load_tables(spark, sf_dir, register=False)
+    return (
+        t["documents"]
+        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"))
+        .filter(F.col("token").rlike("^[a-z]+$"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def customer_order_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows (lag) + aggregation: per customer, order count,
+    first/last order date, and the exact sum of gaps in days between
+    consecutive orders. One shuffle on o_custkey serves both the window
+    and the groupBy (same partitioning, Catalyst reuses the exchange)."""
+    t = load_tables(spark, sf_dir, register=False)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = t["orders"].select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days"),
+    )
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("od").cast("timestamp").alias("first_order"),
+            F.max("od").cast("timestamp").alias("last_order"),
+            F.sum("gap_days").cast("bigint").alias("sum_gap_days"),
+        )
+        .filter(F.col("n_orders") >= 2)
+        .orderBy("o_custkey")
+    )
+
+
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: dense (event_type × hour) grid over the
+    observed range, hourly counts left-joined in, missing hours as 0.
+
+    The grid is built from two tiny aggregates (global min/max hour,
+    distinct types) and `sequence()`-exploded — both sides broadcast, so
+    the only shuffle on the fact table is the hourly count itself."""
+    t = load_tables(spark, sf_dir, register=False)
+    ev = t["events"]
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("c_hour"),
+        F.col("event_type").alias("c_type"),
+    ).agg(F.count(F.lit(1)).alias("c_n"))
+    return (
+        hours.crossJoin(F.broadcast(types))
+        .join(
+            counts,
+            (F.col("hour") == F.col("c_hour")) & (F.col("event_type") == F.col("c_type")),
+            "left_outer",
+        )
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(F.col("c_n"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("event_type", "hour")
+    )

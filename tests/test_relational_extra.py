@@ -1,0 +1,81 @@
+"""Value + plan tests for the grouping-sets / lateral / analytic-window /
+gap-fill query shapes (SURVEY.md §2.2 categories the reference lacks)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from avro_sql_spark.operators import relational
+from avro_sql_spark.session import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_grouping_sets_partitions_total(spark):
+    """Each grouping set independently partitions the joined orders, so
+    n_orders summed within either set equals the join's row count."""
+    out = relational.grouping_sets_sales(spark, SF).collect()
+    t = load_tables(spark, SF, register=False)
+    total = t["orders"].join(
+        t["customer"], F.col("o_custkey") == F.col("c_custkey")
+    ).count()
+    by_status = sum(r["n_orders"] for r in out if r["o_orderstatus"] is not None)
+    by_prio = sum(r["n_orders"] for r in out if r["o_orderpriority"] is not None)
+    assert by_status == total
+    assert by_prio == total
+    # the two sets are disjoint rows: exactly one of the two non-segment
+    # keys is NULL in every output row
+    assert all(
+        (r["o_orderstatus"] is None) != (r["o_orderpriority"] is None) for r in out
+    )
+
+
+def test_token_topk_shape_and_order(spark):
+    rows = relational.token_topk(spark, SF, k=20).collect()
+    assert 0 < len(rows) <= 20
+    counts = [r["n"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r["token"].isalpha() and r["token"].islower() for r in rows)
+
+
+def test_token_topk_is_take_ordered(spark):
+    """Global top-k must be TakeOrderedAndProject, not a full sort."""
+    plan = _plan(relational.token_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_customer_order_span_gaps_telescope(spark):
+    """Consecutive-order gaps telescope: their sum must equal
+    datediff(last_order, first_order) for every customer."""
+    rows = relational.customer_order_span(spark, SF).collect()
+    assert rows
+    for r in rows:
+        span = (r["last_order"].date() - r["first_order"].date()).days
+        assert r["sum_gap_days"] == span
+        assert r["n_orders"] >= 2
+
+
+def test_events_gap_fill_dense_grid(spark):
+    out = relational.events_gap_fill(spark, SF)
+    rows = out.collect()
+    t = load_tables(spark, SF, register=False)
+    n_types = t["events"].select("event_type").distinct().count()
+    assert len(rows) % n_types == 0
+    # counts are conserved: the grid redistributes, never drops, events
+    assert sum(r["n_events"] for r in rows) == t["events"].count()
+    # grid is dense per type: every type has the same hour set
+    hours = len(rows) // n_types
+    per_type = {}
+    for r in rows:
+        per_type.setdefault(r["event_type"], 0)
+        per_type[r["event_type"]] += 1
+    assert all(v == hours for v in per_type.values())
+
+
+def test_events_gap_fill_no_sort_merge(spark):
+    """The grid sides are tiny — the count join must be broadcast."""
+    plan = _plan(relational.events_gap_fill(spark, SF))
+    assert "SortMergeJoin" not in plan
