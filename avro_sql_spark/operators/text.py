@@ -72,41 +72,48 @@ def winnow_fingerprints(
     The k-gram hash is the engine-portable md5-prefix integer (not a
     true O(1) rolling update — portability to the DuckDB oracle beats
     the constant factor; swap xxhash64 in for throughput if oracle
-    parity is not needed). Shape: explode positions → one window pass
-    partitioned by doc → distinct. Shuffles |chars| rows once on the
-    doc id; the window sorts each doc's positions only."""
-    from pyspark.sql.window import Window
+    parity is not needed).
 
+    Shape: the whole pass — k-gram hashes, w-window minima, per-doc
+    dedup — runs as array expressions *inside the row* (transform /
+    slice / array_min / array_distinct), so fingerprint extraction is
+    a narrow map with ZERO shuffles: no position explode (which would
+    duplicate the full text per character), no per-doc sort window, no
+    distinct exchange. Only the final explode to (doc, fp) rows leaves
+    the row, and that output is already per-doc unique. Per-row cost is
+    O(len·w) with an O(len) array held per row — bound document length
+    upstream (chunk or truncate) if a corpus carries multi-MB docs."""
     lowered = F.lower(F.col(text_col))
     n_grams = F.length(lowered) - (k - 1)
-    positions = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.when(n_grams > 0, F.sequence(F.lit(1), n_grams)).otherwise(
-                F.array().cast("array<int>")
-            )
-        ).alias("i"),
-        lowered.alias("__lt"),
+
+    def _span(stop):  # sequence(1, stop), empty when stop < 1 (sequence descends!)
+        return F.when(stop >= 1, F.sequence(F.lit(1), stop)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+    # per-position k-gram hashes as one array column
+    hashes = F.transform(
+        _span(n_grams),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(lowered, i, k).cast("binary")), 1, 8), 16, 10
+        ).cast("bigint"),
     )
-    gram = F.substring(F.col("__lt"), F.col("i"), F.lit(k))
-    hashed = positions.select(
-        F.col(id_col),
-        F.col("i"),
-        F.conv(F.substring(F.md5(gram.cast("binary")), 1, 8), 16, 10).cast("bigint").alias("h"),
+    # each full window's minimum, then the doc's distinct fingerprint set
+    fps = F.array_distinct(
+        F.transform(
+            _span(F.size(F.col("__h")) - (w - 1)),
+            lambda j: F.array_min(F.slice(F.col("__h"), j, w)),
+        )
     )
-    win = (
-        Window.partitionBy(id_col)
-        .orderBy("i")
-        .rowsBetween(Window.currentRow, w - 1)
-    )
-    minima = hashed.withColumn("wmin", F.min("h").over(win)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
-    )
-    # only full windows select fingerprints (i <= n_grams - w + 1)
+    # spread docs across cores first: the heavy per-row array work would
+    # otherwise run inside however few tasks the scan produced (a single
+    # compacted file = one task). One cheap shuffle of the raw text vs
+    # the old explode+sort-window's full k-gram shuffle.
+    n = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        minima.filter(F.col("i") <= F.col("n") - (w - 1))
-        .select(F.col(id_col), F.col("wmin").alias("fp"))
-        .distinct()
+        docs.repartition(n, F.col(id_col))
+        .select(F.col(id_col), hashes.alias("__h"))
+        .select(F.col(id_col), F.explode(fps).alias("fp"))
     )
 
 
