@@ -493,6 +493,23 @@ def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride token chunking with overlap (128-token chunks,
+    stride 96) — the long-document → training-example splitter."""
+    t = load_tables(spark, sf_dir, register=False)
+    return curation.chunk_documents(t["documents"], chunk_size=128, stride=96).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+def _unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean unigram ln-probability (KenLM-lite quality score)."""
+    from avro_sql_spark.operators.text import unigram_logprob_scores
+
+    t = load_tables(spark, sf_dir, register=False)
+    return unigram_logprob_scores(t["documents"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # reshape dialect (SURVEY §2.1)
@@ -570,6 +587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _winnow_fingerprints,
         "winnow_overlap_pairs": _winnow_overlap_pairs,
         "tfidf_top_terms": _tfidf_top_terms,
+        "chunk_documents": _chunk_documents,
+        "unigram_logprob": _unigram_logprob,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "ann_cosine_topk": _ann_topk,
@@ -1283,6 +1302,34 @@ FROM ranked WHERE rk = 1
 GROUP BY term
 ORDER BY n_docs_top1 DESC, term
 LIMIT 20
+""",
+        "chunk_documents": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+  FROM documents),
+starts AS (
+  SELECT doc_id, tk, unnest(range(0, len(tk), 96)) AS s
+  FROM toks WHERE len(tk) >= 1)
+SELECT doc_id,
+       CAST(s / 96 AS INT) AS chunk_idx,
+       CAST(LEAST(len(tk) - s, 128) AS INT) AS n_tokens,
+       array_to_string(tk[s+1:s+128], ' ') AS chunk
+FROM starts
+ORDER BY doc_id, chunk_idx
+""",
+        "unigram_logprob": r"""
+WITH toks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+    FROM documents)
+  WHERE regexp_matches(token, '^[a-z]+$')),
+freqs AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+tot AS (SELECT SUM(c) AS n FROM freqs),
+logp AS (SELECT token, LN(c / n) AS lp FROM freqs, tot)
+SELECT t.doc_id, COUNT(*) AS n_tokens, ROUND(AVG(lp), 6) AS logprob_mean
+FROM toks t JOIN logp USING (token)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
 """,
         "winnow_fingerprints": """
 WITH pos AS (

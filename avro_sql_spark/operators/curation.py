@@ -228,3 +228,41 @@ def mixture(
     if out is None:
         raise ValueError("mixture() needs at least one source with weight > 0")
     return out
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 128,
+    stride: int = 96,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-stride token chunking with overlap — the standard
+    long-document → training-example splitter (stride < chunk_size
+    keeps ``chunk_size - stride`` tokens of context between chunks).
+
+    Whitespace-tokenizes in-row, computes every chunk start as an array
+    expression, and ``posexplode``s starts to (doc, chunk) rows — a
+    narrow 1→N map with no shuffle and no Python; chunk text is
+    ``array_join`` of a token slice. A doc with at least one token
+    yields ceil(n/stride) chunks capped to starts < n; empty docs yield
+    none. The trailing chunk may be shorter than ``chunk_size``."""
+    if not (0 < stride <= chunk_size):
+        raise ValueError("need 0 < stride <= chunk_size")
+    tokens = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    n = F.size(F.col("__tk"))
+    starts = F.when(n >= 1, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        docs.select(F.col(id_col), tokens.alias("__tk"))
+        .select(F.col(id_col), F.col("__tk"), F.posexplode(starts).alias("chunk_idx", "s"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.least(F.size("__tk") - F.col("s"), F.lit(chunk_size))
+            .cast("int")
+            .alias("n_tokens"),
+            F.array_join(F.slice("__tk", F.col("s") + 1, chunk_size), " ").alias("chunk"),
+        )
+    )

@@ -182,3 +182,41 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= top_k)
         .select(id_col, "term", "score", "rk")
     )
+
+
+def unigram_logprob_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram language-model quality score (KenLM-lite): pass 1 builds
+    corpus token frequencies, pass 2 scores each doc by the mean ln
+    probability of its tokens. Low scores flag gibberish / OCR noise /
+    off-corpus text — the cheap statistical filter run before any
+    neural scorer.
+
+    Tokenization matches ``token_topk`` (lowercase, pure [a-z]+ runs).
+    Every scored token is in-vocabulary by construction (frequencies
+    come from the same corpus), so no smoothing term is needed. Scale:
+    the frequency table is a partial-aggregated shuffle on token; the
+    score join broadcasts it (vocab ≪ corpus); per-doc aggregation
+    shuffles on the doc id once. Mean ln p is rounded to 6 decimals so
+    the float sum is stable across engines and partition orders."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+    ).filter(F.col("token").rlike("^[a-z]+$"))
+    freqs = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = freqs.agg(F.sum("c").alias("n")).select("n")
+    logp = freqs.crossJoin(F.broadcast(total)).select(
+        "token", F.log(F.col("c") / F.col("n")).alias("lp")
+    )
+    return (
+        toks.join(F.broadcast(logp), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("logprob_mean"),
+        )
+        .orderBy(id_col)
+    )

@@ -46,6 +46,10 @@ HEADLINE = [
     "window_topk_orders",
     "rollup_order_priority",
     "cube_part_stats",
+    "grouping_sets_sales",
+    "token_topk",
+    "customer_order_span",
+    "events_gap_fill",
     "asof_latest_order",
     "range_join_attribution",
     "sessionize_events",

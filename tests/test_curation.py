@@ -180,3 +180,37 @@ def test_hash_unit_matches_reference_md5(spark):
     for i in ids:
         h = int(hashlib.md5(f"{i}:split".encode()).hexdigest()[:8], 16)
         assert got[i] == (h % 1_000_000) / 1_000_000.0
+
+
+def test_chunk_documents_stride_overlap(spark):
+    docs = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2, ""), (3, "only")],
+        "doc_id LONG, text STRING",
+    )
+    out = curation.chunk_documents(docs, chunk_size=4, stride=3).orderBy(
+        "doc_id", "chunk_idx"
+    ).collect()
+    d1 = [r for r in out if r["doc_id"] == 1]
+    assert [r["chunk_idx"] for r in d1] == [0, 1, 2, 3]
+    assert [r["n_tokens"] for r in d1] == [4, 4, 4, 1]
+    assert d1[0]["chunk"] == "t1 t2 t3 t4"
+    assert d1[1]["chunk"] == "t4 t5 t6 t7"  # one-token overlap with stride 3
+    assert d1[3]["chunk"] == "t10"
+    assert not [r for r in out if r["doc_id"] == 2]  # empty doc -> no chunks
+    assert [r["chunk"] for r in out if r["doc_id"] == 3] == ["only"]
+
+
+def test_chunk_documents_no_overlap_reconstructs(spark):
+    docs = spark.createDataFrame([(7, "a b c d e f g")], "doc_id LONG, text STRING")
+    out = (
+        curation.chunk_documents(docs, chunk_size=3, stride=3)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    assert " ".join(r["chunk"] for r in out) == "a b c d e f g"
+
+
+def test_chunk_documents_rejects_bad_stride(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError):
+        curation.chunk_documents(docs, chunk_size=4, stride=5)

@@ -316,3 +316,22 @@ def test_tfidf_top_terms(spark):
     top1 = {r.doc_id: r.term for r in tfidf_top_terms(df, top_k=1).collect()}
     # 'common' appears in every doc (idf = ln(1) = 0) so the rare term wins
     assert top1 == {1: "unicorn", 2: "dragon", 3: "phoenix"}
+
+
+def test_unigram_logprob_scores(spark):
+    import math
+
+    from avro_sql_spark.operators.text import unigram_logprob_scores
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa aa"), (2, "bb"), (3, "Zahlen 123 !!")],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob_scores(docs).collect()}
+    # corpus freqs: aa=4, bb=1, zahlen=1 -> N=6
+    assert rows[1]["n_tokens"] == 4
+    assert rows[1]["logprob_mean"] == round(math.log(4 / 6), 6)
+    assert rows[2]["logprob_mean"] == round(math.log(1 / 6), 6)
+    # doc 3: only "zahlen" survives tokenization ([a-z]+ after lower)
+    assert rows[3]["n_tokens"] == 1
+    assert rows[3]["logprob_mean"] == round(math.log(1 / 6), 6)
