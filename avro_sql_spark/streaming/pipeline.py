@@ -111,3 +111,47 @@ def kafka_avro_stream(
         .load()
     )
     return raw.select(from_avro(F.col("value"), avro_schema_json).alias("r")).select("r.*")
+
+
+def enrich_stream(stream_df: DataFrame, dim_df: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: enrich a stream with a (small) dimension
+    table. The static side is broadcast per micro-batch, so the stream
+    never shuffles — the standard fact-stream × dim pattern. The static
+    side is re-read every batch, which also picks up slowly-changing
+    dims on file-backed tables."""
+    return stream_df.join(F.broadcast(dim_df), on, "left_outer")
+
+
+def merge_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    id_cols: list[str],
+    ts_col: str = "ts",
+):
+    """foreachBatch upsert sink: per micro-batch, keep only the latest
+    row per key (batch-local last-write-wins on ``ts_col``) and append
+    to a parquet table. The per-batch dedup bounds sink amplification;
+    full-history compaction belongs to a downstream batch job (at
+    100 TB an upsert sink wants a table format with merge support —
+    this is the dependency-free parquet shape of that pattern).
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*id_cols).orderBy(F.desc(ts_col))
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        latest.write.mode("append").parquet(path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

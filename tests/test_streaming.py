@@ -134,3 +134,39 @@ def test_curation_split_on_stream(spark, tmp_path):
     got = {r["doc_id"]: r["split"] for r in spark.sql("SELECT * FROM split_stream").collect()}
     want = {r["doc_id"]: r["split"] for r in curation.deterministic_split(batch).collect()}
     assert got == want
+
+
+def test_enrich_stream_static_join(spark, tmp_path):
+    """Stream-static join: streaming facts pick up dim attributes; the
+    static side must not make the query stateful (append, no watermark)."""
+    from avro_sql_spark.streaming.pipeline import enrich_stream
+
+    src = str(tmp_path / "facts")
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99)], "id LONG, dim_id LONG"
+    ).write.parquet(src)
+    dims = spark.createDataFrame([(10, "ten"), (20, "twenty")], "dim_id LONG, name STRING")
+    stream = spark.readStream.schema("id LONG, dim_id LONG").parquet(src)
+    out = enrich_stream(stream, dims, "dim_id")
+    _run_stream(out, "enriched")
+    rows = {r["id"]: r["name"] for r in spark.sql("SELECT * FROM enriched").collect()}
+    assert rows == {1: "ten", 2: "twenty", 3: None}  # unmatched key survives (left outer)
+
+
+def test_merge_to_parquet_last_write_wins(spark, tmp_path):
+    """foreachBatch upsert sink: within a batch only the latest row per
+    key lands in the parquet table."""
+    from avro_sql_spark.streaming.pipeline import merge_to_parquet
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, 100, "old"), (1, 200, "new"), (2, 50, "only")],
+        "key LONG, ts LONG, payload STRING",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("key LONG, ts LONG, payload STRING").parquet(src)
+    q = merge_to_parquet(stream, out, ckpt, id_cols=["key"], ts_col="ts")
+    q.awaitTermination(60)
+    rows = {r["key"]: r["payload"] for r in spark.read.parquet(out).collect()}
+    assert rows == {1: "new", 2: "only"}
