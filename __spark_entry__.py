@@ -473,10 +473,12 @@ def _multimodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas Arrow-batched feature extraction — rows-only (byte
-    checksum has no DuckDB equivalent)."""
+    checksum has no DuckDB equivalent). No global orderBy: a sort above
+    a Python stage pays a second execution of it for range-partition
+    bound sampling, and the rows-only check is order-insensitive."""
     t = load_tables(spark, sf_dir, register=False)
     media = multimodal.attach_fake_payload(t["documents"])
-    return multimodal.extract_features(media).orderBy("doc_id")
+    return multimodal.extract_features(media)
 
 
 def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
