@@ -429,19 +429,22 @@ def _quality_shards_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no global orderBy: the range-bound sampling pass would re-execute
+    # the pairwise-cosine stage, and the oracle compare sorts anyway
     t = load_tables(spark, sf_dir, register=False)
     pairs = dedup.embedding_near_duplicates(t["embeddings"], threshold=0.5)
-    return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos")).orderBy("id_a", "id_b")
+    return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
 def _embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding near-dup (LSH-bucketed) — approximate by
-    construction, rows-only check."""
+    construction, rows-only check. No orderBy: sampling for a range sort
+    would run the per-bucket gram-matrix pandas stage twice."""
     t = load_tables(spark, sf_dir, register=False)
     pairs = dedup.embedding_near_duplicates(
         t["embeddings"], threshold=0.3, use_lsh=True, planes=4
     )
-    return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos")).orderBy("id_a", "id_b")
+    return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
 def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -498,10 +501,10 @@ def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-stride token chunking with overlap (128-token chunks,
     stride 96) — the long-document → training-example splitter."""
+    # no orderBy: there is no shuffle below it, so range-bound sampling
+    # would re-run the whole tokenize+chunk pass; the compare sorts anyway
     t = load_tables(spark, sf_dir, register=False)
-    return curation.chunk_documents(t["documents"], chunk_size=128, stride=96).orderBy(
-        "doc_id", "chunk_idx"
-    )
+    return curation.chunk_documents(t["documents"], chunk_size=128, stride=96)
 
 
 def _unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
