@@ -498,6 +498,25 @@ def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup: the odd-id half of documents arrives as
+    a new batch and is deduped against the even-id 'historical' half by
+    content fingerprint, then against itself."""
+    t = load_tables(spark, sf_dir, register=False)
+    docs = t["documents"]
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return (
+        dedup.incremental_dedup(new, seen)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def _approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.approx_distinct_events(spark, sf_dir)
+
+
 def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-stride token chunking with overlap (128-token chunks,
     stride 96) — the long-document → training-example splitter."""
@@ -594,6 +613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _tfidf_top_terms,
         "chunk_documents": _chunk_documents,
         "unigram_logprob": _unigram_logprob,
+        "incremental_dedup": _incremental_dedup,
+        "approx_distinct_events": _approx_distinct_events,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "ann_cosine_topk": _ann_topk,
@@ -1307,6 +1328,18 @@ FROM ranked WHERE rk = 1
 GROUP BY term
 ORDER BY n_docs_top1 DESC, term
 LIMIT 20
+""",
+        "incremental_dedup": f"""
+WITH seen AS (
+  SELECT DISTINCT {_FP} AS fp FROM documents WHERE doc_id % 2 = 0),
+new_fp AS (
+  SELECT doc_id, {_FP} AS fp FROM documents WHERE doc_id % 2 = 1),
+fresh AS (
+  SELECT doc_id, fp FROM new_fp WHERE fp NOT IN (SELECT fp FROM seen)),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY fp)
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id IN (SELECT doc_id FROM keep)
+ORDER BY doc_id
 """,
         "chunk_documents": r"""
 WITH toks AS (

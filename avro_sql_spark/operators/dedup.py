@@ -432,3 +432,26 @@ def decontaminate(
         .distinct()
     )
     return train.join(contaminated, id_col, "left_anti")
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Continuous-ingest dedup: drop new documents whose content
+    fingerprint already exists in the historical corpus, then dedup the
+    batch against itself (min-id representative). The anti join runs on
+    16-byte hashes, never full text — at 100 TB the `seen` side is a
+    fingerprint-only table a fraction of corpus size, and the join
+    shuffles hashes, not documents.
+
+    Cites the reference's per-record model (AvroSql.scala:67-84 — one
+    record in, one record out): the batch-vs-history shape is what that
+    host-driven model cannot express and a table engine gets for free."""
+    new_fp = new_docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    seen_fp = seen_docs.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+    fresh = new_fp.join(seen_fp, "fp", "left_anti")
+    keep = fresh.groupBy("fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return new_docs.join(keep, id_col, "left_semi")

@@ -1073,3 +1073,22 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+def approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct users per event type, with
+    relative standard deviation 2% — the sketch that replaces exact
+    COUNT(DISTINCT) at 100 TB: mergeable partial sketches, one shuffle
+    of fixed-size state instead of a distinct-expand over every user.
+    Approximate by construction -> rows-only driver check (DuckDB's HLL
+    implementation would produce different estimates)."""
+    t = load_tables(spark, sf_dir, register=False)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

@@ -335,3 +335,41 @@ def test_unigram_logprob_scores(spark):
     # doc 3: only "zahlen" survives tokenization ([a-z]+ after lower)
     assert rows[3]["n_tokens"] == 1
     assert rows[3]["logprob_mean"] == round(math.log(1 / 6), 6)
+
+
+def test_incremental_dedup(spark):
+    from avro_sql_spark.operators import dedup as dd
+
+    seen = spark.createDataFrame(
+        [(0, "known text"), (2, "other known")], "doc_id LONG, text STRING"
+    )
+    new = spark.createDataFrame(
+        [
+            (11, "known text"),     # already in history -> dropped
+            (13, "fresh content"),  # genuinely new
+            (15, "fresh content"),  # in-batch dup -> min id 13 kept
+            (17, "also new"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    kept = sorted(r["doc_id"] for r in dd.incremental_dedup(new, seen).collect())
+    assert kept == [13, 17]
+
+
+def test_approx_distinct_within_tolerance(spark):
+    from avro_sql_spark.operators.relational import approx_distinct_events
+
+    rows = approx_distinct_events(spark, "/root/testdata/sf0.001").collect()
+    from avro_sql_spark.session import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001", register=False)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in t["events"]
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        # rsd=0.02 -> generous 10% assertion bound
+        assert abs(r["approx_users"] - exact[r["event_type"]]) <= 0.1 * exact[r["event_type"]]
