@@ -146,3 +146,35 @@ def test_nullability_monotone(spark, sr):
             cur = fld.dataType
         if any_nullable:
             assert out.schema[f"c{i}"].nullable, p
+
+
+@given(
+    tokens=st.lists(st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=4), max_size=30),
+    chunk=st.integers(1, 12),
+    stride_off=st.integers(0, 11),
+)
+@HSET
+def test_chunk_documents_invariants(spark, tokens, chunk, stride_off):
+    """Chunking invariants for any (chunk_size, stride <= chunk_size):
+    chunk texts re-tokenize to slices of the source tokens, starts land
+    on stride multiples, and stride == chunk_size reconstructs exactly."""
+    from avro_sql_spark.operators.curation import chunk_documents
+
+    stride = max(1, min(chunk, chunk - stride_off))
+    docs = spark.createDataFrame([(1, " ".join(tokens))], "doc_id LONG, text STRING")
+    out = sorted(
+        chunk_documents(docs, chunk_size=chunk, stride=stride).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    if not tokens:
+        assert out == []
+        return
+    assert [r["chunk_idx"] for r in out] == list(range(len(out)))
+    for r in out:
+        s = r["chunk_idx"] * stride
+        expect = tokens[s : s + chunk]
+        assert r["chunk"].split(" ") == expect
+        assert r["n_tokens"] == len(expect)
+    # every token is covered by at least one chunk
+    covered = max(r["chunk_idx"] * stride + r["n_tokens"] for r in out)
+    assert covered == len(tokens)
