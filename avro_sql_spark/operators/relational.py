@@ -975,19 +975,22 @@ def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = t["orders"].join(
         F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
     )
-    joined.createOrReplaceTempView("_gs_orders")
-    return spark.sql(
-        """
-        SELECT c_mktsegment, o_orderstatus, o_orderpriority,
-               COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-        FROM _gs_orders
-        GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus),
-                                (c_mktsegment, o_orderpriority))
-        ORDER BY c_mktsegment ASC NULLS FIRST,
-                 o_orderstatus ASC NULLS FIRST,
-                 o_orderpriority ASC NULLS FIRST
-        """
+    return (
+        joined.groupingSets(
+            [["c_mktsegment", "o_orderstatus"], ["c_mktsegment", "o_orderpriority"]],
+            "c_mktsegment",
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .orderBy(
+            F.col("c_mktsegment").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
     )
 
 
