@@ -615,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _unigram_logprob,
         "incremental_dedup": _incremental_dedup,
         "approx_distinct_events": _approx_distinct_events,
+        "events_sliding_windows": relational.events_sliding_windows,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "ann_cosine_topk": _ann_topk,
@@ -1328,6 +1329,17 @@ FROM ranked WHERE rk = 1
 GROUP BY term
 ORDER BY n_docs_top1 DESC, term
 LIMIT 20
+""",
+        "events_sliding_windows": """
+WITH expanded AS (
+  SELECT event_type, value,
+         date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS window_start
+  FROM events, (SELECT unnest([0, 1]) AS k))
+SELECT window_start, event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM expanded
+GROUP BY 1, 2
+ORDER BY 1, 2
 """,
         "incremental_dedup": f"""
 WITH seen AS (

@@ -1095,3 +1095,27 @@ def approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (2-hour windows every hour): each
+    event lands in window/slide = 2 overlapping windows. Spark's
+    window() expands rows before the aggregation — the same Expand +
+    partial-agg shape as grouping sets, one shuffle on (window, type);
+    the streaming form is windowed_counts(slide=...) under a watermark."""
+    t = load_tables(spark, sf_dir, register=False)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value", D186)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

@@ -42,13 +42,17 @@ def windowed_counts(
     key_col: str = "event_type",
     window: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts with a watermark: late rows beyond
-    ``watermark`` are dropped and state is evicted — bounded memory at
-    any scale."""
+    """Windowed counts with a watermark: late rows beyond ``watermark``
+    are dropped and state is evicted — bounded memory at any scale.
+    ``slide`` < ``window`` makes the windows overlapping (sliding):
+    each event lands in window/slide windows, state scales by the same
+    factor."""
+    win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        .groupBy(win.alias("win"), F.col(key_col))
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
         .select(
             F.col("win.start").alias("window_start"),

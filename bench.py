@@ -50,6 +50,11 @@ HEADLINE = [
     "token_topk",
     "customer_order_span",
     "events_gap_fill",
+    "events_sliding_windows",
+    "approx_distinct_events",
+    "incremental_dedup",
+    "unigram_logprob",
+    "chunk_documents",
     "asof_latest_order",
     "range_join_attribution",
     "sessionize_events",

@@ -170,3 +170,16 @@ def test_merge_to_parquet_last_write_wins(spark, tmp_path):
     q.awaitTermination(60)
     rows = {r["key"]: r["payload"] for r in spark.read.parquet(out).collect()}
     assert rows == {1: "new", 2: "only"}
+
+
+def test_windowed_counts_sliding(spark):
+    """slide < window: each event appears in window/slide windows."""
+    from avro_sql_spark.streaming.pipeline import windowed_counts
+
+    df = spark.createDataFrame(
+        [("2024-01-01 10:30:00", "a", 1.0)], "ts STRING, event_type STRING, value DOUBLE"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = windowed_counts(df, window="2 hours", slide="1 hour").collect()
+    starts = sorted(str(r["window_start"]) for r in out)
+    assert starts == ["2024-01-01 09:00:00", "2024-01-01 10:00:00"]
+    assert all(r["n_events"] == 1 for r in out)
