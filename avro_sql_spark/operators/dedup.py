@@ -350,7 +350,11 @@ def near_dup_clusters(
                     "cluster_id"
                 ),
             )
-            .cache()
+            # localCheckpoint (not cache): truncates the lineage so the
+            # logical plan doesn't deepen by one join per round — with
+            # plain cache, analysis time and recovery cost grow linearly
+            # in iterations, which is what kills long CC runs at scale
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
