@@ -179,8 +179,17 @@ def ngram_jaccard_pairs(
     over the retained-shingle universe on both sides of the ratio, so
     the score stays a true set Jaccard (of the filtered sets) rather
     than a mixed-denominator estimate."""
-    sh = _spread(docs, id_col).select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), shingle)).alias("s")
+    # shingles are hashed to 64-bit ints BEFORE the self-join: the join
+    # key shuffles as 8 bytes instead of a 20-40 byte string — at scale
+    # the pair join is shuffle-bound, so key width is the cost. xxhash64
+    # collisions (~n²/2⁶⁴) are negligible against shingle-set sizes.
+    sh = (
+        _spread(docs, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), shingle)).alias("s_raw"),
+        )
+        .select("id", F.xxhash64("s_raw").alias("s"))
     )
     if max_doc_freq is not None:
         # sh is distinct per (doc, shingle) (word_shingles dedupes), so
@@ -405,12 +414,20 @@ def decontaminate(
         )
     if method != "ngram":
         raise ValueError(f"unknown method {method!r} (use 'exact' or 'ngram')")
-    tr = _spread(train, id_col).select(
-        F.col(id_col).alias("tid"), F.explode(word_shingles(F.col(text_col), shingle)).alias("s")
+    # same hashed-key rationale as ngram_jaccard_pairs: the bipartite
+    # join shuffles 8-byte ints, not shingle strings
+    tr = (
+        _spread(train, id_col)
+        .select(
+            F.col(id_col).alias("tid"),
+            F.explode(word_shingles(F.col(text_col), shingle)).alias("s_raw"),
+        )
+        .select("tid", F.xxhash64("s_raw").alias("s"))
     )
     te = test.select(
-        F.col(id_col).alias("eid"), F.explode(word_shingles(F.col(text_col), shingle)).alias("s")
-    )
+        F.col(id_col).alias("eid"),
+        F.explode(word_shingles(F.col(text_col), shingle)).alias("s_raw"),
+    ).select("eid", F.xxhash64("s_raw").alias("s"))
     if max_doc_freq is not None:
         hot = (
             tr.select(F.col("tid").alias("d"), "s").union(te.select(F.col("eid").alias("d"), "s"))
