@@ -498,6 +498,22 @@ def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate benchmark decontamination: drop train docs whose
+    3-gram Jaccard vs ANY test doc is >= 0.3 (catches paraphrase-level
+    leakage that the exact-fingerprint pass misses)."""
+    t = load_tables(spark, sf_dir, register=False)
+    labeled = curation.deterministic_split(t["documents"])
+    train = labeled.filter(F.col("split") == "train").drop("split")
+    test = labeled.filter(F.col("split") == "test").drop("split")
+    kept = dedup.decontaminate(train, test, method="ngram", threshold=0.3)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_id"))
+        .orderBy("lang")
+    )
+
+
 def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingest dedup: the odd-id half of documents arrives as
     a new batch and is deduped against the even-id 'historical' half by
@@ -616,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _incremental_dedup,
         "approx_distinct_events": _approx_distinct_events,
         "events_sliding_windows": relational.events_sliding_windows,
+        "decontam_ngram": _decontam_ngram,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "ann_cosine_topk": _ann_topk,
@@ -1529,6 +1546,33 @@ test_fp AS (SELECT DISTINCT {_FP} AS fp FROM labeled WHERE split = 'test')
 SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_id
 FROM labeled
 WHERE split = 'train' AND {_FP} NOT IN (SELECT fp FROM test_fp)
+GROUP BY lang
+ORDER BY lang
+""",
+        "decontam_ngram": f"""
+WITH labeled AS (
+  SELECT *, CASE WHEN {_hash_unit("doc_id", "split")} < 0.9 THEN 'train'
+                 WHEN {_hash_unit("doc_id", "split")} < 0.95 THEN 'val'
+                 ELSE 'test' END AS split
+  FROM documents
+),
+toks AS (SELECT doc_id, split, string_split(lower(text), ' ') AS w
+         FROM labeled WHERE split IN ('train', 'test')),
+idx  AS (SELECT doc_id, split, w, unnest(range(1, len(w) - 1)) AS i
+         FROM toks WHERE len(w) >= 3),
+sh   AS (SELECT DISTINCT doc_id, split, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         FROM idx),
+tr AS (SELECT doc_id AS tid, s FROM sh WHERE split = 'train'),
+te AS (SELECT doc_id AS eid, s FROM sh WHERE split = 'test'),
+tn AS (SELECT tid, COUNT(*) AS n FROM tr GROUP BY 1),
+en AS (SELECT eid, COUNT(*) AS n FROM te GROUP BY 1),
+inter AS (SELECT tid, eid, COUNT(*) AS i FROM tr JOIN te USING (s) GROUP BY 1, 2),
+contaminated AS (
+  SELECT DISTINCT tid FROM inter JOIN tn USING (tid) JOIN en USING (eid)
+  WHERE CAST(i AS DOUBLE) / (tn.n + en.n - i) >= 0.3)
+SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_id
+FROM labeled
+WHERE split = 'train' AND doc_id NOT IN (SELECT tid FROM contaminated)
 GROUP BY lang
 ORDER BY lang
 """,

@@ -68,6 +68,7 @@ HEADLINE = [
     "quality_shards",
     "pack_sequences",
     "decontam_exact",
+    "decontam_ngram",
     "gopher_filter_stats",
     "winnow_overlap_pairs",
     "ngram_jaccard_pairs",
