@@ -498,6 +498,12 @@ def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization fidelity per label."""
+    t = load_tables(spark, sf_dir, register=False)
+    return similarity.quantization_error_stats(t["embeddings"])
+
+
 def _decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate benchmark decontamination: drop train docs whose
     3-gram Jaccard vs ANY test doc is >= 0.3 (catches paraphrase-level
@@ -633,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_events": _approx_distinct_events,
         "events_sliding_windows": relational.events_sliding_windows,
         "decontam_ngram": _decontam_ngram,
+        "quantization_error": _quantization_error,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "ann_cosine_topk": _ann_topk,
@@ -1548,6 +1555,21 @@ FROM labeled
 WHERE split = 'train' AND {_FP} NOT IN (SELECT fp FROM test_fp)
 GROUP BY lang
 ORDER BY lang
+""",
+        "quantization_error": """
+WITH x AS (
+  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+s AS (
+  SELECT vec_id, GREATEST(MAX(ABS(v)), 1e-12) / 127.0 AS scale
+  FROM x GROUP BY 1),
+e AS (
+  SELECT label, ABS(v - scale * ROUND(v / scale)) AS err
+  FROM x JOIN s USING (vec_id))
+SELECT label, COUNT(*) AS n_values,
+       ROUND(SUM(err) / COUNT(*), 6) AS mean_abs_err
+FROM e
+GROUP BY label
+ORDER BY label
 """,
         "decontam_ngram": f"""
 WITH labeled AS (

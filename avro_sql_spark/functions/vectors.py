@@ -32,3 +32,19 @@ def cosine(a: Column, b: Column) -> Column:
 def l2_normalize(a: Column) -> Column:
     n = norm(a)
     return F.transform(a, lambda v: (v.cast("double") / n))
+
+
+def quantize_scale(v: Column) -> Column:
+    """Per-vector symmetric int8 scale: max|x| / 127 (never 0)."""
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    return F.greatest(absmax, F.lit(1e-12)) / F.lit(127.0)
+
+
+def quantize(v: Column, scale: Column) -> Column:
+    """Symmetric int8 codes: round(x / scale), range [-127, 127]."""
+    return F.transform(v, lambda x: F.round(x.cast("double") / scale).cast("int"))
+
+
+def dequantize(codes: Column, scale: Column) -> Column:
+    """Reconstruct doubles from int8 codes: code * scale."""
+    return F.transform(codes, lambda c: c.cast("double") * scale)

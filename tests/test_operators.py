@@ -373,3 +373,23 @@ def test_approx_distinct_within_tolerance(spark):
     for r in rows:
         # rsd=0.02 -> generous 10% assertion bound
         assert abs(r["approx_users"] - exact[r["event_type"]]) <= 0.1 * exact[r["event_type"]]
+
+
+def test_quantization_roundtrip_bounds(spark):
+    from avro_sql_spark.functions.vectors import dequantize, quantize, quantize_scale
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.25, 3.75, 0.0]), (2, [1e-30, 0.0])], "id LONG, v ARRAY<DOUBLE>"
+    )
+    scale = quantize_scale(F.col("v"))
+    out = df.select(
+        "id",
+        scale.alias("s"),
+        quantize(F.col("v"), scale).alias("codes"),
+        dequantize(quantize(F.col("v"), scale), scale).alias("recon"),
+        F.col("v"),
+    ).collect()
+    for r in out:
+        assert all(-127 <= c <= 127 for c in r["codes"])
+        for a, b in zip(r["v"], r["recon"]):
+            assert abs(a - b) <= r["s"] / 2 + 1e-12  # rounding bound
