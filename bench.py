@@ -55,6 +55,7 @@ HEADLINE = [
     "incremental_dedup",
     "unigram_logprob",
     "chunk_documents",
+    "quantization_error",
     "asof_latest_order",
     "range_join_attribution",
     "sessionize_events",
