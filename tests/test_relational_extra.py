@@ -79,3 +79,44 @@ def test_events_gap_fill_no_sort_merge(spark):
     """The grid sides are tiny — the count join must be broadcast."""
     plan = _plan(relational.events_gap_fill(spark, SF))
     assert "SortMergeJoin" not in plan
+
+
+def test_grouping_sets_single_expand(spark):
+    """Both grouping sets must come from ONE Expand over one scan —
+    not two aggregations unioned."""
+    plan = _plan(relational.grouping_sets_sales(spark, SF))
+    assert plan.count("Expand") == 1
+    assert "BroadcastHashJoin" in plan  # customer side broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def test_sliding_windows_single_agg_shuffle(spark):
+    """The window() expand must feed one partial+final aggregate pair;
+    no join machinery involved."""
+    plan = _plan(relational.events_sliding_windows(spark, SF))
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") == 2  # partial + final
+
+
+def test_quantization_error_no_join_no_extra_shuffle(spark):
+    from avro_sql_spark.operators.similarity import quantization_error_stats
+    from avro_sql_spark.session import load_tables
+
+    t = load_tables(spark, SF, register=False)
+    plan = _plan(quantization_error_stats(t["embeddings"]))
+    assert "Join" not in plan
+    # quantize+reconstruct+error all in-row: only the per-label agg
+    # exchange and the final sort exchange remain
+    assert plan.count("Exchange") <= 2
+
+
+def test_winnow_fingerprints_single_exchange(spark):
+    """Fingerprint extraction shuffles once (the core-spread
+    repartition) — hashing, window minima, and dedup are in-row."""
+    from avro_sql_spark.operators.text import winnow_fingerprints
+    from avro_sql_spark.session import load_tables
+
+    t = load_tables(spark, SF, register=False)
+    plan = _plan(winnow_fingerprints(t["documents"]))
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan  # no per-doc sort window anymore
