@@ -498,6 +498,14 @@ def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health: counts, dup rate, language breadth."""
+    from avro_sql_spark.operators.text import source_quality_report
+
+    t = load_tables(spark, sf_dir, register=False)
+    return source_quality_report(t["documents"])
+
+
 def _quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 embedding quantization fidelity per label."""
     t = load_tables(spark, sf_dir, register=False)
@@ -640,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_windows": relational.events_sliding_windows,
         "decontam_ngram": _decontam_ngram,
         "quantization_error": _quantization_error,
+        "source_quality": _source_quality,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "ann_cosine_topk": _ann_topk,
@@ -1555,6 +1564,19 @@ FROM labeled
 WHERE split = 'train' AND {_FP} NOT IN (SELECT fp FROM test_fp)
 GROUP BY lang
 ORDER BY lang
+""",
+        "source_quality": f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT {_FP}) AS n_unique,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+       MIN(LENGTH(text)) AS min_chars,
+       MAX(LENGTH(text)) AS max_chars,
+       ROUND((COUNT(*) - COUNT(DISTINCT {_FP})) / COUNT(*), 6) AS dup_rate
+FROM documents
+GROUP BY source
+ORDER BY source
 """,
         "quantization_error": """
 WITH x AS (

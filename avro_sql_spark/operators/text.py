@@ -220,3 +220,38 @@ def unigram_logprob_scores(
         )
         .orderBy(id_col)
     )
+
+
+def source_quality_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source corpus health report: document count, exact-duplicate
+    rate (via content fingerprints), language breadth, and size stats —
+    the triage view that decides which crawl/source to up- or
+    down-weight before mixing. One scan, one shuffle on source (the
+    distinct-fingerprint count piggybacks per-source)."""
+    return (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.col("lang"),
+            F.length(F.col(text_col)).alias("len"),
+            T.fingerprint(F.col(text_col)).alias("fp"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("len").alias("total_chars"),
+            F.min("len").alias("min_chars"),
+            F.max("len").alias("max_chars"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round((F.col("n_docs") - F.col("n_unique")) / F.col("n_docs"), 6),
+        )
+        .orderBy("source")
+    )

@@ -56,6 +56,7 @@ HEADLINE = [
     "unigram_logprob",
     "chunk_documents",
     "quantization_error",
+    "source_quality",
     "asof_latest_order",
     "range_join_attribution",
     "sessionize_events",

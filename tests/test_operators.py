@@ -393,3 +393,22 @@ def test_quantization_roundtrip_bounds(spark):
         assert all(-127 <= c <= 127 for c in r["codes"])
         for a, b in zip(r["v"], r["recon"]):
             assert abs(a - b) <= r["s"] / 2 + 1e-12  # rounding bound
+
+
+def test_source_quality_report(spark):
+    from avro_sql_spark.operators.text import source_quality_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", "en", "web"),
+            (2, "same text", "en", "web"),   # dup within web
+            (3, "unique here", "de", "web"),
+            (4, "only doc", "en", "books"),
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING",
+    )
+    rows = {r["source"]: r for r in source_quality_report(docs).collect()}
+    web = rows["web"]
+    assert web["n_docs"] == 3 and web["n_unique"] == 2 and web["n_langs"] == 2
+    assert abs(web["dup_rate"] - round(1 / 3, 6)) < 1e-9
+    assert rows["books"]["dup_rate"] == 0.0
