@@ -646,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _incremental_dedup,
         "approx_distinct_events": _approx_distinct_events,
         "events_sliding_windows": relational.events_sliding_windows,
+        "events_rolling_hour": relational.events_rolling_hour,
         "decontam_ngram": _decontam_ngram,
         "quantization_error": _quantization_error,
         "source_quality": _source_quality,
@@ -1564,6 +1565,15 @@ FROM labeled
 WHERE split = 'train' AND {_FP} NOT IN (SELECT fp FROM test_fp)
 GROUP BY lang
 ORDER BY lang
+""",
+        "events_rolling_hour": """
+SELECT event_id, event_type,
+       COUNT(*) OVER w AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_last_hour
+FROM (SELECT *, CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) AS sec FROM events)
+WINDOW w AS (PARTITION BY event_type ORDER BY sec
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
 """,
         "source_quality": f"""
 SELECT source,

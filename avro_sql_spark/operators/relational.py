@@ -1119,3 +1119,32 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+def events_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling window: for every event, the count and exact
+    value sum of same-type events in the trailing hour (inclusive).
+    rangeBetween on epoch seconds — the time-based frame that
+    rowsBetween cannot express when event spacing is irregular. One
+    shuffle on event_type; the frame is evaluated by a sliding
+    aggregator within each sorted partition. Sums run on DECIMAL so the
+    result is independent of intra-frame order."""
+    t = load_tables(spark, sf_dir, register=False)
+    # ts is TIMESTAMP_NTZ; hop through TIMESTAMP (session tz = UTC) for
+    # the epoch-seconds frame key
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(sec.alias("sec"))
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            "event_type",
+            F.count(F.lit(1)).over(w).alias("n_last_hour"),
+            F.sum(_dec("value", D186)).over(w).cast("double").alias("sum_last_hour"),
+        )
+        .orderBy("event_id")
+    )

@@ -51,6 +51,7 @@ HEADLINE = [
     "customer_order_span",
     "events_gap_fill",
     "events_sliding_windows",
+    "events_rolling_hour",
     "approx_distinct_events",
     "incremental_dedup",
     "unigram_logprob",

@@ -120,3 +120,22 @@ def test_winnow_fingerprints_single_exchange(spark):
     plan = _plan(winnow_fingerprints(t["documents"]))
     assert plan.count("Exchange") == 1
     assert "Window" not in plan  # no per-doc sort window anymore
+
+
+def test_rolling_hour_range_frame(spark):
+    """Range frame must include exactly the trailing 3600 seconds,
+    irregular spacing and all."""
+    rows = relational.events_rolling_hour(spark, SF).collect()
+    assert rows and all(r["n_last_hour"] >= 1 for r in rows)  # self always in frame
+    # spot-verify one event type end-to-end against a python recompute
+    from avro_sql_spark.session import load_tables
+
+    t = load_tables(spark, SF, register=False)
+    ev = [
+        (r["event_id"], int(r["ts"].timestamp()), float(r["value"]))
+        for r in t["events"].filter(F.col("event_type") == "click").collect()
+    ]
+    got = {r["event_id"]: r["n_last_hour"] for r in rows}
+    for eid, sec, _v in ev[:50]:
+        expect = sum(1 for _, s2, _ in ev if sec - 3599 <= s2 <= sec)
+        assert got[eid] == expect
