@@ -112,10 +112,19 @@ def minhash_candidate_pairs(
     band, self-join on (band_idx, band_hash). Only same-bucket docs meet
     in the shuffle; estimated Jaccard = matching minhash fraction."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle)
+    # cache the per-doc signature table: it has THREE consumers (band
+    # explode + both re-attach joins) and Catalyst does not reuse the
+    # aggregation exchange across them — uncached, the whole
+    # shingle-explode + k-hash + k-min pipeline would run three times.
+    # One 8k-byte row per doc, far smaller than the corpus; the
+    # CacheManager dedupes repeated calls by logical plan.
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle).cache()
+    # the band self-join shuffles SKINNY rows (id, band_idx, band_hash =
+    # 24 bytes) — not the 64-long signature, which would ride the shuffle
+    # `bands` times per doc. Signatures re-attach once per side AFTER
+    # candidate pairs are deduped, via two per-doc joins.
     banded = sigs.select(
         F.col(id_col),
-        F.col("signature"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -133,29 +142,38 @@ def minhash_candidate_pairs(
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    cand = (
         a.join(
             b,
-            (F.col(f"a.band_idx") == F.col(f"b.band_idx"))
-            & (F.col(f"a.band_hash") == F.col(f"b.band_hash"))
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
             (
                 F.size(
                     F.filter(
-                        F.zip_with(F.col("a.signature"), F.col("b.signature"), lambda x, y: x == y),
+                        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
                         lambda eq: eq,
                     )
                 )
                 / F.lit(float(num_hashes))
             ).alias("est_jaccard"),
         )
-        .distinct()
     )
-    return pairs
 
 
 def ngram_jaccard_pairs(
