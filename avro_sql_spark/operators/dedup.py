@@ -208,6 +208,10 @@ def ngram_jaccard_pairs(
             F.explode(word_shingles(F.col(text_col), shingle)).alias("s_raw"),
         )
         .select("id", F.xxhash64("s_raw").alias("s"))
+        # cached: consumed by per-doc sizes AND both self-join sides (and
+        # the doc-frequency pass when capped) — uncached, the explode+hash
+        # pipeline re-executes per consumer
+        .cache()
     )
     if max_doc_freq is not None:
         # sh is distinct per (doc, shingle) (word_shingles dedupes), so

@@ -135,6 +135,9 @@ def winnow_overlap_pairs(
     same skew risk as hot shingles (drop them upstream with a frequency
     cap if the corpus has boilerplate)."""
     fps = winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+    # cached: both self-join sides consume fps; uncached, the md5 k-gram
+    # + window-min array pass runs twice
+    fps = fps.cache()
     a = fps.select(F.col(id_col).alias("id_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), "fp")
     return (
