@@ -450,6 +450,9 @@ def decontaminate(
         F.col(id_col).alias("eid"),
         F.explode(word_shingles(F.col(text_col), shingle)).alias("s_raw"),
     ).select("eid", F.xxhash64("s_raw").alias("s"))
+    # each side feeds its size aggregate AND the bipartite join (plus the
+    # doc-frequency pass when capped) — cache so explode+hash runs once
+    tr, te = tr.cache(), te.cache()
     if max_doc_freq is not None:
         hot = (
             tr.select(F.col("tid").alias("d"), "s").union(te.select(F.col("eid").alias("d"), "s"))
