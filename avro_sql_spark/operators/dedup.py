@@ -222,7 +222,8 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_doc_freq)
             .select("s")
         )
-        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+        # the filtered table again feeds sizes + both join sides
+        sh = sh.join(F.broadcast(hot), "s", "left_anti").cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         sh.alias("a")
