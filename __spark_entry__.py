@@ -498,6 +498,22 @@ def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _take_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-100 deterministic sample (smallest salted hash)."""
+    t = load_tables(spark, sf_dir, register=False)
+    return curation.deterministic_take(t["documents"], 100).select(
+        "doc_id", "lang"
+    ).orderBy("doc_id")
+
+
+def _stratified_take_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 docs per language by smallest salted hash."""
+    t = load_tables(spark, sf_dir, register=False)
+    return curation.stratified_take(t["documents"], 20, "lang").select(
+        "doc_id", "lang"
+    ).orderBy("doc_id")
+
+
 def _source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health: counts, dup rate, language breadth."""
     from avro_sql_spark.operators.text import source_quality_report
@@ -650,6 +666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_ngram": _decontam_ngram,
         "quantization_error": _quantization_error,
         "source_quality": _source_quality,
+        "take_exact": _take_exact,
+        "stratified_take_lang": _stratified_take_lang,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "ann_cosine_topk": _ann_topk,
@@ -1565,6 +1583,22 @@ FROM labeled
 WHERE split = 'train' AND {_FP} NOT IN (SELECT fp FROM test_fp)
 GROUP BY lang
 ORDER BY lang
+""",
+        "take_exact": f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang FROM documents
+  ORDER BY {_hash_unit("doc_id", ":take")}, doc_id
+  LIMIT 100)
+ORDER BY doc_id
+""",
+        "stratified_take_lang": f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY {_hash_unit("doc_id", ":stake")}, doc_id) AS rk
+  FROM documents)
+WHERE rk <= 20
+ORDER BY doc_id
 """,
         "events_rolling_hour": """
 SELECT event_id, event_type,

@@ -266,3 +266,40 @@ def chunk_documents(
             F.array_join(F.slice("__tk", F.col("s") + 1, chunk_size), " ").alias("chunk"),
         )
     )
+
+
+def deterministic_take(
+    docs: DataFrame, k: int, id_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Exactly-k deterministic sample: the k rows with the smallest
+    salted hash — a rerun-stable, engine-portable alternative to
+    df.limit(k) (which is partition-order-dependent) for building
+    fixed-size eval sets. TakeOrderedAndProject keeps per-partition
+    heaps of k, so no global sort materializes."""
+    return (
+        docs.withColumn("__u", hash_unit(F.col(id_col), f"{salt}:take"))
+        .orderBy("__u", id_col)
+        .limit(k)
+        .drop("__u")
+    )
+
+
+def stratified_take(
+    docs: DataFrame,
+    k_per_group: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Exactly k rows PER GROUP by smallest salted hash (rank window
+    per group) — balanced eval sets from skewed corpora, where a
+    fractional sample would starve small groups. One shuffle on the
+    group key; WindowGroupLimit prunes to k per partition before the
+    final rank."""
+    w = Window.partitionBy(group_col).orderBy("__u", id_col)
+    return (
+        docs.withColumn("__u", hash_unit(F.col(id_col), f"{salt}:stake"))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k_per_group)
+        .drop("__u", "__rk")
+    )

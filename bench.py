@@ -58,6 +58,7 @@ HEADLINE = [
     "chunk_documents",
     "quantization_error",
     "source_quality",
+    "stratified_take_lang",
     "asof_latest_order",
     "range_join_attribution",
     "sessionize_events",

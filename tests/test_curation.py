@@ -214,3 +214,27 @@ def test_chunk_documents_rejects_bad_stride(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id LONG, text STRING")
     with pytest.raises(ValueError):
         curation.chunk_documents(docs, chunk_size=4, stride=5)
+
+
+def test_deterministic_take_exact_k_and_stable(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(50)], "doc_id LONG, text STRING"
+    )
+    a = sorted(r["doc_id"] for r in curation.deterministic_take(docs, 10).collect())
+    b = sorted(r["doc_id"] for r in curation.deterministic_take(docs, 10).collect())
+    assert len(a) == 10 and a == b  # exact k, rerun-stable
+    c = sorted(r["doc_id"] for r in curation.deterministic_take(docs, 10, salt="x").collect())
+    assert a != c  # salt changes the sample
+    # no global sort: top-k via TakeOrderedAndProject
+    plan = curation.deterministic_take(docs, 10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_stratified_take_balanced(spark):
+    rows = [(i, "a" if i % 10 else "b") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, grp STRING")
+    out = curation.stratified_take(docs, 5, "grp").collect()
+    from collections import Counter
+
+    by = Counter(r["grp"] for r in out)
+    assert by["a"] == 5 and by["b"] == 5  # exactly k per group despite 9:1 skew
