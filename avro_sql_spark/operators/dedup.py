@@ -262,15 +262,19 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     def _mask(b: int):
         return F.shiftleft(F.lit(1).cast("long"), b)  # b=63 wraps, as intended
 
+    # branch-free votes: ones_b = popcount of bit b over shingle hashes;
+    # +1/-1 vote sum = 2*ones_b - n, so bit b is set iff 2*ones_b > n.
+    # shiftright+AND sums codegen tighter than 64 when/otherwise branches.
     votes = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(F.when(F.col("h").bitwiseAND(_mask(b)) != 0, 1).otherwise(-1)).alias(f"b{b}")
+            F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"b{b}")
             for b in range(64)
-        ]
+        ],
     )
     sim = None
     for b in range(64):
-        bit = F.when(F.col(f"b{b}") > 0, _mask(b)).otherwise(F.lit(0)).cast("long")
+        bit = F.when(F.col(f"b{b}") * 2 > F.col("n"), _mask(b)).otherwise(F.lit(0)).cast("long")
         sim = bit if sim is None else sim.bitwiseOR(bit)
     return votes.select(F.col(id_col), sim.alias("simhash"))
 
