@@ -498,6 +498,14 @@ def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 PMI collocations over adjacent token pairs."""
+    from avro_sql_spark.operators.text import pmi_collocations
+
+    t = load_tables(spark, sf_dir, register=False)
+    return pmi_collocations(t["documents"])
+
+
 def _take_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-100 deterministic sample (smallest salted hash)."""
     t = load_tables(spark, sf_dir, register=False)
@@ -668,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality": _source_quality,
         "take_exact": _take_exact,
         "stratified_take_lang": _stratified_take_lang,
+        "pmi_collocations": _pmi_collocations,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "ann_cosine_topk": _ann_topk,
@@ -1583,6 +1592,31 @@ FROM labeled
 WHERE split = 'train' AND {_FP} NOT IN (SELECT fp FROM test_fp)
 GROUP BY lang
 ORDER BY lang
+""",
+        "pmi_collocations": r"""
+WITH tk AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> regexp_matches(x, '^[a-z]+$')) AS tk
+  FROM documents),
+uni AS (
+  SELECT w, COUNT(*) AS c1
+  FROM (SELECT unnest(tk) AS w FROM tk WHERE len(tk) >= 1)
+  GROUP BY w),
+t1 AS (SELECT CAST(SUM(c1) AS DOUBLE) AS t1 FROM uni),
+pairs AS (
+  SELECT tk[i] AS wa, tk[i+1] AS wb
+  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM tk WHERE len(tk) >= 2)),
+big AS (SELECT wa, wb, COUNT(*) AS c2 FROM pairs GROUP BY wa, wb),
+t2 AS (SELECT CAST(SUM(c2) AS DOUBLE) AS t2 FROM big)
+SELECT wa || ' ' || wb AS bigram, c2 AS n_pairs,
+       ROUND(LN((c2 / t2) / ((ca / t1) * (cb / t1))), 6) AS pmi
+FROM (SELECT big.*, ua.c1 AS ca, ub.c1 AS cb FROM big
+      JOIN uni ua ON big.wa = ua.w
+      JOIN uni ub ON big.wb = ub.w)
+CROSS JOIN t1 CROSS JOIN t2
+WHERE c2 >= 10
+ORDER BY pmi DESC, bigram
+LIMIT 30
 """,
         "take_exact": f"""
 SELECT doc_id, lang FROM (

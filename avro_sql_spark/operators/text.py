@@ -258,3 +258,67 @@ def source_quality_report(
         )
         .orderBy("source")
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 10,
+    top_k: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over adjacent
+    token pairs — the statistical phrase detector used for tokenizer
+    merges and stop-phrase lists. PMI = ln(p(ab) / (p(a)·p(b))) over
+    corpus unigram/bigram frequencies; ``min_count`` suppresses the
+    unstable low-frequency tail.
+
+    Shape: tokens and adjacent pairs are built in-row (filter +
+    transform), then two partial-aggregated shuffles (unigram, bigram
+    counts); the tiny unigram table broadcasts back onto bigrams. The
+    score is rounded to 6 decimals BEFORE ranking (rank-stable across
+    engines despite last-ulp ln differences), pair text as tiebreak."""
+    tk = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x.rlike("^[a-z]+$")
+    )
+    base = docs.select(tk.alias("tk")).filter(F.size("tk") >= 1)
+    uni = (
+        base.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    t1 = uni.agg(F.sum("c1").cast("double").alias("t1"))
+    pairs = base.filter(F.size("tk") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("tk"), i).alias("wa"),
+                    F.element_at(F.col("tk"), i + 1).alias("wb"),
+                ),
+            )
+        ).alias("p")
+    ).select(F.col("p.wa").alias("wa"), F.col("p.wb").alias("wb"))
+    big = pairs.groupBy("wa", "wb").agg(F.count(F.lit(1)).alias("c2"))
+    t2 = big.agg(F.sum("c2").cast("double").alias("t2"))
+    ua = uni.select(F.col("w").alias("wa"), F.col("c1").alias("ca"))
+    ub = uni.select(F.col("w").alias("wb"), F.col("c1").alias("cb"))
+    scored = (
+        big.filter(F.col("c2") >= min_count)
+        .join(F.broadcast(ua), "wa")
+        .join(F.broadcast(ub), "wb")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            F.concat_ws(" ", "wa", "wb").alias("bigram"),
+            F.col("c2").alias("n_pairs"),
+            F.round(
+                F.log(
+                    (F.col("c2") / F.col("t2"))
+                    / ((F.col("ca") / F.col("t1")) * (F.col("cb") / F.col("t1")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "bigram").limit(top_k)

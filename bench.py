@@ -59,6 +59,7 @@ HEADLINE = [
     "quantization_error",
     "source_quality",
     "stratified_take_lang",
+    "pmi_collocations",
     "asof_latest_order",
     "range_join_attribution",
     "sessionize_events",

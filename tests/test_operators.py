@@ -412,3 +412,24 @@ def test_source_quality_report(spark):
     assert web["n_docs"] == 3 and web["n_unique"] == 2 and web["n_langs"] == 2
     assert abs(web["dup_rate"] - round(1 / 3, 6)) < 1e-9
     assert rows["books"]["dup_rate"] == 0.0
+
+
+def test_pmi_collocations(spark):
+    import math
+
+    from avro_sql_spark.operators.text import pmi_collocations
+
+    # "strong glue" always adjacent; "weak" tokens independent fillers
+    docs = spark.createDataFrame(
+        [(i, "strong glue filler" + (" weak" * (i % 3))) for i in range(30)],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["bigram"]: r for r in pmi_collocations(docs, min_count=5, top_k=5).collect()}
+    assert "strong glue" in rows
+    # exact PMI recompute: c2=30; unigrams strong=30, glue=30; totals from data
+    uni_total = 30 + 30 + 30 + sum((i % 3) for i in range(30))
+    pair_total = sum(2 + (i % 3) for i in range(30))
+    expect = math.log((30 / pair_total) / ((30 / uni_total) * (30 / uni_total)))
+    assert abs(rows["strong glue"]["pmi"] - round(expect, 6)) < 1e-9
+    # the always-adjacent pair outranks the sometimes-adjacent filler pair
+    assert rows["strong glue"]["pmi"] > rows["filler weak"]["pmi"]
