@@ -34,7 +34,13 @@ def brute_force_topk(
     tiebreak, so the result is stable across float summation orders (and
     reproducible by the DuckDB oracle)."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # spread the corpus side first: a compacted single-file scan would
+    # otherwise run every dot product in one task (the broadcast join
+    # adds no exchange of its own)
+    n = emb.sparkSession.sparkContext.defaultParallelism
+    c = emb.repartition(n, F.col(id_col)).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
@@ -209,6 +215,11 @@ def quantization_error_stats(
     only shuffle is the final tiny per-label aggregate."""
     from ..functions.vectors import dequantize, quantize, quantize_scale
 
+    # spread: same single-file-scan rationale as brute_force_topk — the
+    # per-row quantize/reconstruct array math needs every core
+    emb = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     v = F.col(vec_col)
     scale = quantize_scale(v)
     recon = dequantize(quantize(v, scale), scale)

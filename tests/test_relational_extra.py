@@ -105,9 +105,10 @@ def test_quantization_error_no_join_no_extra_shuffle(spark):
     t = load_tables(spark, SF, register=False)
     plan = _plan(quantization_error_stats(t["embeddings"]))
     assert "Join" not in plan
-    # quantize+reconstruct+error all in-row: only the per-label agg
-    # exchange and the final sort exchange remain
-    assert plan.count("Exchange") <= 2
+    # quantize+reconstruct+error all in-row: the core-spread repartition,
+    # the per-label agg exchange, and the final sort — nothing else
+    assert plan.count("Exchange") <= 3
+    assert "REPARTITION_BY_NUM" in plan  # the spread is present
 
 
 def test_winnow_fingerprints_single_exchange(spark):
