@@ -115,6 +115,52 @@ def _reshape_array_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _reshape_map_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection inside a map (O12, AvroSql.scala:246-278): pack customer
+    attributes into a ``map<string,string>`` column, withstructure-select
+    two keys (one renamed) plus one absent key, then extract the surviving
+    keys to flat columns for oracle comparison. The absent key exercises
+    the reference's silent-skip semantics (:270) — it never appears in the
+    reshaped map, so extraction yields NULL."""
+    t = load_tables(spark, sf_dir, register=False)
+    packed = t["customer"].select(
+        "c_custkey",
+        F.create_map(
+            F.lit("seg"), F.col("c_mktsegment"),
+            F.lit("name"), F.col("c_name"),
+            F.lit("nation"), F.col("c_nationkey").cast("string"),
+        ).alias("attrs"),
+    )
+    reshaped = reshape(
+        packed,
+        "SELECT c_custkey, attrs.seg as segment, attrs.name, attrs.missing FROM t withstructure",
+    )
+    return reshaped.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("attrs")["segment"].alias("segment"),
+        F.col("attrs")["name"].alias("name"),
+        F.col("attrs")["missing"].alias("missing"),
+    )
+
+
+def _reshape_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity passthrough (O15, AvroSqlTest.scala:39-65): ``SELECT *``
+    returns the frame unchanged — the planner short-circuits to no-op."""
+    t = load_tables(spark, sf_dir, register=False)
+    return reshape(t["nation"], "SELECT *")
+
+
+def _reshape_primitive_container(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primitive-container mode (O15, AvroSqlTest.scala:251-260 /
+    NonRecordContainer): a single-column frame carrying a bare value;
+    only ``SELECT *`` is legal and returns it unchanged."""
+    from avro_sql_spark import reshape_container
+
+    t = load_tables(spark, sf_dir, register=False)
+    bare = t["region"].select(F.col("r_name").alias("value"))
+    return reshape_container(bare, "SELECT *")
+
+
 # --------------------------------------------------------------------------
 # LLM-pipeline queries
 # --------------------------------------------------------------------------
@@ -189,6 +235,14 @@ def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints — rows-only check (xxhash64 not in DuckDB)."""
     t = load_tables(spark, sf_dir, register=False)
     return dedup.simhash(t["documents"]).orderBy("doc_id")
+
+
+def _simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-banded SimHash near-dup pairs — rows-only check (xxhash64 /
+    bit_count not replicable in DuckDB). blocks=max_hamming+1 gives exact
+    recall by pigeonhole (dedup.simhash_candidate_pairs)."""
+    t = load_tables(spark, sf_dir, register=False)
+    return dedup.simhash_candidate_pairs(t["documents"], blocks=4, max_hamming=3)
 
 
 def _split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -589,15 +643,68 @@ def _unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registration order note: the driver's per-round correctness sweep
+    processes entries in this order (r01 covered the first 50), so entries
+    that do not yet have a driver CORRECTNESS row lead — the round-1-green
+    relational core follows.  Cumulatively every entry gets driver rows."""
     return {
-        # reshape dialect (SURVEY §2.1)
+        # reshape dialect entries without a driver row yet (SURVEY §2.1:
+        # O12 map projection, O15 identity + primitive container)
+        "reshape_map_project": _reshape_map_project,
+        "reshape_identity": _reshape_identity,
+        "reshape_primitive_container": _reshape_primitive_container,
+        # LLM-pipeline (north star) — no driver rows in r01
+        "text_profile": _text_profile,
+        "dedup_exact_groups": _dedup_exact_groups,
+        "dedup_exact_keep": _dedup_exact_keep,
+        "ngram_jaccard_pairs": _ngram_jaccard,
+        "ngram_jaccard_capped": _ngram_jaccard_capped,
+        "minhash_candidate_pairs": _minhash_pairs,
+        "near_dup_clusters": _near_dup_clusters,
+        "simhash_fingerprints": _simhash,
+        "simhash_candidate_pairs": _simhash_candidate_pairs,
+        "split_assignment": _split_assignment,
+        "sample_10pct": _sample_10pct,
+        "stratified_sample_lang": _stratified_sample_lang,
+        "quality_shards": _quality_shards,
+        "quality_shards_approx": _quality_shards_approx,
+        "pack_sequences": _pack_sequences,
+        "decontam_exact": _decontam_exact,
+        "mixture_by_lang": _mixture_by_lang,
+        "gopher_filter_stats": _gopher_filter_stats,
+        "redact_pii_stats": _redact_pii_stats,
+        "repetition_stats": _repetition_stats,
+        "winnow_fingerprints": _winnow_fingerprints,
+        "winnow_overlap_pairs": _winnow_overlap_pairs,
+        "tfidf_top_terms": _tfidf_top_terms,
+        "chunk_documents": _chunk_documents,
+        "unigram_logprob": _unigram_logprob,
+        "incremental_dedup": _incremental_dedup,
+        "approx_distinct_events": _approx_distinct_events,
+        "events_sliding_windows": relational.events_sliding_windows,
+        "events_rolling_hour": relational.events_rolling_hour,
+        "decontam_ngram": _decontam_ngram,
+        "quantization_error": _quantization_error,
+        "source_quality": _source_quality,
+        "take_exact": _take_exact,
+        "stratified_take_lang": _stratified_take_lang,
+        "pmi_collocations": _pmi_collocations,
+        "embedding_near_dup": _embedding_near_dup,
+        "embedding_near_dup_lsh": _embedding_near_dup_lsh,
+        "ann_cosine_topk": _ann_topk,
+        "ann_lsh_bucketed": _ann_lsh,
+        "ann_ivf": _ann_ivf,
+        "multimodal_profile": _multimodal_profile,
+        "multimodal_features": _multimodal_features,
+        "multimodal_frames": _multimodal_frames,
+        # re-confirmations of the round-1-green reshape core (§2.1)
         "reshape_flat_rename": _reshape_flat_rename,
-        "reshape_star_exclusion": _reshape_star_exclusion,
         "reshape_nested_path": _reshape_nested_path,
-        "reshape_nested_star": _reshape_nested_star,
         "reshape_withstructure": _reshape_withstructure,
         "reshape_array_project": _reshape_array_project,
-        # relational surface (SURVEY §2.2)
+        "reshape_star_exclusion": _reshape_star_exclusion,
+        "reshape_nested_star": _reshape_nested_star,
+        # relational surface (SURVEY §2.2) — all driver-green in r01
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
@@ -642,49 +749,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": relational.token_topk,
         "customer_order_span": relational.customer_order_span,
         "events_gap_fill": relational.events_gap_fill,
-        # LLM-pipeline (north star)
-        "text_profile": _text_profile,
-        "dedup_exact_groups": _dedup_exact_groups,
-        "dedup_exact_keep": _dedup_exact_keep,
-        "ngram_jaccard_pairs": _ngram_jaccard,
-        "ngram_jaccard_capped": _ngram_jaccard_capped,
-        "minhash_candidate_pairs": _minhash_pairs,
-        "near_dup_clusters": _near_dup_clusters,
-        "simhash_fingerprints": _simhash,
-        "split_assignment": _split_assignment,
-        "sample_10pct": _sample_10pct,
-        "stratified_sample_lang": _stratified_sample_lang,
-        "quality_shards": _quality_shards,
-        "quality_shards_approx": _quality_shards_approx,
-        "pack_sequences": _pack_sequences,
-        "decontam_exact": _decontam_exact,
-        "mixture_by_lang": _mixture_by_lang,
-        "gopher_filter_stats": _gopher_filter_stats,
-        "redact_pii_stats": _redact_pii_stats,
-        "repetition_stats": _repetition_stats,
-        "winnow_fingerprints": _winnow_fingerprints,
-        "winnow_overlap_pairs": _winnow_overlap_pairs,
-        "tfidf_top_terms": _tfidf_top_terms,
-        "chunk_documents": _chunk_documents,
-        "unigram_logprob": _unigram_logprob,
-        "incremental_dedup": _incremental_dedup,
-        "approx_distinct_events": _approx_distinct_events,
-        "events_sliding_windows": relational.events_sliding_windows,
-        "events_rolling_hour": relational.events_rolling_hour,
-        "decontam_ngram": _decontam_ngram,
-        "quantization_error": _quantization_error,
-        "source_quality": _source_quality,
-        "take_exact": _take_exact,
-        "stratified_take_lang": _stratified_take_lang,
-        "pmi_collocations": _pmi_collocations,
-        "embedding_near_dup": _embedding_near_dup,
-        "embedding_near_dup_lsh": _embedding_near_dup_lsh,
-        "ann_cosine_topk": _ann_topk,
-        "ann_lsh_bucketed": _ann_lsh,
-        "ann_ivf": _ann_ivf,
-        "multimodal_profile": _multimodal_profile,
-        "multimodal_features": _multimodal_features,
-        "multimodal_frames": _multimodal_frames,
     }
 
 
@@ -813,6 +877,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_custkey AS custkey, o_orderkey AS okey, o_totalprice AS price"
             " FROM orders ORDER BY okey"
         ),
+        "reshape_map_project": (
+            "SELECT c_custkey AS custkey, c_mktsegment AS segment, c_name AS name,"
+            " CAST(NULL AS VARCHAR) AS missing FROM customer"
+        ),
+        "reshape_identity": "SELECT * FROM nation",
+        "reshape_primitive_container": "SELECT r_name AS value FROM region",
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -279,6 +279,73 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return votes.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    blocks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Hamming-banded SimHash near-dup pairs: split the 64-bit fingerprint
+    into ``blocks`` equal bit-blocks, equi-join on (block_idx, block_bits),
+    then exact-verify with a popcount distance filter.
+
+    Pigeonhole guarantee: two fingerprints within Hamming distance
+    ``blocks - 1`` agree on at least one whole block, so with the default
+    ``blocks = max_hamming + 1`` recall is exact — every qualifying pair
+    collides in some band. Same scale shape as
+    ``minhash_candidate_pairs``: the band self-join shuffles skinny
+    (id, block_idx, block_bits) rows, only same-bucket docs ever meet,
+    and fingerprints re-attach per-doc AFTER pair dedup.
+    """
+    if blocks < max_hamming + 1:
+        raise ValueError(
+            f"blocks={blocks} cannot guarantee recall at max_hamming={max_hamming}; "
+            f"need blocks >= max_hamming + 1"
+        )
+    # cached: consumed by the band explode and both re-attach joins;
+    # caller owns cleanup (spark.catalog.clearCache between pipelines)
+    sigs = simhash(docs, id_col, text_col).cache()
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    # arithmetic shift is fine: the AND clears sign-fill bits
+                    F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).cast("long")
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("block_idx", "block_bits"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_bits") == F.col("b.block_bits"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     id_col: str = "vec_id",

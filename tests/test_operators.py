@@ -72,6 +72,33 @@ def test_simhash_near_dup_hamming(docs):
     assert hamming(fps[1], fps[3]) < hamming(fps[1], fps[4])  # near < far
 
 
+def test_simhash_candidate_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_candidate_pairs(docs, blocks=9, max_hamming=8).collect()}
+    assert pairs[(1, 2)] == 0  # identical docs: distance 0, always banded together
+    # every reported pair respects the exact popcount filter
+    assert all(d <= 8 for d in pairs.values())
+    # far pair must not appear (distance verified > 8 in the fingerprint test)
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_simhash_candidate_pairs_pigeonhole(spark):
+    # hand-built near-identical docs: one changed word flips few bits;
+    # with blocks = max_hamming+1 the pair MUST be recalled (pigeonhole)
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    dist = bin((fps[1] ^ fps[2]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    got = dedup.simhash_candidate_pairs(df, blocks=dist + 1, max_hamming=dist).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(1, 2, dist)]
+
+
+def test_simhash_candidate_pairs_rejects_bad_blocks(docs):
+    with pytest.raises(ValueError):
+        dedup.simhash_candidate_pairs(docs, blocks=2, max_hamming=3)
+
+
 def test_lang_id(spark):
     df = spark.createDataFrame(
         [
