@@ -1122,29 +1122,97 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE-frame rolling window: for every event, the count and exact
-    value sum of same-type events in the trailing hour (inclusive).
-    rangeBetween on epoch seconds — the time-based frame that
-    rowsBetween cannot express when event spacing is irregular. One
-    shuffle on event_type; the frame is evaluated by a sliding
-    aggregator within each sorted partition. Sums run on DECIMAL so the
-    result is independent of intra-frame order."""
+    """Trailing-hour rolling count + exact value sum per event over
+    same-type events, as a TWO-PASS bucketed plan.
+
+    A single ``rangeBetween(-3599, 0)`` window partitioned by
+    ``event_type`` is the textbook shape but a scale-killer: event_type
+    has ~5 distinct values, so at 100× each window partition is 1/5 of
+    ALL events sorted on ONE task.  Instead, bucket time into hours —
+    the trailing-hour frame ``[sec-3599, sec]`` spans at most the
+    current and previous bucket — and decompose per event e in bucket b:
+
+      window(e) = prefix_b(sec_e)                        (pass 1)
+                + total_{b-1} - prefix_{b-1}(sec_e-3600) (pass 2)
+
+    Pass 1 is a running prefix windowed by (type, hour-bucket); pass 2
+    evaluates the previous bucket's prefix at each event's threshold by
+    unioning zero-weight PROBE rows (keyed at sec-3600 into bucket b-1)
+    into the same (type, bucket) prefix window.  The range frame treats
+    key ties positionally-independently, so a probe at key K yields the
+    prefix of all real events with sec <= K — exactly the complement of
+    the trailing window, which is open below at sec-3600.  Bucket totals
+    are a tiny (types × hours) aggregate, broadcast back.
+
+    Parallelism now scales with types × hours instead of types; no task
+    ever sorts more than one type-hour of data.  All sums run on
+    DECIMAL, so the decomposition is exact and order-independent."""
     t = load_tables(spark, sf_dir, register=False)
     # ts is TIMESTAMP_NTZ; hop through TIMESTAMP (session tz = UTC) for
     # the epoch-seconds frame key
     sec = F.col("ts").cast("timestamp").cast("long")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy(sec.alias("sec"))
-        .rangeBetween(-3599, Window.currentRow)
+    ev = t["events"].select(
+        "event_id",
+        "event_type",
+        sec.alias("sec"),
+        _dec("value", D186).alias("val"),
+        F.floor(sec / F.lit(3600)).alias("bucket"),
+    )
+    wb = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("sec")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # pass 1: within-bucket inclusive prefix (every same-bucket earlier
+    # event is inside the trailing hour: sec_e - 3599 <= bucket start)
+    cur = ev.select(
+        "event_id",
+        "event_type",
+        F.count(F.lit(1)).over(wb).alias("cur_n"),
+        F.sum("val").over(wb).alias("cur_sum"),
+    )
+    # pass 2: zero-weight probes into the PREVIOUS bucket at sec-3600
+    dec_null = F.lit(None).cast(D186)
+    reals = ev.select(
+        "event_type", "bucket", "sec", F.lit(1).alias("w"), "val",
+        F.lit(None).cast("long").alias("probe_id"),
+    )
+    probes = ev.select(
+        "event_type",
+        (F.col("bucket") - 1).alias("bucket"),
+        (F.col("sec") - 3600).alias("sec"),
+        F.lit(0).alias("w"),
+        dec_null.alias("val"),
+        F.col("event_id").alias("probe_id"),
+    )
+    pre = (
+        reals.unionByName(probes)
+        .select(
+            "event_type", "bucket", "probe_id",
+            F.sum("w").over(wb).alias("pre_n"),
+            F.sum("val").over(wb).alias("pre_sum"),
+        )
+        .filter(F.col("probe_id").isNotNull())
+    )
+    totals = ev.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("tot_n"), F.sum("val").alias("tot_sum")
+    )
+    zero = F.lit(0).cast(D186)
+    prev = (
+        pre.join(F.broadcast(totals), ["event_type", "bucket"], "left")
+        .select(
+            F.col("probe_id").alias("event_id"),
+            (F.coalesce("tot_n", F.lit(0)) - F.coalesce("pre_n", F.lit(0))).alias("prev_n"),
+            (F.coalesce("tot_sum", zero) - F.coalesce("pre_sum", zero)).alias("prev_sum"),
+        )
     )
     return (
-        t["events"]
+        cur.join(prev, "event_id")
         .select(
             "event_id",
             "event_type",
-            F.count(F.lit(1)).over(w).alias("n_last_hour"),
-            F.sum(_dec("value", D186)).over(w).cast("double").alias("sum_last_hour"),
+            (F.col("cur_n") + F.col("prev_n")).alias("n_last_hour"),
+            (F.col("cur_sum") + F.col("prev_sum")).cast("double").alias("sum_last_hour"),
         )
         .orderBy("event_id")
     )
