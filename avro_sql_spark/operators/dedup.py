@@ -15,6 +15,14 @@ Four families, all shuffle-architected for 100 TB:
  - **n-gram Jaccard**: exact set Jaccard via shingle explode +
    self-join on shingle — the verifier for candidate pairs (and the
    DuckDB-oracle-checkable ground truth at small SF).
+
+Cache contract: pair-generating operators (`minhash_candidate_pairs`,
+`simhash_candidate_pairs`, `ngram_jaccard_pairs`, `decontaminate`)
+``.cache()`` multi-consumer intermediates; since they return lazy
+transformations they cannot unpersist them. Callers running many
+pipelines in one long-lived session own cleanup —
+``spark.catalog.clearCache()`` between pipelines (LRU eviction otherwise
+bounds it).
 """
 
 from __future__ import annotations
@@ -456,7 +464,12 @@ def near_dup_clusters(
             # localCheckpoint (not cache): truncates the lineage so the
             # logical plan doesn't deepen by one join per round — with
             # plain cache, analysis time and recovery cost grow linearly
-            # in iterations, which is what kills long CC runs at scale
+            # in iterations, which is what kills long CC runs at scale.
+            # Tradeoff: localCheckpoint blocks live on executors only, so
+            # losing an executor mid-loop fails the job (the truncated
+            # lineage can't recompute). On a real cluster set
+            # spark.sparkContext.setCheckpointDir(...) and swap this for
+            # reliable .checkpoint() to survive executor loss.
             .localCheckpoint(eager=True)
         )
         changed = (

@@ -1046,8 +1046,11 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed range, hourly counts left-joined in, missing hours as 0.
 
     The grid is built from two tiny aggregates (global min/max hour,
-    distinct types) and `sequence()`-exploded — both sides broadcast, so
-    the only shuffle on the fact table is the hourly count itself."""
+    distinct types) and `sequence()`-exploded, bounded by hours × types.
+    The grid-preserving join broadcasts the COUNTS side: the outer join
+    must build the non-preserved side, and post-aggregation the counts
+    are just as bounded (≤ hours × types rows). The sole shuffle on the
+    fact table is the hourly count itself."""
     t = load_tables(spark, sf_dir, register=False)
     ev = t["events"]
     bounds = ev.agg(
@@ -1062,10 +1065,10 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", F.col("ts")).alias("c_hour"),
         F.col("event_type").alias("c_type"),
     ).agg(F.count(F.lit(1)).alias("c_n"))
+    grid = hours.crossJoin(F.broadcast(types))
     return (
-        hours.crossJoin(F.broadcast(types))
-        .join(
-            counts,
+        grid.join(
+            F.broadcast(counts),
             (F.col("hour") == F.col("c_hour")) & (F.col("event_type") == F.col("c_type")),
             "left_outer",
         )

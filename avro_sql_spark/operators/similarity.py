@@ -141,13 +141,13 @@ def ivf_topk(
 
     centroids = [list(c) for c in model.clusterCenters()]
 
-    def cell_of(vec):
-        """nearest-centroid id as a Column expression over the embedding
-        array (centroids inlined as literals - no join, no model server).
-        Distances go into ONE array + argmin: a chained when/otherwise
-        accumulator would copy the growing subtree per centroid (2^n
-        expression blowup — Catalyst never finishes analyzing it)."""
-        dists = F.array(
+    def centroid_dists(vec):
+        """squared distance to each centroid as ONE array Column
+        (centroids inlined as literals - no join, no model server). A
+        chained when/otherwise accumulator would copy the growing subtree
+        per centroid (2^n expression blowup — Catalyst never finishes
+        analyzing it)."""
+        return F.array(
             *[
                 F.aggregate(
                     F.zip_with(
@@ -161,6 +161,9 @@ def ivf_topk(
                 for cent in centroids
             ]
         )
+
+    def cell_of(vec):
+        dists = centroid_dists(vec)
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
     corpus = emb.select(
@@ -169,20 +172,26 @@ def ivf_topk(
         cell_of(F.col(vec_col)).alias("cell"),
     )
 
-    # query side: its n_probe nearest cells (computed on the tiny query set)
-    import numpy as np
+    # query side: each query's n_probe nearest cells, as a pure Column
+    # expression (sort (dist, cell) structs, slice, explode) — the query
+    # frame never leaves the executors, so a large query set is fine;
+    # broadcast below is the only size assumption, same as brute force
+    def probe_cells(vec):
+        dists = centroid_dists(vec)
+        ranked = F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                lambda c: F.struct(
+                    F.element_at(dists, c + 1).alias("d"), c.cast("int").alias("c")
+                ),
+            )
+        )
+        return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["c"])
 
-    q_local = queries.select(id_col, vec_col).collect()
-    cents = np.array(centroids)
-    probe_rows = []
-    for row in q_local:
-        qv = np.array(row[vec_col], dtype="float64")
-        order = np.argsort(((cents - qv) ** 2).sum(axis=1))[:n_probe]
-        for cell in order:
-            probe_rows.append((row[id_col], int(cell), [float(x) for x in qv]))
-    spark = emb.sparkSession
-    probes = spark.createDataFrame(
-        probe_rows, f"query_id LONG, cell INT, qv ARRAY<DOUBLE>"
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
     )
 
     scored = (
@@ -203,7 +212,7 @@ def ivf_topk(
 
 
 def quantization_error_stats(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", label_col: str = "label"
 ) -> DataFrame:
     """Int8 scalar quantization quality report: per label, the mean
     absolute reconstruction error of symmetric per-vector int8 codes.
@@ -229,7 +238,7 @@ def quantization_error_stats(
         lambda acc, x: acc + x,
     )
     return (
-        emb.select(F.col("label"), err_sum.alias("e"), F.size(v).alias("n"))
+        emb.select(F.col(label_col).alias("label"), err_sum.alias("e"), F.size(v).alias("n"))
         .groupBy("label")
         .agg(
             F.sum("n").alias("n_values"),

@@ -133,12 +133,16 @@ def merge_to_parquet(
     id_cols: list[str],
     ts_col: str = "ts",
 ):
-    """foreachBatch upsert sink: per micro-batch, keep only the latest
-    row per key (batch-local last-write-wins on ``ts_col``) and append
-    to a parquet table. The per-batch dedup bounds sink amplification;
-    full-history compaction belongs to a downstream batch job (at
-    100 TB an upsert sink wants a table format with merge support —
-    this is the dependency-free parquet shape of that pattern).
+    """foreachBatch append-with-batch-dedup sink: per micro-batch, keep
+    only the latest row per key (batch-local last-write-wins on
+    ``ts_col``) and APPEND to a parquet table.
+
+    NOT a true upsert: a key arriving in two different micro-batches
+    yields two rows in the table — readers must take the max-``ts_col``
+    row per key, or a downstream compaction job must fold history. True
+    cross-batch merge needs a table format with MERGE support (Delta /
+    Iceberg / Hudi); this is the dependency-free parquet shape of that
+    pattern, with per-batch dedup bounding sink amplification.
 
     Returns the started StreamingQuery (caller awaits/stops)."""
 

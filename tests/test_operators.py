@@ -168,6 +168,21 @@ def test_ivf_topk_recall(spark):
         assert cos == sorted(cos, reverse=True)
 
 
+def test_ivf_topk_large_query_set(spark):
+    # the probe assignment is a Column expression: the full corpus can be
+    # its own query set without any driver-side collect
+    import math
+
+    rows = [(i, [math.cos(i * 0.3), math.sin(i * 0.3), float(i % 5), 1.0]) for i in range(100)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = similarity.ivf_topk(emb, emb, k=3, n_cells=8, n_probe=8)
+    grouped = {}
+    for r in out.collect():
+        grouped.setdefault(r["query_id"], []).append(r["cos"])
+    assert len(grouped) == 100  # every query answered
+    assert all(len(v) == 3 and v == sorted(v, reverse=True) for v in grouped.values())
+
+
 def test_near_dup_clusters(spark):
     rows = [
         (1, "the cat sat on the mat and looked at the dog today ok"),
