@@ -2,11 +2,12 @@
 the reference has none; IO is the host's job there. Here the engine owns
 it via Spark's datasource API).
 
-Formats: parquet / json / csv are always available; avro and kafka
-require their external jars (spark-avro, spark-sql-kafka) which are not
-bundled with a pip pyspark — both are feature-gated with a clear error
-rather than an import crash, and the Avro *schema* layer
-(avro_schema.py) works without the jar.
+Formats: parquet / json / csv / orc are always available. Avro uses the
+spark-avro jar when present (the distributed 100 TB path); without the
+jar it transparently falls back to the pure-Python container codec
+(avro_io.py — driver-side, development/small-data). Kafka requires
+spark-sql-kafka and stays feature-gated. The Avro *schema* layer
+(avro_schema.py) works in every configuration.
 
 Scale defaults: writers repartition to sane file counts and always go
 through a deterministic column order; readers never infer schemas on
@@ -45,10 +46,11 @@ def read_table(
     production — inference is a full extra pass over the data."""
     fmt = fmt.lower()
     if fmt == "avro" and not _avro_available(spark):
-        raise AvroSqlError(
-            "avro datasource requires the spark-avro jar "
-            "(org.apache.spark:spark-avro_2.13); not bundled with pip pyspark"
-        )
+        # jar-less fallback: pure-Python container decode on the driver
+        # (avro_io.py) — development/small-data path, same sidecar schema
+        from .avro_io import read_avro_fallback
+
+        return read_avro_fallback(spark, path)
     if fmt not in _BUILTIN and fmt != "avro":
         raise AvroSqlError(f"Unsupported source format: {fmt}")
     reader = spark.read.format(fmt).options(**options)
@@ -73,10 +75,16 @@ def write_table(
     small-files problem is the classic 100 TB sink failure)."""
     fmt = fmt.lower()
     if fmt == "avro" and not _avro_available(df.sparkSession):
-        raise AvroSqlError(
-            "avro datasource requires the spark-avro jar "
-            "(org.apache.spark:spark-avro_2.13); not bundled with pip pyspark"
-        )
+        # jar-less fallback: single-container-file write via toLocalIterator
+        if partition_by:
+            raise AvroSqlError(
+                "partition_by with avro needs the spark-avro jar "
+                "(the jar-less fallback writes one container file)"
+            )
+        from .avro_io import write_avro_fallback
+
+        write_avro_fallback(df, path)
+        return
     if target_files is not None:
         df = df.coalesce(target_files)
     writer = df.write.format(fmt).mode(mode).options(**options)
