@@ -259,10 +259,16 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     """64-bit SimHash over word shingles: for each bit, sum +1/-1 votes of
     each shingle's xxhash64 bit, emit the sign bitmap.
 
-    Shape: explode → hash → 64 conditional SUM aggregates (map-side
+    Shape: explode → hash → PACKED bit-count SUM aggregates (map-side
     combined) → OR the sign bits. Same partial-agg rationale as
-    minhash_signatures: shuffle is one 64-int row per doc per partition,
-    and codegen stays fast."""
+    minhash_signatures: shuffle is one skinny row per doc per partition,
+    and codegen stays fast.
+
+    Packing: three bit-counters ride per long in base-2^20 lanes
+    (bits 3j, 3j+1, 3j+2 of the hash count in lanes 0/20/40 of sum j),
+    cutting 64 SUM aggregate buffers to 22. Lane capacity bounds docs at
+    2^20 shingles (~5 MB of text) before a counter could carry into the
+    next lane — far above real documents; pre-chunk pathological inputs."""
     ex = _spread(docs, id_col).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col))).alias("s")
     ).select(F.col(id_col), F.xxhash64("s").alias("h"))
@@ -272,18 +278,26 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
     # branch-free votes: ones_b = popcount of bit b over shingle hashes;
     # +1/-1 vote sum = 2*ones_b - n, so bit b is set iff 2*ones_b > n.
-    # shiftright+AND sums codegen tighter than 64 when/otherwise branches.
+    # shiftright+AND terms codegen tighter than when/otherwise branches.
+    packs = [list(range(j, min(j + 3, 64))) for j in range(0, 64, 3)]
+
+    def _packed_term(bits: list[int]):
+        term = None
+        for lane, b in enumerate(bits):
+            t = F.shiftright("h", b).bitwiseAND(F.lit(1)) * F.lit(1 << (20 * lane)).cast("long")
+            term = t if term is None else term + t
+        return term
+
     votes = ex.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"b{b}")
-            for b in range(64)
-        ],
+        *[F.sum(_packed_term(bits)).alias(f"p{j}") for j, bits in enumerate(packs)],
     )
     sim = None
-    for b in range(64):
-        bit = F.when(F.col(f"b{b}") * 2 > F.col("n"), _mask(b)).otherwise(F.lit(0)).cast("long")
-        sim = bit if sim is None else sim.bitwiseOR(bit)
+    for j, bits in enumerate(packs):
+        for lane, b in enumerate(bits):
+            ones = F.shiftright(F.col(f"p{j}"), 20 * lane).bitwiseAND(F.lit((1 << 20) - 1))
+            bit = F.when(ones * 2 > F.col("n"), _mask(b)).otherwise(F.lit(0)).cast("long")
+            sim = bit if sim is None else sim.bitwiseOR(bit)
     return votes.select(F.col(id_col), sim.alias("simhash"))
 
 

@@ -70,7 +70,9 @@ HEADLINE = [
     "text_profile",
     "dedup_exact_keep",
     "split_assignment",
-    "quality_shards",
+    # the 100 TB sharding path (sketch cuts, no global sort) is the
+    # benched one; the exact-NTILE variant stays correctness-checked
+    "quality_shards_approx",
     "pack_sequences",
     "decontam_exact",
     "decontam_ngram",
