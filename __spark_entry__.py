@@ -187,6 +187,59 @@ def _json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured handling via Spark 4 VariantType: ``parse_json``
+    the props column ONCE into the binary variant encoding, then typed
+    ``variant_get`` extraction — the modern engine path for open JSON
+    (single parse, typed access, shreddable at the storage layer). Also
+    exercises ``try_variant_get`` (absent path → NULL, no error)."""
+    t = load_tables(spark, sf_dir, register=False)
+    v = F.parse_json("props")
+    ev = t["events"].select(
+        "event_type",
+        F.variant_get(v, "$.k", "long").alias("k"),
+        F.try_variant_get(v, "$.absent", "string").alias("absent"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.when(F.col("absent").isNull(), 1).otherwise(0)).alias("n_absent"),
+            (F.sum(F.col("k") % 2)).alias("n_odd"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation showcase — the composed pipeline a training
+    run actually executes, as ONE lazy plan: Gopher quality gate (scan-
+    fused predicate) → exact dedup keep-min (hash groupBy) → deterministic
+    split (row-local md5) → exact decontamination of train against the
+    test split (broadcast fingerprint anti-join) → per-language summary.
+    Every stage reuses the individually-oracle-checked operator; this
+    entry proves they compose without row-order or caching hazards."""
+    from avro_sql_spark.functions.text import gopher_pass
+
+    t = load_tables(spark, sf_dir, register=False)
+    passed = t["documents"].filter(gopher_pass(F.col("text")))
+    kept = dedup.dedup_exact(passed)
+    labeled = curation.deterministic_split(kept)
+    train = labeled.filter(F.col("split") == "train").drop("split")
+    test = labeled.filter(F.col("split") == "test").drop("split")
+    clean = dedup.decontaminate(train, test, method="exact")
+    return (
+        clean.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, register=False)
     return analyze_documents(t["documents"]).orderBy("doc_id")
@@ -654,6 +707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reshape_identity": _reshape_identity,
         "reshape_primitive_container": _reshape_primitive_container,
         # LLM-pipeline (north star) — no driver rows in r01
+        "variant_props_stats": _variant_props_stats,
+        "curation_pipeline_e2e": _curation_pipeline,
         "text_profile": _text_profile,
         "dedup_exact_groups": _dedup_exact_groups,
         "dedup_exact_keep": _dedup_exact_keep,
@@ -1624,6 +1679,49 @@ SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
        MIN(CASE WHEN NOT ok THEN doc_id END) AS first_fail
 FROM scored
+GROUP BY lang
+ORDER BY lang
+""",
+        "variant_props_stats": """
+WITH ev AS (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+SELECT event_type, COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
+       COUNT(*) AS n_absent, CAST(SUM(k % 2) AS BIGINT) AS n_odd
+FROM ev GROUP BY event_type ORDER BY event_type
+""",
+        "curation_pipeline_e2e": f"""
+WITH base AS (
+  SELECT doc_id, lang, n_chars, text,
+         ' ' || lower(text) || ' ' AS padded,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+  FROM documents
+), passed AS (
+  SELECT doc_id, lang, n_chars, text FROM base
+  WHERE n >= 30 AND n <= 100000
+    AND (length(replace(text, ' ', '')) / n) >= 3.0
+    AND (length(replace(text, ' ', '')) / n) <= 10.0
+    AND (({_occ('#', 'text')} + {_occ('...', 'text')}) / n) <= 0.05
+    AND (CAST(len(list_filter(string_split(lower(text), ' '),
+                              x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+         / len(string_split(lower(text), ' '))) >= 0.8
+    AND ({" + ".join(_occ(f" {w} ") for w in _EN_STOPWORDS)}) >= 1
+), kept AS (
+  SELECT * FROM passed
+  WHERE doc_id IN (SELECT MIN(doc_id) FROM passed
+                   GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+), labeled AS (
+  SELECT *, CASE WHEN {_hash_unit("doc_id", "split")} < 0.9 THEN 'train'
+                 WHEN {_hash_unit("doc_id", "split")} < 0.95 THEN 'val'
+                 ELSE 'test' END AS split
+  FROM kept
+), test_fp AS (
+  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM labeled WHERE split = 'test'
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_id
+FROM labeled
+WHERE split = 'train'
+  AND md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) NOT IN (SELECT fp FROM test_fp)
 GROUP BY lang
 ORDER BY lang
 """,
