@@ -240,6 +240,13 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids via the dimension-wise shuffle (posexplode →
+    groupBy(label, dim)) — parallelism scales with labels × dims."""
+    t = load_tables(spark, sf_dir, register=False)
+    return similarity.label_centroids(t["embeddings"])
+
+
 def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, register=False)
     return analyze_documents(t["documents"]).orderBy("doc_id")
@@ -709,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LLM-pipeline (north star) — no driver rows in r01
         "variant_props_stats": _variant_props_stats,
         "curation_pipeline_e2e": _curation_pipeline,
+        "embedding_centroids": _embedding_centroids,
         "text_profile": _text_profile,
         "dedup_exact_groups": _dedup_exact_groups,
         "dedup_exact_keep": _dedup_exact_keep,
@@ -1681,6 +1689,13 @@ SELECT lang, COUNT(*) AS n_docs,
 FROM scored
 GROUP BY lang
 ORDER BY lang
+""",
+        "embedding_centroids": """
+SELECT label, d.dim, ROUND(SUM(embedding[d.dim + 1]) / COUNT(*), 6) AS mean_v
+FROM embeddings,
+     (SELECT unnest(range(0, (SELECT MAX(len(embedding)) FROM embeddings))) AS dim) d
+GROUP BY 1, 2
+ORDER BY 1, 2
 """,
         "variant_props_stats": """
 WITH ev AS (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)

@@ -211,6 +211,40 @@ def ivf_topk(
     )
 
 
+def label_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-label embedding centroids as FLAT (label, dim, mean_v) rows —
+    the supervised companion to the IVF quantizer (class prototypes,
+    nearest-centroid classification, drift monitoring).
+
+    Scale shape: ``posexplode`` moves the aggregation onto (label, dim)
+    keys, so parallelism scales with labels × dims instead of labels, no
+    task ever holds one label's whole vector set, and the sums combine
+    map-side. sum/count (not avg) keeps the oracle arithmetic identical;
+    rounding absorbs float summation-order noise. Re-pack with
+    ``array_sort(collect_list(struct(dim, mean_v)))`` when an array
+    column is wanted downstream."""
+    n = emb.sparkSession.sparkContext.defaultParallelism
+    ex = emb.repartition(n, F.col(id_col)).select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    )
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("double")) / F.count(F.lit(1)), round_to
+            ).alias("mean_v")
+        )
+        .orderBy("label", "dim")
+    )
+
+
 def quantization_error_stats(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", label_col: str = "label"
 ) -> DataFrame:

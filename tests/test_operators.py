@@ -183,6 +183,16 @@ def test_ivf_topk_large_query_set(spark):
     assert all(len(v) == 3 and v == sorted(v, reverse=True) for v in grouped.values())
 
 
+def test_label_centroids(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [3.0, 2.0], 0), (3, [5.0, -1.0], 1)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>, label INT",
+    )
+    got = {(r["label"], r["dim"]): r["mean_v"]
+           for r in similarity.label_centroids(emb).collect()}
+    assert got == {(0, 0): 2.0, (0, 1): 1.0, (1, 0): 5.0, (1, 1): -1.0}
+
+
 def test_near_dup_clusters(spark):
     rows = [
         (1, "the cat sat on the mat and looked at the dog today ok"),
