@@ -702,6 +702,29 @@ def _unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(t["documents"])
 
 
+def _dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated 8-word-span report per source (Lee et al. 2022
+    substring-dedup signal): avg duplicated-span fraction + heavy docs."""
+    t = load_tables(spark, sf_dir, register=False)
+    return dedup.duplicated_span_stats(t["documents"], n=8)
+
+
+def _embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid-distance outlier screen (mislabel detector)."""
+    t = load_tables(spark, sf_dir, register=False)
+    return similarity.embedding_outliers(t["embeddings"])
+
+
+def _funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel with per-stage conversion."""
+    return relational.funnel_conversion(spark, sf_dir)
+
+
+def _key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter o_custkey diagnostic (share + skew factor)."""
+    return relational.key_skew_report(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes entries in this order (r01 covered the first 50), so entries
@@ -713,6 +736,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reshape_map_project": _reshape_map_project,
         "reshape_identity": _reshape_identity,
         "reshape_primitive_container": _reshape_primitive_container,
+        # round-2 additions (no driver row yet)
+        "dup_span_stats": _dup_span_stats,
+        "embedding_outliers": _embedding_outliers,
+        "funnel_conversion": _funnel_conversion,
+        "key_skew_report": _key_skew_report,
         # LLM-pipeline (north star) — no driver rows in r01
         "variant_props_stats": _variant_props_stats,
         "curation_pipeline_e2e": _curation_pipeline,
@@ -1696,6 +1724,57 @@ FROM embeddings,
      (SELECT unnest(range(0, (SELECT MAX(len(embedding)) FROM embeddings))) AS dim) d
 GROUP BY 1, 2
 ORDER BY 1, 2
+""",
+        "dup_span_stats": """
+WITH toks AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w FROM documents),
+idx  AS (SELECT doc_id, source, w, unnest(range(1, len(w) - 6)) AS i
+         FROM toks WHERE len(w) >= 8),
+sh   AS (SELECT DISTINCT doc_id, source, array_to_string(w[i:i+7], ' ') AS s FROM idx),
+freq AS (SELECT s, COUNT(*) AS nd FROM sh GROUP BY 1),
+per_doc AS (
+  SELECT sh.doc_id, sh.source, COUNT(*) AS n_spans,
+         SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS dup_spans
+  FROM sh JOIN freq f USING (s) GROUP BY 1, 2)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(AVG(CAST(dup_spans AS DOUBLE) / n_spans), 9) AS avg_dup_frac,
+       CAST(SUM(CASE WHEN dup_spans >= 0.5 * n_spans THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy
+FROM per_doc GROUP BY source ORDER BY source
+""",
+        "embedding_outliers": """
+WITH dims AS (SELECT unnest(range(0, (SELECT MAX(len(embedding)) FROM embeddings))) AS dim),
+cent AS (SELECT label, d.dim, ROUND(SUM(embedding[d.dim + 1]) / COUNT(*), 6) AS c
+         FROM embeddings, dims d GROUP BY 1, 2),
+d AS (SELECT e.label, e.vec_id,
+             ROUND(SQRT(SUM((CAST(e.embedding[c.dim + 1] AS DOUBLE) - c.c)
+                          * (CAST(e.embedding[c.dim + 1] AS DOUBLE) - c.c))), 6) AS dist
+      FROM embeddings e JOIN cent c ON e.label = c.label GROUP BY 1, 2),
+s AS (SELECT label, AVG(dist) AS m, STDDEV(dist) AS sd FROM d GROUP BY 1)
+SELECT d.label, COUNT(*) AS n_vecs, ROUND(ANY_VALUE(s.m), 4) AS mean_dist,
+       CAST(SUM(CASE WHEN d.dist > s.m + 2.0 * s.sd THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM d JOIN s USING (label) GROUP BY d.label ORDER BY d.label
+""",
+        "funnel_conversion": """
+WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
+SELECT (SELECT COUNT(*) FROM v) AS n_view_users,
+       (SELECT COUNT(*) FROM c) AS n_click_users,
+       (SELECT COUNT(*) FROM p) AS n_purchase_users,
+       ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+             / NULLIF((SELECT COUNT(*) FROM v), 0), 9) AS view_to_click,
+       ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+             / NULLIF((SELECT COUNT(*) FROM c), 0), 9) AS click_to_purchase
+""",
+        "key_skew_report": """
+WITH counts AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_keys FROM counts)
+SELECT o_custkey, cnt, ROUND(CAST(cnt AS DOUBLE) / total, 9) AS share,
+       ROUND(CAST(cnt * n_keys AS DOUBLE) / total, 9) AS skew_x
+FROM counts, tot
+ORDER BY cnt DESC, o_custkey
+LIMIT 10
 """,
         "variant_props_stats": """
 WITH ev AS (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)

@@ -600,3 +600,64 @@ def incremental_dedup(
     fresh = new_fp.join(seen_fp, "fp", "left_anti")
     keep = fresh.groupBy("fp").agg(F.min(id_col).alias(id_col)).select(id_col)
     return new_docs.join(keep, id_col, "left_semi")
+
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 8,
+    heavy_frac: float = 0.5,
+) -> DataFrame:
+    """Exact duplicated-SPAN report (substring-level dedup signal, the
+    metric behind suffix-array training-data dedup a la Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"): for
+    each document, the fraction of its n-word spans that also occur in
+    at least one OTHER document, aggregated per ``group_col`` — average
+    duplicated-span fraction, and how many docs are "heavy" (>=
+    ``heavy_frac`` of their spans duplicated). Docs shorter than ``n``
+    words contribute no spans and are excluded.
+
+    Scale shape: spans are hashed to 64-bit keys before any shuffle
+    (xxhash64 — skinny rows, same trick as the shingle self-joins), the
+    span-frequency aggregate combines map-side, and the freq re-attach
+    is a post-aggregation equi-join (one row per distinct span on the
+    build side). The exploded span frame feeds two consumers
+    (frequency count + re-attach) so it is cached per the module cache
+    contract. Hot spans (stop-phrase n-grams) skew the re-attach join;
+    AQE skew-join handles it, and raising ``n`` shrinks hot-span mass.
+    """
+    sh = (
+        docs.select(
+            F.col(id_col).alias("did"),
+            F.col(group_col).alias("grp"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("span"),
+        )
+        .withColumn("h", F.xxhash64("span"))
+        .drop("span")
+        .cache()
+    )
+    # spans are distinct within a doc (word_shingles dedups), so a plain
+    # count per hash IS the number of docs containing the span
+    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    per_doc = (
+        sh.join(freq, "h")
+        .groupBy("did", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("dup_spans"),
+        )
+    )
+    return (
+        per_doc.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.col("dup_spans") / F.col("n_spans")), 9).alias("avg_dup_frac"),
+            F.sum(
+                (F.col("dup_spans") >= F.lit(heavy_frac) * F.col("n_spans")).cast("long")
+            ).alias("n_heavy"),
+        )
+        .withColumnRenamed("grp", group_col)
+        .orderBy(group_col)
+    )

@@ -1219,3 +1219,70 @@ def events_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over the events stream: users who viewed, then
+    clicked AFTER their first view, then purchased AFTER their first
+    qualifying click — counts per stage plus conversion rates.
+
+    Scale shape: ONE shuffle on ``user_id``. The stage cascade (first
+    view -> first later click -> first later purchase) runs as in-row
+    array expressions over the per-user event lists (``collect_list``
+    skips the nulls the stage filters emit), so there are no self-joins
+    and no window over a low-cardinality key. Per-user list size is
+    bounded by that user's click/purchase counts — cap upstream if a
+    bot-user could exceed task memory. The final stage-count aggregate
+    is three scalars cross-joined into one row."""
+    ev = load_tables(spark, sf_dir, register=False)["events"]
+    t, ts = F.col("event_type"), F.col("ts")
+    per_user = (
+        ev.filter(t.isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(t == "view", ts)).alias("v_ts"),
+            F.collect_list(F.when(t == "click", ts)).alias("cl"),
+            F.collect_list(F.when(t == "purchase", ts)).alias("pl"),
+        )
+        # null v_ts makes the lambda condition NULL -> element dropped ->
+        # empty array -> array_min NULL: no view means no counted click
+        .withColumn("c_ts", F.array_min(F.filter("cl", lambda x: x > F.col("v_ts"))))
+        .withColumn("p_ts", F.array_min(F.filter("pl", lambda x: x > F.col("c_ts"))))
+    )
+    return per_user.agg(
+        F.count("v_ts").alias("n_view_users"),
+        F.count("c_ts").alias("n_click_users"),
+        F.count("p_ts").alias("n_purchase_users"),
+        F.round(F.count("c_ts") / F.count("v_ts"), 9).alias("view_to_click"),
+        F.round(F.count("p_ts") / F.count("c_ts"), 9).alias("click_to_purchase"),
+    )
+
+
+def key_skew_report(spark: SparkSession, sf_dir: str, top: int = 10) -> DataFrame:
+    """Join-key skew diagnostic: the ``top`` heaviest ``o_custkey``
+    values in orders with their row count, share of all rows, and
+    skew factor vs a uniform key (cnt / (total/n_keys)) — the report
+    you run BEFORE a 100 TB shuffle join to decide between AQE skew
+    handling, salting, or a broadcast of the hot keys.
+
+    Scale shape: per-key counts combine map-side; the global scalars
+    (total/n_keys/max) are one tiny aggregate broadcast back; top-k is
+    TakeOrderedAndProject (per-partition heap + driver merge of `top`
+    rows), never a global sort."""
+    orders = load_tables(spark, sf_dir, register=False)["orders"]
+    counts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    topk = counts.orderBy(F.desc("cnt"), F.col("o_custkey")).limit(top)
+    return (
+        topk.crossJoin(F.broadcast(tot))
+        .select(
+            "o_custkey",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 9).alias("share"),
+            F.round(F.col("cnt") * F.col("n_keys") / F.col("total"), 9).alias("skew_x"),
+        )
+        .orderBy(F.desc("cnt"), F.col("o_custkey"))
+    )

@@ -280,3 +280,71 @@ def quantization_error_stats(
         )
         .orderBy("label")
     )
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding OUTLIER report: distance of every vector to
+    its label centroid, then per label the count, mean distance, and how
+    many vectors sit more than two (sample) standard deviations above
+    the mean — the mislabeled-example / contamination screen run before
+    training on a labeled corpus.
+
+    Scale shape: centroids come from the same (label, dim) posexplode
+    aggregation as :func:`label_centroids` (parallelism = labels x dims,
+    map-side combine), are re-packed into one small array row per label,
+    and broadcast into the embedding scan; the per-vector distance is
+    in-row ``zip_with``/``aggregate`` array math. The distance frame is
+    aggregated twice (mean/std, then the threshold count) — its lineage
+    is scan + broadcast join + row math, so recomputation is one extra
+    scan rather than a cached block (cheaper than pinning memory at
+    100 TB). Distances are rounded to 6 decimals before the stats so
+    both engines threshold identical values."""
+    cents = (
+        label_centroids(emb, id_col, vec_col, label_col)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mean_v"))),
+                lambda s: s["mean_v"],
+            ).alias("cent")
+        )
+    )
+    v = F.col(vec_col)
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    v, F.col("cent"), lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    )
+    dists = (
+        emb.repartition(emb.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        .join(F.broadcast(cents), emb[label_col] == cents["label"])
+        .select(emb[label_col].alias("lbl"), dist.alias("dist"))
+    )
+    stats = dists.groupBy("lbl").agg(
+        F.avg("dist").alias("m"), F.stddev("dist").alias("sd")
+    )
+    return (
+        dists.join(F.broadcast(stats), "lbl")
+        .groupBy("lbl")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.first("m"), 4).alias("mean_dist"),
+            F.sum(
+                (F.col("dist") > F.col("m") + F.lit(2.0) * F.col("sd")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .withColumnRenamed("lbl", "label")
+        .orderBy("label")
+    )

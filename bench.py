@@ -85,6 +85,10 @@ HEADLINE = [
     "embedding_near_dup_lsh",
     "ann_cosine_topk",
     "multimodal_features",
+    "dup_span_stats",
+    "embedding_outliers",
+    "funnel_conversion",
+    "key_skew_report",
 ]
 
 

@@ -485,3 +485,48 @@ def test_pmi_collocations(spark):
     assert abs(rows["strong glue"]["pmi"] - round(expect, 6)) < 1e-9
     # the always-adjacent pair outranks the sometimes-adjacent filler pair
     assert rows["strong glue"]["pmi"] > rows["filler weak"]["pmi"]
+
+
+def test_duplicated_span_stats(spark):
+    """Hand-computed: two docs share their full 4-word text (every span
+    duplicated), a third is unique, a fourth is too short for n=3."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),
+            (2, "a b c d", "s1"),
+            (3, "p q r s", "s2"),
+            (4, "x y", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        r["source"]: r
+        for r in dedup.duplicated_span_stats(
+            docs, n=3, heavy_frac=0.5
+        ).collect()
+    }
+    # s1: both docs 100% duplicated spans, both heavy
+    assert rows["s1"]["n_docs"] == 2
+    assert rows["s1"]["avg_dup_frac"] == pytest.approx(1.0)
+    assert rows["s1"]["n_heavy"] == 2
+    # s2: doc 3 has 0 duplicated spans; doc 4 (2 words < n) contributes
+    # no spans and is excluded entirely
+    assert rows["s2"]["n_docs"] == 1
+    assert rows["s2"]["avg_dup_frac"] == pytest.approx(0.0)
+    assert rows["s2"]["n_heavy"] == 0
+
+
+def test_embedding_outliers_flags_far_vector(spark):
+    """9 tight vectors + 1 far vector in one label: the far one is > 2
+    sample stddevs above the mean distance and gets flagged."""
+    rows_in = [(i, [0.0 + 0.01 * i, 1.0], 0) for i in range(9)]
+    rows_in.append((9, [50.0, -40.0], 0))
+    emb = spark.createDataFrame(
+        rows_in, "vec_id long, embedding array<float>, label int"
+    )
+    out = similarity.embedding_outliers(emb).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_vecs"] == 10
+    assert r["n_outliers"] == 1
+    assert r["mean_dist"] > 0

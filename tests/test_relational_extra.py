@@ -140,3 +140,59 @@ def test_rolling_hour_range_frame(spark):
     for eid, sec, _v in ev[:50]:
         expect = sum(1 for _, s2, _ in ev if sec - 3599 <= s2 <= sec)
         assert got[eid] == expect
+
+
+def test_funnel_conversion_cascade(spark):
+    """Stage counts are monotonically non-increasing (each stage requires
+    the previous), rates consistent with the counts, and the one shuffle
+    is on user_id (no self-joins in the plan)."""
+    row = relational.funnel_conversion(spark, SF).collect()[0]
+    assert row["n_view_users"] >= row["n_click_users"] >= row["n_purchase_users"]
+    assert row["n_view_users"] > 0
+    assert row["view_to_click"] == pytest.approx(
+        row["n_click_users"] / row["n_view_users"], abs=1e-9
+    )
+    plan = _plan(relational.funnel_conversion(spark, SF))
+    assert "Join" not in plan  # cascade is in-row array math, not self-joins
+
+
+def test_funnel_requires_stage_order(spark):
+    """A click BEFORE the first view must not count as a conversion."""
+    from datetime import datetime
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10), 100, "click", 1.0, "{}"),
+            (2, datetime(2024, 1, 1, 11), 100, "view", 1.0, "{}"),
+            (3, datetime(2024, 1, 1, 9), 200, "view", 1.0, "{}"),
+            (4, datetime(2024, 1, 1, 10), 200, "click", 1.0, "{}"),
+            (5, datetime(2024, 1, 1, 11), 200, "purchase", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    import avro_sql_spark.operators.relational as rel
+    import avro_sql_spark.session as sess
+
+    orig = sess.load_tables
+    try:
+        rel.load_tables = lambda *a, **k: {"events": ev}
+        row = rel.funnel_conversion(spark, "unused").collect()[0]
+    finally:
+        rel.load_tables = orig
+    # user 100: click precedes view -> not counted; user 200: full funnel
+    assert row["n_view_users"] == 2
+    assert row["n_click_users"] == 1
+    assert row["n_purchase_users"] == 1
+
+
+def test_key_skew_report_shape(spark):
+    rows = relational.key_skew_report(spark, SF, top=5).collect()
+    assert 0 < len(rows) <= 5
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    assert all(0.0 < r["share"] < 1.0 for r in rows)
+    # skew factor of the heaviest key is >= 1 (heavier than uniform)
+    assert rows[0]["skew_x"] >= 1.0
+    # top-k must plan as TakeOrderedAndProject, never a global sort
+    plan = _plan(relational.key_skew_report(spark, SF, top=5))
+    assert "TakeOrderedAndProject" in plan
