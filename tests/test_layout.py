@@ -1,0 +1,66 @@
+"""Z-order layout tests: bit-interleave correctness against hand values,
+and the actual pruning payoff — after zorder_write, each file covers a
+narrow slice of BOTH clustering columns, so min/max stats prune."""
+
+import glob
+
+from pyspark.sql import functions as F
+
+from avro_sql_spark.operators.layout import interleave_bits, zorder_write
+
+
+def test_interleave_bits_hand_values(spark):
+    """Morton order for 2x2-bit inputs: z(x=0b10, y=0b11) interleaves to
+    y1 x1 y0 x0 = 1 1 1 0 = 14; plus axis identities."""
+    df = spark.range(1).select(
+        interleave_bits([F.lit(2), F.lit(3)], bits=2).alias("z"),
+        interleave_bits([F.lit(3), F.lit(0)], bits=2).alias("zx"),
+        interleave_bits([F.lit(0), F.lit(3)], bits=2).alias("zy"),
+    )
+    row = df.collect()[0]
+    assert row["z"] == 14
+    # x-only bits land at even positions (0b0101), y-only at odd (0b1010)
+    assert row["zx"] == 5
+    assert row["zy"] == 10
+
+
+def test_interleave_bits_monotone_on_axis(spark):
+    """Holding y fixed, z is strictly increasing in x (curve locality)."""
+    df = spark.range(16).select(
+        F.col("id"), interleave_bits([F.col("id"), F.lit(5)], bits=4).alias("z")
+    )
+    rows = df.orderBy("id").collect()
+    zs = [r["z"] for r in rows]
+    assert zs == sorted(zs)
+    assert len(set(zs)) == 16
+
+
+def test_zorder_write_localizes_both_columns(spark, tmp_path):
+    """A 64x64 grid written z-ordered into 16 files: every file must
+    cover far less than the full range of BOTH x and y (a plain sort on
+    x would leave y covering its full range in every file)."""
+    grid = (
+        spark.range(64 * 64)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+        )
+    )
+    path = str(tmp_path / "zorder")
+    zorder_write(grid, path, ["x", "y"], bits=6, num_files=16)
+
+    files = glob.glob(path + "/part-*.parquet")
+    assert len(files) >= 8
+    for f in files:
+        st = (
+            spark.read.parquet(f)
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .collect()[0]
+        )
+        # a 16-file split of a 64x64 z-curve yields 16x16-ish tiles;
+        # allow slack for range-partition boundary cuts
+        assert st["sx"] <= 32
+        assert st["sy"] <= 32
