@@ -702,6 +702,14 @@ def _unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(t["documents"])
 
 
+def _jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard pairs (AllPairs/PPJoin bound): the
+    oracle is the full all-pairs SQL, so a green row proves the prefix
+    filter misses no pair."""
+    t = load_tables(spark, sf_dir, register=False)
+    return dedup.jaccard_pairs_prefix(t["documents"], threshold=0.5).orderBy("id_a", "id_b")
+
+
 def _dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated 8-word-span report per source (Lee et al. 2022
     substring-dedup signal): avg duplicated-span fraction + heavy docs."""
@@ -737,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reshape_identity": _reshape_identity,
         "reshape_primitive_container": _reshape_primitive_container,
         # round-2 additions (no driver row yet)
+        "jaccard_pairs_prefix": _jaccard_pairs_prefix,
         "dup_span_stats": _dup_span_stats,
         "embedding_outliers": _embedding_outliers,
         "funnel_conversion": _funnel_conversion,
@@ -1724,6 +1733,21 @@ FROM embeddings,
      (SELECT unnest(range(0, (SELECT MAX(len(embedding)) FROM embeddings))) AS dim) d
 GROUP BY 1, 2
 ORDER BY 1, 2
+""",
+        "jaccard_pairs_prefix": f"""
+WITH {_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+ORDER BY id_a, id_b
 """,
         "dup_span_stats": """
 WITH toks AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w FROM documents),

@@ -661,3 +661,70 @@ def duplicated_span_stats(
         .withColumnRenamed("grp", group_col)
         .orderBy(group_col)
     )
+
+
+def jaccard_pairs_prefix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PREFIX FILTERING (the AllPairs /
+    PPJoin candidate bound — Bayardo et al. WWW'07, Xiao et al. WWW'08):
+    identical output to :func:`ngram_jaccard_pairs` at the same
+    threshold, but the self-join runs only on each document's PREFIX —
+    its ``|d| - ceil(t*|d|) + 1`` globally-rarest shingles — instead of
+    all of them. Two sets with Jaccard >= t must share at least one
+    prefix shingle under any consistent global order, so no pair is
+    missed; exact verification then computes true Jaccard on the
+    candidates.
+
+    Scale shape vs the full self-join: at t=0.5 the join input drops to
+    ~half the shingle rows, and — because the global order is
+    document-frequency ASCENDING — prefixes preferentially hold RARE
+    shingles, so the hot-shingle N^2 bucket blowup that forces
+    ``max_doc_freq`` capping in the plain join largely disappears
+    without changing the answer. Verification attaches the full (hashed,
+    sorted) shingle arrays only to surviving candidate pairs and
+    computes the intersection in-row (``array_intersect``), no second
+    shingle shuffle. The shingle frame and the per-doc array frame each
+    feed multiple consumers and are cached per the module contract."""
+    sh = (
+        _spread(docs, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), shingle)).alias("s_raw"),
+        )
+        .select("id", F.xxhash64("s_raw").alias("s"))
+        .cache()
+    )
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # deterministic global order: (doc frequency asc, hash asc); each
+    # doc's shingles sorted into that order, prefix = first p entries
+    ranked = (
+        sh.join(dfreq, "s")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("rs"))
+    )
+    arr = F.transform(F.col("rs"), lambda r: r["s"])
+    n = F.size("rs")
+    plen = (n - F.ceil(F.lit(threshold) * n) + 1).cast("int")
+    d = ranked.select(
+        F.col("id"), arr.alias("toks"), F.slice(arr, F.lit(1), plen).alias("prefix")
+    ).cache()
+    pref = d.select("id", F.explode("prefix").alias("s"))
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    withsets = cand.join(
+        d.select(F.col("id").alias("id_a"), F.col("toks").alias("ta")), "id_a"
+    ).join(d.select(F.col("id").alias("id_b"), F.col("toks").alias("tb")), "id_b")
+    inter = F.size(F.array_intersect("ta", "tb"))
+    jac = inter.cast("double") / (F.size("ta") + F.size("tb") - inter)
+    return withsets.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )

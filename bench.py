@@ -85,6 +85,7 @@ HEADLINE = [
     "embedding_near_dup_lsh",
     "ann_cosine_topk",
     "multimodal_features",
+    "jaccard_pairs_prefix",
     "dup_span_stats",
     "embedding_outliers",
     "funnel_conversion",

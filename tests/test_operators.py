@@ -530,3 +530,30 @@ def test_embedding_outliers_flags_far_vector(spark):
     assert r["n_vecs"] == 10
     assert r["n_outliers"] == 1
     assert r["mean_dist"] > 0
+
+
+def test_jaccard_pairs_prefix_matches_full_join(docs):
+    """Prefix-filtered pairs == plain self-join pairs at the same
+    threshold (the filter may only prune candidates, never answers)."""
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs_prefix(docs, threshold=0.3).collect()
+    }
+    assert pref.keys() == full.keys()
+    for k in full:
+        assert pref[k] == pytest.approx(full[k], abs=1e-12)
+
+
+def test_jaccard_prefix_threshold_one_still_finds_identical(spark):
+    """At t=1.0 the prefix is a single (rarest) shingle, the tightest
+    legal bound — identical docs must still pair up."""
+    docs = spark.createDataFrame(
+        [(1, "w x y z q r s t"), (2, "w x y z q r s t"), (3, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    rows = dedup.jaccard_pairs_prefix(docs, threshold=1.0).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows] == [(1, 2, 1.0)]
