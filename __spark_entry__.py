@@ -702,6 +702,11 @@ def _unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(t["documents"])
 
 
+def _hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly counts per type, |z| > 3 anomalies."""
+    return relational.hourly_anomalies(spark, sf_dir)
+
+
 def _jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered exact Jaccard pairs (AllPairs/PPJoin bound): the
     oracle is the full all-pairs SQL, so a green row proves the prefix
@@ -746,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reshape_primitive_container": _reshape_primitive_container,
         # round-2 additions (no driver row yet)
         "jaccard_pairs_prefix": _jaccard_pairs_prefix,
+        "hourly_anomalies": _hourly_anomalies,
         "dup_span_stats": _dup_span_stats,
         "embedding_outliers": _embedding_outliers,
         "funnel_conversion": _funnel_conversion,
@@ -1101,6 +1107,31 @@ SELECT t.event_type, h.hour,
 FROM hours h CROSS JOIN types t
 LEFT JOIN counts c ON h.hour = c.c_hour AND t.event_type = c.c_type
 ORDER BY t.event_type, h.hour
+""",
+        "hourly_anomalies": """
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events),
+hours AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events),
+counts AS (
+  SELECT date_trunc('hour', ts) AS c_hour, event_type AS c_type,
+         COUNT(*) AS c_n
+  FROM events GROUP BY 1, 2),
+hourly AS (
+  SELECT t.event_type, h.hour,
+         CAST(COALESCE(c.c_n, 0) AS BIGINT) AS n_events
+  FROM hours h CROSS JOIN types t
+  LEFT JOIN counts c ON h.hour = c.c_hour AND t.event_type = c.c_type),
+stats AS (
+  SELECT event_type AS s_type, AVG(n_events) AS m, STDDEV(n_events) AS sd
+  FROM hourly GROUP BY 1)
+SELECT event_type, hour, n_events,
+       ROUND((n_events - s.m) / s.sd, 6) AS zscore
+FROM hourly JOIN stats s ON event_type = s.s_type
+WHERE ABS(ROUND((n_events - s.m) / s.sd, 6)) > 3.0
+ORDER BY event_type, hour
 """,
         "anti_join_no_orders": """
 SELECT c_custkey, c_name, c_mktsegment

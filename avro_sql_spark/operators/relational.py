@@ -1286,3 +1286,28 @@ def key_skew_report(spark: SparkSession, sf_dir: str, top: int = 10) -> DataFram
         )
         .orderBy(F.desc("cnt"), F.col("o_custkey"))
     )
+
+
+def hourly_anomalies(spark: SparkSession, sf_dir: str, z: float = 3.0) -> DataFrame:
+    """Traffic anomaly screen: gap-filled hourly counts per event type
+    (zero-filled hours matter — a silent outage IS the anomaly), then
+    per-type mean/stddev and the hours whose |z-score| exceeds ``z``.
+
+    Scale shape: reuses the gap-fill plan (fact table shuffles once for
+    the hourly count; grid join is broadcast-bounded by hours x types);
+    the stats pass aggregates the BOUNDED hourly frame (<= hours x types
+    rows), so the second aggregation + broadcast re-join never touches
+    the fact table again. Counts are integers, so cross-engine float
+    noise enters only via mean/std — z is rounded to 6 before the
+    threshold compare."""
+    hourly = events_gap_fill(spark, sf_dir)
+    stats = hourly.groupBy(F.col("event_type").alias("s_type")).agg(
+        F.avg("n_events").alias("m"), F.stddev("n_events").alias("sd")
+    )
+    zscore = F.round((F.col("n_events") - F.col("m")) / F.col("sd"), 6)
+    return (
+        hourly.join(F.broadcast(stats), F.col("event_type") == F.col("s_type"))
+        .select("event_type", "hour", "n_events", zscore.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > z)
+        .orderBy("event_type", "hour")
+    )

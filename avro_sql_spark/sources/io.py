@@ -93,3 +93,37 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def compact_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    fmt: str = "parquet",
+    target_file_mb: int = 128,
+) -> int:
+    """Small-files compaction: rewrite ``src_path`` into
+    ``ceil(total_bytes / target_file_mb)`` files at ``dst_path`` and
+    return that file count. The small-files problem is the classic
+    sink failure at scale — a streaming job or over-parallel writer
+    leaves thousands of KB-sized files, and every downstream scan pays
+    a per-file open/footer cost that dwarfs the read.
+
+    Sizing uses the filesystem (Hadoop FS through the JVM — works for
+    any scheme Spark can read), not a data scan. The rewrite itself is
+    one coalesce (no shuffle: tasks just read multiple input files
+    each). Writing to a NEW path is deliberate: atomic in-place swap is
+    a table-format feature (Delta/Iceberg rewrite); on raw directories
+    the caller owns the rename."""
+    import math
+
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = p.getFileSystem(conf)
+    total_bytes = fs.getContentSummary(p).getLength()
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = read_table(spark, src_path, fmt)
+    df.coalesce(n_files).write.format(fmt).mode("overwrite").save(dst_path)
+    return n_files

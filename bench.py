@@ -86,6 +86,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "multimodal_features",
     "jaccard_pairs_prefix",
+    "hourly_anomalies",
     "dup_span_stats",
     "embedding_outliers",
     "funnel_conversion",

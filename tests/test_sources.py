@@ -82,3 +82,20 @@ def test_multimodal_sample_frames(spark):
     rows = multimodal.sample_frames(media, frame_bytes=10, every_n=3).orderBy("frame_idx").collect()
     assert [r.frame_idx for r in rows] == [0, 3, 6, 9]
     assert all(len(r.frame) == 10 for r in rows)
+
+
+def test_compact_table_collapses_small_files(spark, tmp_path):
+    """200 tiny files -> one file (data far below the 128 MB target),
+    with identical rows."""
+    from avro_sql_spark.sources.io import compact_table
+
+    src = str(tmp_path / "shattered")
+    dst = str(tmp_path / "compacted")
+    spark.range(10_000).repartition(200).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(src + "/part-*.parquet")) == 200
+    n = compact_table(spark, src, dst)
+    assert n == 1
+    assert len(glob.glob(dst + "/part-*.parquet")) == 1
+    assert spark.read.parquet(dst).count() == 10_000
