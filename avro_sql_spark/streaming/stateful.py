@@ -69,3 +69,64 @@ def running_user_profile(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("stage", LongType(), False),  # 0 none, 1 view, 2 click, 3 purchase
+    ]
+)
+
+# stage + the three stage timestamps (micros since epoch; 0 = unset).
+# Fixed-size per user — state never grows with events seen.
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("stage", LongType(), False),
+        StructField("v_us", LongType(), False),
+        StructField("c_us", LongType(), False),
+        StructField("p_us", LongType(), False),
+    ]
+)
+
+def _advance_funnel(
+    key: Any, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Order-sensitive funnel: a stage event only advances the user if
+    it arrives with ts strictly AFTER the previous stage's first
+    qualifying event — the same cascade as the batch
+    ``funnel_conversion`` operator, carried across micro-batches."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    stage, v_us, c_us, p_us = state.get if state.exists else (0, 0, 0, 0)
+    for pdf in batches:
+        pdf = pdf.sort_values("ts")
+        for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+            us = int(ts.value // 1_000)  # pandas ns -> micros
+            if stage == 0 and etype == "view":
+                stage, v_us = 1, us
+            elif stage == 1 and etype == "click" and us > v_us:
+                stage, c_us = 2, us
+            elif stage == 2 and etype == "purchase" and us > c_us:
+                stage, p_us = 3, us
+    state.update((stage, v_us, c_us, p_us))
+    state.setTimeoutDuration(24 * 60 * 60 * 1000)
+    yield pd.DataFrame({"user_id": [user_id], "stage": [stage]})
+
+
+def streaming_funnel(events: DataFrame) -> DataFrame:
+    """events(user_id, ts, event_type) stream → per-user funnel stage,
+    updated every micro-batch. Within a batch events are processed in
+    ts order; ACROSS batches ordering holds when the source respects
+    event-time ordering per key (pair with a watermark + sorted replay
+    for strict guarantees). One fixed-size state row per active user,
+    idle users evicted after 24h."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _advance_funnel,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

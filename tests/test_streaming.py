@@ -239,3 +239,46 @@ def test_windowed_counts_sliding(spark):
     starts = sorted(str(r["window_start"]) for r in out)
     assert starts == ["2024-01-01 09:00:00", "2024-01-01 10:00:00"]
     assert all(r["n_events"] == 1 for r in out)
+
+
+def test_streaming_funnel_matches_batch_cascade(spark, tmp_path):
+    """streaming_funnel over a file-source replay reaches the same
+    per-user stage the batch funnel cascade computes: stage counts are
+    the batch funnel's n_view/n_click/n_purchase (stream == batch as
+    the oracle for a non-SQL-expressible stateful op)."""
+    from datetime import datetime
+
+    from avro_sql_spark.streaming.stateful import streaming_funnel
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, datetime(2024, 1, 1, 9), "view"),
+        (1, datetime(2024, 1, 1, 10), "click"),
+        (1, datetime(2024, 1, 1, 11), "purchase"),
+        # user 2: click precedes the first view -> stuck at stage 1
+        (2, datetime(2024, 1, 1, 8), "click"),
+        (2, datetime(2024, 1, 1, 9), "view"),
+        # user 3: never views -> stage 0
+        (3, datetime(2024, 1, 1, 9), "purchase"),
+    ]
+    src = str(tmp_path / "funnel_in")
+    spark.createDataFrame(
+        rows, "user_id LONG, ts TIMESTAMP, event_type STRING"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "user_id LONG, ts TIMESTAMP, event_type STRING"
+    ).parquet(src)
+    q = (
+        streaming_funnel(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_stages")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r["user_id"]: r["stage"]
+        for r in spark.sql("SELECT * FROM funnel_stages").collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 0}
