@@ -702,6 +702,16 @@ def _unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(t["documents"])
 
 
+def _weighted_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sample of 50 docs (A-ES keys)."""
+    t = load_tables(spark, sf_dir, register=False)
+    return (
+        curation.weighted_take(t["documents"], "n_chars", 50)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def _hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled hourly counts per type, |z| > 3 anomalies."""
     return relational.hourly_anomalies(spark, sf_dir)
@@ -752,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-2 additions (no driver row yet)
         "jaccard_pairs_prefix": _jaccard_pairs_prefix,
         "hourly_anomalies": _hourly_anomalies,
+        "weighted_take": _weighted_take,
         "dup_span_stats": _dup_span_stats,
         "embedding_outliers": _embedding_outliers,
         "funnel_conversion": _funnel_conversion,
@@ -1107,6 +1118,15 @@ SELECT t.event_type, h.hour,
 FROM hours h CROSS JOIN types t
 LEFT JOIN counts c ON h.hour = c.c_hour AND t.event_type = c.c_type
 ORDER BY t.event_type, h.hour
+""",
+        "weighted_take": f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         ln({_hash_unit("doc_id", "wtake")} + 0.0000005) / n_chars AS k
+  FROM documents)
+SELECT doc_id, lang, n_chars
+FROM (SELECT * FROM keyed ORDER BY k DESC, doc_id LIMIT 50)
+ORDER BY doc_id
 """,
         "hourly_anomalies": """
 WITH bounds AS (

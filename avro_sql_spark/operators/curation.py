@@ -303,3 +303,32 @@ def stratified_take(
         .filter(F.col("__rk") <= k_per_group)
         .drop("__u", "__rk")
     )
+
+
+def weighted_take(
+    docs: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "wtake",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row gets key ``u^(1/w)`` for a hash-derived
+    uniform ``u``, and the k largest keys win — inclusion probability
+    proportional to weight, no replacement, single pass. Ranking uses
+    the monotone-equivalent ``ln(u)/w`` (u in (0,1), w > 0) so both
+    engines compare the same doubles without a pow.
+
+    Scale shape: the key is row-local arithmetic on the hash (no rand(),
+    so rerun/partitioning stable); selection is TakeOrderedAndProject
+    (per-partition heap, driver merges k rows) — never a global sort.
+    A half-bucket offset keeps u strictly positive (hash_unit quantizes
+    to 1e-6 buckets, and ln(0) diverges)."""
+    u = hash_unit(F.col(id_col), salt) + F.lit(0.5 / _BUCKETS)
+    key = F.log(u) / F.col(weight_col)
+    return (
+        docs.withColumn("__aes_key", key)
+        .orderBy(F.desc("__aes_key"), F.col(id_col))
+        .limit(k)
+        .drop("__aes_key")
+    )

@@ -87,6 +87,7 @@ HEADLINE = [
     "multimodal_features",
     "jaccard_pairs_prefix",
     "hourly_anomalies",
+    "weighted_take",
     "dup_span_stats",
     "embedding_outliers",
     "funnel_conversion",

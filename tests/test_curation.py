@@ -238,3 +238,26 @@ def test_stratified_take_balanced(spark):
 
     by = Counter(r["grp"] for r in out)
     assert by["a"] == 5 and by["b"] == 5  # exactly k per group despite 9:1 skew
+
+
+def test_weighted_take_prefers_heavy_rows(spark):
+    """Statistical sanity over a deterministic hash population: rows
+    with 100x the weight must dominate a 50-of-1000 sample, and the
+    selection is rerun-identical and a TakeOrderedAndProject plan."""
+    from avro_sql_spark.operators.curation import weighted_take
+
+    docs = spark.createDataFrame(
+        [(i, 1000 if i % 10 == 0 else 10) for i in range(1000)],
+        "doc_id long, w long",
+    )
+    got = weighted_take(docs, "w", 50)
+    ids = [r["doc_id"] for r in got.collect()]
+    heavy = sum(1 for i in ids if i % 10 == 0)
+    # heavy rows are 10% of the population with 100x weight: they should
+    # take the clear majority of the sample
+    assert heavy > 30
+    # deterministic: second run picks the identical set
+    ids2 = [r["doc_id"] for r in weighted_take(docs, "w", 50).collect()]
+    assert sorted(ids) == sorted(ids2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
