@@ -702,6 +702,28 @@ def _unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(t["documents"])
 
 
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+
+
+def _table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact one-pass column profile of orders (nulls/distinct/range).
+    The double column is excluded: Java vs C double-to-string formatting
+    diverges, and the profile contract stringifies min/max."""
+    from avro_sql_spark.operators.profile import profile_table
+
+    t = load_tables(spark, sf_dir, register=False)
+    return profile_table(t["orders"], _PROFILE_COLS)
+
+
+def _table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL variant of the profile — fixed state per column (100 TB
+    path); approximate by construction -> rows-only driver check."""
+    from avro_sql_spark.operators.profile import profile_table_approx
+
+    t = load_tables(spark, sf_dir, register=False)
+    return profile_table_approx(t["orders"], _PROFILE_COLS)
+
+
 def _weighted_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted deterministic sample of 50 docs (A-ES keys)."""
     t = load_tables(spark, sf_dir, register=False)
@@ -763,6 +785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs_prefix": _jaccard_pairs_prefix,
         "hourly_anomalies": _hourly_anomalies,
         "weighted_take": _weighted_take,
+        "table_profile": _table_profile,
+        "table_profile_approx": _table_profile_approx,
         "dup_span_stats": _dup_span_stats,
         "embedding_outliers": _embedding_outliers,
         "funnel_conversion": _funnel_conversion,
@@ -1118,6 +1142,32 @@ SELECT t.event_type, h.hour,
 FROM hours h CROSS JOIN types t
 LEFT JOIN counts c ON h.hour = c.c_hour AND t.event_type = c.c_type
 ORDER BY t.event_type, h.hour
+""",
+        "table_profile": """
+WITH s AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(o_orderkey) AS nn1, COUNT(DISTINCT o_orderkey) AS nd1,
+         CAST(MIN(o_orderkey) AS VARCHAR) AS mn1, CAST(MAX(o_orderkey) AS VARCHAR) AS mx1,
+         COUNT(o_custkey) AS nn2, COUNT(DISTINCT o_custkey) AS nd2,
+         CAST(MIN(o_custkey) AS VARCHAR) AS mn2, CAST(MAX(o_custkey) AS VARCHAR) AS mx2,
+         COUNT(o_orderstatus) AS nn3, COUNT(DISTINCT o_orderstatus) AS nd3,
+         CAST(MIN(o_orderstatus) AS VARCHAR) AS mn3, CAST(MAX(o_orderstatus) AS VARCHAR) AS mx3,
+         COUNT(o_orderpriority) AS nn4, COUNT(DISTINCT o_orderpriority) AS nd4,
+         CAST(MIN(o_orderpriority) AS VARCHAR) AS mn4, CAST(MAX(o_orderpriority) AS VARCHAR) AS mx4,
+         COUNT(o_orderdate) AS nn5, COUNT(DISTINCT o_orderdate) AS nd5,
+         CAST(MIN(o_orderdate) AS VARCHAR) AS mn5, CAST(MAX(o_orderdate) AS VARCHAR) AS mx5
+  FROM orders)
+SELECT "column", n_rows, n_nulls, n_distinct, min_value, max_value FROM (
+  SELECT 'o_orderkey' AS "column", n_rows, n_rows - nn1 AS n_nulls, nd1 AS n_distinct, mn1 AS min_value, mx1 AS max_value FROM s
+  UNION ALL
+  SELECT 'o_custkey', n_rows, n_rows - nn2, nd2, mn2, mx2 FROM s
+  UNION ALL
+  SELECT 'o_orderstatus', n_rows, n_rows - nn3, nd3, mn3, mx3 FROM s
+  UNION ALL
+  SELECT 'o_orderpriority', n_rows, n_rows - nn4, nd4, mn4, mx4 FROM s
+  UNION ALL
+  SELECT 'o_orderdate', n_rows, n_rows - nn5, nd5, mn5, mx5 FROM s
+) ORDER BY "column"
 """,
         "weighted_take": f"""
 WITH keyed AS (

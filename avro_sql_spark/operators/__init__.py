@@ -1,3 +1,12 @@
-from . import curation, dedup, multimodal, relational, similarity, text
+from . import curation, dedup, layout, multimodal, profile, relational, similarity, text
 
-__all__ = ["relational", "curation", "dedup", "similarity", "text", "multimodal"]
+__all__ = [
+    "relational",
+    "curation",
+    "dedup",
+    "similarity",
+    "text",
+    "multimodal",
+    "layout",
+    "profile",
+]

@@ -88,6 +88,9 @@ HEADLINE = [
     "jaccard_pairs_prefix",
     "hourly_anomalies",
     "weighted_take",
+    # the 100 TB profiling path (HLL state per column) is the benched
+    # one; the exact-distinct variant stays correctness-checked
+    "table_profile_approx",
     "dup_span_stats",
     "embedding_outliers",
     "funnel_conversion",

@@ -557,3 +557,26 @@ def test_jaccard_prefix_threshold_one_still_finds_identical(spark):
     )
     rows = dedup.jaccard_pairs_prefix(docs, threshold=1.0).collect()
     assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_profile_table_exact_and_approx_agree(spark):
+    """Exact profile against hand-computed stats; approx variant agrees
+    on everything except n_distinct, which must be within HLL tolerance."""
+    from avro_sql_spark.operators.profile import profile_table, profile_table_approx
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "a")], "k long, v string"
+    )
+    exact = {r["column"]: r for r in profile_table(df).collect()}
+    assert exact["k"]["n_rows"] == 4
+    assert exact["k"]["n_nulls"] == 0
+    assert exact["k"]["n_distinct"] == 4
+    assert exact["k"]["min_value"] == "1" and exact["k"]["max_value"] == "4"
+    assert exact["v"]["n_nulls"] == 1
+    assert exact["v"]["n_distinct"] == 2
+    approx = {r["column"]: r for r in profile_table_approx(df).collect()}
+    for c in ("k", "v"):
+        assert approx[c]["n_rows"] == exact[c]["n_rows"]
+        assert approx[c]["n_nulls"] == exact[c]["n_nulls"]
+        assert approx[c]["min_value"] == exact[c]["min_value"]
+        assert abs(approx[c]["n_distinct"] - exact[c]["n_distinct"]) <= 1
