@@ -702,6 +702,38 @@ def _unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(t["documents"])
 
 
+def _cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-event-per-user upsert compaction (argmax agg, tombstones
+    dropped)."""
+    return relational.cdc_snapshot(spark, sf_dir)
+
+
+def _minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimate quality report: joins the LSH candidate pairs'
+    est_jaccard with the exact shingle Jaccard of the same pairs and
+    reports mean absolute error + bias per estimate decile — the
+    'measure, don't guess' check on the sketch before trusting its
+    threshold at scale. Approximate inputs -> rows-only driver check."""
+    t = load_tables(spark, sf_dir, register=False)
+    est = dedup.minhash_candidate_pairs(t["documents"])
+    exact = dedup.ngram_jaccard_pairs(t["documents"], threshold=0.0).select(
+        "id_a", "id_b", F.col("jaccard").alias("exact_jaccard")
+    )
+    j = est.join(exact, ["id_a", "id_b"], "left").na.fill({"exact_jaccard": 0.0})
+    decile = F.least(F.floor(F.col("est_jaccard") * 10), F.lit(9)).alias("est_decile")
+    return (
+        j.groupBy(decile)
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(F.abs(F.col("est_jaccard") - F.col("exact_jaccard"))), 6).alias(
+                "mae"
+            ),
+            F.round(F.avg(F.col("est_jaccard") - F.col("exact_jaccard")), 6).alias("bias"),
+        )
+        .orderBy("est_decile")
+    )
+
+
 _PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
 
 
@@ -787,6 +819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_take": _weighted_take,
         "table_profile": _table_profile,
         "table_profile_approx": _table_profile_approx,
+        "cdc_snapshot": _cdc_snapshot,
+        "minhash_calibration": _minhash_calibration,
         "dup_span_stats": _dup_span_stats,
         "embedding_outliers": _embedding_outliers,
         "funnel_conversion": _funnel_conversion,
@@ -1142,6 +1176,17 @@ SELECT t.event_type, h.hour,
 FROM hours h CROSS JOIN types t
 LEFT JOIN counts c ON h.hour = c.c_hour AND t.event_type = c.c_type
 ORDER BY t.event_type, h.hour
+""",
+        "cdc_snapshot": """
+WITH ranked AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, ts, event_id, event_type, value
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
 """,
         "table_profile": """
 WITH s AS (

@@ -1311,3 +1311,34 @@ def hourly_anomalies(spark: SparkSession, sf_dir: str, z: float = 3.0) -> DataFr
         .filter(F.abs(F.col("zscore")) > z)
         .orderBy("event_type", "hour")
     )
+
+
+def cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-snapshot compaction over the events changelog: one row
+    per user — their most recent event — with users whose latest event
+    is a tombstone ('error' here) dropped entirely. The upsert-compact
+    every changelog consumer runs before serving a table.
+
+    Scale shape: ONE shuffle via max(struct(ts, event_id, payload))
+    argmax aggregation — map-side partials keep one candidate row per
+    key per partition, so a hot key costs its partition count, not its
+    row count. Deliberately NOT row_number-over-window: the window form
+    sorts every key's full history in one task. (event_id in the struct
+    makes ties deterministic.)"""
+    ev = load_tables(spark, sf_dir, register=False)["events"]
+    latest = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("ts", "event_id", "event_type", "value")
+            ).alias("last")
+        )
+        .select(
+            "user_id",
+            F.col("last.ts").alias("ts"),
+            F.col("last.event_id").alias("event_id"),
+            F.col("last.event_type").alias("event_type"),
+            F.col("last.value").alias("value"),
+        )
+    )
+    return latest.filter(F.col("event_type") != "error").orderBy("user_id")

@@ -91,6 +91,7 @@ HEADLINE = [
     # the 100 TB profiling path (HLL state per column) is the benched
     # one; the exact-distinct variant stays correctness-checked
     "table_profile_approx",
+    "cdc_snapshot",
     "dup_span_stats",
     "embedding_outliers",
     "funnel_conversion",

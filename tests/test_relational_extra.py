@@ -196,3 +196,38 @@ def test_key_skew_report_shape(spark):
     # top-k must plan as TakeOrderedAndProject, never a global sort
     plan = _plan(relational.key_skew_report(spark, SF, top=5))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cdc_snapshot_latest_and_tombstones(spark):
+    """Argmax compaction picks the latest (ts, event_id) row per user,
+    drops users whose latest event is a tombstone, and plans as ONE
+    aggregate — no Window over the key."""
+    from datetime import datetime
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 9), 100, "view", 1.0, "{}"),
+            (2, datetime(2024, 1, 1, 10), 100, "purchase", 2.0, "{}"),
+            # same ts tie for user 200 -> higher event_id wins
+            (3, datetime(2024, 1, 1, 9), 200, "view", 1.0, "{}"),
+            (4, datetime(2024, 1, 1, 9), 200, "click", 5.0, "{}"),
+            # user 300's latest is a tombstone -> dropped
+            (5, datetime(2024, 1, 1, 9), 300, "view", 1.0, "{}"),
+            (6, datetime(2024, 1, 1, 10), 300, "error", 0.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    import avro_sql_spark.operators.relational as rel
+
+    orig = rel.load_tables
+    try:
+        rel.load_tables = lambda *a, **k: {"events": ev}
+        out = rel.cdc_snapshot(spark, "unused")
+        rows = {r["user_id"]: r for r in out.collect()}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        rel.load_tables = orig
+    assert set(rows) == {100, 200}
+    assert rows[100]["event_type"] == "purchase"
+    assert rows[200]["event_id"] == 4  # ts tie broken by event_id
+    assert "Window" not in plan
