@@ -702,6 +702,21 @@ def _unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(t["documents"])
 
 
+def _incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time near-dup gate: odd-id docs arrive as the new batch
+    and are MinHash-screened against the even-id history (xxhash64
+    signatures -> rows-only driver check, like minhash_candidate_pairs)."""
+    t = load_tables(spark, sf_dir, register=False)
+    docs = t["documents"]
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return (
+        dedup.incremental_near_dup(new, seen, threshold=0.5)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def _cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-event-per-user upsert compaction (argmax agg, tombstones
     dropped)."""
@@ -821,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile_approx": _table_profile_approx,
         "cdc_snapshot": _cdc_snapshot,
         "minhash_calibration": _minhash_calibration,
+        "incremental_near_dup": _incremental_near_dup,
         "dup_span_stats": _dup_span_stats,
         "embedding_outliers": _embedding_outliers,
         "funnel_conversion": _funnel_conversion,

@@ -728,3 +728,87 @@ def jaccard_pairs_prefix(
     return withsets.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Continuous-ingest NEAR-duplicate gate (the MinHash companion to
+    :func:`incremental_dedup`'s exact-fingerprint pass): drop new docs
+    whose estimated Jaccard vs ANY historical doc reaches ``threshold``.
+    In production the historical side is the stored signature table —
+    signatures are computed once at ingest and reused every batch, so
+    the recurring cost is banding + one band equi-join, never
+    re-shingling the corpus.
+
+    Scale shape: both sides band their signatures (skinny 24-byte band
+    rows), meet in ONE equi-join on (band_idx, band_hash), matched new
+    docs verify against the candidate's full signature (re-attached
+    post-dedup), and survivors come back via a broadcast-friendly
+    left_anti on ids. No new-vs-new comparison — within-batch dedup is
+    :func:`minhash_candidate_pairs`'s job if wanted."""
+    rows_per_band = num_hashes // bands
+
+    def _banded(sigs: DataFrame):
+        return sigs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.slice(
+                                    F.col("signature"), b * rows_per_band + 1, rows_per_band
+                                )[i].cast("string")
+                                for i in range(rows_per_band)
+                            ],
+                        )
+                    ),
+                )
+            ).alias("band_idx", "band_hash"),
+        )
+
+    new_sigs = minhash_signatures(new_docs, id_col, text_col, num_hashes).cache()
+    seen_sigs = minhash_signatures(seen_docs, id_col, text_col, num_hashes).cache()
+    cand = (
+        _banded(new_sigs)
+        .alias("n")
+        .join(
+            _banded(seen_sigs).alias("s"),
+            (F.col("n.band_idx") == F.col("s.band_idx"))
+            & (F.col("n.band_hash") == F.col("s.band_hash")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"), F.col(f"s.{id_col}").alias("seen_id")
+        )
+        .distinct()
+    )
+    est = (
+        cand.join(
+            new_sigs.select(F.col(id_col).alias("new_id"), F.col("signature").alias("sig_n")),
+            "new_id",
+        )
+        .join(
+            seen_sigs.select(F.col(id_col).alias("seen_id"), F.col("signature").alias("sig_s")),
+            "seen_id",
+        )
+        .select(
+            "new_id",
+            (
+                F.size(F.filter(F.zip_with("sig_n", "sig_s", lambda a, b: a == b), lambda x: x))
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+    )
+    dupes = est.filter(F.col("est_jaccard") >= threshold).select(
+        F.col("new_id").alias(id_col)
+    ).distinct()
+    return new_docs.join(dupes, id_col, "left_anti")

@@ -580,3 +580,19 @@ def test_profile_table_exact_and_approx_agree(spark):
         assert approx[c]["n_nulls"] == exact[c]["n_nulls"]
         assert approx[c]["min_value"] == exact[c]["min_value"]
         assert abs(approx[c]["n_distinct"] - exact[c]["n_distinct"]) <= 1
+
+
+def test_incremental_near_dup_drops_paraphrase(spark):
+    """A new doc that is a near-copy of a historical doc (one word
+    changed) is dropped; an unrelated new doc survives."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    seen = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [
+            (10, base.replace("dog", "cat")),  # near-dup of doc 1
+            (11, "completely different words about spark shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = [r["doc_id"] for r in dedup.incremental_near_dup(new, seen, threshold=0.4).collect()]
+    assert kept == [11]
