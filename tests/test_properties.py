@@ -178,3 +178,58 @@ def test_chunk_documents_invariants(spark, tokens, chunk, stride_off):
     # every token is covered by at least one chunk
     covered = max(r["chunk_idx"] * stride + r["n_tokens"] for r in out)
     assert covered == len(tokens)
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=0,
+            max_size=10,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    thresh=st.sampled_from([0.2, 0.5, 0.8, 1.0]),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large])
+def test_prefix_filter_is_lossless(spark, texts, thresh):
+    """For ANY corpus and threshold, prefix-filtered Jaccard pairs ==
+    full self-join pairs (the AllPairs bound may prune candidates,
+    never answers) — the paper's guarantee as an executable property."""
+    from avro_sql_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    full = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=thresh).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in dedup.jaccard_pairs_prefix(docs, threshold=thresh).collect()
+    }
+    assert pref == full
+
+
+@given(
+    weights=st.lists(st.integers(1, 1000), min_size=1, max_size=30),
+    k=st.integers(1, 10),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large])
+def test_weighted_take_invariants(spark, weights, k):
+    """A-ES sampling: returns min(k, n) rows, a subset of the input,
+    and is deterministic across reruns."""
+    from avro_sql_spark.operators.curation import weighted_take
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "doc_id long, w long"
+    )
+    a = sorted(r["doc_id"] for r in weighted_take(docs, "w", k).collect())
+    b = sorted(r["doc_id"] for r in weighted_take(docs, "w", k).collect())
+    assert a == b
+    assert len(a) == min(k, len(weights))
+    assert set(a) <= set(range(len(weights)))
