@@ -322,3 +322,24 @@ def pmi_collocations(
         )
     )
     return scored.orderBy(F.desc("pmi"), "bigram").limit(top_k)
+
+
+def quality_filter_observed(docs: DataFrame, text_col: str = "text"):
+    """Gopher quality gate with FREE runtime metrics: ``df.observe``
+    attaches (n_rows, n_pass) accumulators to the scan itself, so the
+    pipeline learns its own pass rate from the one pass it was already
+    making — no second scan, no count() action. At 100 TB a separate
+    metrics query doubles the read bill; observations ride along.
+
+    Returns ``(filtered_df, observation)``; read
+    ``observation.get`` AFTER an action on the filtered frame."""
+    from pyspark.sql import Observation
+
+    obs = Observation("quality_filter")
+    ok = T.gopher_pass(F.col(text_col))
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(ok.cast("long")).alias("n_pass"),
+    )
+    return observed.filter(ok), obs

@@ -596,3 +596,20 @@ def test_incremental_near_dup_drops_paraphrase(spark):
     )
     kept = [r["doc_id"] for r in dedup.incremental_near_dup(new, seen, threshold=0.4).collect()]
     assert kept == [11]
+
+
+def test_quality_filter_observed_metrics(spark):
+    """df.observe metrics agree with the actual filter outcome, from
+    the same single scan."""
+    from avro_sql_spark.operators.text import quality_filter_observed
+
+    good = "the quick brown fox jumps over the lazy dog and keeps " * 4
+    docs = spark.createDataFrame(
+        [(1, good), (2, "### ### ###"), (3, good + "again and again")],
+        "doc_id long, text string",
+    )
+    filtered, obs = quality_filter_observed(docs)
+    kept = filtered.count()
+    m = obs.get
+    assert m["n_rows"] == 3
+    assert m["n_pass"] == kept == 2
