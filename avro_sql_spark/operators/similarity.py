@@ -299,11 +299,13 @@ def embedding_outliers(
     map-side combine), are re-packed into one small array row per label,
     and broadcast into the embedding scan; the per-vector distance is
     in-row ``zip_with``/``aggregate`` array math. The distance frame is
-    aggregated twice (mean/std, then the threshold count) — its lineage
-    is scan + broadcast join + row math, so recomputation is one extra
-    scan rather than a cached block (cheaper than pinning memory at
-    100 TB). Distances are rounded to 6 decimals before the stats so
-    both engines threshold identical values."""
+    aggregated twice (mean/std, then the threshold count) and is CACHED:
+    it is skinny (label + one double per vector, ~100x smaller than the
+    vectors), while recomputing it would re-scan the full embedding
+    corpus — at 100 TB the cache is the cheap side. Callers running many
+    pipelines own cleanup (``spark.catalog.clearCache()``), as with the
+    dedup module's cache contract. Distances are rounded to 6 decimals
+    before the stats so both engines threshold identical values."""
     cents = (
         label_centroids(emb, id_col, vec_col, label_col)
         .groupBy("label")
@@ -331,6 +333,7 @@ def embedding_outliers(
         emb.repartition(emb.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
         .join(F.broadcast(cents), emb[label_col] == cents["label"])
         .select(emb[label_col].alias("lbl"), dist.alias("dist"))
+        .cache()
     )
     stats = dists.groupBy("lbl").agg(
         F.avg("dist").alias("m"), F.stddev("dist").alias("sd")
