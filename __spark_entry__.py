@@ -702,6 +702,14 @@ def _unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(t["documents"])
 
 
+def _bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean bigram ln-probability with add-0.5 smoothing."""
+    from avro_sql_spark.operators.text import bigram_logprob_scores
+
+    t = load_tables(spark, sf_dir, register=False)
+    return bigram_logprob_scores(t["documents"])
+
+
 def _incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time near-dup gate: odd-id docs arrive as the new batch
     and are MinHash-screened against the even-id history (xxhash64
@@ -837,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot": _cdc_snapshot,
         "minhash_calibration": _minhash_calibration,
         "incremental_near_dup": _incremental_near_dup,
+        "bigram_logprob": _bigram_logprob,
         "dup_span_stats": _dup_span_stats,
         "embedding_outliers": _embedding_outliers,
         "funnel_conversion": _funnel_conversion,
@@ -1759,6 +1768,26 @@ SELECT doc_id,
        array_to_string(tk[s+1:s+128], ' ') AS chunk
 FROM starts
 ORDER BY doc_id, chunk_idx
+""",
+        "bigram_logprob": r"""
+WITH toks AS (
+  SELECT doc_id, token, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS pos
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token,
+           generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS i
+    FROM documents)
+  WHERE regexp_matches(token, '^[a-z]+$')),
+big AS (
+  SELECT a.doc_id, a.token || ' ' || b.token AS bg, a.token AS w1
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+bc AS (SELECT bg, COUNT(*) AS cb FROM big GROUP BY bg),
+uc AS (SELECT token AS w1, COUNT(*) AS cu FROM toks GROUP BY token),
+v AS (SELECT COUNT(*) AS v FROM uc)
+SELECT d.doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(LN((bc.cb + 0.5) / (uc.cu + 0.5 * v.v))), 6) AS bigram_logprob_mean
+FROM big d JOIN bc USING (bg) JOIN uc USING (w1) CROSS JOIN v
+GROUP BY d.doc_id
+ORDER BY d.doc_id
 """,
         "unigram_logprob": r"""
 WITH toks AS (

@@ -343,3 +343,63 @@ def quality_filter_observed(docs: DataFrame, text_col: str = "text"):
         F.sum(ok.cast("long")).alias("n_pass"),
     )
     return observed.filter(ok), obs
+
+
+def bigram_logprob_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+) -> DataFrame:
+    """Bigram language-model quality score with add-k smoothing: pass 1
+    builds corpus bigram + unigram counts, pass 2 scores each doc by the
+    mean ln P(w2|w1) = ln((c(w1 w2)+k) / (c(w1)+k·V)) over its adjacent
+    token pairs. Catches shuffled-word and template junk that the
+    unigram score cannot (every token frequent, transitions absurd).
+
+    Adjacency is computed IN-ROW: non-word tokens are filtered from the
+    token array before pairing, so punctuation never fabricates or
+    breaks a transition, and no positional explode+window is needed.
+    Scale: bigram counts partial-aggregate on a hashed pair key; the
+    score join shuffles doc bigrams against that table (bigram vocab can
+    exceed broadcast size — unigram table and V do broadcast); per-doc
+    aggregation shuffles once on the doc id. Docs with fewer than two
+    valid tokens have no transitions and are excluded, like the unigram
+    scorer excludes token-free docs."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w.rlike("^[a-z]+$")
+    )
+    n = F.size(words)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_bigrams = docs.select(
+        F.col(id_col), F.explode(pairs).alias("bg")
+    )
+    doc_unigrams = docs.select(F.col(id_col), F.explode(words).alias("w"))
+    bc = doc_bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    uc = doc_unigrams.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    v = uc.agg(F.count(F.lit(1)).alias("v"))
+    first_word = F.split(F.col("bg"), " ")[0]
+    return (
+        doc_bigrams.join(bc, "bg")
+        .withColumn("w", first_word)
+        .join(F.broadcast(uc), "w")
+        .crossJoin(F.broadcast(v))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.col("cb") + F.lit(k)) / (F.col("cu") + F.lit(k) * F.col("v"))
+            ).alias("lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("bigram_logprob_mean"),
+        )
+        .orderBy(id_col)
+    )

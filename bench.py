@@ -92,6 +92,7 @@ HEADLINE = [
     # one; the exact-distinct variant stays correctness-checked
     "table_profile_approx",
     "cdc_snapshot",
+    "bigram_logprob",
     "dup_span_stats",
     "embedding_outliers",
     "funnel_conversion",

@@ -613,3 +613,38 @@ def test_quality_filter_observed_metrics(spark):
     m = obs.get
     assert m["n_rows"] == 3
     assert m["n_pass"] == kept == 2
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Tiny corpus with known counts: 'a b' appears twice, vocab=3,
+    smoothing k=0.5 — checked against the closed-form values; and a
+    shuffled-word doc scores worse than a fluent one under the model."""
+    import math
+
+    from avro_sql_spark.operators.text import bigram_logprob_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in bigram_logprob_scores(docs, k=0.5).collect()}
+    # corpus: bigrams {a b:2, b c:1}; unigrams {a:2, b:2, c:1}; V=3
+    lp_ab = math.log((2 + 0.5) / (2 + 0.5 * 3))
+    lp_bc = math.log((1 + 0.5) / (2 + 0.5 * 3))
+    assert rows[1]["n_bigrams"] == 2
+    assert rows[1]["bigram_logprob_mean"] == round((lp_ab + lp_bc) / 2, 6)
+    assert rows[2]["n_bigrams"] == 1
+    assert rows[2]["bigram_logprob_mean"] == round(lp_ab, 6)
+
+
+def test_bigram_logprob_flags_shuffled_text(spark):
+    """Same tokens, scrambled transitions: the scrambled doc must score
+    below the fluent docs that share the corpus's dominant transitions."""
+    from avro_sql_spark.operators.text import bigram_logprob_scores
+
+    fluent = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(i, fluent) for i in range(5)] + [(99, "mat the on sat cat the")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["bigram_logprob_mean"] for r in bigram_logprob_scores(docs).collect()}
+    assert rows[99] < rows[0]
