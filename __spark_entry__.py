@@ -702,6 +702,14 @@ def _unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(t["documents"])
 
 
+def _vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens needed to cover 90% of token mass, per language."""
+    from avro_sql_spark.operators.text import vocab_coverage
+
+    t = load_tables(spark, sf_dir, register=False)
+    return vocab_coverage(t["documents"])
+
+
 def _bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc mean bigram ln-probability with add-0.5 smoothing."""
     from avro_sql_spark.operators.text import bigram_logprob_scores
@@ -846,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_calibration": _minhash_calibration,
         "incremental_near_dup": _incremental_near_dup,
         "bigram_logprob": _bigram_logprob,
+        "vocab_coverage": _vocab_coverage,
         "dup_span_stats": _dup_span_stats,
         "embedding_outliers": _embedding_outliers,
         "funnel_conversion": _funnel_conversion,
@@ -1768,6 +1777,28 @@ SELECT doc_id,
        array_to_string(tk[s+1:s+128], ' ') AS chunk
 FROM starts
 ORDER BY doc_id, chunk_idx
+""",
+        "vocab_coverage": r"""
+WITH toks AS (
+  SELECT lang AS grp, token FROM (
+    SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS token
+    FROM documents)
+  WHERE regexp_matches(token, '^[a-z]+$')),
+counts AS (SELECT grp, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT grp, c,
+         SUM(c) OVER (PARTITION BY grp ORDER BY c DESC, token
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS before,
+         SUM(c) OVER (PARTITION BY grp) AS total
+  FROM counts),
+core AS (SELECT * FROM ranked WHERE before < 0.9 * total)
+SELECT grp AS lang,
+       (SELECT COUNT(*) FROM counts c2 WHERE c2.grp = core.grp) AS n_vocab,
+       COUNT(*) AS n_core_tokens,
+       ROUND(SUM(c) / ANY_VALUE(total), 6) AS covered_mass
+FROM core
+GROUP BY grp
+ORDER BY lang
 """,
         "bigram_logprob": r"""
 WITH toks AS (

@@ -403,3 +403,58 @@ def bigram_logprob_scores(
         )
         .orderBy(id_col)
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    mass: float = 0.9,
+) -> DataFrame:
+    """Vocabulary concentration per group: how many distinct tokens does
+    it take to cover ``mass`` of the token occurrences — the tokenizer-
+    budget / vocab-truncation planning number (a tight core vocab means
+    aggressive truncation is safe; a flat distribution means it is not).
+
+    A token is in the core set while the cumulative mass BEFORE it is
+    still under the target (the first token crossing the threshold is
+    included). Scale: token counts partial-aggregate on (group, token);
+    the cumulative window sorts each group's VOCABULARY (desc count,
+    token tiebreak) — bounded by distinct tokens, not corpus size, the
+    acceptable low-cardinality-partition exception."""
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+    ).filter(F.col("token").rlike("^[a-z]+$"))
+    counts = toks.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.desc("c"), F.col("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = Window.partitionBy("grp")
+    ranked = counts.select(
+        "grp",
+        "c",
+        (F.sum("c").over(w) - F.col("c")).alias("before"),
+        F.sum("c").over(totals).alias("total"),
+    )
+    core = ranked.filter(F.col("before") < F.lit(mass) * F.col("total"))
+    return (
+        core.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_core_tokens"),
+            F.round(F.sum("c") / F.first("total"), 6).alias("covered_mass"),
+        )
+        .join(
+            counts.groupBy("grp").agg(F.count(F.lit(1)).alias("n_vocab")),
+            "grp",
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_vocab",
+            "n_core_tokens",
+            "covered_mass",
+        )
+        .orderBy(group_col)
+    )

@@ -93,6 +93,7 @@ HEADLINE = [
     "table_profile_approx",
     "cdc_snapshot",
     "bigram_logprob",
+    "vocab_coverage",
     "dup_span_stats",
     "embedding_outliers",
     "funnel_conversion",

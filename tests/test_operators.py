@@ -648,3 +648,17 @@ def test_bigram_logprob_flags_shuffled_text(spark):
     )
     rows = {r["doc_id"]: r["bigram_logprob_mean"] for r in bigram_logprob_scores(docs).collect()}
     assert rows[99] < rows[0]
+
+
+def test_vocab_coverage_hand_computed(spark):
+    """'a' has 8 of 10 occurrences: at 90% mass the core set is {a, b}
+    (cumulative-before rule includes the crossing token)."""
+    from avro_sql_spark.operators.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a a a a a b c", "en")], "doc_id long, text string, lang string"
+    )
+    r = vocab_coverage(docs, mass=0.9).collect()[0]
+    assert r["n_vocab"] == 3
+    assert r["n_core_tokens"] == 2  # a (before=0) + b (before=8 < 9)
+    assert r["covered_mass"] == 0.9
