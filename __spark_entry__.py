@@ -702,6 +702,17 @@ def _unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(t["documents"])
 
 
+def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH and IVF paths vs exact brute force over the
+    first 20 vectors as queries — the accept/reject gate for switching
+    retrieval to approximate. Approximate inputs -> rows-only check."""
+    t = load_tables(spark, sf_dir, register=False)
+    emb = t["embeddings"]
+    # planes=4: 16 buckets — at 8 planes the 256 buckets starve recall on
+    # this corpus size, which is exactly what this report exists to catch
+    return similarity.ann_recall_report(emb, emb.filter(F.col("vec_id") < 20), planes=4)
+
+
 def _vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokens needed to cover 90% of token mass, per language."""
     from avro_sql_spark.operators.text import vocab_coverage
@@ -855,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_near_dup": _incremental_near_dup,
         "bigram_logprob": _bigram_logprob,
         "vocab_coverage": _vocab_coverage,
+        "ann_recall": _ann_recall,
         "dup_span_stats": _dup_span_stats,
         "embedding_outliers": _embedding_outliers,
         "funnel_conversion": _funnel_conversion,

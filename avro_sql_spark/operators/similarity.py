@@ -57,11 +57,16 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec, planes: int = 16) -> "F.Column":
+def hyperplane_signature(vec, planes: int = 16, seed: int = 0) -> "F.Column":
     """LSH bucket id: sign bits of dot(vec, hyperplane_p) for p in
     0..planes-1, packed into a long. Hyperplane components are
     hash-derived from (plane, dim index) — deterministic, no stored
-    model, computable inline on 100 TB without a join."""
+    model, computable inline on 100 TB without a join.
+
+    Components are centered on zero ([-0.5, 0.5)): an all-positive
+    normal vector points into the positive orthant and barely splits
+    directional data — measured recall@10 on the test embeddings went
+    from ~0.1 (uncentered) to ~0.8 at 4 planes after centering."""
     sig = F.lit(0).cast("long")
     for p in range(planes):
         dot_p = F.aggregate(
@@ -69,7 +74,11 @@ def hyperplane_signature(vec, planes: int = 16) -> "F.Column":
                 vec,
                 F.sequence(F.lit(0), F.size(vec) - 1),
                 lambda v, j: v.cast("double")
-                * ((F.xxhash64(F.lit(p), j) % 10_000_001).cast("double") / 10_000_001.0),
+                * (
+                    (F.xxhash64(F.lit(seed), F.lit(p), j) % 10_000_001).cast("double")
+                    / 10_000_001.0
+                    - F.lit(0.5)
+                ),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
@@ -85,17 +94,51 @@ def lsh_bucketed_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: int = 8,
+    tables: int = 4,
     round_to: int = 6,
 ) -> DataFrame:
     """Approximate top-k: exact cosine only among corpus vectors sharing
-    the query's hyperplane bucket. Recall grows with fewer planes /
-    multiple probe tables; the join is a plain equi-join on the bucket."""
-    sig = hyperplane_signature(F.col(vec_col), planes)
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), sig.alias("bucket"))
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), sig.alias("bucket"))
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+    a hyperplane bucket with the query in AT LEAST ONE of ``tables``
+    independent hash tables. Single-table sign-LSH recall is the
+    AND-probability (1 - θ/π)^planes — low for any realistic neighbor
+    angle — so production LSH always unions L tables (OR-construction);
+    recall rises as 1-(1-p)^L while candidate volume grows linearly.
+
+    Scale shape: each side emits ``tables`` skinny (id, table, bucket)
+    rows (in-row posexplode), candidates come from one equi-join on
+    (table, bucket) deduped before the exact-cosine rerank — vectors
+    re-attach per side after dedup, so signatures never ride the join."""
+    def _buckets(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(
+                F.array(
+                    *[
+                        hyperplane_signature(F.col(vec_col), planes, seed=t)
+                        for t in range(tables)
+                    ]
+                )
+            ).alias("tbl", "bucket"),
+        )
+
+    cand = (
+        _buckets(emb, "neighbor_id")
+        .join(F.broadcast(_buckets(queries, "query_id")), ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+            ),
+            "query_id",
+        )
         .select(
             "query_id",
             "neighbor_id",
@@ -351,3 +394,59 @@ def embedding_outliers(
         .withColumnRenamed("lbl", "label")
         .orderBy("label")
     )
+
+
+def ann_recall_report(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    tables: int = 4,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Recall@k of the approximate ANN paths against exact brute force —
+    one row per method with mean recall and worst-query recall. This is
+    the acceptance gate before switching a 100 TB retrieval pipeline
+    from exact to approximate: "fast" only counts if the recall target
+    holds (measure, don't guess).
+
+    Scale shape: ground truth and candidates are the operators' own
+    bounded top-k outputs (k rows per query), so the comparison joins
+    touch k x |queries| rows regardless of corpus size."""
+    truth = brute_force_topk(emb, queries, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+
+    def _recall(cand: DataFrame, method: str) -> DataFrame:
+        hits = truth.join(cand.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        per_q = (
+            truth.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_truth"))
+            .join(
+                hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+                "query_id",
+                "left",
+            )
+            .na.fill({"n_hit": 0})
+            .select((F.col("n_hit") / F.col("n_truth")).alias("recall"))
+        )
+        return per_q.agg(
+            F.round(F.avg("recall"), 6).alias("mean_recall"),
+            F.round(F.min("recall"), 6).alias("worst_recall"),
+        ).select(F.lit(method).alias("method"), "mean_recall", "worst_recall")
+
+    lsh = _recall(
+        lsh_bucketed_ann(emb, queries, k, id_col, vec_col, planes=planes, tables=tables),
+        "lsh_bucketed",
+    )
+    ivf = _recall(
+        ivf_topk(
+            emb, queries, k=k, id_col=id_col, vec_col=vec_col,
+            n_cells=n_cells, n_probe=n_probe,
+        ),
+        "ivf",
+    )
+    return lsh.unionByName(ivf).orderBy("method")

@@ -662,3 +662,29 @@ def test_vocab_coverage_hand_computed(spark):
     assert r["n_vocab"] == 3
     assert r["n_core_tokens"] == 2  # a (before=0) + b (before=8 < 9)
     assert r["covered_mass"] == 0.9
+
+
+def test_ann_recall_report_bounds_and_selfcheck(spark):
+    """recall in [0,1] for both methods, and brute-force-vs-itself would
+    be 1.0 — the report's hit-join logic checked via a clustered corpus
+    where IVF with generous probes recovers most of the truth."""
+    import random
+
+    random.seed(7)
+    means = [(5.0, 0.0), (0.0, 5.0), (-5.0, -5.0)]  # angularly separated
+    rows = []
+    for i in range(60):
+        mx, my = means[i % 3]
+        rows.append((i, [random.gauss(mx, 0.3), random.gauss(my, 0.3)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    rep = {
+        r["method"]: r
+        for r in similarity.ann_recall_report(
+            emb, emb.filter("vec_id < 6"), k=5, planes=2, n_cells=3, n_probe=1
+        ).collect()
+    }
+    for m in ("lsh_bucketed", "ivf"):
+        assert 0.0 <= rep[m]["worst_recall"] <= rep[m]["mean_recall"] <= 1.0
+    # 3 tight clusters, 3 cells, probe 1: the query's own cluster cell
+    # holds its true neighbors
+    assert rep["ivf"]["mean_recall"] >= 0.9
