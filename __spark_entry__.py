@@ -702,6 +702,20 @@ def _unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(t["documents"])
 
 
+def _langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled lang vs heuristic lang_id confusion matrix — the accuracy
+    audit of the marker-word classifier against ground-truth labels."""
+    from avro_sql_spark.functions.text import lang_id
+
+    t = load_tables(spark, sf_dir, register=False)
+    return (
+        t["documents"]
+        .groupBy("lang", lang_id(F.col("text")).alias("lang_guess"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
 def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the LSH and IVF paths vs exact brute force over the
     first 20 vectors as queries — the accept/reject gate for switching
@@ -867,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": _bigram_logprob,
         "vocab_coverage": _vocab_coverage,
         "ann_recall": _ann_recall,
+        "langid_confusion": _langid_confusion,
         "dup_span_stats": _dup_span_stats,
         "embedding_outliers": _embedding_outliers,
         "funnel_conversion": _funnel_conversion,
@@ -1013,6 +1028,22 @@ def _quality_expr() -> str:
               / nullif(length(text), 0) <= 0.2 THEN 1.0 ELSE 0.0 END)
       + (CASE WHEN CAST(({stop_hits}) AS DOUBLE) / nullif(CAST(n_ws AS DOUBLE), 0) >= 0.05
               THEN 1.0 ELSE 0.0 END)) / 3.0 AS DOUBLE)"""
+
+
+def _langid_confusion_oracle() -> str:
+    scores = {lang: f"({_lang_score(lang)})" for lang in _LANG_MARKERS}
+    mx = f"greatest({', '.join(scores.values())})"
+    lang_case = f"CASE WHEN {mx} <= 0 THEN 'unknown' " + " ".join(
+        f"WHEN {scores[lang]} = {mx} THEN '{lang}'" for lang in _LANG_MARKERS
+    ) + " END"
+    return f"""
+WITH base AS (
+  SELECT lang, ' ' || lower(text) || ' ' AS padded FROM documents)
+SELECT lang, {lang_case} AS lang_guess, COUNT(*) AS n_docs
+FROM base
+GROUP BY 1, 2
+ORDER BY lang, lang_guess
+"""
 
 
 def _text_profile_oracle() -> str:
@@ -1688,6 +1719,7 @@ GROUP BY event_type
 ORDER BY event_type
 """,
         "text_profile": _text_profile_oracle(),
+        "langid_confusion": _langid_confusion_oracle(),
         "split_assignment": f"""
 SELECT CASE WHEN {_hash_unit("doc_id", "split")} < 0.9 THEN 'train'
             WHEN {_hash_unit("doc_id", "split")} < 0.95 THEN 'val'

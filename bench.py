@@ -94,6 +94,7 @@ HEADLINE = [
     "cdc_snapshot",
     "bigram_logprob",
     "vocab_coverage",
+    "langid_confusion",
     "dup_span_stats",
     "embedding_outliers",
     "funnel_conversion",
