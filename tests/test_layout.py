@@ -64,3 +64,25 @@ def test_zorder_write_localizes_both_columns(spark, tmp_path):
         # allow slack for range-partition boundary cuts
         assert st["sx"] <= 32
         assert st["sy"] <= 32
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """partitionBy directory layout + a partition-column predicate:
+    the scan's PartitionFilters must carry the predicate (directory
+    pruning — the filter never touches non-matching files)."""
+    from avro_sql_spark.sources.io import write_table
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("bucket")
+    )
+    path = str(tmp_path / "by_bucket")
+    write_table(df, path, partition_by=["bucket"])
+    read = spark.read.parquet(path).filter(F.col("bucket") == "2")
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the pushed partition filter names the column (not an empty list)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1)
+    assert read.count() == 250
