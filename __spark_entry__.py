@@ -858,6 +858,29 @@ def _key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.key_skew_report(spark, sf_dir)
 
 
+def _stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (variance/corr/covar/regression) per flag."""
+    return relational.stats_moments(spark, sf_dir)
+
+
+def _orders_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT -> UNPIVOT (melt) round trip to long form with zero-fill."""
+    return relational.orders_unpivot(spark, sf_dir)
+
+
+def _salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the skewed event_type key."""
+    return relational.salted_event_stats(spark, sf_dir)
+
+
+def _char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang character-entropy quality screen (in-row Shannon bits)."""
+    from avro_sql_spark.operators.text import char_entropy_stats
+
+    t = load_tables(spark, sf_dir, register=False)
+    return char_entropy_stats(t["documents"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes entries in this order (r01 covered the first 50), so entries
@@ -870,6 +893,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reshape_identity": _reshape_identity,
         "reshape_primitive_container": _reshape_primitive_container,
         # round-2 additions (no driver row yet)
+        "stats_moments": _stats_moments,
+        "orders_unpivot": _orders_unpivot,
+        "salted_event_stats": _salted_event_stats,
+        "char_entropy": _char_entropy,
         "jaccard_pairs_prefix": _jaccard_pairs_prefix,
         "hourly_anomalies": _hourly_anomalies,
         "weighted_take": _weighted_take,
@@ -2056,6 +2083,51 @@ SELECT (SELECT COUNT(*) FROM v) AS n_view_users,
              / NULLIF((SELECT COUNT(*) FROM v), 0), 9) AS view_to_click,
        ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
              / NULLIF((SELECT COUNT(*) FROM c), 0), 9) AS click_to_purchase
+""",
+        "stats_moments": """
+SELECT l_returnflag, COUNT(*) AS n,
+       ROUND(var_pop(l_quantity), 6) AS var_pop_qty,
+       ROUND(stddev_samp(l_quantity), 6) AS stddev_qty,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(covar_pop(l_quantity, l_extendedprice), 6) AS covar_qty_price,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope_price_on_qty,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept_price_on_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+        "orders_unpivot": """
+WITH counts AS (
+  SELECT o_orderpriority, o_orderstatus AS status, COUNT(*) AS cnt
+  FROM orders GROUP BY 1, 2
+),
+pr AS (SELECT DISTINCT o_orderpriority FROM orders),
+st AS (SELECT * FROM (VALUES ('F'), ('O'), ('P')) s(status))
+SELECT pr.o_orderpriority, st.status,
+       CAST(COALESCE(counts.cnt, 0) AS BIGINT) AS n
+FROM pr CROSS JOIN st
+LEFT JOIN counts
+  ON counts.o_orderpriority = pr.o_orderpriority AND counts.status = st.status
+ORDER BY pr.o_orderpriority, st.status
+""",
+        "salted_event_stats": """
+SELECT event_type, COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value,
+       ROUND(SUM(value) / COUNT(*), 6) AS avg_value,
+       ROUND(MAX(value), 6) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "char_entropy": """
+WITH chars AS (
+  SELECT doc_id, lang, unnest(string_split(lower(text), '')) AS ch FROM documents
+),
+per_doc AS (
+  SELECT lang, doc_id, entropy(ch) AS h FROM chars GROUP BY lang, doc_id
+)
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(AVG(h), 6) AS avg_entropy_bits,
+       ROUND(MIN(h), 6) AS min_entropy_bits,
+       ROUND(MAX(h), 6) AS max_entropy_bits,
+       CAST(SUM(CASE WHEN h < 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_entropy
+FROM per_doc GROUP BY lang ORDER BY lang
 """,
         "key_skew_report": """
 WITH counts AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1),

@@ -1342,3 +1342,86 @@ def cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return latest.filter(F.col("event_type") != "error").orderBy("user_id")
+
+
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-aggregate surface per return flag: population/sample
+    variance, Pearson correlation, population covariance, and the OLS
+    regression line of price on quantity (regr_slope/regr_intercept).
+
+    Scale shape: every one of these is an algebraic aggregate -- a
+    fixed-size moment state (n, sum x, sum x^2, sum xy) merged
+    map-side, so the plan is one partial+final HashAggregate pair on a
+    3-value key regardless of input size. No window, no sort."""
+    li = load_tables(spark, sf_dir, register=False)["lineitem"]
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.var_pop(q), 6).alias("var_pop_qty"),
+            F.round(F.stddev_samp(q), 6).alias("stddev_qty"),
+            F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+            F.round(F.covar_pop(q, p), 6).alias("covar_qty_price"),
+            F.round(F.regr_slope(p, q), 6).alias("slope_price_on_qty"),
+            F.round(F.regr_intercept(p, q), 6).alias("intercept_price_on_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def orders_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT then UNPIVOT (melt) round trip: per-priority order counts
+    spread into one column per status, then folded back to long form
+    (o_orderpriority, status, n) -- including the explicit zeros the
+    pivot filled in. Exercises DataFrame.unpivot, the inverse of the
+    pivot in :func:`orders_pivot_by_status`.
+
+    Scale shape: the wide frame is tiny (priorities x statuses), so the
+    unpivot is a driver-free Expand over a handful of rows; the only
+    real work is the single count shuffle feeding the pivot."""
+    t = load_tables(spark, sf_dir, register=False)
+    wide = (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+    return (
+        wide.unpivot(["o_orderpriority"], ["F", "O", "P"], "status", "n")
+        .orderBy("o_orderpriority", "status")
+    )
+
+
+def salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a LOW-cardinality skewed key
+    (event_type has ~5 values, so a plain groupBy puts each key's whole
+    partial state on one reducer -- fine for counts, fatal for heavy
+    per-key state). Phase 1 aggregates on (event_type, salt16) spreading
+    each key across 16 reducers; phase 2 merges the 5x16 partials.
+    Results are bit-identical to the unsalted plan (sums/counts/max are
+    commutative monoids; avg is re-derived from sum/count at the end).
+
+    This is the hand-rolled form of what AQE skew-join does for joins:
+    use it when a skewed groupBy key carries big intermediate state
+    (collect_list, exact distinct) that map-side partial-agg alone
+    cannot bound."""
+    ev = load_tables(spark, sf_dir, register=False)["events"]
+    salted = ev.groupBy(
+        "event_type", F.pmod(F.hash("event_id"), F.lit(16)).alias("salt")
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("psum"),
+        F.max("value").alias("pmax"),
+    )
+    return (
+        salted.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("psum"), 6).alias("sum_value"),
+            F.round(F.sum("psum") / F.sum("pn"), 6).alias("avg_value"),
+            F.round(F.max("pmax"), 6).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -458,3 +458,60 @@ def vocab_coverage(
         )
         .orderBy(group_col)
     )
+
+
+def char_entropy_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    low_bits: float = 3.0,
+) -> DataFrame:
+    """Per-group character-entropy quality screen: Shannon entropy
+    (bits) of each document's character distribution, aggregated to
+    (avg, min, max, count below ``low_bits``). Natural text sits around
+    4 bits/char; binary spew, repeated padding, and template boilerplate
+    score far lower -- a standard cheap pre-filter before tokenization.
+
+    Scale shape: the per-doc entropy is computed ENTIRELY in-row with
+    higher-order array functions (split -> array_distinct -> counts via
+    filter/size -> aggregate), i.e. zero shuffles for the expensive
+    part; the only shuffle is the final tiny per-group aggregate. The
+    distinct-x-length inner product is bounded by the alphabet (~40
+    symbols for text), so per-row cost is O(40 * len) regardless of
+    corpus size -- the shape that survives 100 TB. (A token-level
+    entropy would have unbounded per-doc distinct counts; that variant
+    belongs on the explode + two-shuffle path instead.)"""
+    chars = F.filter(F.split(F.lower(F.col(text_col)), ""), lambda c: c != "")
+    n = F.size(chars)
+    distinct = F.array_distinct(chars)
+    counts = F.transform(distinct, lambda c: F.size(F.filter(chars, lambda x: x == c)))
+    # -sum p*log2 p; the +0.0 folds IEEE -0.0 (single-symbol docs) to 0.0
+    entropy = -F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, k: acc + (k.cast("double") / n) * F.log2(k.cast("double") / n),
+    ) + F.lit(0.0)
+    sess = docs.sparkSession
+    per_doc = docs.repartition(
+        sess.sparkContext.defaultParallelism, F.col(id_col)
+    ).select(F.col(group_col).alias("grp"), entropy.alias("h"))
+    return (
+        per_doc.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("h"), 6).alias("avg_entropy_bits"),
+            F.round(F.min("h"), 6).alias("min_entropy_bits"),
+            F.round(F.max("h"), 6).alias("max_entropy_bits"),
+            F.sum((F.col("h") < low_bits).cast("long")).alias("n_low_entropy"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "avg_entropy_bits",
+            "min_entropy_bits",
+            "max_entropy_bits",
+            "n_low_entropy",
+        )
+        .orderBy(group_col)
+    )

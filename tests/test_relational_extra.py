@@ -231,3 +231,92 @@ def test_cdc_snapshot_latest_and_tombstones(spark):
     assert rows[100]["event_type"] == "purchase"
     assert rows[200]["event_id"] == 4  # ts tie broken by event_id
     assert "Window" not in plan
+
+
+def test_stats_moments_algebraic_identities(spark):
+    """corr = covar_pop/(stddev_pop_x*stddev_pop_y) and the OLS slope =
+    covar/var must hold within float tolerance; the plan must stay a
+    single partial+final aggregate pair (no window, no extra shuffle)."""
+    import math
+
+    rows = relational.stats_moments(spark, SF).collect()
+    assert len(rows) >= 2
+    t = load_tables(spark, SF, register=False)
+    for r in rows:
+        li = t["lineitem"].filter(F.col("l_returnflag") == r["l_returnflag"])
+        chk = li.agg(
+            F.var_pop("l_quantity").alias("vq"),
+            F.var_pop("l_extendedprice").alias("vp"),
+            F.covar_pop("l_quantity", "l_extendedprice").alias("cv"),
+        ).collect()[0]
+        assert math.isclose(
+            r["corr_qty_price"], chk["cv"] / math.sqrt(chk["vq"] * chk["vp"]),
+            rel_tol=1e-4, abs_tol=1e-6,
+        )
+        assert math.isclose(
+            r["slope_price_on_qty"], chk["cv"] / chk["vq"],
+            rel_tol=1e-4, abs_tol=1e-6,
+        )
+    plan = _plan(relational.stats_moments(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_orders_unpivot_round_trips_pivot(spark):
+    """melt(pivot(x)) must reproduce the original group counts, with
+    explicit zeros for absent (priority, status) combinations."""
+    out = {(r["o_orderpriority"], r["status"]): r["n"]
+           for r in relational.orders_unpivot(spark, SF).collect()}
+    t = load_tables(spark, SF, register=False)
+    direct = {(r["o_orderpriority"], r["o_orderstatus"]): r["cnt"]
+              for r in t["orders"].groupBy("o_orderpriority", "o_orderstatus")
+              .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    prios = {k[0] for k in direct}
+    assert set(out) == {(p, s) for p in prios for s in ("F", "O", "P")}
+    for k, v in out.items():
+        assert v == direct.get(k, 0)
+
+
+def test_salted_event_stats_matches_unsalted(spark):
+    """The two-phase salted aggregation must be value-identical to the
+    plain groupBy (counts/sums/max are commutative monoids)."""
+    salted = {r["event_type"]: r for r in
+              relational.salted_event_stats(spark, SF).collect()}
+    ev = load_tables(spark, SF, register=False)["events"]
+    plain = {r["event_type"]: r for r in
+             ev.groupBy("event_type").agg(
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value"),
+                 F.round(F.max("value"), 6).alias("max_value"),
+             ).collect()}
+    assert set(salted) == set(plain)
+    for k in salted:
+        assert salted[k]["n_events"] == plain[k]["n_events"]
+        assert abs(salted[k]["sum_value"] - plain[k]["sum_value"]) < 1e-5
+        assert salted[k]["max_value"] == plain[k]["max_value"]
+
+
+def test_salted_event_stats_two_aggregate_stages(spark):
+    """The salt must actually split the key: two hashpartitioning
+    exchanges (one on (type, salt), one on type)."""
+    plan = _plan(relational.salted_event_stats(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 2
+    # Catalyst folds the salt alias into a _groupingexpression
+    assert "pmod(hash(event_id" in plan
+
+
+def test_char_entropy_bounds_and_zero_shuffle_scan(spark):
+    """Entropy lies in [0, log2(alphabet)]; a repeated-char doc scores 0
+    and natural text scores > 2.5 bits; the per-doc compute is in-row
+    (the only exchanges are the repartition spread and the final tiny
+    group agg)."""
+    from avro_sql_spark.operators.text import char_entropy_stats
+
+    docs = spark.createDataFrame(
+        [(1, "aaaaaaaaaaaa", "xx"), (2, "the quick brown fox jumps", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    rows = {r["lang"]: r for r in char_entropy_stats(docs).collect()}
+    assert rows["xx"]["avg_entropy_bits"] == 0.0
+    assert rows["xx"]["n_low_entropy"] == 1
+    assert 2.5 < rows["en"]["avg_entropy_bits"] < 6.0
+    assert rows["en"]["n_low_entropy"] == 0
