@@ -881,6 +881,22 @@ def _char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy_stats(t["documents"])
 
 
+def _retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen-day cohort x day-offset retention matrix over events."""
+    return relational.retention_cohorts(spark, sf_dir)
+
+
+def _fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein fuzzy matching over part names (entity
+    resolution with a (p_type, p_size) blocking key)."""
+    from avro_sql_spark.operators.joins import blocked_fuzzy_pairs
+
+    t = load_tables(spark, sf_dir, register=False)
+    return blocked_fuzzy_pairs(
+        t["part"], "p_partkey", "p_name", ["p_type", "p_size"], max_distance=2
+    ).orderBy("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes entries in this order (r01 covered the first 50), so entries
@@ -897,6 +913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_unpivot": _orders_unpivot,
         "salted_event_stats": _salted_event_stats,
         "char_entropy": _char_entropy,
+        "retention_cohorts": _retention_cohorts,
+        "fuzzy_part_pairs": _fuzzy_part_pairs,
         "jaccard_pairs_prefix": _jaccard_pairs_prefix,
         "hourly_anomalies": _hourly_anomalies,
         "weighted_take": _weighted_take,
@@ -2128,6 +2146,31 @@ SELECT lang, COUNT(*) AS n_docs,
        ROUND(MAX(h), 6) AS max_entropy_bits,
        CAST(SUM(CASE WHEN h < 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_entropy
 FROM per_doc GROUP BY lang ORDER BY lang
+""",
+        "retention_cohorts": """
+WITH firsts AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day FROM events GROUP BY 1
+),
+matrix AS (
+  SELECT f.cohort_day,
+         datediff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset,
+         COUNT(DISTINCT e.user_id) AS n_active
+  FROM events e JOIN firsts f USING (user_id) GROUP BY 1, 2
+)
+SELECT cohort_day, day_offset, n_active,
+       ROUND(CAST(n_active AS DOUBLE)
+             / first_value(n_active) OVER (PARTITION BY cohort_day ORDER BY day_offset),
+             6) AS retention
+FROM matrix ORDER BY cohort_day, day_offset
+""",
+        "fuzzy_part_pairs": """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS distance
+FROM part a JOIN part b
+  ON a.p_type = b.p_type AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY id_a, id_b
 """,
         "key_skew_report": """
 WITH counts AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1),

@@ -39,3 +39,41 @@ def broadcast_if_small(df: DataFrame, max_rows: int = 1_000_000) -> DataFrame:
     statistics / AQE; the explicit hint is for when stats are missing.)"""
     n = df.limit(max_rows + 1).count()
     return F.broadcast(df) if n <= max_rows else df
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list[str],
+    max_distance: int = 2,
+) -> DataFrame:
+    """Entity-resolution-style fuzzy matching: pairs of rows whose
+    ``name_col`` values are within ``max_distance`` Levenshtein edits,
+    restricted to rows sharing ``block_cols`` (the classic blocking-key
+    trick). Returns (id_a, id_b, name_a, name_b, distance), id_a < id_b.
+
+    Scale shape: an UNBLOCKED fuzzy join is O(n^2) and impossible at
+    100 TB; blocking turns it into an equi-join on the block key, so the
+    shuffle is one hash exchange per side and the quadratic cost applies
+    only within a block (choose block keys so blocks stay ~1e3-1e4
+    rows; add a length bucket or name prefix to split hot blocks — same
+    skew reasoning as :func:`salted_join`). The Levenshtein filter runs
+    JVM-side inside codegen, never in Python."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(name_col).alias("name_a"),
+        *[F.col(c).alias(f"_bk{i}") for i, c in enumerate(block_cols)],
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(name_col).alias("name_b"),
+        *[F.col(c).alias(f"_bk{i}") for i, c in enumerate(block_cols)],
+    )
+    keys = [f"_bk{i}" for i in range(len(block_cols))]
+    return (
+        a.join(b, keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "name_a", "name_b", "distance")
+    )

@@ -1425,3 +1425,41 @@ def salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort matrix over the events stream: users grouped by
+    first-seen day, activity counted per day offset, retention as the
+    share of the cohort still active. The standard growth-analytics
+    rollup every product pipeline runs.
+
+    Scale shape: first-seen is a groupBy(user_id) argmin; attaching it
+    back is a self equi-join on user_id -- both sides hash-partition on
+    the SAME key, so the join reuses the aggregation's exchange rather
+    than adding one. The cohort matrix itself is tiny (days x offsets),
+    so the closing window that divides by cohort size is a no-risk
+    single-stage over an already-aggregated frame."""
+    ev = load_tables(spark, sf_dir, register=False)["events"]
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    joined = ev.join(firsts, "user_id").select(
+        "user_id",
+        "cohort_day",
+        F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day")).alias(
+            "day_offset"
+        ),
+    )
+    matrix = joined.groupBy("cohort_day", "day_offset").agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
+    w = Window.partitionBy("cohort_day").orderBy("day_offset")
+    return (
+        matrix.withColumn(
+            "retention",
+            F.round(
+                F.col("n_active").cast("double") / F.first("n_active").over(w), 6
+            ),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -33,3 +33,34 @@ def test_broadcast_if_small(spark):
     big = spark.range(10000).withColumnRenamed("id", "id2")
     plan = big.join(hinted, big.id2 == hinted.id)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_blocked_fuzzy_pairs_blocks_and_bounds(spark):
+    """Only same-block pairs may appear, each unordered pair once, and
+    the distance bound is honored; cross-block near-identical names must
+    NOT match (that is the documented blocking tradeoff)."""
+    from avro_sql_spark.operators.joins import blocked_fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "red widget", "A"),
+            (2, "red widgef", "A"),   # 1 edit, same block
+            (3, "red widget", "B"),   # identical name, other block
+            (4, "blue bolt", "A"),    # same block, far away
+        ],
+        ["id", "name", "blk"],
+    )
+    rows = blocked_fuzzy_pairs(df, "id", "name", ["blk"], max_distance=2).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["distance"] for r in rows}
+    assert pairs == {(1, 2): 1}
+
+
+def test_blocked_fuzzy_pairs_is_equi_join(spark):
+    """The block key must plan as an equi-join (hash/broadcast), never a
+    cartesian product."""
+    from avro_sql_spark.operators.joins import blocked_fuzzy_pairs
+
+    df = spark.createDataFrame([(1, "x", "A"), (2, "y", "B")], ["id", "name", "blk"])
+    plan = blocked_fuzzy_pairs(df, "id", "name", ["blk"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

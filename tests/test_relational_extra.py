@@ -320,3 +320,20 @@ def test_char_entropy_bounds_and_zero_shuffle_scan(spark):
     assert rows["xx"]["n_low_entropy"] == 1
     assert 2.5 < rows["en"]["avg_entropy_bits"] < 6.0
     assert rows["en"]["n_low_entropy"] == 0
+
+
+def test_retention_cohorts_invariants(spark):
+    """Offset 0 always exists per cohort with retention 1.0; retention
+    is in (0, 1]; total day-0 actives equals the distinct user count."""
+    rows = relational.retention_cohorts(spark, SF).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        assert r["day_offset"] >= 0
+        assert 0 < r["retention"] <= 1.0
+        by_cohort.setdefault(r["cohort_day"], {})[r["day_offset"]] = r
+    t = load_tables(spark, SF, register=False)
+    n_users = t["events"].select("user_id").distinct().count()
+    assert sum(c[0]["n_active"] for c in by_cohort.values()) == n_users
+    for c in by_cohort.values():
+        assert c[0]["retention"] == 1.0
