@@ -886,6 +886,51 @@ def _retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.retention_cohorts(spark, sf_dir)
 
 
+def _streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-VISIBLE STREAMING: the windowed-count pipeline run as an
+    actual Structured Streaming query (readStream parquet ->
+    withWatermark -> window agg -> availableNow replay -> memory sink),
+    returned as the final batch table. The oracle is the equivalent
+    batch GROUP BY -- stream==batch is the streaming correctness
+    contract (complete mode emits every window, closed or not)."""
+    import uuid
+
+    from avro_sql_spark.streaming.pipeline import (
+        replay_to_memory,
+        stream_events,
+        windowed_counts,
+    )
+
+    out = windowed_counts(stream_events(spark, sf_dir))
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    result = replay_to_memory(out, "complete", name)
+    return result.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.round("total_value", 6).alias("total_value"),
+    ).orderBy("window_start", "event_type")
+
+
+def _streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-VISIBLE STREAMING: dropDuplicatesWithinWatermark on
+    user_id over the replayed events stream -- the output key set must
+    equal DISTINCT user_id (which surviving row is arrival-dependent,
+    so only the key column is projected)."""
+    import uuid
+
+    from avro_sql_spark.streaming.pipeline import (
+        replay_to_memory,
+        stream_events,
+        streaming_dedup,
+    )
+
+    deduped = streaming_dedup(stream_events(spark, sf_dir), ["user_id"])
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    result = replay_to_memory(deduped.select("user_id"), "append", name)
+    return result.select("user_id").orderBy("user_id")
+
+
 def _fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked Levenshtein fuzzy matching over part names (entity
     resolution with a (p_type, p_size) blocking key)."""
@@ -915,6 +960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _char_entropy,
         "retention_cohorts": _retention_cohorts,
         "fuzzy_part_pairs": _fuzzy_part_pairs,
+        "streaming_hourly_counts": _streaming_hourly_counts,
+        "streaming_dedup_users": _streaming_dedup_users,
         "jaccard_pairs_prefix": _jaccard_pairs_prefix,
         "hourly_anomalies": _hourly_anomalies,
         "weighted_take": _weighted_take,
@@ -2162,6 +2209,14 @@ SELECT cohort_day, day_offset, n_active,
              / first_value(n_active) OVER (PARTITION BY cohort_day ORDER BY day_offset),
              6) AS retention
 FROM matrix ORDER BY cohort_day, day_offset
+""",
+        "streaming_hourly_counts": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+""",
+        "streaming_dedup_users": """
+SELECT DISTINCT user_id FROM events ORDER BY user_id
 """,
         "fuzzy_part_pairs": """
 SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,

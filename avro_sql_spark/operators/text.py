@@ -360,42 +360,57 @@ def bigram_logprob_scores(
     Adjacency is computed IN-ROW: non-word tokens are filtered from the
     token array before pairing, so punctuation never fabricates or
     breaks a transition, and no positional explode+window is needed.
-    Scale: bigram counts partial-aggregate on a hashed pair key; the
-    score join shuffles doc bigrams against that table (bigram vocab can
-    exceed broadcast size — unigram table and V do broadcast); per-doc
-    aggregation shuffles once on the doc id. Docs with fewer than two
-    valid tokens have no transitions and are excluded, like the unigram
-    scorer excludes token-free docs."""
+    Scale: the regex tokenization (the expensive in-row work) runs ONCE
+    — spread across cores by an explicit repartition (a compacted
+    single-file scan would otherwise pin it to one task) and ``.cache``d
+    because both the count pass and the score pass consume it (caller
+    owns unpersist, same convention as the dedup module). Per-bigram
+    scores are computed on the VOCAB-sized count table (bc ⋈ broadcast
+    uc), not per instance; the instance join then shuffles doc bigrams
+    against that scored table (bigram vocab can exceed broadcast size);
+    per-doc aggregation shuffles once on the doc id. Docs with fewer
+    than two valid tokens have no transitions and are excluded, like
+    the unigram scorer excludes token-free docs."""
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w.rlike("^[a-z]+$")
     )
-    n = F.size(words)
+    sess = docs.sparkSession
+    toks = (
+        docs.repartition(sess.sparkContext.defaultParallelism, F.col(id_col))
+        .select(F.col(id_col), words.alias("ws"))
+        .cache()
+    )
+    n = F.size(F.col("ws"))
     pairs = F.when(
         n >= 2,
         F.transform(
             F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+            lambda i: F.concat_ws(
+                " ", F.element_at("ws", i), F.element_at("ws", i + 1)
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    doc_bigrams = docs.select(
-        F.col(id_col), F.explode(pairs).alias("bg")
-    )
-    doc_unigrams = docs.select(F.col(id_col), F.explode(words).alias("w"))
+    doc_bigrams = toks.select(F.col(id_col), F.explode(pairs).alias("bg"))
     bc = doc_bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
-    uc = doc_unigrams.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    uc = (
+        toks.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
     v = uc.agg(F.count(F.lit(1)).alias("v"))
-    first_word = F.split(F.col("bg"), " ")[0]
-    return (
-        doc_bigrams.join(bc, "bg")
-        .withColumn("w", first_word)
+    scored = (
+        bc.withColumn("w", F.split(F.col("bg"), " ")[0])
         .join(F.broadcast(uc), "w")
         .crossJoin(F.broadcast(v))
         .select(
-            F.col(id_col),
+            "bg",
             F.log(
                 (F.col("cb") + F.lit(k)) / (F.col("cu") + F.lit(k) * F.col("v"))
             ).alias("lp"),
         )
+    )
+    return (
+        doc_bigrams.join(scored, "bg")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

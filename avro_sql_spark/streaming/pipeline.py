@@ -163,3 +163,58 @@ def merge_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def replay_to_memory(
+    stream_out: DataFrame,
+    output_mode: str,
+    name: str,
+) -> DataFrame:
+    """Run a streaming transform to completion over its (file-backed)
+    source with ``trigger(availableNow=True)`` and a memory sink, then
+    return the sink contents as a batch DataFrame.
+
+    This is the replay harness that makes streaming pipelines
+    correctness-checkable against a batch oracle: availableNow processes
+    exactly the data present at start and stops, so the memory table is
+    a deterministic function of the input files. Memory sinks are a
+    test/driver tool — production uses kafka/parquet sinks; the
+    TRANSFORM under test is byte-identical in both."""
+    q = (
+        stream_out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_out.sparkSession.table(name)
+
+
+def stream_events(spark, sf_dir: str) -> DataFrame:
+    """readStream over the driver's events parquet with the same
+    NANOS-timestamp restore as the batch loader (schema must be given
+    explicitly — streaming file sources do not infer)."""
+    import os
+
+    from ..session import _nanos_timestamp_columns
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the glob matters: a bare FILE path makes FileStreamSource set
+    # basePath to the file and fail ("must be a directory"); a glob
+    # resolves basePath to the parent directory
+    stream = spark.readStream.schema(schema).parquet(os.path.join(sf_dir, "events.*"))
+    for col in _nanos_timestamp_columns(path):
+        stream = stream.withColumn(
+            col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+        )
+    # watermarks require TIMESTAMP, not TIMESTAMP_NTZ (micros-precision
+    # parquet reads as NTZ in Spark 4); the session timezone is pinned
+    # UTC (get_spark/load_tables), so the cast is value-stable
+    from pyspark.sql.types import TimestampNTZType
+
+    for field in stream.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            stream = stream.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    return stream

@@ -99,6 +99,12 @@ HEADLINE = [
     "embedding_outliers",
     "funnel_conversion",
     "key_skew_report",
+    "stats_moments",
+    "orders_unpivot",
+    "salted_event_stats",
+    "char_entropy",
+    "retention_cohorts",
+    "fuzzy_part_pairs",
 ]
 
 

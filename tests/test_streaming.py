@@ -282,3 +282,38 @@ def test_streaming_funnel_matches_batch_cascade(spark, tmp_path):
         for r in spark.sql("SELECT * FROM funnel_stages").collect()
     }
     assert got == {1: 3, 2: 1, 3: 0}
+
+
+def test_stream_events_replay_matches_batch_load(spark):
+    """The driver-entry replay path (stream_events + replay_to_memory)
+    over the real testdata must agree with the batch loader row-for-row
+    on a keyed aggregate."""
+    from avro_sql_spark.session import load_tables
+    from avro_sql_spark.streaming.pipeline import replay_to_memory, stream_events
+
+    sf = "/root/testdata/sf0.001"
+    out = replay_to_memory(
+        stream_events(spark, sf).groupBy("event_type").count(),
+        "complete",
+        "replay_check",
+    )
+    got = {r["event_type"]: r["count"] for r in out.collect()}
+    ev = load_tables(spark, sf, register=False)["events"]
+    want = {r["event_type"]: r["count"] for r in ev.groupBy("event_type").count().collect()}
+    assert got == want
+
+
+def test_stream_events_timestamps_value_stable(spark):
+    """The NTZ->TIMESTAMP cast for watermark eligibility must not shift
+    values under the pinned-UTC session."""
+    from avro_sql_spark.session import load_tables
+    from avro_sql_spark.streaming.pipeline import replay_to_memory, stream_events
+
+    sf = "/root/testdata/sf0.001"
+    out = replay_to_memory(
+        stream_events(spark, sf).select("event_id", "ts"), "append", "replay_ts_check"
+    )
+    got = {r["event_id"]: r["ts"] for r in out.collect()}
+    ev = load_tables(spark, sf, register=False)["events"]
+    for r in ev.select("event_id", "ts").limit(100).collect():
+        assert got[r["event_id"]] == r["ts"]
