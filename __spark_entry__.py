@@ -881,6 +881,28 @@ def _char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy_stats(t["documents"])
 
 
+def _remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span removal transform (Lee et al. 2022 dedup), summarized
+    per source: docs changed, token counts before/after, removed mass."""
+    t = load_tables(spark, sf_dir, register=False)
+    out = dedup.remove_duplicated_spans(t["documents"], n=8)
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("n_tokens_after") < F.col("n_tokens_before")).cast("long")
+            ).alias("n_changed"),
+            F.sum("n_tokens_before").alias("tokens_before"),
+            F.sum("n_tokens_after").alias("tokens_after"),
+            F.round(
+                1 - F.sum("n_tokens_after") / F.sum("n_tokens_before").cast("double"), 9
+            ).alias("removed_frac"),
+        )
+        .orderBy("source")
+    )
+
+
 def _retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-seen-day cohort x day-offset retention matrix over events."""
     return relational.retention_cohorts(spark, sf_dir)
@@ -962,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_part_pairs": _fuzzy_part_pairs,
         "streaming_hourly_counts": _streaming_hourly_counts,
         "streaming_dedup_users": _streaming_dedup_users,
+        "remove_dup_spans": _remove_dup_spans,
         "jaccard_pairs_prefix": _jaccard_pairs_prefix,
         "hourly_anomalies": _hourly_anomalies,
         "weighted_take": _weighted_take,
@@ -2217,6 +2240,31 @@ FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 """,
         "streaming_dedup_users": """
 SELECT DISTINCT user_id FROM events ORDER BY user_id
+""",
+        "remove_dup_spans": r"""
+WITH toks AS (
+  SELECT doc_id, source, str_split_regex(lower(text), '\s+') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM toks WHERE len(w) >= 8
+),
+spans AS (SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS s FROM pos),
+freq AS (SELECT s, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS owner FROM spans GROUP BY 1),
+rem AS (SELECT sp.doc_id, sp.i FROM spans sp JOIN freq f USING (s)
+        WHERE f.nd >= 2 AND sp.doc_id <> f.owner),
+cov AS (SELECT DISTINCT r.doc_id, r.i + t.off AS ti
+        FROM rem r, (SELECT unnest(range(0, 8)) AS off) t),
+cnt AS (SELECT doc_id, COUNT(*) AS ncov FROM cov GROUP BY 1),
+per_doc AS (
+  SELECT t.doc_id, t.source, len(t.w) AS nb, len(t.w) - COALESCE(c.ncov, 0) AS na
+  FROM toks t LEFT JOIN cnt c USING (doc_id)
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN na < nb THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(SUM(nb) AS BIGINT) AS tokens_before,
+       CAST(SUM(na) AS BIGINT) AS tokens_after,
+       ROUND(1 - CAST(SUM(na) AS DOUBLE) / SUM(nb), 9) AS removed_frac
+FROM per_doc GROUP BY source ORDER BY source
 """,
         "fuzzy_part_pairs": """
 SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,

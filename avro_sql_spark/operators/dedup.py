@@ -812,3 +812,81 @@ def incremental_near_dup(
         F.col("new_id").alias(id_col)
     ).distinct()
     return new_docs.join(dupes, id_col, "left_anti")
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Duplicated-span REMOVAL (the transform behind the
+    :func:`duplicated_span_stats` report, a la Lee et al. 2022): every
+    n-word span occurring in >= 2 documents keeps its copies only in the
+    OWNER document (the smallest doc id containing the span — a
+    deterministic, coordination-free election: just ``min(doc_id)`` in
+    the span-frequency aggregate); in all other documents the tokens
+    covered by that span are dropped and the text is rebuilt. Returns
+    the input rows plus ``n_tokens_before`` / ``n_tokens_after`` and the
+    rebuilt ``text_col``.
+
+    Scale shape: span instances are (doc, pos, xxhash64) rows — skinny
+    before any shuffle; ownership is a countDistinct+min aggregate on
+    the span hash (map-side combined); the removal join is span-hash
+    equi (AQE skew-join absorbs stop-phrase spans); covered positions
+    collect per doc (bounded by doc length) and the rebuild is IN-ROW:
+    a boolean coverage mask via `exists` over the start list, cost
+    O(len x starts). A document that is almost entirely duplicated
+    spans degrades toward O(len^2) in that mask — for adversarial-long
+    docs, merge the start list into intervals in a pandas UDF first.
+    The instance frame feeds two consumers (ownership + removal join)
+    so it is cached per the module cache contract."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    toks = docs.withColumn("_ws", words).withColumn("_nw", F.size("_ws"))
+    starts = F.when(
+        F.col("_nw") >= n, F.sequence(F.lit(1), F.col("_nw") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    inst = (
+        toks.select(
+            F.col(id_col).alias("did"),
+            F.explode(starts).alias("pos"),
+            F.col("_ws"),
+        )
+        .select(
+            "did",
+            "pos",
+            F.xxhash64(
+                F.concat_ws(" ", F.slice(F.col("_ws"), F.col("pos"), n))
+            ).alias("h"),
+        )
+        .cache()
+    )
+    owners = inst.groupBy("h").agg(
+        F.count_distinct("did").alias("nd"), F.min("did").alias("owner")
+    )
+    removals = (
+        inst.join(owners.filter(F.col("nd") >= 2), "h")
+        .filter(F.col("did") != F.col("owner"))
+        .groupBy("did")
+        .agg(F.array_distinct(F.collect_list("pos")).alias("rm"))
+    )
+    out = toks.join(removals, F.col(id_col) == F.col("did"), "left").drop("did")
+    keep = F.filter(
+        F.sequence(F.lit(1), F.col("_nw")),
+        lambda i: ~F.exists(
+            F.coalesce(F.col("rm"), F.array().cast("array<int>")),
+            lambda s: (s <= i) & (i < s + n),
+        ),
+    )
+    return (
+        out.withColumn("_keep", keep)
+        .withColumn("n_tokens_before", F.col("_nw").cast("long"))
+        .withColumn("n_tokens_after", F.size("_keep").cast("long"))
+        .withColumn(
+            text_col,
+            F.concat_ws(
+                " ", F.transform(F.col("_keep"), lambda i: F.element_at("_ws", i))
+            ),
+        )
+        .drop("_ws", "_nw", "rm", "_keep")
+    )

@@ -261,3 +261,42 @@ def test_weighted_take_prefers_heavy_rows(spark):
     assert sorted(ids) == sorted(ids2)
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_remove_dup_spans_owner_keeps_copy(spark):
+    """The smallest doc_id containing a duplicated span keeps it; every
+    other doc loses exactly the covered tokens; untouched docs round-trip
+    text verbatim."""
+    from avro_sql_spark.operators.dedup import remove_duplicated_spans
+
+    span = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (10, f"intro {span} outro"),
+            (20, f"pre {span} post words"),
+            (30, "independent text with absolutely no shared spans here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(docs, n=8).collect()}
+    assert out[10]["text"] == f"intro {span} outro"
+    assert out[10]["n_tokens_after"] == out[10]["n_tokens_before"]
+    assert out[20]["text"] == "pre post words"
+    assert out[20]["n_tokens_before"] - out[20]["n_tokens_after"] == 8
+    assert out[30]["text"] == "independent text with absolutely no shared spans here"
+
+
+def test_remove_dup_spans_overlapping_spans_union_coverage(spark):
+    """Two overlapping duplicated spans in a victim doc must remove the
+    UNION of their covered tokens, not double-count."""
+    from avro_sql_spark.operators.dedup import remove_duplicated_spans
+
+    nine = "a b c d e f g h i"  # 9 tokens -> two overlapping 8-spans
+    docs = spark.createDataFrame(
+        [(1, f"x {nine} y"), (2, f"p q {nine} r")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(docs, n=8).collect()}
+    assert out[1]["n_tokens_after"] == out[1]["n_tokens_before"]
+    # victim loses the 9 shared tokens exactly once
+    assert out[2]["n_tokens_before"] - out[2]["n_tokens_after"] == 9
+    assert out[2]["text"] == "p q r"
