@@ -881,6 +881,32 @@ def _char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy_stats(t["documents"])
 
 
+def _streaming_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-VISIBLE STATEFUL STREAMING: the applyInPandasWithState
+    funnel tracker replayed availableNow; per-user final stage counted
+    per stage. Oracle = the batch min-timestamp cascade (identical by
+    the first-qualifying == min-qualifying argument in the docstring of
+    ``streaming/stateful.py _advance_funnel``). Update-mode emissions
+    are folded by max(stage) per user (stage is monotone)."""
+    import uuid
+
+    from avro_sql_spark.streaming.pipeline import replay_to_memory, stream_events
+    from avro_sql_spark.streaming.stateful import streaming_funnel
+
+    src = stream_events(spark, sf_dir).select("user_id", "ts", "event_type")
+    name = f"stream_funnel_{uuid.uuid4().hex[:8]}"
+    # evict_idle=False (NoTimeout): a processing-time timeout would keep
+    # the availableNow replay alive forever after the data is exhausted
+    emissions = replay_to_memory(streaming_funnel(src, evict_idle=False), "update", name)
+    return (
+        emissions.groupBy("user_id")
+        .agg(F.max("stage").alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("stage")
+    )
+
+
 def _remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span removal transform (Lee et al. 2022 dedup), summarized
     per source: docs changed, token counts before/after, removed mass."""
@@ -984,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_part_pairs": _fuzzy_part_pairs,
         "streaming_hourly_counts": _streaming_hourly_counts,
         "streaming_dedup_users": _streaming_dedup_users,
+        "streaming_funnel_stages": _streaming_funnel_stages,
         "remove_dup_spans": _remove_dup_spans,
         "jaccard_pairs_prefix": _jaccard_pairs_prefix,
         "hourly_anomalies": _hourly_anomalies,
@@ -2240,6 +2267,25 @@ FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 """,
         "streaming_dedup_users": """
 SELECT DISTINCT user_id FROM events ORDER BY user_id
+""",
+        "streaming_funnel_stages": """
+WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1),
+allu AS (SELECT DISTINCT user_id FROM events),
+stages AS (
+  SELECT a.user_id,
+         CASE WHEN p.user_id IS NOT NULL THEN 3
+              WHEN c.user_id IS NOT NULL THEN 2
+              WHEN v.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS stage
+  FROM allu a
+  LEFT JOIN v ON a.user_id = v.user_id
+  LEFT JOIN c ON a.user_id = c.user_id
+  LEFT JOIN p ON a.user_id = p.user_id)
+SELECT stage, COUNT(*) AS n_users FROM stages GROUP BY stage ORDER BY stage
 """,
         "remove_dup_spans": r"""
 WITH toks AS (

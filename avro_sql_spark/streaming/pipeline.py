@@ -169,6 +169,7 @@ def replay_to_memory(
     stream_out: DataFrame,
     output_mode: str,
     name: str,
+    max_wait_sec: int = 300,
 ) -> DataFrame:
     """Run a streaming transform to completion over its (file-backed)
     source with ``trigger(availableNow=True)`` and a memory sink, then
@@ -187,7 +188,13 @@ def replay_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    # bounded wait + explicit stop: a stateful transform with a
+    # processing-time timeout keeps the query alive after data is
+    # exhausted (it schedules batches to fire timeouts) — never hang the
+    # caller on it. Prefer NoTimeout transforms for replays.
+    if not q.awaitTermination(max_wait_sec):
+        q.stop()
+        q.awaitTermination(30)
     return stream_out.sparkSession.table(name)
 
 

@@ -100,7 +100,9 @@ def test_stateful_running_profile(spark, tmp_path):
         [(7, 1.0), (7, 3.0), (8, 10.0)], "user_id LONG, value DOUBLE"
     ).write.parquet(src)
     stream = spark.readStream.schema("user_id LONG, value DOUBLE").parquet(src)
-    out = running_user_profile(stream)
+    # evict_idle=False -> NoTimeout -> the availableNow replay terminates
+    # on its own instead of idling until the awaitTermination deadline
+    out = running_user_profile(stream, evict_idle=False)
     q = (
         out.writeStream.format("memory")
         .queryName("profiles")
@@ -108,7 +110,7 @@ def test_stateful_running_profile(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    assert q.awaitTermination(120)
     rows = {r["user_id"]: r for r in spark.sql(
         "SELECT * FROM profiles"
     ).collect()}
@@ -269,14 +271,14 @@ def test_streaming_funnel_matches_batch_cascade(spark, tmp_path):
         "user_id LONG, ts TIMESTAMP, event_type STRING"
     ).parquet(src)
     q = (
-        streaming_funnel(stream)
+        streaming_funnel(stream, evict_idle=False)
         .writeStream.format("memory")
         .queryName("funnel_stages")
         .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    assert q.awaitTermination(120)
     got = {
         r["user_id"]: r["stage"]
         for r in spark.sql("SELECT * FROM funnel_stages").collect()
