@@ -881,6 +881,11 @@ def _char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy_stats(t["documents"])
 
 
+def _balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist/NTILE decile summary per market segment."""
+    return relational.customer_balance_ranks(spark, sf_dir)
+
+
 def _streaming_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DRIVER-VISIBLE STATEFUL STREAMING: the applyInPandasWithState
     funnel tracker replayed availableNow; per-user final stage counted
@@ -1008,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _char_entropy,
         "retention_cohorts": _retention_cohorts,
         "fuzzy_part_pairs": _fuzzy_part_pairs,
+        "balance_ranks": _balance_ranks,
         "streaming_hourly_counts": _streaming_hourly_counts,
         "streaming_dedup_users": _streaming_dedup_users,
         "streaming_funnel_stages": _streaming_funnel_stages,
@@ -2267,6 +2273,21 @@ FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 """,
         "streaming_dedup_users": """
 SELECT DISTINCT user_id FROM events ORDER BY user_id
+""",
+        "balance_ranks": """
+WITH ranked AS (
+  SELECT c_mktsegment, c_acctbal,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd,
+         ntile(10) OVER w AS decile
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+)
+SELECT c_mktsegment, decile, COUNT(*) AS n,
+       ROUND(AVG(c_acctbal), 6) AS avg_bal,
+       ROUND(MIN(pr), 9) AS min_pct_rank,
+       ROUND(MAX(cd), 9) AS max_cume_dist
+FROM ranked GROUP BY c_mktsegment, decile ORDER BY c_mktsegment, decile
 """,
         "streaming_funnel_stages": """
 WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY 1),

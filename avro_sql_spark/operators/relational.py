@@ -1463,3 +1463,35 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "day_offset")
     )
+
+
+def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window surface: percent_rank, cume_dist, and
+    decile NTILE of customer account balance within each market segment,
+    summarized per (segment, decile) so the output stays bounded.
+
+    Scale shape: one hash exchange on the segment key serves all three
+    window functions (same partitioning + ordering -> a single Window
+    operator), then the decile rollup partial-aggregates. Segments are
+    few but each partition only sorts its own segment's customers; for
+    a truly hot segment the approxQuantile range-shard path
+    (curation.quality_shards_approx) is the same answer at scale."""
+    cust = load_tables(spark, sf_dir, register=False)["customer"]
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    ranked = cust.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return (
+        ranked.groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+            F.round(F.min("pr"), 9).alias("min_pct_rank"),
+            F.round(F.max("cd"), 9).alias("max_cume_dist"),
+        )
+        .orderBy("c_mktsegment", "decile")
+    )

@@ -105,6 +105,8 @@ HEADLINE = [
     "char_entropy",
     "retention_cohorts",
     "fuzzy_part_pairs",
+    "balance_ranks",
+    "remove_dup_spans",
 ]
 
 

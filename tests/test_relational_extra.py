@@ -337,3 +337,22 @@ def test_retention_cohorts_invariants(spark):
     assert sum(c[0]["n_active"] for c in by_cohort.values()) == n_users
     for c in by_cohort.values():
         assert c[0]["retention"] == 1.0
+
+
+def test_balance_ranks_single_window_exchange(spark):
+    """All three distribution ranks share one partitioning+ordering, so
+    the plan must contain exactly ONE Window operator; decile counts per
+    segment sum to the segment's customer count."""
+    plan = _plan(relational.customer_balance_ranks(spark, SF))
+    assert plan.count("Window ") == 1 or plan.count("Window\n") <= 1
+    rows = relational.customer_balance_ranks(spark, SF).collect()
+    t = load_tables(spark, SF, register=False)
+    seg_counts = {r["c_mktsegment"]: r["count"] for r in
+                  t["customer"].groupBy("c_mktsegment").count().collect()}
+    got = {}
+    for r in rows:
+        assert 1 <= r["decile"] <= 10
+        assert 0.0 <= r["min_pct_rank"] <= 1.0
+        assert 0.0 < r["max_cume_dist"] <= 1.0
+        got[r["c_mktsegment"]] = got.get(r["c_mktsegment"], 0) + r["n"]
+    assert got == seg_counts
