@@ -881,6 +881,33 @@ def _char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy_stats(t["documents"])
 
 
+def _embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed d x d covariance matrix via per-partition BLAS gram
+    partials (mapInPandas) — shuffled volume is partitions x d^2, never
+    row count. Oracle: DuckDB pairwise AVG over dimension-exploded rows."""
+    t = load_tables(spark, sf_dir, register=False)
+    return similarity.gram_covariance(t["embeddings"])
+
+
+def _embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 PCA projection summarized per label (mean/variance of each
+    component). Rows-only: eigendecomposition is not SQL-expressible;
+    pytest asserts orthonormality/variance-ordering invariants."""
+    t = load_tables(spark, sf_dir, register=False)
+    proj, _explained = similarity.pca_project(t["embeddings"], k=2)
+    return (
+        proj.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("pc1"), 4).alias("mean_pc1"),
+            F.round(F.var_pop("pc1"), 4).alias("var_pc1"),
+            F.round(F.avg("pc2"), 4).alias("mean_pc2"),
+            F.round(F.var_pop("pc2"), 4).alias("var_pc2"),
+        )
+        .orderBy("label")
+    )
+
+
 def _balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank/cume_dist/NTILE decile summary per market segment."""
     return relational.customer_balance_ranks(spark, sf_dir)
@@ -1014,6 +1041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _retention_cohorts,
         "fuzzy_part_pairs": _fuzzy_part_pairs,
         "balance_ranks": _balance_ranks,
+        "embedding_covariance": _embedding_covariance,
+        "embedding_pca": _embedding_pca,
         "streaming_hourly_counts": _streaming_hourly_counts,
         "streaming_dedup_users": _streaming_dedup_users,
         "streaming_funnel_stages": _streaming_funnel_stages,
@@ -2273,6 +2302,15 @@ FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 """,
         "streaming_dedup_users": """
 SELECT DISTINCT user_id FROM events ORDER BY user_id
+""",
+        "embedding_covariance": """
+WITH dims AS (SELECT unnest(range(0, 64)) AS k),
+x AS (SELECT vec_id, d.k AS i, CAST(embedding[d.k + 1] AS DOUBLE) AS v
+      FROM embeddings, dims d)
+SELECT a.i AS i, b.i AS j,
+       ROUND(AVG(a.v * b.v) - AVG(a.v) * AVG(b.v), 6) AS cov
+FROM x a JOIN x b USING (vec_id)
+GROUP BY a.i, b.i ORDER BY i, j
 """,
         "balance_ranks": """
 WITH ranked AS (

@@ -450,3 +450,123 @@ def ann_recall_report(
         "ivf",
     )
     return lsh.unionByName(ivf).orderBy("method")
+
+
+def gram_covariance(
+    emb: DataFrame, vec_col: str = "embedding", round_to: int = 6
+) -> DataFrame:
+    """Population covariance matrix of an embedding column as (i, j,
+    cov) rows — the input to whitening/PCA and the canonical
+    distributed-linear-algebra shape.
+
+    Scale shape: per-PARTITION BLAS partials via mapInPandas — each
+    partition emits ONE row holding (count, sum-vector, flattened d x d
+    gram X^T X), so the shuffled volume is (#partitions x d^2) floats,
+    independent of row count. The partials are then posexploded and
+    merged by a map-side-combined sum per cell. Nothing driver-side
+    grows with the data; d is the only scaling knob (d^2 floats per
+    partition row). The explicit repartition spreads compacted
+    single-file scans before the numpy stage."""
+    d = len(emb.select(vec_col).first()[0])
+    sess = emb.sparkSession
+    src = emb.select(F.col(vec_col).alias("v")).repartition(
+        sess.sparkContext.defaultParallelism
+    )
+
+    def _partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        n, s, g = 0, None, None
+        for pdf in batches:
+            x = np.vstack(pdf["v"].to_numpy()).astype("float64")
+            n += x.shape[0]
+            s = x.sum(0) if s is None else s + x.sum(0)
+            g = x.T @ x if g is None else g + x.T @ x
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.flatten().tolist()]}
+            )
+
+    parts = src.mapInPandas(_partials, "n long, s array<double>, g array<double>")
+    totals = parts.agg(F.sum("n").alias("nn"))
+    gsum = (
+        parts.select(F.posexplode("g").alias("idx", "val"))
+        .groupBy("idx")
+        .agg(F.sum("val").alias("gg"))
+    )
+    ssum = (
+        parts.select(F.posexplode("s").alias("i", "val"))
+        .groupBy("i")
+        .agg(F.sum("val").alias("ss"))
+    )
+    si = ssum.select(F.col("i").alias("ii"), F.col("ss").alias("si"))
+    sj = ssum.select(F.col("i").alias("jj"), F.col("ss").alias("sj"))
+    return (
+        gsum.select((F.col("idx") / d).cast("int").alias("i"),
+                    F.pmod("idx", F.lit(d)).cast("int").alias("j"),
+                    "gg")
+        .join(F.broadcast(si), F.col("i") == F.col("ii"))
+        .join(F.broadcast(sj), F.col("j") == F.col("jj"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("gg") / F.col("nn")
+                - (F.col("si") / F.col("nn")) * (F.col("sj") / F.col("nn")),
+                round_to,
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+def pca_project(
+    emb: DataFrame,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project embeddings onto their top-k principal components.
+
+    The covariance matrix is computed distributed
+    (:func:`gram_covariance`), collected to the driver — BOUNDED by d^2
+    cells, never by row count, the legitimate kind of driver collect —
+    eigendecomposed with numpy, and the k components are broadcast back
+    as array literals; the projection itself is an in-row zip_with dot
+    product, zero shuffle. Eigenvector sign is fixed deterministically
+    (largest-|component| coordinate made positive) so reruns and
+    partitionings agree."""
+    import numpy as np
+
+    cov_rows = gram_covariance(emb, vec_col, round_to=12).collect()
+    d = max(r["i"] for r in cov_rows) + 1
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        cov[r["i"], r["j"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for c in order:
+        v = vecs[:, c]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        comps.append(v)
+    explained = [float(vals[c] / vals.sum()) for c in order]
+    out = emb
+    x = F.col(vec_col)
+    for ci, comp in enumerate(comps):
+        lit = F.array(*[F.lit(float(w)) for w in comp])
+        out = out.withColumn(
+            f"pc{ci + 1}",
+            F.round(
+                F.aggregate(
+                    F.zip_with(x, lit, lambda a, b: a.cast("double") * b),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                ),
+                6,
+            ),
+        )
+    return out.drop(vec_col), explained

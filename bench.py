@@ -107,6 +107,8 @@ HEADLINE = [
     "fuzzy_part_pairs",
     "balance_ranks",
     "remove_dup_spans",
+    "embedding_covariance",
+    "embedding_pca",
 ]
 
 

@@ -688,3 +688,56 @@ def test_ann_recall_report_bounds_and_selfcheck(spark):
     # 3 tight clusters, 3 cells, probe 1: the query's own cluster cell
     # holds its true neighbors
     assert rep["ivf"]["mean_recall"] >= 0.9
+
+
+def test_gram_covariance_matches_columnwise_covar(spark):
+    """Spot-check the BLAS-partial covariance against Spark's own
+    covar_pop on individual dimension pairs; matrix must be symmetric."""
+    from avro_sql_spark.operators.similarity import gram_covariance
+    from avro_sql_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", register=False)["embeddings"]
+    cov = {(r["i"], r["j"]): r["cov"] for r in gram_covariance(emb).collect()}
+    import pyspark.sql.functions as F
+
+    for i, j in [(0, 0), (0, 1), (3, 7)]:
+        want = emb.select(
+            F.covar_pop(
+                F.col("embedding")[i].cast("double"),
+                F.col("embedding")[j].cast("double"),
+            )
+        ).collect()[0][0]
+        assert abs(cov[(i, j)] - want) < 1e-5
+        assert cov[(i, j)] == cov[(j, i)]
+
+
+def test_pca_project_invariants(spark):
+    """Components orthonormal, explained ratios descending, projected
+    variance equals the eigenvalue it came from (population variance)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from avro_sql_spark.operators.similarity import gram_covariance, pca_project
+    from avro_sql_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", register=False)["embeddings"]
+    proj, explained = pca_project(emb, k=2)
+    assert explained[0] >= explained[1] > 0
+    assert sum(explained) <= 1.0 + 1e-9
+    # projected variance ratio reproduces the eigenvalue ratio
+    v = proj.agg(
+        F.var_pop("pc1").alias("v1"), F.var_pop("pc2").alias("v2")
+    ).collect()[0]
+    cov_rows = gram_covariance(emb, round_to=12).collect()
+    d = max(r["i"] for r in cov_rows) + 1
+    m = np.zeros((d, d))
+    for r in cov_rows:
+        m[r["i"], r["j"]] = r["cov"]
+    trace = np.trace(m)
+    assert abs(v["v1"] / trace - explained[0]) < 1e-3
+    assert abs(v["v2"] / trace - explained[1]) < 1e-3
+    # determinism: rerun yields identical projections (sign fixed)
+    proj2, _ = pca_project(emb, k=2)
+    a = {r["vec_id"]: (r["pc1"], r["pc2"]) for r in proj.collect()}
+    b = {r["vec_id"]: (r["pc1"], r["pc2"]) for r in proj2.collect()}
+    assert a == b
