@@ -939,6 +939,55 @@ def _streaming_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-VISIBLE STREAM-STREAM JOIN: views and clicks replayed as
+    two streams, inner-joined per user within a 1-hour horizon (both
+    sides watermarked, event time bounded on both ends so state is
+    evicted). Summarized to bounded counts; oracle = the identical batch
+    range join."""
+    import uuid
+
+    from avro_sql_spark.streaming.pipeline import (
+        replay_to_memory,
+        stream_events,
+        stream_stream_click_attribution,
+    )
+
+    views = stream_events(spark, sf_dir).filter(F.col("event_type") == "view")
+    clicks = stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
+    joined = stream_stream_click_attribution(views, clicks)
+    name = f"stream_attr_{uuid.uuid4().hex[:8]}"
+    pairs = replay_to_memory(joined, "append", name)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("view_id").alias("n_views_clicked"),
+        F.count_distinct("v_user").alias("n_users"),
+    )
+
+
+def _streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-VISIBLE STREAMING SESSION WINDOWS: native session_window
+    aggregation over the replayed stream (complete mode), summarized as
+    a session-size histogram. Oracle = the lag-based gaps-and-islands
+    SQL (break at gap >= 30 min, session_window's merge rule)."""
+    import uuid
+
+    from avro_sql_spark.streaming.pipeline import (
+        replay_to_memory,
+        sessionize,
+        stream_events,
+    )
+
+    src = stream_events(spark, sf_dir).withWatermark("ts", "2 hours")
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    sessions = replay_to_memory(sessionize(src), "complete", name)
+    return (
+        sessions.groupBy(F.col("n_events").cast("long").alias("n_events"))
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy("n_events")
+    )
+
+
 def _remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span removal transform (Lee et al. 2022 dedup), summarized
     per source: docs changed, token counts before/after, removed mass."""
@@ -1046,6 +1095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_counts": _streaming_hourly_counts,
         "streaming_dedup_users": _streaming_dedup_users,
         "streaming_funnel_stages": _streaming_funnel_stages,
+        "streaming_click_attribution": _streaming_click_attribution,
+        "streaming_sessions": _streaming_sessions,
         "remove_dup_spans": _remove_dup_spans,
         "jaccard_pairs_prefix": _jaccard_pairs_prefix,
         "hourly_anomalies": _hourly_anomalies,
@@ -2345,6 +2396,30 @@ stages AS (
   LEFT JOIN c ON a.user_id = c.user_id
   LEFT JOIN p ON a.user_id = p.user_id)
 SELECT stage, COUNT(*) AS n_users FROM stages GROUP BY stage ORDER BY stage
+""",
+        "streaming_click_attribution": """
+WITH v AS (SELECT user_id, ts AS v_ts, event_id AS view_id FROM events
+           WHERE event_type = 'view'),
+c AS (SELECT user_id, ts AS c_ts, event_id AS click_id FROM events
+      WHERE event_type = 'click')
+SELECT COUNT(*) AS n_pairs,
+       COUNT(DISTINCT view_id) AS n_views_clicked,
+       COUNT(DISTINCT user_id) AS n_users
+FROM v JOIN c USING (user_id)
+WHERE c_ts > v_ts AND c_ts <= v_ts + INTERVAL 1 HOUR
+""",
+        "streaming_sessions": """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (SELECT user_id, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM d),
+sess AS (SELECT user_id, sid, COUNT(*) AS n_events FROM s GROUP BY 1, 2)
+SELECT n_events, COUNT(*) AS n_sessions FROM sess GROUP BY n_events ORDER BY n_events
 """,
         "remove_dup_spans": r"""
 WITH toks AS (

@@ -225,3 +225,34 @@ def stream_events(spark, sf_dir: str) -> DataFrame:
         if isinstance(field.dataType, TimestampNTZType):
             stream = stream.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return stream
+
+
+def stream_stream_click_attribution(
+    views: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: every (view, click) pair for the same
+    user where the click lands within ``horizon`` AFTER the view — the
+    streaming form of the batch range-join attribution query. Both
+    sides carry watermarks and the join condition bounds event time on
+    BOTH ends, so each side's state is evicted once the other side's
+    watermark passes the bound — the state-boundedness contract of
+    stream-stream joins."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    ).withWatermark("v_ts", watermark)
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("c_ts", watermark)
+    return v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select("v_user", "view_id", "click_id", "v_ts", "c_ts")

@@ -319,3 +319,40 @@ def test_stream_events_timestamps_value_stable(spark):
     ev = load_tables(spark, sf, register=False)["events"]
     for r in ev.select("event_id", "ts").limit(100).collect():
         assert got[r["event_id"]] == r["ts"]
+
+
+def test_stream_stream_join_horizon(spark, tmp_path):
+    """Clicks pair with a prior view of the same user only within the
+    horizon; clicks before the view or past the horizon never emit."""
+    from datetime import datetime
+
+    from avro_sql_spark.streaming.pipeline import (
+        stream_stream_click_attribution,
+    )
+
+    rows = [
+        (1, datetime(2024, 1, 1, 9, 0), 100, "view", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 9, 30), 100, "click", 1.0, "{}"),   # in horizon
+        (3, datetime(2024, 1, 1, 11, 0), 100, "click", 1.0, "{}"),   # past horizon
+        (4, datetime(2024, 1, 1, 8, 0), 200, "click", 1.0, "{}"),    # click before view
+        (5, datetime(2024, 1, 1, 9, 0), 200, "view", 1.0, "{}"),
+    ]
+    src = str(tmp_path / "ss_in")
+    schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    joined = stream_stream_click_attribution(
+        stream.filter("event_type = 'view'"),
+        stream.filter("event_type = 'click'"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    pairs = [(r["view_id"], r["click_id"]) for r in spark.sql(
+        "SELECT * FROM ss_pairs").collect()]
+    assert pairs == [(1, 2)]
