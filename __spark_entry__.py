@@ -881,6 +881,42 @@ def _char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy_stats(t["documents"])
 
 
+def _kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile-sketch percentiles per event type — rows-only
+    (rank-error-bounded approximation; pytest asserts the bound)."""
+    from avro_sql_spark.operators import sketches
+
+    t = load_tables(spark, sf_dir, register=False)
+    return sketches.kll_value_quantiles(t["events"])
+
+
+def _theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap via theta-sketch set intersection.
+    Below ~4k distinct users the sketch is in exact mode, so the DuckDB
+    exact-intersection oracle must match cell-for-cell at gate SFs."""
+    from avro_sql_spark.operators import sketches
+
+    t = load_tables(spark, sf_dir, register=False)
+    return sketches.theta_user_overlap(t["events"])
+
+
+def _sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-union mergeability proof: per-type sketches unioned ==
+    direct whole-table sketch (== exact distinct at gate SFs)."""
+    from avro_sql_spark.operators import sketches
+
+    return sketches.sketch_rollup_report(spark, sf_dir)
+
+
+def _heavy_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k heavy hitters — rows-only (tie order among equal
+    counts is sketch-internal; pytest checks counts vs exact)."""
+    from avro_sql_spark.operators import sketches
+
+    t = load_tables(spark, sf_dir, register=False)
+    return sketches.heavy_users_topk(t["events"], k=10)
+
+
 def _embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed d x d covariance matrix via per-partition BLAS gram
     partials (mapInPandas) — shuffled volume is partitions x d^2, never
@@ -1090,6 +1126,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _retention_cohorts,
         "fuzzy_part_pairs": _fuzzy_part_pairs,
         "balance_ranks": _balance_ranks,
+        "kll_quantiles": _kll_quantiles,
+        "theta_user_overlap": _theta_user_overlap,
+        "sketch_rollup": _sketch_rollup,
+        "heavy_users_sketch": _heavy_users_sketch,
         "embedding_covariance": _embedding_covariance,
         "embedding_pca": _embedding_pca,
         "streaming_hourly_counts": _streaming_hourly_counts,
@@ -2353,6 +2393,25 @@ FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 """,
         "streaming_dedup_users": """
 SELECT DISTINCT user_id FROM events ORDER BY user_id
+""",
+        "theta_user_overlap": """
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       ca.n AS est_a, cb.n AS est_b,
+       CAST(COUNT(*) AS BIGINT) AS est_overlap
+FROM d a
+JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+JOIN c ca ON ca.event_type = a.event_type
+JOIN c cb ON cb.event_type = b.event_type
+GROUP BY a.event_type, b.event_type, ca.n, cb.n
+ORDER BY type_a, type_b
+""",
+        "sketch_rollup": """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users_merged,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users_direct,
+       TRUE AS merge_consistent
+FROM events
 """,
         "embedding_covariance": """
 WITH dims AS (SELECT unnest(range(0, 64)) AS k),

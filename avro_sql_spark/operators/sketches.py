@@ -1,0 +1,132 @@
+"""Mergeable-sketch analytics (SURVEY.md §2.2 'Aggregations' — the
+fixed-state replacements for unbounded exact operators at 100 TB).
+
+Everything here is a built-in JVM aggregate over Apache DataSketches
+states (Spark 4.1): the sketch is a bounded buffer that partial-
+aggregates map-side and merges associatively, so the shuffle carries
+kilobytes per group regardless of row count — and sketches persist,
+so incremental pipelines union yesterday's sketch with today's instead
+of rescanning history:
+
+- KLL quantile sketches: rank-error-bounded percentiles, mergeable
+  (exact ``percentile`` needs the full value multiset per group).
+- Theta sketches: distinct counts that support set ALGEBRA — the
+  intersection/difference estimates exact COUNT(DISTINCT) cannot
+  provide without a quadratic self-join.
+- approx_top_k: heavy hitters with bounded state (exact top-k frequent
+  needs a full groupBy over the key universe).
+
+Approximate by construction → driver entries are rows-only; the pytest
+suite asserts the published error bounds against exact answers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+
+
+def kll_value_quantiles(
+    events: DataFrame,
+    key_col: str = "event_type",
+    val_col: str = "value",
+    k: int = 200,
+) -> DataFrame:
+    """Per-key KLL(k) quantile estimates (p25/p50/p90/p99) of a double
+    column. State is O(k log n) per group vs the full multiset an exact
+    percentile needs — and two KLL states merge, so per-day sketches
+    roll up to per-month without rescanning."""
+    sk = F.expr(f"kll_sketch_agg_double({val_col}, {k})").alias("sk")
+    agg = events.groupBy(key_col).agg(sk, F.count(F.lit(1)).alias("n_rows"))
+    q = "kll_sketch_get_quantile_double(sk, array(0.25D, 0.5D, 0.9D, 0.99D))"
+    return (
+        agg.select(
+            key_col,
+            "n_rows",
+            F.expr(q).alias("qs"),
+        )
+        .select(
+            key_col,
+            "n_rows",
+            F.round(F.col("qs")[0], 4).alias("p25"),
+            F.round(F.col("qs")[1], 4).alias("p50"),
+            F.round(F.col("qs")[2], 4).alias("p90"),
+            F.round(F.col("qs")[3], 4).alias("p99"),
+        )
+        .orderBy(key_col)
+    )
+
+
+def theta_user_overlap(
+    events: DataFrame, key_col: str = "event_type", id_col: str = "user_id"
+) -> DataFrame:
+    """Pairwise audience-overlap estimates via theta sketches: one
+    sketch per key (single scan), then intersection cardinality for
+    every key pair — the set-algebra question exact COUNT(DISTINCT)
+    can only answer with a self-join per pair. The pair join here is
+    sketch x sketch (bytes), not data x data."""
+    sks = events.groupBy(key_col).agg(
+        F.expr(f"theta_sketch_agg({id_col})").alias("sk")
+    )
+    a = sks.select(F.col(key_col).alias("type_a"), F.col("sk").alias("sk_a"))
+    b = sks.select(F.col(key_col).alias("type_b"), F.col("sk").alias("sk_b"))
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.expr("theta_sketch_estimate(sk_a)").cast("long").alias("est_a"),
+            F.expr("theta_sketch_estimate(sk_b)").cast("long").alias("est_b"),
+            F.expr(
+                "theta_sketch_estimate(theta_intersection(sk_a, sk_b))"
+            ).cast("long").alias("est_overlap"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def heavy_users_topk(
+    events: DataFrame, id_col: str = "user_id", k: int = 10
+) -> DataFrame:
+    """approx_top_k heavy hitters: bounded sketch state instead of a
+    full groupBy over the key universe. Returns (item, estimated
+    count) rows."""
+    top = events.agg(F.expr(f"approx_top_k({id_col}, {k})").alias("t"))
+    return (
+        top.select(F.explode("t").alias("e"))
+        .select(
+            F.col("e.item").alias(id_col),
+            F.col("e.count").cast("long").alias("est_count"),
+        )
+        .orderBy(F.desc("est_count"), id_col)
+    )
+
+
+def sketch_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability proof as a query: per-type theta sketches unioned
+    via theta_union_agg must estimate the same global distinct-user
+    count as sketching the whole table directly — the property that
+    makes sketch tables incrementally maintainable."""
+    ev = load_tables(spark, sf_dir, register=False)["events"]
+    per_type = ev.groupBy("event_type").agg(
+        F.expr("theta_sketch_agg(user_id)").alias("sk")
+    )
+    merged = per_type.agg(
+        F.expr("theta_sketch_estimate(theta_union_agg(sk))")
+        .cast("long")
+        .alias("distinct_users_merged")
+    )
+    direct = ev.agg(
+        F.expr("theta_sketch_estimate(theta_sketch_agg(user_id))")
+        .cast("long")
+        .alias("distinct_users_direct")
+    )
+    return merged.crossJoin(F.broadcast(direct)).select(
+        "distinct_users_merged",
+        "distinct_users_direct",
+        (F.col("distinct_users_merged") == F.col("distinct_users_direct")).alias(
+            "merge_consistent"
+        ),
+    )
