@@ -109,6 +109,10 @@ HEADLINE = [
     "remove_dup_spans",
     "embedding_covariance",
     "embedding_pca",
+    "kll_quantiles",
+    "theta_user_overlap",
+    "sketch_rollup",
+    "heavy_users_sketch",
 ]
 
 
