@@ -881,6 +881,33 @@ def _char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy_stats(t["documents"])
 
 
+def _avro_roundtrip_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's NATIVE format in the driver gate: documents
+    written to an Avro object-container file with the pure-Python codec
+    (sources/avro_io.py, no spark-avro jar), read back through the
+    fallback reader + schema sidecar, then reshaped with the avro-sql
+    dialect. Oracle = the same projection over the parquet source, so a
+    codec round-trip bug (zigzag, blocks, sync markers, null-union
+    values) surfaces as a value mismatch."""
+    import os
+    import tempfile
+
+    from avro_sql_spark.sources.avro_io import (
+        read_avro_fallback,
+        write_avro_fallback,
+    )
+
+    t = load_tables(spark, sf_dir, register=False)
+    docs = t["documents"].select("doc_id", "lang", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="avro_rt_")
+    path = os.path.join(tmp, "docs.avro")
+    write_avro_fallback(docs, path, name="document", codec="deflate")
+    back = read_avro_fallback(spark, path)
+    return reshape(
+        back, "SELECT doc_id as id, lang as language, n_chars"
+    ).orderBy("id")
+
+
 def _kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL quantile-sketch percentiles per event type — rows-only
     (rank-error-bounded approximation; pytest asserts the bound)."""
@@ -1126,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _retention_cohorts,
         "fuzzy_part_pairs": _fuzzy_part_pairs,
         "balance_ranks": _balance_ranks,
+        "avro_roundtrip_reshape": _avro_roundtrip_reshape,
         "kll_quantiles": _kll_quantiles,
         "theta_user_overlap": _theta_user_overlap,
         "sketch_rollup": _sketch_rollup,
@@ -2394,6 +2422,9 @@ FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
         "streaming_dedup_users": """
 SELECT DISTINCT user_id FROM events ORDER BY user_id
 """,
+        "avro_roundtrip_reshape": (
+            "SELECT doc_id AS id, lang AS language, n_chars FROM documents ORDER BY id"
+        ),
         "theta_user_overlap": """
 WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
 c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1)
