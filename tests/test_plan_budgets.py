@@ -1,0 +1,37 @@
+"""Plan-shape regression guard: every bench headline query's physical
+plan is budgeted (shuffle exchanges, sort-merge joins, cartesian
+products) from a reviewed snapshot — an edit that silently adds a
+shuffle or degrades a broadcast join to SMJ fails here before it costs
+anything at scale. Regenerate tests/plan_budgets.json deliberately when
+a plan change is intentional (see the generator in the file's git log).
+"""
+
+import json
+import os
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from bench import HEADLINE
+
+SF = "/root/testdata/sf0.001"
+BUDGETS = json.load(
+    open(os.path.join(os.path.dirname(__file__), "plan_budgets.json"))
+)
+
+
+@pytest.mark.parametrize("name", HEADLINE)
+def test_headline_plan_within_budget(spark, name):
+    df = entry_mod.queries()[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    got = {
+        "exchanges": plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "cartesian": plan.count("CartesianProduct"),
+    }
+    budget = BUDGETS[name]
+    for metric, cap in budget.items():
+        assert got[metric] <= cap, (
+            f"{name}: {metric} regressed {cap} -> {got[metric]}"
+        )
