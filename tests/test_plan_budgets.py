@@ -22,6 +22,10 @@ BUDGETS = json.load(
 
 @pytest.mark.parametrize("name", HEADLINE)
 def test_headline_plan_within_budget(spark, name):
+    # a materialized .cache() from an earlier query collapses the plan
+    # below it into InMemoryTableScan, hiding exchanges — clear so the
+    # budget is measured against the cold plan, same as the generator
+    spark.catalog.clearCache()
     df = entry_mod.queries()[name](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     got = {

@@ -41,7 +41,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def value_hash(df: pd.DataFrame) -> int:
-    return hash(tuple(sorted(map(tuple, df.itertuples(index=False, name=None)))))
+    # None sorts before any value (cube/rollup rows carry NULL keys;
+    # a plain tuple sort raises on None < str)
+    def key(t):
+        return tuple((v is None, "" if v is None else v) for v in t)
+
+    return hash(tuple(sorted(map(tuple, df.itertuples(index=False, name=None)), key=key)))
 
 
 def main() -> int:
