@@ -897,12 +897,19 @@ def _avro_roundtrip_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_avro_fallback,
     )
 
+    import shutil
+
     t = load_tables(spark, sf_dir, register=False)
     docs = t["documents"].select("doc_id", "lang", "n_chars")
     tmp = tempfile.mkdtemp(prefix="avro_rt_")
-    path = os.path.join(tmp, "docs.avro")
-    write_avro_fallback(docs, path, name="document", codec="deflate")
-    back = read_avro_fallback(spark, path)
+    try:
+        path = os.path.join(tmp, "docs.avro")
+        write_avro_fallback(docs, path, name="document", codec="deflate")
+        # the fallback reader decodes on the driver and materializes the
+        # rows in createDataFrame, so the file is not needed afterwards
+        back = read_avro_fallback(spark, path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return reshape(
         back, "SELECT doc_id as id, lang as language, n_chars"
     ).orderBy("id")
@@ -1117,7 +1124,13 @@ def _streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_dedup,
     )
 
-    deduped = streaming_dedup(stream_events(spark, sf_dir), ["user_id"])
+    # watermark must span the full replayed history: if the replay ever
+    # splits into multiple micro-batches, a shorter horizon would evict
+    # state and re-emit users whose events are further apart than the
+    # watermark, breaking the global-DISTINCT oracle
+    deduped = streaming_dedup(
+        stream_events(spark, sf_dir), ["user_id"], watermark="365 days"
+    )
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     result = replay_to_memory(deduped.select("user_id"), "append", name)
     return result.select("user_id").orderBy("user_id")

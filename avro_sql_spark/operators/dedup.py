@@ -828,7 +828,10 @@ def remove_duplicated_spans(
     the span-frequency aggregate); in all other documents the tokens
     covered by that span are dropped and the text is rebuilt. Returns
     the input rows plus ``n_tokens_before`` / ``n_tokens_after`` and the
-    rebuilt ``text_col``.
+    rebuilt ``text_col``. Span MATCHING is case-insensitive (tokens are
+    lowercased before hashing) but the rebuilt text keeps each surviving
+    token's ORIGINAL case; inter-token whitespace is normalized to
+    single spaces (the rebuild is token-level by construction).
 
     Scale shape: span instances are (doc, pos, xxhash64) rows — skinny
     before any shuffle; ownership is a countDistinct+min aggregate on
@@ -841,8 +844,14 @@ def remove_duplicated_spans(
     docs, merge the start list into intervals in a pandas UDF first.
     The instance frame feeds two consumers (ownership + removal join)
     so it is cached per the module cache contract."""
-    words = F.split(F.lower(F.col(text_col)), r"\s+")
-    toks = docs.withColumn("_ws", words).withColumn("_nw", F.size("_ws"))
+    # _wo: original-case tokens for the rebuild; _ws: lowercased twins
+    # for span hashing. Both come from the same \s+ split, so positions
+    # align one-to-one.
+    toks = (
+        docs.withColumn("_wo", F.split(F.col(text_col), r"\s+"))
+        .withColumn("_ws", F.transform(F.col("_wo"), F.lower))
+        .withColumn("_nw", F.size("_ws"))
+    )
     starts = F.when(
         F.col("_nw") >= n, F.sequence(F.lit(1), F.col("_nw") - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
@@ -885,8 +894,8 @@ def remove_duplicated_spans(
         .withColumn(
             text_col,
             F.concat_ws(
-                " ", F.transform(F.col("_keep"), lambda i: F.element_at("_ws", i))
+                " ", F.transform(F.col("_keep"), lambda i: F.element_at("_wo", i))
             ),
         )
-        .drop("_ws", "_nw", "rm", "_keep")
+        .drop("_wo", "_ws", "_nw", "rm", "_keep")
     )

@@ -488,7 +488,12 @@ def gram_covariance(
                 {"n": [n], "s": [s.tolist()], "g": [g.flatten().tolist()]}
             )
 
-    parts = src.mapInPandas(_partials, "n long, s array<double>, g array<double>")
+    # four consumers (totals, gram cells, both mean sides) — cache the
+    # tiny partials frame (#partitions rows) so the numpy gram pass over
+    # the data runs once, per the module cache contract (caller cleanup)
+    parts = src.mapInPandas(
+        _partials, "n long, s array<double>, g array<double>"
+    ).cache()
     totals = parts.agg(F.sum("n").alias("nn"))
     gsum = (
         parts.select(F.posexplode("g").alias("idx", "val"))
@@ -527,7 +532,7 @@ def pca_project(
     k: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+) -> "tuple[DataFrame, list[float]]":
     """Project embeddings onto their top-k principal components.
 
     The covariance matrix is computed distributed

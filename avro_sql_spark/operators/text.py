@@ -508,9 +508,14 @@ def char_entropy_stats(
         lambda acc, k: acc + (k.cast("double") / n) * F.log2(k.cast("double") / n),
     ) + F.lit(0.0)
     sess = docs.sparkSession
-    per_doc = docs.repartition(
-        sess.sparkContext.defaultParallelism, F.col(id_col)
-    ).select(F.col(group_col).alias("grp"), entropy.alias("h"))
+    per_doc = (
+        docs.repartition(sess.sparkContext.defaultParallelism, F.col(id_col))
+        # empty/NULL texts have no character distribution: exclude them,
+        # matching the oracle's unnest (which emits no rows for them) —
+        # n_docs therefore counts docs WITH text
+        .filter(F.size(chars) > 0)
+        .select(F.col(group_col).alias("grp"), entropy.alias("h"))
+    )
     return (
         per_doc.groupBy("grp")
         .agg(

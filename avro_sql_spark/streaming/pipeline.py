@@ -191,10 +191,16 @@ def replay_to_memory(
     # bounded wait + explicit stop: a stateful transform with a
     # processing-time timeout keeps the query alive after data is
     # exhausted (it schedules batches to fire timeouts) — never hang the
-    # caller on it. Prefer NoTimeout transforms for replays.
+    # caller. Raising (not returning a truncated table) keeps the
+    # failure mode explicit; use NoTimeout transforms for replays.
     if not q.awaitTermination(max_wait_sec):
         q.stop()
         q.awaitTermination(30)
+        raise TimeoutError(
+            f"streaming replay '{name}' did not terminate within "
+            f"{max_wait_sec}s (processing-time state timeout on an "
+            "availableNow replay? use the NoTimeout variant)"
+        )
     return stream_out.sparkSession.table(name)
 
 

@@ -300,3 +300,25 @@ def test_remove_dup_spans_overlapping_spans_union_coverage(spark):
     # victim loses the 9 shared tokens exactly once
     assert out[2]["n_tokens_before"] - out[2]["n_tokens_after"] == 9
     assert out[2]["text"] == "p q r"
+
+
+def test_remove_dup_spans_preserves_case(spark):
+    """Matching is case-insensitive but surviving tokens keep their
+    original case — the transform must never lowercase a document it
+    leaves alone (or the kept parts of one it edits)."""
+    from avro_sql_spark.operators.dedup import remove_duplicated_spans
+
+    span_lower = "one two three four five six seven eight"
+    span_upper = "One Two Three Four Five Six Seven Eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"Intro {span_lower} Outro"),
+            (2, f"Pre {span_upper} POST"),          # same span, different case
+            (3, "Totally Unrelated MIXED case Text"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(docs, n=8).collect()}
+    assert out[1]["text"] == f"Intro {span_lower} Outro"     # owner keeps case
+    assert out[2]["text"] == "Pre POST"                      # victim: case-insensitive match
+    assert out[3]["text"] == "Totally Unrelated MIXED case Text"

@@ -344,7 +344,7 @@ def test_balance_ranks_single_window_exchange(spark):
     the plan must contain exactly ONE Window operator; decile counts per
     segment sum to the segment's customer count."""
     plan = _plan(relational.customer_balance_ranks(spark, SF))
-    assert plan.count("Window ") == 1 or plan.count("Window\n") <= 1
+    assert plan.count("Window [") == 1
     rows = relational.customer_balance_ranks(spark, SF).collect()
     t = load_tables(spark, SF, register=False)
     seg_counts = {r["c_mktsegment"]: r["count"] for r in
