@@ -108,30 +108,22 @@ def minhash_signatures(
     )
 
 
-def minhash_candidate_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_hashes: int = 64,
-    bands: int = 16,
-    shingle: int = 3,
+def _band_rows(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
-    """LSH banding: split the signature into ``bands`` rows, hash each
-    band, self-join on (band_idx, band_hash). Only same-bucket docs meet
-    in the shuffle; estimated Jaccard = matching minhash fraction."""
+    """Skinny (id, band_idx, band_hash) rows from a minhash signature
+    table — the single definition of the banding key used by every LSH
+    consumer (batch pairs + incremental gate), so a banding change can
+    never diverge between them. Validates that ``bands`` divides
+    ``num_hashes``: a silent remainder would drop hashes from every band
+    key and lower recall below what the caller asked for."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} "
+            f"(remainder {num_hashes % bands} hashes would be dropped)"
+        )
     rows_per_band = num_hashes // bands
-    # cache the per-doc signature table: it has THREE consumers (band
-    # explode + both re-attach joins) and Catalyst does not reuse the
-    # aggregation exchange across them — uncached, the whole
-    # shingle-explode + k-hash + k-min pipeline would run three times.
-    # One 8k-byte row per doc, far smaller than the corpus; the
-    # CacheManager dedupes repeated calls by logical plan.
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle).cache()
-    # the band self-join shuffles SKINNY rows (id, band_idx, band_hash =
-    # 24 bytes) — not the 64-long signature, which would ride the shuffle
-    # `bands` times per doc. Signatures re-attach once per side AFTER
-    # candidate pairs are deduped, via two per-doc joins.
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -148,6 +140,31 @@ def minhash_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` rows, hash each
+    band, self-join on (band_idx, band_hash). Only same-bucket docs meet
+    in the shuffle; estimated Jaccard = matching minhash fraction."""
+    # cache the per-doc signature table: it has THREE consumers (band
+    # explode + both re-attach joins) and Catalyst does not reuse the
+    # aggregation exchange across them — uncached, the whole
+    # shingle-explode + k-hash + k-min pipeline would run three times.
+    # One 8k-byte row per doc, far smaller than the corpus; the
+    # CacheManager dedupes repeated calls by logical plan.
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle).cache()
+    # the band self-join shuffles SKINNY rows (id, band_idx, band_hash =
+    # 24 bytes) — not the 64-long signature, which would ride the shuffle
+    # `bands` times per doc. Signatures re-attach once per side AFTER
+    # candidate pairs are deduped, via two per-doc joins.
+    banded = _band_rows(sigs, id_col, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -268,7 +285,8 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     (bits 3j, 3j+1, 3j+2 of the hash count in lanes 0/20/40 of sum j),
     cutting 64 SUM aggregate buffers to 22. Lane capacity bounds docs at
     2^20 shingles (~5 MB of text) before a counter could carry into the
-    next lane — far above real documents; pre-chunk pathological inputs."""
+    next lane — far above real documents; a runtime assert fails loudly
+    on such inputs instead of corrupting (pre-chunk them upstream)."""
     ex = _spread(docs, id_col).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col))).alias("s")
     ).select(F.col(id_col), F.xxhash64("s").alias("h"))
@@ -298,7 +316,18 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
             ones = F.shiftright(F.col(f"p{j}"), 20 * lane).bitwiseAND(F.lit((1 << 20) - 1))
             bit = F.when(ones * 2 > F.col("n"), _mask(b)).otherwise(F.lit(0)).cast("long")
             sim = bit if sim is None else sim.bitwiseOR(bit)
-    return votes.select(F.col(id_col), sim.alias("simhash"))
+    # enforce the lane-capacity bound instead of silently corrupting: a
+    # doc with >= 2^20 shingles would carry into the neighboring lane.
+    # assert_true returns NULL on pass, so the guard wraps the output
+    # expression (an unused guard column would be pruned by Catalyst).
+    guard = F.assert_true(
+        F.col("n") < F.lit(1 << 20),
+        F.lit(
+            "simhash: document has >= 2^20 shingles — packed bit lanes "
+            "would overflow; pre-chunk pathological documents"
+        ),
+    )
+    return votes.select(F.col(id_col), F.when(guard.isNull(), sim).alias("simhash"))
 
 
 def simhash_candidate_pairs(
@@ -753,28 +782,8 @@ def incremental_near_dup(
     post-dedup), and survivors come back via a broadcast-friendly
     left_anti on ids. No new-vs-new comparison — within-batch dedup is
     :func:`minhash_candidate_pairs`'s job if wanted."""
-    rows_per_band = num_hashes // bands
-
     def _banded(sigs: DataFrame):
-        return sigs.select(
-            F.col(id_col),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.slice(
-                                    F.col("signature"), b * rows_per_band + 1, rows_per_band
-                                )[i].cast("string")
-                                for i in range(rows_per_band)
-                            ],
-                        )
-                    ),
-                )
-            ).alias("band_idx", "band_hash"),
-        )
+        return _band_rows(sigs, id_col, num_hashes, bands)
 
     new_sigs = minhash_signatures(new_docs, id_col, text_col, num_hashes).cache()
     seen_sigs = minhash_signatures(seen_docs, id_col, text_col, num_hashes).cache()

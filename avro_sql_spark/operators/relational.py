@@ -1282,7 +1282,12 @@ def key_skew_report(spark: SparkSession, sf_dir: str, top: int = 10) -> DataFram
             "o_custkey",
             "cnt",
             F.round(F.col("cnt") / F.col("total"), 9).alias("share"),
-            F.round(F.col("cnt") * F.col("n_keys") / F.col("total"), 9).alias("skew_x"),
+            # cast before multiplying: long*long overflows at ~1e9 rows
+            # on a hot key x ~1e10 distinct keys — exactly the rows this
+            # report exists to surface
+            F.round(
+                F.col("cnt").cast("double") * F.col("n_keys") / F.col("total"), 9
+            ).alias("skew_x"),
         )
         .orderBy(F.desc("cnt"), F.col("o_custkey"))
     )

@@ -220,15 +220,17 @@ def ivf_topk(
     # frame never leaves the executors, so a large query set is fine;
     # broadcast below is the only size assumption, same as brute force
     def probe_cells(vec):
+        # arrays_zip evaluates the distance array ONCE; putting
+        # element_at(dists, ...) inside a transform lambda would
+        # re-evaluate the whole O(n_cells * dim) array per element
+        # (higher-order functions re-run non-lambda-variable subtrees),
+        # an O(n_cells^2 * dim) blowup per query row
         dists = centroid_dists(vec)
-        ranked = F.array_sort(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-                lambda c: F.struct(
-                    F.element_at(dists, c + 1).alias("d"), c.cast("int").alias("c")
-                ),
-            )
+        cells = F.transform(
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda c: c.cast("int"),
         )
+        ranked = F.array_sort(F.arrays_zip(dists.alias("d"), cells.alias("c")))
         return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["c"])
 
     probes = queries.select(

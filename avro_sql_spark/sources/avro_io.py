@@ -112,11 +112,18 @@ def _write_long(buf: io.BytesIO, n: int) -> None:
             return
 
 
+def _read_byte(buf) -> int:
+    b = buf.read(1)
+    if not b:
+        raise AvroSqlError("Truncated Avro container: EOF inside a varint")
+    return b[0]
+
+
 def _read_long(buf) -> int:
     shift = 0
     acc = 0
     while True:
-        (b,) = buf.read(1)
+        b = _read_byte(buf)
         acc |= (b & 0x7F) << shift
         if not b & 0x80:
             break
@@ -130,7 +137,7 @@ def _read_long_first(buf, first_byte: int) -> int:
     shift = 7
     b = first_byte
     while b & 0x80:
-        (b,) = buf.read(1)
+        b = _read_byte(buf)
         acc |= (b & 0x7F) << shift
         shift += 7
     return (acc >> 1) ^ -(acc & 1)
@@ -142,21 +149,17 @@ def _write_bytes(buf: io.BytesIO, b: bytes) -> None:
 
 
 def _read_n(buf, n: int) -> bytes:
-    return buf.read(n)
+    b = buf.read(n)
+    if len(b) < n:
+        raise AvroSqlError(
+            f"Truncated Avro container: wanted {n} bytes, got {len(b)}"
+        )
+    return b
 
 
 # --------------------------------------------------------------------------
 # schema-driven encode / decode (resolved schema dicts)
 # --------------------------------------------------------------------------
-
-def _type_of(schema: Any) -> str:
-    if isinstance(schema, str):
-        return schema
-    if isinstance(schema, list):
-        return "union"
-    t = schema["type"]
-    return t if isinstance(t, str) and t not in ("union",) else _type_of(t)
-
 
 def _encode(buf: io.BytesIO, schema: Any, v: Any) -> None:
     if isinstance(schema, list):  # union: [null, T] policy
@@ -217,6 +220,11 @@ def _encode(buf: io.BytesIO, schema: Any, v: Any) -> None:
 def _decode(buf, schema: Any) -> Any:
     if isinstance(schema, list):
         idx = _read_long(buf)
+        if not 0 <= idx < len(schema):
+            raise AvroSqlError(
+                f"Corrupt Avro container: union index {idx} out of range "
+                f"for {len(schema)}-branch union"
+            )
         return _decode(buf, schema[idx])
     t = schema if isinstance(schema, str) else schema["type"]
     if isinstance(t, (list, dict)):
@@ -224,7 +232,7 @@ def _decode(buf, schema: Any) -> Any:
     if t == "null":
         return None
     if t == "boolean":
-        return buf.read(1) == b"\x01"
+        return _read_n(buf, 1) == b"\x01"
     if t in ("int", "long"):
         return _read_long(buf)
     if t == "float":

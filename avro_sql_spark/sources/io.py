@@ -50,7 +50,22 @@ def read_table(
         # (avro_io.py) — development/small-data path, same sidecar schema
         from .avro_io import read_avro_fallback
 
-        return read_avro_fallback(spark, path)
+        if options:
+            raise AvroSqlError(
+                "avro reader options require the spark-avro jar "
+                f"(jar-less fallback got: {sorted(options)})"
+            )
+        df = read_avro_fallback(spark, path)
+        if schema is not None:
+            # honor the caller's schema contract like every other path:
+            # project + cast to the requested columns/types (missing
+            # columns or impossible casts fail loudly, not silently)
+            from pyspark.sql import functions as F
+
+            df = df.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+            )
+        return df
     if fmt not in _BUILTIN and fmt != "avro":
         raise AvroSqlError(f"Unsupported source format: {fmt}")
     reader = spark.read.format(fmt).options(**options)
@@ -80,6 +95,27 @@ def write_table(
             raise AvroSqlError(
                 "partition_by with avro needs the spark-avro jar "
                 "(the jar-less fallback writes one container file)"
+            )
+        # honor mode semantics instead of silently truncating: the
+        # fallback writes one fresh container, so only overwrite (and
+        # the existence-gated modes) are expressible without the jar
+        import os
+
+        exists = os.path.exists(path)
+        if mode == "error" and exists:
+            raise AvroSqlError(f"path exists and mode='error': {path}")
+        if mode == "ignore" and exists:
+            return
+        if mode == "append" and exists:
+            raise AvroSqlError(
+                "mode='append' on an existing avro file requires the "
+                "spark-avro jar (the jar-less fallback rewrites the "
+                "whole container)"
+            )
+        if options:
+            raise AvroSqlError(
+                "avro writer options require the spark-avro jar "
+                f"(jar-less fallback got: {sorted(options)})"
             )
         from .avro_io import write_avro_fallback
 
@@ -125,5 +161,10 @@ def compact_table(
     total_bytes = fs.getContentSummary(p).getLength()
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
     df = read_table(spark, src_path, fmt)
-    df.coalesce(n_files).write.format(fmt).mode("overwrite").save(dst_path)
-    return n_files
+    # coalesce can only DECREASE partition count: a non-splittable
+    # source (one gzipped json, say) may read as fewer partitions than
+    # n_files — report what will actually be written, don't shuffle
+    # just to hit the byte target
+    n_out = min(n_files, df.rdd.getNumPartitions())
+    df.coalesce(n_out).write.format(fmt).mode("overwrite").save(dst_path)
+    return n_out

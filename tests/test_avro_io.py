@@ -144,3 +144,25 @@ def test_io_fallback_read_write(spark, tmp_path):
     assert back.collect() == df.collect()
     with pytest.raises(AvroSqlError):
         write_table(df, p, fmt="avro", partition_by=["state"])
+
+
+def test_truncated_container_raises_typed_error(spark, tmp_path):
+    """A container cut off mid-block must surface AvroSqlError, not a
+    raw ValueError/IndexError from the varint internals."""
+    import pytest as _pytest
+
+    from avro_sql_spark.errors import AvroSqlError
+    from avro_sql_spark.sources.avro_io import (
+        read_avro_fallback,
+        write_avro_fallback,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(50)], "id long, name string"
+    )
+    path = str(tmp_path / "t.avro")
+    write_avro_fallback(df, path)
+    data = open(path, "rb").read()
+    open(path, "wb").write(data[: len(data) - 7])  # chop mid-block
+    with _pytest.raises(AvroSqlError):
+        read_avro_fallback(spark, path)
