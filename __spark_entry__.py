@@ -881,6 +881,26 @@ def _char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy_stats(t["documents"])
 
 
+_BM25_QUERIES = [
+    ("q_join", ["join", "hash", "table"]),
+    ("q_scan", ["scan", "filter", "row"]),
+    ("q_stream", ["window", "batch", "stream"]),
+]
+
+
+def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 retrieval for three fixed term queries over documents."""
+    from avro_sql_spark.operators.text import bm25_topk
+
+    t = load_tables(spark, sf_dir, register=False)
+    return bm25_topk(t["documents"], _BM25_QUERIES, k=5)
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 part pairs co-occurring in the most orders."""
+    return relational.copurchase_pairs(spark, sf_dir)
+
+
 def _avro_roundtrip_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's NATIVE format in the driver gate: documents
     written to an Avro object-container file with the pure-Python codec
@@ -1166,6 +1186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _retention_cohorts,
         "fuzzy_part_pairs": _fuzzy_part_pairs,
         "balance_ranks": _balance_ranks,
+        "bm25_search": _bm25_search,
+        "copurchase_pairs": _copurchase_pairs,
         "avro_roundtrip_reshape": _avro_roundtrip_reshape,
         "kll_quantiles": _kll_quantiles,
         "theta_user_overlap": _theta_user_overlap,
@@ -2434,6 +2456,49 @@ FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 """,
         "streaming_dedup_users": """
 SELECT DISTINCT user_id FROM events ORDER BY user_id
+""",
+        "bm25_search": r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(str_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+lens AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens),
+qt(query, term) AS (VALUES ('q_join', 'join'), ('q_join', 'hash'), ('q_join', 'table'), ('q_scan', 'scan'), ('q_scan', 'filter'), ('q_scan', 'row'), ('q_stream', 'window'), ('q_stream', 'batch'), ('q_stream', 'stream')),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+       WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT qt.query, tf.doc_id,
+         ROUND(SUM(
+           ln(1 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.dl / s.avgdl))
+         ), 6) AS score
+  FROM tf
+  JOIN qt USING (term) JOIN dfx USING (term) JOIN lens USING (doc_id), stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query ORDER BY score DESC, doc_id)
+              AS INT) AS rank
+  FROM scored)
+SELECT query, doc_id, score, rank FROM ranked WHERE rank <= 5 ORDER BY query, rank
+""",
+        "copurchase_pairs": """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_orders FROM pairs
+WHERE n_orders >= 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
 """,
         "avro_roundtrip_reshape": (
             "SELECT doc_id AS id, lang AS language, n_chars FROM documents ORDER BY id"

@@ -1500,3 +1500,35 @@ def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "decile")
     )
+
+
+def copurchase_pairs(
+    spark: SparkSession, sf_dir: str, min_count: int = 2, k: int = 20
+) -> DataFrame:
+    """Market-basket co-occurrence: the top-k pairs of parts that appear
+    together in the most orders (the input to item-item recommenders and
+    association-rule mining).
+
+    Scale shape: the self-join key is the ORDER, and basket size is
+    bounded by the schema (TPC-H orders hold <= 7 lineitems), so the
+    fan-out is at most C(7,2)=21 pairs per order — linear in the fact
+    table, never quadratic in the catalog. The pair count map-side
+    combines and the top-k is a TakeOrderedAndProject. For unbounded
+    baskets (a crawl session, a cart with thousands of items) cap the
+    basket first — an unbounded basket is the quadratic skew risk here."""
+    li = (
+        load_tables(spark, sf_dir, register=False)["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= min_count)
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(k)
+    )

@@ -535,3 +535,81 @@ def char_entropy_stats(
         )
         .orderBy(group_col)
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval scoring: rank documents for each named query (a
+    bag of terms) with the Robertson/Sparck-Jones formula —
+    idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * |d|/avgdl)), with
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)). Returns the top-k
+    (query, doc, score) rows per query.
+
+    Scale shape: ONE tokenize+explode pass builds (doc, term, tf) for
+    query terms ONLY (the term filter is a broadcast semi-join, so the
+    posting-list build prunes at the scan — no full inverted index is
+    materialized); document lengths ride the same pass via a size()
+    aggregate; df/N/avgdl are tiny broadcast aggregates; scoring is one
+    grouped sum per (query, doc), and the final top-k is a
+    WindowGroupLimit, never a global sort."""
+    sess = docs.sparkSession
+    qt = sess.createDataFrame(
+        [(qn, t) for qn, terms in queries for t in set(terms)], ["query", "term"]
+    )
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    toks = (
+        docs.repartition(sess.sparkContext.defaultParallelism, F.col(id_col))
+        .select(F.col(id_col), words.alias("ws"))
+        .cache()
+    )
+    lens = toks.select(F.col(id_col), F.size("ws").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.select(F.col(id_col), F.explode("ws").alias("term"))
+        .join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(df_), "term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query",
+            F.col(id_col),
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * (k1 + 1)
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+        .groupBy("query", id_col)
+        .agg(F.round(F.sum("s"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query").orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query", id_col, "score", "rank")
+        .orderBy("query", "rank")
+    )

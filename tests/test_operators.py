@@ -741,3 +741,49 @@ def test_pca_project_invariants(spark):
     a = {r["vec_id"]: (r["pc1"], r["pc2"]) for r in proj.collect()}
     b = {r["vec_id"]: (r["pc1"], r["pc2"]) for r in proj2.collect()}
     assert a == b
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    """A doc containing the query terms outranks docs without them, and
+    a rare matching term outscores a ubiquitous one (idf)."""
+    from avro_sql_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join hash join shuffle"),
+            (2, "spark scan filter pushdown"),
+            (3, "unrelated words entirely here"),
+            (4, "spark spark spark spark spark"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_topk(docs, [("q", ["join", "rareword"])], k=4).collect()
+    ranked = [r["doc_id"] for r in out]
+    assert ranked[0] == 1          # only doc with 'join'
+    assert 3 not in ranked         # no query terms -> no score row
+    # 'spark' is in 3 of 4 docs (low idf); 'join' in 1 (high idf):
+    out2 = {r["doc_id"]: r["score"] for r in
+            bm25_topk(docs, [("q", ["spark", "join"])], k=4).collect()}
+    assert out2[1] > out2[4]       # one rare term beats many common ones
+
+
+def test_copurchase_fanout_bounded_and_counts(spark):
+    """Pair counts equal the number of orders containing both parts;
+    duplicate lineitems of the same part in one order count once."""
+    from avro_sql_spark.operators import relational
+    import avro_sql_spark.session as sess_mod
+
+    ev = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 20), (2, 10), (2, 20), (2, 30), (3, 10)],
+        ["l_orderkey", "l_partkey"],
+    )
+    orig = relational.load_tables
+    try:
+        relational.load_tables = lambda *a, **k: {"lineitem": ev}
+        rows = {(r["part_a"], r["part_b"]): r["n_orders"]
+                for r in relational.copurchase_pairs(spark, "unused",
+                                                     min_count=1, k=10).collect()}
+    finally:
+        relational.load_tables = orig
+    assert rows[(10, 20)] == 2     # orders 1 and 2 (dup lineitem counted once)
+    assert rows[(10, 30)] == 1 and rows[(20, 30)] == 1
