@@ -2495,9 +2495,15 @@ pairs AS (
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
 )
-SELECT part_a, part_b, n_orders FROM pairs
-WHERE n_orders >= 2
-ORDER BY n_orders DESC, part_a, part_b
+SELECT p.part_a, p.part_b, p.n_orders,
+       ROUND(CAST(p.n_orders AS DOUBLE) / ca.pc, 6) AS confidence_ab,
+       ROUND(p.n_orders * t.n_baskets / (CAST(ca.pc AS DOUBLE) * cb.pc), 6) AS lift
+FROM pairs p
+JOIN (SELECT l_partkey, COUNT(*) AS pc FROM li GROUP BY 1) ca ON ca.l_partkey = p.part_a
+JOIN (SELECT l_partkey, COUNT(*) AS pc FROM li GROUP BY 1) cb ON cb.l_partkey = p.part_b,
+     (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM li) t
+WHERE p.n_orders >= 2
+ORDER BY p.n_orders DESC, p.part_a, p.part_b
 LIMIT 20
 """,
         "avro_roundtrip_reshape": (

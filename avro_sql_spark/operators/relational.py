@@ -1523,12 +1523,35 @@ def copurchase_pairs(
     )
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b"))
+    # association-rule denominators: per-part basket counts (broadcast —
+    # catalog-sized) and the total basket count (1-row broadcast)
+    part_counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("pc"))
+    totals = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    pa = part_counts.select(F.col("l_partkey").alias("part_a"), F.col("pc").alias("ca"))
+    pb = part_counts.select(F.col("l_partkey").alias("part_b"), F.col("pc").alias("cb"))
     return (
         a.join(b, "o")
         .filter(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= min_count)
+        .join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "part_a",
+            "part_b",
+            "n_orders",
+            # confidence(a->b) and lift: the association-rule metrics
+            F.round(F.col("n_orders") / F.col("ca"), 6).alias("confidence_ab"),
+            F.round(
+                F.col("n_orders") * F.col("n_baskets")
+                / (F.col("ca").cast("double") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(k)
     )

@@ -113,6 +113,8 @@ HEADLINE = [
     "theta_user_overlap",
     "sketch_rollup",
     "heavy_users_sketch",
+    "bm25_search",
+    "copurchase_pairs",
 ]
 
 
