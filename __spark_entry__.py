@@ -888,6 +888,27 @@ _BM25_QUERIES = [
 ]
 
 
+def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 validity intervals per user from the events changelog."""
+    return relational.scd2_user_type_history(spark, sf_dir)
+
+
+def _expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-style data-quality expectations over orders in one scan."""
+    from avro_sql_spark.operators.profile import expectations_report
+
+    t = load_tables(spark, sf_dir, register=False)
+    checks = [
+        ("custkey_not_null", F.col("o_custkey").isNull()),
+        ("orderdate_not_null", F.col("o_orderdate").isNull()),
+        ("positive_price", ~(F.col("o_totalprice") > 0)),
+        ("status_in_domain", ~F.col("o_orderstatus").isin("F", "O", "P")),
+        ("priority_format", ~F.col("o_orderpriority").rlike("^[1-5]-")),
+        ("price_upper_bound", F.col("o_totalprice") >= 1e6),
+    ]
+    return expectations_report(t["orders"], checks)
+
+
 def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-5 retrieval for three fixed term queries over documents."""
     from avro_sql_spark.operators.text import bm25_topk
@@ -1186,6 +1207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _retention_cohorts,
         "fuzzy_part_pairs": _fuzzy_part_pairs,
         "balance_ranks": _balance_ranks,
+        "scd2_history": _scd2_history,
+        "quality_expectations": _expectations,
         "bm25_search": _bm25_search,
         "copurchase_pairs": _copurchase_pairs,
         "avro_roundtrip_reshape": _avro_roundtrip_reshape,
@@ -2456,6 +2479,51 @@ FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 """,
         "streaming_dedup_users": """
 SELECT DISTINCT user_id FROM events ORDER BY user_id
+""",
+        "scd2_history": """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs0 AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS island
+  FROM marked
+),
+runs AS (
+  SELECT user_id, island, ANY_VALUE(event_type) AS event_type,
+         MIN(ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM runs0 GROUP BY 1, 2
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, island)
+         AS valid_to,
+       n_events
+FROM runs ORDER BY user_id, valid_from
+""",
+        "quality_expectations": """
+WITH agg AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+         CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+         CAST(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+         CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+         CAST(SUM(CASE WHEN o_totalprice >= 1e6 THEN 1 ELSE 0 END) AS BIGINT) AS v5
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'custkey_not_null' AS "check", v0 AS n_violations, n AS n_rows,
+         ROUND(v0 / CAST(n AS DOUBLE), 9) AS violation_rate, v0 = 0 AS passed FROM agg
+  UNION ALL SELECT 'orderdate_not_null', v1, n, ROUND(v1 / CAST(n AS DOUBLE), 9), v1 = 0 FROM agg
+  UNION ALL SELECT 'positive_price', v2, n, ROUND(v2 / CAST(n AS DOUBLE), 9), v2 = 0 FROM agg
+  UNION ALL SELECT 'status_in_domain', v3, n, ROUND(v3 / CAST(n AS DOUBLE), 9), v3 = 0 FROM agg
+  UNION ALL SELECT 'priority_format', v4, n, ROUND(v4 / CAST(n AS DOUBLE), 9), v4 = 0 FROM agg
+  UNION ALL SELECT 'price_upper_bound', v5, n, ROUND(v5 / CAST(n AS DOUBLE), 9), v5 = 0 FROM agg
+) ORDER BY "check"
 """,
         "bm25_search": r"""
 WITH toks AS (

@@ -71,3 +71,40 @@ def profile_table_approx(df: DataFrame, cols: list[str] | None = None) -> DataFr
     aggregation state per column regardless of cardinality."""
     cols = cols or df.columns
     return _unpivot(df.agg(*_stats_exprs(cols, approx=True)), cols)
+
+
+def expectations_report(
+    df: DataFrame, checks: "list[tuple[str, Column]]"
+) -> DataFrame:
+    """dbt-test-style data-quality expectations in ONE scan: each check
+    is (name, boolean Column that is True when the row VIOLATES the
+    expectation); the report is one row per check with the violation
+    count and rate. Conditional-sum aggregates all fuse into a single
+    partial+final pair over a single pass — N checks cost one scan, not
+    N scans (the trap naive test runners fall into at 100 TB).
+    """
+    agg = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(cond.cast("long")).alias(f"_v{i}")
+            for i, (_, cond) in enumerate(checks)
+        ],
+    )
+    names = F.array(*[F.lit(name) for name, _ in checks])
+    viols = F.array(*[F.col(f"_v{i}") for i in range(len(checks))])
+    return (
+        agg.select(
+            F.col("_n"),
+            F.posexplode(F.arrays_zip(names.alias("check"), viols.alias("violations"))).alias(
+                "idx", "z"
+            ),
+        )
+        .select(
+            F.col("z.check").alias("check"),
+            F.col("z.violations").alias("n_violations"),
+            F.col("_n").alias("n_rows"),
+            F.round(F.col("z.violations") / F.col("_n"), 9).alias("violation_rate"),
+            (F.col("z.violations") == 0).alias("passed"),
+        )
+        .orderBy("check")
+    )

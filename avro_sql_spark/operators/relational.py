@@ -1555,3 +1555,44 @@ def copurchase_pairs(
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(k)
     )
+
+
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension type-2 build from the events changelog:
+    collapse each user's consecutive runs of the same event_type into
+    validity intervals (valid_from inclusive, valid_to exclusive, NULL =
+    current) — the standard dimension-history table every warehouse
+    derives from a change stream.
+
+    Scale shape: gaps-and-islands entirely inside ONE window partition
+    pass on user_id (lag to mark run starts, running sum for island
+    ids), then a per-(user, island) aggregate that reuses the same hash
+    partitioning, and a lead window for interval close — Catalyst plans
+    one exchange on user_id for the whole chain. Ties on ts break by
+    event_id so reruns are byte-identical."""
+    ev = load_tables(spark, sf_dir, register=False)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    ).withColumn("island", F.sum("brk").over(w))
+    runs = marked.groupBy("user_id", "island").agg(
+        F.first("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "island")
+    return (
+        runs.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .select("user_id", "event_type", "valid_from", "valid_to", "n_events")
+        .orderBy("user_id", "valid_from")
+    )

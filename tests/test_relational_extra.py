@@ -356,3 +356,48 @@ def test_balance_ranks_single_window_exchange(spark):
         assert 0.0 < r["max_cume_dist"] <= 1.0
         got[r["c_mktsegment"]] = got.get(r["c_mktsegment"], 0) + r["n"]
     assert got == seg_counts
+
+
+def test_scd2_intervals_tile_and_types_alternate(spark):
+    """Intervals per user are contiguous (each valid_to equals the next
+    valid_from), exactly one open interval per user, consecutive
+    intervals never share a type, and n_events sums to the user's event
+    count."""
+    rows = relational.scd2_user_type_history(spark, SF).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    t = load_tables(spark, SF, register=False)
+    ev_counts = {r["user_id"]: r["count"] for r in
+                 t["events"].groupBy("user_id").count().collect()}
+    for uid, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["valid_from"])
+        assert sum(r["n_events"] for r in ivs) == ev_counts[uid]
+        assert sum(1 for r in ivs if r["valid_to"] is None) == 1
+        assert ivs[-1]["valid_to"] is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["event_type"] != b["event_type"]
+
+
+def test_expectations_single_scan_and_values(spark):
+    """All checks ride one aggregate over one scan; a seeded violation
+    is counted exactly."""
+    from avro_sql_spark.operators.profile import expectations_report
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (None, 3.0)], ["id", "price"]
+    )
+    out = {r["check"]: r for r in expectations_report(
+        df,
+        [("id_not_null", F.col("id").isNull()),
+         ("price_positive", ~(F.col("price") > 0))],
+    ).collect()}
+    assert out["id_not_null"]["n_violations"] == 1
+    assert out["price_positive"]["n_violations"] == 1
+    assert out["id_not_null"]["n_rows"] == 3
+    assert not out["id_not_null"]["passed"]
+    plan = expectations_report(
+        df, [("a", F.col("id").isNull()), ("b", F.col("price") > 1)]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") + plan.count("FileScan") <= 1
