@@ -115,6 +115,8 @@ HEADLINE = [
     "heavy_users_sketch",
     "bm25_search",
     "copurchase_pairs",
+    "scd2_history",
+    "quality_expectations",
 ]
 
 
