@@ -888,6 +888,30 @@ _BM25_QUERIES = [
 ]
 
 
+def _snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: a synthetic 'old' snapshot (even event_ids, with
+    every 10th id's value perturbed) vs the current events table —
+    added/removed/changed keys via one full-outer hash-compare join."""
+    from avro_sql_spark.operators.profile import snapshot_diff
+
+    ev = load_tables(spark, sf_dir, register=False)["events"]
+    old = ev.filter(F.col("event_id") % 2 == 0).withColumn(
+        "value",
+        F.when(F.col("event_id") % 10 == 0, F.col("value") + 1).otherwise(
+            F.col("value")
+        ),
+    )
+    return snapshot_diff(old, ev, ["event_id"], ["value"]).orderBy("event_id")
+
+
+def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 10-bin histogram of event values per type."""
+    from avro_sql_spark.operators.profile import value_histogram
+
+    ev = load_tables(spark, sf_dir, register=False)["events"]
+    return value_histogram(ev, "value", "event_type", bins=10)
+
+
 def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 validity intervals per user from the events changelog."""
     return relational.scd2_user_type_history(spark, sf_dir)
@@ -1207,6 +1231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _retention_cohorts,
         "fuzzy_part_pairs": _fuzzy_part_pairs,
         "balance_ranks": _balance_ranks,
+        "snapshot_diff": _snapshot_diff,
+        "value_histogram": _value_histogram,
         "scd2_history": _scd2_history,
         "quality_expectations": _expectations,
         "bm25_search": _bm25_search,
@@ -2479,6 +2505,34 @@ FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 """,
         "streaming_dedup_users": """
 SELECT DISTINCT user_id FROM events ORDER BY user_id
+""",
+        "snapshot_diff": """
+WITH oldt AS (
+  SELECT event_id,
+         CASE WHEN event_id % 10 = 0 THEN value + 1 ELSE value END AS value
+  FROM events WHERE event_id % 2 = 0
+),
+newt AS (SELECT event_id, value FROM events)
+SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+       CASE WHEN o.event_id IS NULL THEN 'added'
+            WHEN n.event_id IS NULL THEN 'removed'
+            WHEN o.value <> n.value THEN 'changed' END AS change_type
+FROM oldt o FULL OUTER JOIN newt n ON o.event_id = n.event_id
+WHERE (o.event_id IS NULL) OR (n.event_id IS NULL) OR (o.value <> n.value)
+ORDER BY event_id
+""",
+        "value_histogram": """
+WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+x AS (
+  SELECT event_type,
+         LEAST(9, CAST(FLOOR((value - b.lo) * 10 / (b.hi - b.lo)) AS INT)) AS bin,
+         b.lo, b.hi
+  FROM events, b
+)
+SELECT event_type, bin, COUNT(*) AS n,
+       ROUND(ANY_VALUE(lo) + bin * (ANY_VALUE(hi) - ANY_VALUE(lo)) / 10, 6) AS bin_lo,
+       ROUND(ANY_VALUE(lo) + (bin + 1) * (ANY_VALUE(hi) - ANY_VALUE(lo)) / 10, 6) AS bin_hi
+FROM x GROUP BY event_type, bin ORDER BY event_type, bin
 """,
         "scd2_history": """
 WITH marked AS (

@@ -108,3 +108,78 @@ def expectations_report(
         )
         .orderBy("check")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: "list[str]",
+    compare_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Table-diff between two snapshots: one row per changed key with
+    change_type in (added, removed, changed) — the verification step
+    after any backfill/migration, and the change feed when no CDC log
+    exists.
+
+    Scale shape: ONE full-outer join on the key (both sides hash-
+    partition on it) comparing a single xxhash64 over the compare
+    columns — unchanged rows (the overwhelming majority in a real diff)
+    are filtered out before anything else happens, so the output is
+    proportional to the churn, not the table. Row values are NOT
+    carried through the join, only keys + hashes; join the result back
+    to either snapshot to materialize changed payloads."""
+    compare_cols = compare_cols or [
+        c for c in new.columns if c not in key_cols
+    ]
+    h = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in compare_cols])
+    o = old.select(*key_cols, h.alias("h_old"))
+    n = new.select(*key_cols, h.alias("h_new"))
+    joined = o.join(n, key_cols, "full_outer")
+    return (
+        joined.withColumn(
+            "change_type",
+            F.when(F.col("h_old").isNull(), F.lit("added"))
+            .when(F.col("h_new").isNull(), F.lit("removed"))
+            .when(F.col("h_old") != F.col("h_new"), F.lit("changed")),
+        )
+        .filter(F.col("change_type").isNotNull())
+        .select(*key_cols, "change_type")
+    )
+
+
+def value_histogram(
+    df: DataFrame,
+    val_col: str,
+    group_col: "str | None" = None,
+    bins: int = 10,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column (optionally per group):
+    bin edges from the global min/max, counts per bin — the profiling
+    primitive behind every distribution dashboard.
+
+    Scale shape: pass 1 is a tiny global min/max aggregate (broadcast
+    back as a 1-row cross join); pass 2 buckets each row with pure
+    arithmetic and partial-aggregates the counts. Two scans total, no
+    sort, no per-row Python; output bounded by groups x bins. (The max
+    value lands in the last bin — least() clamps the edge case.)"""
+    v = F.col(val_col).cast("double")
+    bounds = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi"))
+    gcols = [group_col] if group_col else []
+    binned = df.crossJoin(F.broadcast(bounds)).select(
+        *gcols,
+        F.least(
+            F.lit(bins - 1),
+            F.floor((v - F.col("lo")) * bins / (F.col("hi") - F.col("lo"))).cast("int"),
+        ).alias("bin"),
+        "lo",
+        "hi",
+    )
+    return (
+        binned.groupBy(*gcols, "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("lo") + F.col("bin") * (F.first("hi") - F.first("lo")) / bins, 6).alias("bin_lo"),
+            F.round(F.first("lo") + (F.col("bin") + 1) * (F.first("hi") - F.first("lo")) / bins, 6).alias("bin_hi"),
+        )
+        .orderBy(*gcols, "bin")
+    )

@@ -117,6 +117,8 @@ HEADLINE = [
     "copurchase_pairs",
     "scd2_history",
     "quality_expectations",
+    "snapshot_diff",
+    "value_histogram",
 ]
 
 

@@ -787,3 +787,42 @@ def test_copurchase_fanout_bounded_and_counts(spark):
         relational.load_tables = orig
     assert rows[(10, 20)] == 2     # orders 1 and 2 (dup lineitem counted once)
     assert rows[(10, 30)] == 1 and rows[(20, 30)] == 1
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    """Added/removed/changed each detected; unchanged rows emit nothing."""
+    from avro_sql_spark.operators.profile import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], ["id", "s", "v"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 9.0), (4, "d", 4.0)], ["id", "s", "v"]
+    )
+    out = {r["id"]: r["change_type"]
+           for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert out == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_null_vs_value_not_equal(spark):
+    """A column going NULL <-> value must register as changed (the
+    coalesce sentinel keeps NULL from hashing equal to empty)."""
+    from avro_sql_spark.operators.profile import snapshot_diff
+
+    old = spark.createDataFrame([(1, None), (2, "")], "id long, s string")
+    new = spark.createDataFrame([(1, ""), (2, "")], "id long, s string")
+    out = {r["id"]: r["change_type"]
+           for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert out == {1: "changed"}
+
+
+def test_value_histogram_conserves_counts_and_edges(spark):
+    """Bin counts sum to the row count; edges tile [lo, hi]; max value
+    lands in the last bin."""
+    from avro_sql_spark.operators.profile import value_histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(101)], ["v"])
+    rows = value_histogram(df, "v", bins=10).collect()
+    assert sum(r["n"] for r in rows) == 101
+    assert rows[0]["bin_lo"] == 0.0 and rows[-1]["bin_hi"] == 100.0
+    assert rows[-1]["bin"] == 9 and rows[-1]["n"] == 11  # 90..100 inclusive
