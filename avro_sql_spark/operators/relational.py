@@ -1509,32 +1509,50 @@ def copurchase_pairs(
     together in the most orders (the input to item-item recommenders and
     association-rule mining).
 
-    Scale shape: the self-join key is the ORDER, and basket size is
-    bounded by the schema (TPC-H orders hold <= 7 lineitems), so the
-    fan-out is at most C(7,2)=21 pairs per order — linear in the fact
-    table, never quadratic in the catalog. The pair count map-side
-    combines and the top-k is a TakeOrderedAndProject. For unbounded
-    baskets (a crawl session, a cart with thousands of items) cap the
-    basket first — an unbounded basket is the quadratic skew risk here."""
-    li = (
-        load_tables(spark, sf_dir, register=False)["lineitem"]
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    Scale shape: NO self-join — per-order baskets come from ONE shuffle
+    (groupBy orderkey, collect_set bounded by the schema's <= 7
+    lineitems per order) and the C(basket,2) <= 21 pairs per order are
+    generated IN-ROW from the sorted basket array, so the pair frame is
+    linear in the fact table and never touches a join. The pair count
+    map-side combines and the top-k is a TakeOrderedAndProject. For
+    unbounded baskets (a crawl session, a cart with thousands of items)
+    cap the basket first — an unbounded basket is the quadratic skew
+    risk here. The basket frame is cached (three consumers: pairs,
+    per-part counts, total), per the cache contract."""
+    li = load_tables(spark, sf_dir, register=False)["lineitem"]
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .cache()
     )
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b"))
+    m = F.size("ps")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), m - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, m),
+                lambda j: F.struct(
+                    F.element_at("ps", i).alias("part_a"),
+                    F.element_at("ps", j).alias("part_b"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        baskets.filter(m >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.part_a"), F.col("p.part_b"))
+    )
     # association-rule denominators: per-part basket counts (broadcast —
     # catalog-sized) and the total basket count (1-row broadcast)
-    part_counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("pc"))
-    totals = li.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("n_baskets")
-    )
+    part_counts = baskets.select(F.explode("ps").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count(F.lit(1)).alias("pc"))
+    totals = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
     pa = part_counts.select(F.col("l_partkey").alias("part_a"), F.col("pc").alias("ca"))
     pb = part_counts.select(F.col("l_partkey").alias("part_b"), F.col("pc").alias("cb"))
     return (
-        a.join(b, "o")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
+        pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= min_count)
         .join(F.broadcast(pa), "part_a")
