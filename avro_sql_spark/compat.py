@@ -6,26 +6,37 @@ A reference user migrating a Kafka Connect SMT or similar host calls
 :class:`AvroSqlProcessor` once per query; it parses and plans ONCE
 against the Avro schema (the reference re-derives per record) and then
 reshapes arbitrarily many record batches. Records are plain dicts
-(Avro JSON-encoding shaped); the output schema is available as both a
+(Avro JSON-encoding shaped — logical-type values arrive as their
+underlying ints/longs/strings and are converted to native Spark values
+by the shared codec bridge); the output schema is available as both a
 Spark StructType and an Avro JSON schema via the sidecar.
 """
 
 from __future__ import annotations
 
 import json
-from typing import Any, Sequence
+from typing import Sequence
 
 from pyspark.sql import SparkSession
 
 from .plans.fields import parse
+from .plans.flatten import plan_flatten
+from .plans.structure import plan_withstructure
 from .reshape import reshape_fields
+from .sources.avro_io import _avro_to_spark_value
 from .sources.avro_schema import avro_to_spark_schema, spark_to_avro_schema
+
+# root attributes with dedicated slots in the rebuilt schema; everything
+# else is a custom property forwarded verbatim (reference O16
+# copyProperties, AvroSchemaSql.scala:131-141)
+_ROOT_RESERVED = {"type", "name", "namespace", "doc", "fields", "aliases"}
 
 
 class AvroSqlProcessor:
     """Parse/plan once, reshape many — entry point 3 of the reference
-    (AvroSql.scala:86-103) with the schema work also hoisted out of the
-    per-record path."""
+    (AvroSql.scala:86-103) with the schema work AND the Column plan
+    hoisted out of the per-batch path (``apply`` is a bare
+    ``df.select`` on the pre-built expressions)."""
 
     def __init__(self, spark: SparkSession, avro_schema: str | dict, query: str):
         self.spark = spark
@@ -35,46 +46,41 @@ class AvroSqlProcessor:
         self.in_schema = avro_to_spark_schema(self.avro_schema)
         self.fields, ws = parse(query)
         self.flatten = not ws
+        # plan once: Column expressions are schema-bound, not frame-bound,
+        # so the same plan serves every batch
+        self._plan = (
+            plan_flatten(self.in_schema, self.fields)
+            if self.flatten
+            else plan_withstructure(self.in_schema, self.fields)
+        )
         # derive the output schema with no data (reference O3)
         empty = spark.createDataFrame([], self.in_schema)
         self.out_schema = reshape_fields(empty, self.fields, flatten=self.flatten).schema
 
     def out_avro_schema(self) -> dict:
         """Avro JSON schema of the output, carrying the input's
-        name/namespace (reference O16)."""
+        name/namespace/doc AND custom root properties (reference O16)."""
+        props = {k: v for k, v in self.avro_schema.items() if k not in _ROOT_RESERVED}
         return spark_to_avro_schema(
             self.out_schema,
             name=self.avro_schema.get("name", "topLevelRecord"),
             namespace=self.avro_schema.get("namespace"),
             doc=self.avro_schema.get("doc"),
+            props=props or None,
         )
 
     def apply(self, records: Sequence[dict]) -> list[dict]:
         """Reshape a batch of records (null in → null out, as
-        AvroSql.scala:68)."""
+        AvroSql.scala:68). Values convert through the shared Avro→Spark
+        codec bridge, so logical types (date/timestamp/decimal) and
+        bytes fields work, not just primitives."""
         live = [r for r in records if r is not None]
         if not live:
             return [None] * len(records)
-        df = self.spark.createDataFrame([_to_row(r, self.in_schema) for r in live], self.in_schema)
-        out = reshape_fields(df, self.fields, flatten=self.flatten)
+        rows = [
+            _avro_to_spark_value(r, self.in_schema, self.avro_schema) for r in live
+        ]
+        df = self.spark.createDataFrame(rows, self.in_schema)
+        out = df.select(*self._plan) if self._plan is not None else df
         reshaped = iter([row.asDict(recursive=True) for row in out.collect()])
         return [None if r is None else next(reshaped) for r in records]
-
-
-def _convert(v: Any, dtype) -> Any:
-    from pyspark.sql.types import ArrayType, MapType, StructType
-
-    if v is None:
-        return None
-    if isinstance(dtype, StructType):
-        return _to_row(v, dtype)
-    if isinstance(dtype, ArrayType):
-        return [_convert(e, dtype.elementType) for e in v]
-    if isinstance(dtype, MapType):
-        return {k: _convert(val, dtype.valueType) for k, val in v.items()}
-    return v
-
-
-def _to_row(record: dict, schema) -> tuple:
-    """dict → positional tuple matching the struct order (recursive)."""
-    return tuple(_convert(record.get(f.name), f.dataType) for f in schema.fields)

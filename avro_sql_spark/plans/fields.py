@@ -97,10 +97,17 @@ class SqlContext:
 
 def split_withstructure(query: str) -> tuple[str, bool]:
     """Detect and strip a trailing ``withstructure`` keyword
-    (case-insensitive suffix test after trim, as AvroSql.scala:53-56)."""
+    (case-insensitive suffix test after trim, as AvroSql.scala:53-56 —
+    with one deliberate divergence: a WORD BOUNDARY is required before
+    the keyword. The reference's bare endsWith would corrupt a query
+    whose last identifier merely ends in 'withstructure', e.g.
+    ``SELECT awithstructure`` silently became ``SELECT a`` in
+    structure mode; here it stays a plain field selection)."""
     trimmed = query.strip()
     if trimmed.lower().endswith(_WITHSTRUCTURE):
-        return trimmed[: -len(_WITHSTRUCTURE)].rstrip(), True
+        head = trimmed[: -len(_WITHSTRUCTURE)]
+        if head and head[-1].isspace():
+            return head.rstrip(), True
     return trimmed, False
 
 

@@ -409,10 +409,12 @@ def _avro_to_spark_value(v: Any, dtype: DataType, avro: Any):
         us = v * 1000 if logical == "timestamp-millis" else v
         return _EPOCH_TS + timedelta(microseconds=us)
     if isinstance(dtype, DecimalType):
-        unscaled = int.from_bytes(v, "big", signed=True)
+        # Avro JSON encoding carries bytes as an ISO-8859-1 string
+        raw = v.encode("latin-1") if isinstance(v, str) else v
+        unscaled = int.from_bytes(raw, "big", signed=True)
         return Decimal(unscaled).scaleb(-dtype.scale)
     if isinstance(dtype, BinaryType):
-        return bytearray(v)
+        return bytearray(v.encode("latin-1") if isinstance(v, str) else v)
     return v
 
 

@@ -124,10 +124,16 @@ def avro_to_spark_type(avro: Any) -> tuple[DataType, bool, dict]:
             meta["avro.doc"] = avro["doc"]
         return StructType(fields), False, meta
     if t == "array":
-        edt, enull, _ = avro_to_spark_type(avro["items"])
+        edt, enull, emeta = avro_to_spark_type(avro["items"])
+        if emeta:
+            # element-level metadata (enum symbols, fixed size, record
+            # names/props) survives as a JSON sidecar on the container
+            meta["avro.items.meta"] = json.dumps(emeta)
         return ArrayType(edt, containsNull=enull), False, meta
     if t == "map":
-        vdt, vnull, _ = avro_to_spark_type(avro["values"])
+        vdt, vnull, vmeta = avro_to_spark_type(avro["values"])
+        if vmeta:
+            meta["avro.values.meta"] = json.dumps(vmeta)
         return MapType(StringType(), vdt, valueContainsNull=vnull), False, meta
     if t == "enum":
         meta["avro.name"] = avro["name"]
@@ -137,9 +143,13 @@ def avro_to_spark_type(avro: Any) -> tuple[DataType, bool, dict]:
         meta["avro.name"] = avro["name"]
         meta["avro.size"] = avro["size"]
         return BinaryType(), False, meta
-    if isinstance(t, (str, list, dict)) and t in _PRIMITIVES:
+    if isinstance(t, str) and t in _PRIMITIVES:
         return _PRIMITIVES[t], False, meta
-    return avro_to_spark_type(t)
+    # nested type object (dict-wrapped type or inline union): recurse,
+    # keeping the wrapper's own custom props/logical annotations
+    dtype, nullable, inner = avro_to_spark_type(t)
+    inner.update(meta)
+    return dtype, nullable, inner
 
 
 def avro_to_spark_schema(avro_json: str | dict) -> StructType:
@@ -182,19 +192,29 @@ def spark_to_avro_type(dtype: DataType, nullable: bool, meta: dict, name_hint: s
     elif isinstance(dtype, StructType):
         base = _record_schema(dtype, meta.get("avro.name", name_hint), meta)
     elif isinstance(dtype, ArrayType):
+        emeta = (
+            json.loads(meta["avro.items.meta"]) if "avro.items.meta" in meta else {}
+        )
         base = {
             "type": "array",
             "items": spark_to_avro_type(
-                dtype.elementType, dtype.containsNull, {}, f"{name_hint}_item"
+                dtype.elementType, dtype.containsNull, emeta, f"{name_hint}_item"
             ),
         }
     elif isinstance(dtype, MapType):
+        vmeta = (
+            json.loads(meta["avro.values.meta"]) if "avro.values.meta" in meta else {}
+        )
         base = {
             "type": "map",
             "values": spark_to_avro_type(
-                dtype.valueType, dtype.valueContainsNull, {}, f"{name_hint}_value"
+                dtype.valueType, dtype.valueContainsNull, vmeta, f"{name_hint}_value"
             ),
         }
+    elif isinstance(dtype, IntegerType) and logical == "time-millis":
+        base = {"type": "int", "logicalType": "time-millis"}
+    elif isinstance(dtype, LongType) and logical == "time-micros":
+        base = {"type": "long", "logicalType": "time-micros"}
     else:
         simple = {
             "boolean": "boolean",
@@ -235,9 +255,15 @@ def _record_schema(schema: StructType, name: str, meta: dict) -> dict:
         if "avro.doc" in fmeta:
             entry["doc"] = fmeta["avro.doc"]
         if "avro.default" in fmeta:
-            entry["default"] = json.loads(fmeta["avro.default"])
-        elif f.nullable:
-            entry["default"] = None
+            d = json.loads(fmeta["avro.default"])
+            t_out = entry["type"]
+            if d is not None and isinstance(t_out, list) and t_out[0] == "null":
+                # Avro requires a union default to match the FIRST branch:
+                # a non-null default flips the rebuilt union to [T, null]
+                entry["type"] = t_out[1:] + ["null"]
+            entry["default"] = d
+        # no default injection for nullable fields without one: adding
+        # "default": null changes schema-evolution semantics
         if "avro.aliases" in fmeta:
             entry["aliases"] = fmeta["avro.aliases"]
         fields.append(entry)

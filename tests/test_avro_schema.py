@@ -143,3 +143,94 @@ def test_custom_props_preserved():
     assert st["x"].metadata["avro.prop.myProp"] == "myValue"
     out = spark_to_avro_schema(st, name="R")
     assert out["fields"][0]["type"]["myProp"] == "myValue"
+
+
+def test_enum_inside_array_round_trips():
+    """Element-level named-type metadata must survive the container:
+    enum symbols inside an array round-trip to the rebuilt schema."""
+    from avro_sql_spark.sources.avro_schema import (
+        avro_to_spark_schema,
+        avro_to_spark_type,
+        spark_to_avro_type,
+    )
+
+    avro = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {
+                "name": "colors",
+                "type": {
+                    "type": "array",
+                    "items": {
+                        "type": "enum",
+                        "name": "Color",
+                        "symbols": ["RED", "GREEN"],
+                    },
+                },
+            }
+        ],
+    }
+    schema = avro_to_spark_schema(avro)
+    f = schema.fields[0]
+    out = spark_to_avro_type(f.dataType, f.nullable, dict(f.metadata), f.name)
+    assert out["items"]["type"] == "enum"
+    assert out["items"]["name"] == "Color"
+    assert out["items"]["symbols"] == ["RED", "GREEN"]
+
+
+def test_nonnull_default_flips_union_order():
+    """Avro requires a union default to match the FIRST branch: a field
+    with a non-null default must rebuild as [T, null], and a nullable
+    field without a default must NOT gain an injected one."""
+    from avro_sql_spark.sources.avro_schema import (
+        avro_to_spark_schema,
+        spark_to_avro_schema,
+    )
+
+    avro = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "x", "type": ["int", "null"], "default": 5},
+            {"name": "y", "type": ["null", "string"]},
+        ],
+    }
+    rebuilt = spark_to_avro_schema(avro_to_spark_schema(avro), name="R")
+    fx = next(f for f in rebuilt["fields"] if f["name"] == "x")
+    fy = next(f for f in rebuilt["fields"] if f["name"] == "y")
+    assert fx["type"][0] != "null" and fx["default"] == 5
+    assert "default" not in fy and fy["type"][0] == "null"
+
+
+def test_time_logical_types_reemitted():
+    from avro_sql_spark.sources.avro_schema import (
+        avro_to_spark_schema,
+        spark_to_avro_schema,
+    )
+
+    avro = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "tm", "type": {"type": "int", "logicalType": "time-millis"}},
+            {"name": "tu", "type": {"type": "long", "logicalType": "time-micros"}},
+        ],
+    }
+    rebuilt = spark_to_avro_schema(avro_to_spark_schema(avro), name="R")
+    types = {f["name"]: f["type"] for f in rebuilt["fields"]}
+    assert types["tm"] == {"type": "int", "logicalType": "time-millis"}
+    assert types["tu"] == {"type": "long", "logicalType": "time-micros"}
+
+
+def test_dict_wrapped_type_and_props_merge():
+    """A dict-wrapped type object (legal Avro) must not crash on the
+    primitive-lookup, and the wrapper's custom props must survive."""
+    from avro_sql_spark.sources.avro_schema import avro_to_spark_type
+    from pyspark.sql.types import StringType
+
+    dtype, nullable, meta = avro_to_spark_type(
+        {"type": {"type": "string"}, "myProp": "v"}
+    )
+    assert dtype == StringType()
+    assert meta.get("avro.prop.myProp") == "v"

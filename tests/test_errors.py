@@ -65,3 +65,20 @@ def test_duplicate_selection_message(simple_address):
 def test_star_alias_rejected(simple_address):
     with pytest.raises(AvroSqlError, match="cannot be aliased"):
         reshape(simple_address, "SELECT * as everything")
+
+
+def test_withstructure_requires_word_boundary(spark):
+    """An identifier merely ENDING in 'withstructure' is a field
+    selection, not structure mode (deliberate divergence from the
+    reference's bare endsWith, documented in split_withstructure)."""
+    from avro_sql_spark import reshape
+    from avro_sql_spark.plans.fields import split_withstructure
+
+    assert split_withstructure("SELECT awithstructure") == (
+        "SELECT awithstructure",
+        False,
+    )
+    assert split_withstructure("SELECT a withstructure") == ("SELECT a", True)
+    assert split_withstructure("SELECT a WITHSTRUCTURE  ") == ("SELECT a", True)
+    df = spark.createDataFrame([(1,)], ["awithstructure"])
+    assert reshape(df, "SELECT awithstructure").columns == ["awithstructure"]
