@@ -27,7 +27,11 @@ EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 
 
 def whitespace_token_count(text: Column) -> Column:
-    """Number of single-space-separated tokens (cheap length proxy)."""
+    """Number of single-space-separated tokens — a deliberate PROXY, not
+    an exact tokenizer: empty text counts as 1 and runs of spaces add
+    tokens (size(split(text, ' '))). The DuckDB oracles reproduce this
+    exact arithmetic, which is the contract; use regex_token_count for
+    a stricter count."""
     return F.size(F.split(text, " "))
 
 
@@ -37,7 +41,24 @@ def regex_token_count(text: Column) -> Column:
 
 
 def _occurrences(text: Column, needle: str) -> Column:
+    """Substring occurrence count via replace-and-measure. Known PROXY
+    limitation shared (deliberately) with the DuckDB oracles: for
+    space-delimited needles, ADJACENT occurrences undercount because
+    each match consumes the trailing space the next match needs
+    (' the the the ' counts 2 of 3 ' the '). Acceptable for the
+    heuristic signals built on it; do not use it as an exact counter."""
     return (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) / len(needle)
+
+
+def _stopword_hits(text: Column) -> Column:
+    """Total EN stopword occurrences over the padded lowercased text —
+    the single definition shared by stopword_ratio and gopher_pass."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    hits = None
+    for w in EN_STOPWORDS:
+        occ = _occurrences(padded, f" {w} ")
+        hits = occ if hits is None else hits + occ
+    return hits
 
 
 def lang_id(text: Column) -> Column:
@@ -54,23 +75,25 @@ def lang_id(text: Column) -> Column:
     expr = F.when(mx <= 0, F.lit("unknown"))
     for lang in _LANG_MARKERS:
         expr = expr.when(scores[lang] == mx, F.lit(lang))
-    return expr
+    # NULL text falls through every branch; the docstring's contract is
+    # 'unknown' whenever nothing matches
+    return expr.otherwise(F.lit("unknown"))
 
 
 def punct_ratio(text: Column) -> Column:
-    """Punctuation chars / total chars (0 for empty text)."""
+    """Punctuation chars / total chars (NULL for empty text — the nullif
+    denominator; quality_score's punct gate therefore scores empty text
+    0, matching the DuckDB oracle's identical arithmetic)."""
     puncts = F.length(text) - F.length(F.regexp_replace(text, r"[.!?,;:]", ""))
     return (puncts / F.nullif(F.length(text), F.lit(0))).cast("double")
 
 
 def stopword_ratio(text: Column) -> Column:
     """English stopword tokens / whitespace tokens."""
-    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
-    hits = None
-    for w in EN_STOPWORDS:
-        occ = _occurrences(padded, f" {w} ")
-        hits = occ if hits is None else hits + occ
-    return (hits / F.nullif(whitespace_token_count(text).cast("double"), F.lit(0))).cast("double")
+    return (
+        _stopword_hits(text)
+        / F.nullif(whitespace_token_count(text).cast("double"), F.lit(0))
+    ).cast("double")
 
 
 def quality_score(text: Column) -> Column:
@@ -93,15 +116,10 @@ def fingerprint(text: Column) -> Column:
 
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct n-word shingles of the lowercased text as
-    ``array<string>`` — the input to MinHash / Jaccard dedup. Pure
-    Column expression (split + sequence + transform), no Python."""
-    words = F.split(F.lower(text), " ")
-    k = F.size(words) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
-        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
-    )
-    return F.when(k > 0, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+    ``array<string>`` — the input to MinHash / Jaccard dedup. The
+    distinct-set view of :func:`word_ngrams` (one gram builder, two
+    views). Pure Column expression, no Python."""
+    return F.array_distinct(word_ngrams(text, n))
 
 
 def mean_word_length(text: Column) -> Column:
@@ -149,11 +167,7 @@ def gopher_pass(
     alphabetic-word fraction, and a minimum count of English stopwords.
     Pure Column expression — fuses into the scan, row-local, no shuffle."""
     n = whitespace_token_count(text).cast("double")
-    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
-    stop_hits = None
-    for w in EN_STOPWORDS:
-        occ = _occurrences(padded, f" {w} ")
-        stop_hits = occ if stop_hits is None else stop_hits + occ
+    stop_hits = _stopword_hits(text)
     mwl = mean_word_length(text)
     return (
         (n >= min_tokens)

@@ -26,11 +26,21 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return (dot(a, b) / (norm(a) * norm(b))).cast("double")
+    """Cosine similarity; the epsilon floor keeps a zero vector at
+    similarity 0 instead of aborting the job (Spark 4 runs ANSI mode by
+    default, where double division by zero THROWS)."""
+    return (dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-12))).cast("double")
 
 
 def l2_normalize(a: Column) -> Column:
-    n = norm(a)
+    """Unit-normalize; zero vectors come back as zero vectors (epsilon
+    floor — ANSI mode would otherwise throw DIVIDE_BY_ZERO).
+
+    Cost note: Catalyst does not hoist the norm sub-expression out of
+    the transform lambda, so the O(d) norm re-evaluates per element
+    (O(d^2) per vector). Fine for occasional use; in a hot path
+    materialize the norm as its OWN column first and divide by that."""
+    n = F.greatest(norm(a), F.lit(1e-12))
     return F.transform(a, lambda v: (v.cast("double") / n))
 
 

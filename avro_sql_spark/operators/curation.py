@@ -326,6 +326,11 @@ def weighted_take(
     to 1e-6 buckets, and ln(0) diverges)."""
     u = hash_unit(F.col(id_col), salt) + F.lit(0.5 / _BUCKETS)
     key = F.log(u) / F.col(weight_col)
+    # rows with weight <= 0 are excluded up front: A-ES is defined for
+    # w > 0, a zero weight would throw DIVIDE_BY_ZERO under ANSI mode,
+    # and a negative one would flip ln(u)/w positive and outrank every
+    # legitimate row
+    docs = docs.filter(F.col(weight_col) > 0)
     return (
         docs.withColumn("__aes_key", key)
         .orderBy(F.desc("__aes_key"), F.col(id_col))

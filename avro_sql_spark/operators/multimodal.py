@@ -115,9 +115,13 @@ def extract_features(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     # repartition so Arrow batches spread across cores even when the
     # source is one compacted file (explicit count — AQE would coalesce)
+    # NULL payloads are dropped at the plan level: len(None)/frombuffer
+    # (None) would kill the Python worker, and a null medium has no
+    # features to extract
     n = media_df.sparkSession.sparkContext.defaultParallelism
     return (
         media_df.select(id_col, "payload")
+        .filter(F.col("payload").isNotNull())
         .repartition(n, F.col(id_col))
         .mapInPandas(_extract, FEATURE_SCHEMA)
     )
@@ -181,6 +185,7 @@ def resize_images(
     n = media_df.sparkSession.sparkContext.defaultParallelism
     return (
         media_df.select(id_col, "payload")
+        .filter(F.col("payload").isNotNull())  # see extract_features
         .repartition(n, F.col(id_col))
         .mapInPandas(_resize, RESIZED_SCHEMA)
     )
@@ -222,6 +227,7 @@ def sample_frames(
     n = media_df.sparkSession.sparkContext.defaultParallelism
     return (
         media_df.select(id_col, "payload")
+        .filter(F.col("payload").isNotNull())  # see extract_features
         .repartition(n, F.col(id_col))
         .mapInPandas(_sample, FRAME_SCHEMA)
     )

@@ -37,7 +37,14 @@ def write_bucketed(
         if warehouse:
             import shutil
 
-            shutil.rmtree(f"{warehouse.rstrip('/')}/{table.lower()}", ignore_errors=True)
+            # managed-table layout: unqualified -> <wh>/<table>;
+            # qualified db.table -> <wh>/<db>.db/<table>
+            if "." in table:
+                db, _, name = table.lower().rpartition(".")
+                rel = f"{db}.db/{name}"
+            else:
+                rel = table.lower()
+            shutil.rmtree(f"{warehouse.rstrip('/')}/{rel}", ignore_errors=True)
     writer = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
