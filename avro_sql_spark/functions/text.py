@@ -35,6 +35,17 @@ def whitespace_token_count(text: Column) -> Column:
     return F.size(F.split(text, " "))
 
 
+def word_tokens(text: Column) -> Column:
+    """Lowercased pure-alpha tokens as an in-row array: whitespace split,
+    keep only ^[a-z]+$ — THE tokenizer every LM-statistics operator
+    (unigram/bigram logprob, PMI, vocab coverage, token top-k) shares,
+    so the token universe can never drift between them (the DuckDB
+    oracles replicate this exact filter)."""
+    return F.filter(
+        F.split(F.lower(text), r"\s+"), lambda w: w.rlike("^[a-z]+$")
+    )
+
+
 def regex_token_count(text: Column) -> Column:
     """BPE-ish pre-token count via regexp_count (JVM regex, one pass)."""
     return F.regexp_count(text, F.lit(TOKEN_PATTERN))

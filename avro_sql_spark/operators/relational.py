@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.text import word_tokens
 from ..session import load_tables
 
 D182 = "decimal(18,2)"
@@ -298,7 +299,9 @@ def except_urgent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("custkey"))
         .distinct()
     )
-    return all_buyers.exceptAll(urgent).distinct().orderBy("custkey")
+    # subtract = EXCEPT DISTINCT: both inputs are already distinct, so
+    # one set operation replaces exceptAll + a redundant distinct stage
+    return all_buyers.subtract(urgent).orderBy("custkey")
 
 
 def scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1004,8 +1007,7 @@ def token_topk(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
     t = load_tables(spark, sf_dir, register=False)
     return (
         t["documents"]
-        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"))
-        .filter(F.col("token").rlike("^[a-z]+$"))
+        .select(F.explode(word_tokens(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("token"))
@@ -1253,8 +1255,14 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("v_ts").alias("n_view_users"),
         F.count("c_ts").alias("n_click_users"),
         F.count("p_ts").alias("n_purchase_users"),
-        F.round(F.count("c_ts") / F.count("v_ts"), 9).alias("view_to_click"),
-        F.round(F.count("p_ts") / F.count("c_ts"), 9).alias("click_to_purchase"),
+        # nullif guards: an empty stage yields NULL (like the oracle's
+        # NULLIF), not a DIVIDE_BY_ZERO abort under Spark 4's ANSI default
+        F.round(F.count("c_ts") / F.nullif(F.count("v_ts"), F.lit(0)), 9).alias(
+            "view_to_click"
+        ),
+        F.round(F.count("p_ts") / F.nullif(F.count("c_ts"), F.lit(0)), 9).alias(
+            "click_to_purchase"
+        ),
     )
 
 
@@ -1309,7 +1317,12 @@ def hourly_anomalies(spark: SparkSession, sf_dir: str, z: float = 3.0) -> DataFr
     stats = hourly.groupBy(F.col("event_type").alias("s_type")).agg(
         F.avg("n_events").alias("m"), F.stddev("n_events").alias("sd")
     )
-    zscore = F.round((F.col("n_events") - F.col("m")) / F.col("sd"), 6)
+    # nullif: a type with constant hourly counts has sd=0 (n==m for all
+    # its rows, so "no anomaly" is the right answer) — NULL z filters
+    # out below instead of DIVIDE_BY_ZERO aborting under ANSI mode
+    zscore = F.round(
+        (F.col("n_events") - F.col("m")) / F.nullif(F.col("sd"), F.lit(0.0)), 6
+    )
     return (
         hourly.join(F.broadcast(stats), F.col("event_type") == F.col("s_type"))
         .select("event_type", "hour", "n_events", zscore.alias("zscore"))

@@ -207,8 +207,8 @@ def unigram_logprob_scores(
     the float sum is stable across engines and partition orders."""
     toks = docs.select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
-    ).filter(F.col("token").rlike("^[a-z]+$"))
+        F.explode(T.word_tokens(F.col(text_col))).alias("token"),
+    )
     freqs = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     total = freqs.agg(F.sum("c").alias("n")).select("n")
     logp = freqs.crossJoin(F.broadcast(total)).select(
@@ -230,6 +230,7 @@ def source_quality_report(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
+    lang_col: str = "lang",
 ) -> DataFrame:
     """Per-source corpus health report: document count, exact-duplicate
     rate (via content fingerprints), language breadth, and size stats —
@@ -239,7 +240,7 @@ def source_quality_report(
     return (
         docs.select(
             F.col(source_col).alias("source"),
-            F.col("lang"),
+            F.col(lang_col).alias("lang"),
             F.length(F.col(text_col)).alias("len"),
             T.fingerprint(F.col(text_col)).alias("fp"),
         )
@@ -278,9 +279,7 @@ def pmi_collocations(
     counts); the tiny unigram table broadcasts back onto bigrams. The
     score is rounded to 6 decimals BEFORE ranking (rank-stable across
     engines despite last-ulp ln differences), pair text as tiebreak."""
-    tk = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x.rlike("^[a-z]+$")
-    )
+    tk = T.word_tokens(F.col(text_col))
     base = docs.select(tk.alias("tk")).filter(F.size("tk") >= 1)
     uni = (
         base.select(F.explode("tk").alias("w"))
@@ -371,9 +370,7 @@ def bigram_logprob_scores(
     per-doc aggregation shuffles once on the doc id. Docs with fewer
     than two valid tokens have no transitions and are excluded, like
     the unigram scorer excludes token-free docs."""
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w.rlike("^[a-z]+$")
-    )
+    words = T.word_tokens(F.col(text_col))
     sess = docs.sparkSession
     toks = (
         docs.repartition(sess.sparkContext.defaultParallelism, F.col(id_col))
@@ -439,8 +436,8 @@ def vocab_coverage(
     acceptable low-cardinality-partition exception."""
     toks = docs.select(
         F.col(group_col).alias("grp"),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
-    ).filter(F.col("token").rlike("^[a-z]+$"))
+        F.explode(T.word_tokens(F.col(text_col))).alias("token"),
+    )
     counts = toks.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("c"))
     w = (
         Window.partitionBy("grp")
@@ -561,7 +558,8 @@ def bm25_topk(
     WindowGroupLimit, never a global sort."""
     sess = docs.sparkSession
     qt = sess.createDataFrame(
-        [(qn, t) for qn, terms in queries for t in set(terms)], ["query", "term"]
+        [(qn, t) for qn, terms in queries for t in set(terms)],
+        "query string, term string",  # explicit: empty query sets are legal
     )
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
