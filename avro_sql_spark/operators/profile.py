@@ -128,9 +128,18 @@ def snapshot_diff(
     proportional to the churn, not the table. Row values are NOT
     carried through the join, only keys + hashes; join the result back
     to either snapshot to materialize changed payloads."""
-    compare_cols = compare_cols or [
-        c for c in new.columns if c not in key_cols
-    ]
+    if compare_cols is None:
+        old_val = {c for c in old.columns if c not in key_cols}
+        new_val = {c for c in new.columns if c not in key_cols}
+        if old_val != new_val:
+            from ..errors import AvroSqlError
+
+            raise AvroSqlError(
+                "snapshot_diff: snapshots disagree on non-key columns "
+                f"(old-only {sorted(old_val - new_val)}, new-only "
+                f"{sorted(new_val - old_val)}); pass compare_cols explicitly"
+            )
+        compare_cols = [c for c in new.columns if c not in key_cols]
     h = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in compare_cols])
     o = old.select(*key_cols, h.alias("h_old"))
     n = new.select(*key_cols, h.alias("h_new"))
@@ -161,18 +170,27 @@ def value_histogram(
     back as a 1-row cross join); pass 2 buckets each row with pure
     arithmetic and partial-aggregates the counts. Two scans total, no
     sort, no per-row Python; output bounded by groups x bins. (The max
-    value lands in the last bin — least() clamps the edge case.)"""
+    value lands in the last bin — least() clamps the edge case. NULL
+    values are excluded, like any aggregate would; a constant column
+    collapses into bin 0 rather than dividing by a zero width.)"""
     v = F.col(val_col).cast("double")
     bounds = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi"))
     gcols = [group_col] if group_col else []
-    binned = df.crossJoin(F.broadcast(bounds)).select(
-        *gcols,
-        F.least(
-            F.lit(bins - 1),
-            F.floor((v - F.col("lo")) * bins / (F.col("hi") - F.col("lo"))).cast("int"),
-        ).alias("bin"),
-        "lo",
-        "hi",
+    width = F.col("hi") - F.col("lo")
+    binned = (
+        df.filter(F.col(val_col).isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            *gcols,
+            F.least(
+                F.lit(bins - 1),
+                F.when(
+                    width > 0, F.floor((v - F.col("lo")) * bins / width).cast("int")
+                ).otherwise(F.lit(0)),
+            ).alias("bin"),
+            "lo",
+            "hi",
+        )
     )
     return (
         binned.groupBy(*gcols, "bin")

@@ -1430,6 +1430,7 @@ def salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.pmod(F.hash("event_id"), F.lit(16)).alias("salt")
     ).agg(
         F.count(F.lit(1)).alias("pn"),
+        F.count("value").alias("pnv"),  # non-null count: avg() ignores NULLs
         F.sum("value").alias("psum"),
         F.max("value").alias("pmax"),
     )
@@ -1438,7 +1439,9 @@ def salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("pn").alias("n_events"),
             F.round(F.sum("psum"), 6).alias("sum_value"),
-            F.round(F.sum("psum") / F.sum("pn"), 6).alias("avg_value"),
+            F.round(
+                F.sum("psum") / F.nullif(F.sum("pnv"), F.lit(0)), 6
+            ).alias("avg_value"),
             F.round(F.max("pmax"), 6).alias("max_value"),
         )
         .orderBy("event_type")

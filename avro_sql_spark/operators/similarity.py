@@ -467,7 +467,11 @@ def ann_recall_report(
 
 
 def gram_covariance(
-    emb: DataFrame, vec_col: str = "embedding", round_to: int = 6
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    partition_col: str | None = None,
+    n_parts: int = 64,
 ) -> DataFrame:
     """Population covariance matrix of an embedding column as (i, j,
     cov) rows — the input to whitening/PCA and the canonical
@@ -479,18 +483,36 @@ def gram_covariance(
     independent of row count. The partials are then posexploded and
     merged by a map-side-combined sum per cell. Nothing driver-side
     grows with the data; d is the only scaling knob (d^2 floats per
-    partition row). The explicit repartition spreads compacted
-    single-file scans before the numpy stage."""
-    head = emb.select(vec_col).first()
+    partition row).
+
+    Determinism: with ``partition_col`` set, rows are hash-partitioned
+    into a FIXED ``n_parts`` buckets on that key and sorted within each
+    partition, so partial-summation grouping and order are identical
+    regardless of scan layout or cluster size — float output is
+    bit-stable across environments (the round-robin default varies with
+    the input split count and flaked a 6-dp round boundary at the r2
+    gate). Null vectors are excluded, matching what any per-cell
+    aggregate would do."""
+    src0 = emb.filter(F.col(vec_col).isNotNull())
+    head = src0.select(vec_col).first()
     if head is None or head[0] is None:
         from ..errors import AvroSqlError
 
         raise AvroSqlError("gram_covariance: input has no vectors")
     d = len(head[0])  # one cheap dimension-probe job; d is not in the schema
     sess = emb.sparkSession
-    src = emb.select(F.col(vec_col).alias("v")).repartition(
-        sess.sparkContext.defaultParallelism
-    )
+    if partition_col is not None:
+        src = (
+            src0.select(F.col(partition_col).alias("k"), F.col(vec_col).alias("v"))
+            .repartition(n_parts, "k")
+            .sortWithinPartitions("k")
+            .select("v")
+        )
+    else:
+        # fastest path when bit-stability across environments isn't needed
+        src = src0.select(F.col(vec_col).alias("v")).repartition(
+            sess.sparkContext.defaultParallelism
+        )
 
     def _partials(batches):
         import numpy as np

@@ -38,10 +38,11 @@ def write_bucketed(
             import shutil
 
             # managed-table layout: unqualified -> <wh>/<table>;
-            # qualified db.table -> <wh>/<db>.db/<table>
+            # qualified db.table -> <wh>/<db>.db/<table>, EXCEPT the
+            # default database, which stores at <wh>/<table> directly
             if "." in table:
                 db, _, name = table.lower().rpartition(".")
-                rel = f"{db}.db/{name}"
+                rel = name if db == "default" else f"{db}.db/{name}"
             else:
                 rel = table.lower()
             shutil.rmtree(f"{warehouse.rstrip('/')}/{rel}", ignore_errors=True)
