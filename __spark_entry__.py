@@ -1261,6 +1261,99 @@ def _fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+_EVENT_CATEGORIES = [
+    ("click", "engagement"),
+    ("view", "engagement"),
+    ("purchase", "revenue"),
+    ("signup", "growth"),
+    ("error", "ops"),
+]
+
+
+def _streaming_enriched_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-VISIBLE STREAMING: stream-static broadcast join
+    (enrich_stream) — the fact-stream x dimension pattern. The events
+    stream is enriched with a static event_type -> category dim (the
+    static side broadcasts per micro-batch, the stream never shuffles
+    for the join) and aggregated per category in complete mode. Oracle:
+    the equivalent batch CASE-mapping GROUP BY; stream==batch is the
+    correctness contract."""
+    import uuid
+
+    from avro_sql_spark.streaming.pipeline import (
+        enrich_stream,
+        replay_to_memory,
+        stream_events,
+    )
+
+    dim = spark.createDataFrame(_EVENT_CATEGORIES, ["event_type", "category"])
+    enriched = enrich_stream(stream_events(spark, sf_dir), dim, "event_type")
+    agg = enriched.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    result = replay_to_memory(agg, "complete", name)
+    return result.orderBy("category")
+
+
+def _copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the symmetric co-purchase graph
+    (parts co-occurring in >= 2 orders). 3 iterations, damping 0.85 —
+    a closed-form expression of the edge list, so the DuckDB oracle
+    replays the same unrolled iterations and matches value-for-value.
+    Scale shape: each iteration is one node-keyed equi-join + one
+    partial-aggregated sum; state node-linear, traffic edge-linear."""
+    from avro_sql_spark.operators import graph
+
+    t = load_tables(spark, sf_dir, register=False)
+    edges = graph.copurchase_edges(t["lineitem"], min_count=2)
+    return (
+        graph.pagerank(
+            edges,
+            iterations=3,
+            damping=0.85,
+            round_to=8,
+            # symmetric edge list: every node has an out-edge, so the
+            # per-iteration dangling-mass pass is provably a no-op
+            redistribute_dangling=False,
+        )
+        .select(F.col("node").alias("part"), F.col("pr").alias("pr"))
+        .orderBy("part")
+    )
+
+
+def _zorder_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout audit: orders rows are mapped to
+    the 32-bit z-value of (o_totalprice, o_custkey), split into 16
+    contiguous curve segments (the would-be files of zorder_write), and
+    each segment reports its per-column min/max — the parquet footer
+    stats a reader would prune on. Localized ranges in BOTH columns at
+    once is the whole point of the curve vs a single-column sort.
+    Oracle: the identical scale-floor-interleave arithmetic in SQL."""
+    from avro_sql_spark.operators.layout import zvalue
+
+    t = load_tables(spark, sf_dir, register=False)
+    orders = t["orders"]
+    z = zvalue(orders, ["o_totalprice", "o_custkey"], bits=16)
+    return (
+        orders.select(
+            F.shiftright(z, 28).cast("int").alias("segment"),
+            "o_totalprice",
+            "o_custkey",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+        )
+        .orderBy("segment")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes ~50 entries in this order per round (r1 covered the first
@@ -1319,6 +1412,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": _value_histogram,  # NULL-value exclusion fix
         "salted_event_stats": _salted_event_stats,  # non-null avg denominator
         "snapshot_diff": _snapshot_diff,  # compare_cols schema validation
+        # --- new in r3 ---
+        "copurchase_pagerank": _copurchase_pagerank,
+        "zorder_layout_report": _zorder_layout_report,
+        "streaming_enriched_totals": _streaming_enriched_totals,
         # --- genuinely rows-only (hash-/sketch-/eigen-dependent) ---
         "embedding_pca": _embedding_pca,
         "table_profile_approx": _table_profile_approx,
@@ -1509,6 +1606,77 @@ ORDER BY doc_id
 """
 
 
+def _pagerank_oracle(iterations: int = 3) -> str:
+    """Unrolled fixed-iteration PageRank twin of operators/graph.py:
+    identical IEEE-double constants (CAST(0.85 AS DOUBLE) == F.lit(0.85))
+    and identical per-iteration expression shape so values match at 8 dp."""
+    its = []
+    prev = "r0"
+    for k in range(1, iterations + 1):
+        its.append(f"""
+it{k} AS (
+  SELECT nd.node,
+         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+         + CAST(0.85 AS DOUBLE) * COALESCE(s.c, CAST(0 AS DOUBLE)) AS pr
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst AS node, SUM(p.pr / o.od) AS c
+             FROM edges e
+             JOIN {prev} p ON p.node = e.src
+             JOIN outd o ON o.src = e.src
+             GROUP BY 1) s ON s.node = nd.node)""")
+        prev = f"it{k}"
+    return f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pc AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       FROM d a JOIN d b
+       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+edges AS (SELECT pa AS src, pb AS dst FROM pc
+          UNION ALL SELECT pb, pa FROM pc),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+outd AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY 1),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn),
+{",".join(its)}
+SELECT node AS part, ROUND(pr, 8) AS pr FROM {prev} ORDER BY part
+"""
+
+
+def _zorder_oracle() -> str:
+    """SQL twin of layout.zvalue over orders (o_totalprice, o_custkey):
+    same min/max scale -> floor -> clamp -> 16-bit interleave arithmetic
+    in IEEE doubles, identical operation order, then the same
+    16-segment (z >> 28) rollup."""
+    interleave = " + ".join(
+        f"(((s{i} >> {b}) & 1) << {2 * b + i})" for b in range(16) for i in (0, 1)
+    )
+    scale = (
+        "LEAST(GREATEST(CAST(FLOOR((%(v)s - st.mn_%(c)s) / "
+        "(CASE WHEN st.mx_%(c)s > st.mn_%(c)s THEN st.mx_%(c)s - st.mn_%(c)s "
+        "ELSE CAST(1 AS DOUBLE) END) * CAST(65535 AS DOUBLE)) AS BIGINT), 0), 65535)"
+    )
+    s0 = scale % {"v": "CAST(o.o_totalprice AS DOUBLE)", "c": "p"}
+    s1 = scale % {"v": "CAST(o.o_custkey AS DOUBLE)", "c": "c"}
+    return f"""
+WITH st AS (SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS mn_p,
+                   MAX(CAST(o_totalprice AS DOUBLE)) AS mx_p,
+                   MIN(CAST(o_custkey AS DOUBLE)) AS mn_c,
+                   MAX(CAST(o_custkey AS DOUBLE)) AS mx_c
+            FROM orders),
+scaled AS (SELECT o.o_totalprice, o.o_custkey,
+                  {s0} AS s0, {s1} AS s1
+           FROM orders o CROSS JOIN st),
+z AS (SELECT o_totalprice, o_custkey, ({interleave}) AS zv FROM scaled)
+SELECT CAST(zv >> 28 AS INT) AS segment,
+       COUNT(*) AS n_rows,
+       ROUND(MIN(o_totalprice), 2) AS min_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price,
+       MIN(o_custkey) AS min_cust,
+       MAX(o_custkey) AS max_cust
+FROM z GROUP BY 1 ORDER BY 1
+"""
+
+
 _FP = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
 
 _SHINGLES = """
@@ -1545,6 +1713,21 @@ def oracle_sql() -> dict[str, str]:
         "reshape_dup_names": (
             "SELECT c_custkey, c_name AS name, c_mktsegment AS name_1 FROM customer"
         ),
+        "copurchase_pagerank": _pagerank_oracle(3),
+        "zorder_layout_report": _zorder_oracle(),
+        "streaming_enriched_totals": """
+SELECT CASE event_type
+         WHEN 'click' THEN 'engagement'
+         WHEN 'view' THEN 'engagement'
+         WHEN 'purchase' THEN 'revenue'
+         WHEN 'signup' THEN 'growth'
+         WHEN 'error' THEN 'ops'
+       END AS category,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY 1 ORDER BY category
+""",
         "reshape_star_exclusion": (
             "SELECT n_chars AS size, doc_id, text, lang, source FROM documents"
         ),

@@ -1,0 +1,145 @@
+"""Iterative graph analytics on DataFrames (SURVEY.md §2.2 'complex
+analytical shapes' — the fixed-iteration link-analysis pattern every
+recommender/authority pipeline runs over co-occurrence graphs).
+
+The reference has no graph surface; this is the Spark-first shape for
+one: the graph lives as an EDGE DataFrame, each iteration is one
+equi-join (contributions) + one aggregation (new ranks), both
+hash-partitioned on the node key so the shuffle is edge-linear and the
+rank state is node-linear. No adjacency materialization, no driver
+collect — the driver only holds the scalar node count. Lineage is
+truncated with localCheckpoint every few rounds (same hygiene as
+dedup.near_dup_clusters) so long runs don't grow an unbounded plan.
+
+Determinism: fixed iteration count + pure arithmetic → the result is a
+closed-form expression of the edge list, so a SQL oracle can replay the
+same unrolled iterations and match value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    redistribute_dangling: bool = True,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list. Returns one
+    row per node: (node, pr).
+
+    Semantics (classic Brin-Page with dangling redistribution):
+    ``pr' = (1-d)/N + d * (sum_in(pr_src / outdeg_src) + dangling/N)``
+    where ``dangling`` is the total rank mass sitting on nodes with no
+    out-edges. For a symmetric edge list (undirected graphs) dangling
+    is always 0.
+
+    Scale shape per iteration: ONE edges-to-ranks equi-join on src (both
+    sides hash-partition on the node key — at scale both sides are too
+    big to broadcast, so the node-keyed shuffle join IS the intended
+    plan) feeding ONE groupBy(dst) sum with map-side partials; state is
+    node-linear, traffic edge-linear. The node count and the dangling
+    mass are scalar aggregates (broadcast back, rows bounded by 1).
+    Skewed in-degree (a celebrity node) is absorbed by the partial
+    aggregation, not a single reducer. Each iteration's ranks are
+    EAGERLY localCheckpoint-ed: without lineage truncation the plan
+    doubles per iteration (ranks feeds both contribs and dangling) and
+    an N-iteration run compiles an exponentially deep DAG — the classic
+    iterative-DataFrame failure. ``redistribute_dangling=False`` skips
+    the per-iteration anti-join + scalar aggregate when the caller
+    guarantees every node has an out-edge (symmetric edge lists)."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()  # scalar driver value — the only collect
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od")).localCheckpoint()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    for i in range(iterations):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select("dst", (F.col("pr") / F.col("od")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        if redistribute_dangling:
+            # rank mass on dangling nodes (no out-edges) is redistributed
+            # uniformly; 1-row aggregate, broadcast via crossJoin
+            dangling = (
+                ranks.join(
+                    outdeg.select(F.col("src").alias("node")), "node", "left_anti"
+                ).agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
+            )
+            dangling_term = F.col("dm") / n
+        else:
+            dangling = None
+            dangling_term = F.lit(0.0)
+        ranks = nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
+        if dangling is not None:
+            ranks = ranks.crossJoin(F.broadcast(dangling))
+        ranks = ranks.select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + dangling_term)
+            ).alias("pr"),
+        )
+        if (i + 1) < iterations:
+            ranks = ranks.localCheckpoint()
+    if round_to is not None:
+        ranks = ranks.select("node", F.round("pr", round_to).alias("pr"))
+    return ranks
+
+
+def copurchase_edges(
+    lineitem: DataFrame, min_count: int = 2
+) -> DataFrame:
+    """Symmetric co-purchase edge list: (src part, dst part) for every
+    unordered part pair co-occurring in >= min_count orders, emitted in
+    both directions.
+
+    Scale shape: NO self-join — the same in-row basket-pair generation
+    as relational.copurchase_pairs (baskets schema-bounded at <= 7
+    items, C(7,2) <= 21 pairs per order), so the pair frame is linear
+    in the fact table; min_count prunes the long tail before the
+    symmetric union doubles it."""
+    baskets = lineitem.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    m = F.size("ps")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), m - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, m),
+                lambda j: F.struct(
+                    F.element_at("ps", i).alias("pa"),
+                    F.element_at("ps", j).alias("pb"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        baskets.filter(m >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("pa", "pb")
+    )
+    return pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))

@@ -119,6 +119,8 @@ HEADLINE = [
     "quality_expectations",
     "snapshot_diff",
     "value_histogram",
+    "copurchase_pagerank",
+    "zorder_layout_report",
 ]
 
 

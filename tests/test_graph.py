@@ -1,0 +1,61 @@
+"""Invariant tests for operators/graph.py (fixed-iteration PageRank)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from avro_sql_spark.operators.graph import copurchase_edges, pagerank
+
+
+@pytest.fixture(scope="module")
+def ring(spark):
+    # 4-cycle: a->b->c->d->a — perfectly symmetric in-degree/out-degree
+    return spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], ["src", "dst"]
+    )
+
+
+def test_pagerank_mass_conserved(ring):
+    total = pagerank(ring, iterations=5).agg(F.sum("pr")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_pagerank_uniform_on_regular_graph(ring):
+    rows = pagerank(ring, iterations=7).collect()
+    for r in rows:
+        assert abs(r["pr"] - 0.25) < 1e-12  # regular graph fixed point
+
+
+def test_pagerank_authority_ordering(spark):
+    # star: every spoke points at hub; hub points at one spoke
+    edges = spark.createDataFrame(
+        [("s1", "hub"), ("s2", "hub"), ("s3", "hub"), ("hub", "s1")],
+        ["src", "dst"],
+    )
+    ranks = {r["node"]: r["pr"] for r in pagerank(edges, iterations=10).collect()}
+    # hub and s1 trade the bulk of the mass each iteration (hub's whole
+    # rank flows to s1), so only the relations vs the quiet spokes are
+    # parity-stable: both beat s2/s3, and symmetric spokes tie exactly
+    assert ranks["hub"] > ranks["s2"]
+    assert ranks["s1"] > ranks["s2"]
+    assert ranks["s2"] == ranks["s3"]
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    # b has no out-edges: its mass must be redistributed, not lost
+    edges = spark.createDataFrame([("a", "b"), ("c", "b")], ["src", "dst"])
+    out = pagerank(edges, iterations=4)
+    total = out.agg(F.sum("pr")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-9
+    ranks = {r["node"]: r["pr"] for r in out.collect()}
+    assert ranks["b"] > ranks["a"] == ranks["c"]
+
+
+def test_copurchase_edges_symmetric_and_capped(spark):
+    li = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11), (3, 10), (3, 12)],
+        ["l_orderkey", "l_partkey"],
+    )
+    e = copurchase_edges(li, min_count=2).collect()
+    pairs = {(r["src"], r["dst"]) for r in e}
+    # only (10,11) co-occurs twice; (10,12) once -> pruned; symmetric
+    assert pairs == {(10, 11), (11, 10)}
