@@ -1297,6 +1297,57 @@ def _streaming_enriched_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.orderBy("category")
 
 
+def _bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered selective join (operators/joins.py:build_bloom):
+    the selective orders' keys fold into a fixed-size bit array via a
+    distributed bit_or aggregate (kilobytes to the driver, never the key
+    list), the lineitem side drops non-matching rows BEFORE its shuffle,
+    and the real join eliminates the false positives — so the oracle is
+    simply the plain join. At 100 TB this is the difference between
+    shuffling the whole fact table and shuffling the ~14% that can
+    match."""
+    from avro_sql_spark.operators.joins import bloom_prefilter_join
+
+    t = load_tables(spark, sf_dir, register=False)
+    urgent = t["orders"].filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+    ).select("o_orderkey", "o_orderstatus")
+    big = t["lineitem"].select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_discount"
+    )
+    j = bloom_prefilter_join(big, urgent, "o_orderkey")
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _udtf_shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4 `udtf`): the word-shingle table
+    function invoked through SQL LATERAL, one doc row fanning out to its
+    distinct 3-gram shingles, aggregated back to a per-doc count. The
+    Column-expression shingler stays the hot path; this pins the
+    UDTF escape hatch end-to-end against the same DuckDB shingle CTE the
+    Jaccard oracles use."""
+    from avro_sql_spark.functions.udfs import register_udtfs
+
+    load_tables(spark, sf_dir, register=True)
+    register_udtfs(spark)
+    return spark.sql(
+        """
+        SELECT s.doc_id, COUNT(*) AS n_shingles
+        FROM documents d, LATERAL word_shingles_udtf(d.doc_id, d.text, 3) s
+        GROUP BY s.doc_id ORDER BY s.doc_id
+        """
+    )
+
+
 def _copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the symmetric co-purchase graph
     (parts co-occurring in >= 2 orders). 3 iterations, damping 0.85 —
@@ -1416,6 +1467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_pagerank": _copurchase_pagerank,
         "zorder_layout_report": _zorder_layout_report,
         "streaming_enriched_totals": _streaming_enriched_totals,
+        "bloom_prefilter_join": _bloom_prefilter_join,
+        "udtf_shingle_counts": _udtf_shingle_counts,
         # --- genuinely rows-only (hash-/sketch-/eigen-dependent) ---
         "embedding_pca": _embedding_pca,
         "table_profile_approx": _table_profile_approx,
@@ -1715,6 +1768,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "copurchase_pagerank": _pagerank_oracle(3),
         "zorder_layout_report": _zorder_oracle(),
+        # bloom false positives are eliminated by the join itself, so
+        # the oracle is the PLAIN join — the filter is purely a
+        # shuffled-volume optimization
+        "bloom_prefilter_join": """
+SELECT o.o_orderstatus, COUNT(*) AS n_items,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 150000
+GROUP BY 1 ORDER BY 1
+""",
+        "udtf_shingle_counts": f"""
+WITH {_SHINGLES}
+SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1 ORDER BY doc_id
+""",
         "streaming_enriched_totals": """
 SELECT CASE event_type
          WHEN 'click' THEN 'engagement'

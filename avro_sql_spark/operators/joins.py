@@ -33,6 +33,89 @@ def salted_join(
     return out.drop("_salt")
 
 
+def _bloom_hashes(key, num_bits: int, k: int) -> "list":
+    """k probe positions via Kirsch-Mitzenmacher double hashing:
+    h_i = (h1 + i*h2) mod m, both base hashes JVM-side xxhash64."""
+    # reduce both base hashes mod m BEFORE combining: i*h2 on the raw
+    # 64-bit hash overflows a long (ANSI mode raises); in modular space
+    # the products stay tiny and (h1 + i*h2) mod m is unchanged
+    h1 = F.pmod(F.xxhash64(key), F.lit(num_bits))
+    h2 = F.pmod(F.xxhash64(key, F.lit(0x9747B28C)), F.lit(num_bits))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits)) for i in range(k)]
+
+
+def build_bloom(
+    df: DataFrame, key: str, num_bits: int = 1 << 18, k: int = 7
+) -> "list[int]":
+    """Distributed Bloom-filter build over ``df[key]``: every row emits
+    its k bit positions in-row (explode), positions fold into 64-bit
+    words with a ``bit_or`` partial aggregate, and only the packed words
+    (num_bits/64 longs — kilobytes) reach the driver. No row-at-a-time
+    Python, no key collect; the filter size is fixed by num_bits, not
+    the key count. Size rule of thumb: ~10 bits/key for ~1% false
+    positives at k=7."""
+    positions = F.array(*_bloom_hashes(F.col(key), num_bits, k))
+    words = (
+        df.select(F.explode(positions).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            # shiftleft with a COLUMN shift amount needs call_function
+            # (the Python wrapper only takes a literal int)
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod("pos", F.lit(64)).cast("int"),
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+        .collect()
+    )
+    dense = [0] * (num_bits // 64)
+    for r in words:
+        dense[r["w"]] = r["bits"]
+    return dense
+
+
+def bloom_might_contain(key, words: "list[int]", num_bits: int, k: int = 7):
+    """Membership-test Column against a built filter: k probes into the
+    broadcast word array, all pure JVM arithmetic inside codegen (array
+    index + shift + mask per probe)."""
+    arr = F.lit(words)
+    cond = F.lit(True)
+    for pos in _bloom_hashes(key, num_bits, k):
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        bit = F.call_function(
+            "shiftright", word, F.pmod(pos, F.lit(64)).cast("int")
+        ).bitwiseAND(F.lit(1).cast("long"))
+        cond = cond & (bit == 1)
+    return cond
+
+
+def bloom_prefilter_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    how: str = "inner",
+    num_bits: int = 1 << 18,
+    k: int = 7,
+) -> DataFrame:
+    """Selective join with a Bloom prefilter on the BIG side: the small
+    side's keys are folded into a fixed-size filter (build_bloom), the
+    big side drops non-matching rows BEFORE its shuffle, then the real
+    equi-join runs on the survivors. False positives pass the filter but
+    are eliminated by the join, so the result is EXACTLY the plain join
+    — the filter only cuts the shuffled volume (at 100 TB, a selective
+    dim join shuffles the whole fact table without this; with it, only
+    rows that can match move). This is the hand-rolled, always-on form
+    of Spark's runtime row-level bloom pushdown, usable when the
+    optimizer won't inject one (non-equi plans, reused filters, or a
+    filter persisted across jobs)."""
+    words = build_bloom(small, key, num_bits, k)
+    pruned = big.filter(bloom_might_contain(F.col(key), words, num_bits, k))
+    return pruned.join(small, key, how)
+
+
 def broadcast_if_small(df: DataFrame, max_rows: int = 1_000_000) -> DataFrame:
     """Broadcast hint guarded by a cheap count — for dimension tables of
     unknown size in generic pipelines. (On a real deployment prefer

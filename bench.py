@@ -121,6 +121,7 @@ HEADLINE = [
     "value_histogram",
     "copurchase_pagerank",
     "zorder_layout_report",
+    "bloom_prefilter_join",
 ]
 
 

@@ -64,3 +64,41 @@ def test_blocked_fuzzy_pairs_is_equi_join(spark):
     plan = blocked_fuzzy_pairs(df, "id", "name", ["blk"])._jdf.queryExecution(
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_prefilter_join_exact_and_pruning(spark):
+    """The bloom-prefiltered join must equal the plain join exactly
+    (false positives die in the join), and the prefilter must actually
+    prune: survivors ≈ matching rows + small fp tail, far below input."""
+    from pyspark.sql import functions as F
+
+    from avro_sql_spark.operators.joins import (
+        bloom_might_contain,
+        bloom_prefilter_join,
+        build_bloom,
+    )
+
+    big = spark.range(0, 20000).select((F.col("id") % 5000).alias("k"), "id")
+    small = spark.range(0, 100).select((F.col("id") * 7).alias("k"))  # 100 keys
+    got = bloom_prefilter_join(big, small, "k").groupBy().count().collect()[0][0]
+    want = big.join(small, "k").count()
+    assert got == want
+    # pruning effectiveness: 100/5000 keys match -> ~400 true rows out
+    # of 20000; allow a generous fp margin but require real pruning
+    words = build_bloom(small, "k")
+    survivors = big.filter(bloom_might_contain(F.col("k"), words, 1 << 18)).count()
+    assert want <= survivors < 2000
+
+
+def test_bloom_no_false_negatives(spark):
+    from pyspark.sql import functions as F
+
+    from avro_sql_spark.operators.joins import bloom_might_contain, build_bloom
+
+    keys = spark.range(0, 1000).select((F.col("id") * 31 + 7).alias("k"))
+    words = build_bloom(keys, "k", num_bits=1 << 14)
+    # every inserted key must test positive (bloom guarantees no FN)
+    misses = keys.filter(
+        ~bloom_might_contain(F.col("k"), words, 1 << 14)
+    ).count()
+    assert misses == 0
