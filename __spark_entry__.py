@@ -1015,6 +1015,35 @@ def _avro_roundtrip_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def _avro_fallback_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALWAYS-fallback twin of avro_roundtrip_reshape: the pure-Python
+    container codec (avro_io.py — zigzag varints, block framing, sync
+    markers, deflate) is exercised unconditionally, so a codec
+    regression surfaces at the gate even on classpaths where the
+    feature-detected entry routes through spark-avro."""
+    import os
+    import shutil
+    import tempfile
+
+    from avro_sql_spark.sources.avro_io import (
+        read_avro_fallback,
+        write_avro_fallback,
+    )
+
+    t = load_tables(spark, sf_dir, register=False)
+    docs = t["documents"].select("doc_id", "lang", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="avro_fb_")
+    try:
+        path = os.path.join(tmp, "docs.avro")
+        write_avro_fallback(docs, path, name="document", codec="deflate")
+        back = read_avro_fallback(spark, path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return reshape(
+        back, "SELECT doc_id as id, lang as language, n_chars"
+    ).orderBy("id")
+
+
 def _kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL quantile-sketch percentiles per event type. Same exactness
     trick as theta_user_overlap: a KLL sketch is EXACT until it retains
@@ -1469,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_enriched_totals": _streaming_enriched_totals,
         "bloom_prefilter_join": _bloom_prefilter_join,
         "udtf_shingle_counts": _udtf_shingle_counts,
+        "avro_fallback_roundtrip": _avro_fallback_roundtrip,
         # --- genuinely rows-only (hash-/sketch-/eigen-dependent) ---
         "embedding_pca": _embedding_pca,
         "table_profile_approx": _table_profile_approx,
@@ -2933,6 +2963,9 @@ ORDER BY p.n_orders DESC, p.part_a, p.part_b
 LIMIT 20
 """,
         "avro_roundtrip_reshape": (
+            "SELECT doc_id AS id, lang AS language, n_chars FROM documents ORDER BY id"
+        ),
+        "avro_fallback_roundtrip": (
             "SELECT doc_id AS id, lang AS language, n_chars FROM documents ORDER BY id"
         ),
         "theta_user_overlap": """

@@ -64,6 +64,10 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()  # scalar driver value — the only collect
+    if n == 0:
+        from ..errors import AvroSqlError
+
+        raise AvroSqlError("pagerank: empty edge list")
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od")).localCheckpoint()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
     for i in range(iterations):

@@ -33,6 +33,17 @@ def salted_join(
     return out.drop("_salt")
 
 
+def _round_bits(num_bits: int) -> int:
+    """Normalize a filter size to a positive multiple of 64 (the packed
+    word width) — build and probe both normalize, so any raw value stays
+    consistent between them."""
+    if num_bits <= 0:
+        from ..errors import AvroSqlError
+
+        raise AvroSqlError(f"bloom filter num_bits must be positive, got {num_bits}")
+    return ((num_bits + 63) // 64) * 64
+
+
 def _bloom_hashes(key, num_bits: int, k: int) -> "list":
     """k probe positions via Kirsch-Mitzenmacher double hashing:
     h_i = (h1 + i*h2) mod m, both base hashes JVM-side xxhash64."""
@@ -40,7 +51,12 @@ def _bloom_hashes(key, num_bits: int, k: int) -> "list":
     # 64-bit hash overflows a long (ANSI mode raises); in modular space
     # the products stay tiny and (h1 + i*h2) mod m is unchanged
     h1 = F.pmod(F.xxhash64(key), F.lit(num_bits))
-    h2 = F.pmod(F.xxhash64(key, F.lit(0x9747B28C)), F.lit(num_bits))
+    # force h2 odd (|1): h2 ≡ 0 mod m would collapse all k probes onto
+    # h1 (one bit per key, FP rate degrades to the raw bit-load); odd
+    # h2 is also coprime with the power-of-two default m
+    h2 = F.pmod(F.xxhash64(key, F.lit(0x9747B28C)), F.lit(num_bits)).bitwiseOR(
+        F.lit(1)
+    )
     return [F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits)) for i in range(k)]
 
 
@@ -54,6 +70,7 @@ def build_bloom(
     Python, no key collect; the filter size is fixed by num_bits, not
     the key count. Size rule of thumb: ~10 bits/key for ~1% false
     positives at k=7."""
+    num_bits = _round_bits(num_bits)
     positions = F.array(*_bloom_hashes(F.col(key), num_bits, k))
     words = (
         df.select(F.explode(positions).alias("pos"))
@@ -79,17 +96,24 @@ def build_bloom(
 
 def bloom_might_contain(key, words: "list[int]", num_bits: int, k: int = 7):
     """Membership-test Column against a built filter: k probes into the
-    broadcast word array, all pure JVM arithmetic inside codegen (array
-    index + shift + mask per probe)."""
+    word array, all pure JVM arithmetic inside codegen (array index +
+    shift + mask per probe). The probes run inside ONE ``forall`` over
+    the position array so the word-array literal appears once in the
+    expression tree — an unrolled AND would embed k copies of the
+    (num_bits/64)-element literal in every task binary."""
+    num_bits = _round_bits(num_bits)
     arr = F.lit(words)
-    cond = F.lit(True)
-    for pos in _bloom_hashes(key, num_bits, k):
+
+    def _probe(pos):
         word = F.element_at(arr, (pos / 64).cast("int") + 1)
-        bit = F.call_function(
-            "shiftright", word, F.pmod(pos, F.lit(64)).cast("int")
-        ).bitwiseAND(F.lit(1).cast("long"))
-        cond = cond & (bit == 1)
-    return cond
+        return (
+            F.call_function(
+                "shiftright", word, F.pmod(pos, F.lit(64)).cast("int")
+            ).bitwiseAND(F.lit(1).cast("long"))
+            == 1
+        )
+
+    return F.forall(F.array(*_bloom_hashes(key, num_bits, k)), _probe)
 
 
 def bloom_prefilter_join(
@@ -110,7 +134,21 @@ def bloom_prefilter_join(
     rows that can match move). This is the hand-rolled, always-on form
     of Spark's runtime row-level bloom pushdown, usable when the
     optimizer won't inject one (non-equi plans, reused filters, or a
-    filter persisted across jobs)."""
+    filter persisted across jobs).
+
+    Only join types where pre-pruning unmatched BIG rows is semantics-
+    preserving are allowed: inner (false positives die in the join) and
+    left_semi (the filter is a superset of the semi-join predicate).
+    Outer/anti joins NEED the unmatched rows the filter removes."""
+    if how not in ("inner", "left_semi"):
+        from ..errors import AvroSqlError
+
+        raise AvroSqlError(
+            "bloom_prefilter_join preserves semantics only for "
+            f"'inner' and 'left_semi' joins, got '{how}' — outer/anti "
+            "joins need the unmatched rows the prefilter drops"
+        )
+    num_bits = _round_bits(num_bits)
     words = build_bloom(small, key, num_bits, k)
     pruned = big.filter(bloom_might_contain(F.col(key), words, num_bits, k))
     return pruned.join(small, key, how)

@@ -140,6 +140,13 @@ def snapshot_diff(
                 f"{sorted(new_val - old_val)}); pass compare_cols explicitly"
             )
         compare_cols = [c for c in new.columns if c not in key_cols]
+    if not compare_cols:
+        from ..errors import AvroSqlError
+
+        raise AvroSqlError(
+            "snapshot_diff: no compare columns (key-only tables have "
+            "nothing to diff beyond membership; pass key_cols only?)"
+        )
     h = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in compare_cols])
     o = old.select(*key_cols, h.alias("h_old"))
     n = new.select(*key_cols, h.alias("h_new"))

@@ -102,3 +102,33 @@ def test_bloom_no_false_negatives(spark):
         ~bloom_might_contain(F.col("k"), words, 1 << 14)
     ).count()
     assert misses == 0
+
+
+def test_bloom_prefilter_join_rejects_outer(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from avro_sql_spark.errors import AvroSqlError
+    from avro_sql_spark.operators.joins import bloom_prefilter_join
+
+    big = spark.range(10).select(F.col("id").alias("k"))
+    small = spark.range(3).select(F.col("id").alias("k"))
+    for how in ("left", "full", "left_anti", "right"):
+        with _pytest.raises(AvroSqlError, match="preserves semantics only"):
+            bloom_prefilter_join(big, small, "k", how=how)
+    # left_semi is allowed and equals the plain semi join
+    got = bloom_prefilter_join(big, small, "k", how="left_semi").count()
+    assert got == big.join(small, "k", "left_semi").count()
+
+
+def test_bloom_num_bits_normalized(spark):
+    from pyspark.sql import functions as F
+
+    from avro_sql_spark.operators.joins import bloom_might_contain, build_bloom
+
+    keys = spark.range(0, 500).select((F.col("id") * 13 + 3).alias("k"))
+    # non-multiple-of-64 size must round up consistently, not IndexError
+    words = build_bloom(keys, "k", num_bits=1000)
+    assert len(words) == 1024 // 64
+    misses = keys.filter(~bloom_might_contain(F.col("k"), words, 1000)).count()
+    assert misses == 0
