@@ -1377,6 +1377,19 @@ def _udtf_shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration Lloyd k-means over the embeddings (k=4, 2
+    iterations, lowest-id seeds): per-cluster member count + mean
+    squared distance. Centroids are bounded driver state broadcast as
+    literals; assignment is in-row zip_with arithmetic; the update
+    shuffle carries k x d cells. Oracle: the same iterations unrolled
+    in SQL (operators/clustering.py)."""
+    from avro_sql_spark.operators.clustering import kmeans_report
+
+    t = load_tables(spark, sf_dir, register=False)
+    return kmeans_report(t["embeddings"], k=4, iterations=2)
+
+
 def _copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the symmetric co-purchase graph
     (parts co-occurring in >= 2 orders). 3 iterations, damping 0.85 —
@@ -1499,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prefilter_join": _bloom_prefilter_join,
         "udtf_shingle_counts": _udtf_shingle_counts,
         "avro_fallback_roundtrip": _avro_fallback_roundtrip,
+        "kmeans_clusters": _kmeans_clusters,
         # --- genuinely rows-only (hash-/sketch-/eigen-dependent) ---
         "embedding_pca": _embedding_pca,
         "table_profile_approx": _table_profile_approx,
@@ -1725,6 +1739,42 @@ SELECT node AS part, ROUND(pr, 8) AS pr FROM {prev} ORDER BY part
 """
 
 
+def _kmeans_oracle(k: int = 4, iterations: int = 2) -> str:
+    """Unrolled fixed-iteration Lloyd twin of operators/clustering.py:
+    same lowest-id seeds, same squared-L2 assignment with ties broken to
+    the lowest centroid index (ORDER BY d, c == array_position-of-min),
+    same per-dimension AVG update. Assumes no cluster empties at gate
+    SFs (the Spark side's keep-old-centroid rule then never fires)."""
+    its = []
+    prev = "c0"
+    for t in range(1, iterations + 1):
+        its.append(f"""
+d{t} AS (SELECT x.vec_id, cc.c, SUM((x.v - cc.v) * (x.v - cc.v)) AS d
+        FROM x JOIN {prev} cc USING (i) GROUP BY 1, 2),
+a{t} AS (SELECT vec_id, c, d FROM d{t}
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) = 1),
+c{t} AS (SELECT a.c, x.i, AVG(x.v) AS v
+        FROM a{t} a JOIN x ON x.vec_id = a.vec_id GROUP BY 1, 2)""")
+        prev = f"c{t}"
+    fin = iterations + 1
+    return f"""
+WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c
+          FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+c0 AS (SELECT s.c, x.i, x.v FROM x JOIN seeds s USING (vec_id)),
+{",".join(its)},
+dF AS (SELECT x.vec_id, cc.c, SUM((x.v - cc.v) * (x.v - cc.v)) AS d
+       FROM x JOIN {prev} cc USING (i) GROUP BY 1, 2),
+aF AS (SELECT vec_id, c, d FROM dF
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) = 1)
+SELECT CAST(c AS INT) AS cluster, COUNT(*) AS n_points,
+       ROUND(AVG(d), 4) AS mean_sqdist
+FROM aF GROUP BY 1 ORDER BY 1
+"""
+
+
 def _zorder_oracle() -> str:
     """SQL twin of layout.zvalue over orders (o_totalprice, o_custkey):
     same min/max scale -> floor -> clamp -> 16-bit interleave arithmetic
@@ -1798,6 +1848,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "copurchase_pagerank": _pagerank_oracle(3),
         "zorder_layout_report": _zorder_oracle(),
+        "kmeans_clusters": _kmeans_oracle(4, 2),
         # bloom false positives are eliminated by the join itself, so
         # the oracle is the PLAIN join — the filter is purely a
         # shuffled-volume optimization

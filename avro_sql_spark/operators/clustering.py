@@ -1,0 +1,117 @@
+"""Distributed k-means (Lloyd iterations) over an embedding column
+(SURVEY.md §2.2 'Similarity search' — the clustering step behind IVF
+cell training, corpus topic bucketing, and diversity-aware sampling).
+
+Spark-first shape: centroids are the DRIVER state (k x d floats —
+bounded, like pca_project's d x d), broadcast into each iteration as
+array literals; the assignment step is pure in-row Column arithmetic
+(zip_with difference, aggregate fold — no UDF), and the update step is
+one posexplode + groupBy(cluster, dim) average whose shuffle carries
+(k x d) cells regardless of row count. Per iteration: ONE job. No
+unbounded driver collect anywhere.
+
+Determinism (what makes the DuckDB oracle possible): seeds are the k
+lowest-id vectors, ties in the argmin break to the lowest centroid
+index (array_position returns the first minimum), and the iteration
+count is fixed — the result is a closed-form expression of the input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _assign(emb: DataFrame, cents: "list[list[float]]", vec_col: str):
+    """Append 'cluster' (0-based argmin of squared L2 distance; ties →
+    lowest index) and '_dist' (the winning squared distance)."""
+    v = F.col(vec_col).cast("array<double>")
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(v, F.lit(c), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in cents
+        ]
+    )
+    return emb.withColumn("_dists", dists).select(
+        "*",
+        (F.array_position(F.col("_dists"), F.array_min("_dists")) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.array_min("_dists").alias("_dist"),
+    ).drop("_dists")
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed-iteration Lloyd k-means. Returns one row per point:
+    (id_col, cluster, sqdist) after `iterations` centroid updates.
+
+    Each iteration: assign (in-row arithmetic against broadcast centroid
+    literals) then update (posexplode → groupBy(cluster, dim) avg — the
+    shuffle is k x d cells). A cluster that loses every point keeps its
+    previous centroid (the standard empty-cluster rule)."""
+    seeds = (
+        emb.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    if len(seeds) < k:
+        from ..errors import AvroSqlError
+
+        raise AvroSqlError(f"kmeans_lloyd: need at least k={k} rows, got {len(seeds)}")
+    cents = [list(r["v"]) for r in seeds]
+    d = len(cents[0])
+    for _ in range(iterations):
+        assigned = _assign(emb, cents, vec_col)
+        rows = (
+            assigned.select(
+                "cluster", F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "v")
+            )
+            .groupBy("cluster", "i")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )  # k x d cells — bounded driver state, never row count
+        new_cents = [list(c) for c in cents]  # empty clusters keep position
+        touched = set()
+        for r in rows:
+            new_cents[r["cluster"]][r["i"]] = r["m"]
+            touched.add(r["cluster"])
+        for c in range(k):
+            if c not in touched:
+                new_cents[c] = list(cents[c])
+        cents = new_cents
+        assert all(len(c) == d for c in cents)
+    out = _assign(emb, cents, vec_col)
+    return out.select(id_col, "cluster", F.col("_dist").alias("sqdist"))
+
+
+def kmeans_report(
+    emb: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Cluster-quality rollup of :func:`kmeans_lloyd`: per cluster the
+    member count and the mean squared distance to its centroid — the
+    inertia decomposition every clustering dashboard shows."""
+    a = kmeans_lloyd(emb, k, iterations, id_col, vec_col)
+    return (
+        a.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.avg("sqdist"), round_to).alias("mean_sqdist"),
+        )
+        .orderBy("cluster")
+    )

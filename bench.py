@@ -122,6 +122,7 @@ HEADLINE = [
     "copurchase_pagerank",
     "zorder_layout_report",
     "bloom_prefilter_join",
+    "kmeans_clusters",
 ]
 
 
