@@ -1377,6 +1377,69 @@ def _udtf_shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO emulation (profile.merge_upsert): a synthetic
+    CDC batch (updates for key%10==0, tombstones for key%97!=0%10,
+    inserts at key+1000000 for key%50==0) applied to the customer
+    snapshot — one keyed left_anti join + union, no full-outer join.
+    Oracle: the identical set logic in SQL over the merged snapshot."""
+    from avro_sql_spark.operators.profile import merge_upsert
+
+    t = load_tables(spark, sf_dir, register=False)
+    c = t["customer"]
+    updates = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            (F.col("c_acctbal") + 100).alias("c_acctbal"),
+            F.lit("UPDATED").alias("c_mktsegment"),
+            F.lit(False).alias("is_delete"),
+        )
+        .unionByName(
+            c.filter((F.col("c_custkey") % 97 == 0) & (F.col("c_custkey") % 10 != 0))
+            .select(
+                "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+                F.lit(True).alias("is_delete"),
+            )
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 50 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                "c_name",
+                "c_nationkey",
+                "c_acctbal",
+                F.lit("INSERTED").alias("c_mktsegment"),
+                F.lit(False).alias("is_delete"),
+            )
+        )
+    )
+    merged = merge_upsert(c, updates, ["c_custkey"], delete_col="is_delete")
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def _jaccard_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components with EXACT edges: the iterative min-label
+    propagation loop (dedup.connected_components — the same loop
+    near_dup_clusters runs on MinHash edges) over the prefix-filtered
+    exact-Jaccard pair list. Because the edges are deterministic, the
+    whole iterative algorithm oracle-checks against a DuckDB recursive
+    reachability CTE — the loop's first driver-green row."""
+    t = load_tables(spark, sf_dir, register=False)
+    docs = t["documents"]
+    pairs = dedup.jaccard_pairs_prefix(docs, threshold=0.5)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    return dedup.connected_components(nodes, pairs).orderBy("id")
+
+
 def _kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration Lloyd k-means over the embeddings (k=4, 2
     iterations, lowest-id seeds): per-cluster member count + mean
@@ -1513,6 +1576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_shingle_counts": _udtf_shingle_counts,
         "avro_fallback_roundtrip": _avro_fallback_roundtrip,
         "kmeans_clusters": _kmeans_clusters,
+        "jaccard_dup_clusters": _jaccard_dup_clusters,
+        "merge_upsert_snapshot": _merge_upsert_snapshot,
         # --- genuinely rows-only (hash-/sketch-/eigen-dependent) ---
         "embedding_pca": _embedding_pca,
         "table_profile_approx": _table_profile_approx,
@@ -1849,6 +1914,56 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_pagerank": _pagerank_oracle(3),
         "zorder_layout_report": _zorder_oracle(),
         "kmeans_clusters": _kmeans_oracle(4, 2),
+        # exact-Jaccard edges make connected components deterministic:
+        # oracle = transitive reachability (recursive CTE), label = min
+        # reachable id — identical to min-label propagation's fixpoint
+        "jaccard_dup_clusters": f"""
+WITH RECURSIVE {_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+),
+e AS (SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.s AS id, r.lbl FROM e JOIN reach r ON r.id = e.d
+)
+SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1 ORDER BY id
+""",
+        "merge_upsert_snapshot": """
+WITH upd AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,
+         'UPDATED' AS c_mktsegment, FALSE AS is_delete
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, TRUE
+  FROM customer WHERE c_custkey % 97 = 0 AND c_custkey % 10 != 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+         'INSERTED', FALSE
+  FROM customer WHERE c_custkey % 50 = 0
+),
+merged AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+  UNION ALL
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM upd WHERE NOT is_delete
+)
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+       ROUND(SUM(c_acctbal), 2) AS total_bal
+FROM merged GROUP BY 1 ORDER BY c_mktsegment
+""",
         # bloom false positives are eliminated by the join itself, so
         # the oracle is the PLAIN join — the filter is purely a
         # shuffled-volume optimization

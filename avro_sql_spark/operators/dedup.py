@@ -475,21 +475,44 @@ def near_dup_clusters(
     where cluster_id is the smallest doc id in the component.
 
     This is the genuinely iterative operator (the driver records it
-    rows-only - no single SQL oracle): each round is one join + one
-    min-aggregate, the classic Spark connected-components loop. Rounds
-    needed = graph diameter (near-dup components are shallow - a handful
-    of rounds); each round is shuffle-bounded by the edge count, and the
-    loop exits early once labels stop changing."""
+    rows-only - no single SQL oracle because the EDGES are MinHash
+    estimates): each round is one join + one min-aggregate, the classic
+    Spark connected-components loop (see :func:`connected_components`
+    for the loop itself — reused with exact-Jaccard edges it IS
+    oracle-checkable via a recursive CTE)."""
     pairs = minhash_candidate_pairs(docs, id_col, text_col).filter(
         F.col("est_jaccard") >= est_threshold
     )
+    nodes = docs.select(F.col(id_col).alias("id"))
+    return connected_components(nodes, pairs, max_iterations=max_iterations)
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    ``nodes`` is an (id) frame, ``pairs`` an undirected edge list;
+    returns (id, cluster_id) where cluster_id is the smallest id in the
+    component.
+
+    Scale shape: each round is ONE edges-to-labels equi-join + ONE
+    min-aggregate, both hash-partitioned on the node id; rounds needed =
+    graph diameter (near-dup components are shallow). Labels
+    localCheckpoint per round so the plan depth stays constant, and the
+    loop exits early once no label changes. Deterministic (min is
+    order-free), so with deterministic edges the result is
+    SQL-oracle-checkable (recursive reachability CTE)."""
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         .cache()
     )
-    labels = docs.select(F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")).cache()
+    labels = nodes.select(F.col("id"), F.col("id").alias("cluster_id")).cache()
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)

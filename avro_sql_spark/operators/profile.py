@@ -163,6 +163,35 @@ def snapshot_diff(
     )
 
 
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: "list[str]",
+    delete_col: "str | None" = None,
+) -> DataFrame:
+    """Batch MERGE (the Delta/Iceberg ``MERGE INTO`` shape on raw
+    frames): rows in ``updates`` replace matching ``target`` rows by
+    key, unmatched update rows insert, and rows where ``delete_col`` is
+    true are tombstones — the matching target row disappears and the
+    tombstone itself is not emitted.
+
+    Scale shape: ONE left_anti join (target keys minus update keys —
+    both sides hash-partition on the key, output is the untouched
+    majority) unioned with the surviving update rows. No full-outer
+    join, no window: the shuffle is keyed and the update side is
+    typically the small one. The result is a NEW snapshot frame —
+    atomic swap/commit is a table-format feature; on raw directories
+    the caller owns the rename (same contract as compact_table)."""
+    upd_keys = updates.select(*key_cols)
+    survivors = target.join(upd_keys, key_cols, "left_anti")
+    incoming = updates
+    if delete_col is not None:
+        incoming = incoming.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    return survivors.unionByName(incoming.select(*target.columns))
+
+
 def value_histogram(
     df: DataFrame,
     val_col: str,

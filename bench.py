@@ -123,6 +123,8 @@ HEADLINE = [
     "zorder_layout_report",
     "bloom_prefilter_join",
     "kmeans_clusters",
+    "jaccard_dup_clusters",
+    "merge_upsert_snapshot",
 ]
 
 

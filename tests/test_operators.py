@@ -826,3 +826,49 @@ def test_value_histogram_conserves_counts_and_edges(spark):
     assert sum(r["n"] for r in rows) == 101
     assert rows[0]["bin_lo"] == 0.0 and rows[-1]["bin_hi"] == 100.0
     assert rows[-1]["bin"] == 9 and rows[-1]["n"] == 11  # 90..100 inclusive
+
+
+def test_merge_upsert_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from avro_sql_spark.operators.profile import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "v", "x"]
+    )
+    updates = spark.createDataFrame(
+        [
+            (2, "B", 25.0, False),   # update
+            (3, None, 0.0, True),    # delete
+            (4, "d", 40.0, False),   # insert
+        ],
+        ["k", "v", "x", "is_delete"],
+    )
+    got = {
+        r["k"]: (r["v"], r["x"])
+        for r in merge_upsert(target, updates, ["k"], "is_delete").collect()
+    }
+    assert got == {1: ("a", 10.0), 2: ("B", 25.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_no_delete_col(spark):
+    from avro_sql_spark.operators.profile import merge_upsert
+
+    target = spark.createDataFrame([(1, "a")], ["k", "v"])
+    updates = spark.createDataFrame([(1, "A"), (2, "b")], ["k", "v"])
+    got = {r["k"]: r["v"] for r in merge_upsert(target, updates, ["k"]).collect()}
+    assert got == {1: "A", 2: "b"}
+
+
+def test_connected_components_chain(spark):
+    from pyspark.sql import functions as F
+
+    from avro_sql_spark.operators.dedup import connected_components
+
+    nodes = spark.range(0, 7).select(F.col("id"))
+    # chain 0-1-2-3, pair 5-6, isolate 4
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r["cluster_id"] for r in connected_components(nodes, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5}
