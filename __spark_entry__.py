@@ -1097,8 +1097,12 @@ def _embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     environment-independent; 4-dp rounding both sides keeps the hash off
     round boundaries (the r2 flake)."""
     t = load_tables(spark, sf_dir, register=False)
+    # n_parts pinned for cross-environment bit-stability (any FIXED
+    # value is deterministic); 16 balances numpy batch size vs per-
+    # partition Arrow overhead at gate SFs — production sets it to the
+    # cluster's core count
     return similarity.gram_covariance(
-        t["embeddings"], round_to=4, partition_col="vec_id"
+        t["embeddings"], round_to=4, partition_col="vec_id", n_parts=16
     )
 
 
