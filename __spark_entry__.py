@@ -1381,6 +1381,41 @@ def _udtf_shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE round-1 statistic: freq-weighted adjacent character-pair
+    counts over the word-frequency table (the table BPE training
+    actually runs on — vocabulary-sized, not corpus-sized), top 20 with
+    the trainer's exact tie-break (count desc, left, right). Oracle:
+    the identical explode + weighted count in SQL."""
+    from avro_sql_spark.operators import bpe
+
+    t = load_tables(spark, sf_dir, register=False)
+    w = bpe.word_freq_tokens(t["documents"])
+    return (
+        bpe.pair_counts(w)
+        .select(
+            F.col("left").alias("pair_left"),
+            F.col("right").alias("pair_right"),
+            "n",
+        )
+        .orderBy(F.desc("n"), "pair_left", "pair_right")
+        .limit(20)
+    )
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE training, 8 merge rounds (operators/bpe.py train_bpe):
+    per-round best pair to the driver, greedy leftmost in-row rewrite,
+    localCheckpoint per round. Deterministic, but the multi-round
+    token-rewrite fold has no faithful SQL twin (greedy adjacent
+    merging is inherently sequential) — rows-only at the driver; the
+    pytest golden pins the merge sequence on a hand-computed corpus."""
+    from avro_sql_spark.operators import bpe
+
+    t = load_tables(spark, sf_dir, register=False)
+    return bpe.train_bpe(t["documents"], n_merges=8)
+
+
 def _merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch MERGE INTO emulation (profile.merge_upsert): a synthetic
     CDC batch (updates for key%10==0, tombstones for key%97!=0%10,
@@ -1582,6 +1617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": _kmeans_clusters,
         "jaccard_dup_clusters": _jaccard_dup_clusters,
         "merge_upsert_snapshot": _merge_upsert_snapshot,
+        "bpe_top_pairs": _bpe_top_pairs,
+        "bpe_merges": _bpe_merges,
         # --- genuinely rows-only (hash-/sketch-/eigen-dependent) ---
         "embedding_pca": _embedding_pca,
         "table_profile_approx": _table_profile_approx,
@@ -1943,6 +1980,19 @@ reach AS (
   SELECT e.s AS id, r.lbl FROM e JOIN reach r ON r.id = e.d
 )
 SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1 ORDER BY id
+""",
+        "bpe_top_pairs": """
+WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+           FROM documents),
+wf AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY 1),
+tk AS (SELECT freq, regexp_extract_all(word, '.') || ['</w>'] AS toks FROM wf),
+p AS (SELECT freq, toks[i] AS pair_left, toks[i + 1] AS pair_right
+      FROM tk, unnest(range(1, len(toks))) AS t(i)
+      WHERE len(toks) >= 2)
+SELECT pair_left, pair_right, CAST(SUM(freq) AS BIGINT) AS n
+FROM p GROUP BY 1, 2
+ORDER BY n DESC, pair_left, pair_right
+LIMIT 20
 """,
         "merge_upsert_snapshot": """
 WITH upd AS (

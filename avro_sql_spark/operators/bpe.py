@@ -1,0 +1,113 @@
+"""Distributed BPE (byte-pair encoding) tokenizer training
+(SURVEY.md §2.2 'Text analysis' — the tokenizer-construction step of an
+LLM data pipeline, beyond the BPE-ish *counting* the text module does).
+
+Classic Sennrich-style BPE trains on the WORD-FREQUENCY table, not the
+raw corpus — and that is exactly the distributed shape: one corpus scan
+builds (word, freq) [vocabulary-sized, tiny next to the corpus], then
+every merge round runs on that table: adjacent-pair counts are an
+explode + freq-weighted sum (map-side combined), the single best pair
+comes to the driver (the only driver state is the merge list), and the
+merge applies in-row with an ``aggregate`` left-fold — the same greedy
+leftmost-first semantics as the reference implementation. The word
+table localCheckpoints per round so N merges never deepen the plan.
+
+Determinism: ties in the best-pair choice break on (count desc, left,
+right) — so the merge sequence is a closed-form function of the corpus,
+and the round-1 pair counts are SQL-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def word_freq_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq, toks) over lowercase alphabetic words: toks is the
+    character sequence plus the classic ``</w>`` end-of-word marker."""
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("word")
+    )
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    return wf.select(
+        "word",
+        "freq",
+        F.concat(F.split(F.col("word"), ""), F.array(F.lit("</w>"))).alias("toks"),
+    )
+
+
+def pair_counts(words: DataFrame) -> DataFrame:
+    """Freq-weighted adjacent-pair counts over the current token arrays
+    — every position counts (the classic statistic). One explode + one
+    partially-aggregated sum; rows bounded by distinct pairs."""
+    m = F.size("toks")
+    pairs = F.transform(
+        F.sequence(F.lit(1), m - 1),
+        lambda i: F.struct(
+            F.element_at("toks", i).alias("left"),
+            F.element_at("toks", i + 1).alias("right"),
+        ),
+    )
+    return (
+        words.filter(m >= 2)
+        .select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def _apply_merge(words: DataFrame, left: str, right: str) -> DataFrame:
+    """Rewrite every token array merging (left, right) -> left+right,
+    greedy leftmost-first (an ``aggregate`` left-fold: merge when the
+    accumulator's last token is `left` and the current is `right`, else
+    append — matches reference BPE exactly, including the aaa→[aa,a]
+    and aaaa→[aa,aa] cases)."""
+    merged = F.lit(left + right)
+
+    def step(acc, x):
+        can = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right))
+        )
+        return F.when(
+            can,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return words.withColumn(
+        "toks",
+        F.aggregate(
+            "toks", F.array().cast("array<string>"), step
+        ),
+    )
+
+
+def train_bpe(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns (rank, left, right,
+    merged, n) — the merge table a tokenizer ships. Driver state is the
+    merge list only; each round is one pair-count aggregate over the
+    vocabulary-sized word table plus an in-row rewrite."""
+    spark: SparkSession = docs.sparkSession
+    words = word_freq_tokens(docs, text_col).localCheckpoint()
+    merges = []
+    for rank in range(n_merges):
+        top = (
+            pair_counts(words)
+            .orderBy(F.desc("n"), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        t = top[0]
+        merges.append((rank, t["left"], t["right"], t["left"] + t["right"], t["n"]))
+        words = _apply_merge(words, t["left"], t["right"]).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, n bigint"
+    )

@@ -125,6 +125,7 @@ HEADLINE = [
     "kmeans_clusters",
     "jaccard_dup_clusters",
     "merge_upsert_snapshot",
+    "bpe_top_pairs",
 ]
 
 
