@@ -1618,8 +1618,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_dup_clusters": _jaccard_dup_clusters,
         "merge_upsert_snapshot": _merge_upsert_snapshot,
         "bpe_top_pairs": _bpe_top_pairs,
+        # --- genuinely rows-only (hash-/sketch-/eigen-dependent, or —
+        # bpe_merges — a sequential fold with no faithful SQL twin) ---
         "bpe_merges": _bpe_merges,
-        # --- genuinely rows-only (hash-/sketch-/eigen-dependent) ---
         "embedding_pca": _embedding_pca,
         "table_profile_approx": _table_profile_approx,
         "minhash_calibration": _minhash_calibration,
@@ -1859,7 +1860,7 @@ d{t} AS (SELECT x.vec_id, cc.c, SUM((x.v - cc.v) * (x.v - cc.v)) AS d
         FROM x JOIN {prev} cc USING (i) GROUP BY 1, 2),
 a{t} AS (SELECT vec_id, c, d FROM d{t}
         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) = 1),
-c{t} AS (SELECT a.c, x.i, AVG(x.v) AS v
+c{t} AS (SELECT a.c, x.i, ROUND(AVG(x.v), 9) AS v
         FROM a{t} a JOIN x ON x.vec_id = a.vec_id GROUP BY 1, 2)""")
         prev = f"c{t}"
     fin = iterations + 1
@@ -1981,9 +1982,12 @@ reach AS (
 )
 SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1 ORDER BY id
 """,
-        "bpe_top_pairs": """
-WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-           FROM documents),
+        "bpe_top_pairs": r"""
+WITH w AS (
+  SELECT word FROM (
+    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+    FROM documents)
+  WHERE regexp_matches(word, '^[a-z]+$')),
 wf AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY 1),
 tk AS (SELECT freq, regexp_extract_all(word, '.') || ['</w>'] AS toks FROM wf),
 p AS (SELECT freq, toks[i] AS pair_left, toks[i + 1] AS pair_right

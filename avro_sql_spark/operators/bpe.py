@@ -24,12 +24,15 @@ from pyspark.sql import functions as F
 
 
 def word_freq_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(word, freq, toks) over lowercase alphabetic words: toks is the
-    character sequence plus the classic ``</w>`` end-of-word marker."""
+    """(word, freq, toks) over the SHARED tokenizer's words
+    (functions.text.word_tokens — whitespace split, pure ^[a-z]+$ — so
+    the learned merges cover the same token universe as the unigram/
+    bigram/PMI/vocab statistics); toks is the character sequence plus
+    the classic ``</w>`` end-of-word marker."""
+    from ..functions.text import word_tokens
+
     words = docs.select(
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
-        ).alias("word")
+        F.explode(word_tokens(F.col(text_col))).alias("word")
     )
     wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
     return wf.select(
@@ -107,7 +110,9 @@ def train_bpe(
             break
         t = top[0]
         merges.append((rank, t["left"], t["right"], t["left"] + t["right"], t["n"]))
+        prev = words
         words = _apply_merge(words, t["left"], t["right"]).localCheckpoint()
+        prev.unpersist()  # release the superseded round's blocks
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, n bigint"
     )

@@ -70,7 +70,6 @@ def kmeans_lloyd(
 
         raise AvroSqlError(f"kmeans_lloyd: need at least k={k} rows, got {len(seeds)}")
     cents = [list(r["v"]) for r in seeds]
-    d = len(cents[0])
     for _ in range(iterations):
         assigned = _assign(emb, cents, vec_col)
         rows = (
@@ -81,16 +80,18 @@ def kmeans_lloyd(
             .agg(F.avg("v").alias("m"))
             .collect()
         )  # k x d cells — bounded driver state, never row count
-        new_cents = [list(c) for c in cents]  # empty clusters keep position
-        touched = set()
+        # start from a copy of the previous centroids: a cluster that
+        # lost every point keeps its position (standard empty-cluster
+        # rule); centroids round to 9 dp so the values broadcast back
+        # are bit-identical across engines/environments (an unrounded
+        # avg inherits partial-sum order noise, and the DISCRETE argmin
+        # downstream could flip on it — same flake class the covariance
+        # entry's keyed partials exist to prevent; the oracle applies
+        # the identical ROUND)
+        new_cents = [list(c) for c in cents]
         for r in rows:
-            new_cents[r["cluster"]][r["i"]] = r["m"]
-            touched.add(r["cluster"])
-        for c in range(k):
-            if c not in touched:
-                new_cents[c] = list(cents[c])
+            new_cents[r["cluster"]][r["i"]] = round(r["m"], 9)
         cents = new_cents
-        assert all(len(c) == d for c in cents)
     out = _assign(emb, cents, vec_col)
     return out.select(id_col, "cluster", F.col("_dist").alias("sqdist"))
 

@@ -549,6 +549,18 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting the budget with labels still moving means some
+        # component has diameter > max_iterations: the result would be
+        # silently partial (and any exact oracle would mismatch with no
+        # pointer at the cause) — fail loudly instead
+        from ..errors import AvroSqlError
+
+        raise AvroSqlError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (component diameter exceeds the budget); raise "
+            "max_iterations"
+        )
     edges.unpersist()
     return labels.orderBy("id")
 

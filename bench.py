@@ -142,12 +142,17 @@ def main() -> None:
     for name in HEADLINE:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     # two timed passes, keep the per-query minimum: single-machine runs
-    # have multi-second scheduler/GC noise that would otherwise dominate
+    # have multi-second scheduler/GC noise that would otherwise dominate.
+    # The timed window INCLUDES DataFrame construction: iterative
+    # entries (pagerank, k-means, connected components) run real jobs
+    # eagerly at construction time (per-round localCheckpoint/collect),
+    # so timing only the final write would understate them by orders of
+    # magnitude.
     timings: dict[str, float] = {}
     for _ in range(2):
         for name in HEADLINE:
-            df = queries[name](spark, sf_dir)  # plan (lazy)
             start = time.perf_counter()
+            df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             elapsed = round(time.perf_counter() - start, 3)
             timings[name] = min(timings.get(name, elapsed), elapsed)
