@@ -291,31 +291,38 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         F.col(id_col), F.explode(word_shingles(F.col(text_col))).alias("s")
     ).select(F.col(id_col), F.xxhash64("s").alias("h"))
 
-    def _mask(b: int):
-        return F.shiftleft(F.lit(1).cast("long"), b)  # b=63 wraps, as intended
-
     # branch-free votes: ones_b = popcount of bit b over shingle hashes;
     # +1/-1 vote sum = 2*ones_b - n, so bit b is set iff 2*ones_b > n.
     # shiftright+AND terms codegen tighter than when/otherwise branches.
+    # The ~150 sub-expressions are built as SQL STRINGS (one F.expr/
+    # parse each) instead of Column-by-Column: per-operator Py4J round
+    # trips made plain Column composition ~1.5 s of DRIVER time per
+    # call; the parsed trees and generated code are identical.
     packs = [list(range(j, min(j + 3, 64))) for j in range(0, 64, 3)]
 
-    def _packed_term(bits: list[int]):
-        term = None
-        for lane, b in enumerate(bits):
-            t = F.shiftright("h", b).bitwiseAND(F.lit(1)) * F.lit(1 << (20 * lane)).cast("long")
-            term = t if term is None else term + t
-        return term
+    def _packed_term(bits: list[int]) -> str:
+        return " + ".join(
+            f"((shiftright(h, {b}) & 1) * cast({1 << (20 * lane)} as bigint))"
+            for lane, b in enumerate(bits)
+        )
 
     votes = ex.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.sum(_packed_term(bits)).alias(f"p{j}") for j, bits in enumerate(packs)],
+        *[
+            F.expr(f"sum({_packed_term(bits)})").alias(f"p{j}")
+            for j, bits in enumerate(packs)
+        ],
     )
-    sim = None
-    for j, bits in enumerate(packs):
-        for lane, b in enumerate(bits):
-            ones = F.shiftright(F.col(f"p{j}"), 20 * lane).bitwiseAND(F.lit((1 << 20) - 1))
-            bit = F.when(ones * 2 > F.col("n"), _mask(b)).otherwise(F.lit(0)).cast("long")
-            sim = bit if sim is None else sim.bitwiseOR(bit)
+    lane_mask = (1 << 20) - 1
+    sim = F.expr(
+        " | ".join(
+            # shiftleft(1L, 63) wraps to the sign bit, as intended
+            f"(case when (shiftright(p{j}, {20 * lane}) & {lane_mask}) * 2 > n "
+            f"then shiftleft(cast(1 as bigint), {b}) else cast(0 as bigint) end)"
+            for j, bits in enumerate(packs)
+            for lane, b in enumerate(bits)
+        )
+    )
     # enforce the lane-capacity bound instead of silently corrupting: a
     # doc with >= 2^20 shingles would carry into the neighboring lane.
     # assert_true returns NULL on pass, so the guard wraps the output

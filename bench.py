@@ -166,6 +166,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "note": (
+                    "timed window includes DataFrame construction as of r3 "
+                    "(iterative entries run real jobs eagerly at build; "
+                    "earlier rounds timed only the final write, so r1/r2 "
+                    "per-query numbers are systematically ~0.1-0.3s lower "
+                    "and iterative/bloom entries are not comparable)"
+                ),
             }
         )
     )
