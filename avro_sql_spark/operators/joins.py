@@ -102,7 +102,10 @@ def bloom_might_contain(key, words: "list[int]", num_bits: int, k: int = 7):
     expression tree — an unrolled AND would embed k copies of the
     (num_bits/64)-element literal in every task binary."""
     num_bits = _round_bits(num_bits)
-    arr = F.lit(words)
+    # ONE parsed SQL array literal: F.lit on a 4096-element Python list
+    # issues a Py4J round trip per element (~2 s of driver time per
+    # call); the expr string parses JVM-side in milliseconds
+    arr = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
 
     def _probe(pos):
         word = F.element_at(arr, (pos / 64).cast("int") + 1)
