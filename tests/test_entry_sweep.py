@@ -28,3 +28,25 @@ def test_every_oracle_has_a_query():
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     orphans = set(oracles) - set(qs)
     assert not orphans, f"oracles without queries: {sorted(orphans)}"
+
+
+def test_all_oracles_parse_and_bind_in_duckdb():
+    """EXPLAIN every oracle against the sf0.001 views: catches SQL
+    typos, unknown functions, and column/type binding errors without
+    paying execution — the cheap pre-flight for the driver gate."""
+    import duckdb
+
+    from avro_sql_spark.session import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'"
+        )
+    failures = []
+    for name, sql in entry_mod.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: {str(e)[:160]}")
+    assert not failures, "\n".join(failures)
