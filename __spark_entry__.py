@@ -1381,6 +1381,61 @@ def _udtf_shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed CO-LOCATED join in the driver gate (sources/bucketing):
+    orders and lineitem written as 16-bucket managed tables on the
+    order key, then sort-merge-joined with NO Exchange on either side
+    (bucket layout == join partitioning — the pay-one-clustered-write,
+    skip-every-downstream-shuffle pattern; broadcast is disabled during
+    the join so the bucket machinery, not a BHJ, is what runs). Oracle:
+    the plain join + rollup in SQL."""
+    from avro_sql_spark.sources.bucketing import (
+        bucketed_join_ready,
+        write_bucketed,
+    )
+
+    t = load_tables(spark, sf_dir, register=False)
+    write_bucketed(
+        t["orders"].select("o_orderkey", "o_orderpriority"),
+        "gate_b_orders",
+        ["o_orderkey"],
+        num_buckets=16,
+        sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        t["lineitem"].select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "l_extendedprice",
+            "l_discount",
+        ),
+        "gate_b_lineitem",
+        ["o_orderkey"],
+        num_buckets=16,
+        sort_cols=["o_orderkey"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = bucketed_join_ready(
+            spark, "gate_b_orders", "gate_b_lineitem", ["o_orderkey"]
+        )
+        out = (
+            j.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        # materialize under the no-broadcast conf so the executed join
+        # is the zero-exchange bucketed SMJ, then return a plain frame
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def _bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE round-1 statistic: freq-weighted adjacent character-pair
     counts over the word-frequency table (the table BPE training
@@ -1617,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": _kmeans_clusters,
         "jaccard_dup_clusters": _jaccard_dup_clusters,
         "merge_upsert_snapshot": _merge_upsert_snapshot,
+        "bucketed_join_revenue": _bucketed_join_revenue,
         "bpe_top_pairs": _bpe_top_pairs,
         # --- genuinely rows-only (hash-/sketch-/eigen-dependent, or —
         # bpe_merges — a sequential fold with no faithful SQL twin) ---
@@ -1981,6 +2037,12 @@ reach AS (
   SELECT e.s AS id, r.lbl FROM e JOIN reach r ON r.id = e.d
 )
 SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1 ORDER BY id
+""",
+        "bucketed_join_revenue": """
+SELECT o.o_orderpriority, COUNT(*) AS n_items,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY o_orderpriority
 """,
         "bpe_top_pairs": r"""
 WITH w AS (
