@@ -3706,6 +3706,12 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """,
-        # no oracle (rows-only): minhash_candidate_pairs, simhash_fingerprints,
-        # ann_lsh_bucketed, multimodal_features
+        # no oracle (rows-only by design — hash-/sketch-/eigen-dependent
+        # or sequential-fold): minhash_candidate_pairs, near_dup_clusters,
+        # simhash_fingerprints, simhash_candidate_pairs,
+        # quality_shards_approx, approx_distinct_events,
+        # embedding_near_dup_lsh, ann_lsh_bucketed, ann_ivf,
+        # multimodal_features, embedding_pca, table_profile_approx,
+        # minhash_calibration, incremental_near_dup, ann_recall,
+        # bpe_merges
     }
