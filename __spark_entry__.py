@@ -1381,6 +1381,91 @@ def _udtf_shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-VISIBLE STREAMING: the foreachBatch upsert-shaped sink
+    (merge_to_parquet — per micro-batch keep the latest row per key,
+    append to parquet). The replayed events stream lands in a parquet
+    table; the documented reader contract (fold to max-ts row per key,
+    cross-batch) is then applied and checked against the batch
+    last-write-wins oracle. Gate data has no max-ts ties per
+    (user_id, event_type), so the fold is deterministic."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from avro_sql_spark.streaming.pipeline import merge_to_parquet, stream_events
+
+    tmp = tempfile.mkdtemp(prefix="merge_sink_")
+    try:
+        q = merge_to_parquet(
+            stream_events(spark, sf_dir),
+            os.path.join(tmp, "table"),
+            os.path.join(tmp, "ckpt"),
+            ["user_id", "event_type"],
+            "ts",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("merge_to_parquet replay did not terminate")
+        table = spark.read.parquet(os.path.join(tmp, "table"))
+        w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("ts"))
+        latest = (
+            table.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "user_id",
+                "event_type",
+                F.col("ts").cast("timestamp_ntz").alias("ts"),
+                F.round("value", 6).alias("value"),
+            )
+            .orderBy("user_id", "event_type")
+        )
+        # materialize before the tempdir vanishes (scan is lazy)
+        return spark.createDataFrame(latest.collect(), latest.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _redact_pii_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction as a TRANSFORM (not just the stats rollup): the
+    injected-PII docs' redacted text is verified by VALUE — md5 of the
+    cleaned string, its length, and the typed-mask counts must match
+    the oracle running the identical regex pipeline, so a drift in
+    either regex or replacement order surfaces as a content mismatch."""
+    from avro_sql_spark.functions.text import redact_pii
+
+    t = load_tables(spark, sf_dir, register=False)
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 50 == 0,
+            F.concat(
+                F.lit(" reach me: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1 555 123-4567"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    clean = redact_pii(aug)
+    occ = lambda tok: (
+        (F.length(clean) - F.length(F.replace(clean, F.lit(tok)))) / len(tok)
+    ).cast("long")
+    return (
+        t["documents"]
+        .filter(F.col("doc_id") % 50 == 0)
+        .select(
+            "doc_id",
+            F.md5(clean).alias("fp"),
+            F.length(clean).alias("n_chars"),
+            occ("[EMAIL]").alias("n_email_masks"),
+            occ("[PHONE]").alias("n_phone_masks"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed CO-LOCATED join in the driver gate (sources/bucketing):
     orders and lineitem written as 16-bucket managed tables on the
@@ -1673,6 +1758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_dup_clusters": _jaccard_dup_clusters,
         "merge_upsert_snapshot": _merge_upsert_snapshot,
         "bucketed_join_revenue": _bucketed_join_revenue,
+        "redact_pii_text": _redact_pii_text,
+        "streaming_merge_sink": _streaming_merge_sink,
         "bpe_top_pairs": _bpe_top_pairs,
         # --- genuinely rows-only (hash-/sketch-/eigen-dependent, or —
         # bpe_merges — a sequential fold with no faithful SQL twin) ---
@@ -2037,6 +2124,37 @@ reach AS (
   SELECT e.s AS id, r.lbl FROM e JOIN reach r ON r.id = e.d
 )
 SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1 ORDER BY id
+""",
+        "streaming_merge_sink": """
+WITH ranked AS (
+  SELECT user_id, event_type, ts, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC) AS rn
+  FROM events)
+SELECT user_id, event_type, ts, ROUND(value, 6) AS value
+FROM ranked WHERE rn = 1
+ORDER BY user_id, event_type
+""",
+        "redact_pii_text": """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' reach me: user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 555 123-4567' AS aug
+  FROM documents WHERE doc_id % 50 = 0
+), red AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(aug,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\\+?[0-9][0-9() .-]{6,}[0-9]', '[PHONE]', 'g') AS clean
+  FROM aug
+)
+SELECT doc_id, md5(clean) AS fp,
+       CAST(length(clean) AS INT) AS n_chars,
+       CAST((length(clean) - length(replace(clean, '[EMAIL]', ''))) / 7 AS BIGINT)
+         AS n_email_masks,
+       CAST((length(clean) - length(replace(clean, '[PHONE]', ''))) / 7 AS BIGINT)
+         AS n_phone_masks
+FROM red ORDER BY doc_id
 """,
         "bucketed_join_revenue": """
 SELECT o.o_orderpriority, COUNT(*) AS n_items,
