@@ -1381,6 +1381,43 @@ def _udtf_shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-based decontamination screen: for every training
+    vector (vec_id % 20 != 0), its max cosine against the held-out set
+    (vec_id % 20 == 0) — the semantic-leak check exact/n-gram decontam
+    can't do. Top 20 most-test-similar training vectors reported (a
+    threshold cut would be empty on this corpus — the report IS the
+    screen output an operator reviews before picking tau).
+
+    Scale shape: the held-out side of a decontamination is small (a
+    benchmark), so it broadcasts; cosines are in-row zip_with folds
+    after the broadcast join (train never shuffles), max per train
+    vector partial-aggregates, and the top-k is TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir, register=False)
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    train = emb.filter(F.col("vec_id") % 20 != 0).select(
+        F.col("vec_id").alias("tr"), F.col("v").alias("tv"), nrm.alias("tn")
+    )
+    test = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("v").alias("sv"), nrm.alias("sn")
+    )
+    dot = F.aggregate(
+        F.zip_with("tv", "sv", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    return (
+        train.join(F.broadcast(test))
+        .select("tr", (dot / (F.col("tn") * F.col("sn"))).alias("c"))
+        .groupBy("tr")
+        .agg(F.max("c").alias("mc"))
+        .select(F.col("tr").alias("vec_id"), F.round("mc", 6).alias("max_test_cos"))
+        .orderBy(F.desc("max_test_cos"), "vec_id")
+        .limit(20)
+    )
+
+
 def _streaming_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DRIVER-VISIBLE STREAMING: the foreachBatch upsert-shaped sink
     (merge_to_parquet — per micro-batch keep the latest row per key,
@@ -1760,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_revenue": _bucketed_join_revenue,
         "redact_pii_text": _redact_pii_text,
         "streaming_merge_sink": _streaming_merge_sink,
+        "decontam_embedding": _decontam_embedding,
         "bpe_top_pairs": _bpe_top_pairs,
         # --- genuinely rows-only (hash-/sketch-/eigen-dependent, or —
         # bpe_merges — a sequential fold with no faithful SQL twin) ---
@@ -2124,6 +2162,23 @@ reach AS (
   SELECT e.s AS id, r.lbl FROM e JOIN reach r ON r.id = e.d
 )
 SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1 ORDER BY id
+""",
+        "decontam_embedding": """
+WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM x GROUP BY 1),
+dots AS (SELECT a.vec_id AS tr, b.vec_id AS te, sum(a.v * b.v) AS dot
+         FROM x a JOIN x b ON a.i = b.i
+         WHERE a.vec_id % 20 != 0 AND b.vec_id % 20 = 0
+         GROUP BY 1, 2),
+cos AS (SELECT tr, MAX(dot / (na.nrm * nb.nrm)) AS mc
+        FROM dots
+        JOIN norms na ON na.vec_id = tr
+        JOIN norms nb ON nb.vec_id = te
+        GROUP BY tr)
+SELECT tr AS vec_id, ROUND(mc, 6) AS max_test_cos
+FROM cos ORDER BY max_test_cos DESC, vec_id LIMIT 20
 """,
         "streaming_merge_sink": """
 WITH ranked AS (
