@@ -126,6 +126,8 @@ HEADLINE = [
     "jaccard_dup_clusters",
     "merge_upsert_snapshot",
     "bpe_top_pairs",
+    "redact_pii_text",
+    "decontam_embedding",
 ]
 
 
