@@ -1381,6 +1381,62 @@ def _udtf_shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution END-TO-END: blocked Levenshtein fuzzy pairs
+    over parts (equi-join on the (p_type, p_size) blocking key, JVM
+    levenshtein in codegen) feed the connected-components loop, and the
+    resulting entity clusters are fully oracle-checked — the edges are
+    deterministic (levenshtein matches DuckDB's) so the whole
+    block-match-cluster pipeline verifies against a recursive
+    reachability CTE. Output: one row per part that belongs to a
+    multi-member entity (cluster_id = smallest member key)."""
+    from avro_sql_spark.operators.joins import blocked_fuzzy_pairs
+
+    t = load_tables(spark, sf_dir, register=False)
+    pairs = blocked_fuzzy_pairs(
+        t["part"], "p_partkey", "p_name", ["p_type", "p_size"], max_distance=2
+    )
+    nodes = t["part"].select(F.col("p_partkey").alias("id"))
+    labels = dedup.connected_components(nodes, pairs)
+    # keep only real entities (clusters with >= 2 members): the
+    # singleton majority is noise for a resolution report
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        labels.join(F.broadcast(sizes.filter(F.col("n") >= 2)), "cluster_id")
+        .select("id", "cluster_id", "n")
+        .orderBy("id")
+    )
+
+
+def _embedding_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix derived from the SAME keyed gram
+    partials as embedding_covariance (corr_ij = cov_ij /
+    sqrt(cov_ii * cov_jj)) — the normalized view every feature-audit
+    dashboard wants; one extra broadcast self-join on the diagonal,
+    no new scan of the data."""
+    t = load_tables(spark, sf_dir, register=False)
+    cov = similarity.gram_covariance(
+        t["embeddings"], round_to=12, partition_col="vec_id", n_parts=16
+    )
+    diag = cov.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d"), F.col("cov").alias("var")
+    )
+    di = diag.select(F.col("d").alias("ii"), F.col("var").alias("var_i"))
+    dj = diag.select(F.col("d").alias("jj"), F.col("var").alias("var_j"))
+    return (
+        cov.join(F.broadcast(di), F.col("i") == F.col("ii"))
+        .join(F.broadcast(dj), F.col("j") == F.col("jj"))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("cov") / F.sqrt(F.col("var_i") * F.col("var_j")), 4
+            ).alias("corr"),
+        )
+        .orderBy("i", "j")
+    )
+
+
 def _decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-based decontamination screen: for every training
     vector (vec_id % 20 != 0), its max cosine against the held-out set
@@ -1798,6 +1854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii_text": _redact_pii_text,
         "streaming_merge_sink": _streaming_merge_sink,
         "decontam_embedding": _decontam_embedding,
+        "entity_clusters": _entity_clusters,
+        "embedding_correlation": _embedding_correlation,
         "bpe_top_pairs": _bpe_top_pairs,
         # --- genuinely rows-only (hash-/sketch-/eigen-dependent, or —
         # bpe_merges — a sequential fold with no faithful SQL twin) ---
@@ -2162,6 +2220,39 @@ reach AS (
   SELECT e.s AS id, r.lbl FROM e JOIN reach r ON r.id = e.d
 )
 SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1 ORDER BY id
+""",
+        "entity_clusters": """
+WITH RECURSIVE pairs AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+  FROM part a JOIN part b
+    ON a.p_type = b.p_type AND a.p_size = b.p_size
+   AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+e AS (SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT p_partkey AS id, p_partkey AS lbl FROM part
+  UNION
+  SELECT e.s AS id, r.lbl FROM e JOIN reach r ON r.id = e.d),
+lab AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1),
+sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n FROM lab GROUP BY 1)
+SELECT l.id, l.cluster_id, sz.n
+FROM lab l JOIN sz ON sz.cluster_id = l.cluster_id
+WHERE sz.n >= 2 ORDER BY l.id
+""",
+        "embedding_correlation": """
+WITH dims AS (SELECT unnest(range(0, 64)) AS k),
+x AS (SELECT vec_id, d.k AS i, CAST(embedding[d.k + 1] AS DOUBLE) AS v
+      FROM embeddings, dims d),
+cv AS (SELECT a.i AS i, b.i AS j,
+              ROUND(AVG(a.v * b.v) - AVG(a.v) * AVG(b.v), 12) AS cov
+       FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+dg AS (SELECT i AS d, cov AS var FROM cv WHERE i = j)
+SELECT c.i, c.j, ROUND(c.cov / sqrt(di.var * dj.var), 4) AS corr
+FROM cv c
+JOIN dg di ON di.d = c.i
+JOIN dg dj ON dj.d = c.j
+ORDER BY i, j
 """,
         "decontam_embedding": """
 WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,

@@ -128,6 +128,8 @@ HEADLINE = [
     "bpe_top_pairs",
     "redact_pii_text",
     "decontam_embedding",
+    "entity_clusters",
+    "embedding_correlation",
 ]
 
 
