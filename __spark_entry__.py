@@ -1429,8 +1429,13 @@ def _embedding_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "i",
             "j",
+            # nullif: a zero-variance dimension yields NULL correlation
+            # (defined semantics) instead of an ANSI DIVIDE_BY_ZERO
+            # crash; the oracle applies the identical nullif
             F.round(
-                F.col("cov") / F.sqrt(F.col("var_i") * F.col("var_j")), 4
+                F.col("cov")
+                / F.nullif(F.sqrt(F.col("var_i") * F.col("var_j")), F.lit(0.0)),
+                4,
             ).alias("corr"),
         )
         .orderBy("i", "j")
@@ -1450,15 +1455,21 @@ def _decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the broadcast join (train never shuffles), max per train
     vector partial-aggregates, and the top-k is TakeOrderedAndProject."""
     t = load_tables(spark, sf_dir, register=False)
-    emb = t["embeddings"].select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    nrm0 = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    # zero-norm vectors are excluded on BOTH sides (cosine is undefined
+    # for them, and ANSI mode would raise DIVIDE_BY_ZERO); the oracle
+    # applies the identical nrm > 0 filter
+    emb = (
+        t["embeddings"]
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", nrm0)
+        .filter(F.col("nrm") > 0)
     )
-    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
     train = emb.filter(F.col("vec_id") % 20 != 0).select(
-        F.col("vec_id").alias("tr"), F.col("v").alias("tv"), nrm.alias("tn")
+        F.col("vec_id").alias("tr"), F.col("v").alias("tv"), F.col("nrm").alias("tn")
     )
     test = emb.filter(F.col("vec_id") % 20 == 0).select(
-        F.col("v").alias("sv"), nrm.alias("sn")
+        F.col("v").alias("sv"), F.col("nrm").alias("sn")
     )
     dot = F.aggregate(
         F.zip_with("tv", "sv", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
@@ -1607,6 +1618,16 @@ def _bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("o_orderpriority")
         )
+        # pin the zero-exchange property at every gate run (the returned
+        # frame is a LocalRelation, so plan tests can't see the join):
+        # the bucketed SMJ itself must plan with NO Exchange on either
+        # join input (the final aggregate exchanges, the join must not)
+        jplan = j._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in jplan:
+            raise AssertionError(
+                "bucketed_join_revenue: bucket co-location failed — the "
+                "join planned with an Exchange:\n" + jplan[:2000]
+            )
         # materialize under the no-broadcast conf so the executed join
         # is the zero-exchange bucketed SMJ, then return a plain frame
         return spark.createDataFrame(out.collect(), out.schema)
@@ -2248,7 +2269,8 @@ cv AS (SELECT a.i AS i, b.i AS j,
               ROUND(AVG(a.v * b.v) - AVG(a.v) * AVG(b.v), 12) AS cov
        FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
 dg AS (SELECT i AS d, cov AS var FROM cv WHERE i = j)
-SELECT c.i, c.j, ROUND(c.cov / sqrt(di.var * dj.var), 4) AS corr
+SELECT c.i, c.j,
+       ROUND(c.cov / nullif(sqrt(di.var * dj.var), 0), 4) AS corr
 FROM cv c
 JOIN dg di ON di.d = c.i
 JOIN dg dj ON dj.d = c.j
@@ -2258,10 +2280,13 @@ ORDER BY i, j
 WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
                   generate_subscripts(embedding, 1) AS i
            FROM embeddings),
-norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM x GROUP BY 1),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM x GROUP BY 1
+          HAVING sqrt(sum(v * v)) > 0),
 dots AS (SELECT a.vec_id AS tr, b.vec_id AS te, sum(a.v * b.v) AS dot
          FROM x a JOIN x b ON a.i = b.i
          WHERE a.vec_id % 20 != 0 AND b.vec_id % 20 = 0
+           AND a.vec_id IN (SELECT vec_id FROM norms)
+           AND b.vec_id IN (SELECT vec_id FROM norms)
          GROUP BY 1, 2),
 cos AS (SELECT tr, MAX(dot / (na.nrm * nb.nrm)) AS mc
         FROM dots

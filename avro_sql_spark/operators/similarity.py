@@ -529,12 +529,14 @@ def gram_covariance(
                 {"n": [n], "s": [s.tolist()], "g": [g.flatten().tolist()]}
             )
 
-    # four consumers (totals, gram cells, both mean sides) — cache the
-    # tiny partials frame (#partitions rows) so the numpy gram pass over
-    # the data runs once, per the module cache contract (caller cleanup)
+    # four consumers (totals, gram cells, both mean sides) — eagerly
+    # localCheckpoint the tiny partials frame (#partitions rows) so the
+    # numpy gram pass over the data runs once. Checkpoint, not cache:
+    # the blocks are GC-cleaned with the frame (no unpersist obligation
+    # the caller cannot meet — the frame never escapes this function)
     parts = src.mapInPandas(
         _partials, "n long, s array<double>, g array<double>"
-    ).cache()
+    ).localCheckpoint()
     totals = parts.agg(F.sum("n").alias("nn"))
     gsum = (
         parts.select(F.posexplode("g").alias("idx", "val"))

@@ -66,13 +66,18 @@ TABLES = (
 )
 
 
-# (applicationId, sf_dir) -> {table: DataFrame}. Loading builds 10
-# lazy DataFrames but pays ~10 driver-side schema reads (pyarrow footer
-# + Spark analysis) — catalog setup, not query cost. Every queries()
-# entry calls load_tables, so without the memo a correctness sweep or
-# bench re-pays that setup per query. DataFrames are immutable and
-# session-scoped, so caching per (app, sf_dir) is safe.
-_TABLE_CACHE: "dict[tuple[str, str], dict]" = {}
+# (session identity, applicationId, sf_dir) -> {table: DataFrame}.
+# Loading builds 10 lazy DataFrames but pays ~10 driver-side schema
+# reads (pyarrow footer + Spark analysis) — catalog setup, not query
+# cost. Every queries() entry calls load_tables, so without the memo a
+# correctness sweep or bench re-pays that setup per query. The session
+# OBJECT is part of the key because DataFrames are analysis-bound to
+# the session that read them — spark.newSession() shares the
+# applicationId but has its own catalog, so a shared key would hand it
+# frames (and register views) belonging to the parent. Known limit:
+# files added to sf_dir after the first call are not picked up for the
+# session's lifetime (the driver testdata is static).
+_TABLE_CACHE: "dict[tuple[int, str, str], dict]" = {}
 
 
 def load_tables(spark: SparkSession, sf_dir: str, register: bool = True):
@@ -91,7 +96,7 @@ def load_tables(spark: SparkSession, sf_dir: str, register: bool = True):
     except Exception:
         pass
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (id(spark), spark.sparkContext.applicationId, sf_dir)
     cached = _TABLE_CACHE.get(key)
     if cached is None:
         dfs = {}
