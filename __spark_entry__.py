@@ -1803,6 +1803,38 @@ def _zorder_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health gauge: OLS fit of ln(count) on ln(rank) over the
+    token-frequency table (Zipf's law). One corpus shuffle builds the
+    frequencies; ranking + regression run on the vocab table only."""
+    from avro_sql_spark.operators.text import zipf_fit
+
+    t = load_tables(spark, sf_dir, register=False)
+    return zipf_fit(t["documents"])
+
+
+def _event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier screen per event_type — modified
+    z-score > 3.5. Exact medians are the oracle contract at gate SF;
+    the operator docstring records the approx_percentile scale swap."""
+    from avro_sql_spark.operators.profile import mad_outliers
+
+    t = load_tables(spark, sf_dir, register=False)
+    return mad_outliers(t["events"], "event_type", "value")
+
+
+def _source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate contamination matrix (shared fingerprints
+    + Jaccard) via in-row pair generation over the per-fingerprint
+    source set — no fingerprint self-join. Registered with the head
+    (prefix-80) fingerprint: re-crawls share document heads after tails
+    diverge, and full-text-exact overlap is empty below sf0.1."""
+    from avro_sql_spark.operators.dedup import source_overlap
+
+    t = load_tables(spark, sf_dir, register=False)
+    return source_overlap(t["documents"], prefix_len=80)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes ~50 entries in this order per round (r1 covered the first
@@ -1878,6 +1910,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_clusters": _entity_clusters,
         "embedding_correlation": _embedding_correlation,
         "bpe_top_pairs": _bpe_top_pairs,
+        "zipf_fit": _zipf_fit,
+        "event_value_outliers": _event_value_outliers,
+        "source_overlap": _source_overlap,
         # --- genuinely rows-only (hash-/sketch-/eigen-dependent, or —
         # bpe_merges — a sequential fold with no faithful SQL twin) ---
         "bpe_merges": _bpe_merges,
@@ -2275,6 +2310,61 @@ FROM cv c
 JOIN dg di ON di.d = c.i
 JOIN dg dj ON dj.d = c.j
 ORDER BY i, j
+""",
+        "zipf_fit": r"""
+WITH toks AS (
+  SELECT token FROM (
+    SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+    FROM documents)
+  WHERE regexp_matches(token, '^[a-z]+$')),
+freqs AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+ranked AS (SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rank
+           FROM freqs)
+SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(c) AS BIGINT) AS total_tokens,
+       ROUND(regr_slope(LN(c), LN(rank)), 4) AS zipf_slope,
+       ROUND(regr_intercept(LN(c), LN(rank)), 4) AS zipf_intercept,
+       ROUND(regr_r2(LN(c), LN(rank)), 4) AS r2
+FROM ranked
+""",
+        "event_value_outliers": """
+WITH src AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+med AS (SELECT event_type, ROUND(median(value), 4) AS med FROM src GROUP BY 1),
+dev AS (SELECT s.event_type, s.value, m.med, ABS(s.value - m.med) AS adev
+        FROM src s JOIN med m USING (event_type)),
+mad AS (SELECT event_type, ROUND(median(adev), 4) AS mad FROM dev GROUP BY 1),
+fl AS (SELECT d.event_type, d.med, a.mad,
+              CASE WHEN a.mad > 0
+                        AND 0.6745 * ABS(d.value - d.med) / a.mad > 3.5
+                   THEN 1 ELSE 0 END AS is_out
+       FROM dev d JOIN mad a USING (event_type))
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(med) AS median_value,
+       MIN(mad) AS mad,
+       CAST(SUM(is_out) AS BIGINT) AS n_outliers,
+       ROUND(SUM(is_out) / COUNT(*), 6) AS outlier_rate
+FROM fl
+GROUP BY event_type
+ORDER BY event_type
+""",
+        "source_overlap": r"""
+WITH fps AS (SELECT DISTINCT
+               md5(substring(regexp_replace(lower(trim(text)),
+                                            '\s+', ' ', 'g'), 1, 80)) AS fp,
+               source
+             FROM documents),
+tot AS (SELECT source, COUNT(*) AS n_fps FROM fps GROUP BY source),
+sh AS (SELECT a.source AS source_a, b.source AS source_b,
+              CAST(COUNT(*) AS BIGINT) AS n_shared
+       FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+       GROUP BY 1, 2)
+SELECT source_a, source_b, n_shared,
+       ROUND(n_shared / (ta.n_fps + tb.n_fps - n_shared), 6) AS jaccard
+FROM sh
+JOIN tot ta ON ta.source = sh.source_a
+JOIN tot tb ON tb.source = sh.source_b
+ORDER BY source_a, source_b
 """,
         "decontam_embedding": """
 WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,

@@ -950,3 +950,78 @@ def remove_duplicated_spans(
         )
         .drop("_wo", "_ws", "_nw", "rm", "_keep")
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    prefix_len: "int | None" = None,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources, the
+    number of duplicate documents (normalized-text fingerprints) they
+    share and the Jaccard overlap of their fingerprint sets. The triage
+    view before mixing crawls — two sources with high overlap mostly
+    re-crawl each other and double-weighting them skews the mixture; it
+    is also the cheap screen for benchmark contamination between an
+    eval source and a train source.
+
+    ``prefix_len`` fingerprints only the first N normalized characters
+    (head dedup): re-crawls and syndicated boilerplate share document
+    heads long after trailing chrome/timestamps diverge, so the head
+    fingerprint catches overlap the full-text hash misses — at the cost
+    of some false sharing between legitimately same-opening documents.
+    ``None`` hashes the full text (exact-duplicate overlap only).
+
+    Scale shape: NO fingerprint self-join. Distinct (fp, source) pairs
+    come from one shuffle; the per-fingerprint source-set is a
+    ``collect_set`` BOUNDED by the number of sources (a handful), and
+    the C(sources,2) pairs per fingerprint are generated IN-ROW from
+    the sorted set — the same linear pair-generation shape as
+    ``copurchase_pairs``. Per-source totals are a second aggregate on
+    the same skinny frame and broadcast back (sources² rows)."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    if prefix_len is not None:
+        normalized = F.substring(normalized, 1, prefix_len)
+    fps = docs.select(
+        F.md5(normalized.cast("binary")).alias("fp"),
+        F.col(source_col).alias("source"),
+    ).distinct()
+    totals = fps.groupBy("source").agg(F.count(F.lit(1)).alias("n_fps"))
+    sets_ = fps.groupBy("fp").agg(F.array_sort(F.collect_set("source")).alias("ss"))
+    m = F.size("ss")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), m - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, m),
+                lambda j: F.struct(
+                    F.element_at("ss", i).alias("source_a"),
+                    F.element_at("ss", j).alias("source_b"),
+                ),
+            ),
+        )
+    )
+    shared = (
+        sets_.filter(m >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.source_a").alias("source_a"), F.col("p.source_b").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = F.broadcast(totals.select(F.col("source").alias("source_a"), F.col("n_fps").alias("na")))
+    tb = F.broadcast(totals.select(F.col("source").alias("source_b"), F.col("n_fps").alias("nb")))
+    return (
+        shared.join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -611,3 +611,48 @@ def bm25_topk(
         .select("query", id_col, "score", "rank")
         .orderBy("query", "rank")
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Zipf-law fit over the corpus token-frequency distribution: OLS of
+    ln(count) on ln(rank), returning the slope (healthy natural-language
+    corpora sit near -1), intercept, and R². A corpus whose slope drifts
+    far from -1 — or whose fit degrades — is dominated by boilerplate,
+    spam, or machine-generated text; this is the one-row corpus-health
+    gauge run alongside per-document quality scores.
+
+    Tokenization is :func:`~avro_sql_spark.functions.text.word_tokens`
+    (shared with unigram/bigram logprob, PMI, vocab coverage — one token
+    universe, replicated exactly by the DuckDB oracle).
+
+    Scale shape: the token-frequency table is one partial-aggregated
+    shuffle over the corpus; everything after runs on the VOCAB table
+    (≪ corpus — a few million rows at 100 TB). Ranking is a global sort
+    of that vocab table only (range-partitioned, never the corpus), and
+    the regression is a single commutative aggregate (regr_slope /
+    regr_intercept / regr_r2 are mergeable moment sums). Tied counts
+    get distinct ranks via the token tie-break, which leaves the fitted
+    line unchanged — equal counts contribute the same y for whichever
+    rank permutation — so the result is deterministic. Rounded to
+    ``round_to`` (4) decimals so moment-sum ordering differences across
+    engines cannot flip a rounding boundary."""
+    toks = docs.select(F.explode(T.word_tokens(F.col(text_col))).alias("token"))
+    freqs = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    ranked = freqs.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("token")))
+        .alias("rank"),
+    )
+    ln_c, ln_r = F.log("c"), F.log("rank")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("c").alias("total_tokens"),
+        F.round(F.regr_slope(ln_c, ln_r), round_to).alias("zipf_slope"),
+        F.round(F.regr_intercept(ln_c, ln_r), round_to).alias("zipf_intercept"),
+        F.round(F.regr_r2(ln_c, ln_r), round_to).alias("r2"),
+    )

@@ -130,6 +130,9 @@ HEADLINE = [
     "decontam_embedding",
     "entity_clusters",
     "embedding_correlation",
+    "zipf_fit",
+    "event_value_outliers",
+    "source_overlap",
 ]
 
 

@@ -872,3 +872,93 @@ def test_connected_components_chain(spark):
     )
     got = {r["id"]: r["cluster_id"] for r in connected_components(nodes, pairs).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5}
+
+
+def test_zipf_fit_perfect_line(spark):
+    import math
+
+    from avro_sql_spark.operators.text import zipf_fit
+
+    # construct counts c(rank) = round(1000 / rank) for 4 distinct
+    # tokens -> ln(c) vs ln(rank) is near-perfectly linear, slope ~ -1
+    counts = {"alpha": 1000, "beta": 500, "gamma": 333, "delta": 250}
+    text = " ".join(" ".join([w] * n) for w, n in counts.items())
+    docs = spark.createDataFrame([(1, text)], "doc_id LONG, text STRING")
+    row = zipf_fit(docs).collect()[0]
+    assert row["vocab_size"] == 4
+    assert row["total_tokens"] == sum(counts.values())
+    assert abs(row["zipf_slope"] + 1.0) < 0.01
+    assert row["r2"] > 0.999
+    # intercept ~ ln(1000)
+    assert abs(row["zipf_intercept"] - math.log(1000)) < 0.02
+
+
+def test_zipf_fit_tied_counts_deterministic(spark):
+    from avro_sql_spark.operators.text import zipf_fit
+
+    # all counts tied: slope must be 0 regardless of rank permutation
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd aa bb cc dd")], "doc_id LONG, text STRING"
+    )
+    row = zipf_fit(docs).collect()[0]
+    assert row["zipf_slope"] == 0.0
+
+
+def test_mad_outliers(spark):
+    from avro_sql_spark.operators.profile import mad_outliers
+
+    # group g: 9 values tightly around 10 plus one wild outlier;
+    # group h: constant values (MAD 0 -> no outliers by contract);
+    # NULL values must be excluded from n
+    rows = (
+        [("g", float(v)) for v in (9, 9, 10, 10, 10, 10, 11, 11, 12)]
+        + [("g", 1000.0), ("g", None)]
+        + [("h", 5.0)] * 4
+        + [("h", None)]
+    )
+    df = spark.createDataFrame(rows, "k STRING, value DOUBLE")
+    out = {r["k"]: r for r in mad_outliers(df, "k", "value").collect()}
+    g = out["g"]
+    assert g["n"] == 10  # NULL excluded
+    assert g["median_value"] == 10.0 and g["mad"] == 1.0
+    assert g["n_outliers"] == 1  # only the 1000.0
+    h = out["h"]
+    assert h["mad"] == 0.0 and h["n_outliers"] == 0 and h["n"] == 4
+
+
+def test_source_overlap(spark):
+    from avro_sql_spark.operators.dedup import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared doc one", "web"),
+            (2, "shared doc one", "books"),   # exact cross-source dup
+            (3, "  SHARED   doc one ", "wiki"),  # normalizes to the same
+            (4, "web only", "web"),
+            (5, "books only", "books"),
+        ],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    out = {(r["source_a"], r["source_b"]): r for r in source_overlap(docs).collect()}
+    assert set(out) == {("books", "web"), ("books", "wiki"), ("web", "wiki")}
+    bw = out[("books", "web")]
+    assert bw["n_shared"] == 1
+    # books has 2 fps, web has 2 fps, 1 shared -> jaccard 1/3
+    assert abs(bw["jaccard"] - round(1 / 3, 6)) < 1e-9
+    assert out[("web", "wiki")]["jaccard"] == 0.5  # 2 + 1 - 1 = 2
+
+
+def test_source_overlap_prefix(spark):
+    from avro_sql_spark.operators.dedup import source_overlap
+
+    # same 10-char head, divergent tails: prefix fingerprint catches it
+    docs = spark.createDataFrame(
+        [
+            (1, "same head AAAA tail one", "a"),
+            (2, "same head BBBB tail two", "b"),
+        ],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    assert source_overlap(docs).count() == 0
+    row = source_overlap(docs, prefix_len=10).collect()[0]
+    assert (row["source_a"], row["source_b"], row["n_shared"]) == ("a", "b", 1)
