@@ -304,17 +304,22 @@ def _ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH candidate pairs — no oracle (xxhash64 minhash not
-    reproducible in DuckDB); driver does a rows-only check."""
+    """MinHash LSH candidate pairs. The affine universal-hash family
+    (md5 bases + multiply-add-mod permutations, dedup.py) is plain
+    integer arithmetic, so the DuckDB oracle replays the ENTIRE
+    pipeline — shingles, 64 minhashes, banding, bucket join, estimate —
+    value-for-value."""
     t = load_tables(spark, sf_dir, register=False)
     return dedup.minhash_candidate_pairs(t["documents"]).orderBy("id_a", "id_b")
 
 
 def _near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative connected-components clustering over LSH candidate
-    pairs — genuinely iterative, rows-only check (no single SQL oracle)."""
+    """Iterative connected-components clustering over MinHash-LSH
+    candidate pairs (est_jaccard >= 0.5). The min-label-propagation
+    loop is oracle-checked end-to-end: deterministic minhash edges +
+    a WITH RECURSIVE reachability CTE reproduce the exact labels."""
     t = load_tables(spark, sf_dir, register=False)
-    return dedup.near_dup_clusters(t["documents"])
+    return dedup.near_dup_clusters(t["documents"]).orderBy("id")
 
 
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -771,8 +776,9 @@ def _bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time near-dup gate: odd-id docs arrive as the new batch
-    and are MinHash-screened against the even-id history (xxhash64
-    signatures -> rows-only driver check, like minhash_candidate_pairs)."""
+    and are MinHash-screened against the even-id history. Oracle-checked:
+    the deterministic hash family lets DuckDB replay both sides'
+    signatures, the cross-side band join, and the anti-join survivors."""
     t = load_tables(spark, sf_dir, register=False)
     docs = t["documents"]
     seen = docs.filter(F.col("doc_id") % 2 == 0)
@@ -795,7 +801,10 @@ def _minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_jaccard with the exact shingle Jaccard of the same pairs and
     reports mean absolute error + bias per estimate decile — the
     'measure, don't guess' check on the sketch before trusting its
-    threshold at scale. Approximate inputs -> rows-only driver check."""
+    threshold at scale. Oracle-checked: the estimate side is the
+    deterministic minhash replay, the exact side the shingle Jaccard
+    both engines compute identically (mae/bias at 4 dp so double-sum
+    ordering cannot flip a rounding boundary)."""
     t = load_tables(spark, sf_dir, register=False)
     est = dedup.minhash_candidate_pairs(t["documents"])
     exact = dedup.ngram_jaccard_pairs(t["documents"], threshold=0.0).select(
@@ -807,10 +816,10 @@ def _minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy(decile)
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.avg(F.abs(F.col("est_jaccard") - F.col("exact_jaccard"))), 6).alias(
+            F.round(F.avg(F.abs(F.col("est_jaccard") - F.col("exact_jaccard"))), 4).alias(
                 "mae"
             ),
-            F.round(F.avg(F.col("est_jaccard") - F.col("exact_jaccard")), 6).alias("bias"),
+            F.round(F.avg(F.col("est_jaccard") - F.col("exact_jaccard")), 4).alias("bias"),
         )
         .orderBy("est_decile")
     )
@@ -2214,6 +2223,41 @@ FROM z GROUP BY 1 ORDER BY 1
 
 _FP = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
 
+# DuckDB replay of the MinHash pipeline (dedup.minhash_signatures +
+# _band_rows, defaults num_hashes=64 / bands=16 / shingle=3): word
+# 3-shingles -> 48-bit md5 base mod P -> 64 full-range universal
+# permutations (a*x + b) mod P, P = 2^31-1, with (a, b) derived from
+# the index by dedup._minhash_params's exact formula -> per-doc MIN per
+# permutation -> 4-hash bands keyed by md5 of the comma-joined slice.
+# Shared (no leading WITH) by every minhash-family oracle below.
+_MINHASH_CTES = r"""
+mh_toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+mh_idx  AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM mh_toks WHERE len(w) >= 3),
+mh_sh   AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM mh_idx),
+mh_base AS (SELECT doc_id,
+                   CAST(('0x' || substring(md5(s), 1, 12)) AS BIGINT) % 2147483647 AS x
+            FROM mh_sh),
+mh_seeds AS (SELECT i,
+                    (i + 1) * 2654435761 % 2147483646 + 1 AS a,
+                    (i + 1) * 2246822519 % 2147483647 AS b
+             FROM range(64) t(i)),
+mh_hs AS (SELECT doc_id, i, MIN((a * x + b) % 2147483647) AS h
+          FROM mh_base CROSS JOIN mh_seeds GROUP BY 1, 2),
+mh_bands AS (SELECT doc_id, CAST(i // 4 AS INTEGER) AS band_idx,
+                    CAST(('0x' || substring(md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)), 1, 15)) AS BIGINT) AS band_hash
+             FROM mh_hs GROUP BY doc_id, i // 4),
+mh_cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM mh_bands a JOIN mh_bands b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+mh_est AS (SELECT c.id_a, c.id_b,
+                  SUM(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+           FROM mh_cand c
+           JOIN mh_hs ha ON ha.doc_id = c.id_a
+           JOIN mh_hs hb ON hb.doc_id = c.id_b AND hb.i = ha.i
+           GROUP BY 1, 2)"""
+
 _SHINGLES = """
   toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
   idx  AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks WHERE len(w) >= 3),
@@ -2365,6 +2409,61 @@ FROM sh
 JOIN tot ta ON ta.source = sh.source_a
 JOIN tot tb ON tb.source = sh.source_b
 ORDER BY source_a, source_b
+""",
+        "minhash_candidate_pairs": f"""
+WITH {_MINHASH_CTES}
+SELECT id_a, id_b, est_jaccard FROM mh_est ORDER BY id_a, id_b
+""",
+        "near_dup_clusters": f"""
+WITH RECURSIVE {_MINHASH_CTES},
+nd_pairs AS (SELECT id_a, id_b FROM mh_est WHERE est_jaccard >= 0.5),
+nd_e AS (SELECT id_a AS s, id_b AS d FROM nd_pairs
+         UNION SELECT id_b, id_a FROM nd_pairs),
+nd_reach AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM documents
+  UNION
+  SELECT nd_e.s AS id, r.lbl FROM nd_e JOIN nd_reach r ON r.id = nd_e.d
+)
+SELECT id, MIN(lbl) AS cluster_id FROM nd_reach GROUP BY 1 ORDER BY id
+""",
+        "minhash_calibration": f"""
+WITH {_MINHASH_CTES},
+ex_sizes AS (SELECT doc_id, COUNT(*) AS n FROM mh_sh GROUP BY 1),
+ex_inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+             FROM mh_sh a JOIN mh_sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+ex AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS exact_jaccard
+       FROM ex_inter
+       JOIN ex_sizes sa ON sa.doc_id = id_a
+       JOIN ex_sizes sb ON sb.doc_id = id_b),
+cal AS (SELECT e.id_a, e.id_b, e.est_jaccard,
+               COALESCE(x.exact_jaccard, 0.0) AS exact_jaccard
+        FROM mh_est e LEFT JOIN ex x USING (id_a, id_b))
+SELECT CAST(LEAST(FLOOR(est_jaccard * 10), 9) AS BIGINT) AS est_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(ABS(est_jaccard - exact_jaccard)), 4) AS mae,
+       ROUND(AVG(est_jaccard - exact_jaccard), 4) AS bias
+FROM cal
+GROUP BY 1
+ORDER BY est_decile
+""",
+        "incremental_near_dup": f"""
+WITH {_MINHASH_CTES},
+inc_cand AS (SELECT n.doc_id AS new_id, s.doc_id AS seen_id
+             FROM mh_bands n JOIN mh_bands s
+               ON n.band_idx = s.band_idx AND n.band_hash = s.band_hash
+             WHERE n.doc_id % 2 = 1 AND s.doc_id % 2 = 0
+             GROUP BY 1, 2),
+inc_est AS (SELECT c.new_id,
+                   SUM(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / 64.0 AS ej
+            FROM inc_cand c
+            JOIN mh_hs ha ON ha.doc_id = c.new_id
+            JOIN mh_hs hb ON hb.doc_id = c.seen_id AND hb.i = ha.i
+            GROUP BY c.new_id, c.seen_id),
+inc_dupes AS (SELECT DISTINCT new_id FROM inc_est WHERE ej >= 0.5)
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT new_id FROM inc_dupes)
+ORDER BY doc_id
 """,
         "decontam_embedding": """
 WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -4085,12 +4184,11 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """,
-        # no oracle (rows-only by design — hash-/sketch-/eigen-dependent
-        # or sequential-fold): minhash_candidate_pairs, near_dup_clusters,
+        # no oracle (rows-only by design — sketch-/eigen-dependent,
+        # approximate-by-construction, or sequential-fold):
         # simhash_fingerprints, simhash_candidate_pairs,
         # quality_shards_approx, approx_distinct_events,
         # embedding_near_dup_lsh, ann_lsh_bucketed, ann_ivf,
         # multimodal_features, embedding_pca, table_profile_approx,
-        # minhash_calibration, incremental_near_dup, ann_recall,
-        # bpe_merges
+        # ann_recall, bpe_merges
     }

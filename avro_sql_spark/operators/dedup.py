@@ -6,10 +6,12 @@ Four families, all shuffle-architected for 100 TB:
  - **exact**: md5 fingerprint of normalized text → groupBy hash. One
    shuffle on a 128-bit key, partial-agg'd map-side; skew-free because
    hashes are uniform.
- - **MinHash + LSH**: shingle → minhash signature (xxhash64 with k seeds,
-   all JVM-side Column expressions) → band → bucket-join. Candidate pairs
-   come from joining on (band, band_hash) — i.e. only near-duplicates
-   shuffle together; the cross product never materializes.
+ - **MinHash + LSH**: shingle → minhash signature (affine universal-hash
+   family over md5-derived bases, all JVM-side Column expressions) →
+   band → bucket-join. Candidate pairs come from joining on
+   (band, band_hash) — i.e. only near-duplicates shuffle together; the
+   cross product never materializes. The hash family is deterministic
+   integer arithmetic, so the whole pipeline is DuckDB-oracle-checkable.
  - **SimHash**: 64-bit fingerprint whose Hamming distance approximates
    cosine over token sets; banded the same way for scale.
  - **n-gram Jaccard**: exact set Jaccard via shingle explode +
@@ -32,8 +34,29 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, word_shingles
 
-# deterministic seeds for the minhash permutations
-_MINHASH_SEEDS = [1_000_003 * (i + 1) + 17 for i in range(64)]
+# MinHash permutation family: h_i(s) = (a_i * x(s) + b_i) mod P, the
+# textbook 2-universal family over the Mersenne prime P = 2^31-1, with
+# x(s) = (first 48 bits of md5(s)) mod P and (a_i, b_i) derived from the
+# permutation index by the fixed formula below (Knuth/xxhash
+# multiplicative constants). Unlike seeded xxhash64 this is plain
+# integer arithmetic on an md5, so a DuckDB oracle replays it
+# bit-for-bit. The multiplier a_i spans the FULL [1, P-1] range — a
+# small-positive-coefficient variant (a < 2^20 over 40-bit bases) was
+# tried first and is NOT min-wise independent: with every coefficient
+# positive and no modular wrap of the product, the hash is
+# order-preserving in the base, so one shingle with a small base wins
+# the min for nearly every i and a one-word edit flipped ~50 of 64
+# signature lanes (measured). Full-range multiply mod P scrambles the
+# order per permutation, which is the property minhash needs.
+# ANSI-overflow-safety: x < 2^31, a < 2^31 ⇒ a*x < 2^62, + b < 2^31
+# keeps every intermediate < 2^63 (int64-exact in Spark and DuckDB).
+_MINHASH_P = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def _minhash_params(i: int) -> "tuple[int, int]":
+    a = ((i + 1) * 2654435761) % (_MINHASH_P - 1) + 1
+    b = ((i + 1) * 2246822519) % _MINHASH_P
+    return a, b
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
@@ -78,26 +101,34 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_hashes: int = 64, shingle: int = 3
 ) -> DataFrame:
-    """(id, signature array<bigint>) — min over shingles of seeded
-    xxhash64, all JVM-side.
+    """(id, signature array<bigint>) — min over shingles of the
+    full-range universal-hash family (a_i*x + b_i) mod 2^31-1 on an
+    md5-derived base (see ``_minhash_params``), all JVM-side.
 
-    Shape: explode shingles → k seeded hashes per shingle → groupBy(id)
+    Shape: explode shingles → k affine hashes per shingle → groupBy(id)
     with k MIN aggregates → pack array. The k aggregates are combined
     map-side (partial aggregation), so the shuffle carries one k-long row
     per doc per partition — not per shingle — and the expression tree
     stays small enough for fast codegen (k wide array-fold expressions
-    were ~100× slower to compile)."""
+    were ~100× slower to compile). md5 runs ONCE per shingle (the k
+    permutations are multiply-add-mod on its 48-bit cut), and the whole
+    family is deterministic integer arithmetic the DuckDB oracle
+    replicates exactly."""
     sh = _spread(docs, id_col).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle)).alias("s")
     )
-    # hash the string ONCE to a long, then derive the k permutations from
-    # the 8-byte base — re-hashing the string k times costs ~10× more
-    based = sh.select(F.col(id_col), F.xxhash64("s").alias("base"))
+    p = F.lit(_MINHASH_P)
+    based = sh.select(
+        F.col(id_col),
+        (
+            F.conv(F.substring(F.md5(F.col("s").cast("binary")), 1, 12), 16, 10).cast("long") % p
+        ).alias("x"),
+    )
     hashed = based.select(
         F.col(id_col),
         *[
-            F.xxhash64("base", F.lit(seed)).alias(f"h{i}")
-            for i, seed in enumerate(_MINHASH_SEEDS[:num_hashes])
+            ((F.lit(a) * F.col("x") + F.lit(b)) % p).alias(f"h{i}")
+            for i, (a, b) in ((i, _minhash_params(i)) for i in range(num_hashes))
         ],
     )
     mins = hashed.groupBy(id_col).agg(
@@ -128,15 +159,27 @@ def _band_rows(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)[i].cast("string")
-                            for i in range(rows_per_band)
-                        ],
-                    )
-                ),
+                # band key = md5 of the comma-joined band slice, cut to
+                # 15 hex chars (60-bit bigint): same shuffle width as a
+                # long hash, and — unlike xxhash64 — the DuckDB oracle
+                # reproduces it (string_agg ORDER BY i, md5, substring)
+                lambda b: F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)[i].cast("string")
+                                    for i in range(rows_per_band)
+                                ],
+                            ).cast("binary")
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
             )
         ).alias("band_idx", "band_hash"),
     )
