@@ -323,17 +323,23 @@ def _near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints — rows-only check (xxhash64 not in DuckDB)."""
+    """SimHash fingerprints. Oracle-checked: the md5-derived shingle hash
+    (dedup.simhash) is deterministic integer/bit arithmetic, so DuckDB
+    replays the per-bit vote tallies and the signed 64-bit rebuild
+    value-for-value."""
     t = load_tables(spark, sf_dir, register=False)
     return dedup.simhash(t["documents"]).orderBy("doc_id")
 
 
 def _simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamming-banded SimHash near-dup pairs — rows-only check (xxhash64 /
-    bit_count not replicable in DuckDB). blocks=max_hamming+1 gives exact
-    recall by pigeonhole (dedup.simhash_candidate_pairs)."""
+    """Hamming-banded SimHash near-dup pairs. blocks=max_hamming+1 gives
+    exact recall by pigeonhole (dedup.simhash_candidate_pairs).
+    Oracle-checked end-to-end: deterministic fingerprints + 16-bit block
+    band join + bit_count(xor) verify replay in DuckDB."""
     t = load_tables(spark, sf_dir, register=False)
-    return dedup.simhash_candidate_pairs(t["documents"], blocks=4, max_hamming=3)
+    return dedup.simhash_candidate_pairs(t["documents"], blocks=4, max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def _split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2258,6 +2264,46 @@ mh_est AS (SELECT c.id_a, c.id_b,
            JOIN mh_hs hb ON hb.doc_id = c.id_b AND hb.i = ha.i
            GROUP BY 1, 2)"""
 
+# DuckDB replay of the SimHash pipeline (dedup.simhash +
+# simhash_candidate_pairs, blocks=4 / max_hamming=3 / 3-shingles): the
+# per-shingle 64-bit hash is md5 hex cut into two 32-bit halves
+# (hi << 32 | lo), bit b's +1/-1 vote tally is SUM of that bit over the
+# doc's distinct shingles, bit set iff 2*ones > n. The signed 64-bit
+# fingerprint is rebuilt as -2^63 (bit 63) plus positive powers — no
+# BIGINT overflow — and the 16-bit block values for the pigeonhole band
+# join are summed from the same vote columns (no signed-shift needed).
+def _simhash_bit(b: int) -> str:
+    return f"((hi >> {b - 32}) & 1)" if b >= 32 else f"((lo >> {b}) & 1)"
+
+
+def _simhash_blk(j: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN 2 * o{b} > n THEN {1 << (b - 16 * j)} ELSE 0 END)"
+        for b in range(16 * j, 16 * j + 16)
+    )
+
+
+_SIMHASH_CTES = (
+    "sh_toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),\n"
+    "sh_idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM sh_toks WHERE len(w) >= 3),\n"
+    "sh_sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM sh_idx),\n"
+    "sh_hs AS (SELECT doc_id,\n"
+    "                 CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) AS hi,\n"
+    "                 CAST(('0x' || substring(md5(s), 9, 8)) AS BIGINT) AS lo\n"
+    "          FROM sh_sh),\n"
+    "sh_ones AS (SELECT doc_id, COUNT(*) AS n, "
+    + ", ".join(f"SUM({_simhash_bit(b)}) AS o{b}" for b in range(64))
+    + " FROM sh_hs GROUP BY 1),\n"
+    "sh_fp AS (SELECT doc_id, CAST("
+    + " + ".join(
+        f"(CASE WHEN 2 * o{b} > n THEN {-(1 << 63) if b == 63 else (1 << b)} ELSE 0 END)"
+        for b in range(64)
+    )
+    + " AS BIGINT) AS simhash, "
+    + ", ".join(f"CAST({_simhash_blk(j)} AS BIGINT) AS blk{j}" for j in range(4))
+    + " FROM sh_ones)"
+)
+
 _SHINGLES = """
   toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
   idx  AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks WHERE len(w) >= 3),
@@ -2413,6 +2459,29 @@ ORDER BY source_a, source_b
         "minhash_candidate_pairs": f"""
 WITH {_MINHASH_CTES}
 SELECT id_a, id_b, est_jaccard FROM mh_est ORDER BY id_a, id_b
+""",
+        "simhash_fingerprints": f"""
+WITH {_SIMHASH_CTES}
+SELECT doc_id, simhash FROM sh_fp ORDER BY doc_id
+""",
+        "simhash_candidate_pairs": f"""
+WITH {_SIMHASH_CTES},
+sh_blk AS (
+  SELECT doc_id, 0 AS j, blk0 AS v FROM sh_fp
+  UNION ALL SELECT doc_id, 1, blk1 FROM sh_fp
+  UNION ALL SELECT doc_id, 2, blk2 FROM sh_fp
+  UNION ALL SELECT doc_id, 3, blk3 FROM sh_fp),
+sh_cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh_blk a JOIN sh_blk b
+              ON a.j = b.j AND a.v = b.v AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INTEGER) AS hamming
+FROM sh_cand c
+JOIN sh_fp fa ON fa.doc_id = c.id_a
+JOIN sh_fp fb ON fb.doc_id = c.id_b
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
+ORDER BY id_a, id_b
 """,
         "near_dup_clusters": f"""
 WITH RECURSIVE {_MINHASH_CTES},
@@ -4186,7 +4255,6 @@ ORDER BY doc_id
 """,
         # no oracle (rows-only by design — sketch-/eigen-dependent,
         # approximate-by-construction, or sequential-fold):
-        # simhash_fingerprints, simhash_candidate_pairs,
         # quality_shards_approx, approx_distinct_events,
         # embedding_near_dup_lsh, ann_lsh_bucketed, ann_ivf,
         # multimodal_features, embedding_pca, table_profile_approx,

@@ -317,7 +317,10 @@ def ngram_jaccard_pairs(
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash over word shingles: for each bit, sum +1/-1 votes of
-    each shingle's xxhash64 bit, emit the sign bitmap.
+    each shingle's hash bit, emit the sign bitmap. The shingle hash is
+    md5-derived (two 32-bit hex cuts recombined with shiftleft/OR — pure
+    bit ops, so no ANSI overflow even when bit 63 lands set), which a
+    DuckDB oracle replays bit-for-bit; seeded xxhash64 could not be.
 
     Shape: explode → hash → PACKED bit-count SUM aggregates (map-side
     combined) → OR the sign bits. Same partial-agg rationale as
@@ -330,9 +333,21 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     2^20 shingles (~5 MB of text) before a counter could carry into the
     next lane — far above real documents; a runtime assert fails loudly
     on such inputs instead of corrupting (pre-chunk them upstream)."""
-    ex = _spread(docs, id_col).select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col))).alias("s")
-    ).select(F.col(id_col), F.xxhash64("s").alias("h"))
+    ex = (
+        _spread(docs, id_col)
+        .select(F.col(id_col), F.explode(word_shingles(F.col(text_col))).alias("s"))
+        .select(F.col(id_col), F.md5(F.col("s").cast("binary")).alias("m"))
+        .select(
+            F.col(id_col),
+            # 64-bit hash = (first 8 hex chars as hi) << 32 | (next 8 as
+            # lo): bit ops only, so a set bit 63 is a sign-bit pattern,
+            # never an arithmetic overflow (ANSI-safe in Spark & DuckDB)
+            F.expr(
+                "shiftleft(cast(conv(substring(m, 1, 8), 16, 10) as bigint), 32)"
+                " | cast(conv(substring(m, 9, 8), 16, 10) as bigint)"
+            ).alias("h"),
+        )
+    )
 
     # branch-free votes: ones_b = popcount of bit b over shingle hashes;
     # +1/-1 vote sum = 2*ones_b - n, so bit b is set iff 2*ones_b > n.
