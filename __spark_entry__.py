@@ -588,9 +588,11 @@ def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for embedding near-dup (LSH-bucketed) — approximate by
-    construction, rows-only check. No orderBy: sampling for a range sort
-    would run the per-bucket gram-matrix pandas stage twice."""
+    """Scale path for embedding near-dup (LSH-bucketed). Oracle-checked:
+    hyperplane components are plan-time md5-derived literals, so DuckDB
+    replays the bucket ids bit-for-bit and the per-bucket cosine at 6 dp.
+    No orderBy: the gate's value hash is order-insensitive, and sampling
+    for a range sort would run the per-bucket gram pandas stage twice."""
     t = load_tables(spark, sf_dir, register=False)
     pairs = dedup.embedding_near_duplicates(
         t["embeddings"], threshold=0.3, use_lsh=True, planes=4
@@ -613,7 +615,10 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN — approximate by construction, so rows-only."""
+    """LSH-bucketed ANN (8 planes x 4 OR-union tables). Oracle-checked:
+    deterministic literal hyperplanes make the candidate set itself
+    replayable in DuckDB — buckets match bit-for-bit, the exact-cosine
+    rerank at 6 dp."""
     t = load_tables(spark, sf_dir, register=False)
     emb = t["embeddings"]
     return similarity.lsh_bucketed_ann(emb, emb.filter(F.col("vec_id") < 5), k=10)
@@ -626,10 +631,12 @@ def _multimodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas Arrow-batched feature extraction — rows-only (byte
-    checksum has no DuckDB equivalent). No global orderBy: a sort above
-    a Python stage pays a second execution of it for range-partition
-    bound sampling, and the rows-only check is order-insensitive."""
+    """mapInPandas Arrow-batched feature extraction. Oracle-checked: the
+    fake-payload features are deterministic byte arithmetic (length,
+    byte-sum mod, residue histogram) that DuckDB replays byte-for-byte
+    from hex(encode(text)). No global orderBy: a sort above a Python
+    stage pays a second execution of it for range-partition bound
+    sampling, and the gate's value hash is order-insensitive."""
     t = load_tables(spark, sf_dir, register=False)
     media = multimodal.attach_fake_payload(t["documents"])
     return multimodal.extract_features(media)
@@ -2309,6 +2316,20 @@ _SHINGLES = """
   idx  AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks WHERE len(w) >= 3),
   sh   AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx)
 """
+
+# SQL twin of similarity.hyperplane_signature: the bucket id is the sum
+# of sign bits of dots against the SAME md5-derived double literals the
+# Spark plan embeds (similarity._plane_components), and both engines
+# evaluate the dot as a left-associated fold over the 64 components —
+# bucket ids replay bit-for-bit, no float tolerance needed.
+def _hp_bucket_sql(planes: int, seed: int, col: str = "embedding") -> str:
+    comps = similarity._plane_components(planes, 64, seed)
+    cases = []
+    for p, cs in enumerate(comps):
+        dot = " + ".join(f"CAST({col}[{j + 1}] AS DOUBLE) * {c!r}" for j, c in enumerate(cs))
+        cases.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(cases) + ")"
+
 
 _COS_PAIRS = """
   x AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
@@ -4245,6 +4266,58 @@ SELECT query_id, neighbor_id, cos, rank
 FROM ranked WHERE rank <= 10
 ORDER BY query_id, rank
 """,
+        "multimodal_features": """
+WITH pm AS (SELECT doc_id, encode(text) AS p FROM documents WHERE text IS NOT NULL),
+hx AS (SELECT doc_id, hex(p) AS h, octet_length(p) AS nb FROM pm),
+ix AS (SELECT doc_id, h, unnest(range(0, nb)) AS i FROM hx),
+by AS (SELECT doc_id, CAST(('0x' || substring(h, 2 * i + 1, 2)) AS INTEGER) AS bv FROM ix),
+agg AS (SELECT doc_id, CAST(SUM(bv) % 1000003 AS BIGINT) AS byte_checksum,
+               CAST(SUM(CASE WHEN bv % 8 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS hist_0
+        FROM by GROUP BY 1)
+SELECT hx.doc_id, CAST(hx.nb AS BIGINT) AS n_bytes,
+       COALESCE(a.byte_checksum, 0) AS byte_checksum,
+       COALESCE(a.hist_0, 0) AS hist_0
+FROM hx LEFT JOIN agg a ON a.doc_id = hx.doc_id
+ORDER BY hx.doc_id
+""",
+        "embedding_near_dup_lsh": f"""
+WITH {_COS_PAIRS},
+eb AS (SELECT vec_id, {_hp_bucket_sql(4, 0)} AS bucket FROM embeddings)
+SELECT c.id_a, c.id_b, round(c.c, 6) AS cos
+FROM cos c
+JOIN eb a ON a.vec_id = c.id_a
+JOIN eb b ON b.vec_id = c.id_b
+WHERE c.id_a < c.id_b AND a.bucket = b.bucket AND c.c >= 0.3
+""",
+        "ann_lsh_bucketed": f"""
+WITH x AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+          FROM x GROUP BY 1),
+dots AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                sum(CAST(q.v AS DOUBLE) * CAST(e.v AS DOUBLE)) AS dot
+         FROM x q JOIN x e ON q.i = e.i
+         WHERE q.vec_id < 5 GROUP BY 1, 2),
+eb AS (SELECT vec_id, {_hp_bucket_sql(8, 0)} AS b0, {_hp_bucket_sql(8, 1)} AS b1,
+               {_hp_bucket_sql(8, 2)} AS b2, {_hp_bucket_sql(8, 3)} AS b3
+       FROM embeddings),
+cand AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+         FROM eb q JOIN eb e
+           ON (q.b0 = e.b0 OR q.b1 = e.b1 OR q.b2 = e.b2 OR q.b3 = e.b3)
+         WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+scored AS (SELECT c.query_id, c.neighbor_id,
+                  round(d.dot / (nq.nrm * ne.nrm), 6) AS cos
+           FROM cand c
+           JOIN dots d ON d.query_id = c.query_id AND d.neighbor_id = c.neighbor_id
+           JOIN norms nq ON nq.vec_id = c.query_id
+           JOIN norms ne ON ne.vec_id = c.neighbor_id),
+ranked AS (SELECT query_id, neighbor_id, cos,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+           FROM scored)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+""",
         "multimodal_profile": """
 SELECT doc_id,
   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
@@ -4255,8 +4328,7 @@ ORDER BY doc_id
 """,
         # no oracle (rows-only by design — sketch-/eigen-dependent,
         # approximate-by-construction, or sequential-fold):
-        # quality_shards_approx, approx_distinct_events,
-        # embedding_near_dup_lsh, ann_lsh_bucketed, ann_ivf,
-        # multimodal_features, embedding_pca, table_profile_approx,
-        # ann_recall, bpe_merges
+        # quality_shards_approx, approx_distinct_events, ann_ivf,
+        # embedding_pca, table_profile_approx, ann_recall (IVF leg),
+        # bpe_merges
     }

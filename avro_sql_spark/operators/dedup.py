@@ -517,7 +517,13 @@ def embedding_near_duplicates(
                 }
             )
 
-        bucketed = emb.withColumn("bucket", hyperplane_signature(F.col(vec_col), planes))
+        # plan-time dim probe (one-row scan, same pattern as
+        # gram_covariance): the hyperplane literals need the length
+        head = emb.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+        dim = len(head[0]) if head is not None else 1
+        bucketed = emb.withColumn(
+            "bucket", hyperplane_signature(F.col(vec_col), planes, dim=dim)
+        )
         return bucketed.groupBy("bucket").applyInPandas(gram, out_schema)
 
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))

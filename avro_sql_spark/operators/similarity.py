@@ -57,37 +57,47 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec, planes: int = 16, seed: int = 0) -> "F.Column":
-    """LSH bucket id: sign bits of dot(vec, hyperplane_p) for p in
-    0..planes-1, packed into a long. Hyperplane components are
-    hash-derived from (plane, dim index) — deterministic, no stored
-    model, computable inline on 100 TB without a join.
+def _plane_components(planes: int, dim: int, seed: int = 0, modulus: int = 10_000_001) -> "list[list[float]]":
+    """Hyperplane components as plan-time Python floats: md5 of
+    "seed,plane,dim-index" cut to 48 bits, scaled to [-0.5, 0.5).
+    Deterministic and engine-neutral — the Spark plan and the DuckDB
+    oracle embed the IDENTICAL double literals."""
+    import hashlib
 
-    Components are centered on zero ([-0.5, 0.5) via pmod): an
-    off-center normal points into one orthant and barely splits
-    directional data. Recall is observable, not assumed — the
-    ``ann_recall`` entry measures ~0.5 mean recall@10 on the test
-    embeddings at 8 planes x 4 tables; raise ``tables`` (or lower
-    ``planes``) to trade candidates for recall."""
+    return [
+        [
+            int(hashlib.md5(f"{seed},{p},{j}".encode()).hexdigest()[:12], 16) % modulus / modulus
+            - 0.5
+            for j in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def hyperplane_signature(vec, planes: int = 16, seed: int = 0, dim: int = 64) -> "F.Column":
+    """LSH bucket id: sign bits of dot(vec, hyperplane_p) for p in
+    0..planes-1, packed into a long. Hyperplane components are PLAN-TIME
+    literal arrays derived from md5("seed,plane,dim-index") — no stored
+    model, no join, and (unlike the earlier per-row xxhash64 variant)
+    ZERO runtime hashing: the per-plane dot against a constant array is
+    the only per-row work. The same literals go into the DuckDB oracle,
+    and the dot is a sequential left fold on both engines, so bucket ids
+    replay bit-for-bit.
+
+    Components are centered on zero ([-0.5, 0.5)): an off-center normal
+    points into one orthant and barely splits directional data. Recall
+    is observable, not assumed — the ``ann_recall`` entry measures ~0.5
+    mean recall@10 on the test embeddings at 8 planes x 4 tables; raise
+    ``tables`` (or lower ``planes``) to trade candidates for recall.
+    ``dim`` must match the vector length (callers probe one row); the
+    literal-array form trades the dynamic-dim flexibility for codegen
+    with no hash calls and an oracle-replayable plan."""
+    comps = _plane_components(planes, dim, seed)
     sig = F.lit(0).cast("long")
     for p in range(planes):
+        arr = F.expr("array(" + ", ".join(f"{c!r}D" for c in comps[p]) + ")")
         dot_p = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda v, j: v.cast("double")
-                * (
-                    # pmod, not %: Spark's % keeps the dividend's sign, so
-                    # signed-hash remainders span (-M, M) and the -0.5
-                    # shift would bias every component toward -0.5 —
-                    # collapsing directional data into one bucket
-                    F.pmod(F.xxhash64(F.lit(seed), F.lit(p), j), F.lit(10_000_001)).cast(
-                        "double"
-                    )
-                    / 10_000_001.0
-                    - F.lit(0.5)
-                ),
-            ),
+            F.zip_with(vec, arr, lambda v, c: v.cast("double") * c),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -116,13 +126,18 @@ def lsh_bucketed_ann(
     rows (in-row posexplode), candidates come from one equi-join on
     (table, bucket) deduped before the exact-cosine rerank — vectors
     re-attach per side after dedup, so signatures never ride the join."""
+    # plan-time dim probe (one-row scan): the hyperplane literal arrays
+    # need the vector length
+    _head = emb.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+    _dim = len(_head[0]) if _head is not None else 1
+
     def _buckets(df: DataFrame, out_id: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(out_id),
             F.posexplode(
                 F.array(
                     *[
-                        hyperplane_signature(F.col(vec_col), planes, seed=t)
+                        hyperplane_signature(F.col(vec_col), planes, seed=t, dim=_dim)
                         for t in range(tables)
                     ]
                 )
