@@ -1768,6 +1768,18 @@ def _kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_report(t["embeddings"], k=4, iterations=2)
 
 
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-ngram importance weights toward the src1* source
+    family (curation.dsir_importance; Xie et al., NeurIPS 2023). Fully
+    oracle-checked: the md5 feature hash, the Laplace-smoothed
+    bag-of-ngrams models, and the per-doc log-likelihood-ratio sum all
+    replay in DuckDB (score at 4 dp)."""
+    t = load_tables(spark, sf_dir, register=False)
+    return curation.dsir_importance(
+        t["documents"], F.col("source").like("src1%")
+    ).orderBy("doc_id")
+
+
 def _copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the symmetric co-purchase graph
     (parts co-occurring in >= 2 orders). 3 iterations, damping 0.85 —
@@ -1917,6 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _snapshot_diff,  # compare_cols schema validation
         # --- new in r3 ---
         "copurchase_pagerank": _copurchase_pagerank,
+        "dsir_weights": _dsir_weights,
         "zorder_layout_report": _zorder_layout_report,
         "streaming_enriched_totals": _streaming_enriched_totals,
         "bloom_prefilter_join": _bloom_prefilter_join,
@@ -2360,6 +2373,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name AS name, c_mktsegment AS name_1 FROM customer"
         ),
         "copurchase_pagerank": _pagerank_oracle(3),
+        # DuckDB replay of curation.dsir_importance (buckets=4096,
+        # alpha=1.0, target = source LIKE 'src1%'): unigrams+bigrams
+        # with multiplicity, md5-hash % 4096, Laplace-smoothed LLR model,
+        # per-doc weighted LLR sum at 4 dp. Bare decimal literals are
+        # DECIMAL in DuckDB — the explicit DOUBLE casts keep the
+        # division/log arithmetic in the same IEEE domain as Spark.
+        "dsir_weights": """
+WITH dg AS (SELECT doc_id, (source LIKE 'src1%') AS is_target,
+                   string_split(lower(text), ' ') AS w
+            FROM documents WHERE text IS NOT NULL),
+g1 AS (SELECT doc_id, is_target, unnest(w) AS g FROM dg),
+g2i AS (SELECT doc_id, is_target, w, unnest(range(1, len(w))) AS i FROM dg WHERE len(w) >= 2),
+g2 AS (SELECT doc_id, is_target, w[i] || ' ' || w[i+1] AS g FROM g2i),
+gall AS (SELECT doc_id, is_target, g FROM g1 UNION ALL SELECT doc_id, is_target, g FROM g2),
+fb AS (SELECT doc_id, is_target,
+              CAST(('0x' || substring(md5(g), 1, 12)) AS BIGINT) % 4096 AS b
+       FROM gall),
+dc AS (SELECT doc_id, b, COUNT(*) AS n FROM fb GROUP BY 1, 2),
+model AS (SELECT b, SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+                 SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
+          FROM fb GROUP BY 1),
+tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM model),
+llr AS (SELECT b,
+               ln((ct + CAST(1.0 AS DOUBLE)) / (tt + CAST(4096.0 AS DOUBLE)))
+             - ln((cr + CAST(1.0 AS DOUBLE)) / (tr + CAST(4096.0 AS DOUBLE))) AS llr
+        FROM model CROSS JOIN tot)
+SELECT dc.doc_id, CAST(SUM(dc.n) AS BIGINT) AS n_feats,
+       ROUND(SUM(dc.n * l.llr), 4) AS log_importance
+FROM dc JOIN llr l ON l.b = dc.b
+GROUP BY 1
+ORDER BY dc.doc_id
+""",
         "zorder_layout_report": _zorder_oracle(),
         "kmeans_clusters": _kmeans_oracle(4, 2),
         # exact-Jaccard edges make connected components deterministic:

@@ -337,3 +337,81 @@ def weighted_take(
         .limit(k)
         .drop("__aes_key")
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    alpha: float = 1.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al., NeurIPS 2023): score every document by the
+    log-likelihood ratio of its hashed n-gram features under a TARGET
+    bag-of-ngrams model vs the RAW pool model — the standard recipe for
+    steering a web-scale crawl toward a quality/domain target before
+    resampling. ``target`` is any boolean Column marking the in-domain
+    rows; output is (id, n_feats, log_importance) with positive scores
+    meaning "more target-like".
+
+    Features are word unigrams + bigrams WITH multiplicity, hashed into
+    ``buckets`` buckets by the md5-derived integer hash (deterministic —
+    the DuckDB oracle replays the whole pipeline, hash included).
+    Both models are Laplace-smoothed (``alpha``) over the same bucket
+    space, so OOV buckets contribute a finite prior ratio.
+
+    Scale shape: ONE shuffle builds the per-doc bucket counts (map-side
+    combined) and one tiny groupBy builds the 2x``buckets``-cell model;
+    normalization totals come from a broadcast 1-row crossJoin (no
+    driver collect), the model joins back by broadcast, and the final
+    per-doc reduce is a second skinny shuffle on the id. Nothing scales
+    with the corpus except the two keyed aggregations — the model frame
+    is fixed-size regardless of input, the 100 TB property DSIR's
+    hashed-feature design exists for."""
+    from ..functions.text import word_ngrams
+
+    base = docs.select(
+        F.col(id_col), target.cast("boolean").alias("is_target"), F.col(text_col)
+    )
+    grams = base.select(
+        id_col,
+        "is_target",
+        F.explode(
+            F.concat(word_ngrams(F.col(text_col), 1), word_ngrams(F.col(text_col), 2))
+        ).alias("g"),
+    )
+    feats = grams.select(
+        id_col,
+        "is_target",
+        (
+            F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 12), 16, 10).cast("long")
+            % buckets
+        ).alias("b"),
+    )
+    doc_counts = feats.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("n"))
+    # cached: the normalization totals re-traverse the model, and without
+    # the cache the whole explode+hash scan would run twice (the model is
+    # <= `buckets` rows — caller owns cleanup, same contract as simhash)
+    model = feats.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("cr"),
+    ).cache()
+    tot = model.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    llr_model = model.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("ct") + F.lit(alpha)) / (F.col("tt") + F.lit(alpha * buckets)))
+            - F.log((F.col("cr") + F.lit(alpha)) / (F.col("tr") + F.lit(alpha * buckets)))
+        ).alias("llr"),
+    )
+    return (
+        doc_counts.join(F.broadcast(llr_model), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_feats"),
+            F.round(F.sum(F.col("n") * F.col("llr")), round_to).alias("log_importance"),
+        )
+    )

@@ -133,6 +133,7 @@ HEADLINE = [
     "zipf_fit",
     "event_value_outliers",
     "source_overlap",
+    "dsir_weights",
 ]
 
 

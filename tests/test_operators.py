@@ -962,3 +962,26 @@ def test_source_overlap_prefix(spark):
     assert source_overlap(docs).count() == 0
     row = source_overlap(docs, prefix_len=10).collect()[0]
     assert (row["source_a"], row["source_b"], row["n_shared"]) == ("a", "b", 1)
+
+
+def test_dsir_importance_directional(spark):
+    """Docs sharing the target's vocabulary score higher than docs full
+    of raw-pool vocabulary; the weighted-LLR sum is finite everywhere."""
+    rows = [
+        (1, "alpha beta gamma alpha beta", True),
+        (2, "alpha beta gamma delta", True),
+        (10, "omega psi chi omega psi", False),
+        (11, "omega psi chi phi", False),
+        (20, "alpha beta gamma beta", False),   # target-like raw doc
+        (21, "omega psi chi psi", False),        # raw-like raw doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    from avro_sql_spark.operators.curation import dsir_importance
+
+    out = {
+        r["doc_id"]: r["log_importance"]
+        for r in dsir_importance(df, F.col("is_t"), buckets=64).collect()
+    }
+    assert len(out) == 6
+    assert out[20] > out[21]          # target-vocab doc outranks raw-vocab doc
+    assert out[1] > 0 and out[10] < 0  # in-target positive, off-target negative
