@@ -124,18 +124,24 @@ def minhash_signatures(
             F.conv(F.substring(F.md5(F.col("s").cast("binary")), 1, 12), 16, 10).cast("long") % p
         ).alias("x"),
     )
-    hashed = based.select(
-        F.col(id_col),
+    # the k permutation columns, the k MIN aggregates, and the array
+    # packing are built as SQL STRINGS (one parse each / one selectExpr
+    # round trip) — Column-by-Column composition cost ~1.5 s of DRIVER
+    # time per call in Py4J round trips (same fix as simhash); the
+    # parsed trees and generated code are identical
+    hashed = based.selectExpr(
+        id_col,
         *[
-            ((F.lit(a) * F.col("x") + F.lit(b)) % p).alias(f"h{i}")
+            f"({a} * x + {b}) % {_MINHASH_P} AS h{i}"
             for i, (a, b) in ((i, _minhash_params(i)) for i in range(num_hashes))
         ],
     )
     mins = hashed.groupBy(id_col).agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+        *[F.expr(f"min(h{i}) AS h{i}") for i in range(num_hashes)]
     )
-    return mins.select(
-        F.col(id_col), F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
+    return mins.selectExpr(
+        id_col,
+        "array(" + ", ".join(f"h{i}" for i in range(num_hashes)) + ") AS signature",
     )
 
 
