@@ -551,12 +551,12 @@ def near_dup_clusters(
     components by iterative min-label propagation -> (id, cluster_id)
     where cluster_id is the smallest doc id in the component.
 
-    This is the genuinely iterative operator (the driver records it
-    rows-only - no single SQL oracle because the EDGES are MinHash
-    estimates): each round is one join + one min-aggregate, the classic
-    Spark connected-components loop (see :func:`connected_components`
-    for the loop itself — reused with exact-Jaccard edges it IS
-    oracle-checkable via a recursive CTE)."""
+    This is the genuinely iterative operator: each round is one join +
+    one min-aggregate, the classic Spark connected-components loop (see
+    :func:`connected_components`). Oracle-checked end-to-end since the
+    minhash family became deterministic integer arithmetic — the DuckDB
+    twin replays the estimated edges and resolves the components with a
+    WITH RECURSIVE reachability CTE."""
     pairs = minhash_candidate_pairs(docs, id_col, text_col).filter(
         F.col("est_jaccard") >= est_threshold
     )
