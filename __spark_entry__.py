@@ -771,6 +771,21 @@ def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_recall_report(emb, emb.filter(F.col("vec_id") < 20), planes=4)
 
 
+def _ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH leg alone vs exact brute force. Unlike the
+    combined ann_recall report (whose IVF leg has a k-means quantizer no
+    SQL replays), this one is FULLY oracle-checked: deterministic
+    literal hyperplanes make the candidate set replayable, the rerank
+    and the truth ranking both round cosine to 6 dp before an id
+    tie-break (similarity.recall_vs_truth)."""
+    t = load_tables(spark, sf_dir, register=False)
+    emb = t["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 20)
+    truth = similarity.brute_force_topk(emb, qs, 10)
+    cand = similarity.lsh_bucketed_ann(emb, qs, 10, planes=4)
+    return similarity.recall_vs_truth(truth, cand, "lsh_bucketed")
+
+
 def _vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokens needed to cover 90% of token mass, per language."""
     from avro_sql_spark.operators.text import vocab_coverage
@@ -1930,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r3 ---
         "copurchase_pagerank": _copurchase_pagerank,
         "dsir_weights": _dsir_weights,
+        "ann_recall_lsh": _ann_recall_lsh,
         "zorder_layout_report": _zorder_layout_report,
         "streaming_enriched_totals": _streaming_enriched_totals,
         "bloom_prefilter_join": _bloom_prefilter_join,
@@ -4333,6 +4349,49 @@ FROM cos c
 JOIN eb a ON a.vec_id = c.id_a
 JOIN eb b ON b.vec_id = c.id_b
 WHERE c.id_a < c.id_b AND a.bucket = b.bucket AND c.c >= 0.3
+""",
+        "ann_recall_lsh": f"""
+WITH x AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+          FROM x GROUP BY 1),
+dots AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                sum(CAST(q.v AS DOUBLE) * CAST(e.v AS DOUBLE)) AS dot
+         FROM x q JOIN x e ON q.i = e.i
+         WHERE q.vec_id < 20 GROUP BY 1, 2),
+cosr AS (SELECT d.query_id, d.neighbor_id,
+                round(d.dot / (nq.nrm * ne.nrm), 6) AS cos
+         FROM dots d
+         JOIN norms nq ON nq.vec_id = d.query_id
+         JOIN norms ne ON ne.vec_id = d.neighbor_id
+         WHERE d.neighbor_id <> d.query_id),
+bt AS (SELECT query_id, neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rk
+       FROM cosr),
+truth AS (SELECT query_id, neighbor_id FROM bt WHERE rk <= 10),
+eb AS (SELECT vec_id, {_hp_bucket_sql(4, 0)} AS b0, {_hp_bucket_sql(4, 1)} AS b1,
+              {_hp_bucket_sql(4, 2)} AS b2, {_hp_bucket_sql(4, 3)} AS b3
+       FROM embeddings),
+cand0 AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+          FROM eb q JOIN eb e
+            ON (q.b0 = e.b0 OR q.b1 = e.b1 OR q.b2 = e.b2 OR q.b3 = e.b3)
+          WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id
+          GROUP BY 1, 2),
+lr AS (SELECT c.query_id, c.neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY c.query_id
+                            ORDER BY s.cos DESC, c.neighbor_id) AS rk
+       FROM cand0 c
+       JOIN cosr s ON s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id),
+cand AS (SELECT query_id, neighbor_id FROM lr WHERE rk <= 10),
+perq AS (SELECT t.query_id, COUNT(*) AS n_truth, COUNT(c.neighbor_id) AS n_hit
+         FROM truth t
+         LEFT JOIN cand c ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+         GROUP BY 1)
+SELECT 'lsh_bucketed' AS method,
+       ROUND(AVG(CAST(n_hit AS DOUBLE) / n_truth), 6) AS mean_recall,
+       ROUND(MIN(CAST(n_hit AS DOUBLE) / n_truth), 6) AS worst_recall
+FROM perq
 """,
         "ann_lsh_bucketed": f"""
 WITH x AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i

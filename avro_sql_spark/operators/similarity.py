@@ -448,30 +448,13 @@ def ann_recall_report(
     truth = brute_force_topk(emb, queries, k, id_col, vec_col).select(
         "query_id", "neighbor_id"
     )
-
-    def _recall(cand: DataFrame, method: str) -> DataFrame:
-        hits = truth.join(cand.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
-        per_q = (
-            truth.groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n_truth"))
-            .join(
-                hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
-                "query_id",
-                "left",
-            )
-            .na.fill({"n_hit": 0})
-            .select((F.col("n_hit") / F.col("n_truth")).alias("recall"))
-        )
-        return per_q.agg(
-            F.round(F.avg("recall"), 6).alias("mean_recall"),
-            F.round(F.min("recall"), 6).alias("worst_recall"),
-        ).select(F.lit(method).alias("method"), "mean_recall", "worst_recall")
-
-    lsh = _recall(
+    lsh = recall_vs_truth(
+        truth,
         lsh_bucketed_ann(emb, queries, k, id_col, vec_col, planes=planes, tables=tables),
         "lsh_bucketed",
     )
-    ivf = _recall(
+    ivf = recall_vs_truth(
+        truth,
         ivf_topk(
             emb, queries, k=k, id_col=id_col, vec_col=vec_col,
             n_cells=n_cells, n_probe=n_probe,
@@ -479,6 +462,30 @@ def ann_recall_report(
         "ivf",
     )
     return lsh.unionByName(ivf).orderBy("method")
+
+
+def recall_vs_truth(truth: DataFrame, cand: DataFrame, method: str) -> DataFrame:
+    """One-row (method, mean_recall, worst_recall) comparing a candidate
+    top-k against the exact top-k ``truth`` (both as (query_id,
+    neighbor_id) frames). Bounded work: joins touch k x |queries| rows
+    regardless of corpus size."""
+    truth = truth.select("query_id", "neighbor_id")
+    hits = truth.join(cand.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+    per_q = (
+        truth.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_truth"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .na.fill({"n_hit": 0})
+        .select((F.col("n_hit") / F.col("n_truth")).alias("recall"))
+    )
+    return per_q.agg(
+        F.round(F.avg("recall"), 6).alias("mean_recall"),
+        F.round(F.min("recall"), 6).alias("worst_recall"),
+    ).select(F.lit(method).alias("method"), "mean_recall", "worst_recall")
 
 
 def gram_covariance(
