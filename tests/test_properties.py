@@ -313,3 +313,58 @@ def test_snapshot_diff_self_is_empty_and_total(spark, rows):
     added = snapshot_diff(empty, df, ["id"]).collect()
     assert len(added) == len(rows)
     assert all(r["change_type"] == "added" for r in added)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=list(string.ascii_lowercase) + [" "], min_size=0, max_size=80),
+        min_size=1,
+        max_size=6,
+    ),
+    nparts=st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_hash_families_partitioning_invariant(spark, texts, nparts):
+    """MinHash signatures and SimHash fingerprints are pure functions of
+    the text — repartitioning (the thing a 100 TB rerun, AQE re-plan, or
+    speculative retry changes) must not move a single bit. This is the
+    rerun-stability contract every dedup decision downstream relies on."""
+    from avro_sql_spark.operators import dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    shuffled = df.repartition(nparts)
+
+    base_min = {r["doc_id"]: r["signature"] for r in dedup.minhash_signatures(df).collect()}
+    got_min = {
+        r["doc_id"]: r["signature"] for r in dedup.minhash_signatures(shuffled).collect()
+    }
+    assert got_min == base_min
+
+    base_sim = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    got_sim = {r["doc_id"]: r["simhash"] for r in dedup.simhash(shuffled).collect()}
+    assert got_sim == base_sim
+
+
+def test_hyperplane_bucket_partitioning_invariant(spark):
+    """LSH bucket ids are plan-time-literal dot-product signs — stable
+    under repartitioning and across separate plan constructions."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from avro_sql_spark.operators.similarity import hyperplane_signature
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def buckets(frame):
+        out = frame.select(
+            "vec_id", hyperplane_signature(F.col("embedding"), planes=6, dim=16).alias("b")
+        )
+        return {r["vec_id"]: r["b"] for r in out.collect()}
+
+    base = buckets(df)
+    assert buckets(df.repartition(5)) == base
+    assert buckets(df.repartition(3, F.col("vec_id"))) == base
