@@ -2352,10 +2352,19 @@ _SHINGLES = """
 # evaluate the dot as a left-associated fold over the 64 components —
 # bucket ids replay bit-for-bit, no float tolerance needed.
 def _hp_bucket_sql(planes: int, seed: int, col: str = "embedding") -> str:
+    # CAST('<repr>' AS DOUBLE), never a bare decimal literal: DuckDB
+    # types bare decimals as DECIMAL(18,17) and the DECIMAL->DOUBLE
+    # conversion lands 1 ulp off the Python/Spark double for ~12% of
+    # components (measured 93/768) — enough to flip a sign bit when a
+    # dot sits within a few ulps of 0. The string parse is the same
+    # shortest-roundtrip path Python/Spark use and matches bit-for-bit.
     comps = similarity._plane_components(planes, 64, seed)
     cases = []
     for p, cs in enumerate(comps):
-        dot = " + ".join(f"CAST({col}[{j + 1}] AS DOUBLE) * {c!r}" for j, c in enumerate(cs))
+        dot = " + ".join(
+            f"CAST({col}[{j + 1}] AS DOUBLE) * CAST('{c!r}' AS DOUBLE)"
+            for j, c in enumerate(cs)
+        )
         cases.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(cases) + ")"
 

@@ -389,12 +389,14 @@ def dsir_importance(
         F.col(id_col), "is_target", F.split(F.lower(F.col(text_col)), " ").alias("w")
     )
     k = F.size("w") - 1
-    # the greatest() keeps the sequence bounds valid even if the branch
-    # is ever evaluated for a k<=0 row (same guard as word_ngrams)
+    # the ONLY thing keeping a k<=0 row safe is F.when's per-row branch
+    # laziness: sequence(0,-1) auto-descends to [0,-1] and the lambda
+    # would hit element_at index 0 (ANSI throw) if this branch ever
+    # evaluated for such a row. Do not drop or reorder the when().
     bigrams = F.when(
         k > 0,
         F.transform(
-            F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
+            F.sequence(F.lit(0), k - 1),
             lambda i: F.concat_ws(" ", F.element_at("w", i + 1), F.element_at("w", i + 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))

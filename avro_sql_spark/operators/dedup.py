@@ -130,7 +130,7 @@ def minhash_signatures(
     # time per call in Py4J round trips (same fix as simhash); the
     # parsed trees and generated code are identical
     hashed = based.selectExpr(
-        id_col,
+        f"`{id_col}`",  # backticks: selectExpr must quote what F.col would
         *[
             f"({a} * x + {b}) % {_MINHASH_P} AS h{i}"
             for i, (a, b) in ((i, _minhash_params(i)) for i in range(num_hashes))
@@ -140,7 +140,7 @@ def minhash_signatures(
         *[F.expr(f"min(h{i}) AS h{i}") for i in range(num_hashes)]
     )
     return mins.selectExpr(
-        id_col,
+        f"`{id_col}`",
         "array(" + ", ".join(f"h{i}" for i in range(num_hashes)) + ") AS signature",
     )
 

@@ -148,6 +148,7 @@ def main() -> None:
     queries = entry_mod.queries()
     # warmup pass: JIT/codegen/parquet-footer caches - report steady state
     for name in HEADLINE:
+        spark.catalog.clearCache()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     # two timed passes, keep the per-query minimum: single-machine runs
     # have multi-second scheduler/GC noise that would otherwise dominate.
@@ -159,6 +160,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for _ in range(2):
         for name in HEADLINE:
+            # cold caches per query: operators that persist() internally
+            # (simhash pairs, dsir) must not leave frames resident to
+            # skew LATER queries' memory, nor hit their own materialized
+            # cache from the previous pass — each timing is the
+            # query's real standalone cost
+            spark.catalog.clearCache()
             start = time.perf_counter()
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
