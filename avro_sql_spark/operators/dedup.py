@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, word_shingles
+from ..functions.text import fingerprint
 
 # MinHash permutation family: h_i(s) = (a_i * x(s) + b_i) mod P, the
 # textbook 2-universal family over the Mersenne prime P = 2^31-1, with
@@ -72,6 +72,27 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     per-doc compute it unlocks."""
     n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, F.col(key))
+
+
+def _shingles(
+    docs: DataFrame, id_col: str, text_col: str, n: int, out_id: "str | None" = None
+) -> DataFrame:
+    """Exploded DISTINCT word n-shingles as (out_id, s_raw) STRINGS —
+    spread across the cluster first (see :func:`_spread`) and tokenized
+    ONCE into a materialized array column before the gram transform.
+    Calling word_shingles(text, n) directly inlines its split() into
+    every element_at of every gram (Catalyst does no CSE inside
+    higher-order-function lambdas), re-splitting the text n times per
+    shingle — measured ~20x on 8-word spans over a compacted scan."""
+    from ..functions.text import word_ngrams_of
+
+    out = out_id or id_col
+    toks = _spread(docs, id_col).select(
+        F.col(id_col).alias(out), F.split(F.lower(F.col(text_col)), " ").alias("w")
+    )
+    return toks.select(
+        out, F.explode(F.array_distinct(word_ngrams_of(F.col("w"), n))).alias("s_raw")
+    )
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -114,14 +135,13 @@ def minhash_signatures(
     permutations are multiply-add-mod on its 48-bit cut), and the whole
     family is deterministic integer arithmetic the DuckDB oracle
     replicates exactly."""
-    sh = _spread(docs, id_col).select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle)).alias("s")
-    )
+    sh = _shingles(docs, id_col, text_col, shingle)
     p = F.lit(_MINHASH_P)
     based = sh.select(
         F.col(id_col),
         (
-            F.conv(F.substring(F.md5(F.col("s").cast("binary")), 1, 12), 16, 10).cast("long") % p
+            F.conv(F.substring(F.md5(F.col("s_raw").cast("binary")), 1, 12), 16, 10).cast("long")
+            % p
         ).alias("x"),
     )
     # the k permutation columns, the k MIN aggregates, and the array
@@ -276,11 +296,7 @@ def ngram_jaccard_pairs(
     # the pair join is shuffle-bound, so key width is the cost. xxhash64
     # collisions (~n²/2⁶⁴) are negligible against shingle-set sizes.
     sh = (
-        _spread(docs, id_col)
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(word_shingles(F.col(text_col), shingle)).alias("s_raw"),
-        )
+        _shingles(docs, id_col, text_col, shingle, out_id="id")
         .select("id", F.xxhash64("s_raw").alias("s"))
         # cached: consumed by per-doc sizes AND both self-join sides (and
         # the doc-frequency pass when capped) — uncached, the explode+hash
@@ -340,9 +356,8 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     next lane — far above real documents; a runtime assert fails loudly
     on such inputs instead of corrupting (pre-chunk them upstream)."""
     ex = (
-        _spread(docs, id_col)
-        .select(F.col(id_col), F.explode(word_shingles(F.col(text_col))).alias("s"))
-        .select(F.col(id_col), F.md5(F.col("s").cast("binary")).alias("m"))
+        _shingles(docs, id_col, text_col, 3)
+        .select(F.col(id_col), F.md5(F.col("s_raw").cast("binary")).alias("m"))
         .select(
             F.col(id_col),
             # 64-bit hash = (first 8 hex chars as hi) << 32 | (next 8 as
@@ -678,18 +693,23 @@ def decontaminate(
         raise ValueError(f"unknown method {method!r} (use 'exact' or 'ngram')")
     # same hashed-key rationale as ngram_jaccard_pairs: the bipartite
     # join shuffles 8-byte ints, not shingle strings
-    tr = (
-        _spread(train, id_col)
-        .select(
-            F.col(id_col).alias("tid"),
-            F.explode(word_shingles(F.col(text_col), shingle)).alias("s_raw"),
-        )
-        .select("tid", F.xxhash64("s_raw").alias("s"))
+    tr = _shingles(train, id_col, text_col, shingle, out_id="tid").select(
+        "tid", F.xxhash64("s_raw").alias("s")
     )
-    te = test.select(
-        F.col(id_col).alias("eid"),
-        F.explode(word_shingles(F.col(text_col), shingle)).alias("s_raw"),
-    ).select("eid", F.xxhash64("s_raw").alias("s"))
+    # the test/benchmark side stays un-spread (it is the small side; a
+    # repartition would add an exchange for nothing) but still
+    # tokenizes once before the gram transform
+    from ..functions.text import word_ngrams_of
+
+    te = (
+        test.select(
+            F.col(id_col).alias("eid"), F.split(F.lower(F.col(text_col)), " ").alias("w")
+        )
+        .select(
+            "eid", F.explode(F.array_distinct(word_ngrams_of(F.col("w"), shingle))).alias("s_raw")
+        )
+        .select("eid", F.xxhash64("s_raw").alias("s"))
+    )
     # each side feeds its size aggregate AND the bipartite join (plus the
     # doc-frequency pass when capped) — cache so explode+hash runs once
     tr, te = tr.cache(), te.cache()
@@ -769,11 +789,22 @@ def duplicated_span_stats(
     contract. Hot spans (stop-phrase n-grams) skew the re-attach join;
     AQE skew-join handles it, and raising ``n`` shrinks hot-span mass.
     """
+    from ..functions.text import word_ngrams_of
+
+    # spread + tokenize-once: without the repartition the explode runs
+    # on the compacted scan's 1-3 partitions, and word_shingles would
+    # re-split the text n times per span (no CSE inside lambda) — the
+    # two together measured ~20x on this operator at sf0.1
+    toks = _spread(docs, id_col).select(
+        F.col(id_col).alias("did"),
+        F.col(group_col).alias("grp"),
+        F.split(F.lower(F.col(text_col)), " ").alias("w"),
+    )
     sh = (
-        docs.select(
-            F.col(id_col).alias("did"),
-            F.col(group_col).alias("grp"),
-            F.explode(word_shingles(F.col(text_col), n)).alias("span"),
+        toks.select(
+            "did",
+            "grp",
+            F.explode(F.array_distinct(word_ngrams_of(F.col("w"), n))).alias("span"),
         )
         .withColumn("h", F.xxhash64("span"))
         .drop("span")
@@ -832,11 +863,7 @@ def jaccard_pairs_prefix(
     shingle shuffle. The shingle frame and the per-doc array frame each
     feed multiple consumers and are cached per the module contract."""
     sh = (
-        _spread(docs, id_col)
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(word_shingles(F.col(text_col), shingle)).alias("s_raw"),
-        )
+        _shingles(docs, id_col, text_col, shingle, out_id="id")
         .select("id", F.xxhash64("s_raw").alias("s"))
         .cache()
     )
