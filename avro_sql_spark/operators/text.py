@@ -43,10 +43,16 @@ def repetition_stats(
     re-aggregate per doc. Both aggregations hash-partition on the doc id
     (the gram only refines the first key), so the second groupBy reuses
     the first shuffle's locality; everything is map-side combined."""
-    from ..functions.text import word_ngrams
+    from ..functions.text import word_ngrams_of
+    from .dedup import _spread
 
-    grams = docs.select(
-        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+    # spread + tokenize-once (see dedup._shingles): the explode must not
+    # run on a compacted scan's few partitions, and the gram transform
+    # must not re-split the text per element
+    grams = (
+        _spread(docs, id_col)
+        .select(F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("w"))
+        .select(F.col(id_col), F.explode(word_ngrams_of(F.col("w"), n)).alias("g"))
     )
     per_gram = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
     return per_gram.groupBy(id_col).agg(
