@@ -186,7 +186,9 @@ def main() -> None:
                     "(iterative entries run real jobs eagerly at build; "
                     "earlier rounds timed only the final write, so r1/r2 "
                     "per-query numbers are systematically ~0.1-0.3s lower "
-                    "and iterative/bloom entries are not comparable)"
+                    "and iterative/bloom entries are not comparable). "
+                    "Caches are cleared before every query: each number is "
+                    "the standalone cold-cache cost."
                 ),
             }
         )
