@@ -771,6 +771,16 @@ def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_recall_report(emb, emb.filter(F.col("vec_id") < 20), planes=4)
 
 
+def _epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch planner over sources (curation.epoch_plan):
+    temperature-2 mixture weights, 100k-token budget, 4-epoch cap with
+    one-round headroom redistribution. Fully oracle-checked — the T=2
+    weights use sqrt (IEEE-exact on both engines) and every other step
+    is plain arithmetic on the tiny per-source frame."""
+    t = load_tables(spark, sf_dir, register=False)
+    return curation.epoch_plan(t["documents"], budget_tokens=100_000.0)
+
+
 def _ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the LSH leg alone vs exact brute force. Unlike the
     combined ann_recall report (whose IVF leg has a k-means quantizer no
@@ -1946,6 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_pagerank": _copurchase_pagerank,
         "dsir_weights": _dsir_weights,
         "ann_recall_lsh": _ann_recall_lsh,
+        "epoch_plan": _epoch_plan,
         "zorder_layout_report": _zorder_layout_report,
         "streaming_enriched_totals": _streaming_enriched_totals,
         "bloom_prefilter_join": _bloom_prefilter_join,
@@ -4358,6 +4369,41 @@ FROM cos c
 JOIN eb a ON a.vec_id = c.id_a
 JOIN eb b ON b.vec_id = c.id_b
 WHERE c.id_a < c.id_b AND a.bucket = b.bucket AND c.c >= 0.3
+""",
+        # DuckDB replay of curation.epoch_plan (budget=100000, T=2,
+        # cap=4): sqrt weights (IEEE-exact both engines), LEAST-clipped
+        # epochs, one-round headroom redistribution, 4 dp.
+        "epoch_plan": """
+WITH ps AS (SELECT source AS grp,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail
+            FROM documents WHERE text IS NOT NULL GROUP BY 1),
+tot AS (SELECT SUM(sqrt(CAST(avail AS DOUBLE))) AS wsum FROM ps),
+base AS (SELECT grp, avail, sqrt(CAST(avail AS DOUBLE)) / wsum AS weight
+         FROM ps CROSS JOIN tot),
+a0 AS (SELECT grp, avail, weight,
+              weight * CAST(100000.0 AS DOUBLE) AS desired,
+              LEAST(CAST(4.0 AS DOUBLE),
+                    (weight * CAST(100000.0 AS DOUBLE)) / avail) AS e0
+       FROM base),
+a1 AS (SELECT grp, avail, weight, desired, e0, e0 * avail AS al0 FROM a0),
+tt AS (SELECT SUM(al0) AS asum,
+              SUM(CAST(4.0 AS DOUBLE) * avail - al0) AS hsum FROM a1),
+fin AS (SELECT a1.grp, a1.avail, a1.weight, a1.desired, a1.e0,
+               a1.al0 + GREATEST(CAST(100000.0 AS DOUBLE) - tt.asum,
+                                 CAST(0.0 AS DOUBLE))
+                      * (CASE WHEN tt.hsum > 0
+                              THEN (CAST(4.0 AS DOUBLE) * a1.avail - a1.al0) / tt.hsum
+                              ELSE CAST(0.0 AS DOUBLE) END) AS alloc
+        FROM a1 CROSS JOIN tt)
+SELECT grp AS source,
+       avail AS avail_tokens,
+       ROUND(weight, 4) AS weight,
+       ROUND(desired, 4) AS desired_tokens,
+       ROUND(alloc, 4) AS alloc_tokens,
+       ROUND(alloc / avail, 4) AS epochs,
+       (e0 >= CAST(4.0 AS DOUBLE)) AS clipped
+FROM fin
+ORDER BY source
 """,
         "ann_recall_lsh": f"""
 WITH x AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i

@@ -439,3 +439,98 @@ def dsir_importance(
             F.round(F.sum(F.col("n") * F.col("llr")), round_to).alias("log_importance"),
         )
     )
+
+
+def epoch_plan(
+    docs: DataFrame,
+    budget_tokens: float,
+    group_col: str = "source",
+    text_col: str = "text",
+    temperature: float = 2.0,
+    max_epochs: float = 4.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """Token-budget epoch planner: allocate a training budget across
+    sources with temperature-smoothed mixture weights and an epoch cap —
+    the planning step of every data-mixing recipe (temperature sampling
+    a la multilingual LM training; the epoch cap is the
+    data-constrained-scaling guard against over-repeating small sources,
+    Muennighoff et al. 2023). Returns one row per source:
+    (group, avail_tokens, weight, desired_tokens, alloc_tokens, epochs,
+    clipped).
+
+    Mechanics: weights ~ avail^(1/temperature), normalized; desired =
+    weight * budget; epochs clip at ``max_epochs``; the clipped surplus
+    is redistributed in ONE pass proportionally to the unclipped
+    sources' remaining headroom (documented single-round policy — exact
+    waterfilling would iterate, and one round is the standard practical
+    compromise; a source can end slightly under cap if the deficit
+    exceeds total headroom).
+
+    Scale shape: one scan aggregates per-source token counts (map-side
+    combined; #sources rows), every subsequent step is arithmetic on
+    that tiny frame against broadcast 1-row totals — nothing after the
+    first aggregate scales with the corpus."""
+    from ..functions.text import whitespace_token_count
+
+    inv_t = 1.0 / temperature
+
+    def _tpow(col: Column) -> Column:
+        # sqrt is IEEE-exactly-rounded, so the default T=2 weights are
+        # bit-identical across engines; pow() is only ~1-ulp-portable
+        return F.sqrt(col) if temperature == 2.0 else F.pow(col, F.lit(inv_t))
+
+    per_src = (
+        docs.filter(F.col(text_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(F.sum(whitespace_token_count(F.col(text_col))).alias("avail"))
+    )
+    tot = per_src.agg(F.sum(_tpow(F.col("avail").cast("double"))).alias("wsum"))
+    base = per_src.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        "avail",
+        (_tpow(F.col("avail").cast("double")) / F.col("wsum")).alias("weight"),
+    )
+    alloc0 = base.select(
+        "grp",
+        "avail",
+        "weight",
+        (F.col("weight") * F.lit(budget_tokens)).alias("desired"),
+        F.least(
+            F.lit(max_epochs),
+            (F.col("weight") * F.lit(budget_tokens)) / F.col("avail"),
+        ).alias("e0"),
+    ).withColumn("a0", F.col("e0") * F.col("avail"))
+    totals = alloc0.agg(
+        F.sum("a0").alias("asum"),
+        F.sum(F.lit(max_epochs) * F.col("avail") - F.col("a0")).alias("hsum"),
+    )
+    final = alloc0.crossJoin(F.broadcast(totals)).select(
+        F.col("grp").alias(group_col),
+        F.col("avail").alias("avail_tokens"),
+        F.round("weight", round_to).alias("weight"),
+        F.round("desired", round_to).alias("desired_tokens"),
+        F.round(
+            F.col("a0")
+            + F.greatest(F.lit(budget_tokens) - F.col("asum"), F.lit(0.0))
+            * F.when(
+                F.col("hsum") > 0,
+                (F.lit(max_epochs) * F.col("avail") - F.col("a0")) / F.col("hsum"),
+            ).otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("alloc_tokens"),
+        F.round(
+            (
+                F.col("a0")
+                + F.greatest(F.lit(budget_tokens) - F.col("asum"), F.lit(0.0))
+                * F.when(
+                    F.col("hsum") > 0,
+                    (F.lit(max_epochs) * F.col("avail") - F.col("a0")) / F.col("hsum"),
+                ).otherwise(F.lit(0.0))
+            )
+            / F.col("avail"),
+            round_to,
+        ).alias("epochs"),
+        (F.col("e0") >= F.lit(max_epochs)).alias("clipped"),
+    )
+    return final.orderBy(group_col)

@@ -134,6 +134,7 @@ HEADLINE = [
     "event_value_outliers",
     "source_overlap",
     "dsir_weights",
+    "epoch_plan",
 ]
 
 

@@ -985,3 +985,20 @@ def test_dsir_importance_directional(spark):
     assert len(out) == 6
     assert out[20] > out[21]          # target-vocab doc outranks raw-vocab doc
     assert out[1] > 0 and out[10] < 0  # in-target positive, off-target negative
+
+
+def test_epoch_plan_budget_and_cap(spark):
+    """Allocations respect the epoch cap, clipped sources sit exactly at
+    it pre-redistribution, and the total allocation never exceeds the
+    budget when headroom exists to absorb redistribution."""
+    rows = [(i, "w " * (10 if i % 4 else 1000) + "end", f"s{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    from avro_sql_spark.operators.curation import epoch_plan
+
+    out = epoch_plan(df, budget_tokens=5000.0, group_col="source").collect()
+    assert len(out) == 3
+    total_alloc = sum(r["alloc_tokens"] for r in out)
+    assert total_alloc <= 5000.0 + 1e-6
+    for r in out:
+        assert r["epochs"] <= 4.0 + 1e-6
+        assert r["alloc_tokens"] >= 0
