@@ -2380,6 +2380,29 @@ def _hp_bucket_sql(planes: int, seed: int, col: str = "embedding") -> str:
     return "(" + " + ".join(cases) + ")"
 
 
+# Query-restricted cosine scaffolding shared by the ANN oracles:
+# (query_id, neighbor_id, cos) at 6 dp for every (query, corpus) pair
+# whose query row satisfies `query_pred` — the replay of
+# vectors.cosine (dot / norm*norm, round 6 before ranking). Shared so a
+# rounding/cast fix lands once; _COS_PAIRS below is the unrestricted
+# all-pairs variant used by the near-dup entries.
+def _cos_topk_ctes(query_pred: str) -> str:
+    return f"""x AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+          FROM x GROUP BY 1),
+dots AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                sum(CAST(q.v AS DOUBLE) * CAST(e.v AS DOUBLE)) AS dot
+         FROM x q JOIN x e ON q.i = e.i
+         WHERE {query_pred} GROUP BY 1, 2),
+cosr AS (SELECT d.query_id, d.neighbor_id,
+                round(d.dot / (nq.nrm * ne.nrm), 6) AS cos
+         FROM dots d
+         JOIN norms nq ON nq.vec_id = d.query_id
+         JOIN norms ne ON ne.vec_id = d.neighbor_id
+         WHERE d.neighbor_id <> d.query_id)"""
+
+
 _COS_PAIRS = """
   x AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
         FROM embeddings),
@@ -4406,20 +4429,7 @@ FROM fin
 ORDER BY source
 """,
         "ann_recall_lsh": f"""
-WITH x AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
-           FROM embeddings),
-norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
-          FROM x GROUP BY 1),
-dots AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                sum(CAST(q.v AS DOUBLE) * CAST(e.v AS DOUBLE)) AS dot
-         FROM x q JOIN x e ON q.i = e.i
-         WHERE q.vec_id < 20 GROUP BY 1, 2),
-cosr AS (SELECT d.query_id, d.neighbor_id,
-                round(d.dot / (nq.nrm * ne.nrm), 6) AS cos
-         FROM dots d
-         JOIN norms nq ON nq.vec_id = d.query_id
-         JOIN norms ne ON ne.vec_id = d.neighbor_id
-         WHERE d.neighbor_id <> d.query_id),
+WITH {_cos_topk_ctes("q.vec_id < 20")},
 bt AS (SELECT query_id, neighbor_id,
               ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cos DESC, neighbor_id) AS rk
@@ -4449,14 +4459,7 @@ SELECT 'lsh_bucketed' AS method,
 FROM perq
 """,
         "ann_lsh_bucketed": f"""
-WITH x AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
-           FROM embeddings),
-norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
-          FROM x GROUP BY 1),
-dots AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                sum(CAST(q.v AS DOUBLE) * CAST(e.v AS DOUBLE)) AS dot
-         FROM x q JOIN x e ON q.i = e.i
-         WHERE q.vec_id < 5 GROUP BY 1, 2),
+WITH {_cos_topk_ctes("q.vec_id < 5")},
 eb AS (SELECT vec_id, {_hp_bucket_sql(8, 0)} AS b0, {_hp_bucket_sql(8, 1)} AS b1,
                {_hp_bucket_sql(8, 2)} AS b2, {_hp_bucket_sql(8, 3)} AS b3
        FROM embeddings),
@@ -4464,16 +4467,11 @@ cand AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
          FROM eb q JOIN eb e
            ON (q.b0 = e.b0 OR q.b1 = e.b1 OR q.b2 = e.b2 OR q.b3 = e.b3)
          WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
-scored AS (SELECT c.query_id, c.neighbor_id,
-                  round(d.dot / (nq.nrm * ne.nrm), 6) AS cos
-           FROM cand c
-           JOIN dots d ON d.query_id = c.query_id AND d.neighbor_id = c.neighbor_id
-           JOIN norms nq ON nq.vec_id = c.query_id
-           JOIN norms ne ON ne.vec_id = c.neighbor_id),
-ranked AS (SELECT query_id, neighbor_id, cos,
-                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
-           FROM scored)
+ranked AS (SELECT s.query_id, s.neighbor_id, s.cos,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                     ORDER BY s.cos DESC, s.neighbor_id) AS INTEGER) AS rank
+           FROM cosr s
+           JOIN cand c ON c.query_id = s.query_id AND c.neighbor_id = s.neighbor_id)
 SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 10
 ORDER BY query_id, rank
 """,
