@@ -1793,6 +1793,19 @@ def _kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_report(t["embeddings"], k=4, iterations=2)
 
 
+def _triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph (graph.triangle_count,
+    compact-forward orientation): one row of integer counts + global
+    clustering coefficient. Fully oracle-checked — the degree-ordered
+    orientation and both counting joins are pure integer arithmetic the
+    DuckDB twin replays exactly."""
+    from avro_sql_spark.operators import graph
+
+    t = load_tables(spark, sf_dir, register=False)
+    edges = graph.copurchase_edges(t["lineitem"], min_count=2)
+    return graph.triangle_count(edges)
+
+
 def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR hashed-ngram importance weights toward the src1* source
     family (curation.dsir_importance; Xie et al., NeurIPS 2023). Fully
@@ -1957,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _dsir_weights,
         "ann_recall_lsh": _ann_recall_lsh,
         "epoch_plan": _epoch_plan,
+        "triangle_census": _triangle_census,
         "zorder_layout_report": _zorder_layout_report,
         "streaming_enriched_totals": _streaming_enriched_totals,
         "bloom_prefilter_join": _bloom_prefilter_join,
@@ -4392,6 +4406,41 @@ FROM cos c
 JOIN eb a ON a.vec_id = c.id_a
 JOIN eb b ON b.vec_id = c.id_b
 WHERE c.id_a < c.id_b AND a.bucket = b.bucket AND c.c >= 0.3
+""",
+        # DuckDB replay of graph.triangle_count over copurchase_edges
+        # (min_count=2): same pc pair CTE as the pagerank oracle, same
+        # (degree, id) compact-forward orientation, wedge + closing
+        # equi-joins, pure integer counts + one rounded ratio.
+        "triangle_census": """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pc AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       FROM d a JOIN d b
+       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+und AS (SELECT pa AS a, pb AS b FROM pc),
+deg AS (SELECT n, COUNT(*) AS dg
+        FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+        GROUP BY 1),
+rk AS (SELECT u.a, u.b, da.dg AS dega, db.dg AS degb
+       FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b),
+ori AS (SELECT CASE WHEN (dega < degb) OR (dega = degb AND a < b) THEN a ELSE b END AS u,
+               CASE WHEN (dega < degb) OR (dega = degb AND a < b) THEN b ELSE a END AS v,
+               CASE WHEN (dega < degb) OR (dega = degb AND a < b) THEN degb ELSE dega END AS dv
+        FROM rk),
+wg AS (SELECT x.v AS v1, y.v AS v2
+       FROM ori x JOIN ori y ON x.u = y.u
+       WHERE (x.dv < y.dv) OR (x.dv = y.dv AND x.v < y.v)),
+tri AS (SELECT COUNT(*) AS nt FROM wg JOIN ori o ON o.u = wg.v1 AND o.v = wg.v2),
+nst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(dg * (dg - 1) / 2) AS BIGINT) AS n_wedges
+        FROM deg),
+est AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und)
+SELECT nst.n_nodes, est.n_edges, nst.n_wedges,
+       CAST(tri.nt AS BIGINT) AS n_triangles,
+       CASE WHEN nst.n_wedges > 0
+            THEN ROUND(CAST(3.0 AS DOUBLE) * tri.nt / nst.n_wedges, 6)
+            ELSE CAST(0.0 AS DOUBLE) END AS clustering
+FROM nst CROSS JOIN est CROSS JOIN tri
 """,
         # DuckDB replay of curation.epoch_plan (budget=100000, T=2,
         # cap=4): sqrt weights (IEEE-exact both engines), LEAST-clipped

@@ -135,6 +135,7 @@ HEADLINE = [
     "source_overlap",
     "dsir_weights",
     "epoch_plan",
+    "triangle_census",
 ]
 
 

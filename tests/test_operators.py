@@ -1002,3 +1002,20 @@ def test_epoch_plan_budget_and_cap(spark):
     for r in out:
         assert r["epochs"] <= 4.0 + 1e-6
         assert r["alloc_tokens"] >= 0
+
+
+def test_triangle_count_golden(spark):
+    """Hand-computed: K4 has 4 triangles, 6 edges, 12 wedges,
+    clustering 1.0; adding a pendant vertex adds a wedge path but no
+    triangle. Duplicate/reversed edge rows must not double-count."""
+    k4 = [(i, j) for i in range(4) for j in range(4) if i != j]  # symmetric dup form
+    df = spark.createDataFrame(k4, "src long, dst long")
+    from avro_sql_spark.operators.graph import triangle_count
+
+    r = triangle_count(df).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"]) == (4, 6, 12, 4)
+    assert r["clustering"] == 1.0
+
+    pend = df.union(spark.createDataFrame([(0, 99), (99, 0)], "src long, dst long"))
+    r2 = triangle_count(pend).collect()[0]
+    assert r2["n_triangles"] == 4 and r2["n_nodes"] == 5 and r2["n_edges"] == 7
