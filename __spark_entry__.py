@@ -1793,6 +1793,42 @@ def _kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_report(t["embeddings"], k=4, iterations=2)
 
 
+def _salted_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe dimension enrichment through joins.salted_join: hot
+    event_type keys split across 16 salt buckets (big side gets a
+    deterministic hash salt, the dim side replicates once per bucket),
+    so no single task owns a celebrity key. Broadcast is disabled
+    in-entry so the salted shuffle join — not a BHJ — is what executes.
+    Row multiplicity is provably unchanged, so the oracle is the PLAIN
+    join; the output sticks to integer aggregates (event count +
+    above-type-mean count) so no float summation order can flake the
+    gate."""
+    from avro_sql_spark.operators import joins
+
+    t = load_tables(spark, sf_dir, register=False)
+    ev = t["events"]
+    dim = ev.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = joins.salted_join(ev, dim, "event_type")
+        out = (
+            j.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(
+                    F.when(F.col("value") > F.col("type_avg"), 1).otherwise(0)
+                ).alias("n_above_avg"),
+            )
+            .orderBy("event_type")
+        )
+        # materialize under the no-broadcast conf so the executed join
+        # is the salted shuffle join, then return a plain frame
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def _triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the co-purchase graph (graph.triangle_count,
     compact-forward orientation): one row of integer counts + global
@@ -1971,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_lsh": _ann_recall_lsh,
         "epoch_plan": _epoch_plan,
         "triangle_census": _triangle_census,
+        "salted_join_enrich": _salted_join_enrich,
         "zorder_layout_report": _zorder_layout_report,
         "streaming_enriched_totals": _streaming_enriched_totals,
         "bloom_prefilter_join": _bloom_prefilter_join,
@@ -4406,6 +4443,17 @@ FROM cos c
 JOIN eb a ON a.vec_id = c.id_a
 JOIN eb b ON b.vec_id = c.id_b
 WHERE c.id_a < c.id_b AND a.bucket = b.bucket AND c.c >= 0.3
+""",
+        # Oracle for the SALTED join = the PLAIN join (salting preserves
+        # row multiplicity by construction — that equality is the test).
+        "salted_join_enrich": """
+WITH ta AS (SELECT event_type, AVG(value) AS type_avg FROM events GROUP BY 1)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN e.value > ta.type_avg THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
+FROM events e JOIN ta ON ta.event_type = e.event_type
+GROUP BY 1
+ORDER BY 1
 """,
         # DuckDB replay of graph.triangle_count over copurchase_edges
         # (min_count=2): same pc pair CTE as the pagerank oracle, same

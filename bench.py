@@ -136,6 +136,7 @@ HEADLINE = [
     "dsir_weights",
     "epoch_plan",
     "triangle_census",
+    "salted_join_enrich",
 ]
 
 
