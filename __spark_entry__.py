@@ -1807,11 +1807,24 @@ def _salted_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, register=False)
     ev = t["events"]
-    dim = ev.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    # the threshold is rounded to 6 dp on BOTH engines: a raw AVG is
+    # summation-order-dependent in its last ulps, and a value sitting
+    # between the two engines' averages would flip the integer count
+    dim = ev.groupBy("event_type").agg(F.round(F.avg("value"), 6).alias("type_avg"))
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         j = joins.salted_join(ev, dim, "event_type")
+        # pin the skew mechanics at every gate run (the returned frame is
+        # a LocalRelation, so the plan-budget test can't see the join):
+        # with broadcast off, a BHJ here would mean the salting was
+        # silently bypassed and the budget row is vacuous
+        jplan = j._jdf.queryExecution().executedPlan().toString()
+        if "BroadcastHashJoin" in jplan:
+            raise AssertionError(
+                "salted_join_enrich: expected the salted shuffle join, "
+                "got a broadcast join:\n" + jplan[:2000]
+            )
         out = (
             j.groupBy("event_type")
             .agg(
@@ -2218,6 +2231,16 @@ ORDER BY doc_id
 """
 
 
+# Shared replay of graph.copurchase_edges(min_count=2) as the
+# UNDIRECTED a<b pair list `pc` — used by the pagerank AND triangle
+# oracles so a pairing/min_count change lands once (no leading WITH).
+_COPURCHASE_PC = """d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pc AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       FROM d a JOIN d b
+       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2 HAVING COUNT(*) >= 2)"""
+
+
 def _pagerank_oracle(iterations: int = 3) -> str:
     """Unrolled fixed-iteration PageRank twin of operators/graph.py:
     identical IEEE-double constants (CAST(0.85 AS DOUBLE) == F.lit(0.85))
@@ -2238,11 +2261,7 @@ it{k} AS (
              GROUP BY 1) s ON s.node = nd.node)""")
         prev = f"it{k}"
     return f"""
-WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-pc AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
-       FROM d a JOIN d b
-       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+WITH {_COPURCHASE_PC},
 edges AS (SELECT pa AS src, pb AS dst FROM pc
           UNION ALL SELECT pb, pa FROM pc),
 nodes AS (SELECT DISTINCT src AS node FROM edges),
@@ -4447,7 +4466,7 @@ WHERE c.id_a < c.id_b AND a.bucket = b.bucket AND c.c >= 0.3
         # Oracle for the SALTED join = the PLAIN join (salting preserves
         # row multiplicity by construction — that equality is the test).
         "salted_join_enrich": """
-WITH ta AS (SELECT event_type, AVG(value) AS type_avg FROM events GROUP BY 1)
+WITH ta AS (SELECT event_type, ROUND(AVG(value), 6) AS type_avg FROM events GROUP BY 1)
 SELECT e.event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CASE WHEN e.value > ta.type_avg THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
@@ -4459,12 +4478,8 @@ ORDER BY 1
         # (min_count=2): same pc pair CTE as the pagerank oracle, same
         # (degree, id) compact-forward orientation, wedge + closing
         # equi-joins, pure integer counts + one rounded ratio.
-        "triangle_census": """
-WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-pc AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
-       FROM d a JOIN d b
-       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        "triangle_census": f"""
+WITH {_COPURCHASE_PC},
 und AS (SELECT pa AS a, pb AS b FROM pc),
 deg AS (SELECT n, COUNT(*) AS dg
         FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
@@ -4509,8 +4524,8 @@ a1 AS (SELECT grp, avail, weight, desired, e0, e0 * avail AS al0 FROM a0),
 tt AS (SELECT SUM(al0) AS asum,
               SUM(CAST(4.0 AS DOUBLE) * avail - al0) AS hsum FROM a1),
 fin AS (SELECT a1.grp, a1.avail, a1.weight, a1.desired, a1.e0,
-               a1.al0 + GREATEST(CAST(100000.0 AS DOUBLE) - tt.asum,
-                                 CAST(0.0 AS DOUBLE))
+               a1.al0 + LEAST(GREATEST(CAST(100000.0 AS DOUBLE) - tt.asum,
+                                       CAST(0.0 AS DOUBLE)), tt.hsum)
                       * (CASE WHEN tt.hsum > 0
                               THEN (CAST(4.0 AS DOUBLE) * a1.avail - a1.al0) / tt.hsum
                               ELSE CAST(0.0 AS DOUBLE) END) AS alloc

@@ -462,10 +462,13 @@ def epoch_plan(
     Mechanics: weights ~ avail^(1/temperature), normalized; desired =
     weight * budget; epochs clip at ``max_epochs``; the clipped surplus
     is redistributed in ONE pass proportionally to the unclipped
-    sources' remaining headroom (documented single-round policy — exact
-    waterfilling would iterate, and one round is the standard practical
-    compromise; a source can end slightly under cap if the deficit
-    exceeds total headroom).
+    sources' remaining headroom, with the redistributed mass clamped at
+    total headroom so NO source ever exceeds the cap (documented
+    single-round policy — exact waterfilling would iterate, and one
+    round is the standard practical compromise; a source can end under
+    cap when the deficit exceeds its proportional share, and when the
+    budget exceeds cap x total-available the surplus budget simply goes
+    unallocated — the cap is the invariant, not budget exhaustion).
 
     Scale shape: one scan aggregates per-source token counts (map-side
     combined; #sources rows), every subsequent step is arithmetic on
@@ -505,32 +508,26 @@ def epoch_plan(
         F.sum("a0").alias("asum"),
         F.sum(F.lit(max_epochs) * F.col("avail") - F.col("a0")).alias("hsum"),
     )
-    final = alloc0.crossJoin(F.broadcast(totals)).select(
-        F.col("grp").alias(group_col),
-        F.col("avail").alias("avail_tokens"),
-        F.round("weight", round_to).alias("weight"),
-        F.round("desired", round_to).alias("desired_tokens"),
-        F.round(
-            F.col("a0")
-            + F.greatest(F.lit(budget_tokens) - F.col("asum"), F.lit(0.0))
-            * F.when(
-                F.col("hsum") > 0,
-                (F.lit(max_epochs) * F.col("avail") - F.col("a0")) / F.col("hsum"),
-            ).otherwise(F.lit(0.0)),
-            round_to,
-        ).alias("alloc_tokens"),
-        F.round(
-            (
-                F.col("a0")
-                + F.greatest(F.lit(budget_tokens) - F.col("asum"), F.lit(0.0))
-                * F.when(
-                    F.col("hsum") > 0,
-                    (F.lit(max_epochs) * F.col("avail") - F.col("a0")) / F.col("hsum"),
-                ).otherwise(F.lit(0.0))
-            )
-            / F.col("avail"),
-            round_to,
-        ).alias("epochs"),
-        (F.col("e0") >= F.lit(max_epochs)).alias("clipped"),
+    # deficit clamped at total headroom: a proportional share of more
+    # than hsum would push sources past the cap (the invariant)
+    deficit = F.least(
+        F.greatest(F.lit(budget_tokens) - F.col("asum"), F.lit(0.0)), F.col("hsum")
+    )
+    alloc = F.col("a0") + deficit * F.when(
+        F.col("hsum") > 0,
+        (F.lit(max_epochs) * F.col("avail") - F.col("a0")) / F.col("hsum"),
+    ).otherwise(F.lit(0.0))
+    final = (
+        alloc0.crossJoin(F.broadcast(totals))
+        .withColumn("alloc", alloc)  # computed ONCE; epochs derives from it
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("avail").alias("avail_tokens"),
+            F.round("weight", round_to).alias("weight"),
+            F.round("desired", round_to).alias("desired_tokens"),
+            F.round("alloc", round_to).alias("alloc_tokens"),
+            F.round(F.col("alloc") / F.col("avail"), round_to).alias("epochs"),
+            (F.col("e0") >= F.lit(max_epochs)).alias("clipped"),
+        )
     )
     return final.orderBy(group_col)

@@ -997,11 +997,32 @@ def test_epoch_plan_budget_and_cap(spark):
 
     out = epoch_plan(df, budget_tokens=5000.0, group_col="source").collect()
     assert len(out) == 3
+    # tolerance covers the 4dp output rounding (each source can round up
+    # by <= 5e-5), not float noise
     total_alloc = sum(r["alloc_tokens"] for r in out)
-    assert total_alloc <= 5000.0 + 1e-6
+    assert total_alloc <= 5000.0 + len(out) * 5e-5
     for r in out:
-        assert r["epochs"] <= 4.0 + 1e-6
+        assert r["epochs"] <= 4.0 + 5e-5
         assert r["alloc_tokens"] >= 0
+
+
+def test_epoch_plan_cap_holds_when_budget_exceeds_capacity(spark):
+    """Budget larger than cap x total available: every source lands
+    exactly AT the cap and the surplus budget goes unallocated — the
+    cap is the invariant (the unclamped one-round redistribution used
+    to push the large source past it)."""
+    rows = [(0, "w " * 100 + "end", "big")] + [
+        (i, "one", f"tiny{i}") for i in range(1, 10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    from avro_sql_spark.operators.curation import epoch_plan
+
+    out = epoch_plan(df, budget_tokens=500.0, group_col="source").collect()
+    for r in out:
+        assert r["epochs"] <= 4.0 + 5e-5, r
+    # all capacity consumed at the cap: alloc == 4 * avail for every row
+    for r in out:
+        assert abs(r["alloc_tokens"] - 4.0 * r["avail_tokens"]) <= 5e-4, r
 
 
 def test_triangle_count_golden(spark):
