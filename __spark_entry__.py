@@ -1867,6 +1867,33 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 skip-gram (center, context) co-occurrence counts
+    over documents (window 2) — word2vec/GloVe training statistics.
+    In-row pair generation (no join); integer counts hash-exact."""
+    from avro_sql_spark.operators.text import skipgram_pairs
+
+    t = load_tables(spark, sf_dir, register=False)
+    return skipgram_pairs(t["documents"], window=2, top_k=100)
+
+
+def _tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (raw-tf) 3-gram-shingle cosine near-dup pairs at
+    cosine >= 0.5 with the df <= 100 hot-shingle cap. Integer dot
+    products + one sqrt + one divide → bit-exact across engines."""
+    from avro_sql_spark.operators.text import tf_cosine_pairs
+
+    t = load_tables(spark, sf_dir, register=False)
+    return tf_cosine_pairs(t["documents"], threshold=0.5, max_df=100)
+
+
+def _ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated (20-tap) EWMA, alpha=1/2, of per-type hourly value
+    totals. DECIMAL hourly sums + power-of-two weights + array-pinned
+    fold order → bit-exact vs the DuckDB list_reduce replay."""
+    return relational.ewma_hourly(spark, sf_dir)
+
+
 def _copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the symmetric co-purchase graph
     (parts co-occurring in >= 2 orders). 3 iterations, damping 0.85 —
@@ -2017,6 +2044,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r3 ---
         "copurchase_pagerank": _copurchase_pagerank,
         "dsir_weights": _dsir_weights,
+        "skipgram_pairs": _skipgram_pairs,
+        "tf_cosine_pairs": _tf_cosine_pairs,
+        "ewma_hourly": _ewma_hourly,
         "ann_recall_lsh": _ann_recall_lsh,
         "epoch_plan": _epoch_plan,
         "triangle_census": _triangle_census,
@@ -2533,6 +2563,75 @@ SELECT dc.doc_id, CAST(SUM(dc.n) AS BIGINT) AS n_feats,
 FROM dc JOIN llr l ON l.b = dc.b
 GROUP BY 1
 ORDER BY dc.doc_id
+""",
+        # skip-gram window=2: for token at position i, contexts at
+        # i+1..i+2 within the [a-z]+-filtered token sequence
+        "skipgram_pairs": r"""
+WITH tl AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> regexp_matches(t, '^[a-z]+$')) AS w
+  FROM documents),
+pos AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM tl),
+pairs AS (
+  SELECT w[CAST(i AS INTEGER)] AS w1, w[CAST(j AS INTEGER)] AS w2
+  FROM (SELECT w, i, unnest(range(i + 1, least(i + 2, len(w)) + 1)) AS j
+        FROM pos))
+SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY w1, w2
+ORDER BY n DESC, w1, w2 LIMIT 100
+""",
+        # raw-tf 3-gram cosine with the df<=100 cap; integer dot, one
+        # sqrt, one divide — bit-exact, rounded 6dp on both sides
+        "tf_cosine_pairs": r"""
+WITH tl AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> regexp_matches(t, '^[a-z]+$')) AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id, w[CAST(i AS INTEGER)] || ' ' || w[CAST(i + 1 AS INTEGER)]
+                 || ' ' || w[CAST(i + 2 AS INTEGER)] AS term
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        FROM tl WHERE len(w) >= 3)),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM grams GROUP BY 1, 2),
+rare AS (SELECT term FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+         WHERE df <= 100),
+tfr AS (SELECT tf.* FROM tf JOIN rare USING (term)),
+norms AS (SELECT doc_id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm
+          FROM tfr GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.tf * b.tf) AS DOUBLE) AS dot,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM tfr a JOIN tfr b USING (term)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_common,
+       ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= CAST(0.5 AS DOUBLE)
+ORDER BY doc_a, doc_b
+""",
+        # 20-tap EWMA alpha=1/2: list_reduce's fold (init = first
+        # element) equals Spark's aggregate fold with init 0.0; the
+        # weight sum 2 - 1/2^(n-1) is built with an integer shift
+        "ewma_hourly": """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS hour_value
+  FROM events GROUP BY 1, 2),
+trail AS (
+  SELECT event_type, hour, hour_value,
+         list(hour_value) OVER (PARTITION BY event_type ORDER BY hour
+                                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS l
+  FROM hourly)
+SELECT event_type, hour, hour_value,
+       ROUND(list_reduce(l, (acc, x) -> acc * CAST(0.5 AS DOUBLE) + x)
+             / (CAST(2 AS DOUBLE) - CAST(1 AS DOUBLE) / (1 << (len(l) - 1))), 6)
+         AS ewma
+FROM trail ORDER BY event_type, hour
 """,
         "zorder_layout_report": _zorder_oracle(),
         "kmeans_clusters": _kmeans_oracle(4, 2),

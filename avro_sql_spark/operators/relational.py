@@ -1630,3 +1630,61 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "valid_from", "valid_to", "n_events")
         .orderBy("user_id", "valid_from")
     )
+
+
+def ewma_hourly(spark: SparkSession, sf_dir: str, taps: int = 20) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 1/2) of the hourly
+    value totals per event type — the smoothing pass a monitoring /
+    drift-detection pipeline runs over bucketed metrics.
+
+    The EWMA recurrence is sequential, but truncated at ``taps`` lags it
+    is a fixed-window weighted sum: collect the trailing ``taps`` hourly
+    values with an ordered window frame (a tiny array — 20 doubles per
+    row) and fold ``acc*0.5 + x`` left-to-right with ``F.aggregate``.
+    Because alpha is exactly 1/2, every weight is a power of two: the
+    products and the normalizing weight sum ``2 - 1/2^(n-1)`` (built
+    with an integer shift, not pow()) are exact in IEEE, the fold order
+    is pinned by the array, and an ANSI engine's ``list_reduce``
+    reproduces the value bit-for-bit.
+
+    Scale shape: one partial-aggregated shuffle to (type, hour) — a
+    types × hours frame, tiny relative to the event stream — then a
+    per-type ordered window whose state is ``taps`` doubles.  The window
+    partitions by type only, but over the BUCKETED frame (each partition
+    holds hours-per-type rows, not raw events), so no task ever sorts
+    more than the metric series itself."""
+    t = load_tables(spark, sf_dir, register=False)
+    hourly = (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour"),
+        )
+        .agg(
+            # DECIMAL sum: exact and order-independent (same convention
+            # as events_hourly), so the fold input is bit-identical
+            # across engines and partition orders
+            F.sum(F.col("value").cast(D186)).cast("double").alias("hour_value")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-(taps - 1), Window.currentRow)
+    )
+    arr = F.collect_list("hour_value").over(w)
+    folded = F.aggregate(
+        F.col("trail"), F.lit(0.0), lambda acc, x: acc * F.lit(0.5) + x
+    )
+    # weight sum for n taps = 2 - 1/2^(n-1), via integer shift (exact)
+    norm = F.lit(2.0) - F.lit(1.0) / F.expr("shiftleft(1L, size(trail) - 1)")
+    return (
+        hourly.withColumn("trail", arr)
+        .select(
+            "event_type",
+            "hour",
+            "hour_value",
+            F.round(folded / norm, 6).alias("ewma"),
+        )
+        .orderBy("event_type", "hour")
+    )

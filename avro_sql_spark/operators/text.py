@@ -662,3 +662,132 @@ def zipf_fit(
         F.round(F.regr_intercept(ln_c, ln_r), round_to).alias("zipf_intercept"),
         F.round(F.regr_r2(ln_c, ln_r), round_to).alias("r2"),
     )
+
+
+def skipgram_pairs(
+    docs: DataFrame,
+    window: int = 2,
+    top_k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Skip-gram co-occurrence counts — the (center, context) pair
+    statistics a word2vec/GloVe-style embedding trainer consumes: for
+    every token at position i, count each token at positions
+    (i+1 .. i+window) as a directed context, then rank pairs globally.
+
+    Shape: tokenize ONCE into an array column, then generate the pairs
+    IN-ROW with nested ``transform`` over the array + a length-bounded
+    ``slice`` (the same no-self-join pattern as ``copurchase_pairs``) —
+    the pair frame is linear in total tokens × window, never quadratic
+    in document length, and there is no join at all.  One shuffle for
+    the (w1, w2) count (map-side combined), then TakeOrderedAndProject
+    for the global top-k.  Counts are integers, so the result is
+    hash-exact across engines."""
+    from .dedup import _spread
+
+    # tokenize-once: the HOF lambdas below must reference a materialized
+    # array column, not the split expression itself (no CSE inside
+    # lambdas — see dedup._shingles)
+    toks = _spread(docs, id_col).select(
+        F.col(id_col), T.word_tokens(F.col(text_col)).alias("w")
+    )
+    w = F.col("w")
+    pairs = F.flatten(
+        F.transform(
+            w,
+            lambda t, i: F.transform(
+                F.slice(w, i + F.lit(2), F.lit(window)),
+                lambda u: F.struct(t.alias("w1"), u.alias("w2")),
+            ),
+        )
+    )
+    return (
+        toks.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+        .limit(top_k)
+    )
+
+
+def tf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_df: int = 100,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sparse shingle-frequency cosine similarity join: document pairs
+    whose raw-tf bag-of-``n``-gram vectors (over shingles with document
+    frequency <= ``max_df``) have cosine >= ``threshold`` — the
+    WEIGHTED-vector near-duplicate detector that complements the
+    set-overlap family (Jaccard/MinHash/SimHash counts each shingle
+    once; this keeps multiplicities, so templated repetition and
+    length asymmetry score differently).
+
+    Shape: tokenize ONCE, build word ``n``-grams in-row
+    (``word_ngrams_of`` — no re-split per gram), explode to
+    (doc, gram, tf); grams with df > ``max_df`` are dropped BEFORE the
+    self-join, so join fan-out per gram is bounded by max_df² — the
+    absolute df cap is the 100 TB guard (a boilerplate shingle shared
+    by N docs would otherwise emit N² candidate rows; high-df shingles
+    carry no similarity signal).  Norms are computed over the SAME
+    capped gram space, so the cosine is exact for the filtered
+    vectors.  All products are integer (tf × tf) and the only float
+    ops are one sqrt and one divide — both correctly rounded in IEEE,
+    so Spark and an ANSI-SQL engine agree bit-for-bit before the final
+    rounding."""
+    from ..functions.text import word_ngrams_of
+    from .dedup import _spread
+
+    toks = (
+        _spread(docs, id_col)
+        .select(F.col(id_col), T.word_tokens(F.col(text_col)).alias("w"))
+        .filter(F.size("w") >= n)
+        .select(F.col(id_col), F.explode(word_ngrams_of(F.col("w"), n)).alias("term"))
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    rare = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("term")
+    )
+    tf = tf.join(F.broadcast(rare), "term")
+    norms = tf.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nrm")
+    )
+    a = tf.select(
+        F.col(id_col).alias("doc_a"), "term", F.col("tf").alias("tf_a")
+    )
+    b = tf.select(
+        F.col(id_col).alias("doc_b"), "term", F.col("tf").alias("tf_b")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+    )
+    na = norms.select(F.col(id_col).alias("doc_a"), F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col(id_col).alias("doc_b"), F.col("nrm").alias("nrm_b"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(
+                F.col("dot").cast("double") / (F.col("nrm_a") * F.col("nrm_b")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -137,6 +137,9 @@ HEADLINE = [
     "epoch_plan",
     "triangle_census",
     "salted_join_enrich",
+    "skipgram_pairs",
+    "tf_cosine_pairs",
+    "ewma_hourly",
 ]
 
 
