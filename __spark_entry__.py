@@ -1894,6 +1894,40 @@ def _ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.ewma_hourly(spark, sf_dir)
 
 
+def _quality_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two
+    corpus-wide quality signals: unigram-LM fluency rank (logprob_mean
+    desc) and bigram-repetition rank (dup_frac asc), each ranked with
+    the two-pass parallel global_rank (no single-partition window).
+    Integer ranks -> bit-exact 1/(60+r) fusion; top-100 reported."""
+    from avro_sql_spark.operators.curation import global_rank, rrf_fuse
+    from avro_sql_spark.operators.text import (
+        repetition_stats,
+        unigram_logprob_scores,
+    )
+
+    t = load_tables(spark, sf_dir, register=False)
+    docs = t["documents"]
+    s1 = unigram_logprob_scores(docs).select("doc_id", "logprob_mean")
+    s2 = repetition_stats(docs).select("doc_id", "dup_frac")
+    ra = global_rank(s1, [F.desc("logprob_mean"), F.asc("doc_id")])
+    rb = global_rank(s2, [F.asc("dup_frac"), F.asc("doc_id")])
+    return (
+        rrf_fuse(ra, rb, "doc_id")
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+def _cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One representative per near-dup cluster (longest text, smallest
+    id tie-break) via max-struct argmax — the kept-corpus output of the
+    dedup pipeline. Oracle replays the minhash clusters (WITH RECURSIVE)
+    and the same election with QUALIFY row_number."""
+    t = load_tables(spark, sf_dir, register=False)
+    return dedup.cluster_representatives(t["documents"])
+
+
 def _copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the symmetric co-purchase graph
     (parts co-occurring in >= 2 orders). 3 iterations, damping 0.85 —
@@ -2047,6 +2081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_pairs": _skipgram_pairs,
         "tf_cosine_pairs": _tf_cosine_pairs,
         "ewma_hourly": _ewma_hourly,
+        "quality_rank_fusion": _quality_rank_fusion,
+        "cluster_representatives": _cluster_representatives,
         "ann_recall_lsh": _ann_recall_lsh,
         "epoch_plan": _epoch_plan,
         "triangle_census": _triangle_census,
@@ -2588,8 +2624,10 @@ WITH tl AS (
                              t -> regexp_matches(t, '^[a-z]+$')) AS w
   FROM documents),
 grams AS (
-  SELECT doc_id, w[CAST(i AS INTEGER)] || ' ' || w[CAST(i + 1 AS INTEGER)]
-                 || ' ' || w[CAST(i + 2 AS INTEGER)] AS term
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(
+           w[CAST(i AS INTEGER)] || ' ' || w[CAST(i + 1 AS INTEGER)]
+           || ' ' || w[CAST(i + 2 AS INTEGER)]), 1, 12)) AS BIGINT) AS term
   FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
         FROM tl WHERE len(w) >= 3)),
 tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
@@ -2632,6 +2670,66 @@ SELECT event_type, hour, hour_value,
              / (CAST(2 AS DOUBLE) - CAST(1 AS DOUBLE) / (1 << (len(l) - 1))), 6)
          AS ewma
 FROM trail ORDER BY event_type, hour
+""",
+        # RRF fusion: replay the unigram-LM and bigram-repetition
+        # signals, rank each with the same total order, fuse with the
+        # fixed-order 1/(60+r) expression (bit-exact over int ranks)
+        "quality_rank_fusion": r"""
+WITH toks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+    FROM documents)
+  WHERE regexp_matches(token, '^[a-z]+$')),
+freqs AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+tot AS (SELECT SUM(c) AS n FROM freqs),
+logp AS (SELECT token, LN(c / n) AS lp FROM freqs, tot),
+s1 AS (SELECT t.doc_id, ROUND(AVG(lp), 6) AS logprob_mean
+       FROM toks t JOIN logp USING (token) GROUP BY t.doc_id),
+ra AS (SELECT doc_id,
+              ROW_NUMBER() OVER (ORDER BY logprob_mean DESC, doc_id ASC)
+                AS rank_a
+       FROM s1),
+tw AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+idx AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        FROM tw WHERE len(w) >= 2),
+grams AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g FROM idx),
+per_gram AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+s2 AS (SELECT doc_id, CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c) AS dup_frac
+       FROM per_gram GROUP BY 1),
+rb AS (SELECT doc_id,
+              ROW_NUMBER() OVER (ORDER BY dup_frac ASC, doc_id ASC) AS rank_b
+       FROM s2)
+SELECT ra.doc_id, CAST(rank_a AS BIGINT) AS rank_a,
+       CAST(rank_b AS BIGINT) AS rank_b,
+       CAST(1 AS DOUBLE) / (60 + rank_a)
+         + CAST(1 AS DOUBLE) / (60 + rank_b) AS rrf
+FROM ra JOIN rb USING (doc_id)
+ORDER BY rrf DESC, ra.doc_id ASC LIMIT 100
+""",
+        # representative election over the minhash clusters: longest
+        # text then smallest id — QUALIFY row_number replays the
+        # max-struct argmax exactly (both orders are total)
+        "cluster_representatives": f"""
+WITH RECURSIVE {_MINHASH_CTES},
+nd_pairs AS (SELECT id_a, id_b FROM mh_est WHERE est_jaccard >= 0.5),
+nd_e AS (SELECT id_a AS s, id_b AS d FROM nd_pairs
+         UNION SELECT id_b, id_a FROM nd_pairs),
+nd_reach AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM documents
+  UNION
+  SELECT nd_e.s AS id, r.lbl FROM nd_e JOIN nd_reach r ON r.id = nd_e.d
+),
+cl AS (SELECT id, MIN(lbl) AS cluster_id FROM nd_reach GROUP BY 1),
+sized AS (SELECT c.cluster_id, c.id, d.n_chars
+          FROM cl c JOIN documents d ON d.doc_id = c.id),
+reps AS (
+  SELECT cluster_id, id AS rep_id, n_chars AS rep_n_chars,
+         CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, id ASC) AS rn
+  FROM sized)
+SELECT cluster_id, rep_id, n_members, rep_n_chars
+FROM reps WHERE rn = 1 ORDER BY cluster_id
 """,
         "zorder_layout_report": _zorder_oracle(),
         "kmeans_clusters": _kmeans_oracle(4, 2),

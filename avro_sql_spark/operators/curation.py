@@ -531,3 +531,86 @@ def epoch_plan(
         )
     )
     return final.orderBy(group_col)
+
+
+def global_rank(
+    df: DataFrame,
+    order_exprs: list,
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT dense global rank (1-based) by a TOTAL order, without the
+    single-partition window that ``row_number().over(Window.orderBy())``
+    costs — the classic two-pass zipWithIndex pattern expressed in
+    DataFrame ops:
+
+      1. ``repartitionByRange`` on the order keys (parallel range sort —
+         Spark's sampling picks boundaries, correctness never depends on
+         where they land) and rank WITHIN each range partition;
+      2. count rows per partition (a partitions-sized frame), prefix-sum
+         the counts, and broadcast the offsets back.
+
+    The caller MUST pass a total order (include a unique key) — with
+    ties unbroken, ranks at partition boundaries would be
+    nondeterministic. Scale: no task ever sorts more than one range
+    partition; the only global structure is the partitions-row offset
+    frame on the driver-side broadcast."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    d = (
+        df.repartitionByRange(n, *order_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_exprs)
+    d = d.withColumn("_rn", F.row_number().over(w))
+    offsets = (
+        d.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_off")
+    )
+    return (
+        d.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, F.col("_off") + F.col("_rn"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str,
+    k: int = 60,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two
+    ranked lists: ``score = 1/(k + rank_a) + 1/(k + rank_b)`` over the
+    ids present in BOTH lists. The two divisions and one addition are a
+    fixed-order float expression over integer ranks — bit-exact in any
+    IEEE engine, no rounding needed for reproducibility.
+
+    Scale: a skinny (id, rank) ⋈ (id, rank) equi-join; in retrieval use
+    the inputs are per-query bounded top-k lists, in curation use they
+    are corpus-wide ranks from :func:`global_rank` (itself two-pass
+    parallel)."""
+    ra = a.select(F.col(id_col), F.col(rank_col).alias("rank_a"))
+    rb = b.select(F.col(id_col), F.col(rank_col).alias("rank_b"))
+    one = F.lit(1.0)
+    return ra.join(rb, id_col).select(
+        F.col(id_col),
+        "rank_a",
+        "rank_b",
+        (one / (F.lit(k) + F.col("rank_a")) + one / (F.lit(k) + F.col("rank_b"))).alias(
+            "rrf"
+        ),
+    )

@@ -1122,3 +1122,38 @@ def source_overlap(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """The dedup family's OUTPUT step: elect one representative document
+    per near-duplicate cluster (longest text wins, smallest id breaks
+    ties) — the frame a curation pipeline actually keeps after
+    :func:`near_dup_clusters` labels the corpus.
+
+    The election is a max-struct argmax aggregate — (n_chars, -id)
+    under MAX gives longest-then-smallest-id — NOT a row_number window,
+    so a pathological boilerplate mega-cluster is partial-aggregated
+    map-side instead of sorted on one task (same rationale as
+    cdc_snapshot). One extra shuffle on cluster_id over a skinny
+    (cluster_id, id, n_chars) frame."""
+    clusters = near_dup_clusters(
+        docs, id_col=id_col, text_col=text_col, est_threshold=est_threshold
+    )
+    sized = clusters.join(
+        docs.select(F.col(id_col).alias("id"), "n_chars"), "id"
+    )
+    agg = sized.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(F.struct(F.col("n_chars"), (-F.col("id")).alias("neg_id"))).alias("m"),
+    )
+    return agg.select(
+        "cluster_id",
+        (-F.col("m.neg_id")).alias("rep_id"),
+        "n_members",
+        F.col("m.n_chars").alias("rep_n_chars"),
+    ).orderBy("cluster_id")

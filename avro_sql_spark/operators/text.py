@@ -729,27 +729,48 @@ def tf_cosine_pairs(
     length asymmetry score differently).
 
     Shape: tokenize ONCE, build word ``n``-grams in-row
-    (``word_ngrams_of`` — no re-split per gram), explode to
-    (doc, gram, tf); grams with df > ``max_df`` are dropped BEFORE the
-    self-join, so join fan-out per gram is bounded by max_df² — the
-    absolute df cap is the 100 TB guard (a boilerplate shingle shared
-    by N docs would otherwise emit N² candidate rows; high-df shingles
-    carry no similarity signal).  Norms are computed over the SAME
-    capped gram space, so the cosine is exact for the filtered
-    vectors.  All products are integer (tf × tf) and the only float
-    ops are one sqrt and one divide — both correctly rounded in IEEE,
-    so Spark and an ANSI-SQL engine agree bit-for-bit before the final
-    rounding."""
+    (``word_ngrams_of`` — no re-split per gram), hash each gram to a
+    48-bit md5-derived BIGINT (the dedup family's oracle-replayable
+    hash — every downstream shuffle and join carries an 8-byte key
+    instead of a multi-word string), explode to (doc, gram_hash, tf);
+    grams with df > ``max_df`` are dropped BEFORE pair generation, so
+    fan-out per gram is bounded by max_df² — the absolute df cap is
+    the 100 TB guard (a boilerplate shingle shared by N docs would
+    otherwise emit N² candidate rows; high-df shingles carry no
+    similarity signal).  Pairs come from per-gram POSTING LISTS (the
+    canonical MapReduce similarity join): one term-keyed shuffle
+    groups each gram's ≤ max_df postings, and the ordered C(df,2)
+    pairs are emitted in-row — no self-join, no second term shuffle.
+    The per-doc norm rides along in the posting struct so the pair
+    aggregate finishes the cosine with no further joins.  Norms cover
+    the SAME capped gram space, so the
+    cosine is exact for the filtered vectors.  All products are
+    integer (tf × tf) and the only float ops are one sqrt and one
+    divide — both correctly rounded in IEEE, so Spark and an ANSI-SQL
+    engine agree bit-for-bit before the final rounding.  (48-bit gram
+    hashing can conflate shingles at extreme corpus sizes — the same
+    accepted trade as the MinHash/Jaccard family.)"""
     from ..functions.text import word_ngrams_of
     from .dedup import _spread
 
+    gram_hash = F.conv(
+        F.substring(F.md5(F.col("g").cast("binary")), 1, 12), 16, 10
+    ).cast("long")
     toks = (
         _spread(docs, id_col)
         .select(F.col(id_col), T.word_tokens(F.col(text_col)).alias("w"))
         .filter(F.size("w") >= n)
-        .select(F.col(id_col), F.explode(word_ngrams_of(F.col("w"), n)).alias("term"))
+        .select(F.col(id_col), F.explode(word_ngrams_of(F.col("w"), n)).alias("g"))
+        .select(F.col(id_col), gram_hash.alias("term"))
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # three consumers read the (doc, gram, tf) frame (df cap, norms,
+    # postings): persist it once — MEMORY_AND_DISK, skinny 24-byte rows
+    # — instead of re-running the tokenize+explode scan per branch
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     rare = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -760,27 +781,50 @@ def tf_cosine_pairs(
     norms = tf.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nrm")
     )
-    a = tf.select(
-        F.col(id_col).alias("doc_a"), "term", F.col("tf").alias("tf_a")
-    )
-    b = tf.select(
-        F.col(id_col).alias("doc_b"), "term", F.col("tf").alias("tf_b")
-    )
-    dots = (
-        a.join(b, "term")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+    tfn = tf.join(norms, id_col)
+    # posting-list pair generation (the canonical MapReduce similarity
+    # join): group each gram's postings — bounded by max_df AFTER the
+    # rare prefilter, so the collected array is never hot — sort by doc
+    # id in-row, and emit the C(df,2) ordered pairs with a nested
+    # transform + slice (no self-join, no second term shuffle)
+    post = (
+        tfn.groupBy("term")
         .agg(
-            F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"),
-            F.count(F.lit(1)).alias("n_common"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), "tf", "nrm"))
+            ).alias("post")
+        )
+        .select("post")
+    )
+    p = F.col("post")
+    pair_expr = F.flatten(
+        F.transform(
+            p,
+            lambda x, i: F.transform(
+                F.slice(p, i + F.lit(2), F.lit(max_df)),
+                lambda y: F.struct(
+                    x["id"].alias("doc_a"),
+                    y["id"].alias("doc_b"),
+                    (x["tf"] * y["tf"]).alias("prod"),
+                    x["nrm"].alias("nrm_a"),
+                    y["nrm"].alias("nrm_b"),
+                ),
+            ),
         )
     )
-    na = norms.select(F.col(id_col).alias("doc_a"), F.col("nrm").alias("nrm_a"))
-    nb = norms.select(F.col(id_col).alias("doc_b"), F.col("nrm").alias("nrm_b"))
+    dots = (
+        post.select(F.explode(pair_expr).alias("e"))
+        .select("e.*")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum("prod").alias("dot"),
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("nrm_a").alias("nrm_a"),
+            F.first("nrm_b").alias("nrm_b"),
+        )
+    )
     return (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select(
+        dots.select(
             "doc_a",
             "doc_b",
             "n_common",

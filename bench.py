@@ -140,6 +140,8 @@ HEADLINE = [
     "skipgram_pairs",
     "tf_cosine_pairs",
     "ewma_hourly",
+    "quality_rank_fusion",
+    "cluster_representatives",
 ]
 
 
