@@ -605,19 +605,26 @@ def connected_components(
         .cache()
     )
     labels = nodes.select(F.col("id"), F.col("id").alias("cluster_id")).cache()
+    backing = labels  # the cached/checkpointed frame to unpersist next round
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # the new label and the did-it-move flag are computed in the SAME
+        # select, so the convergence probe below reads the materialized
+        # checkpoint instead of re-running the round's join (min-label
+        # only ever decreases, so "< old" is exactly "changed")
+        new_val = F.least(
+            F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+        )
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
-                F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias(
-                    "cluster_id"
-                ),
+                new_val.alias("cluster_id"),
+                (new_val < F.col("cluster_id")).alias("_chg"),
             )
             # localCheckpoint (not cache): truncates the lineage so the
             # logical plan doesn't deepen by one join per round — with
@@ -630,15 +637,10 @@ def connected_components(
             # reliable .checkpoint() to survive executor loss.
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_labels.filter("_chg").limit(1).count()
+        backing.unpersist()
+        backing = new_labels
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     else:
