@@ -1928,6 +1928,17 @@ def _cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_representatives(t["documents"])
 
 
+def _chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of the documents lang × source
+    contingency (profile.chi2_independence). Per-cell expected/contrib
+    are fixed-order IEEE expressions; the global statistic sums 6dp
+    contributions through DECIMAL, so everything hash-matches."""
+    from avro_sql_spark.operators.profile import chi2_independence
+
+    t = load_tables(spark, sf_dir, register=False)
+    return chi2_independence(t["documents"], "lang", "source")
+
+
 def _copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the symmetric co-purchase graph
     (parts co-occurring in >= 2 orders). 3 iterations, damping 0.85 —
@@ -2083,6 +2094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_hourly": _ewma_hourly,
         "quality_rank_fusion": _quality_rank_fusion,
         "cluster_representatives": _cluster_representatives,
+        "chi2_lang_source": _chi2_lang_source,
         "ann_recall_lsh": _ann_recall_lsh,
         "epoch_plan": _epoch_plan,
         "triangle_census": _triangle_census,
@@ -2705,6 +2717,29 @@ SELECT ra.doc_id, CAST(rank_a AS BIGINT) AS rank_a,
          + CAST(1 AS DOUBLE) / (60 + rank_b) AS rrf
 FROM ra JOIN rb USING (doc_id)
 ORDER BY rrf DESC, ra.doc_id ASC LIMIT 100
+""",
+        # chi-square cells: exact integer marginals, fixed-order IEEE
+        # per-cell arithmetic, DECIMAL(18,6) window-summed total
+        "chi2_lang_source": """
+WITH obs AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+             FROM documents GROUP BY 1, 2),
+rt AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS ra FROM obs GROUP BY 1),
+ct AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS cb FROM obs GROUP BY 1),
+n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM obs),
+cells AS (
+  SELECT o.lang, o.source, o.obs,
+         CAST(ra * cb AS DOUBLE) / CAST(n AS DOUBLE) AS exp
+  FROM obs o JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n),
+scored AS (
+  SELECT lang, source, obs, ROUND(exp, 4) AS expected,
+         ROUND((CAST(obs AS DOUBLE) - exp) * (CAST(obs AS DOUBLE) - exp)
+               / exp, 4) AS contrib,
+         CAST(ROUND((CAST(obs AS DOUBLE) - exp) * (CAST(obs AS DOUBLE) - exp)
+                    / exp, 6) AS DECIMAL(18,6)) AS c6
+  FROM cells)
+SELECT lang, source, obs, expected, contrib,
+       ROUND(CAST(SUM(c6) OVER () AS DOUBLE), 4) AS chi2_total
+FROM scored ORDER BY lang, source
 """,
         # representative election over the minhash clusters: longest
         # text then smallest id — QUALIFY row_number replays the

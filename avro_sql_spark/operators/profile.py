@@ -305,3 +305,64 @@ def mad_outliers(
         )
         .orderBy(group_col)
     )
+
+
+def chi2_independence(
+    df: DataFrame, col_a: str, col_b: str, round_to: int = 4
+) -> DataFrame:
+    """Pearson chi-square independence audit of two categorical columns
+    — the statistical check behind "is my corpus mixture balanced?"
+    (e.g. language × source: a large statistic means sources have very
+    different language profiles, so per-source sampling will shift the
+    language mixture).
+
+    One count aggregate builds the contingency cells; row totals,
+    column totals, and N are tiny re-aggregates of the CELLS (never a
+    second scan) broadcast back onto them. Every per-cell quantity —
+    expected = ra*cb/N on exact integer products, the (obs-exp)²/exp
+    contribution — is a fixed-order float expression, bit-exact in any
+    IEEE engine. The global statistic sums per-cell contributions
+    ROUNDED TO 6dp THROUGH DECIMAL(18,6), so the total is exact and
+    order-independent too. Output: one row per cell with the repeated
+    global statistic."""
+    obs = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("obs"))
+    rt = obs.groupBy(col_a).agg(F.sum("obs").alias("ra"))
+    ct = obs.groupBy(col_b).agg(F.sum("obs").alias("cb"))
+    n = obs.agg(F.sum("obs").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rt), col_a)
+        .join(F.broadcast(ct), col_b)
+        .crossJoin(F.broadcast(n))
+    )
+    exp = (F.col("ra") * F.col("cb")).cast("double") / F.col("n").cast("double")
+    d = F.col("obs").cast("double") - exp
+    contrib = d * d / exp
+    cells = cells.select(
+        col_a,
+        col_b,
+        "obs",
+        F.round(exp, round_to).alias("expected"),
+        F.round(contrib, round_to).alias("contrib"),
+        F.round(contrib, 6).cast("decimal(18,6)").alias("_c6"),
+    )
+    # the global statistic is a whole-frame window sum over the CELLS
+    # frame (cardinality = |A|×|B|, tiny by construction) — one pass,
+    # no re-scan of the input through a second aggregate branch
+    from pyspark.sql.window import Window
+
+    total = F.sum("_c6").over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return (
+        cells.select(
+            col_a,
+            col_b,
+            "obs",
+            "expected",
+            "contrib",
+            F.round(total.cast("double"), round_to).alias("chi2_total"),
+        )
+        .orderBy(col_a, col_b)
+    )

@@ -142,6 +142,7 @@ HEADLINE = [
     "ewma_hourly",
     "quality_rank_fusion",
     "cluster_representatives",
+    "chi2_lang_source",
 ]
 
 

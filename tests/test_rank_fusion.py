@@ -50,3 +50,29 @@ def test_cluster_representatives_election(spark):
     assert out[1].rep_id == 2 and out[1].n_members == 2
     assert out[1].rep_n_chars == 46
     assert out[3].rep_id == 3 and out[3].n_members == 1
+
+
+def test_chi2_independence_hand_value(spark):
+    from avro_sql_spark.operators.profile import chi2_independence
+
+    # 2x2 contingency a/x=30, a/y=10, b/x=10, b/y=30: every marginal is
+    # 40, N=80, so each cell expects 20 and contributes (10)^2/20 = 5
+    rows = (
+        [("a", "x")] * 30 + [("a", "y")] * 10 + [("b", "x")] * 10 + [("b", "y")] * 30
+    )
+    df = spark.createDataFrame(rows, "g STRING, h STRING")
+    out = {(r.g, r.h): r for r in chi2_independence(df, "g", "h").collect()}
+    # expected for every cell = 40*40/80 = 20; contrib = 100/20 = 5
+    assert out[("a", "x")].expected == 20.0
+    assert out[("a", "x")].contrib == 5.0
+    assert out[("a", "x")].chi2_total == 20.0
+    assert out[("b", "y")].obs == 30
+
+
+def test_chi2_independent_data_is_zero(spark):
+    from avro_sql_spark.operators.profile import chi2_independence
+
+    rows = [("a", "x")] * 6 + [("a", "y")] * 2 + [("b", "x")] * 3 + [("b", "y")] * 1
+    df = spark.createDataFrame(rows, "g STRING, h STRING")
+    out = chi2_independence(df, "g", "h").collect()
+    assert all(r.chi2_total == 0.0 for r in out)
