@@ -1959,6 +1959,9 @@ def _copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             # symmetric edge list: every node has an out-edge, so the
             # per-iteration dangling-mass pass is provably a no-op
             redistribute_dangling=False,
+            # single consumer per round (no dangling pass) -> linear
+            # plan depth; defer checkpoints to the one final action
+            eager_checkpoint=False,
         )
         .select(F.col("node").alias("part"), F.col("pr").alias("pr"))
         .orderBy("part")
@@ -2385,6 +2388,49 @@ SELECT CAST(c AS INT) AS cluster, COUNT(*) AS n_points,
        ROUND(AVG(d), 4) AS mean_sqdist
 FROM aF GROUP BY 1 ORDER BY 1
 """
+
+
+def _ivf_quantizer_ctes(
+    n_cells: int = 16, iterations: int = 2, n_probe: int = 4,
+    train_limit: int = 100_000, qmax: int = 5,
+) -> str:
+    """SQL twin of similarity.ivf_topk's deterministic coarse quantizer
+    (clustering.lloyd_centroids: lowest-id seeds/training rows, fixed
+    iterations, 9dp-rounded updates — the same unrolled-Lloyd pattern as
+    _kmeans_oracle, assuming no cell empties at gate SFs) plus the cell
+    assignment of the full corpus and each query's n_probe nearest
+    cells (ties in every argmin break to the lowest cell index, the
+    array_position/array_sort behavior). Yields CTEs: cells(vec_id,
+    cell), probes(query_id, cell), icand(query_id, neighbor_id)."""
+    its, prev = [], "c0"
+    for t in range(1, iterations + 1):
+        its.append(f"""
+id{t} AS (SELECT tx.vec_id, cc.c, SUM((tx.v - cc.v) * (tx.v - cc.v)) AS d
+         FROM tx JOIN {prev} cc USING (i) GROUP BY 1, 2),
+ia{t} AS (SELECT vec_id, c FROM id{t}
+         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) = 1),
+c{t} AS (SELECT a.c, tx.i, ROUND(AVG(tx.v), 9) AS v
+        FROM ia{t} a JOIN tx ON tx.vec_id = a.vec_id GROUP BY 1, 2)""")
+        prev = f"c{t}"
+    return f"""
+ix AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+              CAST(unnest(embedding) AS DOUBLE) AS v
+       FROM embeddings),
+txw AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {train_limit}),
+tx AS (SELECT ix.* FROM ix JOIN txw USING (vec_id)),
+seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c
+          FROM (SELECT vec_id FROM txw ORDER BY vec_id LIMIT {n_cells})),
+c0 AS (SELECT s.c, tx.i, tx.v FROM tx JOIN seeds s USING (vec_id)),
+{",".join(its)},
+dA AS (SELECT ix.vec_id, cc.c, SUM((ix.v - cc.v) * (ix.v - cc.v)) AS d
+       FROM ix JOIN {prev} cc USING (i) GROUP BY 1, 2),
+cells AS (SELECT vec_id, c AS cell FROM dA
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) = 1),
+probes AS (SELECT vec_id AS query_id, c AS cell FROM dA WHERE vec_id < {qmax}
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) <= {n_probe}),
+icand AS (SELECT p.query_id, e.vec_id AS neighbor_id
+          FROM probes p JOIN cells e USING (cell)
+          WHERE e.vec_id <> p.query_id)"""
 
 
 def _zorder_oracle() -> str:
@@ -4827,9 +4873,74 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """,
+        # the IVF quantizer is the deterministic Lloyd loop now, so the
+        # whole approximate result replays: train CTEs + cell argmin +
+        # n_probe nearest cells + exact-cosine rerank over candidates
+        "ann_ivf": f"""
+WITH {_cos_topk_ctes("q.vec_id < 5")},
+{_ivf_quantizer_ctes(16, 2, 4, 100_000, 5)},
+iranked AS (SELECT s.query_id, s.neighbor_id, s.cos,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id
+                        ORDER BY s.cos DESC, s.neighbor_id) AS INTEGER) AS rank
+            FROM cosr s JOIN icand c
+              ON c.query_id = s.query_id AND c.neighbor_id = s.neighbor_id)
+SELECT query_id, neighbor_id, cos, rank FROM iranked WHERE rank <= 10
+ORDER BY query_id, rank
+""",
+        # recall report: both legs now replay — LSH via literal
+        # hyperplanes (planes=4 per the entry), IVF via the Lloyd CTEs
+        "ann_recall": f"""
+WITH {_cos_topk_ctes("q.vec_id < 20")},
+{_ivf_quantizer_ctes(16, 2, 4, 100_000, 20)},
+bt AS (SELECT query_id, neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rk
+       FROM cosr),
+truth AS (SELECT query_id, neighbor_id FROM bt WHERE rk <= 10),
+eb AS (SELECT vec_id, {_hp_bucket_sql(4, 0)} AS b0, {_hp_bucket_sql(4, 1)} AS b1,
+              {_hp_bucket_sql(4, 2)} AS b2, {_hp_bucket_sql(4, 3)} AS b3
+       FROM embeddings),
+cand0 AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+          FROM eb q JOIN eb e
+            ON (q.b0 = e.b0 OR q.b1 = e.b1 OR q.b2 = e.b2 OR q.b3 = e.b3)
+          WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id
+          GROUP BY 1, 2),
+lr AS (SELECT c.query_id, c.neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY c.query_id
+                            ORDER BY s.cos DESC, c.neighbor_id) AS rk
+       FROM cand0 c
+       JOIN cosr s ON s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id),
+lcand AS (SELECT query_id, neighbor_id FROM lr WHERE rk <= 10),
+ir AS (SELECT c.query_id, c.neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY c.query_id
+                            ORDER BY s.cos DESC, c.neighbor_id) AS rk
+       FROM icand c
+       JOIN cosr s ON s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id),
+ic10 AS (SELECT query_id, neighbor_id FROM ir WHERE rk <= 10),
+perq_l AS (SELECT t.query_id, COUNT(*) AS n_truth, COUNT(c.neighbor_id) AS n_hit
+           FROM truth t
+           LEFT JOIN lcand c ON c.query_id = t.query_id
+                            AND c.neighbor_id = t.neighbor_id
+           GROUP BY 1),
+perq_i AS (SELECT t.query_id, COUNT(*) AS n_truth, COUNT(c.neighbor_id) AS n_hit
+           FROM truth t
+           LEFT JOIN ic10 c ON c.query_id = t.query_id
+                           AND c.neighbor_id = t.neighbor_id
+           GROUP BY 1)
+SELECT * FROM (
+  SELECT 'ivf' AS method,
+         ROUND(AVG(CAST(n_hit AS DOUBLE) / n_truth), 6) AS mean_recall,
+         ROUND(MIN(CAST(n_hit AS DOUBLE) / n_truth), 6) AS worst_recall
+  FROM perq_i
+  UNION ALL
+  SELECT 'lsh_bucketed' AS method,
+         ROUND(AVG(CAST(n_hit AS DOUBLE) / n_truth), 6) AS mean_recall,
+         ROUND(MIN(CAST(n_hit AS DOUBLE) / n_truth), 6) AS worst_recall
+  FROM perq_l)
+ORDER BY method
+""",
         # no oracle (rows-only by design — sketch-/eigen-dependent,
         # approximate-by-construction, or sequential-fold):
-        # quality_shards_approx, approx_distinct_events, ann_ivf,
-        # embedding_pca, table_profile_approx, ann_recall (IVF leg),
-        # bpe_merges
+        # quality_shards_approx, approx_distinct_events,
+        # embedding_pca, table_profile_approx, bpe_merges
     }

@@ -45,20 +45,18 @@ def _assign(emb: DataFrame, cents: "list[list[float]]", vec_col: str):
     ).drop("_dists")
 
 
-def kmeans_lloyd(
+def lloyd_centroids(
     emb: DataFrame,
     k: int = 4,
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Fixed-iteration Lloyd k-means. Returns one row per point:
-    (id_col, cluster, sqdist) after `iterations` centroid updates.
-
-    Each iteration: assign (in-row arithmetic against broadcast centroid
-    literals) then update (posexplode → groupBy(cluster, dim) avg — the
-    shuffle is k x d cells). A cluster that loses every point keeps its
-    previous centroid (the standard empty-cluster rule)."""
+) -> "list[list[float]]":
+    """The deterministic Lloyd TRAINING loop shared by
+    :func:`kmeans_lloyd` and the IVF coarse quantizer
+    (similarity.ivf_topk): k lowest-id seeds, fixed iteration count,
+    9dp-rounded centroid updates. Returns the final k x d centroid
+    list — bounded driver state, broadcast back as literals."""
     seeds = (
         emb.orderBy(id_col)
         .limit(k)
@@ -92,6 +90,24 @@ def kmeans_lloyd(
         for r in rows:
             new_cents[r["cluster"]][r["i"]] = round(r["m"], 9)
         cents = new_cents
+    return cents
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed-iteration Lloyd k-means. Returns one row per point:
+    (id_col, cluster, sqdist) after `iterations` centroid updates.
+
+    Each iteration: assign (in-row arithmetic against broadcast centroid
+    literals) then update (posexplode → groupBy(cluster, dim) avg — the
+    shuffle is k x d cells). A cluster that loses every point keeps its
+    previous centroid (the standard empty-cluster rule)."""
+    cents = lloyd_centroids(emb, k, iterations, id_col, vec_col)
     out = _assign(emb, cents, vec_col)
     return out.select(id_col, "cluster", F.col("_dist").alias("sqdist"))
 

@@ -30,6 +30,7 @@ def pagerank(
     dst_col: str = "dst",
     redistribute_dangling: bool = True,
     round_to: int | None = None,
+    eager_checkpoint: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list. Returns one
     row per node: (node, pr).
@@ -53,7 +54,13 @@ def pagerank(
     an N-iteration run compiles an exponentially deep DAG — the classic
     iterative-DataFrame failure. ``redistribute_dangling=False`` skips
     the per-iteration anti-join + scalar aggregate when the caller
-    guarantees every node has an out-edge (symmetric edge lists)."""
+    guarantees every node has an out-edge (symmetric edge lists).
+    With ``redistribute_dangling=False`` each round has a SINGLE
+    consumer of the previous ranks, so the plan deepens linearly, and
+    ``eager_checkpoint=False`` defers every checkpoint to the final
+    action — one job instead of one per round; keep the eager default
+    whenever dangling redistribution (two consumers per round) or a
+    large iteration budget is in play."""
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint()
@@ -102,7 +109,7 @@ def pagerank(
             ).alias("pr"),
         )
         if (i + 1) < iterations:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=eager_checkpoint)
     if round_to is not None:
         ranks = ranks.select("node", F.round("pr", round_to).alias("pr"))
     return ranks

@@ -185,31 +185,36 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     round_to: int = 6,
-    seed: int = 42,
     train_limit: int = 100_000,
+    train_iterations: int = 2,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means coarse quantizer -> assign each
     corpus vector to its nearest centroid cell -> a query scans only its
     ``n_probe`` nearest cells.
 
     The 100 TB shape: centroids are tiny (n_cells x dim), trained on AT
-    MOST ``train_limit`` vectors (a coarse quantizer needs a sample, not
-    ten full-corpus Lloyd's passes) and broadcast everywhere; cell
-    assignment is one scan; the probe is an equi-join on cell id, so
-    candidate generation shuffles only matching cells. Recall is
-    tunable via n_probe. The limit is deterministic (no random sample),
-    so reruns build identical cells.
+    MOST ``train_limit`` vectors (a coarse quantizer needs a bounded
+    training set, not full-corpus Lloyd's passes) and broadcast
+    everywhere; cell assignment is one scan; the probe is an equi-join
+    on cell id, so candidate generation shuffles only matching cells.
+    Recall is tunable via n_probe.
+
+    The quantizer is the DETERMINISTIC Lloyd loop shared with
+    kmeans_lloyd (clustering.lloyd_centroids: lowest-id seeds and
+    training rows, fixed ``train_iterations``, 9dp-rounded updates) —
+    a closed-form expression of the input, so the ENTIRE approximate
+    result (cells, probes, candidates, ranks) replays in an ANSI-SQL
+    oracle; reruns build identical cells by construction.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from .clustering import lloyd_centroids
 
-    dense = emb.select(
-        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    centroids = lloyd_centroids(
+        emb.orderBy(id_col).limit(train_limit),
+        k=n_cells,
+        iterations=train_iterations,
+        id_col=id_col,
+        vec_col=vec_col,
     )
-    km = KMeans(k=n_cells, seed=seed, maxIter=10)
-    model = km.fit(dense.limit(train_limit))
-
-    centroids = [list(c) for c in model.clusterCenters()]
 
     def centroid_dists(vec):
         """squared distance to each centroid as ONE array Column
