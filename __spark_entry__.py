@@ -1999,6 +1999,54 @@ def _zorder_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product families: connected components of the co-purchase graph
+    via the alternating large-star/small-star algorithm (Kiveris et al.
+    SoCC 2014) — O(log n) rounds regardless of component diameter, the
+    100 TB alternative to the O(diameter) min-label loop that
+    near_dup_clusters uses. Same fixed point (stars rooted at component
+    minima), so the oracle is the standard WITH RECURSIVE reachability
+    closure over the identical deterministic edge list."""
+    from avro_sql_spark.operators.graph import (
+        connected_components_star,
+        copurchase_edges,
+    )
+
+    t = load_tables(spark, sf_dir, register=False)
+    edges = copurchase_edges(t["lineitem"], min_count=2)
+    return (
+        connected_components_star(edges)
+        .select(F.col("id").alias("part"), F.col("cluster_id").alias("component"))
+        .orderBy("part")
+    )
+
+
+def _skipping_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-side proof of the z-order layout: for 32 would-be files and
+    a 4x4 lattice of 2-D range predicates over (o_totalprice,
+    o_custkey), how many files does footer min/max pruning actually
+    skip under a linear price sort vs the Morton curve? The number the
+    OPTIMIZE ZORDER decision should be made on. NTILE file assignment
+    is made total with the o_orderkey tiebreak so the per-file stats —
+    and the verdict — replay exactly in the DuckDB oracle."""
+    from avro_sql_spark.operators.layout import skipping_report
+
+    t = load_tables(spark, sf_dir, register=False)
+    return skipping_report(
+        t["orders"], ["o_totalprice", "o_custkey"], "o_orderkey",
+        n_files=32, grid=4,
+    )
+
+
+def _event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event transition matrix (lag window per
+    user, totally ordered by (ts, event_id); counts bounded by the
+    event-type universe squared)."""
+    from avro_sql_spark.operators.relational import event_transitions
+
+    return event_transitions(spark, sf_dir)
+
+
 def _zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-health gauge: OLS fit of ln(count) on ln(rank) over the
     token-frequency table (Zipf's law). One corpus shuffle builds the
@@ -2091,6 +2139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _snapshot_diff,  # compare_cols schema validation
         # --- new in r3 ---
         "copurchase_pagerank": _copurchase_pagerank,
+        "copurchase_components": _copurchase_components,
+        "skipping_effectiveness": _skipping_effectiveness,
+        "event_transitions": _event_transitions,
         "dsir_weights": _dsir_weights,
         "skipgram_pairs": _skipgram_pairs,
         "tf_cosine_pairs": _tf_cosine_pairs,
@@ -2468,6 +2519,66 @@ FROM z GROUP BY 1 ORDER BY 1
 """
 
 
+def _skipping_oracle(n_files: int = 32, grid: int = 4) -> str:
+    """SQL twin of layout.skipping_report over orders (o_totalprice,
+    o_custkey, tiebreak o_orderkey): the identical scale-floor-clamp-
+    interleave z-value arithmetic as _zorder_oracle, NTILE file
+    assignment over the SAME total orders, per-file min/max boxes, and
+    the 4x4 predicate-lattice intersection test in IEEE doubles with
+    matching operation order."""
+    interleave = " + ".join(
+        f"(((s{i} >> {b}) & 1) << {2 * b + i})" for b in range(16) for i in (0, 1)
+    )
+    scale = (
+        "LEAST(GREATEST(CAST(FLOOR((%(v)s - st.mn_%(c)s) / "
+        "(CASE WHEN st.mx_%(c)s > st.mn_%(c)s THEN st.mx_%(c)s - st.mn_%(c)s "
+        "ELSE CAST(1 AS DOUBLE) END) * CAST(65535 AS DOUBLE)) AS BIGINT), 0), 65535)"
+    )
+    s0 = scale % {"v": "CAST(o.o_totalprice AS DOUBLE)", "c": "p"}
+    s1 = scale % {"v": "CAST(o.o_custkey AS DOUBLE)", "c": "c"}
+    np, tot = grid * grid, grid * grid * n_files
+    return f"""
+WITH st AS (SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS mn_p,
+                   MAX(CAST(o_totalprice AS DOUBLE)) AS mx_p,
+                   MIN(CAST(o_custkey AS DOUBLE)) AS mn_c,
+                   MAX(CAST(o_custkey AS DOUBLE)) AS mx_c
+            FROM orders),
+scaled AS (SELECT o.o_orderkey AS tb,
+                  CAST(o.o_totalprice AS DOUBLE) AS x,
+                  CAST(o.o_custkey AS DOUBLE) AS y,
+                  {s0} AS s0, {s1} AS s1
+           FROM orders o CROSS JOIN st),
+z AS (SELECT tb, x, y, ({interleave}) AS zv FROM scaled),
+lin AS (SELECT x, y, ntile({n_files}) OVER (ORDER BY x, tb) AS f FROM z),
+zo  AS (SELECT x, y, ntile({n_files}) OVER (ORDER BY zv, tb) AS f FROM z),
+boxes AS (
+  SELECT 'linear' AS layout, f, MIN(x) AS mnx, MAX(x) AS mxx,
+         MIN(y) AS mny, MAX(y) AS mxy FROM lin GROUP BY 2
+  UNION ALL
+  SELECT 'zorder' AS layout, f, MIN(x), MAX(x), MIN(y), MAX(y)
+  FROM zo GROUP BY 2),
+ij AS (SELECT i.i AS i, j.j AS j FROM range({grid}) i(i), range({grid}) j(j)),
+preds AS (SELECT
+    st.mn_p + (st.mx_p - st.mn_p) * ij.i / CAST({grid} AS DOUBLE) AS plx,
+    st.mn_p + (st.mx_p - st.mn_p) * (ij.i + 1) / CAST({grid} AS DOUBLE) AS phx,
+    st.mn_c + (st.mx_c - st.mn_c) * ij.j / CAST({grid} AS DOUBLE) AS ply,
+    st.mn_c + (st.mx_c - st.mn_c) * (ij.j + 1) / CAST({grid} AS DOUBLE) AS phy
+  FROM st CROSS JOIN ij),
+hits AS (SELECT layout,
+                SUM(CASE WHEN mxx >= plx AND mnx <= phx
+                          AND mxy >= ply AND mny <= phy
+                         THEN 1 ELSE 0 END) AS scanned
+         FROM boxes CROSS JOIN preds GROUP BY 1)
+SELECT layout,
+       {n_files} AS n_files,
+       {np} AS n_predicates,
+       ROUND(CAST(scanned AS DOUBLE) / CAST({np} AS DOUBLE), 6) AS avg_files_scanned,
+       ROUND(CAST(1 AS DOUBLE) - CAST(scanned AS DOUBLE) / CAST({tot} AS DOUBLE), 6)
+         AS pct_pruned
+FROM hits ORDER BY layout
+"""
+
+
 _FP = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
 
 # DuckDB replay of the MinHash pipeline (dedup.minhash_signatures +
@@ -2626,6 +2737,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name AS name, c_mktsegment AS name_1 FROM customer"
         ),
         "copurchase_pagerank": _pagerank_oracle(3),
+        # large-star/small-star CC has the same fixed point as min-label
+        # propagation: the recursive reachability closure over the
+        # deterministic co-purchase edges
+        "copurchase_components": f"""
+WITH RECURSIVE {_COPURCHASE_PC},
+e AS (SELECT pa AS s, pb AS d FROM pc
+      UNION SELECT pb, pa FROM pc),
+nodes AS (SELECT DISTINCT s AS id FROM e),
+reach AS (
+  SELECT id, id AS lbl FROM nodes
+  UNION
+  SELECT e.s AS id, r.lbl FROM e JOIN reach r ON r.id = e.d)
+SELECT id AS part, MIN(lbl) AS component FROM reach GROUP BY 1 ORDER BY 1
+""",
+        "skipping_effectiveness": _skipping_oracle(32, 4),
+        "event_transitions": """
+WITH seq AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type
+  FROM events),
+c AS (SELECT prev_type, event_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, event_type, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+FROM c ORDER BY prev_type, event_type
+""",
         # DuckDB replay of curation.dsir_importance (buckets=4096,
         # alpha=1.0, target = source LIKE 'src1%'): unigrams+bigrams
         # with multiplicity, md5-hash % 4096, Laplace-smoothed LLR model,

@@ -61,6 +61,116 @@ def zvalue(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
     return interleave_bits(scaled, bits)
 
 
+def skipping_report(
+    df: DataFrame,
+    cols: list[str],
+    tiebreak_col: str,
+    bits: int = 16,
+    n_files: int = 32,
+    grid: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """File-skipping effectiveness audit: how many of ``n_files`` would
+    a min/max-pruning reader actually scan under each candidate layout,
+    for a grid of 2-D range predicates? Returns one row per layout:
+    (layout, n_files, n_predicates, avg_files_scanned, pct_pruned).
+
+    Layouts compared: ``linear`` (rows sorted by cols[0] only — perfect
+    pruning on that column, none on the other) vs ``zorder`` (rows
+    sorted by the Morton z-value of all ``cols`` — good pruning on BOTH
+    at once). This is the read-side proof of what :func:`zorder_write`
+    buys: the number the lakehouse OPTIMIZE decision should be made on,
+    not a hunch. Predicates are a ``grid`` x ``grid`` lattice of
+    equal-width rectangles spanning each column's global min/max; a
+    file must be scanned iff its [min, max] box intersects the
+    predicate rectangle — exactly the parquet footer-stats test.
+
+    Scale shape: file assignment is NTILE over the layout key — a
+    global sort, fine for an AUDIT run on a table sample (cap the input
+    with .limit / .sample upstream; zorder_write itself uses
+    range-repartition, never a global sort). Everything downstream of
+    the per-file min/max aggregate is arithmetic on n_files x grid^2
+    rows — driver-negligible, oracle-replayable (the z-value is the
+    same integer interleave as :func:`zvalue`)."""
+    from pyspark.sql import Window
+
+    if len(cols) != 2:
+        raise ValueError("skipping_report audits exactly two columns")
+    c0, c1 = cols
+    z = zvalue(df, cols, bits).alias("__z")
+    # the tiebreak column makes each NTILE ordering TOTAL: rows tied on
+    # the layout key (same price cell, same curve cell) would otherwise
+    # land in engine-dependent files and flake the per-file min/max
+    base = df.select(F.col(c0).cast("double").alias("x"),
+                     F.col(c1).cast("double").alias("y"), z,
+                     F.col(tiebreak_col).alias("tb"))
+    layouts = []
+    for name, key in (("linear", ["x", "tb"]), ("zorder", ["__z", "tb"])):
+        w = Window.orderBy(*[F.col(k) for k in key])
+        files = (
+            base.select("x", "y", F.ntile(n_files).over(w).alias("f"))
+            .groupBy("f")
+            .agg(F.min("x").alias("mnx"), F.max("x").alias("mxx"),
+                 F.min("y").alias("mny"), F.max("y").alias("mxy"))
+        )
+        layouts.append(files.select(F.lit(name).alias("layout"), "*"))
+    boxes = layouts[0].unionByName(layouts[1])
+    # global bounds (1 row) -> grid x grid predicate rectangles, built
+    # in-row from a sequence — no driver collect
+    bounds = df.agg(
+        F.min(F.col(c0).cast("double")).alias("lx"),
+        F.max(F.col(c0).cast("double")).alias("hx"),
+        F.min(F.col(c1).cast("double")).alias("ly"),
+        F.max(F.col(c1).cast("double")).alias("hy"),
+    )
+    g = F.lit(float(grid))
+    preds = (
+        bounds.select(
+            F.explode(F.sequence(F.lit(0), F.lit(grid - 1))).alias("i"),
+            "lx", "hx", "ly", "hy",
+        )
+        .select(
+            "i",
+            F.explode(F.sequence(F.lit(0), F.lit(grid - 1))).alias("j"),
+            "lx", "hx", "ly", "hy",
+        )
+        .select(
+            (F.col("lx") + (F.col("hx") - F.col("lx")) * F.col("i") / g).alias("plx"),
+            (F.col("lx") + (F.col("hx") - F.col("lx")) * (F.col("i") + 1) / g).alias("phx"),
+            (F.col("ly") + (F.col("hy") - F.col("ly")) * F.col("j") / g).alias("ply"),
+            (F.col("ly") + (F.col("hy") - F.col("ly")) * (F.col("j") + 1) / g).alias("phy"),
+        )
+    )
+    hits = (
+        boxes.crossJoin(F.broadcast(preds))
+        .select(
+            "layout",
+            (
+                (F.col("mxx") >= F.col("plx")) & (F.col("mnx") <= F.col("phx"))
+                & (F.col("mxy") >= F.col("ply")) & (F.col("mny") <= F.col("phy"))
+            ).cast("long").alias("hit"),
+        )
+        .groupBy("layout")
+        .agg(F.sum("hit").alias("scanned"))
+    )
+    n_preds = grid * grid
+    return (
+        hits.select(
+            "layout",
+            F.lit(n_files).alias("n_files"),
+            F.lit(n_preds).alias("n_predicates"),
+            F.round(F.col("scanned") / F.lit(float(n_preds)), round_to).alias(
+                "avg_files_scanned"
+            ),
+            F.round(
+                F.lit(1.0) - F.col("scanned") / F.lit(float(n_preds * n_files)),
+                round_to,
+            ).alias("pct_pruned"),
+        )
+        .orderBy("layout")
+    )
+
+
 def zorder_write(
     df: DataFrame,
     path: str,

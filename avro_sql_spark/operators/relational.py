@@ -340,6 +340,41 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: (prev_type, event_type, n, p) where p is the row-
+    normalized transition probability — the behavioral model behind
+    next-action prediction and funnel-drop diagnostics.
+
+    Scale shape: ONE lag window partitioned by user (hash-partitioned,
+    per-user state only — no global sort), then a groupBy on the
+    (prev, next) pair whose result is bounded by the event-type
+    universe squared, so the normalizing window runs on a frame of
+    dozens of rows. Ordering inside a user is made TOTAL with the
+    unique event_id tiebreak, so the lag sequence — and therefore every
+    count — is engine-independent and the DuckDB oracle matches
+    exactly; p is a single division of exact integers, bit-identical
+    in any IEEE engine."""
+    t = load_tables(spark, sf_dir, register=False)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type"),
+    )
+    counts = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norm = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(norm), 6).alias("p"),
+    ).orderBy("prev_type", "event_type")
+
+
 def union_high_low_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set op UNION ALL with a discriminator column: the very largest and
     very smallest orders in one frame (unionByName keeps schemas honest)."""

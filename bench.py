@@ -143,6 +143,9 @@ HEADLINE = [
     "quality_rank_fusion",
     "cluster_representatives",
     "chi2_lang_source",
+    "copurchase_components",
+    "skipping_effectiveness",
+    "event_transitions",
 ]
 
 

@@ -6,7 +6,11 @@ import glob
 
 from pyspark.sql import functions as F
 
-from avro_sql_spark.operators.layout import interleave_bits, zorder_write
+from avro_sql_spark.operators.layout import (
+    interleave_bits,
+    skipping_report,
+    zorder_write,
+)
 
 
 def test_interleave_bits_hand_values(spark):
@@ -86,3 +90,27 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "bucket" in m.group(1)
     assert read.count() == 250
+
+
+def test_skipping_report_zorder_beats_linear_off_axis(spark):
+    """On a uniform 2-D grid, the z-order layout must prune files for
+    predicates on BOTH columns while the linear layout prunes only its
+    sort column — so z-order scans strictly fewer file-predicate pairs
+    and the report's schema/arithmetic hold (scanned fractions in
+    (0, n_files], pruned fractions in [0, 1))."""
+    n = 64
+    df = spark.range(n * n).select(
+        F.col("id").alias("tb"),
+        (F.col("id") % n).cast("double").alias("x"),
+        (F.col("id") / n).cast("long").cast("double").alias("y"),
+    )
+    rep = skipping_report(df, ["x", "y"], "tb", n_files=16, grid=4)
+    rows = {r["layout"]: r for r in rep.collect()}
+    assert set(rows) == {"linear", "zorder"}
+    for r in rows.values():
+        assert r["n_files"] == 16 and r["n_predicates"] == 16
+        assert 0 < r["avg_files_scanned"] <= 16
+        assert 0 <= r["pct_pruned"] < 1
+    # the linear layout sorts by x only: every file spans ALL of y, so
+    # a y-restricted predicate can never prune -> z-order wins
+    assert rows["zorder"]["pct_pruned"] > rows["linear"]["pct_pruned"]

@@ -401,3 +401,22 @@ def test_expectations_single_scan_and_values(spark):
         df, [("a", F.col("id").isNull()), ("b", F.col("price") > 1)]
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ") + plan.count("FileScan") <= 1
+
+
+def test_event_transitions_rows_normalize(spark):
+    """Every prev_type's outgoing probabilities sum to 1 (at 6 dp), the
+    transition counts reproduce the lag-pair total (n_events - n_users
+    with any events), and n is always positive."""
+    out = relational.event_transitions(spark, SF).collect()
+    assert out, "transition matrix is empty"
+    by_prev = {}
+    for r in out:
+        assert r["n"] > 0
+        by_prev.setdefault(r["prev_type"], 0.0)
+        by_prev[r["prev_type"]] += r["p"]
+    for prev, total in by_prev.items():
+        assert abs(total - 1.0) < 1e-4, (prev, total)
+    t = load_tables(spark, SF, register=False)
+    n_events = t["events"].count()
+    n_users = t["events"].select("user_id").distinct().count()
+    assert sum(r["n"] for r in out) == n_events - n_users
