@@ -2047,6 +2047,20 @@ def _event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(spark, sf_dir)
 
 
+def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. TPAMI 2011): 4 subspaces
+    x 16-centroid codebooks (deterministic shared-Lloyd training on the
+    512 lowest-id vectors), m-byte corpus codes, ADC ranking for the
+    first 5 query vectors. The memory-bound 100 TB ANN layout — and,
+    because every stage is deterministic arithmetic, the codebooks,
+    codes, and ranked ADC distances all replay in the DuckDB oracle."""
+    from avro_sql_spark.operators.similarity import pq_topk
+
+    t = load_tables(spark, sf_dir, register=False)
+    emb = t["embeddings"]
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
 def _zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-health gauge: OLS fit of ln(count) on ln(rank) over the
     token-frequency table (Zipf's law). One corpus shuffle builds the
@@ -2142,6 +2156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_components": _copurchase_components,
         "skipping_effectiveness": _skipping_effectiveness,
         "event_transitions": _event_transitions,
+        "ann_pq_topk": _ann_pq_topk,
         "dsir_weights": _dsir_weights,
         "skipgram_pairs": _skipgram_pairs,
         "tf_cosine_pairs": _tf_cosine_pairs,
@@ -2484,6 +2499,64 @@ icand AS (SELECT p.query_id, e.vec_id AS neighbor_id
           WHERE e.vec_id <> p.query_id)"""
 
 
+def _pq_ctes(
+    m: int = 4, k: int = 16, iterations: int = 2, sd: int = 16,
+    train_n: int = 512, qmax: int = 5,
+) -> str:
+    """SQL twin of similarity.pq_topk: per-subspace deterministic Lloyd
+    codebooks (lowest-id seeds/training rows, fixed iterations,
+    9dp-rounded updates — the _ivf_quantizer_ctes pattern scoped to
+    each d/m-dim slice), argmin corpus codes, and the ADC lookup frame.
+    The OUTPUT distance d in dA{s} is a list_reduce fold over dims in
+    ascending order seeded with 0.0 — bit-identical to Spark's
+    F.aggregate left fold, so the ranked adist replays exactly (the
+    training argmins use plain SUM: ulp-robust, they only pick cells).
+    Yields CTEs: pcodes(vec_id, c0..c{m-1}), dA{s}(vec_id, c, d)."""
+    parts = []
+    for s in range(m):
+        lo, hi = s * sd, (s + 1) * sd
+        its, prev = [], f"c{s}_0"
+        for t in range(1, iterations + 1):
+            its.append(f"""
+id{s}_{t} AS (SELECT t.vec_id, cc.c, SUM((t.v - cc.v) * (t.v - cc.v)) AS d
+    FROM tx{s} t JOIN {prev} cc USING (i) GROUP BY 1, 2),
+ia{s}_{t} AS (SELECT vec_id, c FROM id{s}_{t}
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) = 1),
+c{s}_{t} AS (SELECT a.c, t.i, ROUND(AVG(t.v), 9) AS v
+    FROM ia{s}_{t} a JOIN tx{s} t ON t.vec_id = a.vec_id GROUP BY 1, 2)""")
+            prev = f"c{s}_{t}"
+        parts.append(f"""
+sx{s} AS (SELECT vec_id, gi - {lo} AS i, v FROM pix
+          WHERE gi > {lo} AND gi <= {hi}),
+tx{s} AS (SELECT sx.* FROM sx{s} sx JOIN ptw USING (vec_id)),
+seeds{s} AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c
+             FROM (SELECT vec_id FROM ptw ORDER BY vec_id LIMIT {k})),
+c{s}_0 AS (SELECT se.c, t.i, t.v FROM tx{s} t JOIN seeds{s} se USING (vec_id)),
+{",".join(its)},
+dA{s} AS (SELECT x.vec_id, cc.c,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list((x.v - cc.v) * (x.v - cc.v) ORDER BY x.i)),
+                     (a, b) -> a + b) AS d
+          FROM sx{s} x JOIN {prev} cc USING (i) GROUP BY 1, 2)""")
+    code_joins = " ".join(
+        f"JOIN (SELECT vec_id, c FROM dA{s} QUALIFY row_number() OVER "
+        f"(PARTITION BY vec_id ORDER BY d, c) = 1) k{s} USING (vec_id)"
+        for s in range(1, m)
+    )
+    sel = ", ".join(f"k{s}.c AS c{s}" for s in range(1, m))
+    return f"""
+pix AS (SELECT vec_id, generate_subscripts(embedding, 1) AS gi,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+ptw AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {train_n}),
+{",".join(parts)},
+pcodes AS (SELECT k0.vec_id, k0.c AS c0, {sel}
+           FROM (SELECT vec_id, c FROM dA0 QUALIFY row_number() OVER
+                 (PARTITION BY vec_id ORDER BY d, c) = 1) k0
+           {code_joins}),
+pquery AS (SELECT vec_id FROM embeddings WHERE vec_id < {qmax})"""
+
+
 def _zorder_oracle() -> str:
     """SQL twin of layout.zvalue over orders (o_totalprice, o_custkey):
     same min/max scale -> floor -> clamp -> 16-bit interleave arithmetic
@@ -2752,6 +2825,25 @@ reach AS (
 SELECT id AS part, MIN(lbl) AS component FROM reach GROUP BY 1 ORDER BY 1
 """,
         "skipping_effectiveness": _skipping_oracle(32, 4),
+        # PQ/ADC replay: per-subspace Lloyd codebooks -> argmin codes ->
+        # query LUT (dA restricted to query ids) -> left-assoc fold adist
+        "ann_pq_topk": f"""
+WITH {_pq_ctes(4, 16, 2, 16, 512, 5)},
+adc AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROUND(l0.d + l1.d + l2.d + l3.d, 4) AS adist
+        FROM pcodes e
+        JOIN pquery q ON e.vec_id <> q.vec_id
+        JOIN dA0 l0 ON l0.vec_id = q.vec_id AND l0.c = e.c0
+        JOIN dA1 l1 ON l1.vec_id = q.vec_id AND l1.c = e.c1
+        JOIN dA2 l2 ON l2.vec_id = q.vec_id AND l2.c = e.c2
+        JOIN dA3 l3 ON l3.vec_id = q.vec_id AND l3.c = e.c3),
+ranked AS (SELECT query_id, neighbor_id, adist,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adist, neighbor_id) AS INTEGER) AS rank
+           FROM adc)
+SELECT query_id, neighbor_id, adist, rank FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+""",
         "event_transitions": """
 WITH seq AS (
   SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -1040,3 +1040,58 @@ def test_triangle_count_golden(spark):
     pend = df.union(spark.createDataFrame([(0, 99), (99, 0)], "src long, dst long"))
     r2 = triangle_count(pend).collect()[0]
     assert r2["n_triangles"] == 4 and r2["n_nodes"] == 5 and r2["n_edges"] == 7
+
+
+def test_pq_topk_recall_and_determinism(spark):
+    import math
+
+    # 4-dim vectors, m=2 subspaces of 2 dims; tight angular clusters so
+    # ADC with per-subspace codebooks recovers most exact neighbors
+    rows = [
+        (i, [math.cos(i * 0.3), math.sin(i * 0.3), float(i % 5), 1.0])
+        for i in range(100)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = similarity.pq_topk(
+        emb, queries, k=5, m=2, codebook_k=8, train_limit=100
+    )
+    got = out.collect()
+    # shape: 3 queries x top-5, ranks 1..5, adist nondecreasing per query
+    assert len(got) == 15
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["adist"]))
+    for q, rs in per_q.items():
+        assert [x[0] for x in sorted(rs)] == [1, 2, 3, 4, 5]
+        dists = [x[1] for x in sorted(rs)]
+        assert dists == sorted(dists)
+    # euclidean exact truth: squared distance on the raw vectors
+    import itertools
+
+    data = dict(rows)
+    hits = 0
+    for q in range(3):
+        truth = sorted(
+            (i for i in data if i != q),
+            key=lambda i: (
+                sum((a - b) ** 2 for a, b in zip(data[q], data[i])),
+                i,
+            ),
+        )[:5]
+        approx = [r["neighbor_id"] for r in got if r["query_id"] == q]
+        hits += len(set(truth) & set(approx))
+    assert hits / 15 >= 0.5
+    # deterministic: a rerun returns the identical frame
+    again = similarity.pq_topk(
+        emb, queries, k=5, m=2, codebook_k=8, train_limit=100
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_pq_topk_rejects_indivisible_dim(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_topk(emb, emb, m=2)
