@@ -2047,6 +2047,76 @@ def _event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(spark, sf_dir)
 
 
+def _corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end pretraining-corpus ablation funnel — the table
+    every data-curation paper publishes: documents surviving each
+    sequential stage of quality gate (gopher_pass) -> exact dedup
+    (min-id per fingerprint) -> MinHash near-dup collapse (cluster
+    representatives at est_jaccard >= 0.5) -> benchmark decontamination
+    (drop survivors whose fingerprint appears in the held-out test
+    split). One row per stage: (stage_no, stage, docs_remaining,
+    docs_dropped).
+
+    Every stage reuses the already-oracled operator (gopher predicate,
+    dedup.dedup_exact, dedup.near_dup_clusters,
+    dedup.decontaminate[exact], curation.deterministic_split), so the
+    whole chained funnel replays in one DuckDB query — the composition
+    proof that the pieces compose without driver round-trips: the only
+    collects are near-dup's bounded CC convergence probes."""
+    from pyspark.sql.window import Window
+
+    from avro_sql_spark.functions.text import gopher_pass
+
+    t = load_tables(spark, sf_dir, register=False)
+    docs = t["documents"]
+    q = docs.filter(gopher_pass(F.col("text")))
+    ex = dedup.dedup_exact(q)
+    labels = dedup.near_dup_clusters(ex, est_threshold=0.5)
+    nd = ex.join(
+        labels.filter(F.col("id") == F.col("cluster_id"))
+        .select(F.col("id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    test = curation.deterministic_split(docs).filter(F.col("split") == "test")
+    dec = dedup.decontaminate(nd, test, method="exact")
+    stages = [
+        (0, "raw", docs), (1, "quality", q), (2, "exact_dedup", ex),
+        (3, "near_dup", nd), (4, "decontam", dec),
+    ]
+    counts = None
+    for no, name, frame in stages:
+        c = frame.agg(F.count(F.lit(1)).alias("docs_remaining")).select(
+            F.lit(no).alias("stage_no"), F.lit(name).alias("stage"), "docs_remaining"
+        )
+        counts = c if counts is None else counts.unionAll(c)
+    w = Window.orderBy("stage_no")
+    return counts.select(
+        "stage_no",
+        "stage",
+        "docs_remaining",
+        F.coalesce(
+            F.lag("docs_remaining").over(w) - F.col("docs_remaining"), F.lit(0)
+        ).alias("docs_dropped"),
+    ).orderBy("stage_no")
+
+
+def _label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities over the
+    co-purchase graph (2 fixed rounds, count-desc/label-asc tie-break)
+    — the cheap community detector next to the exact CC entries; the
+    oracle unrolls the identical rounds with QUALIFY argmax."""
+    from avro_sql_spark.operators.graph import copurchase_edges, label_propagation
+
+    t = load_tables(spark, sf_dir, register=False)
+    edges = copurchase_edges(t["lineitem"], min_count=2)
+    return (
+        label_propagation(edges, rounds=2)
+        .select(F.col("id").alias("part"), "community")
+        .orderBy("part")
+    )
+
+
 def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al. TPAMI 2011): 4 subspaces
     x 16-centroid codebooks (deterministic shared-Lloyd training on the
@@ -2157,6 +2227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipping_effectiveness": _skipping_effectiveness,
         "event_transitions": _event_transitions,
         "ann_pq_topk": _ann_pq_topk,
+        "label_communities": _label_communities,
+        "corpus_funnel": _corpus_funnel,
         "dsir_weights": _dsir_weights,
         "skipgram_pairs": _skipgram_pairs,
         "tf_cosine_pairs": _tf_cosine_pairs,
@@ -2317,6 +2389,20 @@ def _hash_unit(key_expr: str, salt: str) -> str:
         f"(CAST(('0x' || substring(md5(CAST({key_expr} AS VARCHAR) || ':{salt}'), 1, 8)) AS BIGINT)"
         f" % 1000000) / 1000000.0"
     )
+
+
+def _gopher_ok_expr() -> str:
+    """Gopher-pass boolean over a base CTE providing (text, padded, n)
+    — the identical arithmetic as the gopher_filter_stats oracle."""
+    stop_hits = " + ".join(_occ(f" {w} ") for w in _EN_STOPWORDS)
+    return f"""(n >= 30 AND n <= 100000
+     AND (length(replace(text, ' ', '')) / n) >= 3.0
+     AND (length(replace(text, ' ', '')) / n) <= 10.0
+     AND (({_occ('#', 'text')} + {_occ('...', 'text')}) / n) <= 0.05
+     AND (CAST(len(list_filter(string_split(lower(text), ' '),
+                               x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+          / len(string_split(lower(text), ' '))) >= 0.8
+     AND ({stop_hits}) >= 1)"""
 
 
 def _quality_expr() -> str:
@@ -2825,6 +2911,65 @@ reach AS (
 SELECT id AS part, MIN(lbl) AS component FROM reach GROUP BY 1 ORDER BY 1
 """,
         "skipping_effectiveness": _skipping_oracle(32, 4),
+        # the chained curation funnel: each stage's predicate is the
+        # already-proven oracle arithmetic of its standalone entry
+        # (gopher gate, min-id exact dedup, minhash CTEs rebased onto
+        # the exact-dedup survivors, recursive CC representatives,
+        # test-split fingerprint anti-join), counted via scalar
+        # subqueries and differenced with LAG
+        "corpus_funnel": f"""
+WITH RECURSIVE
+fu_base AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+            FROM documents),
+fu_q AS (SELECT doc_id, text FROM fu_base WHERE {_gopher_ok_expr()}),
+fu_ex AS (SELECT doc_id, text FROM fu_q
+          WHERE doc_id IN (SELECT MIN(doc_id) FROM fu_q GROUP BY {_FP})),
+{_MINHASH_CTES.replace("FROM documents", "FROM fu_ex")},
+fu_pairs AS (SELECT id_a, id_b FROM mh_est WHERE est_jaccard >= 0.5),
+fu_e AS (SELECT id_a AS s, id_b AS d FROM fu_pairs
+         UNION SELECT id_b, id_a FROM fu_pairs),
+fu_reach AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM fu_ex
+  UNION
+  SELECT fu_e.s AS id, r.lbl FROM fu_e JOIN fu_reach r ON r.id = fu_e.d),
+fu_lab AS (SELECT id, MIN(lbl) AS cl FROM fu_reach GROUP BY 1),
+fu_nd AS (SELECT e.doc_id, e.text FROM fu_ex e
+          JOIN fu_lab l ON l.id = e.doc_id AND l.cl = e.doc_id),
+fu_tf AS (SELECT DISTINCT {_FP} AS fp FROM documents
+          WHERE {_hash_unit("doc_id", "split")} >= 0.95),
+fu_dec AS (SELECT doc_id FROM fu_nd
+           WHERE {_FP} NOT IN (SELECT fp FROM fu_tf)),
+fu_cnt AS (
+  SELECT 0 AS stage_no, 'raw' AS stage,
+         (SELECT COUNT(*) FROM documents) AS docs_remaining
+  UNION ALL SELECT 1, 'quality', (SELECT COUNT(*) FROM fu_q)
+  UNION ALL SELECT 2, 'exact_dedup', (SELECT COUNT(*) FROM fu_ex)
+  UNION ALL SELECT 3, 'near_dup', (SELECT COUNT(*) FROM fu_nd)
+  UNION ALL SELECT 4, 'decontam', (SELECT COUNT(*) FROM fu_dec))
+SELECT stage_no, stage, CAST(docs_remaining AS BIGINT) AS docs_remaining,
+       CAST(COALESCE(LAG(docs_remaining) OVER (ORDER BY stage_no)
+                     - docs_remaining, 0) AS BIGINT) AS docs_dropped
+FROM fu_cnt ORDER BY stage_no
+""",
+        # 2 unrolled synchronous LPA rounds, QUALIFY argmax per node
+        "label_communities": f"""
+WITH {_COPURCHASE_PC},
+e AS (SELECT pa AS src, pb AS dst FROM pc
+      UNION ALL SELECT pb, pa FROM pc),
+l0 AS (SELECT DISTINCT src AS id, src AS community FROM e),
+v1 AS (SELECT e.dst AS id, l.community, COUNT(*) AS n
+       FROM e JOIN l0 l ON l.id = e.src GROUP BY 1, 2),
+l1 AS (SELECT id, community FROM v1
+       QUALIFY row_number() OVER (PARTITION BY id
+                                  ORDER BY n DESC, community) = 1),
+v2 AS (SELECT e.dst AS id, l.community, COUNT(*) AS n
+       FROM e JOIN l1 l ON l.id = e.src GROUP BY 1, 2),
+l2 AS (SELECT id, community FROM v2
+       QUALIFY row_number() OVER (PARTITION BY id
+                                  ORDER BY n DESC, community) = 1)
+SELECT id AS part, community FROM l2 ORDER BY id
+""",
         # PQ/ADC replay: per-subspace Lloyd codebooks -> argmin codes ->
         # query LUT (dA restricted to query ids) -> left-assoc fold adist
         "ann_pq_topk": f"""

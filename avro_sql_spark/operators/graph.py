@@ -215,6 +215,65 @@ def connected_components_star(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    undirected edge list, made DETERMINISTIC: labels start as node ids,
+    each round every node adopts the most frequent label among its
+    neighbors with ties broken (count DESC, label ASC), and the round
+    count is FIXED — community detection as a closed-form expression of
+    the edge list, so a SQL oracle unrolls the same rounds and matches.
+    (Classic async LPA is run-order-dependent; the synchronous + fixed
+    tie-break variant trades a little convergence speed for exact
+    reproducibility — the same determinism contract as pagerank.)
+
+    Returns (id, community) — community = the node's label after
+    ``rounds`` rounds.
+
+    Scale shape per round: ONE node-keyed equi-join (attach neighbor
+    labels) + ONE (node, label) count aggregate with map-side partials
+    + ONE per-node argmax (window over the node key — partitions are
+    node-sized, never global); labels localCheckpoint per round, the
+    same lineage hygiene as every iterative operator here."""
+    from pyspark.sql.window import Window
+
+    a, b = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("community"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("n"), F.asc("community"))
+    for r in range(rounds):
+        votes = (
+            sym.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"), "community")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        labels = (
+            votes.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("id", "community")
+        )
+        if (r + 1) < rounds:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.orderBy("id")
+
+
 def copurchase_edges(
     lineitem: DataFrame, min_count: int = 2
 ) -> DataFrame:

@@ -111,3 +111,27 @@ def test_copurchase_edges_symmetric_and_capped(spark):
     pairs = {(r["src"], r["dst"]) for r in e}
     # only (10,11) co-occurs twice; (10,12) once -> pruned; symmetric
     assert pairs == {(10, 11), (11, 10)}
+
+
+def test_label_propagation_two_cliques(spark):
+    from avro_sql_spark.operators.graph import label_propagation
+
+    # two triangles bridged by one edge: after 2 synchronous rounds the
+    # min-id member dominates each triangle's votes
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["id"]: r["community"] for r in label_propagation(df, rounds=2).collect()}
+    # triangle {1,2,3} converges to community 1
+    assert out[1] == 1 and out[2] == 1 and out[3] == 1
+    # triangle {10,11,12} members agree on one community distinct from 1
+    assert out[11] == out[12] and out[11] != 1
+
+
+def test_label_propagation_deterministic(spark):
+    from avro_sql_spark.operators.graph import label_propagation
+
+    edges = [(i, (i * 3) % 17) for i in range(1, 17)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = sorted(map(tuple, label_propagation(df, rounds=3).collect()))
+    b = sorted(map(tuple, label_propagation(df, rounds=3).collect()))
+    assert a == b
