@@ -1172,6 +1172,34 @@ def _embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant covariance eigenvector by FIXED-ROUND (800) power
+    iteration (similarity.power_iteration) over the same keyed-partial
+    4-dp covariance as embedding_covariance — the ORACLE-REPLAYABLE
+    eigen path (embedding_pca's LAPACK eigh is rows-only; this pins
+    every fold order so a recursive SQL CTE reproduces the loadings
+    bit-exactly). 800 rounds because the synthetic embeddings are
+    near-isotropic (lambda2/lambda1 ~ 0.985): 0.985^800 ~ 5e-6, so the
+    result also AGREES with LAPACK (cos > 0.999, pytest-pinned), not
+    just with the replay. Output: (dim, loading, eigenvalue), 6-dp."""
+    t = load_tables(spark, sf_dir, register=False)
+    cov = similarity.gram_covariance(
+        t["embeddings"], round_to=4, partition_col="vec_id", n_parts=16
+    )
+    v, lam = similarity.power_iteration(cov, iters=800)
+    return (
+        spark.createDataFrame(
+            [(i, x) for i, x in enumerate(v)], "dim int, loading double"
+        )
+        .select(
+            "dim",
+            F.round("loading", 6).alias("loading"),
+            F.round(F.lit(lam), 6).alias("eigenvalue"),
+        )
+        .orderBy("dim")
+    )
+
+
 def _balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank/cume_dist/NTILE decile summary per market segment."""
     return relational.customer_balance_ranks(spark, sf_dir)
@@ -1707,10 +1735,10 @@ def _bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE training, 8 merge rounds (operators/bpe.py train_bpe):
     per-round best pair to the driver, greedy leftmost in-row rewrite,
-    localCheckpoint per round. Deterministic, but the multi-round
-    token-rewrite fold has no faithful SQL twin (greedy adjacent
-    merging is inherently sequential) — rows-only at the driver; the
-    pytest golden pins the merge sequence on a hand-computed corpus."""
+    localCheckpoint per round. Oracle: the 8 rounds UNROLLED as SQL CTE
+    blocks, the greedy sequential rewrite replayed as a DuckDB
+    list_reduce left-fold (see _bpe_merges_oracle); the pytest golden
+    additionally pins the merge sequence on a hand-computed corpus."""
     from avro_sql_spark.operators import bpe
 
     t = load_tables(spark, sf_dir, register=False)
@@ -2229,6 +2257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _ann_pq_topk,
         "label_communities": _label_communities,
         "corpus_funnel": _corpus_funnel,
+        "embedding_power_iter": _embedding_power_iter,
         "dsir_weights": _dsir_weights,
         "skipgram_pairs": _skipgram_pairs,
         "tf_cosine_pairs": _tf_cosine_pairs,
@@ -2675,6 +2704,85 @@ SELECT CAST(zv >> 28 AS INT) AS segment,
        MIN(o_custkey) AS min_cust,
        MAX(o_custkey) AS max_cust
 FROM z GROUP BY 1 ORDER BY 1
+"""
+
+
+def _power_iter_oracle(d: int = 64, iters: int = 10) -> str:
+    """SQL twin of similarity.power_iteration over the
+    embedding_covariance cells: a recursive CTE carries the vector as a
+    LIST(DOUBLE); each step is the identical left-associated mat-vec
+    fold (j ascending), square-sum norm fold (i ascending), IEEE
+    sqrt/div — DuckDB's list_reduce and the operator's pure-Python
+    loops produce BIT-IDENTICAL doubles (verified on goldens), so the
+    6-dp loadings hash-match without tolerance. list_dot_product is a
+    plain left-to-right accumulation (verified bit-equal to the fold);
+    the matrix rides IN the recursion state so the covariance
+    aggregation evaluates once, not once per round (a re-evaluated CTE
+    costs ~0.1 s x rounds)."""
+    return f"""
+WITH RECURSIVE
+dims AS (SELECT unnest(range(0, {d})) AS k),
+x AS (SELECT vec_id, d.k AS i, CAST(embedding[d.k + 1] AS DOUBLE) AS v
+      FROM embeddings, dims d),
+cells AS (SELECT a.i AS i, b.i AS j,
+                 ROUND(AVG(a.v * b.v) - AVG(a.v) * AVG(b.v), 4) AS cov
+          FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+rows_ AS (SELECT i, array_agg(cov ORDER BY j) AS r FROM cells GROUP BY 1),
+it(t, v, lam, m) AS (
+  SELECT 0, list_transform(range(0, {d}), k -> CAST(1 AS DOUBLE)),
+         CAST(0 AS DOUBLE),
+         (SELECT array_agg(r ORDER BY i) FROM rows_)
+  UNION ALL
+  SELECT t + 1, list_transform(y, e -> e / nrm), nrm, m
+  FROM (SELECT t, y, sqrt(list_dot_product(y, y)) AS nrm, m
+        FROM (SELECT t, list_transform(m, row -> list_dot_product(row, v)) AS y, m
+              FROM it WHERE t < {iters})))
+SELECT k AS dim, ROUND(v[k + 1], 6) AS loading, ROUND(lam, 6) AS eigenvalue
+FROM it, dims WHERE t = {iters} ORDER BY dim
+"""
+
+
+def _bpe_merges_oracle(n_merges: int = 8) -> str:
+    """SQL twin of operators/bpe.py train_bpe: ``n_merges`` merge
+    rounds UNROLLED as CTE blocks. Each round is (1) the identical
+    freq-weighted adjacent-pair count over the current token arrays,
+    (2) the same (n DESC, left, right) argmax, (3) the greedy
+    leftmost-first rewrite replayed as a DuckDB list_reduce fold —
+    token arrays lifted to single-element lists so the accumulator is
+    a list from the first element on, exactly the Spark
+    ``F.aggregate`` left-fold (merge when the accumulator's tail is
+    ``left`` and the incoming token is ``right``, else append; the
+    aaa->[aa,a] greedy case folds identically in both engines)."""
+    blocks = []
+    for r in range(1, n_merges + 1):
+        blocks.append(f"""
+p{r} AS (SELECT toks[i] AS bl, toks[i + 1] AS br, SUM(freq) AS n
+      FROM w{r - 1}, unnest(range(1, len(toks))) AS t(i)
+      WHERE len(toks) >= 2 GROUP BY 1, 2),
+b{r} AS (SELECT bl, br, n FROM p{r} ORDER BY n DESC, bl, br LIMIT 1),
+w{r} AS (SELECT freq,
+            list_reduce(list_transform(toks, t -> [t]),
+              (acc, x) -> CASE WHEN acc[-1] = b.bl AND x[1] = b.br
+                               THEN list_append(acc[:len(acc) - 1],
+                                                b.bl || b.br)
+                               ELSE list_concat(acc, x) END) AS toks
+      FROM w{r - 1}, b{r} b)""")
+    ranked = "\nUNION ALL ".join(
+        f'SELECT {r - 1} AS rank, bl AS "left", br AS "right", '
+        f'bl || br AS merged, CAST(n AS BIGINT) AS n FROM b{r}'
+        for r in range(1, n_merges + 1)
+    )
+    return rf"""
+WITH w AS (
+  SELECT word FROM (
+    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+    FROM documents)
+  WHERE regexp_matches(word, '^[a-z]+$')),
+wf AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY 1),
+w0 AS (SELECT freq, regexp_extract_all(word, '.') || ['</w>'] AS toks
+       FROM wf),{",".join(blocks)}
+{ranked}
+ORDER BY rank
 """
 
 
@@ -3456,6 +3564,8 @@ FROM p GROUP BY 1, 2
 ORDER BY n DESC, pair_left, pair_right
 LIMIT 20
 """,
+        "bpe_merges": _bpe_merges_oracle(8),
+        "embedding_power_iter": _power_iter_oracle(64, 800),
         "merge_upsert_snapshot": """
 WITH upd AS (
   SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,

@@ -706,6 +706,51 @@ def gram_covariance(
     )
 
 
+def power_iteration(
+    cov: DataFrame, iters: int = 10
+) -> "tuple[list[float], float]":
+    """Dominant eigenvector of a distributed (i, j, cov) matrix by
+    FIXED-ROUND power iteration — the fully-replayable eigen path next
+    to :func:`pca_project`'s exact numpy eigendecomposition: every
+    arithmetic step (mat-vec fold over j ascending, norm fold over i
+    ascending, both left-associated from 0.0, IEEE sqrt/div) is pinned,
+    so a SQL engine unrolling the identical recursion reproduces the
+    loadings BIT-EXACTLY (pca_project is rows-only at the gate because
+    LAPACK's eigh has no such replay).
+
+    The matrix is collected to the driver — bounded by d^2 cells, never
+    by row count, the same legitimate collect as pca_project — and the
+    iteration runs in pure Python doubles: d x d x iters flops on d<10^3
+    matrices is microseconds; the distributed work is producing ``cov``
+    (gram_covariance's partitions-x-d^2 shuffle). A fixed ``iters``
+    (not a convergence test) keeps the result a closed-form function of
+    the input. Returns (loadings, rayleigh_norm) — the final normalized
+    vector and the last pre-normalization norm (the eigenvalue estimate
+    once converged); starting vector is all-ones."""
+    import math
+
+    cells = cov.collect()
+    d = max(r["i"] for r in cells) + 1
+    m = [[0.0] * d for _ in range(d)]
+    for r in cells:
+        m[r["i"]][r["j"]] = float(r["cov"])
+    v = [1.0] * d
+    lam = 0.0
+    for _ in range(iters):
+        y = []
+        for i in range(d):
+            acc = 0.0
+            for j in range(d):
+                acc += m[i][j] * v[j]
+            y.append(acc)
+        s = 0.0
+        for e in y:
+            s += e * e
+        lam = math.sqrt(s)
+        v = [e / lam for e in y]
+    return v, lam
+
+
 def pca_project(
     emb: DataFrame,
     k: int = 2,

@@ -743,6 +743,32 @@ def test_pca_project_invariants(spark):
     assert a == b
 
 
+def test_power_iteration_matches_eigh(spark):
+    """Fixed-round power iteration converges to numpy's dominant
+    eigenvector (up to sign) with the Rayleigh norm approaching the top
+    eigenvalue, and reruns are bit-identical (pinned fold order)."""
+    import numpy as np
+
+    from avro_sql_spark.operators.similarity import gram_covariance, power_iteration
+    from avro_sql_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", register=False)["embeddings"]
+    cov = gram_covariance(emb, round_to=4, partition_col="vec_id", n_parts=16)
+    v, lam = power_iteration(cov, iters=800)
+    rows = cov.collect()
+    d = max(r["i"] for r in rows) + 1
+    m = np.zeros((d, d))
+    for r in rows:
+        m[r["i"], r["j"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(m)
+    top = vecs[:, -1]
+    cos = abs(float(np.dot(top, np.array(v))))
+    assert cos > 0.999  # aligned with the true dominant direction
+    assert abs(lam - float(vals[-1])) < 1e-3 * max(1.0, abs(float(vals[-1])))
+    v2, lam2 = power_iteration(cov, iters=800)
+    assert v == v2 and lam == lam2
+
+
 def test_bm25_ranks_matching_docs_first(spark):
     """A doc containing the query terms outranks docs without them, and
     a rare matching term outscores a ubiquitous one (idf)."""
