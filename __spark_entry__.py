@@ -1200,6 +1200,21 @@ def _embedding_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic near-dup pruning
+    (similarity.semantic_dedup_report): deterministic-Lloyd clusters
+    bound the quadratic cosine comparison to within-cluster equi-join
+    pairs; each pair >= tau drops the member closer to the centroid.
+    Oracle: the identical unrolled-Lloyd assignment + list_dot_product
+    cosines (left-fold-exact both engines) in SQL. tau=0.35 because
+    the synthetic embeddings are isotropic (max pair cos ~0.5) — the
+    rule's semantics are what's under test, thresholds are data."""
+    t = load_tables(spark, sf_dir, register=False)
+    return similarity.semantic_dedup_report(
+        t["embeddings"], k=8, iterations=2, tau=0.35
+    )
+
+
 def _balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank/cume_dist/NTILE decile summary per market segment."""
     return relational.customer_balance_ranks(spark, sf_dir)
@@ -2258,6 +2273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_communities": _label_communities,
         "corpus_funnel": _corpus_funnel,
         "embedding_power_iter": _embedding_power_iter,
+        "semantic_dedup": _semantic_dedup,
         "dsir_weights": _dsir_weights,
         "skipgram_pairs": _skipgram_pairs,
         "tf_cosine_pairs": _tf_cosine_pairs,
@@ -2704,6 +2720,63 @@ SELECT CAST(zv >> 28 AS INT) AS segment,
        MIN(o_custkey) AS min_cust,
        MAX(o_custkey) AS max_cust
 FROM z GROUP BY 1 ORDER BY 1
+"""
+
+
+def _semdedup_oracle(k: int = 8, iterations: int = 2, tau: str = "0.35") -> str:
+    """SQL twin of similarity.semantic_dedup_report: the same unrolled
+    deterministic Lloyd as _kmeans_oracle (lowest-id seeds, QUALIFY
+    argmin with lowest-index ties, 9-dp centroid updates), then vectors
+    and final centroids re-packed as ordered lists so every cosine is
+    the identical left-fold (list_dot_product == F.aggregate from 0.0),
+    6-dp rounded before the threshold and the drop comparison."""
+    its, prev = [], "c0"
+    for t in range(1, iterations + 1):
+        its.append(f"""
+d{t} AS (SELECT x.vec_id, cc.c, SUM((x.v - cc.v) * (x.v - cc.v)) AS d
+        FROM x JOIN {prev} cc USING (i) GROUP BY 1, 2),
+a{t} AS (SELECT vec_id, c, d FROM d{t}
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) = 1),
+c{t} AS (SELECT a.c, x.i, ROUND(AVG(x.v), 9) AS v
+        FROM a{t} a JOIN x ON x.vec_id = a.vec_id GROUP BY 1, 2)""")
+        prev = f"c{t}"
+    return f"""
+WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c
+          FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+c0 AS (SELECT s.c, x.i, x.v FROM x JOIN seeds s USING (vec_id)),
+{",".join(its)},
+dF AS (SELECT x.vec_id, cc.c, SUM((x.v - cc.v) * (x.v - cc.v)) AS d
+       FROM x JOIN {prev} cc USING (i) GROUP BY 1, 2),
+aF AS (SELECT vec_id, c FROM dF
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) = 1),
+va AS (SELECT vec_id, array_agg(v ORDER BY i) AS vec FROM x GROUP BY 1),
+ca AS (SELECT c, array_agg(v ORDER BY i) AS cent FROM {prev} GROUP BY 1),
+pts AS (SELECT a.vec_id AS id, a.c AS cluster, va.vec,
+               sqrt(list_dot_product(va.vec, va.vec)) AS nrm,
+               ROUND(list_dot_product(va.vec, ca.cent)
+                     / (sqrt(list_dot_product(va.vec, va.vec))
+                        * sqrt(list_dot_product(ca.cent, ca.cent))), 6) AS ccos
+        FROM aF a JOIN va USING (vec_id) JOIN ca ON ca.c = a.c),
+pairs AS (SELECT a.cluster, a.id AS ia, b.id AS ib, a.ccos AS ca_, b.ccos AS cb_
+          FROM pts a JOIN pts b ON a.cluster = b.cluster AND a.id < b.id
+          WHERE ROUND(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6)
+                >= CAST('{tau}' AS DOUBLE)),
+dropped AS (SELECT DISTINCT cluster,
+                   CASE WHEN ca_ > cb_ THEN ia ELSE ib END AS id
+            FROM pairs),
+tot AS (SELECT cluster, COUNT(*) AS n_points FROM pts GROUP BY 1),
+np_ AS (SELECT cluster, COUNT(*) AS n_pairs FROM pairs GROUP BY 1),
+nd AS (SELECT cluster, COUNT(*) AS n_dropped FROM dropped GROUP BY 1)
+SELECT CAST(t.cluster AS INT) AS cluster,
+       t.n_points,
+       COALESCE(np_.n_pairs, 0) AS n_pairs,
+       COALESCE(nd.n_dropped, 0) AS n_dropped,
+       t.n_points - COALESCE(nd.n_dropped, 0) AS n_kept
+FROM tot t LEFT JOIN np_ USING (cluster) LEFT JOIN nd USING (cluster)
+ORDER BY cluster
 """
 
 
@@ -3566,6 +3639,7 @@ LIMIT 20
 """,
         "bpe_merges": _bpe_merges_oracle(8),
         "embedding_power_iter": _power_iter_oracle(64, 800),
+        "semantic_dedup": _semdedup_oracle(8, 2, "0.35"),
         "merge_upsert_snapshot": """
 WITH upd AS (
   SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,

@@ -799,3 +799,118 @@ def pca_project(
             ),
         )
     return out.drop(vec_col), explained
+
+
+def semantic_dedup_report(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    tau: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    near-duplicate pruning over an embedding column: k-means cluster
+    the corpus, compare COSINE similarity only WITHIN clusters, and for
+    every pair above ``tau`` drop the member MORE similar to its
+    cluster centroid (the paper's keep-the-outlier rule — the dropped
+    item is the redundant one nearer the cluster's semantic center);
+    ties break to dropping the higher id. Returns one row per cluster:
+    (cluster, n_points, n_pairs, n_dropped, n_kept).
+
+    Scale shape — the whole point of the paper: clustering bounds the
+    quadratic term. The pairwise join is an equi-join on ``cluster``,
+    so work is sum(cluster_size^2), never corpus^2; at 100 TB you scale
+    ``k`` with the corpus (the paper uses k ~ 100k on billions of
+    items) to hold cluster sizes constant. Centroids are the bounded
+    k x d driver state (clustering.lloyd_centroids), broadcast back as
+    literals; every cosine is an in-row left-associated fold (no UDF).
+
+    Determinism (what makes the DuckDB oracle possible): deterministic
+    Lloyd (lowest-id seeds, fixed rounds, 9-dp centroid updates), all
+    cosines rounded to 6 dp before any threshold/ordering comparison,
+    and centroid norms computed with the same left-fold + sqrt in both
+    engines — the discrete pair set and drop choices are then identical
+    bit-for-bit."""
+    import math
+
+    from .clustering import _assign, lloyd_centroids
+
+    cents = lloyd_centroids(emb, k, iterations, id_col, vec_col)
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, t: acc + t
+        )
+
+    def pynorm(c):
+        s = 0.0
+        for e in c:
+            s += e * e
+        return math.sqrt(s)
+
+    v = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(dot(v, v))
+    ccos = F.element_at(
+        F.array(
+            *[
+                F.round(
+                    dot(v, F.lit(c)) / (F.sqrt(dot(v, v)) * F.lit(pynorm(c))), 6
+                )
+                for c in cents
+            ]
+        ),
+        F.col("cluster") + 1,
+    )
+    pts = (
+        _assign(emb, cents, vec_col)
+        .select(
+            F.col(id_col).alias("id"),
+            v.alias("vec"),
+            "cluster",
+            nrm.alias("nrm"),
+            ccos.alias("ccos"),
+        )
+        .localCheckpoint(eager=True)  # reused by both sides of the pair join
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    pcos = F.round(
+        dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(pcos >= F.lit(tau))
+        .select(
+            F.col("a.cluster").alias("cluster"),
+            F.col("a.id").alias("ia"),
+            F.col("b.id").alias("ib"),
+            F.col("a.ccos").alias("ca"),
+            F.col("b.ccos").alias("cb"),
+        )
+    )
+    dropped = pairs.select(
+        "cluster",
+        F.when(F.col("ca") > F.col("cb"), F.col("ia"))
+        .otherwise(F.col("ib"))
+        .alias("id"),
+    ).distinct()
+    tot = pts.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_points"))
+    npair = pairs.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_pairs"))
+    ndrop = dropped.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_dropped"))
+    return (
+        tot.join(npair, "cluster", "left")
+        .join(ndrop, "cluster", "left")
+        .na.fill({"n_pairs": 0, "n_dropped": 0})
+        .select(
+            "cluster",
+            "n_points",
+            "n_pairs",
+            "n_dropped",
+            (F.col("n_points") - F.col("n_dropped")).alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )

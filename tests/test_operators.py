@@ -1121,3 +1121,29 @@ def test_pq_topk_rejects_indivisible_dim(spark):
     )
     with pytest.raises(ValueError, match="not divisible"):
         similarity.pq_topk(emb, emb, m=2)
+
+
+def test_semantic_dedup_report_drops_centroid_near_member(spark):
+    """Two planted near-identical vectors: exactly one is dropped, and
+    it is the member MORE similar to the cluster centroid (SemDeDup's
+    keep-the-outlier rule); a lone far-out vector survives."""
+    from avro_sql_spark.operators.similarity import semantic_dedup_report
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.12, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),     # unrelated direction
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    rep = {
+        r["cluster"]: r
+        for r in semantic_dedup_report(
+            emb, k=2, iterations=1, tau=0.9
+        ).collect()
+    }
+    total_dropped = sum(r["n_dropped"] for r in rep.values())
+    total_pairs = sum(r["n_pairs"] for r in rep.values())
+    assert total_pairs == 1 and total_dropped == 1
+    assert sum(r["n_kept"] for r in rep.values()) == 4
