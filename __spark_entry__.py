@@ -1200,6 +1200,20 @@ def _embedding_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-n Gopher repetition gate (Rae et al. 2021 Table A1,
+    operators/text.py gopher_repetition_report): per source the
+    top-{2,3,4}-gram character-mass fractions, dup-{5,10}-gram
+    occurrence fractions, and documents failing ANY paper threshold.
+    All thresholds are integer cross-multiplications and all fractions
+    single divisions of exact integer sums — deterministic by
+    construction; the oracle replays the identical grams/argmax/sums."""
+    from avro_sql_spark.operators.text import gopher_repetition_report
+
+    t = load_tables(spark, sf_dir, register=False)
+    return gopher_repetition_report(t["documents"])
+
+
 def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) semantic near-dup pruning
     (similarity.semantic_dedup_report): deterministic-Lloyd clusters
@@ -2274,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_funnel": _corpus_funnel,
         "embedding_power_iter": _embedding_power_iter,
         "semantic_dedup": _semantic_dedup,
+        "gopher_repetition": _gopher_repetition,
         "dsir_weights": _dsir_weights,
         "skipgram_pairs": _skipgram_pairs,
         "tf_cosine_pairs": _tf_cosine_pairs,
@@ -3640,6 +3655,50 @@ LIMIT 20
         "bpe_merges": _bpe_merges_oracle(8),
         "embedding_power_iter": _power_iter_oracle(64, 800),
         "semantic_dedup": _semdedup_oracle(8, 2, "0.35"),
+        # integer cross-multiplied thresholds + single-division corpus
+        # fractions: the report is exact, no float discipline needed
+        "gopher_repetition": """
+WITH d AS (SELECT doc_id, source, length(text) AS chars,
+                  string_split(lower(text), ' ') AS w
+           FROM documents),
+g AS (SELECT doc_id, nn.n, array_to_string(w[i:i + nn.n - 1], ' ') AS g
+      FROM d, (VALUES (2), (3), (4), (5), (10)) nn(n),
+           unnest(range(1, len(w) - nn.n + 2)) AS t(i)),
+pg AS (SELECT doc_id, n, g, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+pn AS (SELECT doc_id, n,
+              MAX(CASE WHEN rk = 1 THEN c * length(g) END) AS top_chars,
+              SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_occ,
+              SUM(c) AS total_occ
+       FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                                          ORDER BY c DESC, g) AS rk
+             FROM pg)
+       GROUP BY 1, 2),
+pd AS (SELECT d.doc_id, d.source, MAX(d.chars) AS chars,
+              COALESCE(MAX(CASE WHEN n = 2 THEN top_chars END), 0) AS t2,
+              COALESCE(MAX(CASE WHEN n = 3 THEN top_chars END), 0) AS t3,
+              COALESCE(MAX(CASE WHEN n = 4 THEN top_chars END), 0) AS t4,
+              COALESCE(MAX(CASE WHEN n = 5 THEN dup_occ END), 0) AS d5,
+              COALESCE(MAX(CASE WHEN n = 5 THEN total_occ END), 0) AS tot5,
+              COALESCE(MAX(CASE WHEN n = 10 THEN dup_occ END), 0) AS d10,
+              COALESCE(MAX(CASE WHEN n = 10 THEN total_occ END), 0) AS tot10
+       FROM d LEFT JOIN pn USING (doc_id) GROUP BY 1, 2)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN 5 * t2 > chars OR 50 * t3 > 9 * chars
+                       OR 25 * t4 > 4 * chars OR 20 * d5 > 3 * tot5
+                       OR 10 * d10 > tot10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repetitive,
+       ROUND(CAST(SUM(t2) AS DOUBLE) / CAST(SUM(chars) AS DOUBLE), 6)
+         AS top2_char_frac,
+       ROUND(CAST(SUM(t3) AS DOUBLE) / CAST(SUM(chars) AS DOUBLE), 6)
+         AS top3_char_frac,
+       ROUND(CAST(SUM(t4) AS DOUBLE) / CAST(SUM(chars) AS DOUBLE), 6)
+         AS top4_char_frac,
+       ROUND(CAST(SUM(d5) AS DOUBLE) / CAST(SUM(tot5) AS DOUBLE), 6)
+         AS dup5_occ_frac,
+       ROUND(CAST(SUM(d10) AS DOUBLE) / CAST(SUM(tot10) AS DOUBLE), 6)
+         AS dup10_occ_frac
+FROM pd GROUP BY source ORDER BY source
+""",
         "merge_upsert_snapshot": """
 WITH upd AS (
   SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,

@@ -835,3 +835,134 @@ def tf_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def gopher_repetition_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: "tuple[int, ...]" = (2, 3, 4),
+    dup_ns: "tuple[int, ...]" = (5, 10),
+) -> DataFrame:
+    """The multi-n Gopher repetition table (Rae et al. 2021, Table A1)
+    as one frame of per-(doc, n) INTEGER signals: ``top_chars`` (chars
+    covered by the single most frequent word n-gram = count x gram
+    length, the paper's "fraction of characters contained in the most
+    frequent n-gram" numerator), ``dup_occ`` (occurrences belonging to
+    n-grams seen >= 2 times) and ``total_occ`` — plus ``n_text_chars``
+    as the character denominator. Everything stays integral so
+    downstream corpus aggregates are EXACT (no float-summation-order
+    sensitivity anywhere, unlike ratio-averaging).
+
+    Shape: ONE tokenize + ONE explode for all n values (grams tagged
+    with their n in-row), then a (doc, n, gram) count and a (doc, n)
+    rollup — both hash-partition on the doc id, so the second shuffle
+    reuses the first's locality; the top-gram argmax is a window over
+    the (doc, n) key (partitions are document-sized, never global).
+    Ties break (count DESC, gram ASC)."""
+    from ..functions.text import word_ngrams_of
+    from .dedup import _spread
+
+    ns = sorted(set(top_ns) | set(dup_ns))
+    base = _spread(docs, id_col).select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_text_chars"),
+        F.split(F.lower(F.col(text_col)), " ").alias("w"),
+    )
+    def _tag(n: int):
+        # NB: the lambda must be unary — a second (defaulted) parameter
+        # would make F.transform pass the ARRAY INDEX into it
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    tagged = F.flatten(
+        F.array(
+            *[F.transform(word_ngrams_of(F.col("w"), n), _tag(n)) for n in ns]
+        )
+    )
+    grams = base.select(
+        F.col(id_col), "n_text_chars", F.explode(tagged).alias("t")
+    ).select(
+        F.col(id_col), "n_text_chars", F.col("t.n").alias("n"), F.col("t.g").alias("g")
+    )
+    per_gram = grams.groupBy(id_col, "n_text_chars", "n", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy(id_col, "n").orderBy(F.desc("c"), F.asc("g"))
+    return (
+        per_gram.withColumn("_rk", F.row_number().over(w))
+        .groupBy(id_col, "n_text_chars", "n")
+        .agg(
+            F.max(
+                F.when(F.col("_rk") == 1, F.col("c") * F.length("g"))
+            ).alias("top_chars"),
+            F.sum(
+                F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))
+            ).alias("dup_occ"),
+            F.sum("c").alias("total_occ"),
+        )
+    )
+
+
+def gopher_repetition_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-``group_col`` Gopher repetition gate: corpus character-mass
+    fractions for the top-{2,3,4}-gram signals, occurrence fractions
+    for the dup-{5,10}-gram signals, and how many documents fail ANY of
+    the paper's thresholds (top2 > 0.20, top3 > 0.18, top4 > 0.16,
+    dup5 > 0.15, dup10 > 0.10). Every threshold is evaluated by integer
+    CROSS-MULTIPLICATION (e.g. top2 > 0.20 <=> 5*top_chars > chars) and
+    every fraction is a single division of two exact integer sums — the
+    whole report is bit-deterministic by construction, not by rounding
+    discipline."""
+    sig = gopher_repetition_signals(docs, id_col, text_col)
+
+    def pull(n: int, col: str):
+        return F.coalesce(
+            F.max(F.when(F.col("n") == n, F.col(col))), F.lit(0)
+        )
+
+    per_doc = (
+        docs.select(F.col(id_col), F.col(group_col).alias("grp"))
+        .join(sig, id_col, "left")
+        .groupBy(id_col, "grp")
+        .agg(
+            F.coalesce(F.max("n_text_chars"), F.lit(0)).alias("chars"),
+            pull(2, "top_chars").alias("t2"),
+            pull(3, "top_chars").alias("t3"),
+            pull(4, "top_chars").alias("t4"),
+            pull(5, "dup_occ").alias("d5"),
+            pull(5, "total_occ").alias("tot5"),
+            pull(10, "dup_occ").alias("d10"),
+            pull(10, "total_occ").alias("tot10"),
+        )
+    )
+    repetitive = (
+        (5 * F.col("t2") > F.col("chars"))
+        | (50 * F.col("t3") > 9 * F.col("chars"))
+        | (25 * F.col("t4") > 4 * F.col("chars"))
+        | (20 * F.col("d5") > 3 * F.col("tot5"))
+        | (10 * F.col("d10") > F.col("tot10"))
+    )
+
+    def frac(num: str, den: str):
+        return F.round(
+            F.sum(num).cast("double") / F.sum(den).cast("double"), 6
+        )
+
+    return (
+        per_doc.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(repetitive.cast("long")).alias("n_repetitive"),
+            frac("t2", "chars").alias("top2_char_frac"),
+            frac("t3", "chars").alias("top3_char_frac"),
+            frac("t4", "chars").alias("top4_char_frac"),
+            frac("d5", "tot5").alias("dup5_occ_frac"),
+            frac("d10", "tot10").alias("dup10_occ_frac"),
+        )
+        .orderBy(group_col)
+    )

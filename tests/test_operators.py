@@ -1147,3 +1147,40 @@ def test_semantic_dedup_report_drops_centroid_near_member(spark):
     total_pairs = sum(r["n_pairs"] for r in rep.values())
     assert total_pairs == 1 and total_dropped == 1
     assert sum(r["n_kept"] for r in rep.values()) == 4
+
+
+def test_gopher_repetition_signals_hand_truth(spark):
+    """Per-(doc, n) integer signals match a hand-counted fixture,
+    including the greedy (count DESC, gram ASC) top-gram tie-break."""
+    from avro_sql_spark.operators.text import gopher_repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b c d a b")], "doc_id long, text string"
+    )
+    out = {r["n"]: r for r in gopher_repetition_signals(df).collect()}
+    # words: a b a b a b c d a b -> top 2-gram "a b" x4 (len 3)
+    assert (out[2]["top_chars"], out[2]["dup_occ"], out[2]["total_occ"]) == (12, 6, 9)
+    assert (out[3]["top_chars"], out[3]["dup_occ"], out[3]["total_occ"]) == (10, 4, 8)
+    assert (out[4]["top_chars"], out[4]["dup_occ"], out[4]["total_occ"]) == (14, 2, 7)
+    assert (out[5]["dup_occ"], out[5]["total_occ"]) == (0, 6)
+    assert (out[10]["top_chars"], out[10]["total_occ"]) == (19, 1)
+
+
+def test_gopher_repetition_report_thresholds(spark):
+    """A pathological repeated doc trips the integer-cross-multiplied
+    gate; a diverse doc does not."""
+    from avro_sql_spark.operators.text import gopher_repetition_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham " * 30, "bad"),
+            # long enough that no single n-gram covers >16% of chars
+            # (the raw Gopher thresholds assume a min-length gate)
+            (2, " ".join(f"word{i} item{i * 7 % 97}" for i in range(60)), "good"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rep = {r["source"]: r for r in gopher_repetition_report(df).collect()}
+    assert rep["bad"]["n_repetitive"] == 1
+    assert rep["good"]["n_repetitive"] == 0
+    assert rep["bad"]["top2_char_frac"] > 0.2
