@@ -1200,6 +1200,21 @@ def _embedding_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality terciles per language
+    (curation.perplexity_buckets over the bigram-LM score): NTILE(3)
+    within each lang ordered (score DESC, doc_id), reported as counts +
+    exact char mass + MIN/MAX score — no float aggregation, so the only
+    cross-engine float surface is the already-oracled 6-dp score."""
+    from avro_sql_spark.operators.text import bigram_logprob_scores
+
+    t = load_tables(spark, sf_dir, register=False)
+    docs = t["documents"]
+    return curation.perplexity_buckets(
+        docs, bigram_logprob_scores(docs), "bigram_logprob_mean"
+    )
+
+
 def _gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-n Gopher repetition gate (Rae et al. 2021 Table A1,
     operators/text.py gopher_repetition_report): per source the
@@ -2289,6 +2304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_power_iter": _embedding_power_iter,
         "semantic_dedup": _semantic_dedup,
         "gopher_repetition": _gopher_repetition,
+        "ccnet_buckets": _ccnet_buckets,
         "dsir_weights": _dsir_weights,
         "skipgram_pairs": _skipgram_pairs,
         "tf_cosine_pairs": _tf_cosine_pairs,
@@ -3655,6 +3671,36 @@ LIMIT 20
         "bpe_merges": _bpe_merges_oracle(8),
         "embedding_power_iter": _power_iter_oracle(64, 800),
         "semantic_dedup": _semdedup_oracle(8, 2, "0.35"),
+        # the bigram-LM score CTEs are the proven bigram_logprob oracle;
+        # NTILE(3) per lang ordered (score DESC, doc_id); the report is
+        # counts + exact char sums + MIN/MAX — no float aggregation
+        "ccnet_buckets": r"""
+WITH toks AS (
+  SELECT doc_id, token, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS pos
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token,
+           generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS i
+    FROM documents)
+  WHERE regexp_matches(token, '^[a-z]+$')),
+big AS (
+  SELECT a.doc_id, a.token || ' ' || b.token AS bg, a.token AS w1
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+bc AS (SELECT bg, COUNT(*) AS cb FROM big GROUP BY bg),
+uc AS (SELECT token AS w1, COUNT(*) AS cu FROM toks GROUP BY token),
+v AS (SELECT COUNT(*) AS v FROM uc),
+sc AS (SELECT d.doc_id,
+              ROUND(AVG(LN((bc.cb + 0.5) / (uc.cu + 0.5 * v.v))), 6) AS score
+       FROM big d JOIN bc USING (bg) JOIN uc USING (w1) CROSS JOIN v
+       GROUP BY d.doc_id),
+b AS (SELECT d.lang, d.doc_id, length(d.text) AS nch, s.score,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY s.score DESC, d.doc_id) AS bucket
+      FROM documents d JOIN sc s USING (doc_id))
+SELECT lang, CAST(bucket AS INT) AS bucket, COUNT(*) AS n_docs,
+       CAST(SUM(nch) AS BIGINT) AS n_chars,
+       MIN(score) AS min_score, MAX(score) AS max_score
+FROM b GROUP BY 1, 2 ORDER BY lang, bucket
+""",
         # integer cross-multiplied thresholds + single-division corpus
         # fractions: the report is exact, no float discipline needed
         "gopher_repetition": """

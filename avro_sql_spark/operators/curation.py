@@ -614,3 +614,43 @@ def rrf_fuse(
             "rrf"
         ),
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    scores: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): within each
+    language, rank documents by an LM quality score and split them into
+    ``n_buckets`` NTILE buckets — bucket 1 is the "head" (best score,
+    lowest perplexity), the last is the "tail" CCNet discards or
+    down-samples. Returns per (lang, bucket): doc count, exact char
+    mass, and the score range — counts and MIN/MAX only, so the report
+    is deterministic with no float summation anywhere (the scores
+    themselves arrive pre-rounded from the scorer).
+
+    Scale shape: one keyed join (docs x scores on the doc id) and one
+    window per language partition — the window sorts WITHIN languages
+    only (partitions are language-sized, never global; a global NTILE
+    would serialize the corpus). Ties break on the doc id so bucket
+    membership is a pure function of the input."""
+    j = docs.select(
+        F.col(id_col), F.col(lang_col), F.length(F.col(text_col)).alias("n_chars")
+    ).join(scores.select(F.col(id_col), F.col(score_col).alias("score")), id_col)
+    w = Window.partitionBy(lang_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        j.withColumn("bucket", F.ntile(n_buckets).over(w))
+        .groupBy(lang_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy(lang_col, "bucket")
+    )

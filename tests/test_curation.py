@@ -322,3 +322,30 @@ def test_remove_dup_spans_preserves_case(spark):
     assert out[1]["text"] == f"Intro {span_lower} Outro"     # owner keeps case
     assert out[2]["text"] == "Pre POST"                      # victim: case-insensitive match
     assert out[3]["text"] == "Totally Unrelated MIXED case Text"
+
+
+def test_perplexity_buckets_ccnet_terciles(spark):
+    """Best-scored docs land in bucket 1 per language; bucket sizes
+    follow NTILE's floor distribution; char mass is exact."""
+    from pyspark.sql import functions as F
+
+    from avro_sql_spark.operators.curation import perplexity_buckets
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (10 + i), "en" if i < 7 else "fr") for i in range(10)],
+        "doc_id long, text string, lang string",
+    )
+    scores = spark.createDataFrame(
+        [(i, float(-i)) for i in range(10)], "doc_id long, s double"
+    )  # doc 0 best, 9 worst
+    rep = {
+        (r["lang"], r["bucket"]): r
+        for r in perplexity_buckets(docs, scores, "s").collect()
+    }
+    # en: 7 docs -> buckets of 3/2/2 ordered by score desc (docs 0,1,2 head)
+    assert rep[("en", 1)]["n_docs"] == 3
+    assert rep[("en", 1)]["max_score"] == 0.0 and rep[("en", 1)]["min_score"] == -2.0
+    assert rep[("en", 3)]["min_score"] == -6.0
+    # fr: 3 docs -> 1 per bucket
+    assert all(rep[("fr", b)]["n_docs"] == 1 for b in (1, 2, 3))
+    assert rep[("en", 1)]["n_chars"] == 10 + 11 + 12
