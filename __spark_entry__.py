@@ -1200,6 +1200,25 @@ def _embedding_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov length-drift audit between
+    the deterministic train and test splits, per language
+    (profile.ks_drift): D's numerator is an integer max of
+    cross-multiplied cumulative counts over the distinct length domain
+    — bit-deterministic with one final division. Oracle replays the
+    split hash, the full-outer count merge, and the windowed cumsums."""
+    from avro_sql_spark.operators.profile import ks_drift
+
+    t = load_tables(spark, sf_dir, register=False)
+    d = curation.deterministic_split(t["documents"])
+    return ks_drift(
+        d.filter(F.col("split") == "train"),
+        d.filter(F.col("split") == "test"),
+        "n_chars",
+        group_col="lang",
+    )
+
+
 def _ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail quality terciles per language
     (curation.perplexity_buckets over the bigram-LM score): NTILE(3)
@@ -2305,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _semantic_dedup,
         "gopher_repetition": _gopher_repetition,
         "ccnet_buckets": _ccnet_buckets,
+        "ks_length_drift": _ks_length_drift,
         "dsir_weights": _dsir_weights,
         "skipgram_pairs": _skipgram_pairs,
         "tf_cosine_pairs": _tf_cosine_pairs,
@@ -3671,6 +3691,31 @@ LIMIT 20
         "bpe_merges": _bpe_merges_oracle(8),
         "embedding_power_iter": _power_iter_oracle(64, 800),
         "semantic_dedup": _semdedup_oracle(8, 2, "0.35"),
+        # integer KS: cumulative counts over the distinct length domain,
+        # cross-multiplied against the sample sizes, one final division
+        "ks_length_drift": f"""
+WITH d AS (SELECT lang, n_chars, {_hash_unit("doc_id", "split")} AS u
+           FROM documents),
+ca AS (SELECT lang, n_chars AS v, COUNT(*) AS c_a FROM d
+       WHERE u < 0.9 GROUP BY 1, 2),
+cb AS (SELECT lang, n_chars AS v, COUNT(*) AS c_b FROM d
+       WHERE u >= 0.95 GROUP BY 1, 2),
+m AS (SELECT lang, v, COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+      FROM ca FULL OUTER JOIN cb USING (lang, v)),
+cum AS (SELECT lang,
+               SUM(c_a) OVER w AS cum_a, SUM(c_b) OVER w AS cum_b
+        FROM m
+        WINDOW w AS (PARTITION BY lang ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+tot AS (SELECT lang, SUM(c_a) AS n_a, SUM(c_b) AS n_b FROM m GROUP BY 1)
+SELECT lang, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS ks_num,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         ROUND(CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+               / CAST(n_a * n_b AS DOUBLE), 6) END AS ks_stat
+FROM cum JOIN tot USING (lang)
+GROUP BY lang, n_a, n_b ORDER BY lang
+""",
         # the bigram-LM score CTEs are the proven bigram_logprob oracle;
         # NTILE(3) per lang ordered (score DESC, doc_id); the report is
         # counts + exact char sums + MIN/MAX — no float aggregation

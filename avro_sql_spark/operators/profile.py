@@ -366,3 +366,80 @@ def chi2_independence(
         )
         .orderBy(col_a, col_b)
     )
+
+
+def ks_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between two frames'
+    ``value_col`` distributions (optionally per ``group_col``) — the
+    distribution-shift audit a training pipeline runs between splits,
+    snapshots, or crawl generations before trusting a refreshed corpus.
+
+    D = max over values v of |F_a(v) - F_b(v)| is computed in INTEGER
+    arithmetic: with n = |a| and m = |b|, the candidate at each distinct
+    v is |cum_a(v)*m - cum_b(v)*n| and D = max_num / (n*m) — one exact
+    integer max, one final division, deterministic with no float
+    discipline (cross-multiplication, same trick as the Gopher gate).
+
+    Scale shape: values are first aggregated to their DISTINCT domain
+    (map-side combined count per (group, value)), so the cumulative
+    window runs over the value DOMAIN, not the rows — for doc lengths
+    that is thousands of points regardless of corpus size (continuous
+    metrics should be bucketed first, e.g. via value_histogram's bins).
+    The window partitions by ``group_col``, so nothing sorts globally
+    unless there is genuinely one group."""
+    from pyspark.sql.window import Window
+
+    gcols = [group_col] if group_col else []
+
+    def counts(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(*gcols, F.col(value_col).alias("v"))
+            .groupBy(*gcols, "v")
+            .agg(F.count(F.lit(1)).alias(f"c_{side}"))
+        )
+
+    ca, cb = counts(a, "a"), counts(b, "b")
+    merged = ca.join(cb, [*gcols, "v"], "full_outer").na.fill(
+        {"c_a": 0, "c_b": 0}
+    )
+    part = Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
+    w = part.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = merged.select(
+        *gcols,
+        F.sum("c_a").over(w).alias("cum_a"),
+        F.sum("c_b").over(w).alias("cum_b"),
+    )
+    totals = merged.groupBy(*gcols).agg(
+        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
+    )
+    joined = cum.join(F.broadcast(totals), gcols) if gcols else cum.crossJoin(
+        F.broadcast(totals)
+    )
+    out = (
+        joined.groupBy(*gcols, "n_a", "n_b")
+        .agg(
+            F.max(
+                F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+            ).alias("ks_num")
+        )
+        .select(
+            *gcols,
+            "n_a",
+            "n_b",
+            "ks_num",
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.round(
+                    F.col("ks_num").cast("double")
+                    / (F.col("n_a") * F.col("n_b")).cast("double"),
+                    6,
+                ),
+            ).alias("ks_stat"),
+        )
+    )
+    return out.orderBy(*gcols) if gcols else out

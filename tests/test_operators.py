@@ -1184,3 +1184,25 @@ def test_gopher_repetition_report_thresholds(spark):
     assert rep["bad"]["n_repetitive"] == 1
     assert rep["good"]["n_repetitive"] == 0
     assert rep["bad"]["top2_char_frac"] > 0.2
+
+
+def test_ks_drift_hand_truth(spark):
+    """Exact KS against a hand-computed two-sample fixture, including
+    the integer numerator."""
+    from avro_sql_spark.operators.profile import ks_drift
+
+    a = spark.createDataFrame([(v,) for v in [1, 2, 2, 3]], "v int")
+    b = spark.createDataFrame([(v,) for v in [2, 3, 3, 4, 4]], "v int")
+    row = ks_drift(a, b, "v").collect()[0]
+    # n=4, m=5; ECDFs: at v=1 |1*5-0*4|=5; v=2 |3*5-1*4|=11; v=3
+    # |4*5-3*4|=8; v=4 |20-20|=0 -> D = 11/20 = 0.55
+    assert (row["n_a"], row["n_b"], row["ks_num"]) == (4, 5, 11)
+    assert row["ks_stat"] == 0.55
+
+
+def test_ks_drift_identical_distributions_grouped(spark):
+    from avro_sql_spark.operators.profile import ks_drift
+
+    a = spark.createDataFrame([("g", v) for v in range(50)], "g string, v int")
+    out = ks_drift(a, a, "v", group_col="g").collect()
+    assert len(out) == 1 and out[0]["ks_num"] == 0 and out[0]["ks_stat"] == 0.0
