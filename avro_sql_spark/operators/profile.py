@@ -409,19 +409,19 @@ def ks_drift(
     )
     part = Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
     w = part.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # group totals as a second frame over the SAME partitioning (not a
+    # join back onto a recomputed count merge — that would duplicate
+    # the full-outer branch and its shuffle)
+    wall = part.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     cum = merged.select(
         *gcols,
         F.sum("c_a").over(w).alias("cum_a"),
         F.sum("c_b").over(w).alias("cum_b"),
-    )
-    totals = merged.groupBy(*gcols).agg(
-        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
-    )
-    joined = cum.join(F.broadcast(totals), gcols) if gcols else cum.crossJoin(
-        F.broadcast(totals)
+        F.sum("c_a").over(wall).alias("n_a"),
+        F.sum("c_b").over(wall).alias("n_b"),
     )
     out = (
-        joined.groupBy(*gcols, "n_a", "n_b")
+        cum.groupBy(*gcols, "n_a", "n_b")
         .agg(
             F.max(
                 F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))

@@ -902,8 +902,8 @@ def semantic_dedup_report(
     npair = pairs.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_pairs"))
     ndrop = dropped.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_dropped"))
     return (
-        tot.join(npair, "cluster", "left")
-        .join(ndrop, "cluster", "left")
+        tot.join(F.broadcast(npair), "cluster", "left")
+        .join(F.broadcast(ndrop), "cluster", "left")
         .na.fill({"n_pairs": 0, "n_dropped": 0})
         .select(
             "cluster",

@@ -146,6 +146,14 @@ HEADLINE = [
     "copurchase_components",
     "skipping_effectiveness",
     "event_transitions",
+    "label_communities",
+    "corpus_funnel",
+    "embedding_power_iter",
+    "semantic_dedup",
+    "gopher_repetition",
+    "ccnet_buckets",
+    "ks_length_drift",
+    "bpe_merges",
 ]
 
 
