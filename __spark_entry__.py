@@ -1200,6 +1200,18 @@ def _embedding_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-efficiency audit (bpe.bpe_fertility): train the
+    8-merge BPE, map vocabulary words to post-merge token counts, and
+    report per-source fertility (tokens/word) and chars/token from
+    exact integer sums. Oracle: the shared unrolled-BPE CTE chain plus
+    the identical occurrence join."""
+    from avro_sql_spark.operators.bpe import bpe_fertility
+
+    t = load_tables(spark, sf_dir, register=False)
+    return bpe_fertility(t["documents"], n_merges=8)
+
+
 def _ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov length-drift audit between
     the deterministic train and test splits, per language
@@ -2325,6 +2337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": _gopher_repetition,
         "ccnet_buckets": _ccnet_buckets,
         "ks_length_drift": _ks_length_drift,
+        "bpe_fertility": _bpe_fertility,
         "dsir_weights": _dsir_weights,
         "skipgram_pairs": _skipgram_pairs,
         "tf_cosine_pairs": _tf_cosine_pairs,
@@ -2877,6 +2890,22 @@ def _bpe_merges_oracle(n_merges: int = 8) -> str:
     ``F.aggregate`` left-fold (merge when the accumulator's tail is
     ``left`` and the incoming token is ``right``, else append; the
     aaa->[aa,a] greedy case folds identically in both engines)."""
+    ranked = "\nUNION ALL ".join(
+        f'SELECT {r - 1} AS rank, bl AS "left", br AS "right", '
+        f'bl || br AS merged, CAST(n AS BIGINT) AS n FROM b{r}'
+        for r in range(1, n_merges + 1)
+    )
+    return f"""
+WITH {_bpe_rounds_ctes(n_merges)}
+{ranked}
+ORDER BY rank
+"""
+
+
+def _bpe_rounds_ctes(n_merges: int = 8) -> str:
+    """The shared unrolled-BPE CTE chain (word carried through every
+    rewrite so appliers can map word -> final toks): w0..w{n} word
+    tables, p1..pn pair counts, b1..bn per-round best pairs."""
     blocks = []
     for r in range(1, n_merges + 1):
         blocks.append(f"""
@@ -2884,29 +2913,44 @@ p{r} AS (SELECT toks[i] AS bl, toks[i + 1] AS br, SUM(freq) AS n
       FROM w{r - 1}, unnest(range(1, len(toks))) AS t(i)
       WHERE len(toks) >= 2 GROUP BY 1, 2),
 b{r} AS (SELECT bl, br, n FROM p{r} ORDER BY n DESC, bl, br LIMIT 1),
-w{r} AS (SELECT freq,
+w{r} AS (SELECT word, freq,
             list_reduce(list_transform(toks, t -> [t]),
               (acc, x) -> CASE WHEN acc[-1] = b.bl AND x[1] = b.br
                                THEN list_append(acc[:len(acc) - 1],
                                                 b.bl || b.br)
                                ELSE list_concat(acc, x) END) AS toks
       FROM w{r - 1}, b{r} b)""")
-    ranked = "\nUNION ALL ".join(
-        f'SELECT {r - 1} AS rank, bl AS "left", br AS "right", '
-        f'bl || br AS merged, CAST(n AS BIGINT) AS n FROM b{r}'
-        for r in range(1, n_merges + 1)
-    )
-    return rf"""
-WITH w AS (
+    return rf"""w AS (
   SELECT word FROM (
     SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
     FROM documents)
   WHERE regexp_matches(word, '^[a-z]+$')),
 wf AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY 1),
-w0 AS (SELECT freq, regexp_extract_all(word, '.') || ['</w>'] AS toks
-       FROM wf),{",".join(blocks)}
-{ranked}
-ORDER BY rank
+w0 AS (SELECT word, freq, regexp_extract_all(word, '.') || ['</w>'] AS toks
+       FROM wf),{",".join(blocks)}"""
+
+
+def _bpe_fertility_oracle(n_merges: int = 8) -> str:
+    """SQL twin of bpe.bpe_fertility: the shared unrolled-BPE chain
+    maps each vocabulary word to its post-merge token count; per-source
+    word occurrences join it and every reported ratio is one division
+    of exact integer sums."""
+    return f"""
+WITH {_bpe_rounds_ctes(n_merges)},
+vocab AS (SELECT word, len(toks) AS n_toks, length(word) AS n_chars
+          FROM w{n_merges}),
+tok AS (SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS word
+        FROM documents),
+occ AS (SELECT source, word, COUNT(*) AS occ FROM tok
+        WHERE regexp_matches(word, '^[a-z]+$') GROUP BY 1, 2)
+SELECT o.source, CAST(SUM(occ) AS BIGINT) AS n_words,
+       CAST(SUM(occ * n_toks) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(occ * n_toks) AS DOUBLE)
+             / CAST(SUM(occ) AS DOUBLE), 6) AS fertility,
+       ROUND(CAST(SUM(occ * n_chars) AS DOUBLE)
+             / CAST(SUM(occ * n_toks) AS DOUBLE), 6) AS chars_per_token
+FROM occ o JOIN vocab USING (word)
+GROUP BY 1 ORDER BY 1
 """
 
 
@@ -3689,6 +3733,7 @@ ORDER BY n DESC, pair_left, pair_right
 LIMIT 20
 """,
         "bpe_merges": _bpe_merges_oracle(8),
+        "bpe_fertility": _bpe_fertility_oracle(8),
         "embedding_power_iter": _power_iter_oracle(64, 800),
         "semantic_dedup": _semdedup_oracle(8, 2, "0.35"),
         # integer KS: cumulative counts over the distinct length domain,

@@ -89,14 +89,15 @@ def _apply_merge(words: DataFrame, left: str, right: str) -> DataFrame:
     )
 
 
-def train_bpe(
+def train_bpe_state(
     docs: DataFrame, n_merges: int = 8, text_col: str = "text"
-) -> DataFrame:
-    """Learn ``n_merges`` BPE merges; returns (rank, left, right,
-    merged, n) — the merge table a tokenizer ships. Driver state is the
-    merge list only; each round is one pair-count aggregate over the
-    vocabulary-sized word table plus an in-row rewrite."""
-    spark: SparkSession = docs.sparkSession
+) -> "tuple[list[tuple], DataFrame]":
+    """The training loop behind :func:`train_bpe`, also returning the
+    FINAL rewritten word table (word, freq, toks) — the state a
+    tokenizer-application pass needs (see :func:`bpe_fertility`).
+    Driver state is the merge list only; each round is one pair-count
+    aggregate over the vocabulary-sized word table plus an in-row
+    rewrite, localCheckpointed so N merges never deepen the plan."""
     words = word_freq_tokens(docs, text_col).localCheckpoint()
     merges = []
     for rank in range(n_merges):
@@ -113,6 +114,69 @@ def train_bpe(
         prev = words
         words = _apply_merge(words, t["left"], t["right"]).localCheckpoint()
         prev.unpersist()  # release the superseded round's blocks
+    return merges, words
+
+
+def train_bpe(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns (rank, left, right,
+    merged, n) — the merge table a tokenizer ships."""
+    spark: SparkSession = docs.sparkSession
+    merges, _words = train_bpe_state(docs, n_merges, text_col)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, n bigint"
+    )
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Tokenizer-efficiency audit: train ``n_merges`` BPE merges on the
+    corpus, then report per ``group_col`` the FERTILITY (subword tokens
+    per word) and compression (chars per token) the tokenizer achieves
+    there — the table that decides whether a tokenizer is retrained
+    before a new data mixture ships (a domain with outlier fertility
+    wastes sequence length).
+
+    Scale shape: the apply pass never re-tokenizes the corpus — the
+    final word table (vocabulary-sized) already holds each word's
+    post-merge token count, and it joins the per-(group, word)
+    occurrence counts as a BROADCAST build side (a vocabulary is
+    bounded; the corpus is not). All sums are integers; each reported
+    ratio is one division of two exact sums."""
+    _merges, words = train_bpe_state(docs, n_merges, text_col)
+    from ..functions.text import word_tokens
+
+    vocab = words.select(
+        "word",
+        F.size("toks").alias("n_toks"),
+        F.length("word").alias("n_chars"),
+    )
+    occ = (
+        docs.select(F.col(group_col).alias("grp"), F.explode(word_tokens(F.col(text_col))).alias("word"))
+        .groupBy("grp", "word")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    return (
+        occ.join(F.broadcast(vocab), "word")
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.sum("occ").alias("n_words"),
+            F.sum(F.col("occ") * F.col("n_toks")).alias("n_tokens"),
+            F.round(
+                F.sum(F.col("occ") * F.col("n_toks")).cast("double")
+                / F.sum("occ").cast("double"),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.sum(F.col("occ") * F.col("n_chars")).cast("double")
+                / F.sum(F.col("occ") * F.col("n_toks")).cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+        .orderBy(group_col)
     )

