@@ -1155,8 +1155,10 @@ def _embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 PCA projection summarized per label (mean/variance of each
-    component). Rows-only: eigendecomposition is not SQL-expressible;
-    pytest asserts orthonormality/variance-ordering invariants."""
+    component). Rows-only: LAPACK eigendecomposition has no SQL replay;
+    pytest asserts orthonormality/variance-ordering invariants, and the
+    eigen PATH itself is oracle-checked via the fixed-round twin entry
+    ``embedding_power_iter`` (similarity.power_iteration)."""
     t = load_tables(spark, sf_dir, register=False)
     proj, _explained = similarity.pca_project(t["embeddings"], k=2)
     return (
