@@ -2174,17 +2174,21 @@ def _corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, register=False)
     docs = t["documents"]
-    q = docs.filter(gopher_pass(F.col("text")))
-    ex = dedup.dedup_exact(q)
+    # each stage feeds BOTH the next stage and its own count — eager
+    # localCheckpoint makes every stage compute once (without it the 5
+    # counts re-run the whole upstream chain, including the near-dup CC
+    # iterations: measured 9.8 s -> ~3 s at sf0.1)
+    q = docs.filter(gopher_pass(F.col("text"))).localCheckpoint(eager=True)
+    ex = dedup.dedup_exact(q).localCheckpoint(eager=True)
     labels = dedup.near_dup_clusters(ex, est_threshold=0.5)
     nd = ex.join(
         labels.filter(F.col("id") == F.col("cluster_id"))
         .select(F.col("id").alias("doc_id")),
         "doc_id",
         "left_semi",
-    )
+    ).localCheckpoint(eager=True)
     test = curation.deterministic_split(docs).filter(F.col("split") == "test")
-    dec = dedup.decontaminate(nd, test, method="exact")
+    dec = dedup.decontaminate(nd, test, method="exact").localCheckpoint(eager=True)
     stages = [
         (0, "raw", docs), (1, "quality", q), (2, "exact_dedup", ex),
         (3, "near_dup", nd), (4, "decontam", dec),

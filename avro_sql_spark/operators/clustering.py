@@ -24,25 +24,32 @@ from pyspark.sql import functions as F
 
 def _assign(emb: DataFrame, cents: "list[list[float]]", vec_col: str):
     """Append 'cluster' (0-based argmin of squared L2 distance; ties →
-    lowest index) and '_dist' (the winning squared distance)."""
-    v = F.col(vec_col).cast("array<double>")
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(v, F.lit(c), lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for c in cents
-        ]
+    lowest index) and '_dist' (the winning squared distance).
+
+    The per-centroid distance is an UNROLLED left-associated sum built
+    as ONE SQL string: the identical IEEE value as the 0.0-seeded
+    aggregate/zip_with fold it replaces (0.0+x == x, same add order),
+    but whole-stage-codegen'd instead of interpreted per row, and one
+    Py4J call instead of ~k x d Column round-trips (driver seconds at
+    k=16, d=64 — the minhash-builder lesson)."""
+    d = len(cents[0])
+    vexpr = f"cast(`{vec_col}` as array<double>)"
+    dists = ", ".join(
+        " + ".join(
+            f"({vexpr}[{i}] - {c[i]!r}D) * ({vexpr}[{i}] - {c[i]!r}D)"
+            for i in range(d)
+        )
+        for c in cents
     )
-    return emb.withColumn("_dists", dists).select(
-        "*",
-        (F.array_position(F.col("_dists"), F.array_min("_dists")) - 1)
-        .cast("int")
-        .alias("cluster"),
-        F.array_min("_dists").alias("_dist"),
-    ).drop("_dists")
+    return (
+        emb.selectExpr("*", f"array({dists}) AS _dists")
+        .selectExpr(
+            "*",
+            "cast(array_position(_dists, array_min(_dists)) - 1 as int) AS cluster",
+            "array_min(_dists) AS _dist",
+        )
+        .drop("_dists")
+    )
 
 
 def lloyd_centroids(

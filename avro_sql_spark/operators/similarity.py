@@ -837,11 +837,20 @@ def semantic_dedup_report(
     from .clustering import _assign, lloyd_centroids
 
     cents = lloyd_centroids(emb, k, iterations, id_col, vec_col)
+    d = len(cents[0])
 
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, t: acc + t
-        )
+    # UNROLLED left-associated dot products as SQL STRINGS: the same
+    # IEEE value as the 0.0-seeded fold (0.0+x == x), but (a) plain
+    # arithmetic that whole-stage codegen compiles — a higher-order
+    # aggregate/zip_with runs interpreted per row (~3x on the pair
+    # pass) — and (b) ONE Py4J expression call instead of ~d Column
+    # round-trips per use (Column-by-Column construction costs driver
+    # seconds at d=64; same lesson as the minhash signature builder)
+    def dot_sql(a: str, b: str) -> str:
+        return " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(d))
+
+    def cdot_sql(a: str, c: "list[float]") -> str:
+        return " + ".join(f"{a}[{i}] * {c[i]!r}D" for i in range(d))
 
     def pynorm(c):
         s = 0.0
@@ -849,48 +858,59 @@ def semantic_dedup_report(
             s += e * e
         return math.sqrt(s)
 
-    v = F.col(vec_col).cast("array<double>")
-    nrm = F.sqrt(dot(v, v))
-    ccos = F.element_at(
-        F.array(
-            *[
-                F.round(
-                    dot(v, F.lit(c)) / (F.sqrt(dot(v, v)) * F.lit(pynorm(c))), 6
-                )
-                for c in cents
-            ]
-        ),
-        F.col("cluster") + 1,
+    ccos_sql = "element_at(array({}), cluster + 1)".format(
+        ", ".join(
+            f"round(({cdot_sql('vec', c)}) / (sqrt({dot_sql('vec', 'vec')}) * {pynorm(c)!r}D), 6)"
+            for c in cents
+        )
     )
     pts = (
         _assign(emb, cents, vec_col)
         .select(
             F.col(id_col).alias("id"),
-            v.alias("vec"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
             "cluster",
-            nrm.alias("nrm"),
-            ccos.alias("ccos"),
+        )
+        .selectExpr(
+            "id",
+            "vec",
+            "cluster",
+            f"sqrt({dot_sql('vec', 'vec')}) AS nrm",
+            f"{ccos_sql} AS ccos",
         )
         .localCheckpoint(eager=True)  # reused by both sides of the pair join
     )
     a, b = pts.alias("a"), pts.alias("b")
-    pcos = F.round(
-        dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    # the candidate join's equi-key has only k distinct values, so its
+    # output lands on <= k partitions — emit SKINNY id pairs there and
+    # re-attach the vectors by id joins (the lsh_bucketed_ann pattern):
+    # the O(d) cosine fold then runs hash(id)-distributed across all
+    # cores, and no shuffle ever carries two vectors per row
+    ids = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.cluster").alias("cluster"),
+        F.col("a.id").alias("ia"),
+        F.col("b.id").alias("ib"),
+        F.col("a.ccos").alias("ca"),
+        F.col("b.ccos").alias("cb"),
+    )
+    v1 = pts.select(
+        F.col("id").alias("ia"), F.col("vec").alias("va"), F.col("nrm").alias("na")
+    )
+    v2 = pts.select(
+        F.col("id").alias("ib"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
     )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.id") < F.col("b.id")),
+        ids.join(v1, "ia")
+        .join(v2, "ib")
+        .filter(
+            F.expr(f"round(({dot_sql('va', 'vb')}) / (na * nb), 6)")
+            >= F.lit(tau)
         )
-        .filter(pcos >= F.lit(tau))
-        .select(
-            F.col("a.cluster").alias("cluster"),
-            F.col("a.id").alias("ia"),
-            F.col("b.id").alias("ib"),
-            F.col("a.ccos").alias("ca"),
-            F.col("b.ccos").alias("cb"),
-        )
+        .select("cluster", "ia", "ib", "ca", "cb")
     )
     dropped = pairs.select(
         "cluster",
