@@ -1214,6 +1214,21 @@ def _bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_fertility(t["documents"], n_merges=8)
 
 
+def _compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (layout.compaction_plan): synthetic
+    ingest files = one per order date (bytes = rows x 4096), packed into
+    ~4 MiB output bins by integer byte offset. The plan is a pure
+    integer function of (sizes, date order); the oracle replays the
+    identical cumulative-offset arithmetic."""
+    from avro_sql_spark.operators.layout import compaction_plan
+
+    t = load_tables(spark, sf_dir, register=False)
+    files = t["orders"].groupBy(
+        F.col("o_orderdate").alias("file_id")
+    ).agg((F.count(F.lit(1)) * 4096).alias("bytes"))
+    return compaction_plan(files, target_bytes=4 * 1024 * 1024)
+
+
 def _ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov length-drift audit between
     the deterministic train and test splits, per language
@@ -2344,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": _ccnet_buckets,
         "ks_length_drift": _ks_length_drift,
         "bpe_fertility": _bpe_fertility,
+        "compaction_plan": _compaction_plan,
         "dsir_weights": _dsir_weights,
         "skipgram_pairs": _skipgram_pairs,
         "tf_cosine_pairs": _tf_cosine_pairs,
@@ -3740,6 +3756,23 @@ LIMIT 20
 """,
         "bpe_merges": _bpe_merges_oracle(8),
         "bpe_fertility": _bpe_fertility_oracle(8),
+        # integer byte-offset bin assignment over the metadata-sized
+        # file table; fill is one division of exact integer sums
+        "compaction_plan": """
+WITH files AS (SELECT o_orderdate AS file_id,
+                      COUNT(*) * 4096 AS bytes
+               FROM orders GROUP BY 1),
+assigned AS (
+  SELECT bytes,
+         CAST(FLOOR((SUM(bytes) OVER (ORDER BY file_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - bytes) / 4194304) AS INT) AS bin
+  FROM files)
+SELECT bin, COUNT(*) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       ROUND(CAST(SUM(bytes) AS DOUBLE) / 4194304.0, 4) AS fill
+FROM assigned GROUP BY 1 ORDER BY bin
+""",
         "embedding_power_iter": _power_iter_oracle(64, 800),
         "semantic_dedup": _semdedup_oracle(8, 2, "0.35"),
         # integer KS: cumulative counts over the distinct length domain,

@@ -198,3 +198,52 @@ def zorder_write(
         .mode(mode)
         .save(path)
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    size_col: str = "bytes",
+    id_col: str = "file_id",
+    target_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Small-file compaction plan: assign input files (in ``id_col``
+    order) to ~``target_bytes`` output bins by BYTE OFFSET — file i
+    lands in bin floor(cum_before_i / target), i.e. the bin its first
+    byte falls in when the inputs are laid end-to-end. The classic
+    maintenance job behind every 100 TB table: thousands of ingest-time
+    small files become dozens of right-sized ones, and the plan itself
+    is a pure integer function of (sizes, order) — exactly replayable,
+    no sequential driver loop (a true first-fit needs running state;
+    the offset rule is what log-structured writers actually do when
+    splitting a concatenated stream).
+
+    Returns per bin: file count, exact total bytes, and fill fraction
+    vs target. Scale note: the window is a GLOBAL order over the FILE
+    METADATA table — bounded by file count (one row per file, never
+    data rows), the same metadata-sized-global-sort contract as the
+    skipping audit."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = files.select(
+        F.col(id_col),
+        F.col(size_col).alias("sz"),
+        F.floor(
+            (F.sum(size_col).over(w) - F.col(size_col))
+            / F.lit(target_bytes)
+        ).cast("int").alias("bin"),
+    )
+    return (
+        assigned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("sz").alias("total_bytes"),
+            F.round(
+                F.sum("sz").cast("double") / F.lit(float(target_bytes)), 4
+            ).alias("fill"),
+        )
+        .orderBy("bin")
+    )

@@ -155,6 +155,7 @@ HEADLINE = [
     "ks_length_drift",
     "bpe_merges",
     "bpe_fertility",
+    "compaction_plan",
 ]
 
 

@@ -114,3 +114,18 @@ def test_skipping_report_zorder_beats_linear_off_axis(spark):
     # the linear layout sorts by x only: every file spans ALL of y, so
     # a y-restricted predicate can never prune -> z-order wins
     assert rows["zorder"]["pct_pruned"] > rows["linear"]["pct_pruned"]
+
+
+def test_compaction_plan_offsets(spark):
+    """Byte-offset binning: files land in the bin their first byte
+    falls in; totals are exact."""
+    from avro_sql_spark.operators.layout import compaction_plan
+
+    files = spark.createDataFrame(
+        [(1, 60), (2, 60), (3, 60), (4, 10)], "file_id int, bytes long"
+    )
+    out = {r["bin"]: r for r in compaction_plan(files, target_bytes=100).collect()}
+    # offsets: f1@0 -> bin0, f2@60 -> bin0, f3@120 -> bin1, f4@180 -> bin1
+    assert out[0]["n_files"] == 2 and out[0]["total_bytes"] == 120
+    assert out[1]["n_files"] == 2 and out[1]["total_bytes"] == 70
+    assert out[0]["fill"] == 1.2 and out[1]["fill"] == 0.7
