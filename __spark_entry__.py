@@ -1214,6 +1214,17 @@ def _bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_fertility(t["documents"], n_merges=8)
 
 
+def _kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round k-core peeling audit over the co-purchase graph
+    (graph.kcore_peel, k=3, 4 rounds): per round the surviving
+    (nodes, edges) — the densification check before any graph-global
+    pass. Oracle unrolls the identical degree-filter-prune rounds."""
+    from avro_sql_spark.operators.graph import copurchase_edges, kcore_peel
+
+    t = load_tables(spark, sf_dir, register=False)
+    return kcore_peel(copurchase_edges(t["lineitem"], min_count=2), k=3, rounds=4)
+
+
 def _compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planner (layout.compaction_plan): synthetic
     ingest files = one per order date (bytes = rows x 4096), packed into
@@ -2360,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_length_drift": _ks_length_drift,
         "bpe_fertility": _bpe_fertility,
         "compaction_plan": _compaction_plan,
+        "kcore_summary": _kcore_summary,
         "dsir_weights": _dsir_weights,
         "skipgram_pairs": _skipgram_pairs,
         "tf_cosine_pairs": _tf_cosine_pairs,
@@ -2863,6 +2875,39 @@ SELECT CAST(t.cluster AS INT) AS cluster,
        t.n_points - COALESCE(nd.n_dropped, 0) AS n_kept
 FROM tot t LEFT JOIN np_ USING (cluster) LEFT JOIN nd USING (cluster)
 ORDER BY cluster
+"""
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 4) -> str:
+    """SQL twin of graph.kcore_peel over the co-purchase edges: each
+    unrolled round recomputes degrees over the surviving edge list,
+    keeps vertices with degree >= k, and prunes edges to the kept set;
+    survivor counts are exact integers. Every e{r} is MATERIALIZED —
+    each round is referenced by the next round AND two count
+    subqueries, and DuckDB re-evaluates non-materialized CTEs per
+    reference (exponential over unrolled rounds: minutes, not ms)."""
+    its = []
+    for r in range(1, rounds + 1):
+        its.append(f"""
+dg{r} AS (SELECT id, COUNT(*) AS deg
+         FROM (SELECT pa AS id FROM e{r - 1}
+               UNION ALL SELECT pb FROM e{r - 1}) GROUP BY 1),
+al{r} AS (SELECT id FROM dg{r} WHERE deg >= {k}),
+e{r} AS MATERIALIZED (SELECT pa, pb FROM e{r - 1}
+        WHERE pa IN (SELECT id FROM al{r})
+          AND pb IN (SELECT id FROM al{r}))""")
+    rows = "\nUNION ALL ".join(
+        f"SELECT {r} AS round, "
+        f"(SELECT COUNT(*) FROM (SELECT pa AS id FROM e{r} "
+        f"UNION SELECT pb FROM e{r})) AS n_nodes, "
+        f"(SELECT COUNT(*) FROM e{r}) AS n_edges"
+        for r in range(1, rounds + 1)
+    )
+    return f"""
+WITH {_COPURCHASE_PC},
+e0 AS MATERIALIZED (SELECT pa, pb FROM pc),{",".join(its)}
+{rows}
+ORDER BY round
 """
 
 
@@ -3756,6 +3801,9 @@ LIMIT 20
 """,
         "bpe_merges": _bpe_merges_oracle(8),
         "bpe_fertility": _bpe_fertility_oracle(8),
+        # 4 unrolled peel rounds: degree filter >= k then edge prune;
+        # per-round survivor counts are exact integers
+        "kcore_summary": _kcore_oracle(3, 4),
         # integer byte-offset bin assignment over the metadata-sized
         # file table; fill is one division of exact integer sums
         "compaction_plan": """

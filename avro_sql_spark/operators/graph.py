@@ -401,3 +401,57 @@ def triangle_count(
             .alias("clustering"),
         )
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected edge list: each
+    round drops every vertex whose degree in the SURVIVING subgraph is
+    below ``k``, then discards edges touching dropped vertices. After
+    enough rounds the survivors are exactly the classic k-core; a FIXED
+    ``rounds`` keeps the result a closed-form function of the input
+    (the same determinism contract as pagerank/label_propagation), so a
+    SQL oracle unrolls the identical rounds. Returns one row per round:
+    (round, n_nodes, n_edges) of the surviving subgraph — the
+    densification audit run before committing to an expensive
+    graph-global algorithm on a 100 TB co-occurrence graph.
+
+    Scale shape per round: ONE degree aggregate (map-side combined) +
+    TWO node-keyed semi-joins pruning the edge list; the edge frame
+    localCheckpoints per round so lineage stays flat."""
+    a, b = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    out = []
+    for r in range(1, rounds + 1):
+        deg = (
+            e.select(F.col("a").alias("id"))
+            .unionAll(e.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = deg.filter(F.col("deg") >= k).select("id")
+        e = (
+            e.join(alive.withColumnRenamed("id", "a"), "a", "left_semi")
+            .join(alive.withColumnRenamed("id", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_nodes = (
+            e.select(F.col("a").alias("id"))
+            .unionAll(e.select(F.col("b").alias("id")))
+            .distinct()
+            .count()
+        )
+        out.append((r, n_nodes, e.count()))
+    return spark.createDataFrame(out, "round int, n_nodes bigint, n_edges bigint")

@@ -156,6 +156,7 @@ HEADLINE = [
     "bpe_merges",
     "bpe_fertility",
     "compaction_plan",
+    "kcore_summary",
 ]
 
 

@@ -135,3 +135,17 @@ def test_label_propagation_deterministic(spark):
     a = sorted(map(tuple, label_propagation(df, rounds=3).collect()))
     b = sorted(map(tuple, label_propagation(df, rounds=3).collect()))
     assert a == b
+
+
+def test_kcore_peel_triangles(spark):
+    """A triangle (all degrees 2) survives k=2 peeling forever and
+    dies instantly at k=3; a pendant vertex dies in round 1."""
+    from avro_sql_spark.operators.graph import kcore_peel
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4)]  # triangle + pendant 4
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    k2 = {r["round"]: r for r in kcore_peel(df, k=2, rounds=2).collect()}
+    assert (k2[1]["n_nodes"], k2[1]["n_edges"]) == (3, 3)  # pendant gone
+    assert (k2[2]["n_nodes"], k2[2]["n_edges"]) == (3, 3)  # stable core
+    k3 = {r["round"]: r for r in kcore_peel(df, k=3, rounds=1).collect()}
+    assert (k3[1]["n_nodes"], k3[1]["n_edges"]) == (0, 0)
