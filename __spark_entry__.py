@@ -2527,7 +2527,14 @@ def _lang_score(lang: str) -> str:
 
 def _hash_unit(key_expr: str, salt: str) -> str:
     """DuckDB twin of curation.hash_unit: md5 hex prefix -> bigint ->
-    unit interval (same 1e6-bucket arithmetic as the Spark side)."""
+    unit interval (same 1e6-bucket arithmetic as the Spark side).
+
+    Split-cutoff convention: deterministic_split's val/test boundary is
+    the DOUBLE 0.9 + 0.05/1.0 = 0.9500000000000001, NOT 0.95 — bucket
+    950000 (u = 0.95's double, 1 ulp BELOW the cutoff) is 'val' on the
+    Spark side, so every oracle must compare against
+    CAST('0.9500000000000001' AS DOUBLE) (exhaustively verified over
+    all 10^6 buckets: the naive 0.95 literal flips exactly that one)."""
     return (
         f"(CAST(('0x' || substring(md5(CAST({key_expr} AS VARCHAR) || ':{salt}'), 1, 8)) AS BIGINT)"
         f" % 1000000) / 1000000.0"
@@ -2649,12 +2656,16 @@ SELECT node AS part, ROUND(pr, 8) AS pr FROM {prev} ORDER BY part
 """
 
 
-def _kmeans_oracle(k: int = 4, iterations: int = 2) -> str:
-    """Unrolled fixed-iteration Lloyd twin of operators/clustering.py:
-    same lowest-id seeds, same squared-L2 assignment with ties broken to
-    the lowest centroid index (ORDER BY d, c == array_position-of-min),
-    same per-dimension AVG update. Assumes no cluster empties at gate
-    SFs (the Spark side's keep-old-centroid rule then never fires)."""
+def _lloyd_ctes(k: int = 4, iterations: int = 2) -> "tuple[str, str]":
+    """The SHARED unrolled deterministic-Lloyd CTE chain (SQL twin of
+    operators/clustering.py, consumed by _kmeans_oracle AND
+    _semdedup_oracle): lowest-id seeds, squared-L2 assignment with ties
+    broken to the lowest centroid index (ORDER BY d, c ==
+    array_position-of-min), per-dimension 9-dp AVG updates. Yields CTEs
+    x (exploded vectors), c{{iterations}} (final centroids), and aF
+    (final assignment with vec_id, c, d). Assumes no cluster empties at
+    gate SFs (the Spark side's keep-old-centroid rule then never
+    fires). Returns (cte_sql, final_centroid_cte_name)."""
     its = []
     prev = "c0"
     for t in range(1, iterations + 1):
@@ -2666,9 +2677,8 @@ a{t} AS (SELECT vec_id, c, d FROM d{t}
 c{t} AS (SELECT a.c, x.i, ROUND(AVG(x.v), 9) AS v
         FROM a{t} a JOIN x ON x.vec_id = a.vec_id GROUP BY 1, 2)""")
         prev = f"c{t}"
-    fin = iterations + 1
-    return f"""
-WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+    return (
+        f"""x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
                   CAST(unnest(embedding) AS DOUBLE) AS v
            FROM embeddings),
 seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c
@@ -2678,7 +2688,17 @@ c0 AS (SELECT s.c, x.i, x.v FROM x JOIN seeds s USING (vec_id)),
 dF AS (SELECT x.vec_id, cc.c, SUM((x.v - cc.v) * (x.v - cc.v)) AS d
        FROM x JOIN {prev} cc USING (i) GROUP BY 1, 2),
 aF AS (SELECT vec_id, c, d FROM dF
-       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) = 1)
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) = 1)""",
+        prev,
+    )
+
+
+def _kmeans_oracle(k: int = 4, iterations: int = 2) -> str:
+    """kmeans_report twin: the shared _lloyd_ctes chain plus the
+    per-cluster count + 4-dp mean squared distance rollup."""
+    ctes, _final = _lloyd_ctes(k, iterations)
+    return f"""
+WITH {ctes}
 SELECT CAST(c AS INT) AS cluster, COUNT(*) AS n_points,
        ROUND(AVG(d), 4) AS mean_sqdist
 FROM aF GROUP BY 1 ORDER BY 1
@@ -2827,37 +2847,25 @@ def _semdedup_oracle(k: int = 8, iterations: int = 2, tau: str = "0.35") -> str:
     argmin with lowest-index ties, 9-dp centroid updates), then vectors
     and final centroids re-packed as ordered lists so every cosine is
     the identical left-fold (list_dot_product == F.aggregate from 0.0),
-    6-dp rounded before the threshold and the drop comparison."""
-    its, prev = [], "c0"
-    for t in range(1, iterations + 1):
-        its.append(f"""
-d{t} AS (SELECT x.vec_id, cc.c, SUM((x.v - cc.v) * (x.v - cc.v)) AS d
-        FROM x JOIN {prev} cc USING (i) GROUP BY 1, 2),
-a{t} AS (SELECT vec_id, c, d FROM d{t}
-        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) = 1),
-c{t} AS (SELECT a.c, x.i, ROUND(AVG(x.v), 9) AS v
-        FROM a{t} a JOIN x ON x.vec_id = a.vec_id GROUP BY 1, 2)""")
-        prev = f"c{t}"
+    6-dp rounded before the threshold and the drop comparison.
+
+    Inherits _lloyd_ctes' 'no cluster empties at gate SFs' assumption:
+    Spark's keep-old-centroid rule for an emptied cluster has no row
+    here (the AVG-join just drops it), so if a cluster ever lost all
+    members the assignments would diverge — swept green at
+    k=8/iterations=2 on all three gate SFs, revisit if k grows."""
+    ctes, final_c = _lloyd_ctes(k, iterations)
     return f"""
-WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-                  CAST(unnest(embedding) AS DOUBLE) AS v
-           FROM embeddings),
-seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c
-          FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
-c0 AS (SELECT s.c, x.i, x.v FROM x JOIN seeds s USING (vec_id)),
-{",".join(its)},
-dF AS (SELECT x.vec_id, cc.c, SUM((x.v - cc.v) * (x.v - cc.v)) AS d
-       FROM x JOIN {prev} cc USING (i) GROUP BY 1, 2),
-aF AS (SELECT vec_id, c FROM dF
-       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) = 1),
+WITH {ctes},
 va AS (SELECT vec_id, array_agg(v ORDER BY i) AS vec FROM x GROUP BY 1),
-ca AS (SELECT c, array_agg(v ORDER BY i) AS cent FROM {prev} GROUP BY 1),
+ca AS (SELECT c, array_agg(v ORDER BY i) AS cent FROM {final_c} GROUP BY 1),
 pts AS (SELECT a.vec_id AS id, a.c AS cluster, va.vec,
                sqrt(list_dot_product(va.vec, va.vec)) AS nrm,
                ROUND(list_dot_product(va.vec, ca.cent)
                      / (sqrt(list_dot_product(va.vec, va.vec))
                         * sqrt(list_dot_product(ca.cent, ca.cent))), 6) AS ccos
-        FROM aF a JOIN va USING (vec_id) JOIN ca ON ca.c = a.c),
+        FROM aF a JOIN va USING (vec_id) JOIN ca ON ca.c = a.c
+        WHERE list_dot_product(va.vec, va.vec) > 0),
 pairs AS (SELECT a.cluster, a.id AS ia, b.id AS ib, a.ccos AS ca_, b.ccos AS cb_
           FROM pts a JOIN pts b ON a.cluster = b.cluster AND a.id < b.id
           WHERE ROUND(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6)
@@ -2972,7 +2980,11 @@ ORDER BY rank
 def _bpe_rounds_ctes(n_merges: int = 8) -> str:
     """The shared unrolled-BPE CTE chain (word carried through every
     rewrite so appliers can map word -> final toks): w0..w{n} word
-    tables, p1..pn pair counts, b1..bn per-round best pairs."""
+    tables, p1..pn pair counts, b1..bn per-round best pairs. Each
+    rewrite LEFT JOINs its best-pair row: when a round finds no pair
+    (corpus exhausted before n_merges) the word table passes through
+    unchanged — matching train_bpe_state's early ``break`` — instead of
+    a comma join with an empty frame emptying every later round."""
     blocks = []
     for r in range(1, n_merges + 1):
         blocks.append(f"""
@@ -2981,12 +2993,13 @@ p{r} AS (SELECT toks[i] AS bl, toks[i + 1] AS br, SUM(freq) AS n
       WHERE len(toks) >= 2 GROUP BY 1, 2),
 b{r} AS (SELECT bl, br, n FROM p{r} ORDER BY n DESC, bl, br LIMIT 1),
 w{r} AS (SELECT word, freq,
+            CASE WHEN b.bl IS NULL THEN toks ELSE
             list_reduce(list_transform(toks, t -> [t]),
               (acc, x) -> CASE WHEN acc[-1] = b.bl AND x[1] = b.br
                                THEN list_append(acc[:len(acc) - 1],
                                                 b.bl || b.br)
-                               ELSE list_concat(acc, x) END) AS toks
-      FROM w{r - 1}, b{r} b)""")
+                               ELSE list_concat(acc, x) END) END AS toks
+      FROM w{r - 1} LEFT JOIN b{r} b ON TRUE)""")
     return rf"""w AS (
   SELECT word FROM (
     SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
@@ -3280,7 +3293,7 @@ fu_lab AS (SELECT id, MIN(lbl) AS cl FROM fu_reach GROUP BY 1),
 fu_nd AS (SELECT e.doc_id, e.text FROM fu_ex e
           JOIN fu_lab l ON l.id = e.doc_id AND l.cl = e.doc_id),
 fu_tf AS (SELECT DISTINCT {_FP} AS fp FROM documents
-          WHERE {_hash_unit("doc_id", "split")} >= 0.95),
+          WHERE {_hash_unit("doc_id", "split")} >= CAST('0.9500000000000001' AS DOUBLE)),
 fu_dec AS (SELECT doc_id FROM fu_nd
            WHERE {_FP} NOT IN (SELECT fp FROM fu_tf)),
 fu_cnt AS (
@@ -3831,7 +3844,7 @@ WITH d AS (SELECT lang, n_chars, {_hash_unit("doc_id", "split")} AS u
 ca AS (SELECT lang, n_chars AS v, COUNT(*) AS c_a FROM d
        WHERE u < 0.9 GROUP BY 1, 2),
 cb AS (SELECT lang, n_chars AS v, COUNT(*) AS c_b FROM d
-       WHERE u >= 0.95 GROUP BY 1, 2),
+       WHERE u >= CAST('0.9500000000000001' AS DOUBLE) GROUP BY 1, 2),
 m AS (SELECT lang, v, COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
       FROM ca FULL OUTER JOIN cb USING (lang, v)),
 cum AS (SELECT lang,
@@ -3910,16 +3923,21 @@ SELECT source, COUNT(*) AS n_docs,
                        OR 25 * t4 > 4 * chars OR 20 * d5 > 3 * tot5
                        OR 10 * d10 > tot10 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_repetitive,
-       ROUND(CAST(SUM(t2) AS DOUBLE) / CAST(SUM(chars) AS DOUBLE), 6)
-         AS top2_char_frac,
-       ROUND(CAST(SUM(t3) AS DOUBLE) / CAST(SUM(chars) AS DOUBLE), 6)
-         AS top3_char_frac,
-       ROUND(CAST(SUM(t4) AS DOUBLE) / CAST(SUM(chars) AS DOUBLE), 6)
-         AS top4_char_frac,
-       ROUND(CAST(SUM(d5) AS DOUBLE) / CAST(SUM(tot5) AS DOUBLE), 6)
-         AS dup5_occ_frac,
-       ROUND(CAST(SUM(d10) AS DOUBLE) / CAST(SUM(tot10) AS DOUBLE), 6)
-         AS dup10_occ_frac
+       CASE WHEN SUM(chars) > 0 THEN
+         ROUND(CAST(SUM(t2) AS DOUBLE) / CAST(SUM(chars) AS DOUBLE), 6)
+       END AS top2_char_frac,
+       CASE WHEN SUM(chars) > 0 THEN
+         ROUND(CAST(SUM(t3) AS DOUBLE) / CAST(SUM(chars) AS DOUBLE), 6)
+       END AS top3_char_frac,
+       CASE WHEN SUM(chars) > 0 THEN
+         ROUND(CAST(SUM(t4) AS DOUBLE) / CAST(SUM(chars) AS DOUBLE), 6)
+       END AS top4_char_frac,
+       CASE WHEN SUM(tot5) > 0 THEN
+         ROUND(CAST(SUM(d5) AS DOUBLE) / CAST(SUM(tot5) AS DOUBLE), 6)
+       END AS dup5_occ_frac,
+       CASE WHEN SUM(tot10) > 0 THEN
+         ROUND(CAST(SUM(d10) AS DOUBLE) / CAST(SUM(tot10) AS DOUBLE), 6)
+       END AS dup10_occ_frac
 FROM pd GROUP BY source ORDER BY source
 """,
         "merge_upsert_snapshot": """
@@ -4584,7 +4602,7 @@ ORDER BY event_type
         "langid_confusion": _langid_confusion_oracle(),
         "split_assignment": f"""
 SELECT CASE WHEN {_hash_unit("doc_id", "split")} < 0.9 THEN 'train'
-            WHEN {_hash_unit("doc_id", "split")} < 0.95 THEN 'val'
+            WHEN {_hash_unit("doc_id", "split")} < CAST('0.9500000000000001' AS DOUBLE) THEN 'val'
             ELSE 'test' END AS split,
   COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
   CAST(SUM(n_chars) AS BIGINT) AS total_chars
@@ -4837,15 +4855,7 @@ WITH base AS (
          CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
   FROM documents
 ), scored AS (
-  SELECT doc_id, lang,
-    (n >= 30 AND n <= 100000
-     AND (length(replace(text, ' ', '')) / n) >= 3.0
-     AND (length(replace(text, ' ', '')) / n) <= 10.0
-     AND (({_occ('#', 'text')} + {_occ('...', 'text')}) / n) <= 0.05
-     AND (CAST(len(list_filter(string_split(lower(text), ' '),
-                               x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
-          / len(string_split(lower(text), ' '))) >= 0.8
-     AND ({" + ".join(_occ(f" {w} ") for w in _EN_STOPWORDS)}) >= 1) AS ok
+  SELECT doc_id, lang, {_gopher_ok_expr()} AS ok
   FROM base
 )
 SELECT lang, COUNT(*) AS n_docs,
@@ -5287,21 +5297,14 @@ WITH base AS (
   FROM documents
 ), passed AS (
   SELECT doc_id, lang, n_chars, text FROM base
-  WHERE n >= 30 AND n <= 100000
-    AND (length(replace(text, ' ', '')) / n) >= 3.0
-    AND (length(replace(text, ' ', '')) / n) <= 10.0
-    AND (({_occ('#', 'text')} + {_occ('...', 'text')}) / n) <= 0.05
-    AND (CAST(len(list_filter(string_split(lower(text), ' '),
-                              x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
-         / len(string_split(lower(text), ' '))) >= 0.8
-    AND ({" + ".join(_occ(f" {w} ") for w in _EN_STOPWORDS)}) >= 1
+  WHERE {_gopher_ok_expr()}
 ), kept AS (
   SELECT * FROM passed
   WHERE doc_id IN (SELECT MIN(doc_id) FROM passed
                    GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
 ), labeled AS (
   SELECT *, CASE WHEN {_hash_unit("doc_id", "split")} < 0.9 THEN 'train'
-                 WHEN {_hash_unit("doc_id", "split")} < 0.95 THEN 'val'
+                 WHEN {_hash_unit("doc_id", "split")} < CAST('0.9500000000000001' AS DOUBLE) THEN 'val'
                  ELSE 'test' END AS split
   FROM kept
 ), test_fp AS (
@@ -5341,7 +5344,7 @@ ORDER BY lang
         "decontam_exact": f"""
 WITH labeled AS (
   SELECT *, CASE WHEN {_hash_unit("doc_id", "split")} < 0.9 THEN 'train'
-                 WHEN {_hash_unit("doc_id", "split")} < 0.95 THEN 'val'
+                 WHEN {_hash_unit("doc_id", "split")} < CAST('0.9500000000000001' AS DOUBLE) THEN 'val'
                  ELSE 'test' END AS split
   FROM documents
 ),
@@ -5433,7 +5436,7 @@ ORDER BY label
         "decontam_ngram": f"""
 WITH labeled AS (
   SELECT *, CASE WHEN {_hash_unit("doc_id", "split")} < 0.9 THEN 'train'
-                 WHEN {_hash_unit("doc_id", "split")} < 0.95 THEN 'val'
+                 WHEN {_hash_unit("doc_id", "split")} < CAST('0.9500000000000001' AS DOUBLE) THEN 'val'
                  ELSE 'test' END AS split
   FROM documents
 ),

@@ -726,10 +726,16 @@ def power_iteration(
     (not a convergence test) keeps the result a closed-form function of
     the input. Returns (loadings, rayleigh_norm) — the final normalized
     vector and the last pre-normalization norm (the eigenvalue estimate
-    once converged); starting vector is all-ones."""
+    once converged); starting vector is all-ones. Raises AvroSqlError
+    on an empty matrix or when an iterate's norm hits exactly zero (a
+    zero matrix has no dominant direction)."""
     import math
 
+    from ..errors import AvroSqlError
+
     cells = cov.collect()
+    if not cells:
+        raise AvroSqlError("power_iteration: empty covariance frame")
     d = max(r["i"] for r in cells) + 1
     m = [[0.0] * d for _ in range(d)]
     for r in cells:
@@ -747,6 +753,11 @@ def power_iteration(
         for e in y:
             s += e * e
         lam = math.sqrt(s)
+        if lam == 0.0:
+            raise AvroSqlError(
+                "power_iteration: zero iterate norm (zero matrix has no "
+                "dominant direction)"
+            )
         v = [e / lam for e in y]
     return v, lam
 
@@ -871,6 +882,10 @@ def semantic_dedup_report(
             F.col(vec_col).cast("array<double>").alias("vec"),
             "cluster",
         )
+        # zero-norm vectors have no cosine: exclude BEFORE ccos is
+        # computed (its division would raise DIVIDE_BY_ZERO under the
+        # session's default ANSI mode); the oracle filters identically
+        .filter(F.expr(f"{dot_sql('vec', 'vec')}") > 0)
         .selectExpr(
             "id",
             "vec",

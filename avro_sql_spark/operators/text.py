@@ -926,11 +926,19 @@ def gopher_repetition_report(
         )
 
     per_doc = (
-        docs.select(F.col(id_col), F.col(group_col).alias("grp"))
+        # chars comes from the DOCUMENT side: a doc too short to emit
+        # any n-gram has no sig rows, and taking the length from the
+        # left-join's null side would zero its denominator (diverging
+        # from the oracle, which always uses length(text))
+        docs.select(
+            F.col(id_col),
+            F.col(group_col).alias("grp"),
+            F.length(F.col(text_col)).alias("doc_chars"),
+        )
         .join(sig, id_col, "left")
         .groupBy(id_col, "grp")
         .agg(
-            F.coalesce(F.max("n_text_chars"), F.lit(0)).alias("chars"),
+            F.max("doc_chars").alias("chars"),
             pull(2, "top_chars").alias("t2"),
             pull(3, "top_chars").alias("t3"),
             pull(4, "top_chars").alias("t4"),
@@ -949,8 +957,13 @@ def gopher_repetition_report(
     )
 
     def frac(num: str, den: str):
-        return F.round(
-            F.sum(num).cast("double") / F.sum(den).cast("double"), 6
+        # NULL (not a crash) when a group's denominator sums to zero:
+        # under the session's default ANSI mode a bare division raises
+        # DIVIDE_BY_ZERO for e.g. a source whose docs are all shorter
+        # than 10 tokens (SUM(tot10) = 0); the oracle guards identically
+        return F.when(
+            F.sum(den) > 0,
+            F.round(F.sum(num).cast("double") / F.sum(den).cast("double"), 6),
         )
 
     return (

@@ -69,11 +69,18 @@ def test_bpe_fertility_hand_truth(spark):
         "doc_id long, text string, source string",
     )
     merges = [
-        (r["rank"], r["merged"]) for r in train_bpe(df, n_merges=2).collect()
+        (r["left"], r["right"], r["n"]) for r in train_bpe(df, n_merges=2).collect()
     ]
-    # "aa": a a </w> -> merge (a,a) n=5... verify via fertility sums
+    # hand trace: all round-1 pairs tie at n=3; (a,</w>) wins the
+    # (left, right) tie-break ('<' < 'a'), then (a, a</w>) wins round 2
+    assert merges == [("a", "</w>", 3), ("a", "a</w>", 3)]
+    # final toks: "aa" -> [aa</w>] (1 token), "ab" -> [a, b, </w>] (3)
     out = {r["source"]: r for r in bpe_fertility(df, n_merges=2).collect()}
-    assert out["s1"]["n_words"] == 3 and out["s2"]["n_words"] == 3
-    # total tokens per source = sum over words of len(final toks)
-    assert out["s1"]["fertility"] == round(out["s1"]["n_tokens"] / 3, 6)
-    assert merges[0][0] == 0 and len(merges) == 2
+    # s1 = {aa x2, ab x1}: 2*1 + 1*3 = 5 tokens over 3 words, 6 chars
+    assert (out["s1"]["n_words"], out["s1"]["n_tokens"]) == (3, 5)
+    assert out["s1"]["fertility"] == round(5 / 3, 6)
+    assert out["s1"]["chars_per_token"] == round(6 / 5, 6)
+    # s2 = {aa x1, ab x2}: 1 + 6 = 7 tokens over 3 words, 6 chars
+    assert (out["s2"]["n_words"], out["s2"]["n_tokens"]) == (3, 7)
+    assert out["s2"]["fertility"] == round(7 / 3, 6)
+    assert out["s2"]["chars_per_token"] == round(6 / 7, 6)
