@@ -1214,6 +1214,18 @@ def _bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_fertility(t["documents"], n_merges=8)
 
 
+def _heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve (text.heaps_curve): corpus
+    streamed in doc-id order, 10 NTILE checkpoints of cumulative tokens
+    vs cumulative distinct vocabulary — the data-saturation diagnostic
+    next to zipf_fit. Exact integers; oracle replays the identical
+    first-appearance MIN + bucket cumsums."""
+    from avro_sql_spark.operators.text import heaps_curve
+
+    t = load_tables(spark, sf_dir, register=False)
+    return heaps_curve(t["documents"], buckets=10)
+
+
 def _kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-round k-core peeling audit over the co-purchase graph
     (graph.kcore_peel, k=3, 4 rounds): per round the surviving
@@ -2372,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": _bpe_fertility,
         "compaction_plan": _compaction_plan,
         "kcore_summary": _kcore_summary,
+        "heaps_curve": _heaps_curve,
         "dsir_weights": _dsir_weights,
         "skipgram_pairs": _skipgram_pairs,
         "tf_cosine_pairs": _tf_cosine_pairs,
@@ -3817,6 +3830,28 @@ LIMIT 20
         # 4 unrolled peel rounds: degree filter >= k then edge prune;
         # per-round survivor counts are exact integers
         "kcore_summary": _kcore_oracle(3, 4),
+        # first-appearance MIN per word -> bucket-level news -> cumsums
+        "heaps_curve": r"""
+WITH tok AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+    FROM documents)
+  WHERE regexp_matches(word, '^[a-z]+$')),
+bk AS (SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS bucket
+       FROM documents),
+tg AS (SELECT b.bucket, t.word FROM tok t JOIN bk b USING (doc_id)),
+fs AS (SELECT word, MIN(bucket) AS fb FROM tg GROUP BY 1),
+pb AS (SELECT bucket, COUNT(*) AS n_tok FROM tg GROUP BY 1),
+nv AS (SELECT fb AS bucket, COUNT(*) AS n_new FROM fs GROUP BY 1),
+j AS (SELECT pb.bucket, pb.n_tok, COALESCE(nv.n_new, 0) AS n_new
+      FROM pb LEFT JOIN nv USING (bucket))
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(SUM(n_tok) OVER w AS BIGINT) AS cum_tokens,
+       CAST(SUM(n_new) OVER w AS BIGINT) AS cum_vocab
+FROM j
+WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY bucket
+""",
         # integer byte-offset bin assignment over the metadata-sized
         # file table; fill is one division of exact integer sums
         "compaction_plan": """

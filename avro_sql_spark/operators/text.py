@@ -979,3 +979,55 @@ def gopher_repetition_report(
         )
         .orderBy(group_col)
     )
+
+
+def heaps_curve(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: stream the corpus in
+    ``id_col`` order, checkpoint after each tenth (``buckets``), and
+    report cumulative token count and cumulative DISTINCT vocabulary —
+    the saturation diagnostic that says whether more of the same data
+    still buys new vocabulary (the complement of the Zipf rank-frequency
+    fit). All exact integers.
+
+    Scale shape: "first time each word appears" is one MIN aggregate
+    per word (map-side combined) — the cumulative-distinct problem
+    becomes a vocabulary-sized frame, never a corpus-wide running set.
+    Doc -> bucket is NTILE over the doc id (one window over doc ids,
+    not rows); the final cumulative sums run over the ``buckets``-row
+    frame."""
+    from pyspark.sql.window import Window
+
+    from ..functions.text import word_tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_tokens(F.col(text_col))).alias("word"),
+    )
+    bucket_of = docs.select(F.col(id_col).alias("doc")).withColumn(
+        "bucket", F.ntile(buckets).over(Window.orderBy("doc"))
+    )
+    tagged = toks.join(bucket_of, "doc")
+    first_seen = tagged.groupBy("word").agg(F.min("bucket").alias("fb"))
+    per_bucket = (
+        tagged.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+        .join(
+            first_seen.groupBy(F.col("fb").alias("bucket")).agg(
+                F.count(F.lit(1)).alias("n_new")
+            ),
+            "bucket",
+            "left",
+        )
+        .na.fill({"n_new": 0})
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_bucket.select(
+        "bucket",
+        F.sum("n_tok").over(w).alias("cum_tokens"),
+        F.sum("n_new").over(w).alias("cum_vocab"),
+    ).orderBy("bucket")

@@ -157,6 +157,7 @@ HEADLINE = [
     "bpe_fertility",
     "compaction_plan",
     "kcore_summary",
+    "heaps_curve",
 ]
 
 

@@ -1206,3 +1206,19 @@ def test_ks_drift_identical_distributions_grouped(spark):
     a = spark.createDataFrame([("g", v) for v in range(50)], "g string, v int")
     out = ks_drift(a, a, "v", group_col="g").collect()
     assert len(out) == 1 and out[0]["ks_num"] == 0 and out[0]["ks_stat"] == 0.0
+
+
+def test_heaps_curve_hand_truth(spark):
+    """Cumulative token and vocabulary counts on a tiny ordered corpus:
+    repeated words add tokens but not vocabulary."""
+    from avro_sql_spark.operators.text import heaps_curve
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (3, "a b"), (4, "d d")],
+        "doc_id long, text string",
+    )
+    out = {r["bucket"]: r for r in heaps_curve(docs, buckets=2).collect()}
+    # bucket 1 = docs 1,2: tokens 4, vocab {a,b,c}=3
+    assert (out[1]["cum_tokens"], out[1]["cum_vocab"]) == (4, 3)
+    # bucket 2 = docs 3,4: +4 tokens, vocab adds only {d}
+    assert (out[2]["cum_tokens"], out[2]["cum_vocab"]) == (8, 4)
