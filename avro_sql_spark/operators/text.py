@@ -997,9 +997,12 @@ def heaps_curve(
     Scale shape: "first time each word appears" is one MIN aggregate
     per word (map-side combined) — the cumulative-distinct problem
     becomes a vocabulary-sized frame, never a corpus-wide running set.
-    Doc -> bucket is NTILE over the doc id (one window over doc ids,
-    not rows); the final cumulative sums run over the ``buckets``-row
-    frame."""
+    Doc -> bucket is NTILE over the SKINNY doc-id projection (one
+    column, never the text); the final cumulative sums run over the
+    ``buckets``-row frame. NOTE: NTILE is a global window — it keeps
+    the oracle a one-liner at gate SFs, but a 10^11-doc corpus should
+    swap in curation.global_rank (two-pass range-partitioned ranking)
+    and derive the bucket arithmetically from the exact rank."""
     from pyspark.sql.window import Window
 
     from ..functions.text import word_tokens
