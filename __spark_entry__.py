@@ -1214,6 +1214,23 @@ def _bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_fertility(t["documents"], n_merges=8)
 
 
+def _event_throttle_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry near-duplicate screen (relational.near_duplicate_events,
+    10-minute gap): the batch twin of dropDuplicatesWithinWatermark —
+    per (user, type) lag window on exact integer microseconds. Oracle
+    is the identical lag arithmetic on epoch_us."""
+    return relational.near_duplicate_events(spark, sf_dir, gap_minutes=10)
+
+
+def _nearest_order_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-either-direction as-of join
+    (relational.nearest_order_attribution): merge-formulation flanking
+    orders per event, microsecond-exact distance pick with
+    backward-wins ties. Oracle replays both frames with IGNORE NULLS
+    window picks."""
+    return relational.nearest_order_attribution(spark, sf_dir)
+
+
 def _heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law vocabulary-growth curve (text.heaps_curve): corpus
     streamed in doc-id order, 10 NTILE checkpoints of cumulative tokens
@@ -2385,6 +2402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": _compaction_plan,
         "kcore_summary": _kcore_summary,
         "heaps_curve": _heaps_curve,
+        "event_throttle_dedup": _event_throttle_dedup,
+        "nearest_order_attribution": _nearest_order_attribution,
         "dsir_weights": _dsir_weights,
         "skipgram_pairs": _skipgram_pairs,
         "tf_cosine_pairs": _tf_cosine_pairs,
@@ -3830,6 +3849,61 @@ LIMIT 20
         # 4 unrolled peel rounds: degree filter >= k then edge prune;
         # per-round survivor counts are exact integers
         "kcore_summary": _kcore_oracle(3, 4),
+        # lag on exact integer microseconds per (user, type)
+        "event_throttle_dedup": """
+WITH ev AS (SELECT event_type, user_id, event_id, epoch_us(ts) AS us
+            FROM events),
+f AS (SELECT event_type,
+             CASE WHEN us - lag(us) OVER (PARTITION BY user_id, event_type
+                                          ORDER BY us, event_id)
+                       <= 600000000 THEN 1 ELSE 0 END AS is_dup
+      FROM ev)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(is_dup) AS BIGINT) AS n_near_dup,
+       CAST(COUNT(*) - SUM(is_dup) AS BIGINT) AS n_kept
+FROM f GROUP BY 1 ORDER BY 1
+""",
+        # flanking orders via IGNORE NULLS window picks over the merged
+        # stream; nearest chosen on integer microsecond distances,
+        # backward winning ties (same CASE order as the Spark side)
+        "nearest_order_attribution": """
+WITH m AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us, 0 AS is_order,
+         CAST(NULL AS BIGINT) AS ok, CAST(NULL AS BIGINT) AS ous,
+         CAST(NULL AS VARCHAR) AS opr
+  FROM events
+  UNION ALL
+  SELECT CAST(NULL AS BIGINT), o_custkey, epoch_us(o_orderdate), 1,
+         o_orderkey, epoch_us(o_orderdate), o_orderpriority
+  FROM orders),
+w AS (SELECT event_id, us, is_order,
+             last_value(ous IGNORE NULLS) OVER back AS bk_us,
+             last_value(opr IGNORE NULLS) OVER back AS bk_pr,
+             first_value(ous IGNORE NULLS) OVER fwd AS fw_us,
+             first_value(opr IGNORE NULLS) OVER fwd AS fw_pr
+      FROM m
+      WINDOW back AS (PARTITION BY user_id
+                      ORDER BY us, is_order DESC, ok ASC NULLS FIRST
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             fwd AS (PARTITION BY user_id
+                     ORDER BY us, is_order DESC, ok ASC NULLS FIRST
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+sel AS (
+  SELECT CASE WHEN bk_us IS NULL THEN fw_pr
+              WHEN fw_us IS NULL THEN bk_pr
+              WHEN (fw_us - us) < (us - bk_us) THEN fw_pr
+              ELSE bk_pr END AS pr,
+         ABS(CASE WHEN bk_us IS NULL THEN fw_us - us
+                  WHEN fw_us IS NULL THEN us - bk_us
+                  WHEN (fw_us - us) < (us - bk_us) THEN fw_us - us
+                  ELSE us - bk_us END) AS dist_us
+  FROM w
+  WHERE is_order = 0 AND NOT (bk_us IS NULL AND fw_us IS NULL))
+SELECT pr AS o_orderpriority, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(dist_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / CAST('3600000000' AS DOUBLE), 6) AS mean_dist_hours
+FROM sel GROUP BY 1 ORDER BY 1
+""",
         # first-appearance MIN per word -> bucket-level news -> cumsums
         "heaps_curve": r"""
 WITH tok AS (

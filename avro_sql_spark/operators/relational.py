@@ -1723,3 +1723,126 @@ def ewma_hourly(spark: SparkSession, sf_dir: str, taps: int = 20) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+def near_duplicate_events(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 10
+) -> DataFrame:
+    """Telemetry near-duplicate screen (the batch twin of streaming
+    dropDuplicatesWithinWatermark): an event is a near-dup when the
+    PRECEDING event of the same (user, type) is within ``gap_minutes``.
+    Returns per event_type: total, near-dup, and kept counts.
+
+    One lag window per (user, type) key — partitions are per-user
+    slices, never global — and the time comparison runs on exact
+    integer microseconds (unix_micros == DuckDB epoch_us, verified
+    equal on the test data), so the drop set is bit-deterministic."""
+    t = load_tables(spark, sf_dir, register=False)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    ev = t["events"].select(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.col("user_id"),
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+    flagged = ev.withColumn(
+        "is_dup",
+        (F.col("us") - F.lag("us").over(w) <= F.lit(gap_us)).cast("long"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.coalesce(F.sum("is_dup"), F.lit(0)).alias("n_near_dup"),
+            (F.count(F.lit(1)) - F.coalesce(F.sum("is_dup"), F.lit(0))).alias(
+                "n_kept"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def nearest_order_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-event as-of join (kdb ``aj`` has only backward; QuestDB
+    and time-series attribution want nearest-in-either-direction): each
+    event attributes to its user's temporally closest order, backward
+    winning exact-distance ties. Same merge formulation as
+    events_asof_latest_order — union both sides, ONE sort per user,
+    last()/first() windows carry the flanking orders — so no event ever
+    pairs with its user's full order history. Distances compare in
+    exact integer microseconds. Returns per order-priority bucket of
+    the attributed order: event count and mean |distance| in hours."""
+    t = load_tables(spark, sf_dir, register=False)
+    ev = t["events"].select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        F.lit(0).alias("is_order"),
+        F.lit(None).cast("struct<k:bigint,us:bigint,pr:string>").alias("o"),
+    )
+    od = t["orders"].select(
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.expr("unix_micros(cast(o_orderdate as timestamp))").alias("us"),
+        F.lit(1).alias("is_order"),
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.expr("unix_micros(cast(o_orderdate as timestamp))").alias("us"),
+            F.col("o_orderpriority").alias("pr"),
+        ).alias("o"),
+    )
+    back_w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("us"), F.desc("is_order"), F.asc("o.k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd_w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("us"), F.desc("is_order"), F.asc("o.k"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = (
+        ev.unionByName(od)
+        .withColumn("back", F.last("o", ignorenulls=True).over(back_w))
+        .withColumn("fwd", F.first("o", ignorenulls=True).over(fwd_w))
+    )
+    back_d = F.col("us") - F.col("back.us")
+    fwd_d = F.col("fwd.us") - F.col("us")
+    nearest = (
+        F.when(F.col("back").isNull(), F.col("fwd"))
+        .when(F.col("fwd").isNull(), F.col("back"))
+        .when(fwd_d < back_d, F.col("fwd"))
+        .otherwise(F.col("back"))  # ties -> backward (the earlier order)
+    )
+    events_attr = (
+        merged.filter(F.col("is_order") == 0)
+        .select(
+            "event_id",
+            nearest.alias("n"),
+            F.abs(
+                F.when(F.col("back").isNull(), fwd_d)
+                .when(F.col("fwd").isNull(), back_d)
+                .when(fwd_d < back_d, fwd_d)
+                .otherwise(back_d)
+            ).alias("dist_us"),
+        )
+        .filter(F.col("n").isNotNull())
+    )
+    return (
+        events_attr.groupBy(F.col("n.pr").alias("o_orderpriority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # distances are ~decades in microseconds: a long SUM
+            # overflows at sf0.1 — accumulate in DECIMAL(38,0), exact
+            # like DuckDB's HUGEINT sum, and convert ONCE to double
+            F.round(
+                F.sum(F.col("dist_us").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(3_600_000_000.0),
+                6,
+            ).alias("mean_dist_hours"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -158,6 +158,8 @@ HEADLINE = [
     "compaction_plan",
     "kcore_summary",
     "heaps_curve",
+    "event_throttle_dedup",
+    "nearest_order_attribution",
 ]
 
 

