@@ -926,6 +926,10 @@ def semantic_dedup_report(
             >= F.lit(tau)
         )
         .select("cluster", "ia", "ib", "ca", "cb")
+        # two consumers (pair counts + drop election): checkpoint the
+        # skinny survivor frame or the O(cluster^2 x d) cosine pass
+        # runs twice
+        .localCheckpoint(eager=True)
     )
     dropped = pairs.select(
         "cluster",
