@@ -1214,6 +1214,39 @@ def _bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_fertility(t["documents"], n_merges=8)
 
 
+def _multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-CHECKED source/sink exercise: nation written to csv, json,
+    and orc through sources.io.write_table, read back with the explicit
+    schema (never inference — that is a full extra scan at 100 TB),
+    and content-audited per format (row count, key sum, distinct names,
+    total name length — the last catches CSV quoting/trim mangling).
+    Oracle: the same aggregates straight off the parquet table, once
+    per format — a lossless round trip must reproduce them exactly."""
+    from avro_sql_spark.sources.io import read_table, write_table
+
+    t = load_tables(spark, sf_dir, register=False)
+    nation = t["nation"]
+    out = None
+    for fmt in ("csv", "json", "orc"):
+        path = f"/tmp/avro-sql-spark-roundtrip/{fmt}"
+        write_table(nation, path, fmt=fmt)
+        back = read_table(spark, path, fmt=fmt, schema=nation.schema)
+        agg = back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_nationkey").alias("key_sum"),
+            F.countDistinct("n_name").alias("n_names"),
+            F.sum(F.length("n_name")).alias("name_chars"),
+        ).select(
+            F.lit(fmt).alias("fmt"),
+            "n_rows",
+            "key_sum",
+            "n_names",
+            "name_chars",
+        )
+        out = agg if out is None else out.unionAll(agg)
+    return out.orderBy("fmt")
+
+
 def _event_throttle_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Telemetry near-duplicate screen (relational.near_duplicate_events,
     10-minute gap): the batch twin of dropDuplicatesWithinWatermark —
@@ -2403,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_summary": _kcore_summary,
         "heaps_curve": _heaps_curve,
         "event_throttle_dedup": _event_throttle_dedup,
+        "multiformat_roundtrip": _multiformat_roundtrip,
         "nearest_order_attribution": _nearest_order_attribution,
         "dsir_weights": _dsir_weights,
         "skipgram_pairs": _skipgram_pairs,
@@ -3849,6 +3883,18 @@ LIMIT 20
         # 4 unrolled peel rounds: degree filter >= k then edge prune;
         # per-round survivor counts are exact integers
         "kcore_summary": _kcore_oracle(3, 4),
+        # a lossless round trip reproduces the parquet-side aggregates
+        # exactly, once per format
+        "multiformat_roundtrip": """
+WITH a AS (SELECT COUNT(*) AS n_rows,
+                  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+                  COUNT(DISTINCT n_name) AS n_names,
+                  CAST(SUM(length(n_name)) AS BIGINT) AS name_chars
+           FROM nation)
+SELECT f.fmt, a.n_rows, a.key_sum, a.n_names, a.name_chars
+FROM a, (VALUES ('csv'), ('json'), ('orc')) f(fmt)
+ORDER BY f.fmt
+""",
         # lag on exact integer microseconds per (user, type)
         "event_throttle_dedup": """
 WITH ev AS (SELECT event_type, user_id, event_id, epoch_us(ts) AS us

@@ -69,10 +69,15 @@ def read_table(
     if fmt not in _BUILTIN and fmt != "avro":
         raise AvroSqlError(f"Unsupported source format: {fmt}")
     reader = spark.read.format(fmt).options(**options)
+    if fmt == "csv" and "header" not in options:
+        # write_table always emits a header line: skip it on read even
+        # when the caller supplies the schema (otherwise the header
+        # parses as a data row of nulls/strings)
+        reader = reader.option("header", "true")
     if schema is not None:
         reader = reader.schema(schema)
     elif fmt == "csv":
-        reader = reader.option("header", "true").option("inferSchema", "true")
+        reader = reader.option("inferSchema", "true")
     return reader.load(path)
 
 

@@ -160,6 +160,7 @@ HEADLINE = [
     "heaps_curve",
     "event_throttle_dedup",
     "nearest_order_attribution",
+    "multiformat_roundtrip",
 ]
 
 
