@@ -1214,6 +1214,44 @@ def _bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_fertility(t["documents"], n_merges=8)
 
 
+def _streaming_reshape_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-VISIBLE STREAMING x RESHAPE — the reference's core
+    capability composed with Structured Streaming: events are nested
+    into (user struct, meta struct) IN-STREAM, the avro-sql dialect
+    flatten projection runs on the stream (streaming.reshape_stream —
+    the identical plan-once path as batch, stateless so it composes),
+    and a complete-mode aggregate totals per (etype, seg). Oracle: the
+    equivalent batch GROUP BY over the same derived columns —
+    stream == batch is the streaming correctness contract."""
+    import uuid
+
+    from avro_sql_spark.streaming import reshape_stream
+    from avro_sql_spark.streaming.pipeline import replay_to_memory, stream_events
+
+    src = stream_events(spark, sf_dir).select(
+        F.struct(
+            F.col("user_id").alias("id"),
+            (F.col("user_id") % 5).alias("segment"),
+        ).alias("user"),
+        F.struct(
+            F.col("event_type").alias("etype"), F.col("value").alias("v")
+        ).alias("meta"),
+    )
+    reshaped = reshape_stream(
+        src, "SELECT meta.etype as etype, user.segment as seg, meta.v as v"
+    )
+    agg = reshaped.groupBy("etype", "seg").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("v"), 4).alias("total_v"),
+    )
+    name = f"stream_reshape_{uuid.uuid4().hex[:8]}"
+    return (
+        replay_to_memory(agg, "complete", name)
+        .select("etype", "seg", "n_events", "total_v")
+        .orderBy("etype", "seg")
+    )
+
+
 def _multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DRIVER-CHECKED source/sink exercise: nation written to csv, json,
     and orc through sources.io.write_table, read back with the explicit
@@ -2437,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_curve": _heaps_curve,
         "event_throttle_dedup": _event_throttle_dedup,
         "multiformat_roundtrip": _multiformat_roundtrip,
+        "streaming_reshape_totals": _streaming_reshape_totals,
         "nearest_order_attribution": _nearest_order_attribution,
         "dsir_weights": _dsir_weights,
         "skipgram_pairs": _skipgram_pairs,
@@ -3883,6 +3922,13 @@ LIMIT 20
         # 4 unrolled peel rounds: degree filter >= k then edge prune;
         # per-round survivor counts are exact integers
         "kcore_summary": _kcore_oracle(3, 4),
+        # stream == batch: the reshaped streaming aggregate must equal
+        # the plain batch GROUP BY over the same derived columns
+        "streaming_reshape_totals": """
+SELECT event_type AS etype, user_id % 5 AS seg,
+       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_v
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
         # a lossless round trip reproduces the parquet-side aggregates
         # exactly, once per format
         "multiformat_roundtrip": """

@@ -161,6 +161,7 @@ HEADLINE = [
     "event_throttle_dedup",
     "nearest_order_attribution",
     "multiformat_roundtrip",
+    "streaming_reshape_totals",
 ]
 
 
