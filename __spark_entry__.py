@@ -1214,6 +1214,47 @@ def _bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_fertility(t["documents"], n_merges=8)
 
 
+def _char_mass_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-mass weighted median document length per language: the
+    smallest length L where docs of length <= L hold at least half the
+    language's characters — the statistic that sets truncation and
+    packing cut-offs (an unweighted median over-counts short docs).
+    Exact integers end-to-end: one per-lang cumulative sum over
+    (length, doc_id)-ordered docs and an integer 2*cum >= total pick;
+    windows partition by language, nothing sorts globally."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, register=False)
+    d = t["documents"].select("lang", "doc_id", F.col("n_chars").alias("len"))
+    cum_w = (
+        Window.partitionBy("lang")
+        .orderBy("len", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    all_w = Window.partitionBy("lang").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = d.select(
+        "lang",
+        "len",
+        F.sum("len").over(cum_w).alias("cum"),
+        F.sum("len").over(all_w).alias("tot"),
+        F.count(F.lit(1)).over(all_w).alias("n_docs"),
+    ).filter(2 * F.col("cum") >= F.col("tot"))
+    first = Window.partitionBy("lang").orderBy("len", "cum")
+    return (
+        ranked.withColumn("_rk", F.row_number().over(first))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "lang",
+            "n_docs",
+            F.col("tot").alias("total_chars"),
+            F.col("len").alias("median_len"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _streaming_reshape_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DRIVER-VISIBLE STREAMING x RESHAPE — the reference's core
     capability composed with Structured Streaming: events are nested
@@ -2476,6 +2517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_throttle_dedup": _event_throttle_dedup,
         "multiformat_roundtrip": _multiformat_roundtrip,
         "streaming_reshape_totals": _streaming_reshape_totals,
+        "char_mass_median": _char_mass_median,
         "nearest_order_attribution": _nearest_order_attribution,
         "dsir_weights": _dsir_weights,
         "skipgram_pairs": _skipgram_pairs,
@@ -3922,6 +3964,22 @@ LIMIT 20
         # 4 unrolled peel rounds: degree filter >= k then edge prune;
         # per-round survivor counts are exact integers
         "kcore_summary": _kcore_oracle(3, 4),
+        # integer cumulative char mass; first length with 2*cum >= total
+        "char_mass_median": """
+WITH d AS (SELECT lang, doc_id, n_chars AS len FROM documents),
+c AS (SELECT lang, len,
+             SUM(len) OVER (PARTITION BY lang ORDER BY len, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(len) OVER (PARTITION BY lang) AS tot,
+             COUNT(*) OVER (PARTITION BY lang) AS n_docs
+      FROM d)
+SELECT lang, n_docs, CAST(tot AS BIGINT) AS total_chars,
+       CAST(len AS BIGINT) AS median_len
+FROM c WHERE 2 * cum >= tot
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY len, cum) = 1
+ORDER BY lang
+""",
         # stream == batch: the reshaped streaming aggregate must equal
         # the plain batch GROUP BY over the same derived columns
         "streaming_reshape_totals": """

@@ -162,6 +162,7 @@ HEADLINE = [
     "nearest_order_attribution",
     "multiformat_roundtrip",
     "streaming_reshape_totals",
+    "char_mass_median",
 ]
 
 

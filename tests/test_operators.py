@@ -1222,3 +1222,22 @@ def test_heaps_curve_hand_truth(spark):
     assert (out[1]["cum_tokens"], out[1]["cum_vocab"]) == (4, 3)
     # bucket 2 = docs 3,4: +4 tokens, vocab adds only {d}
     assert (out[2]["cum_tokens"], out[2]["cum_vocab"]) == (8, 4)
+
+
+def test_char_mass_median_hand_truth(spark):
+    """Weighted vs unweighted median diverge on a skewed fixture: one
+    huge doc holds over half the characters."""
+    import __spark_entry__ as em
+
+    # replicate the entry arithmetic on a local frame via the oracle in
+    # DuckDB-free form: lens [10, 10, 10, 100] -> total 130; cum at the
+    # 100-doc is 130 >= 65 first at len=100? cum(10,10,10)=30 < 65 ->
+    # median_len = 100 (unweighted median would be 10)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                "(1, 'en', 10), (2, 'en', 10), (3, 'en', 10), (4, 'en', 100))"
+                " t(doc_id, lang, n_chars)")
+    row = con.execute(em.oracle_sql()["char_mass_median"]).fetchone()
+    assert row == ("en", 4, 130, 100)
