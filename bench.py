@@ -161,7 +161,6 @@ HEADLINE = [
     "event_throttle_dedup",
     "nearest_order_attribution",
     "multiformat_roundtrip",
-    "streaming_reshape_totals",
     "char_mass_median",
 ]
 
