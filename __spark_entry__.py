@@ -1214,6 +1214,46 @@ def _bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_fertility(t["documents"], n_merges=8)
 
 
+def _quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap-score-vs-gate calibration: per (lang, q3) — q3 being the
+    INTEGER 0-3 count of quality_score's three indicator components —
+    how many docs pass the full Gopher gate. The diagnostic that says
+    whether the 3-component heuristic RANKS like the expensive gate
+    (a monotone pass_rate in q3 means it can pre-filter). Integer
+    group keys and counts; one division per row."""
+    from avro_sql_spark.functions.text import (
+        gopher_pass,
+        punct_ratio,
+        stopword_ratio,
+        whitespace_token_count,
+    )
+
+    t = load_tables(spark, sf_dir, register=False)
+    text = F.col("text")
+    n_ws = whitespace_token_count(text).cast("double")
+    q3 = (
+        F.when((n_ws >= 5) & (n_ws <= 100000), 1).otherwise(0)
+        + F.when(punct_ratio(text) <= 0.2, 1).otherwise(0)
+        + F.when(stopword_ratio(text) >= 0.05, 1).otherwise(0)
+    )
+    s = t["documents"].select(
+        "lang",
+        q3.alias("q3"),
+        F.when(gopher_pass(text), 1).otherwise(0).alias("ok"),
+    )
+    return (
+        s.groupBy("lang", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ok").alias("n_gopher_pass"),
+            F.round(
+                F.sum("ok").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("pass_rate"),
+        )
+        .orderBy("lang", "q3")
+    )
+
+
 def _char_mass_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-mass weighted median document length per language: the
     smallest length L where docs of length <= L hold at least half the
@@ -2518,6 +2558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiformat_roundtrip": _multiformat_roundtrip,
         "streaming_reshape_totals": _streaming_reshape_totals,
         "char_mass_median": _char_mass_median,
+        "quality_calibration": _quality_calibration,
         "nearest_order_attribution": _nearest_order_attribution,
         "dsir_weights": _dsir_weights,
         "skipgram_pairs": _skipgram_pairs,
@@ -3964,6 +4005,27 @@ LIMIT 20
         # 4 unrolled peel rounds: degree filter >= k then edge prune;
         # per-round survivor counts are exact integers
         "kcore_summary": _kcore_oracle(3, 4),
+        # integer indicator-count keys; the same component predicates as
+        # _quality_expr and the shared gopher gate expression
+        "quality_calibration": f"""
+WITH base AS (
+  SELECT lang, text, ' ' || lower(text) || ' ' AS padded,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+         len(string_split(text, ' ')) AS n_ws
+  FROM documents),
+s AS (SELECT lang,
+        (CASE WHEN n_ws >= 5 AND n_ws <= 100000 THEN 1 ELSE 0 END
+         + CASE WHEN CAST((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) AS DOUBLE)
+                     / nullif(length(text), 0) <= 0.2 THEN 1 ELSE 0 END
+         + CASE WHEN CAST(({" + ".join(_occ(f" {w} ") for w in _EN_STOPWORDS)}) AS DOUBLE)
+                     / nullif(CAST(n_ws AS DOUBLE), 0) >= 0.05 THEN 1 ELSE 0 END) AS q3,
+        CASE WHEN {{GOPHER}} THEN 1 ELSE 0 END AS ok
+      FROM base)
+SELECT lang, q3, COUNT(*) AS n_docs,
+       CAST(SUM(ok) AS BIGINT) AS n_gopher_pass,
+       ROUND(CAST(SUM(ok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS pass_rate
+FROM s GROUP BY 1, 2 ORDER BY lang, q3
+""".replace("{GOPHER}", _gopher_ok_expr()),
         # integer cumulative char mass; first length with 2*cum >= total
         "char_mass_median": """
 WITH d AS (SELECT lang, doc_id, n_chars AS len FROM documents),

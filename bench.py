@@ -162,6 +162,7 @@ HEADLINE = [
     "nearest_order_attribution",
     "multiformat_roundtrip",
     "char_mass_median",
+    "quality_calibration",
 ]
 
 
