@@ -706,6 +706,111 @@ def gram_covariance(
     )
 
 
+def fixed_point_covariance(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Population covariance matrix as (i, j, cov) rows from FIXED-POINT
+    integer gram partials — the exactly-replayable twin of
+    :func:`gram_covariance` (which keeps the float BLAS fast path).
+
+    Why this exists: summing 4096 data-dependent doubles through
+    numpy/BLAS partials is summation-order-dependent (BLAS kernel,
+    threading, partition layout), so two engines — or two BLAS builds —
+    produce cells differing by ~1 ulp, and no output rounding can
+    reconcile a cell that lands within 1 ulp of a rounding boundary.
+    Here every element is quantized ONCE per value with
+    ``floor(v * scale + 0.5)`` (identical IEEE double ops in numpy and
+    in any SQL engine — ties have no ambiguity because floor of the
+    +0.5-shifted value is a single well-defined op), and all
+    accumulation is exact integer arithmetic: the result is a
+    closed-form function of the data, independent of partitioning,
+    summation order, or BLAS. Quantization error is <= 1/(2*scale) per
+    element (1e-6 at the default), far below the 6-dp report.
+
+    Scale shape is UNCHANGED from gram_covariance: per-partition
+    integer gram partials via mapInPandas (numpy int64 matmul), one row
+    of (count, sum-vector, flattened d x d gram) per partition, so the
+    shuffled volume is #partitions x d^2 ints, independent of row
+    count; global merge is a map-side-combined DECIMAL(38,0) sum per
+    cell (overflow-proof: int64 per-partition partials hold while
+    rows_per_partition * (scale * |v|_max)^2 < 2^63 — 3e6 rows per
+    partition at |v| <= 1 with the default scale; ``scale`` and the
+    partition row count are the only knobs). No fixed repartition
+    pinning is needed — integer
+    sums are order-free — so the default parallelism path is both the
+    deterministic AND the fast one.
+    """
+    src0 = emb.filter(F.col(vec_col).isNotNull())
+    head = src0.select(vec_col).first()
+    if head is None or head[0] is None:
+        from ..errors import AvroSqlError
+
+        raise AvroSqlError("fixed_point_covariance: input has no vectors")
+    d = len(head[0])
+    sess = emb.sparkSession
+    src = src0.select(F.col(vec_col).alias("v")).repartition(
+        sess.sparkContext.defaultParallelism
+    )
+
+    def _partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        n, s, g = 0, None, None
+        for pdf in batches:
+            x = np.vstack(pdf["v"].to_numpy()).astype("float64")
+            q = np.floor(x * float(scale) + 0.5).astype("int64")
+            n += q.shape[0]
+            s = q.sum(0) if s is None else s + q.sum(0)
+            g = q.T @ q if g is None else g + q.T @ q
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.flatten().tolist()]}
+            )
+
+    parts = src.mapInPandas(
+        _partials, "n long, s array<long>, g array<long>"
+    ).localCheckpoint()
+    totals = parts.agg(F.sum("n").alias("nn"))
+    dec = "DECIMAL(38,0)"
+    gsum = (
+        parts.select(F.posexplode("g").alias("idx", "val"))
+        .groupBy("idx")
+        .agg(F.sum(F.col("val").cast(dec)).alias("gg"))
+    )
+    ssum = (
+        parts.select(F.posexplode("s").alias("i", "val"))
+        .groupBy("i")
+        .agg(F.sum(F.col("val").cast(dec)).alias("ss"))
+    )
+    si = ssum.select(F.col("i").alias("ii"), F.col("ss").alias("si"))
+    sj = ssum.select(F.col("i").alias("jj"), F.col("ss").alias("sj"))
+    # the one float expression, written as a SQL string so the oracle
+    # can replay the IDENTICAL left-associated IEEE op sequence:
+    # (G - Si*Sj/n) / n / scale / scale == G/n - (Si/n)(Sj/n), all
+    # inputs exact integers -> both engines produce the same double
+    cov_expr = (
+        "(CAST(gg AS DOUBLE) - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE)"
+        " / CAST(nn AS DOUBLE)) / CAST(nn AS DOUBLE)"
+        f" / CAST({scale} AS DOUBLE) / CAST({scale} AS DOUBLE)"
+    )
+    if round_to is not None:
+        cov_expr = f"ROUND({cov_expr}, {round_to})"
+    return (
+        gsum.select((F.col("idx") / d).cast("int").alias("i"),
+                    F.pmod("idx", F.lit(d)).cast("int").alias("j"),
+                    "gg")
+        .join(F.broadcast(si), F.col("i") == F.col("ii"))
+        .join(F.broadcast(sj), F.col("j") == F.col("jj"))
+        .crossJoin(F.broadcast(totals))
+        .select("i", "j", F.expr(cov_expr).alias("cov"))
+        .orderBy("i", "j")
+    )
+
+
 def power_iteration(
     cov: DataFrame, iters: int = 10
 ) -> "tuple[list[float], float]":

@@ -997,22 +997,39 @@ def heaps_curve(
     Scale shape: "first time each word appears" is one MIN aggregate
     per word (map-side combined) — the cumulative-distinct problem
     becomes a vocabulary-sized frame, never a corpus-wide running set.
-    Doc -> bucket is NTILE over the SKINNY doc-id projection (one
-    column, never the text); the final cumulative sums run over the
-    ``buckets``-row frame. NOTE: NTILE is a global window — it keeps
-    the oracle a one-liner at gate SFs, but a 10^11-doc corpus should
-    swap in curation.global_rank (two-pass range-partitioned ranking)
-    and derive the bucket arithmetically from the exact rank."""
+    Doc -> bucket derives ARITHMETICALLY from curation.global_rank's
+    exact two-pass range-partitioned rank over the SKINNY doc-id
+    projection (no task ever sorts more than one range partition —
+    a global NTILE window would drag every doc id through ONE task at
+    10^11 docs); the bucket formula reproduces NTILE semantics bit-for-
+    bit (first n%b buckets get ceil(n/b) rows, the rest floor(n/b)), so
+    the oracle stays DuckDB's one-line ntile(). The final cumulative
+    sums run over the ``buckets``-row frame."""
     from pyspark.sql.window import Window
 
     from ..functions.text import word_tokens
+    from .curation import global_rank
 
     toks = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(word_tokens(F.col(text_col))).alias("word"),
     )
-    bucket_of = docs.select(F.col(id_col).alias("doc")).withColumn(
-        "bucket", F.ntile(buckets).over(Window.orderBy("doc"))
+    ids = docs.select(F.col(id_col).alias("doc"))
+    tot = ids.agg(F.count(F.lit(1)).alias("nn"))
+    bucket_of = (
+        global_rank(ids, [F.col("doc")], rank_col="rk")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc",
+            F.expr(
+                f"CAST(CASE WHEN rk <= (nn % {buckets}) * (nn DIV {buckets} + 1)"
+                f" THEN (rk - 1) DIV (nn DIV {buckets} + 1) + 1"
+                f" ELSE (nn % {buckets})"
+                f"  + (rk - (nn % {buckets}) * (nn DIV {buckets} + 1) - 1)"
+                f"    DIV (nn DIV {buckets}) + 1"
+                " END AS INT)"
+            ).alias("bucket"),
+        )
     )
     tagged = toks.join(bucket_of, "doc")
     first_seen = tagged.groupBy("word").agg(F.min("bucket").alias("fb"))

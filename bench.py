@@ -202,14 +202,17 @@ def main() -> None:
             timings[name] = min(timings.get(name, elapsed), elapsed)
 
     total = round(sum(timings.values()), 3)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    # Key order matters: the driver records only the last ~2 KB of
+    # stdout, so the headline total, slowest-10, and query count go
+    # LAST in the one JSON line (the full per-query map leads and may
+    # be cut from the front of the recorded tail).
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
                 "queries": timings,
-                "sf": sf,
                 "note": (
                     "timed window includes DataFrame construction as of r3 "
                     "(iterative entries run real jobs eagerly at build; "
@@ -219,6 +222,13 @@ def main() -> None:
                     "Caches are cleared before every query: each number is "
                     "the standalone cold-cache cost."
                 ),
+                "sf": sf,
+                "n_queries": len(timings),
+                "mean_sec": round(total / max(len(timings), 1), 3),
+                "slowest_10": slowest,
+                "metric": "headline_queries_total",
+                "unit": "sec",
+                "value": total,
             }
         )
     )
