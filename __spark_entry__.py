@@ -19,7 +19,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from avro_sql_spark import reshape
-from avro_sql_spark.operators import curation, dedup, multimodal, relational, similarity
+from avro_sql_spark.operators import (
+    curation,
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    sketches,
+)
 from avro_sql_spark.operators.text import analyze_documents
 from avro_sql_spark.session import load_tables
 
@@ -579,6 +586,23 @@ def _quality_shards_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_shards_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-sharding with EXACT order-statistic cuts over a
+    deterministic md5-hash sample (curation.quality_shards_sampled) —
+    the ORACLE-REPLAYABLE twin of quality_shards_approx: same no-
+    global-sort scale shape (rate-bounded sample, two-pass rank, one
+    broadcast cut row), but the cuts are discrete sampled scores
+    rather than GK-sketch output, so DuckDB replays every comparison
+    bit-for-bit."""
+    t = load_tables(spark, sf_dir, register=False)
+    sharded = curation.quality_shards_sampled(t["documents"], n_shards=8)
+    return (
+        sharded.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("quality").alias("min_q"))
+        .orderBy("shard")
+    )
+
+
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no global orderBy: the range-bound sampling pass would re-execute
     # the pairwise-cosine stage, and the oracle compare sorts anyway
@@ -727,6 +751,24 @@ def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.approx_distinct_events(spark, sf_dir)
+
+
+def _approx_distinct_events_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via the deterministic KMV sketch
+    (sketches.kmv_distinct, k=64) — the ORACLE-REPLAYABLE twin of
+    approx_distinct_events: same mergeable-sketch scale shape
+    (partitions x k doubles shuffled, never the user universe), but
+    the estimate is a closed-form function of md5-derived hashes, so
+    DuckDB taking the same k smallest distinct hashes reproduces it
+    bit-for-bit (HLL's register layout never replays across engines)."""
+    t = load_tables(spark, sf_dir, register=False)
+    return sketches.kmv_distinct(
+        t["events"],
+        ["event_type"],
+        "CAST(user_id AS STRING)",
+        k=64,
+        out_col="est_users",
+    )
 
 
 def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -883,6 +925,35 @@ def _table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, register=False)
     return profile_table_approx(t["orders"], _PROFILE_COLS)
+
+
+def _table_profile_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column distinct-count estimates for the profile columns via
+    the deterministic KMV sketch — the ORACLE-REPLAYABLE twin of
+    table_profile_approx's HLL pass. Columns stack into (col_name,
+    value-string) rows (the timestamp column goes through unix_micros,
+    bit-exact against DuckDB's epoch_us) and ONE two-phase KMV
+    aggregation estimates every column in a single shuffle of
+    partitions x k doubles per column."""
+    from functools import reduce
+
+    t = load_tables(spark, sf_dir, register=False)
+    stacks = []
+    for c in _PROFILE_COLS:
+        ve = (
+            f"CAST(unix_micros(CAST({c} AS TIMESTAMP)) AS STRING)"
+            if c == "o_orderdate"
+            else f"CAST({c} AS STRING)"
+        )
+        stacks.append(
+            t["orders"].select(
+                F.lit(c).alias("col_name"), F.expr(ve).alias("v")
+            )
+        )
+    stacked = reduce(lambda a, b: a.unionByName(b), stacks)
+    return sketches.kmv_distinct(
+        stacked, ["col_name"], "v", k=64, out_col="est_distinct"
+    )
 
 
 def _weighted_take(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2546,6 +2617,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_plan": _epoch_plan,
         "dsir_weights": _dsir_weights,
         "ann_recall": _ann_recall,  # since-oracled; stale r2 no_oracle row
+        # --- new in r4: oracled deterministic-sketch twins of the HLL
+        # rows-only trio (KMV distinct / order-statistic sample cuts) ---
+        "approx_distinct_events_kmv": _approx_distinct_events_kmv,
+        "table_profile_kmv": _table_profile_kmv,
+        "quality_shards_sampled": _quality_shards_sampled,
         # --- cumulative-green core (driver rows r1-r3) ---
         "dedup_exact_keep": _dedup_exact_keep,
         "ngram_jaccard_pairs": _ngram_jaccard,
@@ -3130,6 +3206,29 @@ cells AS (SELECT g.i AS i, g.j AS j,
         / CAST(si.n AS DOUBLE)) / CAST(si.n AS DOUBLE)
         / CAST({scale} AS DOUBLE) / CAST({scale} AS DOUBLE) AS cov
        FROM gq g JOIN sq si ON si.i = g.i JOIN sq sj ON sj.i = g.j)"""
+
+
+def _kmv_oracle(
+    src_sql: str, group_col: str, value_sql: str, k: int = 64,
+    out_col: str = "est_distinct",
+) -> str:
+    """SQL twin of sketches.kmv_distinct: the k smallest DISTINCT
+    48-bit md5-cut hashes per group (k-smallest-of-a-set is order-free,
+    so DuckDB's row_number formulation equals Spark's two-phase
+    partition merge exactly), then the identical (k-1)/u_k estimate."""
+    return f"""
+WITH h AS (SELECT DISTINCT {group_col},
+  CAST(('0x' || substring(md5({value_sql}), 1, 12)) AS BIGINT)
+    / CAST(281474976710656 AS DOUBLE) AS u
+  FROM {src_sql} WHERE {value_sql} IS NOT NULL),
+r AS (SELECT {group_col}, u,
+      row_number() OVER (PARTITION BY {group_col} ORDER BY u) AS rn FROM h)
+SELECT {group_col},
+  CASE WHEN COUNT(*) >= {k}
+       THEN ROUND(CAST({k - 1} AS DOUBLE) / MAX(CASE WHEN rn = {k} THEN u END), 4)
+       ELSE ROUND(CAST(COUNT(*) AS DOUBLE), 4) END AS {out_col}
+FROM r WHERE rn <= {k} GROUP BY 1 ORDER BY 1
+"""
 
 
 def _power_iter_oracle(d: int = 64, iters: int = 10) -> str:
@@ -5512,6 +5611,51 @@ ORDER BY est_count DESC, user_id
         "embedding_covariance": f"""
 WITH {_fixed_cov_ctes()}
 SELECT i, j, ROUND(cov, 6) AS cov FROM cells ORDER BY i, j
+""",
+        "approx_distinct_events_kmv": _kmv_oracle(
+            "events", "event_type", "CAST(user_id AS VARCHAR)",
+            out_col="est_users",
+        ),
+        "table_profile_kmv": _kmv_oracle(
+            "("
+            + " UNION ALL ".join(
+                f"SELECT '{c}' AS col_name, "
+                + (
+                    "CAST(epoch_us(o_orderdate) AS VARCHAR)"
+                    if c == "o_orderdate"
+                    else f"CAST({c} AS VARCHAR)"
+                )
+                + " AS v FROM orders"
+                for c in _PROFILE_COLS
+            )
+            + ")",
+            "col_name",
+            "v",
+        ),
+        "quality_shards_sampled": f"""
+WITH base AS (
+  SELECT doc_id, text,
+         ' ' || lower(text) || ' ' AS padded,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
+  FROM documents
+), scored AS (
+  SELECT doc_id, {_quality_expr()} AS quality FROM base
+), samp AS (
+  SELECT doc_id AS _sid, quality FROM scored
+  WHERE {_hash_unit("doc_id", "shardsample")} < CAST(0.2 AS DOUBLE)
+), mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM samp),
+rk AS (SELECT quality,
+              row_number() OVER (ORDER BY quality DESC, _sid) AS rk
+       FROM samp),
+cuts AS (SELECT
+  {", ".join(f"MAX(CASE WHEN rk = ({j} * m + 7) // 8 THEN quality END) AS c{j}" for j in range(1, 8))}
+  FROM rk, mm),
+sh AS (SELECT s.doc_id, s.quality,
+              CASE {" ".join(f"WHEN s.quality >= c{j} THEN {j}" for j in range(1, 8))}
+                   ELSE 8 END AS shard
+       FROM scored s, cuts)
+SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_docs, MIN(quality) AS min_q
+FROM sh GROUP BY 1 ORDER BY 1
 """,
         "balance_ranks": """
 WITH ranked AS (

@@ -150,6 +150,67 @@ def quality_shards_approx(
     return scored.withColumn("shard", expr.otherwise(F.lit(n_shards)))
 
 
+def quality_shards_sampled(
+    df: DataFrame,
+    n_shards: int = 8,
+    score: Column | None = None,
+    id_col: str = "doc_id",
+    rate: float = 0.2,
+    salt: str = "shardsample",
+) -> DataFrame:
+    """The ORACLE-REPLAYABLE sketch-sharding twin of
+    :func:`quality_shards_approx`: shard cuts come from EXACT ORDER
+    STATISTICS of a deterministic md5-hash sample instead of a
+    Greenwald-Khanna sketch. Every step is a closed-form function of
+    the data — the hash sample is :func:`hash_unit` (engine-portable),
+    the cuts are the ceil(j*m/n)-th sampled scores in (quality DESC,
+    id) order (DISCRETE order statistics, no interpolation arithmetic
+    to diverge by an ulp), and shard assignment is the same row-local
+    broadcast-cut comparison as the GK path. A SQL engine replays it
+    exactly; GK's merge-order-dependent cuts never can.
+
+    Scale shape: the sample is rate-bounded; ranking it uses
+    :func:`global_rank` (two-pass range-partitioned — no task sorts
+    more than one range partition), the 7 cuts collapse to ONE row via
+    conditional aggregation, and the full table sees only a broadcast
+    of that row. No global sort anywhere."""
+    from ..functions.text import quality_score
+
+    score = quality_score(F.col("text")) if score is None else score
+    scored = df.withColumn("quality", score.cast("double"))
+    sample = scored.filter(hash_unit(F.col(id_col), salt) < rate).select(
+        F.col(id_col).alias("_sid"), "quality"
+    )
+    ranked = global_rank(
+        sample, [F.desc("quality"), F.asc("_sid")], rank_col="rk"
+    )
+    m = sample.agg(F.count(F.lit(1)).alias("m"))
+    # cut_j = quality at rank ceil(j*m/n_shards) = (j*m + n-1) DIV n
+    cuts = (
+        ranked.crossJoin(F.broadcast(m))
+        .groupBy()
+        .agg(
+            *[
+                F.max(
+                    F.when(
+                        F.expr(f"rk = ({j} * m + {n_shards - 1}) DIV {n_shards}"),
+                        F.col("quality"),
+                    )
+                ).alias(f"c{j}")
+                for j in range(1, n_shards)
+            ]
+        )
+    )
+    out = scored.crossJoin(F.broadcast(cuts))
+    expr = None
+    for shard in range(1, n_shards):
+        cond = F.col("quality") >= F.col(f"c{shard}")
+        expr = F.when(cond, shard) if expr is None else expr.when(cond, shard)
+    return out.withColumn(
+        "shard", expr.otherwise(F.lit(n_shards))
+    ).drop(*[f"c{j}" for j in range(1, n_shards)])
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int = 2048,

@@ -130,3 +130,55 @@ def sketch_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "merge_consistent"
         ),
     )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_expr: str,
+    k: int = 64,
+    out_col: str = "est_distinct",
+) -> DataFrame:
+    """Deterministic K-Minimum-Values distinct sketch (Bar-Yossef et
+    al. 2002): hash each value to a uniform point in [0, 1), keep the
+    ``k`` smallest distinct hashes per group, and estimate the distinct
+    count as (k-1) / u_k (the k-th smallest hash). The ORACLE-REPLAYABLE
+    twin of the HLL entries: the hash is a 48-bit md5 cut (exact in a
+    double, portable across engines), so the estimate is a closed-form
+    function of the data — any SQL engine taking the same k smallest
+    distinct hashes reproduces it bit-for-bit, which HLL's internal
+    register layout never allows.
+
+    Scale shape: two-phase merge. Phase 1 keeps the k smallest per
+    (group, input partition); phase 2 merges those partials — the
+    shuffle carries at most partitions x k doubles per group, never the
+    value universe, and the k-smallest-of-a-set operator is associative
+    (the same merge tree any KMV sketch library uses). When a group has
+    fewer than k distinct hashes the estimate is their exact count.
+    ``value_expr`` is a SQL string (not a Column) so the DuckDB oracle
+    can splice the identical text."""
+    u_sql = (
+        f"CAST(CONV(SUBSTRING(MD5({value_expr}), 1, 12), 16, 10) AS BIGINT)"
+        " / CAST(281474976710656 AS DOUBLE)"  # 2^48: u is exact in a double
+    )
+    src = (
+        df.filter(F.expr(value_expr).isNotNull())
+        .select(
+            *group_cols,
+            F.expr(u_sql).alias("u"),
+            F.spark_partition_id().alias("_pid"),
+        )
+    )
+    kmin = lambda c: F.slice(F.array_sort(F.collect_set(c)), 1, k)  # noqa: E731
+    part = src.groupBy(*group_cols, "_pid").agg(kmin("u").alias("mins"))
+    merged = (
+        part.select(*group_cols, F.explode("mins").alias("u"))
+        .groupBy(*group_cols)
+        .agg(kmin("u").alias("mins"))
+    )
+    n = F.size("mins")
+    est = F.when(
+        n >= k,
+        F.round(F.lit(float(k - 1)) / F.element_at("mins", k), 4),
+    ).otherwise(F.round(n.cast("double"), 4))
+    return merged.select(*group_cols, est.alias(out_col)).orderBy(*group_cols)

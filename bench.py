@@ -163,6 +163,9 @@ HEADLINE = [
     "multiformat_roundtrip",
     "char_mass_median",
     "quality_calibration",
+    "approx_distinct_events_kmv",
+    "table_profile_kmv",
+    "quality_shards_sampled",
 ]
 
 

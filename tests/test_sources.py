@@ -38,6 +38,25 @@ def test_unknown_format_rejected(spark):
         read_table(spark, "/tmp/x", fmt="xml")
 
 
+def test_spark_avro_jar_path_uses_filescan(spark, sample, tmp_path):
+    """When the spark-avro jar IS on the classpath, avro IO must route
+    through the distributed FileScan-avro datasource (the 100 TB path),
+    never the driver-side pure-Python fallback. Skipped in jar-less
+    containers — there the fallback round-trip test below covers the
+    gate; this test keeps the distributed branch exercised the moment a
+    driver image ships the jar."""
+    from avro_sql_spark.sources.io import _avro_available
+
+    if not _avro_available(spark):
+        pytest.skip("spark-avro jar not on classpath in this container")
+    path = str(tmp_path / "avro_jar")
+    write_table(sample, path, fmt="avro", target_files=1)
+    back = read_table(spark, path, fmt="avro")
+    assert back.count() == 3
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "avro" in plan.lower() and "FileScan" in plan, plan[:500]
+
+
 def test_multimodal_plumbing(spark):
     from avro_sql_spark.operators import multimodal
 
