@@ -734,6 +734,25 @@ def _decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decontam_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided containment decontamination (Broder containment
+    |T∩R|/|T| >= 0.5): drops train docs that CONTAIN half of any test
+    doc's 3-gram shingles — the contamination test Jaccard misses when
+    a short benchmark item is embedded in a long train doc (the union
+    dominates the intersection). Same bipartite shingle-join plan as
+    decontam_ngram; only the acceptance arithmetic differs."""
+    t = load_tables(spark, sf_dir, register=False)
+    labeled = curation.deterministic_split(t["documents"])
+    train = labeled.filter(F.col("split") == "train").drop("split")
+    test = labeled.filter(F.col("split") == "test").drop("split")
+    kept = dedup.decontaminate(train, test, method="containment", threshold=0.5)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_id"))
+        .orderBy("lang")
+    )
+
+
 def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingest dedup: the odd-id half of documents arrives as
     a new batch and is deduped against the even-id 'historical' half by
@@ -2622,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_events_kmv": _approx_distinct_events_kmv,
         "table_profile_kmv": _table_profile_kmv,
         "quality_shards_sampled": _quality_shards_sampled,
+        "decontam_containment": _decontam_containment,
         # --- cumulative-green core (driver rows r1-r3) ---
         "dedup_exact_keep": _dedup_exact_keep,
         "ngram_jaccard_pairs": _ngram_jaccard,
@@ -5929,6 +5949,32 @@ inter AS (SELECT tid, eid, COUNT(*) AS i FROM tr JOIN te USING (s) GROUP BY 1, 2
 contaminated AS (
   SELECT DISTINCT tid FROM inter JOIN tn USING (tid) JOIN en USING (eid)
   WHERE CAST(i AS DOUBLE) / (tn.n + en.n - i) >= 0.3)
+SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_id
+FROM labeled
+WHERE split = 'train' AND doc_id NOT IN (SELECT tid FROM contaminated)
+GROUP BY lang
+ORDER BY lang
+""",
+        "decontam_containment": f"""
+WITH labeled AS (
+  SELECT *, CASE WHEN {_hash_unit("doc_id", "split")} < 0.9 THEN 'train'
+                 WHEN {_hash_unit("doc_id", "split")} < CAST('0.9500000000000001' AS DOUBLE) THEN 'val'
+                 ELSE 'test' END AS split
+  FROM documents
+),
+toks AS (SELECT doc_id, split, string_split(lower(text), ' ') AS w
+         FROM labeled WHERE split IN ('train', 'test')),
+idx  AS (SELECT doc_id, split, w, unnest(range(1, len(w) - 1)) AS i
+         FROM toks WHERE len(w) >= 3),
+sh   AS (SELECT DISTINCT doc_id, split, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         FROM idx),
+tr AS (SELECT doc_id AS tid, s FROM sh WHERE split = 'train'),
+te AS (SELECT doc_id AS eid, s FROM sh WHERE split = 'test'),
+en AS (SELECT eid, COUNT(*) AS n FROM te GROUP BY 1),
+inter AS (SELECT tid, eid, COUNT(*) AS i FROM tr JOIN te USING (s) GROUP BY 1, 2),
+contaminated AS (
+  SELECT DISTINCT tid FROM inter JOIN en USING (eid)
+  WHERE CAST(i AS DOUBLE) / en.n >= 0.5)
 SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_id
 FROM labeled
 WHERE split = 'train' AND doc_id NOT IN (SELECT tid FROM contaminated)

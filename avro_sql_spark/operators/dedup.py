@@ -682,6 +682,14 @@ def decontaminate(
     Bipartite version of :func:`ngram_jaccard_pairs`: shingles of both
     sides meet in a shingle-keyed join (shuffle is |shingles|, never
     |train|×|test|), with the same ``max_doc_freq`` hot-shingle guard.
+
+    ``method="containment"``: drop train docs CONTAINING ≥``threshold``
+    of some test doc's shingles (Broder's one-sided containment
+    |T∩R| / |T|). The right contamination test when train docs are much
+    longer than benchmark items: a 10-line eval question embedded in a
+    10-page train doc has tiny Jaccard (union is dominated by the train
+    doc) but containment ~1. Same bipartite shingle-join plan as
+    ``ngram`` — only the acceptance arithmetic differs.
     """
     if method == "exact":
         test_fps = test.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
@@ -691,8 +699,10 @@ def decontaminate(
                 F.broadcast(test_fps), keyed["__fp"] == test_fps["fp"], "left_anti"
             ).drop("__fp")
         )
-    if method != "ngram":
-        raise ValueError(f"unknown method {method!r} (use 'exact' or 'ngram')")
+    if method not in ("ngram", "containment"):
+        raise ValueError(
+            f"unknown method {method!r} (use 'exact', 'ngram' or 'containment')"
+        )
     # same hashed-key rationale as ngram_jaccard_pairs: the bipartite
     # join shuffles 8-byte ints, not shingle strings
     tr = _shingles(train, id_col, text_col, shingle, out_id="tid").select(
@@ -732,10 +742,16 @@ def decontaminate(
         .groupBy("tid", "eid")
         .agg(F.count(F.lit(1)).alias("i"))
     )
+    score = (
+        # containment of the TEST doc in the train doc: |T∩R| / |T|
+        F.col("i").cast("double") / F.col("en")
+        if method == "containment"
+        else F.col("i").cast("double") / (F.col("tn") + F.col("en") - F.col("i"))
+    )
     contaminated = (
         inter.join(tr_sizes, "tid")
         .join(te_sizes, "eid")
-        .filter(F.col("i").cast("double") / (F.col("tn") + F.col("en") - F.col("i")) >= threshold)
+        .filter(score >= threshold)
         .select(F.col("tid").alias(id_col))
         .distinct()
     )

@@ -166,6 +166,7 @@ HEADLINE = [
     "approx_distinct_events_kmv",
     "table_profile_kmv",
     "quality_shards_sampled",
+    "decontam_containment",
 ]
 
 

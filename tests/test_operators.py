@@ -260,6 +260,28 @@ def test_decontaminate_ngram(spark):
     assert kept_all.count() == 2
 
 
+def test_decontaminate_containment_catches_embedded_leak(spark):
+    # a short benchmark item EMBEDDED in a long train doc: every test
+    # shingle appears in doc 1 (containment = 1.0), but the train doc's
+    # many extra shingles dominate the union (Jaccard ~ 4/18 = 0.22) —
+    # the case the one-sided test exists for
+    long_leak = (
+        "intro words before the leak alpha beta gamma delta epsilon "
+        "and then many more trailing words that pad the document out"
+    )
+    train = spark.createDataFrame(
+        [(1, long_leak), (2, "totally unrelated training document here")],
+        "doc_id LONG, text STRING",
+    )
+    test = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id LONG, text STRING"
+    )
+    kept_j = dedup.decontaminate(train, test, method="ngram", threshold=0.5)
+    assert kept_j.count() == 2  # Jaccard misses the embedded leak
+    kept_c = dedup.decontaminate(train, test, method="containment", threshold=0.5)
+    assert {r.doc_id for r in kept_c.collect()} == {2}  # containment catches it
+
+
 def test_gopher_pass_components(spark):
     from avro_sql_spark.functions.text import (
         alpha_word_fraction,
