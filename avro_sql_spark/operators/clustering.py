@@ -31,24 +31,51 @@ def _assign(emb: DataFrame, cents: "list[list[float]]", vec_col: str):
     aggregate/zip_with fold it replaces (0.0+x == x, same add order),
     but whole-stage-codegen'd instead of interpreted per row, and one
     Py4J call instead of ~k x d Column round-trips (driver seconds at
-    k=16, d=64 — the minhash-builder lesson)."""
+    k=16, d=64 — the minhash-builder lesson). The vector cast is
+    hoisted into a `_v` column first: repeating the cast expression
+    inside every one of the k x d terms tripled the generated-code
+    size past janino's 64 KB method limit, silently dropping the whole
+    stage to interpreted execution — same values, same add order, a
+    third of the codegen text."""
     d = len(cents[0])
-    vexpr = f"cast(`{vec_col}` as array<double>)"
-    dists = ", ".join(
-        " + ".join(
-            f"({vexpr}[{i}] - {c[i]!r}D) * ({vexpr}[{i}] - {c[i]!r}D)"
-            for i in range(d)
+    if len(cents) * d <= 256:
+        # small k x d: unrolled terms stay within janino's 64 KB method
+        # limit and whole-stage codegen compiles them to straight-line
+        # arithmetic — the fastest shape
+        dists = ", ".join(
+            " + ".join(
+                f"(_v[{i}] - {c[i]!r}D) * (_v[{i}] - {c[i]!r}D)"
+                for i in range(d)
+            )
+            for c in cents
         )
-        for c in cents
-    )
+    else:
+        # large k x d: the unrolled form is ONE unsplittable expression
+        # whose generated method blows the 64 KB limit — janino fails
+        # and Spark silently drops the WHOLE stage to interpreted
+        # execution (observed on the 16 x 64 SemDeDup/IVF assigners).
+        # The 0.0-seeded left fold over a zip_with is the IDENTICAL
+        # IEEE value (element order ascending, 0.0+x == x — the same
+        # equivalence the power-iteration oracle replays), with ~50x
+        # less codegen text, so the surrounding stage keeps codegen and
+        # only this expression evaluates via the interpreter
+        def fold(c):
+            lits = ", ".join(f"{x!r}D" for x in c)
+            return (
+                f"aggregate(zip_with(_v, array({lits}),"
+                " (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+            )
+
+        dists = ", ".join(fold(c) for c in cents)
     return (
-        emb.selectExpr("*", f"array({dists}) AS _dists")
+        emb.selectExpr("*", f"cast(`{vec_col}` as array<double>) AS _v")
+        .selectExpr("*", f"array({dists}) AS _dists")
         .selectExpr(
             "*",
             "cast(array_position(_dists, array_min(_dists)) - 1 as int) AS cluster",
             "array_min(_dists) AS _dist",
         )
-        .drop("_dists")
+        .drop("_dists", "_v")
     )
 
 

@@ -974,9 +974,29 @@ def semantic_dedup_report(
             s += e * e
         return math.sqrt(s)
 
+    # the self-dot is hoisted into one `nn` column instead of being
+    # repeated inside every per-centroid cosine (k+1 copies of a
+    # 64-term sum pushed the generated method past janino's 64 KB
+    # limit, silently dropping the stage to interpreted execution);
+    # sqrt(nn) is the same IEEE value as sqrt(<inline dot>), so every
+    # cosine is bit-identical to the previous formulation and the
+    # oracle is untouched
+    # the per-centroid cosines use the fold form (clustering._assign's
+    # large-k rationale): k=16 unrolled cdot expressions inside one
+    # element_at(array(...)) are a single unsplittable expression past
+    # janino's 64 KB method limit — the whole stage then runs
+    # interpreted. The 0.0-seeded zip_with fold is the IDENTICAL IEEE
+    # value with ~50x less codegen text, so the stage keeps codegen
+    def cfold(c: "list[float]") -> str:
+        lits = ", ".join(f"{x!r}D" for x in c)
+        return (
+            f"aggregate(zip_with(vec, array({lits}),"
+            " (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+        )
+
     ccos_sql = "element_at(array({}), cluster + 1)".format(
         ", ".join(
-            f"round(({cdot_sql('vec', c)}) / (sqrt({dot_sql('vec', 'vec')}) * {pynorm(c)!r}D), 6)"
+            f"round(({cfold(c)}) / (sqrt(nn) * {pynorm(c)!r}D), 6)"
             for c in cents
         )
     )
@@ -987,15 +1007,16 @@ def semantic_dedup_report(
             F.col(vec_col).cast("array<double>").alias("vec"),
             "cluster",
         )
+        .selectExpr("*", f"({dot_sql('vec', 'vec')}) AS nn")
         # zero-norm vectors have no cosine: exclude BEFORE ccos is
         # computed (its division would raise DIVIDE_BY_ZERO under the
         # session's default ANSI mode); the oracle filters identically
-        .filter(F.expr(f"{dot_sql('vec', 'vec')}") > 0)
+        .filter(F.col("nn") > 0)
         .selectExpr(
             "id",
             "vec",
             "cluster",
-            f"sqrt({dot_sql('vec', 'vec')}) AS nrm",
+            "sqrt(nn) AS nrm",
             f"{ccos_sql} AS ccos",
         )
         .localCheckpoint(eager=True)  # reused by both sides of the pair join
