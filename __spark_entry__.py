@@ -753,6 +753,29 @@ def _decontam_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (Robinson et al. 2021): per
+    query vector, the 10 most-similar corpus vectors with a DIFFERENT
+    label — the negatives an InfoNCE trainer should see. Broadcast
+    queries, per-partition top-k; same-label positives excluded by the
+    join predicate before ranking."""
+    t = load_tables(spark, sf_dir, register=False)
+    emb = t["embeddings"]
+    return similarity.hard_negatives(emb, emb.filter(F.col("vec_id") < 8), k=10)
+
+
+def _jl_shortlist_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL project(64->16, plan-time literal matrix) -> shortlist-32 by
+    projected cosine -> recall@10 vs the exact top-10. Quantifies the
+    cost of running every downstream dot on 4x fewer components — the
+    standard pre-shuffle shrink at 100 TB."""
+    t = load_tables(spark, sf_dir, register=False)
+    emb = t["embeddings"]
+    return similarity.jl_shortlist_recall(
+        emb, emb.filter(F.col("vec_id") < 8), k=10, shortlist=32
+    )
+
+
 def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingest dedup: the odd-id half of documents arrives as
     a new batch and is deduped against the even-id 'historical' half by
@@ -2642,6 +2665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile_kmv": _table_profile_kmv,
         "quality_shards_sampled": _quality_shards_sampled,
         "decontam_containment": _decontam_containment,
+        "hard_negative_mining": _hard_negative_mining,
+        "jl_shortlist_recall": _jl_shortlist_recall,
         # --- cumulative-green core (driver rows r1-r3) ---
         "dedup_exact_keep": _dedup_exact_keep,
         "ngram_jaccard_pairs": _ngram_jaccard,
@@ -3525,6 +3550,21 @@ def _hp_bucket_sql(planes: int, seed: int, col: str = "embedding") -> str:
         )
         cases.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(cases) + ")"
+
+
+def _jl_proj_sql(out_dim: int, seed: int, col: str = "embedding") -> "list[str]":
+    """DuckDB replay of similarity.random_projection: one expression per
+    output component, each the identical left-associated literal-weight
+    sum the Spark plan unrolls (same CAST('<repr>' AS DOUBLE) discipline
+    as _hp_bucket_sql — bare decimals are DECIMAL and land 1 ulp off)."""
+    comps = similarity._plane_components(out_dim, 64, seed)
+    return [
+        " + ".join(
+            f"CAST({col}[{j + 1}] AS DOUBLE) * CAST('{c!r}' AS DOUBLE)"
+            for j, c in enumerate(cs)
+        )
+        for cs in comps
+    ]
 
 
 # Query-restricted cosine scaffolding shared by the ANN oracles:
@@ -5980,6 +6020,60 @@ FROM labeled
 WHERE split = 'train' AND doc_id NOT IN (SELECT tid FROM contaminated)
 GROUP BY lang
 ORDER BY lang
+""",
+        # Hard-negative mining: the ann_cosine_topk ranking restricted
+        # to different-label (negative) pairs — cosr is the replay of
+        # vectors.cosine at 6 dp, labels join row-locally.
+        "hard_negative_mining": f"""
+WITH {_cos_topk_ctes("q.vec_id < 8")},
+lab AS (SELECT vec_id, label FROM embeddings),
+ranked AS (
+  SELECT c.query_id, ql.label AS query_label,
+         c.neighbor_id, nl.label AS neighbor_label, c.cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c.query_id
+                                 ORDER BY c.cos DESC, c.neighbor_id) AS INTEGER) AS rank
+  FROM cosr c
+  JOIN lab ql ON ql.vec_id = c.query_id
+  JOIN lab nl ON nl.vec_id = c.neighbor_id
+  WHERE ql.label <> nl.label AND c.cos >= 0.0
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cos, rank
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+""",
+        # JL shortlist recall: the projection replays as 16 literal
+        # left-assoc component sums (bit-exact vs the Spark unrolled
+        # SQL), projected cosine at 6 dp ranks the shortlist, and the
+        # exact-top-10 truth reuses the ann_cosine_topk scaffolding.
+        "jl_shortlist_recall": f"""
+WITH pj AS (SELECT vec_id,
+  {", ".join(f"({e}) AS p{i}" for i, e in enumerate(_jl_proj_sql(16, 11)))}
+  FROM embeddings),
+pn AS (SELECT *,
+  sqrt({" + ".join(f"p{i} * p{i}" for i in range(16))}) AS nrm FROM pj),
+qp AS (SELECT * FROM pn WHERE vec_id < 8),
+sc AS (SELECT qp.vec_id AS query_id, c.vec_id AS neighbor_id,
+  round(({" + ".join(f"qp.p{i} * c.p{i}" for i in range(16))})
+        / GREATEST(qp.nrm * c.nrm, CAST('1e-12' AS DOUBLE)), 6) AS pcos
+  FROM qp JOIN pn c ON c.vec_id <> qp.vec_id),
+short AS (SELECT query_id, neighbor_id,
+  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pcos DESC, neighbor_id) AS rk
+  FROM sc),
+sl AS (SELECT query_id, neighbor_id FROM short WHERE rk <= 32),
+{_cos_topk_ctes("q.vec_id < 8")},
+tr AS (SELECT query_id, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rn
+  FROM cosr) WHERE rn <= 10),
+hit AS (SELECT s.query_id, COUNT(*) AS n_hit
+        FROM sl s JOIN tr USING (query_id, neighbor_id) GROUP BY 1),
+ns AS (SELECT query_id, COUNT(*) AS n_shortlist FROM sl GROUP BY 1)
+SELECT ns.query_id, ns.n_shortlist,
+       CAST(COALESCE(hit.n_hit, 0) AS BIGINT) AS n_hit,
+       round(CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / 10.0, 6) AS recall_at_k
+FROM ns LEFT JOIN hit USING (query_id)
+ORDER BY query_id
 """,
         "mixture_by_lang": f"""
 WITH mixed AS (

@@ -1079,3 +1079,183 @@ def semantic_dedup_report(
         )
         .orderBy("cluster")
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+    floor: float = 0.0,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the ``k``
+    most-similar corpus vectors whose ``label_col`` DIFFERS from the
+    query's — the negatives an InfoNCE/triplet trainer should see
+    (Robinson et al. 2021, "Contrastive Learning with Hard Negative
+    Samples"). Same-label rows are positives and are excluded by the
+    join predicate itself, so they never reach the ranker.
+
+    Scale shape mirrors :func:`brute_force_topk`: the (small) query set
+    is broadcast, the corpus side is spread and streams through one
+    codegen'd stage, and ranking partitions by query id only — no
+    all-pairs shuffle, no global sort. ``floor`` drops anti-correlated
+    vectors (easy negatives) before the window so the per-partition
+    top-k heap stays small. Cosine is rounded to ``round_to`` decimals
+    BEFORE ranking with an id tiebreak, making the selection stable
+    across float summation orders (DuckDB-oracle-replayable)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("qv"),
+    )
+    n = emb.sparkSession.sparkContext.defaultParallelism
+    c = emb.repartition(n, F.col(id_col)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_label") != F.col("neighbor_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(floor))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    seed: int = 11,
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (Achlioptas 2003-style
+    dense projection, components md5-derived): ``in_dim`` -> ``out_dim``
+    doubles per row. The projection matrix is PLAN-TIME literal — the
+    same device as :func:`hyperplane_signature` — so there is no stored
+    model, no join, and the DuckDB oracle embeds the identical double
+    literals. Each output component is a left-associated ``_v[j] * c``
+    sum — unrolled straight-line SQL when the matrix is small enough for
+    janino, a bit-identical 0.0-seeded zip_with/aggregate fold above
+    that — so both engines reproduce it bit-for-bit either way.
+
+    Row-local: zero shuffle. At 100 TB this is the standard 4x
+    shrink applied BEFORE any shuffle-heavy similarity stage — the
+    projected column is what gets exchanged, not the raw vectors."""
+    comps = _plane_components(out_dim, in_dim, seed)
+    if out_dim * in_dim <= 256:
+        # small matrices: unrolled straight-line arithmetic, fully
+        # whole-stage-codegen'd (fastest shape under janino's 64 KB
+        # method limit — the clustering._assign lesson)
+        terms = []
+        for p in range(out_dim):
+            dot = " + ".join(
+                f"_v[{j}] * CAST('{c!r}' AS DOUBLE)" for j, c in enumerate(comps[p])
+            )
+            terms.append(f"({dot})")
+    else:
+        # 16 x 64 = 1024 multiply-adds unrolled blow the 64 KB janino
+        # method limit and silently drop the WHOLE stage to interpreted
+        # execution (observed). The 0.0-seeded left fold over zip_with
+        # is the IDENTICAL IEEE value (ascending element order,
+        # 0.0+x == x), so the oracle replay is unchanged and the
+        # surrounding stage keeps codegen.
+        terms = []
+        for p in range(out_dim):
+            lits = ", ".join(f"CAST('{c!r}' AS DOUBLE)" for c in comps[p])
+            terms.append(
+                f"aggregate(zip_with(_v, array({lits}),"
+                " (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+            )
+    arr = "array(" + ", ".join(terms) + ")"
+    return (
+        emb.withColumn("_v", F.expr(f"cast({vec_col} as array<double>)"))
+        .withColumn(out_col, F.expr(arr))
+        .drop("_v")
+    )
+
+
+def jl_shortlist_recall(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 32,
+    out_dim: int = 16,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Recall report for the project->shortlist->exact-rerank ANN
+    pipeline: shortlist the top ``shortlist`` corpus vectors per query
+    by cosine in the ``out_dim``-dim JL-projected space, then measure
+    how many of the EXACT top-``k`` neighbors the shortlist contains.
+
+    Because the exact top-k are by definition the globally
+    highest-exact-cosine rows, every truth row that reaches the
+    shortlist survives an exact-cosine rerank to the final top-k — so
+    ``n_hit / k`` IS the end-to-end recall@k of the two-stage pipeline.
+
+    Scale shape: projection is row-local; shortlisting is the same
+    broadcast-queries / per-partition-top-k plan as
+    :func:`brute_force_topk`, but every dot product downstream of the
+    projection touches ``out_dim`` components instead of ``in_dim`` —
+    the 100 TB win this entry quantifies the cost of."""
+    proj_c = random_projection(emb, out_dim=out_dim, seed=seed, vec_col=vec_col)
+    proj_q = random_projection(queries, out_dim=out_dim, seed=seed, vec_col=vec_col)
+    q = proj_q.select(
+        F.col(id_col).alias("query_id"), F.col("projected").alias("qv")
+    )
+    n = emb.sparkSession.sparkContext.defaultParallelism
+    c = proj_c.repartition(n, F.col(id_col)).select(
+        F.col(id_col).alias("neighbor_id"), F.col("projected").alias("cv")
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias("pcos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("neighbor_id"))
+    short = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= shortlist
+    )
+    # truth is |queries| x k rows and the hit counts are |queries| rows —
+    # broadcast both joins so the report never plans a sort-merge join
+    truth = brute_force_topk(
+        emb, queries, k=k, id_col=id_col, vec_col=vec_col, round_to=round_to
+    ).select("query_id", "neighbor_id")
+    hits = short.join(F.broadcast(truth), ["query_id", "neighbor_id"], "inner")
+    return (
+        short.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_shortlist"))
+        .join(
+            F.broadcast(
+                hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+            ),
+            "query_id",
+            "left",
+        )
+        .na.fill({"n_hit": 0})
+        .select(
+            "query_id",
+            "n_shortlist",
+            "n_hit",
+            F.round(F.col("n_hit") / F.lit(float(k)), 6).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

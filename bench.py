@@ -167,6 +167,8 @@ HEADLINE = [
     "table_profile_kmv",
     "quality_shards_sampled",
     "decontam_containment",
+    "hard_negative_mining",
+    "jl_shortlist_recall",
 ]
 
 

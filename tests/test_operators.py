@@ -1263,3 +1263,66 @@ def test_char_mass_median_hand_truth(spark):
                 " t(doc_id, lang, n_chars)")
     row = con.execute(em.oracle_sql()["char_mass_median"]).fetchone()
     assert row == ("en", 4, 130, 100)
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    import math
+
+    rows = [
+        (i, [math.cos(i * 0.2), math.sin(i * 0.2)], i % 3)
+        for i in range(24)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label INT"
+    )
+    out = similarity.hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 3), k=5
+    ).collect()
+    assert out, "expected some negatives"
+    for r in out:
+        # never a positive (same label), never self
+        assert r["query_label"] != r["neighbor_label"]
+        assert r["query_id"] != r["neighbor_id"]
+        assert r["cos"] >= 0.0
+    # ranked by cosine desc within each query
+    for qid in (0, 1, 2):
+        cos = [r["cos"] for r in out if r["query_id"] == qid]
+        assert cos == sorted(cos, reverse=True)
+        assert len(cos) <= 5
+
+
+def test_random_projection_matches_manual_dot(spark):
+    # the projected component must equal the literal-matrix dot product
+    # (left fold) for a hand-checkable vector, in both unrolled (small)
+    # and folded (large) codegen regimes
+    vec = [1.0 if j % 7 == 0 else 0.25 for j in range(64)]
+    emb = spark.createDataFrame([(0, vec)], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    for out_dim in (2, 16):  # 128 terms -> unrolled; 1024 -> folded
+        comps = similarity._plane_components(out_dim, 64, seed=11)
+        got = similarity.random_projection(
+            emb, out_dim=out_dim, in_dim=64, seed=11
+        ).collect()[0]["projected"]
+        for p in range(out_dim):
+            acc = 0.0
+            for j in range(64):
+                acc += vec[j] * comps[p][j]
+            assert got[p] == acc, f"component {p} mismatch at out_dim={out_dim}"
+
+
+def test_jl_shortlist_recall_bounds(spark):
+    import math
+
+    rows = [
+        (i, [math.cos(i * 0.1 + 0.01 * j) for j in range(64)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = similarity.jl_shortlist_recall(
+        emb, emb.filter(F.col("vec_id") < 2), k=5, shortlist=39
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        # shortlist of everything must recall everything
+        assert r["n_shortlist"] == 39
+        assert r["n_hit"] == 5
+        assert r["recall_at_k"] == 1.0
