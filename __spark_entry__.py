@@ -776,6 +776,15 @@ def _jl_shortlist_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diverse-exemplar selection (Carbonell
+    & Goldstein 1998): greedy k=8 picks from a top-64 relevance pool,
+    score = 0.7*rel - 0.3*max_sim_to_selected, all cosines rounded
+    before comparison so the oracle replays the rounds exactly."""
+    t = load_tables(spark, sf_dir, register=False)
+    return similarity.mmr_select(t["embeddings"], k=8, pool=64)
+
+
 def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingest dedup: the odd-id half of documents arrives as
     a new batch and is deduped against the even-id 'historical' half by
@@ -2667,6 +2676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_containment": _decontam_containment,
         "hard_negative_mining": _hard_negative_mining,
         "jl_shortlist_recall": _jl_shortlist_recall,
+        "mmr_selection": _mmr_selection,
         # --- cumulative-green core (driver rows r1-r3) ---
         "dedup_exact_keep": _dedup_exact_keep,
         "ngram_jaccard_pairs": _ngram_jaccard,
@@ -3565,6 +3575,80 @@ def _jl_proj_sql(out_dim: int, seed: int, col: str = "embedding") -> "list[str]"
         )
         for cs in comps
     ]
+
+
+def _mmr_oracle_sql(k: int = 8, pool: int = 64, seed: int = 23) -> str:
+    """DuckDB replay of similarity.mmr_select: relevance and pairwise
+    cosines as explicit left-associated 64-term chains (bit-identical to
+    the Spark zip_with/aggregate folds — ascending element order,
+    0.0+x == x), the query norm pre-folded in Python (same IEEE ops the
+    Spark plan runs on the identical literals), then the k greedy rounds
+    unrolled as MATERIALIZED CTEs (non-materialized chained CTEs
+    re-evaluate per reference — the kcore lesson) with the same
+    (score DESC, id ASC) argmax tiebreak."""
+    import math
+
+    q = similarity._plane_components(1, 64, seed)[0]
+    qss = 0.0
+    for c in q:
+        qss = qss + c * c
+    qn = math.sqrt(qss)
+    qdot = " + ".join(
+        f"CAST('{c!r}' AS DOUBLE) * CAST(embedding[{j + 1}] AS DOUBLE)"
+        for j, c in enumerate(q)
+    )
+    vss = " + ".join(
+        f"CAST(embedding[{j + 1}] AS DOUBLE) * CAST(embedding[{j + 1}] AS DOUBLE)"
+        for j in range(64)
+    )
+
+    def side_ss(al: str) -> str:
+        return " + ".join(
+            f"CAST({al}.embedding[{j + 1}] AS DOUBLE) * CAST({al}.embedding[{j + 1}] AS DOUBLE)"
+            for j in range(64)
+        )
+
+    pdot = " + ".join(
+        f"CAST(a.embedding[{j + 1}] AS DOUBLE) * CAST(b.embedding[{j + 1}] AS DOUBLE)"
+        for j in range(64)
+    )
+    ctes = [
+        f"""rel0 AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         round(({qdot})
+               / GREATEST(CAST('{qn!r}' AS DOUBLE) * sqrt({vss}),
+                          CAST('1e-12' AS DOUBLE)), 6) AS rel
+  FROM embeddings)""",
+        f"""pool AS MATERIALIZED (
+  SELECT vec_id, embedding, rel FROM rel0
+  ORDER BY rel DESC, vec_id LIMIT {pool})""",
+        f"""pc AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(({pdot})
+               / GREATEST(sqrt({side_ss('a')}) * sqrt({side_ss('b')}),
+                          CAST('1e-12' AS DOUBLE)), 6) AS c
+  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id)""",
+        """s1 AS MATERIALIZED (
+  SELECT 1 AS step, vec_id, rel, CAST(0 AS DOUBLE) AS maxsim,
+         (rel * CAST('0.7' AS DOUBLE)) - (CAST(0 AS DOUBLE) * CAST('0.3' AS DOUBLE)) AS score
+  FROM pool ORDER BY rel DESC, vec_id LIMIT 1)""",
+    ]
+    for i in range(2, k + 1):
+        prev = " UNION ALL ".join(f"SELECT vec_id FROM s{j}" for j in range(1, i))
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT {i} AS step, p.vec_id, p.rel, ms.maxsim,
+         (p.rel * CAST('0.7' AS DOUBLE)) - (ms.maxsim * CAST('0.3' AS DOUBLE)) AS score
+  FROM pool p
+  JOIN (SELECT id_a, MAX(c) AS maxsim FROM pc
+        WHERE id_b IN ({prev}) GROUP BY 1) ms ON ms.id_a = p.vec_id
+  WHERE p.vec_id NOT IN ({prev})
+  ORDER BY score DESC, p.vec_id LIMIT 1)""",
+        )
+    union = " UNION ALL ".join(
+        f"SELECT step, vec_id, rel, maxsim, score FROM s{j}" for j in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\n{union}\nORDER BY step"
 
 
 # Query-restricted cosine scaffolding shared by the ANN oracles:
@@ -6075,6 +6159,7 @@ SELECT ns.query_id, ns.n_shortlist,
 FROM ns LEFT JOIN hit USING (query_id)
 ORDER BY query_id
 """,
+        "mmr_selection": _mmr_oracle_sql(k=8, pool=64, seed=23),
         "mixture_by_lang": f"""
 WITH mixed AS (
   SELECT 'en' AS source, 0 AS epoch, doc_id FROM documents WHERE lang = 'en'

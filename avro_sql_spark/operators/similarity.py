@@ -1259,3 +1259,102 @@ def jl_shortlist_recall(
         )
         .orderBy("query_id")
     )
+
+
+def mmr_select(
+    emb: DataFrame,
+    query_vec: "list[float] | None" = None,
+    k: int = 8,
+    pool: int = 64,
+    seed: int = 23,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick ``k`` vectors maximizing
+    ``0.7 * relevance - 0.3 * max_sim_to_already_selected`` — the
+    diverse-exemplar pass a few-shot/eval-set builder runs after
+    retrieval, trading pure relevance for coverage.
+
+    Determinism discipline: the query vector defaults to a plan-time
+    md5-derived literal (``_plane_components`` seed ``seed``); relevance
+    and pairwise cosines are rounded to ``round_to`` dp BEFORE any
+    comparison; the per-round score is one fixed-shape expression
+    ``(rel * 0.7) - (maxsim * 0.3)`` over rounded inputs with an id
+    tiebreak, so a SQL engine replays every pick exactly. (0.7/0.3 are
+    both literals — ``1 - 0.7`` in driver code would be
+    0.30000000000000004 and break the replay.)
+
+    Scale shape: relevance is row-local against the literal query
+    (zero joins), the pool is a bounded TakeOrderedAndProject top-N
+    (per-partition heaps, no global sort), the pool's pairwise-cosine
+    frame is pool² rows computed ONCE and localCheckpoint-ed, and each
+    of the k rounds is one tiny aggregate+argmax job over it; driver
+    state is k id/score rows. ``pool`` can grow to 10^6 without any
+    plan change — rounds scan the checkpointed pair frame only."""
+    if query_vec is None:
+        query_vec = _plane_components(1, 64, seed)[0]
+    qlit = F.expr(
+        "array(" + ", ".join(f"CAST('{c!r}' AS DOUBLE)" for c in query_vec) + ")"
+    )
+    rel_df = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.round(cosine(qlit, F.col(vec_col)), round_to).alias("rel"),
+    )
+    pool_df = (
+        rel_df.orderBy(F.desc("rel"), F.asc("vid")).limit(pool).localCheckpoint()
+    )
+    a = pool_df.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"), "rel"
+    )
+    b = pool_df.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
+    pc = (
+        a.join(b, F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), round_to).alias("c"),
+        )
+        .localCheckpoint()
+    )
+    first = (
+        pool_df.orderBy(F.desc("rel"), F.asc("vid")).limit(1).collect()[0]
+    )
+    picked = [
+        (1, first["vid"], float(first["rel"]), 0.0, first["rel"] * 0.7 - 0.0 * 0.3)
+    ]
+    sel_ids = [first["vid"]]
+    for step in range(2, k + 1):
+        ms = (
+            pc.filter(F.col("id_b").isin(sel_ids))
+            .groupBy("id_a")
+            .agg(F.max("c").alias("maxsim"))
+        )
+        win = (
+            pool_df.filter(~F.col("vid").isin(sel_ids))
+            .join(ms, F.col("vid") == F.col("id_a"))
+            .select(
+                "vid",
+                "rel",
+                "maxsim",
+                ((F.col("rel") * F.lit(0.7)) - (F.col("maxsim") * F.lit(0.3))).alias(
+                    "score"
+                ),
+            )
+            .orderBy(F.desc("score"), F.asc("vid"))
+            .limit(1)
+            .collect()[0]
+        )
+        picked.append(
+            (step, win["vid"], float(win["rel"]), float(win["maxsim"]), float(win["score"]))
+        )
+        sel_ids.append(win["vid"])
+    spark = emb.sparkSession
+    out = spark.createDataFrame(
+        picked, "step INT, vec_id LONG, rel DOUBLE, maxsim DOUBLE, score DOUBLE"
+    )
+    for f in (pool_df, pc):
+        f.unpersist()
+    return out.orderBy("step")

@@ -169,6 +169,7 @@ HEADLINE = [
     "decontam_containment",
     "hard_negative_mining",
     "jl_shortlist_recall",
+    "mmr_selection",
 ]
 
 

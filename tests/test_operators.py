@@ -1326,3 +1326,27 @@ def test_jl_shortlist_recall_bounds(spark):
         assert r["n_shortlist"] == 39
         assert r["n_hit"] == 5
         assert r["recall_at_k"] == 1.0
+
+
+def test_mmr_select_diversifies(spark):
+    # query sits between two orthogonal directions; vec 1 duplicates
+    # vec 0, so pure relevance would rank it second, but its maxsim of
+    # 1.0 must push it behind the orthogonal (maxsim 0) vec 2
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),  # exact duplicate of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),  # same relevance, orthogonal to 0
+        (3, [0.0, 0.0, 1.0, 0.0]),  # irrelevant
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = similarity.mmr_select(
+        emb, query_vec=[1.0, 1.0, 0.0, 0.0], k=3, pool=4
+    ).collect()
+    assert [r["step"] for r in out] == [1, 2, 3]
+    # relevance tie between 0 and 2 breaks to the lowest id
+    assert out[0]["vec_id"] == 0
+    # second pick is the orthogonal direction, not the duplicate:
+    # 0.7*0.707 - 0.3*0 beats 0.7*0.707 - 0.3*1.0
+    assert out[1]["vec_id"] == 2
+    assert out[2]["vec_id"] == 1
+    assert out[0]["score"] >= out[1]["score"] >= out[2]["score"]

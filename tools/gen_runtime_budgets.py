@@ -55,6 +55,7 @@ ITERATIVE_ENTRIES = [
     "embedding_correlation",
     "triangle_census",
     "incremental_near_dup",
+    "mmr_selection",
 ]
 
 
