@@ -785,6 +785,21 @@ def _mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mmr_select(t["embeddings"], k=8, pool=64)
 
 
+def _copurchase_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source bounded BFS over the co-purchase graph: hop
+    distance from the 3 lowest part ids, 4 rounds (one node-keyed
+    join + one min-aggregate each). Oracle = bounded recursive CTE
+    with UNION-dedup'd (node, d) states."""
+    from avro_sql_spark.operators import graph
+
+    t = load_tables(spark, sf_dir, register=False)
+    edges = graph.copurchase_edges(t["lineitem"], min_count=2).localCheckpoint()
+    seeds = (
+        edges.select(F.col("src").alias("node")).distinct().orderBy("node").limit(3)
+    )
+    return graph.bfs_distances(edges, seeds, max_hops=4)
+
+
 def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingest dedup: the odd-id half of documents arrives as
     a new batch and is deduped against the even-id 'historical' half by
@@ -2677,6 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negative_mining": _hard_negative_mining,
         "jl_shortlist_recall": _jl_shortlist_recall,
         "mmr_selection": _mmr_selection,
+        "copurchase_bfs": _copurchase_bfs,
         # --- cumulative-green core (driver rows r1-r3) ---
         "dedup_exact_keep": _dedup_exact_keep,
         "ngram_jaccard_pairs": _ngram_jaccard,
@@ -6160,6 +6176,22 @@ FROM ns LEFT JOIN hit USING (query_id)
 ORDER BY query_id
 """,
         "mmr_selection": _mmr_oracle_sql(k=8, pool=64, seed=23),
+        # Bounded multi-source BFS: recursive CTE with UNION-dedup'd
+        # (node, d) walk states — MIN(d) over walks == BFS distance.
+        "copurchase_bfs": f"""
+WITH RECURSIVE {_COPURCHASE_PC},
+und AS (SELECT pa AS src, pb AS dst FROM pc
+        UNION ALL SELECT pb, pa FROM pc),
+seeds AS (SELECT DISTINCT src AS node FROM und ORDER BY node LIMIT 3),
+walk(node, d) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT u.dst, w.d + 1 FROM walk w JOIN und u ON u.src = w.node
+  WHERE w.d < 4
+)
+SELECT node, CAST(MIN(d) AS INTEGER) AS dist
+FROM walk GROUP BY 1 ORDER BY node
+""",
         "mixture_by_lang": f"""
 WITH mixed AS (
   SELECT 'en' AS source, 0 AS epoch, doc_id FROM documents WHERE lang = 'en'

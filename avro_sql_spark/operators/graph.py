@@ -455,3 +455,45 @@ def kcore_peel(
         )
         out.append((r, n_nodes, e.count()))
     return spark.createDataFrame(out, "round int, n_nodes bigint, n_edges bigint")
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS: hop distance from the nearest seed, bounded at
+    ``max_hops`` rounds (nodes further away are absent). The classic
+    frontier expansion as DataFrame ops: each round is ONE node-keyed
+    equi-join (frontier x edges) + ONE min-aggregate — shuffle volume is
+    edge-linear per round, state is node-linear, and the fixed round
+    count makes the result a closed-form function of the edge list that
+    a bounded recursive CTE replays exactly.
+
+    ``edges`` must already contain both directions for an undirected
+    graph (copurchase_edges does). Rounds localCheckpoint(eager) so the
+    plan stays shallow (the iterative-algorithm hygiene every loop in
+    this repo follows); superseded frames are unpersisted."""
+    dist = seeds.select(
+        F.col(node_col), F.lit(0).cast("int").alias("dist")
+    ).localCheckpoint()
+    for _ in range(max_hops):
+        step = (
+            dist.join(edges, dist[node_col] == edges[src_col])
+            .select(
+                F.col(dst_col).alias(node_col),
+                (F.col("dist") + F.lit(1)).alias("dist"),
+            )
+        )
+        nxt = (
+            dist.unionByName(step)
+            .groupBy(node_col)
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        dist.unpersist()
+        dist = nxt
+    return dist.orderBy(node_col)

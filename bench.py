@@ -170,6 +170,7 @@ HEADLINE = [
     "hard_negative_mining",
     "jl_shortlist_recall",
     "mmr_selection",
+    "copurchase_bfs",
 ]
 
 

@@ -7,6 +7,7 @@ from avro_sql_spark.operators.graph import (
     connected_components_star,
     copurchase_edges,
     pagerank,
+    bfs_distances,
 )
 
 
@@ -149,3 +150,24 @@ def test_kcore_peel_triangles(spark):
     assert (k2[2]["n_nodes"], k2[2]["n_edges"]) == (3, 3)  # stable core
     k3 = {r["round"]: r for r in kcore_peel(df, k=3, rounds=1).collect()}
     assert (k3[1]["n_nodes"], k3[1]["n_edges"]) == (0, 0)
+
+
+def test_bfs_distances_hand_graph(spark):
+    # path graph 1-2-3-4-5 plus isolated 9; seed at 1
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    und = edges + [(b, a) for a, b in edges]
+    e = spark.createDataFrame(und, "src LONG, dst LONG")
+    seeds = spark.createDataFrame([(1,)], "node LONG")
+    out = {r["node"]: r["dist"] for r in bfs_distances(e, seeds, max_hops=3).collect()}
+    # 5 is 4 hops away -> absent at max_hops=3; others exact
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_distances_multi_source_min(spark):
+    # two seeds; distance is to the NEAREST seed
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    und = edges + [(b, a) for a, b in edges]
+    e = spark.createDataFrame(und, "src LONG, dst LONG")
+    seeds = spark.createDataFrame([(1,), (5,)], "node LONG")
+    out = {r["node"]: r["dist"] for r in bfs_distances(e, seeds, max_hops=4).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}

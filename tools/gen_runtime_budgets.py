@@ -56,6 +56,7 @@ ITERATIVE_ENTRIES = [
     "triangle_census",
     "incremental_near_dup",
     "mmr_selection",
+    "copurchase_bfs",
 ]
 
 
