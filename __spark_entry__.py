@@ -800,6 +800,20 @@ def _copurchase_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.bfs_distances(edges, seeds, max_hops=4)
 
 
+def _leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split: split hashes the near-dup
+    CLUSTER id so components never straddle splits; the report's
+    cross_split_pairs column recomputes the leakage count (zero by
+    construction) instead of asserting it."""
+    t = load_tables(spark, sf_dir, register=False)
+    docs = t["documents"]
+    clusters = dedup.near_dup_clusters(docs)
+    pairs = dedup.minhash_candidate_pairs(docs).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    return curation.leakage_safe_split(clusters, pairs)
+
+
 def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingest dedup: the odd-id half of documents arrives as
     a new batch and is deduped against the even-id 'historical' half by
@@ -2693,6 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_shortlist_recall": _jl_shortlist_recall,
         "mmr_selection": _mmr_selection,
         "copurchase_bfs": _copurchase_bfs,
+        "leakage_safe_split": _leakage_safe_split,
         # --- cumulative-green core (driver rows r1-r3) ---
         "dedup_exact_keep": _dedup_exact_keep,
         "ngram_jaccard_pairs": _ngram_jaccard,
@@ -4161,6 +4176,39 @@ nd_reach AS (
   SELECT nd_e.s AS id, r.lbl FROM nd_e JOIN nd_reach r ON r.id = nd_e.d
 )
 SELECT id, MIN(lbl) AS cluster_id FROM nd_reach GROUP BY 1 ORDER BY id
+""",
+        # Cluster-aware split: the near_dup_clusters replay, split by
+        # hash of the CLUSTER id (same 0.9500000000000001 boundary
+        # convention), cross-split near-dup pairs recomputed as the
+        # leakage receipt.
+        "leakage_safe_split": f"""
+WITH RECURSIVE {_MINHASH_CTES},
+nd_pairs AS (SELECT id_a, id_b FROM mh_est WHERE est_jaccard >= 0.5),
+nd_e AS (SELECT id_a AS s, id_b AS d FROM nd_pairs
+         UNION SELECT id_b, id_a FROM nd_pairs),
+nd_reach AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM documents
+  UNION
+  SELECT nd_e.s AS id, r.lbl FROM nd_e JOIN nd_reach r ON r.id = nd_e.d
+),
+cl AS (SELECT id, MIN(lbl) AS cluster_id FROM nd_reach GROUP BY 1),
+asg AS (SELECT id, cluster_id,
+               CASE WHEN {_hash_unit("cluster_id", "split")} < 0.9 THEN 'train'
+                    WHEN {_hash_unit("cluster_id", "split")} < CAST('0.9500000000000001' AS DOUBLE) THEN 'val'
+                    ELSE 'test' END AS split
+        FROM cl),
+crossc AS (SELECT CAST(COUNT(*) AS BIGINT) AS cross_split_pairs
+           FROM nd_pairs p
+           JOIN asg a ON a.id = p.id_a
+           JOIN asg b ON b.id = p.id_b
+           WHERE a.split <> b.split)
+SELECT g.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT g.cluster_id) AS BIGINT) AS n_clusters,
+       MIN(g.id) AS min_doc,
+       (SELECT cross_split_pairs FROM crossc) AS cross_split_pairs
+FROM asg g
+GROUP BY 1
+ORDER BY split
 """,
         "minhash_calibration": f"""
 WITH {_MINHASH_CTES},

@@ -715,3 +715,49 @@ def perplexity_buckets(
         )
         .orderBy(lang_col, "bucket")
     )
+
+
+def leakage_safe_split(
+    clusters: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    weights: "dict[str, float] | None" = None,
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: assignment hashes the
+    CLUSTER id, not the document id, so every member of a near-duplicate
+    component lands in the same split — the leakage a plain per-doc
+    hash split cannot prevent (two near-identical docs straddling
+    train/test silently inflate eval scores).
+
+    ``clusters`` is the (id, cluster_id) frame from
+    :func:`~avro_sql_spark.operators.dedup.near_dup_clusters`;
+    ``pairs`` the near-dup pair frame used to build it. The report
+    carries the receipt: ``cross_split_pairs`` counts near-dup pairs
+    whose endpoints landed in different splits — ZERO by construction,
+    and the oracle recomputes rather than assumes it.
+
+    Scale shape: one hash expression per row (split is a pure function
+    of cluster_id — no join against a split table), two skinny keyed
+    joins to label the pair endpoints (both sides corpus-sized, so the
+    planner's sort-merge choice IS the right 100 TB shape — neither
+    side is broadcastable), and a 1-row broadcast for the receipt
+    column. The cluster frame itself is the output of the banded-LSH +
+    connected-components pipeline, never an all-pairs product."""
+    assigned = deterministic_split(
+        clusters, id_col="cluster_id", salt=salt, weights=weights
+    ).select(F.col("id").alias(id_col), "cluster_id", "split")
+    a = assigned.select(F.col(id_col).alias("id_a"), F.col("split").alias("sa"))
+    b = assigned.select(F.col(id_col).alias("id_b"), F.col("split").alias("sb"))
+    cross = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).alias("cross_split_pairs"))
+    )
+    rep = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.min(id_col).alias("min_doc"),
+    )
+    return rep.crossJoin(F.broadcast(cross)).orderBy("split")

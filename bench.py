@@ -171,6 +171,7 @@ HEADLINE = [
     "jl_shortlist_recall",
     "mmr_selection",
     "copurchase_bfs",
+    "leakage_safe_split",
 ]
 
 

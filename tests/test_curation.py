@@ -349,3 +349,27 @@ def test_perplexity_buckets_ccnet_terciles(spark):
     # fr: 3 docs -> 1 per bucket
     assert all(rep[("fr", b)]["n_docs"] == 1 for b in (1, 2, 3))
     assert rep[("en", 1)]["n_chars"] == 10 + 11 + 12
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from avro_sql_spark.operators import curation
+    from pyspark.sql import functions as F
+
+    # 6 docs in 3 clusters of 2; pairs connect each cluster
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 2), (3, 2), (4, 4), (5, 4)],
+        "id LONG, cluster_id LONG",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (2, 3), (4, 5)], "id_a LONG, id_b LONG"
+    )
+    out = curation.leakage_safe_split(clusters, pairs).collect()
+    # every report row carries the same zero leakage receipt
+    assert all(r["cross_split_pairs"] == 0 for r in out)
+    assert sum(r["n_docs"] for r in out) == 6
+    assert sum(r["n_clusters"] for r in out) == 3
+    # doc-level check: both members of each pair share a split
+    asg = curation.deterministic_split(clusters, id_col="cluster_id")
+    m = {r["id"]: r["split"] for r in asg.collect()}
+    for a, b in [(0, 1), (2, 3), (4, 5)]:
+        assert m[a] == m[b]

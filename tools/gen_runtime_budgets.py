@@ -57,6 +57,7 @@ ITERATIVE_ENTRIES = [
     "incremental_near_dup",
     "mmr_selection",
     "copurchase_bfs",
+    "leakage_safe_split",
 ]
 
 
