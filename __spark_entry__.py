@@ -814,6 +814,17 @@ def _leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.leakage_safe_split(clusters, pairs)
 
 
+def _forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten blast-radius audit: row-local forget
+    predicate on each table's own user key (customer/orders/events),
+    cascaded to lineitem through the dropped-orders bridge join —
+    n_before/n_dropped/n_after per table."""
+    t = load_tables(spark, sf_dir, register=False)
+    return curation.forget_cascade(
+        t["customer"], t["orders"], t["lineitem"], t["events"]
+    )
+
+
 def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingest dedup: the odd-id half of documents arrives as
     a new batch and is deduped against the even-id 'historical' half by
@@ -2708,6 +2719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_selection": _mmr_selection,
         "copurchase_bfs": _copurchase_bfs,
         "leakage_safe_split": _leakage_safe_split,
+        "forget_cascade": _forget_cascade,
         # --- cumulative-green core (driver rows r1-r3) ---
         "dedup_exact_keep": _dedup_exact_keep,
         "ngram_jaccard_pairs": _ngram_jaccard,
@@ -4176,6 +4188,37 @@ nd_reach AS (
   SELECT nd_e.s AS id, r.lbl FROM nd_e JOIN nd_reach r ON r.id = nd_e.d
 )
 SELECT id, MIN(lbl) AS cluster_id FROM nd_reach GROUP BY 1 ORDER BY id
+""",
+        # Forget cascade: row-local hash predicate per table, lineitem
+        # bridged through dropped orders; boundary compared against the
+        # string-parsed double (never a bare DECIMAL literal).
+        "forget_cascade": f"""
+WITH del_o AS (SELECT o_orderkey FROM orders
+               WHERE {_hash_unit("o_custkey", "forget")} < CAST('0.02' AS DOUBLE)),
+stats AS (
+  SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_before,
+         CAST(SUM(CASE WHEN {_hash_unit("c_custkey", "forget")} < CAST('0.02' AS DOUBLE)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+  FROM customer
+  UNION ALL
+  SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN {_hash_unit("o_custkey", "forget")} < CAST('0.02' AS DOUBLE)
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM del_o)
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'events', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN {_hash_unit("user_id", "forget")} < CAST('0.02' AS DOUBLE)
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+)
+SELECT table_name, n_before, n_dropped, n_before - n_dropped AS n_after
+FROM stats
+ORDER BY table_name
 """,
         # Cluster-aware split: the near_dup_clusters replay, split by
         # hash of the CLUSTER id (same 0.9500000000000001 boundary

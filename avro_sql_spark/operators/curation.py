@@ -761,3 +761,61 @@ def leakage_safe_split(
         F.min(id_col).alias("min_doc"),
     )
     return rep.crossJoin(F.broadcast(cross)).orderBy("split")
+
+
+def forget_cascade(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    events: DataFrame,
+    frac: float = 0.02,
+    salt: str = "forget",
+) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: the forget policy is a pure
+    function of the user key (``hash_unit(key) < frac`` — in production
+    the predicate is a membership test against the deletion-request
+    table; the hash stands in as a deterministic fixture), applied
+    row-locally to ``customer``/``orders``/``events``, and cascaded to
+    ``lineitem`` through the order bridge — the one table whose rows
+    carry no user key and genuinely need the join.
+
+    Report: one row per table with n_before / n_dropped / n_after, so
+    the deletion job's blast radius is reviewable before the write.
+
+    Scale shape: three of four tables never shuffle (the predicate is
+    row-local scan arithmetic fused into the aggregate); the lineitem
+    leg is ONE keyed left-semi-style join against the dropped-orders
+    frame (a ``frac`` fraction of orders — keyed equi-join, broadcast
+    only if the optimizer proves it small). Counts are conditional sums
+    in a single pass per table."""
+
+    def gone(key: Column) -> Column:
+        return hash_unit(key, salt) < F.lit(frac)
+
+    def stat(df: DataFrame, name: str, dropped: Column) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum(F.when(dropped, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+        )
+
+    c = stat(customer, "customer", gone(F.col("c_custkey")))
+    o = stat(orders, "orders", gone(F.col("o_custkey")))
+    e = stat(events, "events", gone(F.col("user_id")))
+    dropped_orders = orders.filter(gone(F.col("o_custkey"))).select(
+        F.col("o_orderkey").alias("_dk")
+    )
+    l = stat(
+        lineitem.join(
+            dropped_orders, lineitem["l_orderkey"] == F.col("_dk"), "left"
+        ),
+        "lineitem",
+        F.col("_dk").isNotNull(),
+    )
+    return (
+        c.unionByName(o)
+        .unionByName(l)
+        .unionByName(e)
+        .withColumn("n_after", F.col("n_before") - F.col("n_dropped"))
+        .orderBy("table_name")
+    )

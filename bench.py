@@ -172,6 +172,7 @@ HEADLINE = [
     "mmr_selection",
     "copurchase_bfs",
     "leakage_safe_split",
+    "forget_cascade",
 ]
 
 

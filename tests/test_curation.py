@@ -373,3 +373,29 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     m = {r["id"]: r["split"] for r in asg.collect()}
     for a, b in [(0, 1), (2, 3), (4, 5)]:
         assert m[a] == m[b]
+
+
+def test_forget_cascade_bridges_lineitem(spark):
+    from avro_sql_spark.operators import curation
+    from pyspark.sql import functions as F
+
+    customer = spark.createDataFrame([(i,) for i in range(10)], "c_custkey LONG")
+    orders = spark.createDataFrame(
+        [(oid, oid % 10) for oid in range(30)], "o_orderkey LONG, o_custkey LONG"
+    )
+    lineitem = spark.createDataFrame(
+        [(oid, j) for oid in range(30) for j in range(2)],
+        "l_orderkey LONG, l_linenumber LONG",
+    )
+    events = spark.createDataFrame([(i % 10,) for i in range(50)], "user_id LONG")
+    out = {r["table_name"]: r for r in curation.forget_cascade(
+        customer, orders, lineitem, events, frac=0.5
+    ).collect()}
+    assert set(out) == {"customer", "orders", "lineitem", "events"}
+    for r in out.values():
+        assert r["n_after"] == r["n_before"] - r["n_dropped"]
+    # the cascade invariant: lineitem drops exactly 2 rows per dropped order
+    assert out["lineitem"]["n_dropped"] == 2 * out["orders"]["n_dropped"]
+    # forgetting is keyed consistently: a dropped customer's orders all drop
+    gone_c = out["customer"]["n_dropped"]
+    assert out["orders"]["n_dropped"] == 3 * gone_c  # 3 orders per customer
