@@ -814,6 +814,56 @@ def _leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.leakage_safe_split(clusters, pairs)
 
 
+def _avro_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro spec Schema Resolution exercised end-to-end: documents
+    written under a v1 writer schema (n_chars as INT, text/source
+    present), read back under an evolved v2 READER schema — n_chars
+    promoted int->long, text/source discarded, n_tokens filled from
+    its reader default. Oracle = the same evolution as plain SQL over
+    the parquet source, so a resolution bug surfaces as a value
+    mismatch (sources/avro_resolve.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from avro_sql_spark.sources.avro_io import (
+        read_avro_fallback,
+        write_avro_fallback,
+    )
+
+    t = load_tables(spark, sf_dir, register=False)
+    docs = (
+        t["documents"]
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("int").alias("n_chars"),
+            "text",
+            "source",
+        )
+    )
+    reader = {
+        "type": "record",
+        "name": "topLevelRecord",
+        "fields": [
+            {"name": "doc_id", "type": ["null", "long"]},
+            {"name": "lang", "type": ["null", "string"]},
+            {"name": "n_chars", "type": ["null", "long"]},
+            {"name": "n_tokens", "type": ["null", "long"], "default": None},
+        ],
+    }
+    tmp = tempfile.mkdtemp(prefix="avro_evo_")
+    try:
+        path = os.path.join(tmp, "docs_v1.avro")
+        write_avro_fallback(docs, path, codec="deflate")
+        back = read_avro_fallback(spark, path, reader_schema=reader)
+        back = spark.createDataFrame(back.collect(), back.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return back.orderBy("doc_id")
+
+
 def _forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten blast-radius audit: row-local forget
     predicate on each table's own user key (customer/orders/events),
@@ -2720,6 +2770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_bfs": _copurchase_bfs,
         "leakage_safe_split": _leakage_safe_split,
         "forget_cascade": _forget_cascade,
+        "avro_evolution_roundtrip": _avro_evolution_roundtrip,
         # --- cumulative-green core (driver rows r1-r3) ---
         "dedup_exact_keep": _dedup_exact_keep,
         "ngram_jaccard_pairs": _ngram_jaccard,
@@ -4188,6 +4239,16 @@ nd_reach AS (
   SELECT nd_e.s AS id, r.lbl FROM nd_e JOIN nd_reach r ON r.id = nd_e.d
 )
 SELECT id, MIN(lbl) AS cluster_id FROM nd_reach GROUP BY 1 ORDER BY id
+""",
+        # Schema-resolution roundtrip: the evolution (int->long
+        # promotion, discarded fields, reader default) replayed as SQL
+        # over the parquet source.
+        "avro_evolution_roundtrip": """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(NULL AS BIGINT) AS n_tokens
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
 """,
         # Forget cascade: row-local hash predicate per table, lineitem
         # bridged through dropped orders; boundary compared against the

@@ -338,8 +338,15 @@ def write_container(
     return total
 
 
-def read_container(fobj: BinaryIO) -> tuple[dict, list[Any]]:
-    """→ (writer schema as dict, decoded records as Python values)."""
+def read_container(
+    fobj: BinaryIO, reader_schema: "dict | None" = None
+) -> tuple[dict, list[Any]]:
+    """→ (schema as dict, decoded records as Python values).
+
+    With ``reader_schema``, records are resolved writer->reader per the
+    Avro spec's Schema Resolution rules (promotions, defaults, field
+    discard — see sources/avro_resolve.py); the returned schema is the
+    READER's and incompatibilities raise before any byte is decoded."""
     if fobj.read(4) != _MAGIC:
         raise AvroSqlError("Not an Avro container file (bad magic)")
     meta: dict[str, bytes] = {}
@@ -359,6 +366,11 @@ def read_container(fobj: BinaryIO) -> tuple[dict, list[Any]]:
     if codec not in ("null", "deflate"):
         raise AvroSqlError(f"Unsupported avro codec: {codec}")
     resolved = resolve_names(schema)
+    plan = None
+    if reader_schema is not None:
+        from .avro_resolve import resolution_plan
+
+        plan = resolution_plan(resolved, resolve_names(reader_schema))
     records: list[Any] = []
     while True:
         first = fobj.read(1)
@@ -370,11 +382,17 @@ def read_container(fobj: BinaryIO) -> tuple[dict, list[Any]]:
         if codec == "deflate":
             data = zlib.decompress(data, wbits=-15)
         blockbuf = io.BytesIO(data)
-        for _ in range(count):
-            records.append(_decode(blockbuf, resolved))
+        if plan is None:
+            for _ in range(count):
+                records.append(_decode(blockbuf, resolved))
+        else:
+            from .avro_resolve import decode_resolved
+
+            for _ in range(count):
+                records.append(decode_resolved(blockbuf, resolved, plan))
         if fobj.read(16) != sync:
             raise AvroSqlError("Avro container sync marker mismatch")
-    return schema, records
+    return (schema if reader_schema is None else reader_schema), records
 
 
 # --------------------------------------------------------------------------
@@ -448,10 +466,14 @@ def _spark_to_avro_value(v: Any, dtype: DataType, avro: Any):
     return v
 
 
-def read_avro_fallback(spark: SparkSession, path: str) -> DataFrame:
+def read_avro_fallback(
+    spark: SparkSession, path: str, reader_schema: "dict | None" = None
+) -> DataFrame:
     """Read .avro container file(s) without the spark-avro jar: decode on
     the driver, convert with the sidecar schema (avro_to_spark_schema).
-    ``path`` may be a file or a directory of ``*.avro`` files."""
+    ``path`` may be a file or a directory of ``*.avro`` files.
+    ``reader_schema`` applies spec Schema Resolution (the jar path's
+    ``avroSchema`` option): promotions, reader defaults, field discard."""
     paths = (
         sorted(
             os.path.join(path, f) for f in os.listdir(path) if f.endswith(".avro")
@@ -465,7 +487,7 @@ def read_avro_fallback(spark: SparkSession, path: str) -> DataFrame:
     rows = []
     for p in paths:
         with open(p, "rb") as fobj:
-            schema, records = read_container(fobj)
+            schema, records = read_container(fobj, reader_schema=reader_schema)
             resolved = resolve_names(schema)
             if spark_schema is None:
                 spark_schema = avro_to_spark_schema(resolved)

@@ -173,6 +173,7 @@ HEADLINE = [
     "copurchase_bfs",
     "leakage_safe_split",
     "forget_cascade",
+    "avro_evolution_roundtrip",
 ]
 
 

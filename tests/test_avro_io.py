@@ -166,3 +166,143 @@ def test_truncated_container_raises_typed_error(spark, tmp_path):
     open(path, "wb").write(data[: len(data) - 7])  # chop mid-block
     with _pytest.raises(AvroSqlError):
         read_avro_fallback(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# schema resolution (avro_resolve: Avro spec "Schema Resolution")
+# ---------------------------------------------------------------------------
+
+def _roundtrip_resolved(writer_schema, reader_schema, records):
+    import io as _io
+    from avro_sql_spark.sources.avro_io import write_container, read_container
+
+    buf = _io.BytesIO()
+    write_container(buf, writer_schema, iter(records))
+    buf.seek(0)
+    return read_container(buf, reader_schema=reader_schema)
+
+
+def test_resolution_promotion_default_and_discard():
+    writer = {
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "a", "type": "int"},
+            {"name": "gone", "type": "string"},
+            {"name": "f", "type": "float"},
+        ],
+    }
+    reader = {
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "a", "type": "long"},            # int -> long
+            {"name": "f", "type": "double"},          # float -> double
+            {"name": "added", "type": "string", "default": "dflt"},
+        ],
+    }
+    schema, recs = _roundtrip_resolved(
+        writer, reader, [{"a": 7, "gone": "x", "f": 1.5}]
+    )
+    assert schema == reader
+    assert recs == [{"a": 7, "f": 1.5, "added": "dflt"}]
+
+
+def test_resolution_union_and_aliases():
+    writer = {
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "v", "type": "int"},
+            {"name": "old_name", "type": "string"},
+        ],
+    }
+    reader = {
+        "type": "record", "name": "R",
+        "fields": [
+            # writer int resolves against the first matching union branch
+            {"name": "v", "type": ["null", "long"]},
+            # alias claims the writer's old field name
+            {"name": "new_name", "type": "string", "aliases": ["old_name"]},
+        ],
+    }
+    _, recs = _roundtrip_resolved(writer, reader, [{"v": 3, "old_name": "hi"}])
+    assert recs == [{"v": 3, "new_name": "hi"}]
+
+
+def test_resolution_missing_default_raises():
+    import pytest as _pytest
+    from avro_sql_spark.errors import AvroSqlError
+    from avro_sql_spark.sources.avro_resolve import resolution_plan
+
+    writer = {"type": "record", "name": "R", "fields": [{"name": "a", "type": "int"}]}
+    reader = {
+        "type": "record", "name": "R",
+        "fields": [{"name": "a", "type": "int"}, {"name": "b", "type": "int"}],
+    }
+    with _pytest.raises(AvroSqlError, match=r"\$\.b.*no default"):
+        resolution_plan(writer, reader)
+
+
+def test_resolution_illegal_demotion_raises():
+    import pytest as _pytest
+    from avro_sql_spark.errors import AvroSqlError
+    from avro_sql_spark.sources.avro_resolve import resolution_plan
+
+    writer = {"type": "record", "name": "R", "fields": [{"name": "a", "type": "double"}]}
+    reader = {"type": "record", "name": "R", "fields": [{"name": "a", "type": "int"}]}
+    with _pytest.raises(AvroSqlError, match="cannot be read"):
+        resolution_plan(writer, reader)
+
+
+def test_compat_report_rows():
+    from avro_sql_spark.sources.avro_resolve import compat_report
+
+    writer = {
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "a", "type": "int"},
+            {"name": "drop_me", "type": "boolean"},
+            {"name": "bad", "type": "string"},
+        ],
+    }
+    reader = {
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "bad", "type": "int"},                 # illegal
+            {"name": "new1", "type": "int", "default": 0},
+            {"name": "new2", "type": "int"},                # no default
+        ],
+    }
+    rows = {r["field"]: r["action"] for r in compat_report(writer, reader)}
+    assert rows == {
+        "a": "promote",
+        "drop_me": "writer_discarded",
+        "bad": "incompatible",
+        "new1": "reader_default",
+        "new2": "incompatible",
+    }
+
+
+def test_resolution_enum_default_and_fixed():
+    import io as _io
+    from avro_sql_spark.sources.avro_io import write_container, read_container
+
+    writer = {
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "e", "type": {"type": "enum", "name": "E",
+                                   "symbols": ["A", "B", "C"]}},
+        ],
+    }
+    reader = {
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "e", "type": {"type": "enum", "name": "E",
+                                   "symbols": ["A", "B", "OTHER"],
+                                   "default": "OTHER"}},
+        ],
+    }
+    buf = _io.BytesIO()
+    write_container(buf, writer, iter([{"e": "A"}, {"e": "C"}]))
+    buf.seek(0)
+    _, recs = read_container(buf, reader_schema=reader)
+    assert [r["e"] for r in recs] == ["A", "OTHER"]
