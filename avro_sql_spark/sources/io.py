@@ -50,12 +50,20 @@ def read_table(
         # (avro_io.py) — development/small-data path, same sidecar schema
         from .avro_io import read_avro_fallback
 
+        reader_schema = None
+        if "avroSchema" in options:
+            # the jar path's reader-schema option: spec Schema
+            # Resolution (avro_resolve.py) gives the fallback the same
+            # semantics — promotions, reader defaults, field discard
+            import json as _json
+
+            reader_schema = _json.loads(options.pop("avroSchema"))
         if options:
             raise AvroSqlError(
                 "avro reader options require the spark-avro jar "
                 f"(jar-less fallback got: {sorted(options)})"
             )
-        df = read_avro_fallback(spark, path)
+        df = read_avro_fallback(spark, path, reader_schema=reader_schema)
         if schema is not None:
             # honor the caller's schema contract like every other path:
             # project + cast to the requested columns/types (missing

@@ -118,3 +118,35 @@ def test_compact_table_collapses_small_files(spark, tmp_path):
     assert n == 1
     assert len(glob.glob(dst + "/part-*.parquet")) == 1
     assert spark.read.parquet(dst).count() == 10_000
+
+
+def test_read_table_avro_honors_avro_schema_option(spark, tmp_path):
+    """The jar path's ``avroSchema`` reader option must work on the
+    jar-less fallback too, via spec Schema Resolution."""
+    import json
+
+    from avro_sql_spark.sources.avro_io import write_avro_fallback
+    from avro_sql_spark.sources.io import _avro_available, read_table
+
+    if _avro_available(spark):
+        pytest.skip("jar present: option routes to the datasource")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id INT, tag STRING"
+    )
+    p = str(tmp_path / "evo.avro")
+    write_avro_fallback(df, p)
+    reader = {
+        "type": "record",
+        "name": "topLevelRecord",
+        "fields": [
+            {"name": "id", "type": ["null", "long"]},  # int -> long
+            {"name": "extra", "type": ["null", "string"], "default": None},
+        ],
+    }
+    out = read_table(
+        spark, p, fmt="avro", avroSchema=json.dumps(reader)
+    ).orderBy("id")
+    assert [f.name for f in out.schema.fields] == ["id", "extra"]
+    rows = out.collect()
+    assert [(r["id"], r["extra"]) for r in rows] == [(1, None), (2, None)]
+    assert dict(out.dtypes)["id"] == "bigint"
