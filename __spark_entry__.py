@@ -864,6 +864,20 @@ def _avro_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.orderBy("doc_id")
 
 
+def _count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Count-Min sketch accuracy report over events
+    users: depth-4 x width-64 integer counter table (width deliberately
+    undersized at gate SF so the one-sided collision error is VISIBLE
+    in the overestimate column) (one groupBy,
+    mergeable by cell-wise SUM), estimates = min over rows, with the
+    one-sided overestimate visible against exact counts for the top-20
+    users (sketches.count_min_report)."""
+    t = load_tables(spark, sf_dir, register=False)
+    return sketches.count_min_report(
+        t["events"], "user_id", depth=4, width=64, topk=20
+    )
+
+
 def _forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten blast-radius audit: row-local forget
     predicate on each table's own user key (customer/orders/events),
@@ -2771,6 +2785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": _leakage_safe_split,
         "forget_cascade": _forget_cascade,
         "avro_evolution_roundtrip": _avro_evolution_roundtrip,
+        "count_min_heavy_hitters": _count_min_heavy_hitters,
         # --- cumulative-green core (driver rows r1-r3) ---
         "dedup_exact_keep": _dedup_exact_keep,
         "ngram_jaccard_pairs": _ngram_jaccard,
@@ -4239,6 +4254,32 @@ nd_reach AS (
   SELECT nd_e.s AS id, r.lbl FROM nd_e JOIN nd_reach r ON r.id = nd_e.d
 )
 SELECT id, MIN(lbl) AS cluster_id FROM nd_reach GROUP BY 1 ORDER BY id
+""",
+        # Count-Min replay: identical 48-bit md5 positions (DuckDB hex
+        # cast == Spark CONV), cell-wise integer counters, min-of-cells
+        # estimates for the exact top-20 keys.
+        "count_min_heavy_hitters": """
+WITH src AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+pos AS (
+  SELECT d.d,
+         CAST(('0x' || substring(md5(CAST(d.d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 64 AS pos
+  FROM src, (SELECT unnest([0, 1, 2, 3]) AS d) d
+),
+sketch AS (SELECT d, pos, CAST(COUNT(*) AS BIGINT) AS c FROM pos GROUP BY 1, 2),
+exact AS (SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS exact_n
+          FROM src GROUP BY 1
+          ORDER BY exact_n DESC, key LIMIT 20),
+cand AS (
+  SELECT e.key, e.exact_n, d.d,
+         CAST(('0x' || substring(md5(CAST(d.d AS VARCHAR) || ':' || CAST(e.key AS VARCHAR)), 1, 12)) AS BIGINT) % 64 AS pos
+  FROM exact e, (SELECT unnest([0, 1, 2, 3]) AS d) d
+),
+est AS (SELECT c.key, c.exact_n, MIN(s.c) AS est_n
+        FROM cand c JOIN sketch s ON s.d = c.d AND s.pos = c.pos
+        GROUP BY 1, 2)
+SELECT key, exact_n, est_n, est_n - exact_n AS overestimate
+FROM est
+ORDER BY exact_n DESC, key
 """,
         # Schema-resolution roundtrip: the evolution (int->long
         # promotion, discarded fields, reader default) replayed as SQL

@@ -182,3 +182,72 @@ def kmv_distinct(
         F.round(F.lit(float(k - 1)) / F.element_at("mins", k), 4),
     ).otherwise(F.round(n.cast("double"), 4))
     return merged.select(*group_cols, est.alias(out_col)).orderBy(*group_cols)
+
+
+def count_min_report(
+    df: DataFrame,
+    key_expr: str,
+    depth: int = 4,
+    width: int = 256,
+    topk: int = 20,
+) -> DataFrame:
+    """Deterministic Count-Min sketch with a heavy-hitter accuracy
+    report (Cormode & Muthukrishnan 2005): ``depth`` hash rows of
+    ``width`` counters each; a key's estimate is the MIN of its cells,
+    which can only OVER-estimate (collisions add, never subtract) —
+    the report makes that one-sided guarantee visible as an
+    ``overestimate`` column on the exact top-``topk`` keys.
+
+    The ORACLE-REPLAYABLE member of the frequency-sketch family (the
+    KMV/HLL relationship, but for counts): row positions are 48-bit md5
+    cuts mod width — pure integer arithmetic any SQL engine replays —
+    so sketch cells AND estimates match bit-for-bit, which a library
+    CM sketch's murmur-seeded layout never allows.
+
+    Scale shape: the sketch is ONE groupBy over in-row (row, pos)
+    explosion — depth x width counters total (kilobytes), partial-
+    aggregated map-side and mergeable by cell-wise SUM, so incremental
+    pipelines union yesterday's sketch with today's. Point queries join
+    the candidate keys against the broadcast-sized sketch frame. The
+    exact top-k pass exists only to ground the error report; production
+    candidate tracking is approx_top_k's job."""
+
+    def arr_sql(col: str) -> str:
+        return (
+            "array("
+            + ", ".join(
+                f"CAST(CONV(SUBSTRING(MD5(CONCAT('{d}:', CAST({col} AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+                f" % {width}"
+                for d in range(depth)
+            )
+            + ")"
+        )
+
+    src = df.filter(F.expr(key_expr).isNotNull())
+    sketch = (
+        src.select(F.posexplode(F.expr(arr_sql(key_expr))).alias("d", "pos"))
+        .groupBy("d", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        src.groupBy(F.expr(key_expr).alias("key"))
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("key"))
+        .limit(topk)
+    )
+    cand = exact.select(
+        "key",
+        "exact_n",
+        F.posexplode(F.expr(arr_sql("key"))).alias("d", "pos"),
+    )
+    est = (
+        cand.join(F.broadcast(sketch), ["d", "pos"])
+        .groupBy("key", "exact_n")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return est.select(
+        "key",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") - F.col("exact_n")).alias("overestimate"),
+    ).orderBy(F.desc("exact_n"), F.asc("key"))

@@ -174,6 +174,7 @@ HEADLINE = [
     "leakage_safe_split",
     "forget_cascade",
     "avro_evolution_roundtrip",
+    "count_min_heavy_hitters",
 ]
 
 

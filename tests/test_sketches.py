@@ -71,3 +71,29 @@ def test_sketch_aggs_partial_merge_plan(spark):
     ).executedPlan().toString()
     assert "Aggregate" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_count_min_never_underestimates(spark):
+    from avro_sql_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [(i % 13,) for i in range(500)] + [(99,)] * 50, "k LONG"
+    )
+    out = sketches.count_min_report(df, "k", depth=4, width=8, topk=14).collect()
+    assert len(out) == 14
+    for r in out:
+        # the CM guarantee: min over rows can only overestimate
+        assert r["est_n"] >= r["exact_n"]
+        assert r["overestimate"] == r["est_n"] - r["exact_n"]
+    # heaviest key first with exact count intact
+    assert out[0]["key"] == 99 or out[0]["exact_n"] >= out[1]["exact_n"]
+
+
+def test_count_min_wide_sketch_is_exact(spark):
+    from avro_sql_spark.operators import sketches
+
+    # 5 distinct keys, width 4096: collisions virtually impossible
+    df = spark.createDataFrame([(i % 5,) for i in range(100)], "k LONG")
+    out = sketches.count_min_report(df, "k", depth=4, width=4096, topk=5).collect()
+    assert all(r["overestimate"] == 0 for r in out)
+    assert all(r["exact_n"] == 20 for r in out)
