@@ -878,6 +878,27 @@ def _count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _twopass_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global median of events.value via two-pass bucketing —
+    no task ever sorts more than one bucket (profile.twopass_median).
+    Oracle states the answer as the k-th order statistic directly."""
+    from avro_sql_spark.operators import profile
+
+    t = load_tables(spark, sf_dir, register=False)
+    return profile.twopass_median(t["events"], "value")
+
+
+def _incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance proof: base-partition state
+    merged with delta-partition state, hash-checked against the full
+    recompute (the oracle). DECIMAL-exact sums make the merge
+    order-free (profile.incremental_agg_merge)."""
+    from avro_sql_spark.operators import profile
+
+    t = load_tables(spark, sf_dir, register=False)
+    return profile.incremental_agg_merge(t["events"])
+
+
 def _forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten blast-radius audit: row-local forget
     predicate on each table's own user key (customer/orders/events),
@@ -2786,6 +2807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forget_cascade": _forget_cascade,
         "avro_evolution_roundtrip": _avro_evolution_roundtrip,
         "count_min_heavy_hitters": _count_min_heavy_hitters,
+        "twopass_median": _twopass_median,
+        "incremental_agg_merge": _incremental_agg_merge,
         # --- cumulative-green core (driver rows r1-r3) ---
         "dedup_exact_keep": _dedup_exact_keep,
         "ngram_jaccard_pairs": _ngram_jaccard,
@@ -4254,6 +4277,29 @@ nd_reach AS (
   SELECT nd_e.s AS id, r.lbl FROM nd_e JOIN nd_reach r ON r.id = nd_e.d
 )
 SELECT id, MIN(lbl) AS cluster_id FROM nd_reach GROUP BY 1 ORDER BY id
+""",
+        # Exact lower median as the k-th order statistic (the answer is
+        # a data value; the algorithm's bucketing needs no replay).
+        "twopass_median": """
+WITH s AS (SELECT CAST(COUNT(value) AS BIGINT) AS n_rows,
+                  CAST((COUNT(value) + 1) // 2 AS BIGINT) AS rank
+           FROM events WHERE value IS NOT NULL)
+SELECT s.n_rows, s.rank,
+       (SELECT value FROM events WHERE value IS NOT NULL
+        ORDER BY value LIMIT 1 OFFSET (SELECT rank - 1 FROM s)) AS median_value
+FROM s
+""",
+        # Incremental merge == full recompute: the oracle IS the
+        # one-pass aggregate (DECIMAL-exact sums are order-free).
+        "incremental_agg_merge": """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS DOUBLE), 4) AS total_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1
+ORDER BY event_type
 """,
         # Count-Min replay: identical 48-bit md5 positions (DuckDB hex
         # cast == Spark CONV), cell-wise integer counters, min-of-cells

@@ -16,8 +16,9 @@ map-side partials, output unpivoted to a row per column):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _stats_exprs(cols: list[str], approx: bool) -> list:
@@ -443,3 +444,137 @@ def ks_drift(
         )
     )
     return out.orderBy(*gcols) if gcols else out
+
+
+def twopass_median(
+    df: DataFrame,
+    value_col: str = "value",
+    buckets: int = 1024,
+) -> DataFrame:
+    """EXACT global median (lower median: the ceil(n/2)-th smallest
+    value) with NO global sort — the two-pass bucketing scheme every
+    warehouse uses for exact percentiles at scale:
+
+    pass 1: one aggregate for (n, min, max);
+    pass 2: equal-width bucket counts (<= ``buckets`` rows) + a
+      cumulative sum over that BOUNDED frame locates the bucket holding
+      the k-th element and the within-bucket offset;
+    pass 3: only that bucket's rows are re-read; the offset-th smallest
+      among them is the median (sort_array over one bucket — expected
+      n/buckets values; a skewed bucket would recurse with a second
+      bucketing round, same contract).
+
+    Contrast with ``ORDER BY value LIMIT 1 OFFSET k-1``: that plan
+    funnels every row through one sorting task; this one shuffles
+    <= buckets + bucket-m rows total. The answer is a data value, so
+    the oracle can state it as the k-th order statistic directly."""
+    stats = df.agg(
+        F.count(value_col).alias("n"),
+        F.min(value_col).alias("mn"),
+        F.max(value_col).alias("mx"),
+    )
+    # bucket index: same expression shape both engines (bit-exact given
+    # identical doubles); max value clamped into the last bucket
+    b = (
+        df.select(F.col(value_col).alias("v"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "v",
+            "n",
+            F.when(F.col("mx") > F.col("mn"),
+                F.least(
+                    F.floor(
+                        (F.col("v") - F.col("mn"))
+                        / (F.col("mx") - F.col("mn"))
+                        * F.lit(buckets)
+                    ).cast("int"),
+                    F.lit(buckets - 1),
+                ),
+            ).otherwise(F.lit(0)).alias("b"),  # degenerate all-equal input
+        )
+    )
+    counts = b.groupBy("n", "b").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    # k = ceil(n/2); the window is over the <= `buckets`-row counts
+    # frame (bounded), not the data
+    med_bucket = (
+        counts.withColumn("cum_before", F.coalesce(F.sum("c").over(w), F.lit(0)))
+        .withColumn("k", F.expr("CAST((n + 1) DIV 2 AS BIGINT)"))
+        .filter(
+            (F.col("cum_before") < F.col("k"))
+            & (F.col("cum_before") + F.col("c") >= F.col("k"))
+        )
+        .select("b", "k", (F.col("k") - F.col("cum_before")).alias("offset"))
+    )
+    in_bucket = b.join(F.broadcast(med_bucket), "b").select(
+        "n", "k", "offset", "v"
+    )
+    return (
+        in_bucket.groupBy("n", "k", "offset")
+        .agg(F.sort_array(F.collect_list("v")).alias("vs"))
+        .select(
+            F.col("n").alias("n_rows"),
+            F.col("k").alias("rank"),
+            F.element_at("vs", F.col("offset").cast("int")).alias("median_value"),
+        )
+    )
+
+
+def incremental_agg_merge(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    delta_pred: Column | None = None,
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the base
+    partition's aggregate STATE (count / decimal-exact sum / min / max)
+    merges with the delta partition's state, and the merged result is
+    byte-identical to a full recompute — the invariant that lets a
+    100 TB pipeline aggregate yesterday's state with today's delta
+    instead of rescanning history. The oracle IS the full recompute, so
+    the driver's hash check proves merge == recompute.
+
+    Sums accumulate in DECIMAL(38,6) over 6-dp-rounded values: exact
+    and ORDER-FREE, so base+delta addition equals the one-pass sum
+    regardless of float summation order (the chi2_independence
+    pattern)."""
+    if delta_pred is None:
+        delta_pred = (F.dayofmonth(F.col("ts").cast("timestamp")) % 7) == 3
+    # a NULL predicate row must not vanish from BOTH partitions (the
+    # merge would silently diverge from the full recompute)
+    delta_pred = F.coalesce(delta_pred, F.lit(False))
+    dec = F.round(F.col(value_col), 6).cast("decimal(38,6)")
+
+    def state(part: DataFrame) -> DataFrame:
+        return part.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec).alias("s"),
+            F.min(value_col).alias("mn"),
+            F.max(value_col).alias("mx"),
+        )
+
+    base = state(df.filter(~delta_pred))
+    delta = state(df.filter(delta_pred))
+    merged = (
+        base.alias("b")
+        .join(delta.alias("d"), group_col, "full_outer")
+        .select(
+            F.col(group_col),
+            (F.coalesce(F.col("b.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))).alias(
+                "n_events"
+            ),
+            (
+                F.coalesce(F.col("b.s"), F.lit(0).cast("decimal(38,6)"))
+                + F.coalesce(F.col("d.s"), F.lit(0).cast("decimal(38,6)"))
+            ).alias("s"),
+            F.least(F.col("b.mn"), F.col("d.mn")).alias("mn0"),
+            F.greatest(F.col("b.mx"), F.col("d.mx")).alias("mx0"),
+        )
+    )
+    return merged.select(
+        group_col,
+        "n_events",
+        F.round(F.col("s").cast("double"), 4).alias("total_value"),
+        F.col("mn0").alias("min_value"),
+        F.col("mx0").alias("max_value"),
+    ).orderBy(group_col)

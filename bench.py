@@ -175,6 +175,8 @@ HEADLINE = [
     "forget_cascade",
     "avro_evolution_roundtrip",
     "count_min_heavy_hitters",
+    "twopass_median",
+    "incremental_agg_merge",
 ]
 
 

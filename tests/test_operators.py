@@ -1350,3 +1350,36 @@ def test_mmr_select_diversifies(spark):
     assert out[1]["vec_id"] == 2
     assert out[2]["vec_id"] == 1
     assert out[0]["score"] >= out[1]["score"] >= out[2]["score"]
+
+
+def test_twopass_median_matches_sorted(spark):
+    from avro_sql_spark.operators import profile
+
+    vals = [float(x) for x in [9, 1, 7, 3, 5, 11, 2, 8, 4]]  # n=9, k=5 -> 5.0
+    df = spark.createDataFrame([(v,) for v in vals], "value DOUBLE")
+    r = profile.twopass_median(df, "value", buckets=4).collect()[0]
+    assert (r["n_rows"], r["rank"], r["median_value"]) == (9, 5, 5.0)
+    # even n takes the LOWER median: k = ceil(n/2)
+    df2 = spark.createDataFrame([(float(v),) for v in [1, 2, 3, 4]], "value DOUBLE")
+    r2 = profile.twopass_median(df2, "value", buckets=4).collect()[0]
+    assert (r2["rank"], r2["median_value"]) == (2, 2.0)
+    # degenerate all-equal input must not divide by zero
+    df3 = spark.createDataFrame([(7.0,)] * 5, "value DOUBLE")
+    assert profile.twopass_median(df3, "value").collect()[0]["median_value"] == 7.0
+
+
+def test_incremental_agg_merge_equals_recompute(spark):
+    from avro_sql_spark.operators import profile
+
+    df = spark.createDataFrame(
+        [("a", float(i), i) for i in range(20)]
+        + [("b", 0.125, 3), ("b", -2.5, 10)],
+        "event_type STRING, value DOUBLE, day INT",
+    )
+    out = {r["event_type"]: r for r in profile.incremental_agg_merge(
+        df, delta_pred=(F.col("day") % 2 == 0)
+    ).collect()}
+    assert out["a"]["n_events"] == 20
+    assert out["a"]["total_value"] == sum(range(20))
+    assert (out["b"]["min_value"], out["b"]["max_value"]) == (-2.5, 0.125)
+    assert out["b"]["total_value"] == -2.375
