@@ -1936,6 +1936,53 @@ def _streaming_enriched_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.orderBy("category")
 
 
+def _streaming_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-VISIBLE STREAM-STREAM LEFT OUTER JOIN: views left-joined
+    to clicks within a 1-hour horizon; a view with no click emits with
+    a NULL click only after the watermark PROVES no future click can
+    match (the state-expiry null emission — the no-data micro-batch at
+    stream end performs the final eviction). Finite-replay caveat: only
+    rows whose match window closed before the final watermark are
+    batch-comparable, so BOTH sides apply the max(ts) - 4h cutoff
+    (watermark 2h + horizon 1h + margin); oracle = the identical batch
+    left join below the same cutoff."""
+    import datetime
+    import uuid
+
+    from avro_sql_spark.streaming.pipeline import (
+        replay_to_memory,
+        stream_events,
+        stream_stream_outer_attribution,
+    )
+
+    views = stream_events(spark, sf_dir).filter(F.col("event_type") == "view")
+    clicks = stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
+    joined = stream_stream_outer_attribution(views, clicks)
+    name = f"stream_outer_{uuid.uuid4().hex[:8]}"
+    pairs = replay_to_memory(joined, "append", name)
+    # the global watermark is min over BOTH input sides (each delayed
+    # 2h), so the batch-comparable cutoff keys off the LOWER side max
+    ev = load_tables(spark, sf_dir, register=False)["events"]
+    mx = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .agg(F.min("m"))
+        .collect()[0][0]
+    )
+    cutoff = mx - datetime.timedelta(hours=4)
+    below = pairs.filter(F.col("v_ts") <= F.lit(cutoff))
+    return below.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("click_id").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_matched"),
+        F.sum(F.when(F.col("click_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unmatched"),
+    )
+
+
 def _bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered selective join (operators/joins.py:build_bloom):
     the selective orders' keys fold into a fixed-size bit array via a
@@ -2880,6 +2927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_users": _streaming_dedup_users,
         "streaming_funnel_stages": _streaming_funnel_stages,
         "streaming_click_attribution": _streaming_click_attribution,
+        "streaming_outer_attribution": _streaming_outer_attribution,
         "streaming_sessions": _streaming_sessions,
         "remove_dup_spans": _remove_dup_spans,
         "jaccard_pairs_prefix": _jaccard_pairs_prefix,
@@ -6089,6 +6137,24 @@ stages AS (
   LEFT JOIN c ON a.user_id = c.user_id
   LEFT JOIN p ON a.user_id = p.user_id)
 SELECT stage, COUNT(*) AS n_users FROM stages GROUP BY stage ORDER BY stage
+""",
+        "streaming_outer_attribution": """
+WITH v AS (SELECT user_id, ts AS v_ts, event_id AS view_id FROM events
+           WHERE event_type = 'view'),
+c AS (SELECT user_id, ts AS c_ts, event_id AS click_id FROM events
+      WHERE event_type = 'click'),
+j AS (SELECT v.view_id, c.click_id
+      FROM v LEFT JOIN c
+        ON v.user_id = c.user_id
+       AND c.c_ts > v.v_ts AND c.c_ts <= v.v_ts + INTERVAL 1 HOUR
+      WHERE v.v_ts <= (SELECT LEAST(
+          (SELECT max(ts) FROM events WHERE event_type = 'view'),
+          (SELECT max(ts) FROM events WHERE event_type = 'click'))
+        - INTERVAL 4 HOUR))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN click_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+FROM j
 """,
         "streaming_click_attribution": """
 WITH v AS (SELECT user_id, ts AS v_ts, event_id AS view_id FROM events

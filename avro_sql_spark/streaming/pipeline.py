@@ -262,3 +262,40 @@ def stream_stream_click_attribution(
         & (F.col("c_ts") > F.col("v_ts"))
         & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
     ).select("v_user", "view_id", "click_id", "v_ts", "c_ts")
+
+
+def stream_stream_outer_attribution(
+    views: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: like
+    :func:`stream_stream_click_attribution`, but a view with NO click
+    inside the horizon still emits — with a NULL click — once the
+    watermark passes its match window (the state-expiry null emission
+    that makes outer stream joins harder than inner ones: the engine
+    must PROVE no future click can match before it releases the row).
+
+    Caveat every consumer must handle: rows whose match window has not
+    yet expired when the stream ends are still held in state and never
+    emit — so a finite replay is only batch-comparable BELOW the final
+    watermark minus the horizon (the driver entry applies exactly that
+    cutoff on both sides)."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    ).withWatermark("v_ts", watermark)
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("c_ts", watermark)
+    return v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
+        "left_outer",
+    ).select("v_user", "view_id", "click_id", "v_ts", "c_ts")

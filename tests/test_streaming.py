@@ -356,3 +356,41 @@ def test_stream_stream_join_horizon(spark, tmp_path):
     pairs = [(r["view_id"], r["click_id"]) for r in spark.sql(
         "SELECT * FROM ss_pairs").collect()]
     assert pairs == [(1, 2)]
+
+
+def test_stream_stream_outer_join_emits_unmatched(spark, tmp_path):
+    """A view with no click in the horizon must still emit — with a NULL
+    click — once the watermark proves no match can arrive (the no-data
+    micro-batch performs the final eviction on a finite replay)."""
+    from avro_sql_spark.streaming.pipeline import (
+        stream_stream_outer_attribution,
+    )
+
+    src = str(tmp_path / "outer_in")
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "view", 100),
+            (1, "2024-01-01 00:30:00", "click", 101),   # matches view 100
+            (2, "2024-01-01 00:00:00", "view", 200),    # never clicked
+            (1, "2024-01-01 12:00:00", "view", 300),    # advances watermark
+            (1, "2024-01-01 12:00:00", "click", 301),
+        ],
+        "user_id LONG, ts_s STRING, event_type STRING, event_id LONG",
+    ).select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type", "event_id",
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "user_id LONG, ts TIMESTAMP, event_type STRING, event_id LONG"
+    ).parquet(src)
+    joined = stream_stream_outer_attribution(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "click"),
+    )
+    _run_stream(joined, "outer_pairs")
+    rows = {
+        r["view_id"]: r["click_id"]
+        for r in spark.sql("SELECT view_id, click_id FROM outer_pairs").collect()
+    }
+    assert rows[100] == 101          # matched inside the horizon
+    assert rows[200] is None         # watermark-expired null emission
