@@ -785,6 +785,25 @@ def _mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mmr_select(t["embeddings"], k=8, pool=64)
 
 
+def _copurchase_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank around the same 3 seed parts as
+    copurchase_bfs — restart mass returns to the seeds, so scores decay
+    with distance from the anchor set (graph.personalized_pagerank,
+    Haveliwala 2002). Oracle unrolls the identical 3 iterations."""
+    from avro_sql_spark.operators import graph
+
+    t = load_tables(spark, sf_dir, register=False)
+    edges = graph.copurchase_edges(t["lineitem"], min_count=2).localCheckpoint()
+    seeds = (
+        edges.select(F.col("src").alias("node")).distinct().orderBy("node").limit(3)
+    )
+    return (
+        graph.personalized_pagerank(edges, seeds, iterations=3, round_to=8)
+        .withColumnRenamed("node", "part")
+        .orderBy("part")
+    )
+
+
 def _copurchase_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source bounded BFS over the co-purchase graph: hop
     distance from the 3 lowest part ids, 4 rounds (one node-keyed
@@ -2850,6 +2869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_shortlist_recall": _jl_shortlist_recall,
         "mmr_selection": _mmr_selection,
         "copurchase_bfs": _copurchase_bfs,
+        "copurchase_ppr": _copurchase_ppr,
         "leakage_safe_split": _leakage_safe_split,
         "forget_cascade": _forget_cascade,
         "avro_evolution_roundtrip": _avro_evolution_roundtrip,
@@ -3148,6 +3168,44 @@ nodes AS (SELECT DISTINCT src AS node FROM edges),
 outd AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY 1),
 nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
 r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn),
+{",".join(its)}
+SELECT node AS part, ROUND(pr, 8) AS pr FROM {prev} ORDER BY part
+"""
+
+
+def _ppr_oracle(iterations: int = 3) -> str:
+    """Unrolled personalized-PageRank twin of graph.personalized_pagerank
+    over the copurchase graph (symmetric, dangling-free): restart mass
+    (1-d) returns to the 3 lowest-id seeds, same per-iteration shape as
+    _pagerank_oracle so values match at 8 dp."""
+    its = []
+    prev = "r0"
+    for k in range(1, iterations + 1):
+        its.append(f"""
+it{k} AS (
+  SELECT te.node,
+         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * te.t
+         + CAST(0.85 AS DOUBLE) * COALESCE(s.c, CAST(0 AS DOUBLE)) AS pr
+  FROM tele te
+  LEFT JOIN (SELECT e.dst AS node, SUM(p.pr / o.od) AS c
+             FROM edges e
+             JOIN {prev} p ON p.node = e.src
+             JOIN outd o ON o.src = e.src
+             GROUP BY 1) s ON s.node = te.node)""")
+        prev = f"it{k}"
+    return f"""
+WITH {_COPURCHASE_PC},
+edges AS (SELECT pa AS src, pb AS dst FROM pc
+          UNION ALL SELECT pb, pa FROM pc),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+outd AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY 1),
+seeds AS (SELECT node FROM nodes ORDER BY node LIMIT 3),
+tele AS (SELECT n.node,
+                CASE WHEN s.node IS NOT NULL
+                     THEN CAST(1 AS DOUBLE) / (SELECT COUNT(*) FROM seeds)
+                     ELSE CAST(0 AS DOUBLE) END AS t
+         FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+r0 AS (SELECT node, t AS pr FROM tele),
 {",".join(its)}
 SELECT node AS part, ROUND(pr, 8) AS pr FROM {prev} ORDER BY part
 """
@@ -6483,6 +6541,7 @@ ORDER BY query_id
         "mmr_selection": _mmr_oracle_sql(k=8, pool=64, seed=23),
         # Bounded multi-source BFS: recursive CTE with UNION-dedup'd
         # (node, d) walk states — MIN(d) over walks == BFS distance.
+        "copurchase_ppr": _ppr_oracle(3),
         "copurchase_bfs": f"""
 WITH RECURSIVE {_COPURCHASE_PC},
 und AS (SELECT pa AS src, pb AS dst FROM pc

@@ -177,6 +177,7 @@ HEADLINE = [
     "count_min_heavy_hitters",
     "twopass_median",
     "incremental_agg_merge",
+    "copurchase_ppr",
 ]
 
 

@@ -171,3 +171,20 @@ def test_bfs_distances_multi_source_min(spark):
     seeds = spark.createDataFrame([(1,), (5,)], "node LONG")
     out = {r["node"]: r["dist"] for r in bfs_distances(e, seeds, max_hops=4).collect()}
     assert out == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
+
+
+def test_personalized_pagerank_mass_near_seed(spark):
+    from avro_sql_spark.operators.graph import personalized_pagerank
+
+    # barbell: seed side {1,2,3} fully connected, far side {7,8,9},
+    # bridged by 3-7; restart mass keeps scores high near the seed
+    und = []
+    for a, b in [(1, 2), (1, 3), (2, 3), (3, 7), (7, 8), (7, 9), (8, 9)]:
+        und += [(a, b), (b, a)]
+    e = spark.createDataFrame(und, "src LONG, dst LONG")
+    seeds = spark.createDataFrame([(1,)], "node LONG")
+    pr = {r["node"]: r["pr"] for r in personalized_pagerank(
+        e, seeds, iterations=4
+    ).collect()}
+    assert pr[1] > pr[3] > pr[7] > pr[8]   # decays with distance
+    assert abs(sum(pr.values()) - 1.0) < 1e-9  # mass conserved (no dangling)

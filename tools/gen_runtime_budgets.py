@@ -58,6 +58,7 @@ ITERATIVE_ENTRIES = [
     "mmr_selection",
     "copurchase_bfs",
     "leakage_safe_split",
+    "copurchase_ppr",
 ]
 
 
