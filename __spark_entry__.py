@@ -918,6 +918,21 @@ def _incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.incremental_agg_merge(t["events"])
 
 
+def _quantile_normalized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of the unigram-LM fluency
+    score (CDF matching): rank r of n_g in a source maps to the global
+    order statistic at ceil(r*N/n_g), making score distributions
+    comparable across sources (curation.quantile_normalize_report).
+    All-integer rank arithmetic; scores are data values."""
+    from avro_sql_spark.operators.text import unigram_logprob_scores
+
+    t = load_tables(spark, sf_dir, register=False)
+    docs = t["documents"]
+    scores = unigram_logprob_scores(docs).select("doc_id", "logprob_mean")
+    scored = docs.select("doc_id", "source").join(scores, "doc_id")
+    return curation.quantile_normalize_report(scored, "logprob_mean", "source")
+
+
 def _forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten blast-radius audit: row-local forget
     predicate on each table's own user key (customer/orders/events),
@@ -2876,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_min_heavy_hitters": _count_min_heavy_hitters,
         "twopass_median": _twopass_median,
         "incremental_agg_merge": _incremental_agg_merge,
+        "quantile_normalized_quality": _quantile_normalized_quality,
         # --- cumulative-green core (driver rows r1-r3) ---
         "dedup_exact_keep": _dedup_exact_keep,
         "ngram_jaccard_pairs": _ngram_jaccard,
@@ -4410,6 +4426,34 @@ ORDER BY event_type
         # Count-Min replay: identical 48-bit md5 positions (DuckDB hex
         # cast == Spark CONV), cell-wise integer counters, min-of-cells
         # estimates for the exact top-20 keys.
+        "quantile_normalized_quality": r"""
+WITH toks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+    FROM documents)
+  WHERE regexp_matches(token, '^[a-z]+$')),
+freqs AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+tot AS (SELECT SUM(c) AS n FROM freqs),
+logp AS (SELECT token, LN(c / n) AS lp FROM freqs, tot),
+sc AS (SELECT t.doc_id, ROUND(AVG(lp), 6) AS s
+       FROM toks t JOIN logp USING (token) GROUP BY 1),
+sg AS (SELECT d.source, sc.doc_id, sc.s FROM sc JOIN documents d USING (doc_id)),
+r AS (SELECT source, doc_id, s,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY s, doc_id) AS r
+      FROM sg),
+ng AS (SELECT source, COUNT(*) AS n_g FROM sg GROUP BY 1),
+na AS (SELECT COUNT(*) AS n_all FROM sg),
+g AS (SELECT s AS gs, ROW_NUMBER() OVER (ORDER BY s, doc_id) AS grk FROM sg),
+m AS (SELECT r.source, r.s, g.gs,
+             CAST((r.r * 10 + ng.n_g - 1) // ng.n_g AS INTEGER) AS decile
+      FROM r JOIN ng USING (source) CROSS JOIN na
+      JOIN g ON g.grk = (r.r * na.n_all + ng.n_g - 1) // ng.n_g)
+SELECT source, decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(s) AS orig_lo, MAX(s) AS orig_hi,
+       MIN(gs) AS norm_lo, MAX(gs) AS norm_hi
+FROM m GROUP BY 1, 2
+ORDER BY source, decile
+""",
         "count_min_heavy_hitters": """
 WITH src AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
 pos AS (

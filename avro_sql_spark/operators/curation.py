@@ -819,3 +819,62 @@ def forget_cascade(
         .withColumn("n_after", F.col("n_before") - F.col("n_dropped"))
         .orderBy("table_name")
     )
+
+
+def quantile_normalize_report(
+    scored: DataFrame,
+    score_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    deciles: int = 10,
+) -> DataFrame:
+    """Per-group quantile normalization (CDF matching — the
+    batch-effect correction genomics calls quantile normalization and
+    retrieval calls score calibration): a doc at within-group rank r of
+    n_g maps to the GLOBAL order statistic at rank ceil(r*N/n_g), so
+    every group's score distribution becomes the global one and
+    cross-source score comparisons stop rewarding the source with the
+    most generous scorer.
+
+    All-integer rank arithmetic + data-valued scores (no interpolation
+    floats to diverge by an ulp), reported per (group, decile) as
+    counts + original/mapped score ranges.
+
+    Scale shape: the within-group rank is a group-partitioned window;
+    the global order statistics come from :func:`global_rank` (two-pass
+    range-partitioned — no single-partition sort); the map is ONE
+    skinny equi-join on the computed global rank. Nothing driver-side
+    beyond global_rank's partitions-row offset frame."""
+    wg = Window.partitionBy(group_col).orderBy(score_col, id_col)
+    r = scored.select(group_col, id_col, score_col).withColumn(
+        "r", F.row_number().over(wg)
+    )
+    ng = scored.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_g"))
+    tot = scored.agg(F.count(F.lit(1)).alias("n_all"))
+    g = global_rank(
+        scored.select(
+            F.col(score_col).alias("gs"), F.col(id_col).alias("gid")
+        ),
+        [F.asc("gs"), F.asc("gid")],
+        rank_col="grk",
+    ).select("grk", "gs")
+    mapped = (
+        r.join(F.broadcast(ng), group_col)
+        .crossJoin(F.broadcast(tot))
+        .withColumn("k", F.expr("CAST((r * n_all + n_g - 1) DIV n_g AS BIGINT)"))
+        .withColumn(
+            "decile", F.expr(f"CAST((r * {deciles} + n_g - 1) DIV n_g AS INT)")
+        )
+        .join(g, F.col("k") == F.col("grk"))
+    )
+    return (
+        mapped.groupBy(group_col, "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(score_col).alias("orig_lo"),
+            F.max(score_col).alias("orig_hi"),
+            F.min("gs").alias("norm_lo"),
+            F.max("gs").alias("norm_hi"),
+        )
+        .orderBy(group_col, "decile")
+    )

@@ -178,6 +178,7 @@ HEADLINE = [
     "twopass_median",
     "incremental_agg_merge",
     "copurchase_ppr",
+    "quantile_normalized_quality",
 ]
 
 

@@ -399,3 +399,27 @@ def test_forget_cascade_bridges_lineitem(spark):
     # forgetting is keyed consistently: a dropped customer's orders all drop
     gone_c = out["customer"]["n_dropped"]
     assert out["orders"]["n_dropped"] == 3 * gone_c  # 3 orders per customer
+
+
+def test_quantile_normalize_matches_global_distribution(spark):
+    from avro_sql_spark.operators import curation
+
+    # source A scores 0-9, source B scores 100-109: after normalization
+    # both map onto the same global order statistics
+    rows = [("A", i, float(i)) for i in range(10)] + [
+        ("B", 100 + i, float(100 + i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "source STRING, doc_id LONG, s DOUBLE")
+    out = curation.quantile_normalize_report(df, "s", "source").collect()
+    by = {(r["source"], r["decile"]): r for r in out}
+    # every (source, decile) holds exactly one doc here
+    for (src, d), r in by.items():
+        assert r["n_docs"] == 1
+    # decile 1 of BOTH sources maps to the same global low region; the
+    # mapped (norm) values for A and B agree per decile even though the
+    # originals differ by 100
+    for d in range(1, 11):
+        assert by[("A", d)]["norm_lo"] == by[("B", d)]["norm_lo"]
+        assert by[("A", d)]["norm_hi"] == by[("B", d)]["norm_hi"]
+    # and the originals did NOT agree (the report shows the shift)
+    assert by[("A", 1)]["orig_lo"] != by[("B", 1)]["orig_lo"]
