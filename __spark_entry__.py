@@ -933,6 +933,94 @@ def _quantile_normalized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.quantile_normalize_report(scored, "logprob_mean", "source")
 
 
+def _source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (≤15 docs/source, deterministic md5
+    lottery) via the bucketed two-pass per-group rank — exact top-N per
+    source with no single-task per-source sort (curation.source_cap).
+    The oracle states the same rank as one PARTITION BY window."""
+    t = load_tables(spark, sf_dir, register=False)
+    return curation.source_cap(t["documents"], cap=15)
+
+
+def _kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram fluency score (D=0.75): the
+    continuation-count smoothing from Chen & Goodman 1999, all-integer
+    count inputs so DuckDB replays the formula exactly
+    (text.kneser_ney_scores)."""
+    from avro_sql_spark.operators.text import kneser_ney_scores
+
+    t = load_tables(spark, sf_dir, register=False)
+    return kneser_ney_scores(t["documents"])
+
+
+def _padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: padded-grid fill ratio per
+    16-token length bucket at batch size 8 — the padding-waste baseline
+    that motivates pack_sequences (curation.padding_efficiency)."""
+    t = load_tables(spark, sf_dir, register=False)
+    return curation.padding_efficiency(t["documents"], bucket=16, batch=8)
+
+
+def _event_type_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the directed event-type
+    transition graph (edges = at-least-average transitions, kept by
+    the integer predicate 100·n ≥ 20·row_total so no float boundary
+    can flip an edge; at this gate the graph has a 4-node cycle plus a
+    sink singleton). Path-doubling closure on the bounded label graph
+    (graph.scc_labels); oracle replays it with a recursive CTE."""
+    from avro_sql_spark.operators.graph import scc_labels
+
+    t = load_tables(spark, sf_dir, register=False)
+    w = relational.Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        F.lag("event_type").over(w).alias("prev_type"), F.col("event_type")
+    )
+    counts = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.groupBy("prev_type").agg(F.sum("n").alias("tn"))
+    edges = (
+        counts.join(tot, "prev_type")
+        .filter(F.col("n") * 100 >= F.col("tn") * 20)
+        .select(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+    )
+    return scc_labels(edges, rounds=3).select(
+        F.col("node").alias("event_type"), "scc_id", "scc_size"
+    )
+
+
+def _near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source NEAR-duplicate contamination matrix: MinHash-LSH
+    candidate pairs (est_jaccard ≥ 0.5, the oracled deterministic
+    family) joined to each side's source, tallied per unordered source
+    pair — the screen that tells you which crawls re-crawl each other
+    before they are mixed. Complements source_overlap (exact
+    fingerprints): near-dup overlap survives the small edits that break
+    the exact hash. Pair generation is the banded equi-join, never
+    all-pairs; the source attach is two skinny id joins."""
+    t = load_tables(spark, sf_dir, register=False)
+    docs = t["documents"]
+    pairs = dedup.minhash_candidate_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("est_jaccard"), 6).alias("mean_est_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 def _forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten blast-radius audit: row-local forget
     predicate on each table's own user key (customer/orders/events),
@@ -2892,6 +2980,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twopass_median": _twopass_median,
         "incremental_agg_merge": _incremental_agg_merge,
         "quantile_normalized_quality": _quantile_normalized_quality,
+        "source_cap_sample": _source_cap_sample,
+        "kn_bigram_logprob": _kn_bigram_logprob,
+        "padding_efficiency": _padding_efficiency,
+        "event_type_scc": _event_type_scc,
+        "near_dup_source_matrix": _near_dup_source_matrix,
         # --- cumulative-green core (driver rows r1-r3) ---
         "dedup_exact_keep": _dedup_exact_keep,
         "ngram_jaccard_pairs": _ngram_jaccard,
@@ -4453,6 +4546,116 @@ SELECT source, decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
        MIN(gs) AS norm_lo, MAX(gs) AS norm_hi
 FROM m GROUP BY 1, 2
 ORDER BY source, decile
+""",
+        # Exact per-source cap rank as ONE window; Spark's bucketed
+        # two-pass rank must equal it bit-for-bit (the bucket is a
+        # prefix of the order key).
+        "source_cap_sample": """
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':cap'), doc_id) AS cap_rank
+  FROM documents)
+SELECT doc_id, source, CAST(cap_rank AS BIGINT) AS cap_rank
+FROM r WHERE cap_rank <= 15
+ORDER BY source, cap_rank
+""",
+        # Interpolated Kneser-Ney (D=0.75): identical integer counts,
+        # identical left-assoc double arithmetic (0.75 is binary-exact).
+        "kn_bigram_logprob": r"""
+WITH toks AS (
+  SELECT doc_id, token, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS pos
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token,
+           generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS i
+    FROM documents)
+  WHERE regexp_matches(token, '^[a-z]+$')),
+big AS (
+  SELECT a.doc_id, a.token || ' ' || b.token AS bg
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+bc AS (SELECT bg, COUNT(*) AS cb FROM big GROUP BY bg),
+typed AS (SELECT bg, cb, string_split(bg, ' ')[1] AS w1,
+                 string_split(bg, ' ')[2] AS w2 FROM bc),
+l AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS c1, COUNT(*) AS fw
+      FROM typed GROUP BY w1),
+r AS (SELECT w2, COUNT(*) AS bw FROM typed GROUP BY w2),
+bt AS (SELECT COUNT(*) AS b FROM typed),
+sc AS (SELECT bg,
+              LN(GREATEST(CAST(cb AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                          CAST(0 AS DOUBLE)) / CAST(c1 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * CAST(fw AS DOUBLE)
+                   / CAST(c1 AS DOUBLE) * CAST(bw AS DOUBLE)
+                   / CAST(b AS DOUBLE)) AS lp
+       FROM typed JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN bt)
+SELECT d.doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(lp), 6) AS kn_logprob_mean
+FROM big d JOIN sc USING (bg)
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+""",
+        # Integer ceil-division batching audit over the shared tokenizer.
+        "padding_efficiency": r"""
+WITH toks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+    FROM documents)
+  WHERE regexp_matches(token, '^[a-z]+$')),
+d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc_id),
+g AS (SELECT ((n + 15) // 16) * 16 AS bucket_len,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS n_tokens
+      FROM d GROUP BY 1)
+SELECT CAST(bucket_len AS BIGINT) AS bucket_len, n_docs, n_tokens,
+       CAST(((n_docs + 7) // 8) * 8 * bucket_len AS BIGINT) AS padded_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE)
+             / CAST(((n_docs + 7) // 8) * 8 * bucket_len AS DOUBLE), 6)
+         AS fill_ratio
+FROM g ORDER BY bucket_len
+""",
+        # SCC of the thresholded transition graph: recursive-CTE
+        # transitive closure replays the path-doubling fixpoint (same
+        # edge set — the integer threshold has no float boundary).
+        "event_type_scc": """
+WITH RECURSIVE seq AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type
+  FROM events),
+c AS (SELECT prev_type, event_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+tt AS (SELECT prev_type, SUM(n) AS tn FROM c GROUP BY 1),
+e AS (SELECT c.prev_type AS s, c.event_type AS d
+      FROM c JOIN tt USING (prev_type) WHERE 100 * n >= 20 * tn),
+reach AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s),
+nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+mutual AS (SELECT f.s AS node, f.d AS peer
+           FROM reach f JOIN reach r ON f.s = r.d AND f.d = r.s),
+lab AS (SELECT node, MIN(peer) AS scc_id FROM (
+          SELECT node, node AS peer FROM nodes
+          UNION ALL SELECT node, peer FROM mutual)
+        GROUP BY node),
+sz AS (SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS scc_size
+       FROM lab GROUP BY 1)
+SELECT lab.node AS event_type, lab.scc_id, sz.scc_size
+FROM lab JOIN sz USING (scc_id)
+ORDER BY event_type
+""",
+        # Near-dup cross-source matrix over the oracled MinHash family.
+        "near_dup_source_matrix": f"""
+WITH {_MINHASH_CTES},
+nd AS (SELECT id_a, id_b, est_jaccard FROM mh_est WHERE est_jaccard >= 0.5),
+j AS (SELECT LEAST(da.source, db.source) AS source_a,
+             GREATEST(da.source, db.source) AS source_b,
+             nd.est_jaccard
+      FROM nd JOIN documents da ON da.doc_id = nd.id_a
+              JOIN documents db ON db.doc_id = nd.id_b)
+SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(est_jaccard), 6) AS mean_est_jaccard
+FROM j GROUP BY 1, 2
+ORDER BY source_a, source_b
 """,
         "count_min_heavy_hitters": """
 WITH src AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),

@@ -821,6 +821,105 @@ def forget_cascade(
     )
 
 
+def source_cap(
+    docs: DataFrame,
+    cap: int,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    salt: str = "cap",
+) -> DataFrame:
+    """Per-source document cap — keep at most ``cap`` docs per source,
+    chosen by a deterministic md5 lottery (the Common Crawl pipeline
+    staple: no single domain may dominate the mixture). Returns the
+    kept rows as (id, group, cap_rank).
+
+    Selection must be an EXACT per-group top-``cap`` (a rate filter
+    like :func:`hash_unit` < p can't hit an exact count), and the naive
+    ``row_number().over(partitionBy(group))`` sorts an entire source in
+    one task — at 100 TB a big crawl source is billions of rows. This
+    uses the bucketed two-pass rank instead: the first two hex chars of
+    the lottery key pre-split every group into 256 hash ranges, rows
+    rank within (group, bucket) — bounded partitions — and a
+    (groups × 256)-row offset frame (prefix sums per group, broadcast
+    back) lifts local ranks to exact per-group ranks. Because the
+    bucket IS a prefix of the order key (never hashed or wrapped —
+    that would break prefix monotonicity), (bucket, key) order equals
+    key order and the composed rank is identical to the single-sort
+    rank the oracle states.
+    """
+    key = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)).cast("binary")
+    )
+    d = docs.select(
+        F.col(id_col), F.col(group_col), key.alias("_k")
+    ).withColumn("_b", F.substring("_k", 1, 2))
+    w = Window.partitionBy(group_col, "_b").orderBy("_k", id_col)
+    d = d.withColumn("_rn", F.row_number().over(w))
+    offsets = (
+        d.groupBy(group_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.partitionBy(group_col)
+                    .orderBy("_b")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(group_col, "_b", "_off")
+    )
+    return (
+        d.join(F.broadcast(offsets), [group_col, "_b"])
+        .withColumn("cap_rank", (F.col("_off") + F.col("_rn")).cast("bigint"))
+        .filter(F.col("cap_rank") <= cap)
+        .select(id_col, group_col, "cap_rank")
+        .orderBy(group_col, "cap_rank")
+    )
+
+
+def padding_efficiency(
+    docs: DataFrame,
+    text_col: str = "text",
+    bucket: int = 16,
+    batch: int = 8,
+) -> DataFrame:
+    """Length-bucketed batching audit: round each doc's token count up
+    to the next multiple of ``bucket`` (the padded sequence length),
+    form fixed-size batches of ``batch`` docs per bucket, and report
+    how much of the padded token grid is real data — the padding-waste
+    table that decides between naive batching and sequence packing
+    (:func:`pack_sequences` is the packing alternative; this is its
+    baseline).
+
+    Row-local arithmetic (token count via the shared
+    :func:`~avro_sql_spark.functions.text.word_tokens` tokenizer, then
+    integer ceil-division) fused into the scan; ONE groupBy on the
+    bucketed length whose result is bounded by max_len/bucket rows.
+    fill_ratio is a single division of exact integers."""
+    from avro_sql_spark.functions import text as T
+
+    n = F.size(T.word_tokens(F.col(text_col)))
+    d = docs.select(n.alias("_n")).filter(F.col("_n") >= 1)
+    blen = (F.floor((F.col("_n") + bucket - 1) / bucket) * bucket).cast("bigint")
+    g = d.groupBy(blen.alias("bucket_len")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n").alias("n_tokens"),
+    )
+    slots = F.floor((F.col("n_docs") + batch - 1) / batch) * batch
+    return g.select(
+        "bucket_len",
+        "n_docs",
+        "n_tokens",
+        (slots * F.col("bucket_len")).cast("bigint").alias("padded_tokens"),
+        F.round(
+            F.col("n_tokens") / (slots * F.col("bucket_len")), 6
+        ).alias("fill_ratio"),
+    ).orderBy("bucket_len")
+
+
 def quantile_normalize_report(
     scored: DataFrame,
     score_col: str,

@@ -423,6 +423,86 @@ def bigram_logprob_scores(
     )
 
 
+def kneser_ney_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram fluency score (Kneser & Ney 1995;
+    Chen & Goodman 1999 §2.7) — the smoothing that backs off to how many
+    CONTEXTS a word follows rather than how often it occurs, so "san
+    francisco" boosts "francisco" only after "san":
+
+        P(w2|w1) = max(c(w1 w2) − D, 0)/c(w1·)
+                   + D·N1+(w1·)/c(w1·) · N1+(·w2)/B
+
+    with c(w1·) = Σ_w2 c(w1 w2), N1+(w1·) = |{w2: c(w1 w2)>0}|,
+    N1+(·w2) = |{w1: c(w1 w2)>0}|, B = distinct bigram types. Docs are
+    scored by mean ln P over their adjacent token pairs — a sharper
+    junk discriminator than add-k (:func:`bigram_logprob_scores`)
+    because rare-but-fluent transitions are not flattened toward the
+    uniform floor.
+
+    Scale shape mirrors the add-k scorer: tokenize ONCE (cached, spread
+    across cores), bigram counts from one shuffle; every KN term is an
+    aggregate OF THE VOCAB-SIZED count table (c1/fw by one groupBy on
+    w1, bw by one on w2, B a scalar), so the smoothing math never
+    touches per-instance rows; the doc join shuffles doc bigrams
+    against the scored vocab table once. All terms are integer counts —
+    the DuckDB oracle replays the identical formula exactly."""
+    words = T.word_tokens(F.col(text_col))
+    sess = docs.sparkSession
+    toks = (
+        docs.repartition(sess.sparkContext.defaultParallelism, F.col(id_col))
+        .select(F.col(id_col), words.alias("ws"))
+        .cache()
+    )
+    n = F.size(F.col("ws"))
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("ws", i), F.element_at("ws", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_bigrams = toks.select(F.col(id_col), F.explode(pairs).alias("bg"))
+    bc = doc_bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    split = F.split(F.col("bg"), " ")
+    typed = bc.select(
+        "bg", "cb", split[0].alias("w1"), split[1].alias("w2")
+    ).cache()
+    left = typed.groupBy("w1").agg(
+        F.sum("cb").alias("c1"), F.count(F.lit(1)).alias("fw")
+    )
+    right = typed.groupBy("w2").agg(F.count(F.lit(1)).alias("bw"))
+    btypes = typed.agg(F.count(F.lit(1)).alias("b"))
+    d = F.lit(discount)
+    scored = (
+        typed.join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(btypes))
+        .select(
+            "bg",
+            F.log(
+                F.greatest(F.col("cb") - d, F.lit(0.0)) / F.col("c1")
+                + d * F.col("fw") / F.col("c1") * F.col("bw") / F.col("b")
+            ).alias("lp"),
+        )
+    )
+    return (
+        doc_bigrams.join(scored, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("kn_logprob_mean"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def vocab_coverage(
     docs: DataFrame,
     text_col: str = "text",

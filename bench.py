@@ -179,6 +179,11 @@ HEADLINE = [
     "incremental_agg_merge",
     "copurchase_ppr",
     "quantile_normalized_quality",
+    "source_cap_sample",
+    "kn_bigram_logprob",
+    "padding_efficiency",
+    "event_type_scc",
+    "near_dup_source_matrix",
 ]
 
 

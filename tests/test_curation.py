@@ -423,3 +423,45 @@ def test_quantile_normalize_matches_global_distribution(spark):
         assert by[("A", d)]["norm_hi"] == by[("B", d)]["norm_hi"]
     # and the originals did NOT agree (the report shows the shift)
     assert by[("A", 1)]["orig_lo"] != by[("B", 1)]["orig_lo"]
+
+
+def test_source_cap_matches_single_window_rank(docs):
+    """The bucketed two-pass per-group rank must equal the naive
+    one-window rank exactly — bucket is a prefix of the order key."""
+    from pyspark.sql.window import Window
+
+    out = curation.source_cap(docs, cap=5)
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cap")).cast("binary"))
+    w = Window.partitionBy("source").orderBy(key, "doc_id")
+    naive = (
+        docs.select("doc_id", "source")
+        .withColumn("cap_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("cap_rank") <= 5)
+    )
+    got = {(r["doc_id"], r["source"], r["cap_rank"]) for r in out.collect()}
+    want = {(r["doc_id"], r["source"], r["cap_rank"]) for r in naive.collect()}
+    assert got == want
+    # the cap binds: no source exceeds it
+    per = out.groupBy("source").count().collect()
+    assert all(r["count"] <= 5 for r in per)
+
+
+def test_padding_efficiency_arithmetic(spark):
+    from avro_sql_spark.operators.curation import padding_efficiency
+
+    rows = [
+        (1, "one two three"),          # 3 tokens  -> bucket 16
+        (2, "a b c d e"),              # 5 tokens  -> bucket 16
+        (3, " ".join(["tok"] * 17)),   # 17 tokens -> bucket 32
+        (4, "123 456 ..."),            # 0 valid tokens -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["bucket_len"]: r for r in padding_efficiency(df, bucket=16, batch=8).collect()}
+    assert set(out) == {16, 32}
+    b16 = out[16]
+    assert b16["n_docs"] == 2 and b16["n_tokens"] == 8
+    # 2 docs -> 1 batch of 8 slots x 16 tokens = 128 padded
+    assert b16["padded_tokens"] == 128
+    assert b16["fill_ratio"] == round(8 / 128, 6)
+    b32 = out[32]
+    assert b32["n_docs"] == 1 and b32["padded_tokens"] == 8 * 32

@@ -188,3 +188,24 @@ def test_personalized_pagerank_mass_near_seed(spark):
     ).collect()}
     assert pr[1] > pr[3] > pr[7] > pr[8]   # decays with distance
     assert abs(sum(pr.values()) - 1.0) < 1e-9  # mass conserved (no dangling)
+
+
+def test_scc_labels_cycles_and_dag_edges(spark):
+    """3-cycle {1,2,3}, 2-cycle {4,5}, bridged by a one-way edge 3->4:
+    the bridge must NOT merge the components."""
+    from avro_sql_spark.operators.graph import scc_labels
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4)], "src LONG, dst LONG"
+    )
+    out = {r["node"]: (r["scc_id"], r["scc_size"]) for r in scc_labels(e).collect()}
+    assert out == {1: (1, 3), 2: (1, 3), 3: (1, 3), 4: (4, 2), 5: (4, 2)}
+
+
+def test_scc_labels_singletons_without_selfloop(spark):
+    """Acyclic chain: every node is its own component of size 1."""
+    from avro_sql_spark.operators.graph import scc_labels
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src LONG, dst LONG")
+    out = {r["node"]: (r["scc_id"], r["scc_size"]) for r in scc_labels(e).collect()}
+    assert out == {1: (1, 1), 2: (2, 1), 3: (3, 1)}

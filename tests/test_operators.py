@@ -1383,3 +1383,51 @@ def test_incremental_agg_merge_equals_recompute(spark):
     assert out["a"]["total_value"] == sum(range(20))
     assert (out["b"]["min_value"], out["b"]["max_value"]) == (-2.5, 0.125)
     assert out["b"]["total_value"] == -2.375
+
+
+def test_kneser_ney_hand_computed(spark):
+    """Tiny corpus with known counts, checked against the closed-form
+    interpolated-KN values (D=0.75)."""
+    import math
+
+    from avro_sql_spark.operators.text import kneser_ney_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b")], "doc_id long, text string"
+    )
+    # bigram types: {a b:2, b c:1}; c1(a)=2, c1(b)=1; fw(a)=1, fw(b)=1;
+    # bw(b)=1, bw(c)=1; B=2
+    d = 0.75
+    p_ab = max(2 - d, 0) / 2 + d * 1 / 2 * (1 / 2)
+    p_bc = max(1 - d, 0) / 1 + d * 1 / 1 * (1 / 2)
+    rows = {r["doc_id"]: r for r in kneser_ney_scores(docs).collect()}
+    assert rows[1]["n_bigrams"] == 2
+    assert rows[1]["kn_logprob_mean"] == round(
+        (math.log(p_ab) + math.log(p_bc)) / 2, 6
+    )
+    assert rows[2]["kn_logprob_mean"] == round(math.log(p_ab), 6)
+
+
+def test_kneser_ney_sums_to_one_per_context(spark):
+    """The KN invariant: for any context w1, P(w2|w1) summed over the
+    FULL vocabulary equals 1 — Σ max(c-D,0)/c1 = (c1 - D·fw)/c1 and the
+    continuation term restores exactly D·fw/c1. Recomputed locally from
+    corpus counts for every context."""
+    from collections import Counter
+
+    from avro_sql_spark.operators.text import kneser_ney_scores  # noqa: F401
+
+    texts = ["the cat sat on the mat", "the dog sat", "a cat on a mat"]
+    toks = [t.split() for t in texts]
+    bigrams = Counter((w[i], w[i + 1]) for w in toks for i in range(len(w) - 1))
+    vocab = sorted({w for t in toks for w in t})
+    d = 0.75
+    b = len(bigrams)
+    for w1 in {x for x, _ in bigrams}:
+        c1 = sum(c for (a, _), c in bigrams.items() if a == w1)
+        fw = sum(1 for (a, _) in bigrams if a == w1)
+        total = 0.0
+        for w2 in vocab:
+            bw = sum(1 for (_, y) in bigrams if y == w2)
+            total += max(bigrams.get((w1, w2), 0) - d, 0) / c1 + d * fw / c1 * bw / b
+        assert abs(total - 1.0) < 1e-12, (w1, total)

@@ -59,6 +59,7 @@ ITERATIVE_ENTRIES = [
     "copurchase_bfs",
     "leakage_safe_split",
     "copurchase_ppr",
+    "event_type_scc",
 ]
 
 
