@@ -1021,6 +1021,25 @@ def _near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorized mean with EXACT order-statistic clamp
+    points (ceil(p·n/100)-th smallest — integer ranks, never percentile
+    interpolation) found by per-group two-pass bucketing; no per-group
+    sort task (profile.grouped_winsorized_stats). The mean accumulates
+    6-dp DECIMAL — order-free, hash-stable."""
+    from avro_sql_spark.operators import profile
+
+    t = load_tables(spark, sf_dir, register=False)
+    return profile.grouped_winsorized_stats(t["events"])
+
+
+def _session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session opening paths (first four event types per 30-min
+    session, '>'-joined): lag/cumsum sessionization, in-row path build,
+    bounded path groupBy (relational.session_paths_topk)."""
+    return relational.session_paths_topk(spark, sf_dir)
+
+
 def _forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten blast-radius audit: row-local forget
     predicate on each table's own user key (customer/orders/events),
@@ -2985,6 +3004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "padding_efficiency": _padding_efficiency,
         "event_type_scc": _event_type_scc,
         "near_dup_source_matrix": _near_dup_source_matrix,
+        "winsorized_event_stats": _winsorized_event_stats,
+        "session_paths_topk": _session_paths_topk,
         # --- cumulative-green core (driver rows r1-r3) ---
         "dedup_exact_keep": _dedup_exact_keep,
         "ngram_jaccard_pairs": _ngram_jaccard,
@@ -4656,6 +4677,48 @@ SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
        ROUND(AVG(est_jaccard), 6) AS mean_est_jaccard
 FROM j GROUP BY 1, 2
 ORDER BY source_a, source_b
+""",
+        # Winsorized stats with order-statistic thresholds: the clamp
+        # points are data values (rank arithmetic), the mean is a
+        # DECIMAL-exact accumulation — the oracle states both directly.
+        "winsorized_event_stats": """
+WITH s AS (SELECT event_type AS g, value AS v FROM events WHERE value IS NOT NULL),
+n AS (SELECT g, COUNT(*) AS n FROM s GROUP BY 1),
+r AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rk FROM s),
+th AS (SELECT r.g,
+              MAX(CASE WHEN rk = (n * 5 + 99) // 100 THEN v END) AS lo,
+              MAX(CASE WHEN rk = (n * 95 + 99) // 100 THEN v END) AS hi
+       FROM r JOIN n USING (g) GROUP BY 1),
+c AS (SELECT s.g, s.v, LEAST(GREATEST(s.v, th.lo), th.hi) AS cv, th.lo, th.hi
+      FROM s JOIN th USING (g))
+SELECT g AS event_type, CAST(COUNT(*) AS BIGINT) AS n_values,
+       ANY_VALUE(lo) AS p_lo, ANY_VALUE(hi) AS p_hi,
+       CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+       CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+       ROUND(CAST(SUM(CAST(ROUND(cv, 6) AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(*), 6) AS winsor_mean
+FROM c GROUP BY 1 ORDER BY event_type
+""",
+        # Sessionization convention matches sessionize_events (gap >= 30
+        # min starts a session), total order via the event_id tiebreak.
+        "session_paths_topk": """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+numbered AS (
+  SELECT user_id, event_type, ts, event_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM marked),
+p AS (SELECT array_to_string(list(event_type ORDER BY ts, event_id)[1:4], '>') AS path
+      FROM numbered GROUP BY user_id, sess)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY 1
+ORDER BY n_sessions DESC, path
+LIMIT 20
 """,
         "count_min_heavy_hitters": """
 WITH src AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),

@@ -578,3 +578,136 @@ def incremental_agg_merge(
         F.col("mn0").alias("min_value"),
         F.col("mx0").alias("max_value"),
     ).orderBy(group_col)
+
+
+def grouped_winsorized_stats(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Per-group winsorized statistics with EXACT order-statistic
+    thresholds and NO per-group sort: the robust-mean step every metrics
+    pipeline runs before alerting on heavy-tailed values.
+
+    The clamp points are the ceil(p·n/100)-th smallest values per group
+    (integer rank arithmetic — never percentile interpolation, whose
+    float lerp differs across engines). They are found by the same
+    two-pass bucketing as :func:`twopass_median`, generalized per group
+    and per target rank: one aggregate for (n, min, max) per group;
+    equal-width bucket counts — a bounded (groups × buckets)-row frame
+    — with a cumulative window ON THAT FRAME locating each rank's
+    bucket and offset; then only the target buckets' rows are re-read
+    and the offset-th smallest inside each is selected. A naive
+    ``row_number().over(partitionBy(group).orderBy(value))`` funnels
+    each group through ONE sorting task — billions of rows per group at
+    100 TB; this shuffles ≤ groups·buckets counter rows plus the target
+    buckets.
+
+    The winsorized mean accumulates ROUND(clamped, 6) in DECIMAL(38,6)
+    — exact and order-free (the incremental_agg_merge pattern), so the
+    oracle's independent accumulation hashes identically. Clamp counts
+    use strict inequality (values AT the threshold are kept as-is)."""
+    src = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    )
+    stats = src.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    b = src.join(F.broadcast(stats), "g").select(
+        "g",
+        "v",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.floor(
+                    (F.col("v") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * F.lit(buckets)
+                ).cast("int"),
+                F.lit(buckets - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("b"),
+    )
+    counts = b.groupBy("g", "b").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("g")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = counts.withColumn(
+        "cum_before", F.coalesce(F.sum("c").over(w), F.lit(0))
+    )
+    # two target ranks per group: ceil(p*n/100) as pure integers
+    ks = stats.select(
+        "g",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lo").alias("which"),
+                    F.expr(f"CAST((n * {lo_pct} + 99) DIV 100 AS BIGINT)").alias("k"),
+                ),
+                F.struct(
+                    F.lit("hi").alias("which"),
+                    F.expr(f"CAST((n * {hi_pct} + 99) DIV 100 AS BIGINT)").alias("k"),
+                ),
+            )
+        ).alias("t"),
+    ).select("g", F.col("t.which").alias("which"), F.col("t.k").alias("k"))
+    target = (
+        cum.join(F.broadcast(ks), "g")
+        .filter(
+            (F.col("cum_before") < F.col("k"))
+            & (F.col("cum_before") + F.col("c") >= F.col("k"))
+        )
+        .select(
+            "g", "b", "which", (F.col("k") - F.col("cum_before")).alias("off")
+        )
+    )
+    th_vals = (
+        b.join(F.broadcast(target), ["g", "b"])
+        .groupBy("g", "which", "off")
+        .agg(F.sort_array(F.collect_list("v")).alias("vs"))
+        .select(
+            "g",
+            "which",
+            F.element_at("vs", F.col("off").cast("int")).alias("tv"),
+        )
+    )
+    th = th_vals.groupBy("g").pivot("which", ["lo", "hi"]).agg(F.first("tv"))
+    clamped = src.join(F.broadcast(th), "g").select(
+        "g",
+        "v",
+        F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi")).alias("cv"),
+        "lo",
+        "hi",
+    )
+    return (
+        clamped.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.first("lo").alias("p_lo"),
+            F.first("hi").alias("p_hi"),
+            F.sum((F.col("v") < F.col("lo")).cast("bigint")).alias("n_clamped_lo"),
+            F.sum((F.col("v") > F.col("hi")).cast("bigint")).alias("n_clamped_hi"),
+            F.sum(F.round(F.col("cv"), 6).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("_sum"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_values",
+            "p_lo",
+            "p_hi",
+            "n_clamped_lo",
+            "n_clamped_hi",
+            F.round(F.col("_sum") / F.col("n_values"), 6).alias("winsor_mean"),
+        )
+        .orderBy(group_col)
+    )

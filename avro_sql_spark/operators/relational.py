@@ -375,6 +375,71 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("prev_type", "event_type")
 
 
+def session_paths_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Top-k session opening paths: events sessionize per user (new
+    session when the gap is ≥ 30 minutes — the same convention as
+    ``sessionize_events``), each session contributes the '>'-joined
+    sequence of its first four event types, and paths rank by session
+    count. The sequence-mining view behind funnel design: what do
+    sessions actually DO first?
+
+    Scale shape: the lag + running-sum session assignment is per-user
+    window state (hash-partitioned, no global sort); the per-session
+    path is built IN-ROW from a sort_array'd collect_list bounded by
+    slicing to 4 elements; the path groupBy is bounded by the
+    event-type universe to the 4th power; and only the final top-k
+    orders a frame of that bounded size. Ordering inside a session is
+    made TOTAL with the unique event_id tiebreak, and the top-k order
+    (n DESC, path ASC) is a total order, so the oracle matches row for
+    row."""
+    t = load_tables(spark, sf_dir, register=False)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # the gap test is exact micros interval arithmetic (ts carries
+    # sub-second precision; an epoch-seconds floor would mis-split
+    # sessions at the boundary and diverge from the oracle)
+    marked = t["events"].select(
+        "user_id", "ts", "event_id", "event_type", F.lag("ts").over(w).alias("prev_ts")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("prev_ts").isNull()
+            | F.expr("ts - prev_ts >= INTERVAL 30 MINUTES"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_s"),
+    )
+    sess = marked.withColumn(
+        "sess",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = (
+        sess.groupBy("user_id", "sess")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.slice("evs", 1, 4), lambda e: e.getField("event_type")
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(k)
+    )
+
+
 def union_high_low_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set op UNION ALL with a discriminator column: the very largest and
     very smallest orders in one frame (unionByName keeps schemas honest)."""

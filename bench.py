@@ -184,6 +184,8 @@ HEADLINE = [
     "padding_efficiency",
     "event_type_scc",
     "near_dup_source_matrix",
+    "winsorized_event_stats",
+    "session_paths_topk",
 ]
 
 

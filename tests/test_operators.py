@@ -1431,3 +1431,35 @@ def test_kneser_ney_sums_to_one_per_context(spark):
             bw = sum(1 for (_, y) in bigrams if y == w2)
             total += max(bigrams.get((w1, w2), 0) - d, 0) / c1 + d * fw / c1 * bw / b
         assert abs(total - 1.0) < 1e-12, (w1, total)
+
+
+def test_grouped_winsorized_stats_hand_computed(spark):
+    """One group of 1..100: clamp points are the exact 5th and 95th
+    smallest; two values clamp on each side; the winsorized mean is the
+    closed-form sum."""
+    from avro_sql_spark.operators.profile import grouped_winsorized_stats
+
+    rows = [("a", float(v)) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    r = grouped_winsorized_stats(df).collect()[0]
+    assert r["n_values"] == 100
+    assert r["p_lo"] == 5.0 and r["p_hi"] == 95.0
+    assert r["n_clamped_lo"] == 4 and r["n_clamped_hi"] == 5
+    total = 5.0 * 4 + sum(range(5, 96)) + 95.0 * 5
+    assert r["winsor_mean"] == round(total / 100, 6)
+
+
+def test_grouped_winsorized_stats_groups_independent(spark):
+    """A second group with a huge outlier must not move the first
+    group's thresholds; the outlier clamps to its own group's p95."""
+    from avro_sql_spark.operators.profile import grouped_winsorized_stats
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [
+        ("b", 1.0), ("b", 2.0), ("b", 3.0), ("b", 1e9)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = {r["event_type"]: r for r in grouped_winsorized_stats(df).collect()}
+    assert out["a"]["p_lo"] == 5.0 and out["a"]["p_hi"] == 95.0
+    # group b: n=4, lo rank ceil(20/100)=1 -> 1.0, hi rank ceil(380/100)=4 -> 1e9
+    assert out["b"]["p_lo"] == 1.0 and out["b"]["p_hi"] == 1e9
+    assert out["b"]["n_clamped_lo"] == 0 and out["b"]["n_clamped_hi"] == 0

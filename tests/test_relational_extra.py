@@ -442,3 +442,38 @@ def test_near_duplicate_events_gap_monotone(spark):
     wide = {r["event_type"]: r["n_near_dup"]
             for r in near_duplicate_events(spark, "/root/testdata/sf0.001", 60).collect()}
     assert all(wide[t] >= narrow[t] for t in narrow)
+
+
+def test_session_paths_topk_hand_computed(spark, tmp_path):
+    """Two users, one session boundary exactly at the 30-min gap (>=
+    starts a new session), paths truncate at four events."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from avro_sql_spark.operators.relational import session_paths_topk
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1 session 1: a,b,c,d,e (5 events -> path keeps first 4)
+        (1, base, 10, "a", 0.0, None),
+        (1, base + dt.timedelta(minutes=1), 11, "b", 0.0, None),
+        (1, base + dt.timedelta(minutes=2), 12, "c", 0.0, None),
+        (1, base + dt.timedelta(minutes=3), 13, "d", 0.0, None),
+        (1, base + dt.timedelta(minutes=4), 14, "e", 0.0, None),
+        # exactly 30 min after the last event -> NEW session
+        (1, base + dt.timedelta(minutes=34), 15, "a", 0.0, None),
+        # user 2: single-event session
+        (2, base, 20, "a", 0.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, event_type string,"
+        " value double, props string"
+    )
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    df.write.parquet(os.path.join(sf, "events.parquet"))
+    out = {r["path"]: r["n_sessions"] for r in session_paths_topk(spark, sf).collect()}
+    assert out == {"a": 2, "a>b>c>d": 1}
