@@ -1040,6 +1040,55 @@ def _session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.session_paths_topk(spark, sf_dir)
 
 
+def _pareto_value_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-concentration (Lorenz/Pareto) report over per-user event
+    value: share of total value held by the top 1/5/10/25/50% of users.
+    DECIMAL-exact totals, two-pass global rank, integer cutoffs, all
+    five conditional sums in ONE pass (profile.pareto_concentration)."""
+    from avro_sql_spark.operators import profile
+
+    t = load_tables(spark, sf_dir, register=False)
+    return profile.pareto_concentration(t["events"])
+
+
+def _fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type burstiness: Fano factor (variance/mean) of hourly
+    counts over observed hours — exact integer Σc/Σc² with the identical
+    one-pass variance expression on both engines
+    (profile.fano_burstiness)."""
+    from avro_sql_spark.operators import profile
+
+    t = load_tables(spark, sf_dir, register=False)
+    return profile.fano_burstiness(t["events"])
+
+
+def _source_kl_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise KL divergence between per-source add-1 unigram LMs
+    (Moore & Lewis 2010 domain similarity). The full-vocab sum is
+    collapsed algebraically to per-source scalars plus ONE vocab-keyed
+    self-join — no vocab × pair materialization
+    (text.source_kl_matrix)."""
+    from avro_sql_spark.operators.text import source_kl_matrix
+
+    t = load_tables(spark, sf_dir, register=False)
+    return source_kl_matrix(t["documents"])
+
+
+def _dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size distribution: how much of the corpus sits
+    in singletons vs large duplicate families — the triage view that
+    decides keep-one-per-cluster vs manual review. Composes the oracled
+    MinHash connected components with two bounded aggregates."""
+    t = load_tables(spark, sf_dir, register=False)
+    labels = dedup.near_dup_clusters(t["documents"])
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("size")
+    )
+
+
 def _forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten blast-radius audit: row-local forget
     predicate on each table's own user key (customer/orders/events),
@@ -3006,6 +3055,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_source_matrix": _near_dup_source_matrix,
         "winsorized_event_stats": _winsorized_event_stats,
         "session_paths_topk": _session_paths_topk,
+        "pareto_value_report": _pareto_value_report,
+        "fano_burstiness": _fano_burstiness,
+        "source_kl_matrix": _source_kl_matrix,
+        "dup_cluster_size_histogram": _dup_cluster_size_histogram,
         # --- cumulative-green core (driver rows r1-r3) ---
         "dedup_exact_keep": _dedup_exact_keep,
         "ngram_jaccard_pairs": _ngram_jaccard,
@@ -4677,6 +4730,80 @@ SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
        ROUND(AVG(est_jaccard), 6) AS mean_est_jaccard
 FROM j GROUP BY 1, 2
 ORDER BY source_a, source_b
+""",
+        # Lorenz/Pareto concentration: DECIMAL-exact conditional sums at
+        # integer rank cutoffs (rk*100 <= pct*n + 99 == rk <= ceil).
+        "pareto_value_report": """
+WITH t AS (SELECT user_id, SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS td
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+r AS (SELECT user_id, td, ROW_NUMBER() OVER (ORDER BY td DESC, user_id) AS rk FROM t),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(td) AS grand FROM t),
+p AS (SELECT unnest([1, 5, 10, 25, 50]) AS pct)
+SELECT CAST(p.pct AS INTEGER) AS pct,
+       CAST((p.pct * s.n + 99) // 100 AS BIGINT) AS top_keys,
+       ROUND(CAST((SELECT SUM(td) FROM r WHERE rk * 100 <= p.pct * s.n + 99) AS DOUBLE)
+             / CAST(s.grand AS DOUBLE), 6) AS value_share
+FROM p, s ORDER BY pct
+""",
+        # One-pass variance identity on exact integer hour counts.
+        "fano_burstiness": """
+WITH c AS (SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+           FROM events GROUP BY 1, 2),
+a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2
+      FROM c GROUP BY 1)
+SELECT event_type, n_hours,
+       ROUND(CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE), 6) AS mean_per_hour,
+       ROUND((CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE))
+             / (CAST(n_hours AS DOUBLE) - 1.0), 6) AS var_per_hour,
+       ROUND(((CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE))
+              / (CAST(n_hours AS DOUBLE) - 1.0))
+             / (CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE)), 6) AS fano
+FROM a WHERE n_hours >= 2 ORDER BY event_type
+""",
+        # Same algebraic collapse as the Spark side (per-source scalars
+        # + one vocab self-join), so float-sum magnitudes match.
+        "source_kl_matrix": r"""
+WITH toks AS (
+  SELECT source AS s, token AS w FROM (
+    SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS token
+    FROM documents)
+  WHERE regexp_matches(token, '^[a-z]+$')),
+counts AS (SELECT s, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+v AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS vd FROM counts),
+per AS (SELECT s, CAST(SUM(c) AS DOUBLE) AS n,
+               SUM((CAST(c AS DOUBLE) + 1.0) * LN(CAST(c AS DOUBLE) + 1.0)) AS e1,
+               SUM(LN(CAST(c AS DOUBLE) + 1.0)) AS lb
+        FROM counts GROUP BY 1),
+x AS (SELECT a.s AS sa, b.s AS sb,
+             SUM(CAST(a.c AS DOUBLE) * LN(CAST(b.c AS DOUBLE) + 1.0)) AS x
+      FROM counts a JOIN counts b USING (w) WHERE a.s <> b.s GROUP BY 1, 2)
+SELECT pa.s AS source_a, pb.s AS source_b,
+       ROUND(LN(pb.n + v.vd) - LN(pa.n + v.vd)
+             + (pa.e1 - COALESCE(x.x, 0.0) - pb.lb) / (pa.n + v.vd), 6)
+         AS kl_divergence
+FROM per pa JOIN per pb ON pa.s <> pb.s
+LEFT JOIN x ON x.sa = pa.s AND x.sb = pb.s
+CROSS JOIN v
+ORDER BY source_a, source_b
+""",
+        # Cluster-size histogram over the oracled MinHash components.
+        "dup_cluster_size_histogram": f"""
+WITH RECURSIVE {_MINHASH_CTES},
+nd_pairs AS (SELECT id_a, id_b FROM mh_est WHERE est_jaccard >= 0.5),
+nd_e AS (SELECT id_a AS s, id_b AS d FROM nd_pairs
+         UNION SELECT id_b, id_a FROM nd_pairs),
+nd_reach AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM documents
+  UNION
+  SELECT nd_e.s AS id, r.lbl FROM nd_e JOIN nd_reach r ON r.id = nd_e.d
+),
+lab AS (SELECT id, MIN(lbl) AS cluster_id FROM nd_reach GROUP BY 1),
+sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size FROM lab GROUP BY 1)
+SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM sz GROUP BY 1 ORDER BY size
 """,
         # Winsorized stats with order-statistic thresholds: the clamp
         # points are data values (rank arithmetic), the mean is a

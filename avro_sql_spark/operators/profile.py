@@ -711,3 +711,113 @@ def grouped_winsorized_stats(
         )
         .orderBy(group_col)
     )
+
+
+def pareto_concentration(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    pcts: tuple = (1, 5, 10, 25, 50),
+) -> DataFrame:
+    """Value-concentration (Lorenz/Pareto) report: what share of total
+    value do the top p% of keys hold, for each p — the 'whales' table
+    behind capacity planning, abuse triage, and revenue analysis.
+
+    Exactness: per-key totals and the grand total accumulate
+    ROUND(value, 6) in DECIMAL(38,6) (order-free); ranks come from
+    :func:`~avro_sql_spark.operators.curation.global_rank` (two-pass
+    range-partitioned — no single-task sort over the key universe);
+    the top-k cutoffs are pure integer ceil arithmetic; and each share
+    is ONE division of two exactly-accumulated decimals. The final
+    aggregate computes every percentile's conditional sum in a single
+    pass — no per-threshold rescan."""
+    from .curation import global_rank
+
+    totals = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.sum(
+                F.round(F.col(value_col), 6).cast("decimal(38,6)")
+            ).alias("td")
+        )
+    )
+    ranked = global_rank(totals, [F.desc("td"), F.asc(key_col)], rank_col="rk")
+    scalars = totals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("td").alias("grand"),
+    )
+    conds = ranked.crossJoin(F.broadcast(scalars)).agg(
+        F.first("n").alias("n"),
+        F.first("grand").alias("grand"),
+        *[
+            F.sum(
+                F.when(
+                    F.col("rk") * 100 <= F.col("n") * p + 99, F.col("td")
+                ).otherwise(F.lit(0).cast("decimal(38,6)"))
+            ).alias(f"top_{p}")
+            for p in pcts
+        ],
+    )
+    stacked = conds.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).cast("int").alias("pct"),
+                        F.expr(f"CAST((n * {p} + 99) DIV 100 AS BIGINT)").alias(
+                            "top_keys"
+                        ),
+                        F.round(
+                            F.col(f"top_{p}").cast("double")
+                            / F.col("grand").cast("double"),
+                            6,
+                        ).alias("value_share"),
+                    )
+                    for p in pcts
+                ]
+            )
+        ).alias("t")
+    )
+    return stacked.select("t.pct", "t.top_keys", "t.value_share").orderBy("pct")
+
+
+def fano_burstiness(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Burstiness (Fano factor = variance/mean of per-hour counts) per
+    group: 1 for a Poisson arrival process, >1 for bursty traffic — the
+    dispersion diagnostic behind rate-limiter sizing and anomaly
+    thresholds. Hours with zero events are NOT imputed (observed-hours
+    convention; the gap-filled twin is ``hourly_anomalies``).
+
+    Everything up to the final divisions is exact integer arithmetic
+    (hour bucket counts, Σc, Σc²) over a frame bounded by
+    groups × hours; variance uses the one-pass identity
+    (Σc² − (Σc)²/n)/(n−1) with the identical expression on the oracle
+    side, so the doubles agree bit-for-bit."""
+    h = F.date_trunc("hour", F.col(ts_col)).alias("h")
+    counts = df.groupBy(F.col(group_col), h).agg(F.count(F.lit(1)).alias("c"))
+    agg = counts.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    n = F.col("n_hours").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    return (
+        agg.filter(F.col("n_hours") >= 2)
+        .select(
+            group_col,
+            "n_hours",
+            F.round(mean, 6).alias("mean_per_hour"),
+            F.round(var, 6).alias("var_per_hour"),
+            F.round(var / mean, 6).alias("fano"),
+        )
+        .orderBy(group_col)
+    )

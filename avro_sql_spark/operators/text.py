@@ -1131,3 +1131,112 @@ def heaps_curve(
         F.sum("n_tok").over(w).alias("cum_tokens"),
         F.sum("n_new").over(w).alias("cum_vocab"),
     ).orderBy("bucket")
+
+
+def source_kl_matrix(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise KL divergence between per-source add-1-smoothed unigram
+    language models — the domain-similarity matrix behind data-selection
+    (Moore & Lewis 2010 score corpora by exactly this cross-entropy
+    difference) and mixture design: KL(A‖B) ≈ 0 means B's model already
+    covers A, high KL means A brings novel text.
+
+    With P_s(w) = (c_sw + 1)/(n_s + V) over the GLOBAL vocab of size V,
+    the full-vocab sum collapses algebraically (ΣP = 1 absorbs every
+    absent-word term) to
+
+        KL(A‖B) = ln(n_B+V) − ln(n_A+V) + (E1_A − X_AB − LB_B)/(n_A+V)
+
+    with per-source scalars E1_s = Σ_{w∈s}(c+1)ln(c+1),
+    LB_s = Σ_{w∈s}ln(c+1), and the only pairwise piece
+    X_AB = Σ_{w∈A∩B} c_Aw·ln(c_Bw+1). X comes from the posting-list
+    pattern (the source_overlap / copurchase_pairs shape): group the
+    vocab-sized counts table by word ONCE, hold each word's
+    (source, count) list — bounded by the source universe — and emit
+    the ordered source pairs IN-ROW; no vocab self-join, no sort-merge
+    join, no full-vocab × pair materialization. One per-source
+    aggregate and a sources²-row assembly finish the job. The oracle
+    replays the same decomposition, keeping float-sum magnitudes (and
+    thus cross-engine ulp drift) identical."""
+    toks = docs.select(
+        F.col(source_col).alias("s"),
+        F.explode(T.word_tokens(F.col(text_col))).alias("w"),
+    )
+    counts = toks.groupBy("s", "w").agg(F.count(F.lit(1)).alias("c")).cache()
+    v = counts.agg(F.countDistinct("w").alias("v"))
+    lc1 = F.log(F.col("c") + F.lit(1.0))
+    per = counts.groupBy("s").agg(
+        F.sum("c").alias("n"),
+        F.sum((F.col("c") + F.lit(1.0)) * lc1).alias("e1"),
+        F.sum(lc1).alias("lb"),
+    )
+    posting = counts.groupBy("w").agg(
+        F.collect_list(F.struct("s", "c")).alias("sc")
+    )
+    m = F.size("sc")
+
+    def _el(k):
+        return F.element_at("sc", k)
+
+    pair_terms = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.transform(
+                F.sequence(F.lit(1), m),
+                lambda j: F.struct(
+                    _el(i).getField("s").alias("sa"),
+                    _el(j).getField("s").alias("sb"),
+                    (
+                        _el(i).getField("c")
+                        * F.log(_el(j).getField("c") + F.lit(1.0))
+                    ).alias("t"),
+                ),
+            ),
+        )
+    )
+    x = (
+        posting.filter(m >= 2)
+        .select(F.explode(pair_terms).alias("p"))
+        .filter(F.col("p.sa") != F.col("p.sb"))
+        .groupBy(F.col("p.sa").alias("sa"), F.col("p.sb").alias("sb"))
+        .agg(F.sum("p.t").alias("x"))
+    )
+    pa = per.select(
+        F.col("s").alias("sa"), F.col("n").alias("na"), F.col("e1").alias("e1a")
+    )
+    pb = per.select(
+        F.col("s").alias("sb"), F.col("n").alias("nb"), F.col("lb").alias("lbb")
+    )
+    grid = (
+        pa.crossJoin(pb)
+        .filter(F.col("sa") != F.col("sb"))
+        .join(x, ["sa", "sb"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "sa",
+            "sb",
+            "na",
+            "nb",
+            "e1a",
+            "lbb",
+            F.coalesce(F.col("x"), F.lit(0.0)).alias("x"),
+            F.col("v").cast("double").alias("vd"),
+        )
+    )
+    kl = (
+        F.log(F.col("nb") + F.col("vd"))
+        - F.log(F.col("na") + F.col("vd"))
+        + (F.col("e1a") - F.col("x") - F.col("lbb"))
+        / (F.col("na") + F.col("vd"))
+    )
+    return (
+        grid.select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.round(kl, 6).alias("kl_divergence"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -186,6 +186,10 @@ HEADLINE = [
     "near_dup_source_matrix",
     "winsorized_event_stats",
     "session_paths_topk",
+    "pareto_value_report",
+    "fano_burstiness",
+    "source_kl_matrix",
+    "dup_cluster_size_histogram",
 ]
 
 

@@ -1463,3 +1463,77 @@ def test_grouped_winsorized_stats_groups_independent(spark):
     # group b: n=4, lo rank ceil(20/100)=1 -> 1.0, hi rank ceil(380/100)=4 -> 1e9
     assert out["b"]["p_lo"] == 1.0 and out["b"]["p_hi"] == 1e9
     assert out["b"]["n_clamped_lo"] == 0 and out["b"]["n_clamped_hi"] == 0
+
+
+def test_pareto_concentration_hand_computed(spark):
+    """4 keys with totals 40/30/20/10: top 25% (1 key) holds 0.4, top
+    50% (2 keys) holds 0.7; the 1% bucket still takes ceil(0.04)=1 key."""
+    from avro_sql_spark.operators.profile import pareto_concentration
+
+    rows = []
+    for uid, tot in [(1, 40), (2, 30), (3, 20), (4, 10)]:
+        rows += [(uid, float(tot) / 2)] * 2
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    out = {r["pct"]: r for r in pareto_concentration(df).collect()}
+    assert out[25]["top_keys"] == 1 and out[25]["value_share"] == 0.4
+    assert out[50]["top_keys"] == 2 and out[50]["value_share"] == 0.7
+    assert out[1]["top_keys"] == 1 and out[1]["value_share"] == 0.4
+
+
+def test_fano_burstiness_hand_computed(spark):
+    """Counts 2/2/2 per hour -> variance 0, fano 0; counts 1/3 -> mean 2,
+    var 2, fano 1."""
+    import datetime as dt
+
+    from avro_sql_spark.operators.profile import fano_burstiness
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for h in range(3):
+        rows += [("flat", base + dt.timedelta(hours=h, minutes=m)) for m in (1, 2)]
+    rows += [("bursty", base + dt.timedelta(minutes=1))]
+    rows += [("bursty", base + dt.timedelta(hours=1, minutes=m)) for m in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp_ntz")
+    out = {r["event_type"]: r for r in fano_burstiness(df).collect()}
+    assert out["flat"]["mean_per_hour"] == 2.0
+    assert out["flat"]["var_per_hour"] == 0.0 and out["flat"]["fano"] == 0.0
+    assert out["bursty"]["mean_per_hour"] == 2.0
+    assert out["bursty"]["var_per_hour"] == 2.0 and out["bursty"]["fano"] == 1.0
+
+
+def test_source_kl_matrix_against_naive_full_vocab(spark):
+    """The algebraic collapse must equal the naive full-vocab KL sum
+    (computed locally over every word incl. absent ones), and KL >= 0."""
+    import math
+    from collections import Counter
+
+    from avro_sql_spark.operators.text import source_kl_matrix
+
+    corp = {
+        "s1": ["the cat sat", "the cat ran"],
+        "s2": ["a dog ran", "the dog sat here"],
+    }
+    rows, i = [], 0
+    for s, texts in corp.items():
+        for t in texts:
+            rows.append((i, t, "en", s, len(t)))
+            i += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["kl_divergence"]
+        for r in source_kl_matrix(df).collect()
+    }
+    counts = {s: Counter(w for t in ts for w in t.split()) for s, ts in corp.items()}
+    vocab = sorted({w for c in counts.values() for w in c})
+    v = len(vocab)
+    def p(s, w):
+        return (counts[s].get(w, 0) + 1) / (sum(counts[s].values()) + v)
+    for a in corp:
+        for b in corp:
+            if a == b:
+                continue
+            kl = sum(p(a, w) * math.log(p(a, w) / p(b, w)) for w in vocab)
+            assert abs(got[(a, b)] - kl) < 1e-6, (a, b, got[(a, b)], kl)
+            assert got[(a, b)] >= 0

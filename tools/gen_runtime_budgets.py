@@ -60,6 +60,7 @@ ITERATIVE_ENTRIES = [
     "leakage_safe_split",
     "copurchase_ppr",
     "event_type_scc",
+    "dup_cluster_size_histogram",
 ]
 
 
