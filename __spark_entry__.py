@@ -1040,6 +1040,28 @@ def _session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.session_paths_topk(spark, sf_dir)
 
 
+def _stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 5-fold assignment per language: deterministic hash
+    lottery ranks within each stratum (the bucketed two-pass rank — no
+    per-stratum sort task) deal round-robin into folds, so every fold
+    holds within-1 the same count per stratum
+    (curation.stratified_kfold)."""
+    t = load_tables(spark, sf_dir, register=False)
+    return curation.stratified_kfold(t["documents"], k=5).orderBy("doc_id")
+
+
+def _ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ ANN (IVFADC, Jégou 2011): coarse-quantizer cell probing
+    composed with PQ asymmetric-distance ranking over m-byte codes —
+    the billion-vector layout. Both quantizers are the deterministic
+    shared Lloyd loop, so the oracle composes the IVF CTEs with the PQ
+    CTEs and replays the whole approximate result
+    (similarity.ivf_pq_topk)."""
+    t = load_tables(spark, sf_dir, register=False)
+    emb = t["embeddings"]
+    return similarity.ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
 def _pareto_value_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-concentration (Lorenz/Pareto) report over per-user event
     value: share of total value held by the top 1/5/10/25/50% of users.
@@ -3055,6 +3077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_source_matrix": _near_dup_source_matrix,
         "winsorized_event_stats": _winsorized_event_stats,
         "session_paths_topk": _session_paths_topk,
+        "ann_ivf_pq": _ann_ivf_pq,
+        "stratified_kfold": _stratified_kfold,
         "pareto_value_report": _pareto_value_report,
         "fano_burstiness": _fano_burstiness,
         "source_kl_matrix": _source_kl_matrix,
@@ -4730,6 +4754,17 @@ SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
        ROUND(AVG(est_jaccard), 6) AS mean_est_jaccard
 FROM j GROUP BY 1, 2
 ORDER BY source_a, source_b
+""",
+        # Round-robin fold over the per-stratum lottery rank; the
+        # bucketed two-pass rank must equal the one-window rank.
+        "stratified_kfold": """
+WITH r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':kfold'), doc_id) AS rn
+  FROM documents)
+SELECT doc_id, lang, CAST((rn - 1) % 5 AS INTEGER) AS fold
+FROM r ORDER BY doc_id
 """,
         # Lorenz/Pareto concentration: DECIMAL-exact conditional sums at
         # integer rank cutoffs (rk*100 <= pct*n + 99 == rk <= ceil).
@@ -7316,6 +7351,28 @@ SELECT * FROM (
          ROUND(MIN(CAST(n_hit AS DOUBLE) / n_truth), 6) AS worst_recall
   FROM perq_l)
 ORDER BY method
+""",
+        # IVF+PQ composition: the IVF quantizer CTEs (cells/probes/
+        # icand) and the PQ codebook CTEs (pcodes/dA*) share no names,
+        # so the oracle is their union + the ADC join restricted to
+        # probed-cell candidates.
+        "ann_ivf_pq": f"""
+WITH {_ivf_quantizer_ctes(16, 2, 4, 100_000, 5)},
+{_pq_ctes(4, 16, 2, 16, 512, 5)},
+adc AS (SELECT ic.query_id, ic.neighbor_id,
+               ROUND(l0.d + l1.d + l2.d + l3.d, 4) AS adist
+        FROM icand ic
+        JOIN pcodes e ON e.vec_id = ic.neighbor_id
+        JOIN dA0 l0 ON l0.vec_id = ic.query_id AND l0.c = e.c0
+        JOIN dA1 l1 ON l1.vec_id = ic.query_id AND l1.c = e.c1
+        JOIN dA2 l2 ON l2.vec_id = ic.query_id AND l2.c = e.c2
+        JOIN dA3 l3 ON l3.vec_id = ic.query_id AND l3.c = e.c3),
+ipranked AS (SELECT query_id, neighbor_id, adist,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY adist, neighbor_id) AS INTEGER) AS rank
+             FROM adc)
+SELECT query_id, neighbor_id, adist, rank FROM ipranked WHERE rank <= 10
+ORDER BY query_id, rank
 """,
         # no oracle (rows-only by design — sketch-/eigen-dependent,
         # approximate-by-construction, or sequential-fold):

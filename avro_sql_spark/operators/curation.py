@@ -847,10 +847,34 @@ def source_cap(
     key order and the composed rank is identical to the single-sort
     rank the oracle states.
     """
+    ranked = grouped_hash_rank(docs, id_col, group_col, salt)
+    return (
+        ranked.withColumnRenamed("grank", "cap_rank")
+        .filter(F.col("cap_rank") <= cap)
+        .orderBy(group_col, "cap_rank")
+    )
+
+
+def grouped_hash_rank(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    salt: str = "cap",
+) -> DataFrame:
+    """EXACT 1-based per-group rank by a deterministic md5 lottery,
+    without a per-group single-task sort — the shared machinery behind
+    :func:`source_cap` and :func:`stratified_kfold`. The first two hex
+    chars of the lottery key pre-split every group into 256 hash
+    ranges; rows rank within (group, bucket) — bounded window
+    partitions — and a (groups × 256)-row offset frame (prefix sums per
+    group, broadcast back) lifts local ranks to exact per-group ranks.
+    Because the bucket IS a prefix of the order key, (bucket, key)
+    order equals key order and the composed rank is identical to the
+    single-window rank the oracles state. Returns (id, group, grank)."""
     key = F.md5(
         F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)).cast("binary")
     )
-    d = docs.select(
+    d = df.select(
         F.col(id_col), F.col(group_col), key.alias("_k")
     ).withColumn("_b", F.substring("_k", 1, 2))
     w = Window.partitionBy(group_col, "_b").orderBy("_k", id_col)
@@ -873,10 +897,30 @@ def source_cap(
     )
     return (
         d.join(F.broadcast(offsets), [group_col, "_b"])
-        .withColumn("cap_rank", (F.col("_off") + F.col("_rn")).cast("bigint"))
-        .filter(F.col("cap_rank") <= cap)
-        .select(id_col, group_col, "cap_rank")
-        .orderBy(group_col, "cap_rank")
+        .withColumn("grank", (F.col("_off") + F.col("_rn")).cast("bigint"))
+        .select(id_col, group_col, "grank")
+    )
+
+
+def stratified_kfold(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    salt: str = "kfold",
+) -> DataFrame:
+    """Stratified k-fold assignment: within every stratum, rows take a
+    deterministic hash-lottery order and deal round-robin into folds
+    0..k-1 — every fold gets within-1 the same count PER STRATUM (the
+    exactness property a plain ``hash % k`` cannot give on small
+    strata), and the assignment is engine- and partitioning-stable.
+    Built on :func:`grouped_hash_rank`, so no stratum ever funnels
+    through a single sort task. Returns (id, group, fold)."""
+    ranked = grouped_hash_rank(df, id_col, group_col, salt)
+    return ranked.select(
+        id_col,
+        group_col,
+        ((F.col("grank") - 1) % k).cast("int").alias("fold"),
     )
 
 

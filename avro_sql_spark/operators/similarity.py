@@ -176,6 +176,74 @@ def lsh_bucketed_ann(
     )
 
 
+def _coarse_centroids(
+    emb: DataFrame,
+    n_cells: int,
+    train_limit: int,
+    train_iterations: int,
+    id_col: str,
+    vec_col: str,
+) -> "list[list[float]]":
+    """The shared IVF coarse quantizer: the DETERMINISTIC Lloyd loop
+    (clustering.lloyd_centroids — lowest-id seeds and training rows,
+    fixed iterations, 9dp-rounded updates) over at most ``train_limit``
+    vectors, returned as plan-time literals (n_cells × dim driver
+    state, the bounded-model contract every quantizer here follows)."""
+    from .clustering import lloyd_centroids
+
+    return lloyd_centroids(
+        emb.orderBy(id_col).limit(train_limit),
+        k=n_cells,
+        iterations=train_iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def _centroid_dists(vec, centroids: "list[list[float]]"):
+    """Squared distance to each centroid as ONE array Column (centroids
+    inlined as literals - no join, no model server). A chained
+    when/otherwise accumulator would copy the growing subtree per
+    centroid (2^n expression blowup — Catalyst never finishes analyzing
+    it)."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(x)) for x in cent]),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for cent in centroids
+        ]
+    )
+
+
+def _cell_of(vec, centroids: "list[list[float]]"):
+    dists = _centroid_dists(vec, centroids)
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _probe_cells(vec, centroids: "list[list[float]]", n_probe: int):
+    """Each query's n_probe nearest cells, as a pure Column expression
+    (sort (dist, cell) structs, slice) — the query frame never leaves
+    the executors. arrays_zip evaluates the distance array ONCE;
+    putting element_at(dists, ...) inside a transform lambda would
+    re-evaluate the whole O(n_cells * dim) array per element
+    (higher-order functions re-run non-lambda-variable subtrees), an
+    O(n_cells^2 * dim) blowup per query row."""
+    dists = _centroid_dists(vec, centroids)
+    cells = F.transform(
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda c: c.cast("int"),
+    )
+    ranked = F.array_sort(F.arrays_zip(dists.alias("d"), cells.alias("c")))
+    return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["c"])
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -206,69 +274,18 @@ def ivf_topk(
     result (cells, probes, candidates, ranks) replays in an ANSI-SQL
     oracle; reruns build identical cells by construction.
     """
-    from .clustering import lloyd_centroids
-
-    centroids = lloyd_centroids(
-        emb.orderBy(id_col).limit(train_limit),
-        k=n_cells,
-        iterations=train_iterations,
-        id_col=id_col,
-        vec_col=vec_col,
+    centroids = _coarse_centroids(
+        emb, n_cells, train_limit, train_iterations, id_col, vec_col
     )
-
-    def centroid_dists(vec):
-        """squared distance to each centroid as ONE array Column
-        (centroids inlined as literals - no join, no model server). A
-        chained when/otherwise accumulator would copy the growing subtree
-        per centroid (2^n expression blowup — Catalyst never finishes
-        analyzing it)."""
-        return F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(float(x)) for x in cent]),
-                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for cent in centroids
-            ]
-        )
-
-    def cell_of(vec):
-        dists = centroid_dists(vec)
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        cell_of(F.col(vec_col)).alias("cell"),
+        _cell_of(F.col(vec_col), centroids).alias("cell"),
     )
-
-    # query side: each query's n_probe nearest cells, as a pure Column
-    # expression (sort (dist, cell) structs, slice, explode) — the query
-    # frame never leaves the executors, so a large query set is fine;
-    # broadcast below is the only size assumption, same as brute force
-    def probe_cells(vec):
-        # arrays_zip evaluates the distance array ONCE; putting
-        # element_at(dists, ...) inside a transform lambda would
-        # re-evaluate the whole O(n_cells * dim) array per element
-        # (higher-order functions re-run non-lambda-variable subtrees),
-        # an O(n_cells^2 * dim) blowup per query row
-        dists = centroid_dists(vec)
-        cells = F.transform(
-            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-            lambda c: c.cast("int"),
-        )
-        ranked = F.array_sort(F.arrays_zip(dists.alias("d"), cells.alias("c")))
-        return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["c"])
-
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+        F.explode(_probe_cells(F.col(vec_col), centroids, n_probe)).alias("cell"),
     )
 
     scored = (
@@ -286,6 +303,71 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def _pq_model(
+    emb: DataFrame,
+    m: int,
+    codebook_k: int,
+    id_col: str,
+    vec_col: str,
+    train_limit: int,
+    train_iterations: int,
+):
+    """Train the per-subspace PQ codebooks (deterministic shared Lloyd
+    over at most ``train_limit`` lowest-id vectors) and return the two
+    SQL-string builders ``(sub_dists_sql, code_sql)`` shared by
+    :func:`pq_topk` and :func:`ivf_pq_topk`.
+
+    m * codebook_k fold trees are built as ONE SQL string per column:
+    Column-by-Column construction costs ~ms of driver Py4J per node
+    (thousands of nodes here) and the bench times construction. The
+    generated ops are identical to the ivf_topk zip_with/aggregate
+    Column pattern, so the oracle arithmetic is unchanged."""
+    from .clustering import lloyd_centroids
+
+    first = emb.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError("pq_topk: input has no vectors")
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"pq_topk: dim {dim} not divisible by m={m}")
+    sd = dim // m
+    # materialize the tiny training slice ONCE: every Lloyd round of
+    # every subspace otherwise re-runs the orderBy+limit over the scan
+    train = (
+        emb.orderBy(id_col).limit(train_limit).select(id_col, vec_col)
+        .localCheckpoint(eager=True)
+    )
+    books = [
+        lloyd_centroids(
+            train.select(id_col, F.slice(F.col(vec_col), s * sd + 1, sd).alias("sub")),
+            k=codebook_k,
+            iterations=train_iterations,
+            id_col=id_col,
+            vec_col="sub",
+        )
+        for s in range(m)
+    ]
+
+    def _sub_dists_sql(vec_sql: str, s: int) -> str:
+        sub = f"slice({vec_sql}, {s * sd + 1}, {sd})"
+        folds = ",".join(
+            "aggregate(zip_with({sub}, array({cent}), "
+            "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+            "0.0D, (acc, x) -> acc + x)".format(
+                sub=sub,
+                cent=",".join(repr(float(x)) + "D" for x in cent),
+            )
+            for cent in books[s]
+        )
+        return f"array({folds})"
+
+    def _code_sql(vec_sql: str, s: int) -> str:
+        d = _sub_dists_sql(vec_sql, s)
+        return f"CAST(array_position({d}, array_min({d})) - 1 AS INT)"
+
+    return _sub_dists_sql, _code_sql
 
 
 def pq_topk(
@@ -323,54 +405,9 @@ def pq_topk(
     per query by ADC distance (ties break to the lower neighbor id),
     ``adist`` rounded to ``round_to``.
     """
-    from .clustering import lloyd_centroids
-
-    first = emb.select(vec_col).first()
-    if first is None or first[0] is None:
-        raise ValueError("pq_topk: input has no vectors")
-    dim = len(first[0])
-    if dim % m != 0:
-        raise ValueError(f"pq_topk: dim {dim} not divisible by m={m}")
-    sd = dim // m
-    # materialize the tiny training slice ONCE: every Lloyd round of
-    # every subspace otherwise re-runs the orderBy+limit over the scan
-    train = (
-        emb.orderBy(id_col).limit(train_limit).select(id_col, vec_col)
-        .localCheckpoint(eager=True)
+    _sub_dists_sql, _code_sql = _pq_model(
+        emb, m, codebook_k, id_col, vec_col, train_limit, train_iterations
     )
-    books = [
-        lloyd_centroids(
-            train.select(id_col, F.slice(F.col(vec_col), s * sd + 1, sd).alias("sub")),
-            k=codebook_k,
-            iterations=train_iterations,
-            id_col=id_col,
-            vec_col="sub",
-        )
-        for s in range(m)
-    ]
-
-    # m * codebook_k fold trees are built as ONE SQL string per column:
-    # Column-by-Column construction costs ~ms of driver Py4J per node
-    # (thousands of nodes here) and the bench times construction. The
-    # generated ops are identical to the ivf_topk zip_with/aggregate
-    # Column pattern, so the oracle arithmetic is unchanged.
-    def _sub_dists_sql(vec_sql: str, s: int) -> str:
-        sub = f"slice({vec_sql}, {s * sd + 1}, {sd})"
-        folds = ",".join(
-            "aggregate(zip_with({sub}, array({cent}), "
-            "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
-            "0.0D, (acc, x) -> acc + x)".format(
-                sub=sub,
-                cent=",".join(repr(float(x)) + "D" for x in cent),
-            )
-            for cent in books[s]
-        )
-        return f"array({folds})"
-
-    def _code_sql(vec_sql: str, s: int) -> str:
-        d = _sub_dists_sql(vec_sql, s)
-        return f"CAST(array_position({d}, array_min({d})) - 1 AS INT)"
-
     n = emb.sparkSession.sparkContext.defaultParallelism
     codes = emb.repartition(n, F.col(id_col)).selectExpr(
         f"`{id_col}` AS neighbor_id",
@@ -382,6 +419,79 @@ def pq_topk(
     )
     scored = codes.join(
         F.broadcast(luts), F.col("query_id") != F.col("neighbor_id")
+    )
+    adist = F.element_at(F.col("lut0"), F.col("c0") + 1)
+    for s in range(1, m):
+        adist = adist + F.element_at(F.col(f"lut{s}"), F.col(f"c{s}") + 1)
+    scored = scored.select(
+        "query_id", "neighbor_id", F.round(adist, round_to).alias("adist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    codebook_k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_train_limit: int = 100_000,
+    pq_train_limit: int = 512,
+    train_iterations: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF+PQ ANN — the billion-vector FAISS composition (Jégou 2011
+    §IV: IVFADC without the residual refinement): the IVF coarse
+    quantizer restricts each query to its ``n_probe`` nearest cells,
+    and within those cells candidates rank by PQ asymmetric-distance
+    (ADC) over m-byte codes instead of raw vectors.
+
+    The 100 TB shape combines both parents': the inverted-file join
+    touches only probed cells (never the whole corpus), the scan that
+    feeds it carries m small codes per vector (64× compression — the
+    memory-bound layout), both quantizers train on BOUNDED lowest-id
+    samples via the deterministic shared Lloyd loop, and the query
+    side (probe cells + ADC lookup tables) is a broadcast. Fully
+    deterministic → the DuckDB oracle composes the IVF quantizer CTEs
+    with the PQ codebook CTEs and replays cells, probes, codes, and
+    the left-assoc ADC fold exactly.
+
+    Returns (query_id, neighbor_id, adist, rank): top-``k`` per query
+    by ADC distance within probed cells (ties to lower neighbor id)."""
+    centroids = _coarse_centroids(
+        emb, n_cells, coarse_train_limit, train_iterations, id_col, vec_col
+    )
+    _sub_dists_sql, _code_sql = _pq_model(
+        emb, m, codebook_k, id_col, vec_col, pq_train_limit, train_iterations
+    )
+    n = emb.sparkSession.sparkContext.defaultParallelism
+    codes = emb.repartition(n, F.col(id_col)).select(
+        F.col(id_col).alias("neighbor_id"),
+        _cell_of(F.col(vec_col), centroids).alias("cell"),
+        *[
+            F.expr(_code_sql(f"`{vec_col}`", s)).alias(f"c{s}")
+            for s in range(m)
+        ],
+    )
+    luts = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(_probe_cells(F.col(vec_col), centroids, n_probe)).alias("cell"),
+        *[
+            F.expr(_sub_dists_sql(f"`{vec_col}`", s)).alias(f"lut{s}")
+            for s in range(m)
+        ],
+    )
+    scored = codes.join(F.broadcast(luts), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
     )
     adist = F.element_at(F.col("lut0"), F.col("c0") + 1)
     for s in range(1, m):

@@ -186,6 +186,8 @@ HEADLINE = [
     "near_dup_source_matrix",
     "winsorized_event_stats",
     "session_paths_topk",
+    "ann_ivf_pq",
+    "stratified_kfold",
     "pareto_value_report",
     "fano_burstiness",
     "source_kl_matrix",

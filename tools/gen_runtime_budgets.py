@@ -61,6 +61,7 @@ ITERATIVE_ENTRIES = [
     "copurchase_ppr",
     "event_type_scc",
     "dup_cluster_size_histogram",
+    "ann_ivf_pq",
 ]
 
 
