@@ -2815,6 +2815,48 @@ def _zorder_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _blocklist_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source blocklist screening: exact-token hits (with
+    multiplicity) against a literal term list, docs quarantined above
+    2 hits — the in-row content-safety gate (text.blocklist_report)."""
+    from avro_sql_spark.operators.text import blocklist_report
+
+    t = load_tables(spark, sf_dir, register=False)
+    return blocklist_report(
+        t["documents"], terms=["slow", "hash", "merge"], max_hits=2
+    )
+
+
+def _hilbert_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout audit — the zorder_layout_report twin on
+    the jump-free curve (Delta/Iceberg's OPTIMIZE alternative): orders
+    rows map to the 32-bit Hilbert index of (o_totalprice, o_custkey)
+    via bits chained rotate-reflect projections (layout.hilbert_index),
+    then the same 16-segment min/max rollup. All-integer after the
+    scale floor, so the CTE-chain oracle replays it bit-for-bit."""
+    from avro_sql_spark.operators.layout import hilbert_index
+
+    t = load_tables(spark, sf_dir, register=False)
+    orders = t["orders"].select("o_totalprice", "o_custkey")
+    h = hilbert_index(orders, ["o_totalprice", "o_custkey"], bits=16)
+    return (
+        h.select(
+            F.shiftright(F.col("hval"), 28).cast("int").alias("segment"),
+            "o_totalprice",
+            "o_custkey",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+        )
+        .orderBy("segment")
+    )
+
+
 def _copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product families: connected components of the co-purchase graph
     via the alternating large-star/small-star algorithm (Kiveris et al.
@@ -3079,6 +3121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths_topk": _session_paths_topk,
         "ann_ivf_pq": _ann_ivf_pq,
         "stratified_kfold": _stratified_kfold,
+        "hilbert_layout_report": _hilbert_layout_report,
+        "blocklist_quarantine": _blocklist_quarantine,
         "pareto_value_report": _pareto_value_report,
         "fano_burstiness": _fano_burstiness,
         "source_kl_matrix": _source_kl_matrix,
@@ -3600,6 +3644,54 @@ SELECT CAST(zv >> 28 AS INT) AS segment,
        MIN(o_custkey) AS min_cust,
        MAX(o_custkey) AS max_cust
 FROM z GROUP BY 1 ORDER BY 1
+"""
+
+
+def _hilbert_oracle(bits: int = 16) -> str:
+    """SQL twin of layout.hilbert_index over orders (o_totalprice,
+    o_custkey): identical min/max scale, then the xy2d rotate-reflect
+    recurrence as one chained CTE per curve level (the same linear
+    chain the Spark side builds as projections), then the 16-segment
+    (d >> 28) rollup. All-integer after the scale floor — bit-exact."""
+    scale = (
+        "LEAST(GREATEST(CAST(FLOOR((%(v)s - st.mn_%(c)s) / "
+        "(CASE WHEN st.mx_%(c)s > st.mn_%(c)s THEN st.mx_%(c)s - st.mn_%(c)s "
+        "ELSE CAST(1 AS DOUBLE) END) * CAST(65535 AS DOUBLE)) AS BIGINT), 0), 65535)"
+    )
+    s0 = scale % {"v": "CAST(o.o_totalprice AS DOUBLE)", "c": "p"}
+    s1 = scale % {"v": "CAST(o.o_custkey AS DOUBLE)", "c": "c"}
+    levels = []
+    n = 0
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        prev, n = f"h{n}", n + 1
+        levels.append(f"""
+h{n} AS (SELECT o_totalprice, o_custkey,
+  CASE WHEN ((y >> {level}) & 1) = 0
+       THEN (CASE WHEN ((x >> {level}) & 1) = 1 THEN {s - 1} - y ELSE y END)
+       ELSE x END AS x,
+  CASE WHEN ((y >> {level}) & 1) = 0
+       THEN (CASE WHEN ((x >> {level}) & 1) = 1 THEN {s - 1} - x ELSE x END)
+       ELSE y END AS y,
+  d + {s * s} * xor(3 * ((x >> {level}) & 1), (y >> {level}) & 1) AS d
+ FROM {prev})""")
+    return f"""
+WITH st AS (SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS mn_p,
+                   MAX(CAST(o_totalprice AS DOUBLE)) AS mx_p,
+                   MIN(CAST(o_custkey AS DOUBLE)) AS mn_c,
+                   MAX(CAST(o_custkey AS DOUBLE)) AS mx_c
+            FROM orders),
+h0 AS (SELECT o.o_totalprice, o.o_custkey,
+              {s0} AS x, {s1} AS y, CAST(0 AS BIGINT) AS d
+       FROM orders o CROSS JOIN st),
+{",".join(levels)}
+SELECT CAST(d >> 28 AS INT) AS segment,
+       COUNT(*) AS n_rows,
+       ROUND(MIN(o_totalprice), 2) AS min_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price,
+       MIN(o_custkey) AS min_cust,
+       MAX(o_custkey) AS max_cust
+FROM h{n} GROUP BY 1 ORDER BY 1
 """
 
 
@@ -4754,6 +4846,21 @@ SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
        ROUND(AVG(est_jaccard), 6) AS mean_est_jaccard
 FROM j GROUP BY 1, 2
 ORDER BY source_a, source_b
+""",
+        "hilbert_layout_report": _hilbert_oracle(16),
+        # Token blocklist with multiplicity; quarantine above 2 hits.
+        "blocklist_quarantine": r"""
+WITH h AS (
+  SELECT source,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+             x -> x IN ('slow', 'hash', 'merge'))) AS hits
+  FROM documents)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN hits > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+       CAST(SUM(hits) AS BIGINT) AS total_hits,
+       ROUND(CAST(SUM(CASE WHEN hits > 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS quarantine_rate
+FROM h GROUP BY 1 ORDER BY source
 """,
         # Round-robin fold over the per-stratum lottery rank; the
         # bucketed two-pass rank must equal the one-window rank.

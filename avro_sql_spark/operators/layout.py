@@ -37,12 +37,12 @@ def interleave_bits(cols: list[Column], bits: int = 16) -> Column:
     return z
 
 
-def zvalue(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
-    """Z-value Column for ``df`` rows over ``cols``: each column is
-    min/max scaled into [0, 2**bits) using one tiny stats aggregate
-    (collected once at plan time — a driver action on a scalar row, the
-    same footprint as ``approxQuantile``), then bit-interleaved. NULL
-    in any column maps to curve position 0 (sorts first)."""
+def _scaled_coords(df: DataFrame, cols: list[str], bits: int) -> list[Column]:
+    """Each column min/max scaled into [0, 2**bits) using one tiny stats
+    aggregate (collected once at plan time — a driver action on a scalar
+    row, the same footprint as ``approxQuantile``). NULL in any column
+    maps to curve position 0 (sorts first). Shared by the Morton and
+    Hilbert curves."""
     stats_row = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
@@ -58,7 +58,64 @@ def zvalue(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
             * F.lit(float(top))
         ).cast("long")
         scaled.append(F.coalesce(F.least(F.greatest(s, F.lit(0)), F.lit(top)), F.lit(0)))
-    return interleave_bits(scaled, bits)
+    return scaled
+
+
+def zvalue(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
+    """Z-value Column for ``df`` rows over ``cols``: min/max scaled
+    coordinates (see :func:`_scaled_coords`), bit-interleaved."""
+    return interleave_bits(_scaled_coords(df, cols, bits), bits)
+
+
+def hilbert_index(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    out_col: str = "hval",
+) -> DataFrame:
+    """2-D Hilbert-curve index over two columns — the locality curve
+    lakehouses reach for past Z-order (Delta/Iceberg both ship it):
+    unlike Morton, the Hilbert curve never jumps, so consecutive index
+    ranges are tighter rectangles and file min/max boxes prune better
+    at the same file count.
+
+    The standard xy2d recurrence (one rotate-and-reflect per curve
+    level) is expressed as ``bits`` CHAINED PROJECTIONS — each level is
+    one ``select`` that rewrites (x, y, d) columns — so the plan stays
+    a linear DAG of narrow maps; inlining the recurrence as one nested
+    Column expression would copy the growing (x, y) subtrees per level
+    (the 2^bits expression blowup _centroid_dists documents). All
+    integer compares/shifts/adds: bit-exact in any engine, so the
+    DuckDB oracle replays the same chain as nested CTEs. Returns the
+    frame with ``out_col`` appended (a DataFrame, not a Column — the
+    chain needs projections)."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_index is the 2-D curve; pass two columns")
+    sx, sy = _scaled_coords(df, cols, bits)
+    out = df.select("*", sx.alias("_hx"), sy.alias("_hy"),
+                    F.lit(0).cast("long").alias("_hd"))
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        rx = (F.col("_hx").bitwiseAND(F.lit(s)) > 0).cast("long")
+        ry = (F.col("_hy").bitwiseAND(F.lit(s)) > 0).cast("long")
+        d = F.col("_hd") + F.lit(s) * F.lit(s) * (
+            (F.lit(3) * rx).bitwiseXOR(ry)
+        )
+        # rotate: reflect when rx==1 (within the ry==0 branch), then swap
+        nx = F.when(ry == 0,
+                    F.when(rx == 1, F.lit(s - 1) - F.col("_hy"))
+                    .otherwise(F.col("_hy"))).otherwise(F.col("_hx"))
+        ny = F.when(ry == 0,
+                    F.when(rx == 1, F.lit(s - 1) - F.col("_hx"))
+                    .otherwise(F.col("_hx"))).otherwise(F.col("_hy"))
+        out = out.select(
+            *[c for c in out.columns if c not in ("_hx", "_hy", "_hd")],
+            nx.alias("_hx"), ny.alias("_hy"), d.alias("_hd"),
+        )
+    return out.select(
+        *[c for c in out.columns if c not in ("_hx", "_hy", "_hd")],
+        F.col("_hd").alias(out_col),
+    )
 
 
 def skipping_report(

@@ -1240,3 +1240,45 @@ def source_kl_matrix(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def blocklist_report(
+    docs: DataFrame,
+    terms: "list[str]",
+    source_col: str = "source",
+    text_col: str = "text",
+    max_hits: int = 2,
+) -> DataFrame:
+    """Per-source blocklist screening: exact-token matches against a
+    literal term list, counted WITH multiplicity in-row, and a doc is
+    quarantined when its hit count exceeds ``max_hits`` — the
+    content-safety gate every corpus pipeline runs before mixing (the
+    occurrence threshold, not mere presence, is what keeps a quoted
+    mention from nuking a document).
+
+    Scale shape: the blocklist inlines as a literal array into the scan
+    (no join, no broadcast table needed at realistic blocklist sizes —
+    thousands of terms is a few KB of plan), the hit count is one
+    in-row filter+size over the shared tokenizer, and the report is a
+    single groupBy bounded by the source universe. For million-term
+    blocklists swap the literal for a broadcast semi-join on the
+    token — same output contract."""
+    lit_terms = F.array(*[F.lit(t) for t in terms])
+    hits = F.size(
+        F.filter(
+            T.word_tokens(F.col(text_col)),
+            lambda w: F.array_contains(lit_terms, w),
+        )
+    )
+    h = docs.select(F.col(source_col).alias("source"), hits.alias("hits"))
+    q = (F.col("hits") > max_hits).cast("bigint")
+    return (
+        h.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(q).alias("n_quarantined"),
+            F.sum("hits").alias("total_hits"),
+            F.round(F.sum(q) / F.count(F.lit(1)), 6).alias("quarantine_rate"),
+        )
+        .orderBy("source")
+    )

@@ -188,6 +188,8 @@ HEADLINE = [
     "session_paths_topk",
     "ann_ivf_pq",
     "stratified_kfold",
+    "hilbert_layout_report",
+    "blocklist_quarantine",
     "pareto_value_report",
     "fano_burstiness",
     "source_kl_matrix",

@@ -129,3 +129,46 @@ def test_compaction_plan_offsets(spark):
     assert out[0]["n_files"] == 2 and out[0]["total_bytes"] == 120
     assert out[1]["n_files"] == 2 and out[1]["total_bytes"] == 70
     assert out[0]["fill"] == 1.2 and out[1]["fill"] == 0.7
+
+
+def test_hilbert_index_matches_reference_xy2d(spark):
+    """The chained-projection recurrence must equal the textbook xy2d
+    on raw grid coordinates (identity scaling via corner points), and
+    adjacent curve positions must be grid neighbors (the no-jump
+    property Morton lacks)."""
+    from avro_sql_spark.operators.layout import hilbert_index
+
+    def xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = s - 1 - x
+                    y = s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    bits = 3  # 8x8 grid: 64 cells, exhaustive
+    n = 1 << bits
+    pts = [(i, float(x), float(y)) for i, (x, y) in enumerate(
+        (x, y) for x in range(n) for y in range(n)
+    )]
+    df = spark.createDataFrame(pts, "pid long, x double, y double")
+    # corners 0..n-1 present in both cols -> min/max scaling is identity
+    out = {
+        (int(r["x"]), int(r["y"])): r["hval"]
+        for r in hilbert_index(df, ["x", "y"], bits=bits).collect()
+    }
+    for x in range(n):
+        for y in range(n):
+            assert out[(x, y)] == xy2d(n, x, y), (x, y)
+    # no-jump: consecutive d are Manhattan-adjacent cells
+    byd = {d: xy for xy, d in out.items()}
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = byd[d], byd[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d

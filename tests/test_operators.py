@@ -1570,3 +1570,19 @@ def test_ivf_pq_topk_contract_and_cell_restriction(spark):
         coarse_train_limit=100, pq_train_limit=100,
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_blocklist_report_hand_computed(spark):
+    from avro_sql_spark.operators.text import blocklist_report
+
+    rows = [
+        (1, "bad bad bad ok", "s1"),     # 3 hits -> quarantined
+        (2, "bad ok ok", "s1"),          # 1 hit -> kept
+        (3, "clean text here", "s2"),    # 0 hits
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in blocklist_report(df, ["bad"], max_hits=2).collect()}
+    assert out["s1"]["n_docs"] == 2 and out["s1"]["n_quarantined"] == 1
+    assert out["s1"]["total_hits"] == 4
+    assert out["s1"]["quarantine_rate"] == 0.5
+    assert out["s2"]["n_quarantined"] == 0 and out["s2"]["total_hits"] == 0
