@@ -2815,6 +2815,18 @@ def _zorder_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-decomposition join maintenance: the four base/delta joins
+    unioned must equal the full-recompute join+aggregate (the oracle) —
+    the view-maintenance algebra that keeps a 100 TB materialized join
+    from re-joining history every batch
+    (profile.incremental_join_agg)."""
+    from avro_sql_spark.operators import profile
+
+    t = load_tables(spark, sf_dir, register=False)
+    return profile.incremental_join_agg(t["orders"], t["customer"])
+
+
 def _blocklist_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source blocklist screening: exact-token hits (with
     multiplicity) against a literal term list, docs quarantined above
@@ -3123,6 +3135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_kfold": _stratified_kfold,
         "hilbert_layout_report": _hilbert_layout_report,
         "blocklist_quarantine": _blocklist_quarantine,
+        "incremental_join_agg": _incremental_join_agg,
         "pareto_value_report": _pareto_value_report,
         "fano_burstiness": _fano_burstiness,
         "source_kl_matrix": _source_kl_matrix,
@@ -3951,6 +3964,21 @@ def _skipping_oracle(n_files: int = 32, grid: int = 4) -> str:
     s0 = scale % {"v": "CAST(o.o_totalprice AS DOUBLE)", "c": "p"}
     s1 = scale % {"v": "CAST(o.o_custkey AS DOUBLE)", "c": "c"}
     np, tot = grid * grid, grid * grid * n_files
+    hlevels, hn = [], 0
+    for level in range(15, -1, -1):
+        s = 1 << level
+        hprev, hn = f"hz{hn}", hn + 1
+        hlevels.append(f"""
+hz{hn} AS (SELECT tb, x, y,
+  CASE WHEN ((cy >> {level}) & 1) = 0
+       THEN (CASE WHEN ((cx >> {level}) & 1) = 1 THEN {s - 1} - cy ELSE cy END)
+       ELSE cx END AS cx,
+  CASE WHEN ((cy >> {level}) & 1) = 0
+       THEN (CASE WHEN ((cx >> {level}) & 1) = 1 THEN {s - 1} - cx ELSE cx END)
+       ELSE cy END AS cy,
+  d + {s * s} * xor(3 * ((cx >> {level}) & 1), (cy >> {level}) & 1) AS d
+ FROM {hprev})""")
+    hilbert_chain = ",".join(hlevels)
     return f"""
 WITH st AS (SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS mn_p,
                    MAX(CAST(o_totalprice AS DOUBLE)) AS mx_p,
@@ -3963,14 +3991,20 @@ scaled AS (SELECT o.o_orderkey AS tb,
                   {s0} AS s0, {s1} AS s1
            FROM orders o CROSS JOIN st),
 z AS (SELECT tb, x, y, ({interleave}) AS zv FROM scaled),
+hz0 AS (SELECT tb, x, y, s0 AS cx, s1 AS cy, CAST(0 AS BIGINT) AS d FROM scaled),
+{hilbert_chain},
 lin AS (SELECT x, y, ntile({n_files}) OVER (ORDER BY x, tb) AS f FROM z),
 zo  AS (SELECT x, y, ntile({n_files}) OVER (ORDER BY zv, tb) AS f FROM z),
+ho  AS (SELECT x, y, ntile({n_files}) OVER (ORDER BY d, tb) AS f FROM hz{hn}),
 boxes AS (
   SELECT 'linear' AS layout, f, MIN(x) AS mnx, MAX(x) AS mxx,
          MIN(y) AS mny, MAX(y) AS mxy FROM lin GROUP BY 2
   UNION ALL
   SELECT 'zorder' AS layout, f, MIN(x), MAX(x), MIN(y), MAX(y)
-  FROM zo GROUP BY 2),
+  FROM zo GROUP BY 2
+  UNION ALL
+  SELECT 'hilbert' AS layout, f, MIN(x), MAX(x), MIN(y), MAX(y)
+  FROM ho GROUP BY 2),
 ij AS (SELECT i.i AS i, j.j AS j FROM range({grid}) i(i), range({grid}) j(j)),
 preds AS (SELECT
     st.mn_p + (st.mx_p - st.mn_p) * ij.i / CAST({grid} AS DOUBLE) AS plx,
@@ -4848,6 +4882,16 @@ FROM j GROUP BY 1, 2
 ORDER BY source_a, source_b
 """,
         "hilbert_layout_report": _hilbert_oracle(16),
+        # Delta-decomposition == recompute: the oracle IS the plain
+        # join+aggregate (DECIMAL-exact revenue is order-free).
+        "incremental_join_agg": """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(ROUND(o.o_totalprice, 2) AS DECIMAL(38,6))) AS DOUBLE), 2)
+         AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY c_mktsegment
+""",
         # Token blocklist with multiplicity; quarantine above 2 hits.
         "blocklist_quarantine": r"""
 WITH h AS (

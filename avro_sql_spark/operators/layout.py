@@ -135,9 +135,11 @@ def skipping_report(
     Layouts compared: ``linear`` (rows sorted by cols[0] only — perfect
     pruning on that column, none on the other) vs ``zorder`` (rows
     sorted by the Morton z-value of all ``cols`` — good pruning on BOTH
-    at once). This is the read-side proof of what :func:`zorder_write`
-    buys: the number the lakehouse OPTIMIZE decision should be made on,
-    not a hunch. Predicates are a ``grid`` x ``grid`` lattice of
+    at once) vs ``hilbert`` (the jump-free curve of
+    :func:`hilbert_index` — tighter file boxes than Morton at the same
+    file count). This is the read-side proof of what the write-side
+    layout buys: the number the lakehouse OPTIMIZE decision should be
+    made on, not a hunch. Predicates are a ``grid`` x ``grid`` lattice of
     equal-width rectangles spanning each column's global min/max; a
     file must be scanned iff its [min, max] box intersects the
     predicate rectangle — exactly the parquet footer-stats test.
@@ -154,15 +156,21 @@ def skipping_report(
     if len(cols) != 2:
         raise ValueError("skipping_report audits exactly two columns")
     c0, c1 = cols
+    hdf = hilbert_index(df, cols, bits, out_col="__hv")
     z = zvalue(df, cols, bits).alias("__z")
     # the tiebreak column makes each NTILE ordering TOTAL: rows tied on
     # the layout key (same price cell, same curve cell) would otherwise
     # land in engine-dependent files and flake the per-file min/max
-    base = df.select(F.col(c0).cast("double").alias("x"),
-                     F.col(c1).cast("double").alias("y"), z,
-                     F.col(tiebreak_col).alias("tb"))
+    base = hdf.select(F.col(c0).cast("double").alias("x"),
+                      F.col(c1).cast("double").alias("y"), z,
+                      F.col("__hv"),
+                      F.col(tiebreak_col).alias("tb"))
     layouts = []
-    for name, key in (("linear", ["x", "tb"]), ("zorder", ["__z", "tb"])):
+    for name, key in (
+        ("linear", ["x", "tb"]),
+        ("zorder", ["__z", "tb"]),
+        ("hilbert", ["__hv", "tb"]),
+    ):
         w = Window.orderBy(*[F.col(k) for k in key])
         files = (
             base.select("x", "y", F.ntile(n_files).over(w).alias("f"))
@@ -171,7 +179,7 @@ def skipping_report(
                  F.min("y").alias("mny"), F.max("y").alias("mxy"))
         )
         layouts.append(files.select(F.lit(name).alias("layout"), "*"))
-    boxes = layouts[0].unionByName(layouts[1])
+    boxes = layouts[0].unionByName(layouts[1]).unionByName(layouts[2])
     # global bounds (1 row) -> grid x grid predicate rectangles, built
     # in-row from a sequence — no driver collect
     bounds = df.agg(

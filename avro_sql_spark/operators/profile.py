@@ -821,3 +821,57 @@ def fano_burstiness(
         )
         .orderBy(group_col)
     )
+
+
+def incremental_join_agg(
+    orders: DataFrame,
+    customer: DataFrame,
+) -> DataFrame:
+    """Incremental JOIN maintenance proof — the join-side companion of
+    :func:`incremental_agg_merge`: with each side split into a base
+    partition and a delta partition, the joined aggregate is rebuilt
+    from the FOUR delta-decomposition joins
+
+        A_old⋈B_old ∪ A_old⋈B_new ∪ A_new⋈B_old ∪ A_new⋈B_new
+
+    and must be byte-identical to the full-recompute join (the oracle).
+    This is the algebra an incremental view-maintenance engine applies
+    so yesterday's A_old⋈B_old materialization never re-joins — only
+    the three delta terms run per batch, each bounded by a delta side.
+
+    Splits are deterministic NON-KEY attributes (order id parity /
+    nation parity — splitting on the join key would leave cross terms
+    structurally empty and prove nothing); every term is a keyed
+    equi-join (hash-partitioned both sides); per-segment revenue
+    accumulates ROUND(price, 2) in DECIMAL(38,6) so the four-way union
+    sums order-free."""
+    o_old = orders.filter(F.col("o_orderkey") % 2 == 0)
+    o_new = orders.filter(F.col("o_orderkey") % 2 == 1)
+    c_old = customer.filter(F.col("c_nationkey") % 2 == 0)
+    c_new = customer.filter(F.col("c_nationkey") % 2 == 1)
+    terms = []
+    for o_part, c_part in (
+        (o_old, c_old), (o_old, c_new), (o_new, c_old), (o_new, c_new)
+    ):
+        terms.append(
+            o_part.select("o_custkey", "o_totalprice").join(
+                c_part.select("c_custkey", "c_mktsegment"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+        )
+    unioned = terms[0]
+    for t in terms[1:]:
+        unioned = unioned.unionByName(t)
+    return (
+        unioned.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(
+                    F.round(F.col("o_totalprice"), 2).cast("decimal(38,6)")
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )

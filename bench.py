@@ -190,6 +190,7 @@ HEADLINE = [
     "stratified_kfold",
     "hilbert_layout_report",
     "blocklist_quarantine",
+    "incremental_join_agg",
     "pareto_value_report",
     "fano_burstiness",
     "source_kl_matrix",

@@ -106,7 +106,7 @@ def test_skipping_report_zorder_beats_linear_off_axis(spark):
     )
     rep = skipping_report(df, ["x", "y"], "tb", n_files=16, grid=4)
     rows = {r["layout"]: r for r in rep.collect()}
-    assert set(rows) == {"linear", "zorder"}
+    assert set(rows) == {"linear", "zorder", "hilbert"}
     for r in rows.values():
         assert r["n_files"] == 16 and r["n_predicates"] == 16
         assert 0 < r["avg_files_scanned"] <= 16
@@ -114,6 +114,8 @@ def test_skipping_report_zorder_beats_linear_off_axis(spark):
     # the linear layout sorts by x only: every file spans ALL of y, so
     # a y-restricted predicate can never prune -> z-order wins
     assert rows["zorder"]["pct_pruned"] > rows["linear"]["pct_pruned"]
+    # the jump-free curve prunes at least as well as Morton here
+    assert rows["hilbert"]["pct_pruned"] >= rows["zorder"]["pct_pruned"]
 
 
 def test_compaction_plan_offsets(spark):

@@ -1586,3 +1586,24 @@ def test_blocklist_report_hand_computed(spark):
     assert out["s1"]["total_hits"] == 4
     assert out["s1"]["quarantine_rate"] == 0.5
     assert out["s2"]["n_quarantined"] == 0 and out["s2"]["total_hits"] == 0
+
+
+def test_incremental_join_agg_all_terms_contribute(spark):
+    """Each of the four delta-decomposition terms must be non-empty on
+    data whose split attributes mix across the join key (splitting on
+    the key itself would leave cross terms structurally empty)."""
+    from avro_sql_spark.operators.profile import incremental_join_agg
+
+    orders = spark.createDataFrame(
+        [(ok, ok % 3 + 1, float(ok * 10)) for ok in range(1, 13)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(1, 0, "A"), (2, 1, "B"), (3, 2, "A")],
+        "c_custkey long, c_nationkey long, c_mktsegment string",
+    )
+    out = {r["c_mktsegment"]: r for r in incremental_join_agg(orders, customer).collect()}
+    # full recompute: every order joins (custkey in 1..3)
+    assert sum(r["n_orders"] for r in out.values()) == 12
+    total = sum(r["revenue"] for r in out.values())
+    assert total == sum(ok * 10 for ok in range(1, 13))
