@@ -2827,6 +2827,28 @@ def _incremental_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.incremental_join_agg(t["orders"], t["customer"])
 
 
+def _join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimate by Count-Min inner product (the CBO
+    primitive), grounded against the exact inner product — one-sided
+    overestimate visible (sketches.join_size_sketch). Deterministic
+    md5 rows, so the oracle replays every cell."""
+    t = load_tables(spark, sf_dir, register=False)
+    return sketches.join_size_sketch(
+        t["events"], "user_id", t["orders"], "o_custkey", depth=4, width=64
+    )
+
+
+def _cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type CUSUM drift series over hourly event counts (Page 1954,
+    no-reset form): integer counts, one double division for the mean,
+    hour-ordered running fold — both engines fold the identical
+    sequence (profile.cusum_drift)."""
+    from avro_sql_spark.operators import profile
+
+    t = load_tables(spark, sf_dir, register=False)
+    return profile.cusum_drift(t["events"])
+
+
 def _blocklist_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source blocklist screening: exact-token hits (with
     multiplicity) against a literal term list, docs quarantined above
@@ -3136,6 +3158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_layout_report": _hilbert_layout_report,
         "blocklist_quarantine": _blocklist_quarantine,
         "incremental_join_agg": _incremental_join_agg,
+        "join_size_sketch": _join_size_sketch,
+        "cusum_drift": _cusum_drift,
         "pareto_value_report": _pareto_value_report,
         "fano_burstiness": _fano_burstiness,
         "source_kl_matrix": _source_kl_matrix,
@@ -4882,6 +4906,43 @@ FROM j GROUP BY 1, 2
 ORDER BY source_a, source_b
 """,
         "hilbert_layout_report": _hilbert_oracle(16),
+        # CM inner-product join-size estimate: same md5 cell layout as
+        # count_min_heavy_hitters, exact inner product as ground truth.
+        "join_size_sketch": """
+WITH pa AS (SELECT user_id AS k FROM events WHERE user_id IS NOT NULL),
+pb AS (SELECT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL),
+cma AS (SELECT d.d,
+               CAST(('0x' || substring(md5(CAST(d.d AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 12)) AS BIGINT) % 64 AS pos,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM pa, (SELECT unnest([0, 1, 2, 3]) AS d) d GROUP BY 1, 2),
+cmb AS (SELECT d.d,
+               CAST(('0x' || substring(md5(CAST(d.d AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 12)) AS BIGINT) % 64 AS pos,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM pb, (SELECT unnest([0, 1, 2, 3]) AS d) d GROUP BY 1, 2),
+ip AS (SELECT x.d, SUM(x.c * y.c) AS ip
+       FROM cma x JOIN cmb y ON x.d = y.d AND x.pos = y.pos GROUP BY 1),
+est AS (SELECT MIN(ip) AS est_size FROM ip),
+ea AS (SELECT k, COUNT(*) AS na FROM pa GROUP BY 1),
+eb AS (SELECT k, COUNT(*) AS nb FROM pb GROUP BY 1),
+ex AS (SELECT COALESCE(SUM(na * nb), 0) AS exact_size FROM ea JOIN eb USING (k))
+SELECT CAST(exact_size AS BIGINT) AS exact_size,
+       CAST(est_size AS BIGINT) AS est_size,
+       CAST(est_size - exact_size AS BIGINT) AS overestimate
+FROM ex CROSS JOIN est
+""",
+        # Hour-ordered running fold of integer-count deviations.
+        "cusum_drift": """
+WITH c AS (SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+           FROM events GROUP BY 1, 2),
+p AS (SELECT event_type, COUNT(*) AS nh, SUM(c) AS tot FROM c GROUP BY 1),
+d AS (SELECT c.event_type, c.h, c.c,
+             c.c - CAST(tot AS DOUBLE) / nh AS dev
+      FROM c JOIN p USING (event_type))
+SELECT event_type, h, CAST(c AS BIGINT) AS c,
+       ROUND(SUM(dev) OVER (PARTITION BY event_type ORDER BY h
+                            ROWS UNBOUNDED PRECEDING), 6) AS cusum
+FROM d ORDER BY event_type, h
+""",
         # Delta-decomposition == recompute: the oracle IS the plain
         # join+aggregate (DECIMAL-exact revenue is order-free).
         "incremental_join_agg": """

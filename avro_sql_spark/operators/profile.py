@@ -875,3 +875,44 @@ def incremental_join_agg(
         )
         .orderBy("c_mktsegment")
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """CUSUM drift series per group (Page 1954, the no-reset form):
+    hourly event counts minus the group's mean hourly count, cumulated
+    in hour order — a sustained rate shift shows as a monotone ramp
+    long before any single hour trips a z-score gate (the complement of
+    ``hourly_anomalies``' pointwise test).
+
+    Exactness: hourly counts and totals are integers; the mean is ONE
+    double division; each deviation is one subtraction; and the running
+    sum's fold order is pinned by the hour ordering, so both engines
+    fold the identical sequence. The window partitions by group over a
+    frame bounded by groups × hours — aggregate-sized, never
+    row-sized."""
+    h = F.date_trunc("hour", F.col(ts_col)).alias("h")
+    counts = df.groupBy(F.col(group_col), h).agg(F.count(F.lit(1)).alias("c"))
+    per = counts.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("nh"), F.sum("c").alias("tot")
+    )
+    dev = counts.join(F.broadcast(per), group_col).select(
+        group_col,
+        "h",
+        "c",
+        (F.col("c") - F.col("tot").cast("double") / F.col("nh")).alias("dev"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return dev.select(
+        group_col,
+        "h",
+        "c",
+        F.round(F.sum("dev").over(w), 6).alias("cusum"),
+    ).orderBy(group_col, "h")

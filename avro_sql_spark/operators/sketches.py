@@ -251,3 +251,69 @@ def count_min_report(
         "est_n",
         (F.col("est_n") - F.col("exact_n")).alias("overestimate"),
     ).orderBy(F.desc("exact_n"), F.asc("key"))
+
+
+def join_size_sketch(
+    a: DataFrame,
+    a_key: str,
+    b: DataFrame,
+    b_key: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Join-cardinality estimation by Count-Min inner product (Cormode &
+    Muthukrishnan 2005 §4.2): |A ⋈ B| with multiplicities equals the
+    inner product of the two key-frequency vectors, and the MIN over
+    hash rows of Σ_i cmA[d][i]·cmB[d][i] estimates it one-sidedly
+    (collisions only ADD) — the cost-based-optimizer primitive that
+    sizes a join from two kilobyte sketches instead of scanning either
+    side. The report grounds the estimate against the exact inner
+    product so the overestimate is visible.
+
+    Scale shape: each sketch is one groupBy over an in-row (row, pos)
+    explosion — depth × width counters, map-side combined, mergeable by
+    cell-wise SUM; the inner product joins two sketch frames of that
+    bounded size on (row, pos). The exact pass (two key-count
+    aggregates + one equi-join on the key) exists only to ground the
+    report. Positions are the same 48-bit md5 cuts as count_min_report,
+    so the DuckDB oracle replays every cell."""
+    def positions(df: DataFrame, key: str) -> DataFrame:
+        arr = (
+            "array("
+            + ", ".join(
+                f"CAST(CONV(SUBSTRING(MD5(CONCAT('{d}:', CAST(`{key}` AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+                f" % {width}"
+                for d in range(depth)
+            )
+            + ")"
+        )
+        return (
+            df.filter(F.col(key).isNotNull())
+            .selectExpr(f"posexplode({arr}) AS (d, pos)")
+            .groupBy("d", "pos")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    cma = positions(a, a_key)
+    cmb = positions(b, b_key)
+    est = (
+        cma.alias("x")
+        .join(cmb.alias("y"), ["d", "pos"])
+        .groupBy("d")
+        .agg(F.sum(F.col("x.c") * F.col("y.c")).alias("ip"))
+        .agg(F.min("ip").alias("est_size"))
+    )
+    ca = a.filter(F.col(a_key).isNotNull()).groupBy(
+        F.col(a_key).alias("k")
+    ).agg(F.count(F.lit(1)).alias("na"))
+    cb = b.filter(F.col(b_key).isNotNull()).groupBy(
+        F.col(b_key).alias("k")
+    ).agg(F.count(F.lit(1)).alias("nb"))
+    exact = (
+        ca.join(cb, "k")
+        .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias("exact_size"))
+    )
+    return exact.crossJoin(est).select(
+        F.col("exact_size").cast("bigint").alias("exact_size"),
+        F.col("est_size").cast("bigint").alias("est_size"),
+        (F.col("est_size") - F.col("exact_size")).cast("bigint").alias("overestimate"),
+    )

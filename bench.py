@@ -195,6 +195,8 @@ HEADLINE = [
     "fano_burstiness",
     "source_kl_matrix",
     "dup_cluster_size_histogram",
+    "join_size_sketch",
+    "cusum_drift",
 ]
 
 

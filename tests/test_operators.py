@@ -1607,3 +1607,25 @@ def test_incremental_join_agg_all_terms_contribute(spark):
     assert sum(r["n_orders"] for r in out.values()) == 12
     total = sum(r["revenue"] for r in out.values())
     assert total == sum(ok * 10 for ok in range(1, 13))
+
+
+def test_cusum_drift_ramps_and_closes(spark):
+    """A rate shift shows as a ramp; the final cusum of each group
+    closes at ~0 (deviations sum to total - mean*n = 0)."""
+    import datetime as dt
+
+    from avro_sql_spark.operators.profile import cusum_drift
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # 4 quiet hours of 1 event, then 4 loud hours of 3 -> mean 2
+    for h in range(4):
+        rows.append(("a", base + dt.timedelta(hours=h)))
+    for h in range(4, 8):
+        rows += [("a", base + dt.timedelta(hours=h, minutes=m)) for m in (0, 1, 2)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp_ntz")
+    out = [r["cusum"] for r in cusum_drift(df).collect()]
+    # quiet half ramps down to -4, loud half climbs back to 0
+    assert out[3] == -4.0
+    assert out[-1] == 0.0
+    assert min(out) == -4.0

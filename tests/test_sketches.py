@@ -97,3 +97,17 @@ def test_count_min_wide_sketch_is_exact(spark):
     out = sketches.count_min_report(df, "k", depth=4, width=4096, topk=5).collect()
     assert all(r["overestimate"] == 0 for r in out)
     assert all(r["exact_n"] == 20 for r in out)
+
+
+def test_join_size_sketch_one_sided(spark):
+    """Exact inner product is known; the CM estimate can only
+    over-estimate (collisions add)."""
+    from avro_sql_spark.operators.sketches import join_size_sketch
+
+    a = spark.createDataFrame([(k,) for k in [1, 1, 1, 2, 3]], "user_id long")
+    b = spark.createDataFrame([(k,) for k in [1, 2, 2, 4]], "o_custkey long")
+    r = join_size_sketch(a, "user_id", b, "o_custkey", depth=4, width=64).collect()[0]
+    # exact: key1 3*1 + key2 1*2 = 5
+    assert r["exact_size"] == 5
+    assert r["est_size"] >= 5
+    assert r["overestimate"] == r["est_size"] - r["exact_size"]
