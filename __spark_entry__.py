@@ -2849,6 +2849,17 @@ def _cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.cusum_drift(t["events"])
 
 
+def _seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest per event type (predict hour h
+    from h−24h via an exact timestamp equi-join, never a row-offset
+    lag): MAE/MAPE/bias — the baseline row of a forecast-evaluation
+    table (profile.seasonal_naive_backtest)."""
+    from avro_sql_spark.operators import profile
+
+    t = load_tables(spark, sf_dir, register=False)
+    return profile.seasonal_naive_backtest(t["events"])
+
+
 def _blocklist_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source blocklist screening: exact-token hits (with
     multiplicity) against a literal term list, docs quarantined above
@@ -3160,6 +3171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_join_agg": _incremental_join_agg,
         "join_size_sketch": _join_size_sketch,
         "cusum_drift": _cusum_drift,
+        "seasonal_naive_backtest": _seasonal_naive_backtest,
         "pareto_value_report": _pareto_value_report,
         "fano_burstiness": _fano_burstiness,
         "source_kl_matrix": _source_kl_matrix,
@@ -4929,6 +4941,19 @@ SELECT CAST(exact_size AS BIGINT) AS exact_size,
        CAST(est_size AS BIGINT) AS est_size,
        CAST(est_size - exact_size AS BIGINT) AS overestimate
 FROM ex CROSS JOIN est
+""",
+        # Exact h = h' + 24h timestamp join; integer error arithmetic.
+        "seasonal_naive_backtest": """
+WITH c AS (SELECT event_type AS g, date_trunc('hour', ts) AS h, COUNT(*) AS c
+           FROM events GROUP BY 1, 2),
+b AS (SELECT g, h + INTERVAL 24 HOUR AS h, c AS pred FROM c),
+j AS (SELECT c.g, c.c, b.pred FROM c JOIN b USING (g, h))
+SELECT g AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_predictions,
+       ROUND(CAST(SUM(ABS(c - pred)) AS DOUBLE) / COUNT(*), 6) AS mae,
+       ROUND(AVG(CAST(ABS(c - pred) AS DOUBLE) / c), 6) AS mape,
+       ROUND(CAST(SUM(pred - c) AS DOUBLE) / COUNT(*), 6) AS bias
+FROM j GROUP BY 1 ORDER BY event_type
 """,
         # Hour-ordered running fold of integer-count deviations.
         "cusum_drift": """

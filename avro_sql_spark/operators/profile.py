@@ -916,3 +916,49 @@ def cusum_drift(
         "c",
         F.round(F.sum("dev").over(w), 6).alias("cusum"),
     ).orderBy(group_col, "h")
+
+
+def seasonal_naive_backtest(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    period_hours: int = 24,
+) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (predict hour h =
+    actual at h − period) over hourly event counts — the baseline every
+    capacity-planning model must beat, and the standard sanity row in a
+    forecast-evaluation table. Reports per group: prediction count,
+    MAE, MAPE, and mean bias.
+
+    The period shift is an exact TIMESTAMP equi-join (h = h' + period)
+    on the bounded groups × hours count frame — not a row-offset lag,
+    which would silently mis-shift across gap hours. Errors are integer
+    differences; MAE/bias are integer sums over one division; MAPE
+    averages per-row rationals (rounded at 6dp, same convention as the
+    LM scorers)."""
+    h = F.date_trunc("hour", F.col(ts_col)).alias("h")
+    counts = (
+        df.groupBy(F.col(group_col).alias("g"), h)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
+    )
+    base = counts.select(
+        F.col("g"),
+        (F.col("h") + F.expr(f"INTERVAL {period_hours} HOURS")).alias("h"),
+        F.col("c").alias("pred"),
+    )
+    joined = counts.join(base, ["g", "h"])
+    d = F.col("c") - F.col("pred")
+    return (
+        joined.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_predictions"),
+            F.round(F.sum(F.abs(d)) / F.count(F.lit(1)), 6).alias("mae"),
+            F.round(F.avg(F.abs(d).cast("double") / F.col("c")), 6).alias("mape"),
+            F.round(F.sum(F.col("pred") - F.col("c")) / F.count(F.lit(1)), 6).alias("bias"),
+        )
+        .select(
+            F.col("g").alias(group_col), "n_predictions", "mae", "mape", "bias"
+        )
+        .orderBy(group_col)
+    )

@@ -197,6 +197,7 @@ HEADLINE = [
     "dup_cluster_size_histogram",
     "join_size_sketch",
     "cusum_drift",
+    "seasonal_naive_backtest",
 ]
 
 

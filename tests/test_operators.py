@@ -1629,3 +1629,26 @@ def test_cusum_drift_ramps_and_closes(spark):
     assert out[3] == -4.0
     assert out[-1] == 0.0
     assert min(out) == -4.0
+
+
+def test_seasonal_naive_backtest_hand_computed(spark):
+    """Two days of hourly counts where day2 = day1 + 1 at every hour:
+    every prediction errs by exactly 1 (under-forecast), and gap hours
+    produce no prediction (timestamp join, not row lag)."""
+    import datetime as dt
+
+    from avro_sql_spark.operators.profile import seasonal_naive_backtest
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in (0, 1, 3):               # hour 2 is a GAP on day 1
+        rows += [("a", base + dt.timedelta(hours=h, minutes=m)) for m in range(1)]
+        rows += [("a", base + dt.timedelta(hours=24 + h, minutes=m)) for m in range(2)]
+    # day-2 hour 2 exists but has no day-1 base -> must NOT be predicted
+    rows += [("a", base + dt.timedelta(hours=26))]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp_ntz")
+    r = seasonal_naive_backtest(df).collect()[0]
+    assert r["n_predictions"] == 3          # hours 0,1,3 of day 2 only
+    assert r["mae"] == 1.0                  # |2-1| at each predicted hour
+    assert r["mape"] == 0.5                 # 1/2 per prediction
+    assert r["bias"] == -1.0                # pred below actual
