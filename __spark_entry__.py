@@ -2849,6 +2849,13 @@ def _cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.cusum_drift(t["events"])
 
 
+def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation grid: exact ceil(4·rank/n) quartiles per
+    dimension on two-pass ranks (never NTILE), DECIMAL-exact monetary,
+    users counted per (r,f,m) cell (relational.rfm_segments)."""
+    return relational.rfm_segments(spark, sf_dir)
+
+
 def _seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive forecast backtest per event type (predict hour h
     from h−24h via an exact timestamp equi-join, never a row-offset
@@ -3172,6 +3179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_sketch": _join_size_sketch,
         "cusum_drift": _cusum_drift,
         "seasonal_naive_backtest": _seasonal_naive_backtest,
+        "rfm_segments": _rfm_segments,
         "pareto_value_report": _pareto_value_report,
         "fano_burstiness": _fano_burstiness,
         "source_kl_matrix": _source_kl_matrix,
@@ -4941,6 +4949,24 @@ SELECT CAST(exact_size AS BIGINT) AS exact_size,
        CAST(est_size AS BIGINT) AS est_size,
        CAST(est_size - exact_size AS BIGINT) AS overestimate
 FROM ex CROSS JOIN est
+""",
+        # Exact ceil-quartiles on total-ordered ranks, 64-cell grid.
+        "rfm_segments": """
+WITH u AS (SELECT user_id, MAX(ts) AS rec, COUNT(*) AS freq,
+                  SUM(CAST(ROUND(COALESCE(value, 0), 6) AS DECIMAL(38,6))) AS mon
+           FROM events GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+r AS (SELECT user_id,
+             ROW_NUMBER() OVER (ORDER BY rec, user_id) AS rk_r,
+             ROW_NUMBER() OVER (ORDER BY freq, user_id) AS rk_f,
+             ROW_NUMBER() OVER (ORDER BY mon, user_id) AS rk_m
+      FROM u),
+q AS (SELECT CAST((rk_r * 4 + n.n - 1) // n.n AS INTEGER) AS r_q,
+             CAST((rk_f * 4 + n.n - 1) // n.n AS INTEGER) AS f_q,
+             CAST((rk_m * 4 + n.n - 1) // n.n AS INTEGER) AS m_q
+      FROM r CROSS JOIN n)
+SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """,
         # Exact h = h' + 24h timestamp join; integer error arithmetic.
         "seasonal_naive_backtest": """

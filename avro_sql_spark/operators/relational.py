@@ -440,6 +440,61 @@ def session_paths_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFra
     )
 
 
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over the event stream: each user's
+    Recency (last event time), Frequency (event count), and Monetary
+    (DECIMAL-exact value sum) rank into exact quartiles, and the report
+    counts users per (r, f, m) cell — the 64-cell segmentation grid
+    marketing/retention pipelines act on.
+
+    Exactness & scale: quartile = ceil(4·rank/n) on the two-pass
+    range-partitioned rank (curation.global_rank, one per dimension —
+    never NTILE, whose remainder distribution differs from the integer
+    ceil and whose window is a single-task sort), ranks totally ordered
+    by (metric, user_id), monetary accumulated in DECIMAL(38,6). The
+    output is bounded by 4³ cells."""
+    from .curation import global_rank
+
+    t = load_tables(spark, sf_dir, register=False)
+    u = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("rec"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0.0)), 6).cast(
+                    "decimal(38,6)"
+                )
+            ).alias("mon"),
+        )
+        .cache()
+    )
+    n = u.agg(F.count(F.lit(1)).alias("n"))
+    # rank each dimension INDEPENDENTLY on a slim (user, metric)
+    # projection and join back on the user key: chaining global_rank
+    # calls would feed each rank's two consumers (ranking + offsets)
+    # the whole previous rank pipeline, re-deriving it exponentially
+    ranked = None
+    for metric, rank_col in (("rec", "rk_r"), ("freq", "rk_f"), ("mon", "rk_m")):
+        r = global_rank(
+            u.select("user_id", metric),
+            [F.asc(metric), F.asc("user_id")],
+            rank_col=rank_col,
+        ).select("user_id", rank_col)
+        ranked = r if ranked is None else ranked.join(r, "user_id")
+    q = ranked.crossJoin(F.broadcast(n)).select(
+        F.expr("CAST((rk_r * 4 + n - 1) DIV n AS INT)").alias("r_q"),
+        F.expr("CAST((rk_f * 4 + n - 1) DIV n AS INT)").alias("f_q"),
+        F.expr("CAST((rk_m * 4 + n - 1) DIV n AS INT)").alias("m_q"),
+    )
+    return (
+        q.groupBy("r_q", "f_q", "m_q")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
 def union_high_low_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set op UNION ALL with a discriminator column: the very largest and
     very smallest orders in one frame (unionByName keeps schemas honest)."""

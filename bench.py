@@ -198,6 +198,7 @@ HEADLINE = [
     "join_size_sketch",
     "cusum_drift",
     "seasonal_naive_backtest",
+    "rfm_segments",
 ]
 
 

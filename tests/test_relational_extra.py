@@ -477,3 +477,34 @@ def test_session_paths_topk_hand_computed(spark, tmp_path):
     df.write.parquet(os.path.join(sf, "events.parquet"))
     out = {r["path"]: r["n_sessions"] for r in session_paths_topk(spark, sf).collect()}
     assert out == {"a": 2, "a>b>c>d": 1}
+
+
+def test_rfm_segments_partition_and_quartile_balance(spark, tmp_path):
+    """Every user lands in exactly one cell; each dimension's quartiles
+    are within-1 balanced (exact ceil-rank arithmetic, not NTILE)."""
+    import datetime as dt
+    import os
+
+    from avro_sql_spark.operators.relational import rfm_segments
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid in range(1, 11):          # 10 users, uid k has k events
+        for e in range(uid):
+            eid += 1
+            rows.append((eid, base + dt.timedelta(hours=uid, minutes=e),
+                         uid, "view", float(uid), None))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string")
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.parquet(os.path.join(sf, "events.parquet"))
+    out = rfm_segments(spark, sf).collect()
+    assert sum(r["n_users"] for r in out) == 10
+    # all three metrics rank users identically here -> diagonal cells,
+    # quartile sizes ceil(4r/10): q1..q4 = 2,3,2,3 users
+    cells = {(r["r_q"], r["f_q"], r["m_q"]): r["n_users"] for r in out}
+    assert set(cells) == {(1, 1, 1), (2, 2, 2), (3, 3, 3), (4, 4, 4)}
+    assert [cells[(q, q, q)] for q in (1, 2, 3, 4)] == [2, 3, 2, 3]
