@@ -2849,6 +2849,25 @@ def _cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.cusum_drift(t["events"])
 
 
+def _dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset datasheet (Gebru 2018): corpus size, spread,
+    token volume, exact-dup rate, Gopher pass rate — composed from the
+    repo's shared tokenizer/fingerprint/gate primitives in one
+    aggregate pass (profile.dataset_card)."""
+    from avro_sql_spark.operators import profile
+
+    t = load_tables(spark, sf_dir, register=False)
+    return profile.dataset_card(t["documents"])
+
+
+def _position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution (40/20/40 with k=1/k=2 edge
+    cases) over the 24h pre-purchase window: one user-keyed range join,
+    purchase-keyed position windows, exact-rational credits
+    (relational.position_attribution)."""
+    return relational.position_attribution(spark, sf_dir)
+
+
 def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation grid: exact ceil(4·rank/n) quartiles per
     dimension on two-pass ranks (never NTILE), DECIMAL-exact monetary,
@@ -3180,6 +3199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_drift": _cusum_drift,
         "seasonal_naive_backtest": _seasonal_naive_backtest,
         "rfm_segments": _rfm_segments,
+        "position_attribution": _position_attribution,
+        "dataset_card": _dataset_card,
         "pareto_value_report": _pareto_value_report,
         "fano_burstiness": _fano_burstiness,
         "source_kl_matrix": _source_kl_matrix,
@@ -4949,6 +4970,58 @@ SELECT CAST(exact_size AS BIGINT) AS exact_size,
        CAST(est_size AS BIGINT) AS est_size,
        CAST(est_size - exact_size AS BIGINT) AS overestimate
 FROM ex CROSS JOIN est
+""",
+        # Datasheet header row from the shared primitives.
+        "dataset_card": f"""
+WITH base AS (SELECT doc_id, source, lang, text,
+                     ' ' || lower(text) || ' ' AS padded,
+                     CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+              FROM documents),
+c AS (SELECT COUNT(*) AS n_docs,
+             COUNT(DISTINCT source) AS n_sources,
+             COUNT(DISTINCT lang) AS n_langs,
+             COUNT(DISTINCT {_FP}) AS n_distinct_docs
+      FROM documents),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+        FROM documents)
+      WHERE regexp_matches(token, '^[a-z]+$')),
+g AS (SELECT SUM(CASE WHEN {{GOPHER}} THEN 1 ELSE 0 END) AS n_pass FROM base)
+SELECT CAST(c.n_docs AS BIGINT) AS n_docs,
+       CAST(c.n_sources AS BIGINT) AS n_sources,
+       CAST(c.n_langs AS BIGINT) AS n_langs,
+       t.n_tokens,
+       ROUND(CAST(t.n_tokens AS DOUBLE) / c.n_docs, 6) AS mean_doc_tokens,
+       CAST(c.n_distinct_docs AS BIGINT) AS n_distinct_docs,
+       ROUND(CAST(1 AS DOUBLE) - CAST(c.n_distinct_docs AS DOUBLE) / c.n_docs, 6)
+         AS dup_rate,
+       ROUND(CAST(g.n_pass AS DOUBLE) / c.n_docs, 6) AS gopher_pass_rate
+FROM c CROSS JOIN t CROSS JOIN g
+""".replace("{GOPHER}", _gopher_ok_expr()),
+        # U-shaped credits: exact rationals, total touch order.
+        "position_attribution": """
+WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts
+           FROM events WHERE event_type = 'purchase'),
+tch AS (SELECT user_id, event_id AS t_id, ts AS t_ts, event_type AS touch_type
+        FROM events WHERE event_type <> 'purchase'),
+j AS (SELECT p.p_id, tch.touch_type, tch.t_ts, tch.t_id
+      FROM p JOIN tch USING (user_id)
+      WHERE tch.t_ts < p.p_ts AND tch.t_ts >= p.p_ts - INTERVAL 24 HOUR),
+s AS (SELECT p_id, touch_type,
+             ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS pos,
+             COUNT(*) OVER (PARTITION BY p_id) AS k
+      FROM j),
+c AS (SELECT p_id, touch_type,
+             CASE WHEN k = 1 THEN CAST(1.0 AS DOUBLE)
+                  WHEN k = 2 THEN CAST(0.5 AS DOUBLE)
+                  WHEN pos = 1 THEN CAST(0.4 AS DOUBLE)
+                  WHEN pos = k THEN CAST(0.4 AS DOUBLE)
+                  ELSE CAST(0.2 AS DOUBLE) / (k - 2) END AS credit
+      FROM s)
+SELECT touch_type,
+       ROUND(SUM(credit), 6) AS total_credit,
+       CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_conversions
+FROM c GROUP BY 1 ORDER BY touch_type
 """,
         # Exact ceil-quartiles on total-ordered ranks, 64-cell grid.
         "rfm_segments": """

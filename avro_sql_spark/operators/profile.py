@@ -962,3 +962,41 @@ def seasonal_naive_backtest(
         )
         .orderBy(group_col)
     )
+
+
+def dataset_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row dataset datasheet (Gebru et al. 2018, "Datasheets for
+    Datasets"): corpus size, source/language spread, token volume,
+    exact-duplicate rate, and Gopher quality-gate pass rate — the
+    header table of every corpus release, from ONE aggregate pass.
+
+    Composes the repo's shared primitives (word_tokens tokenizer,
+    normalized-md5 fingerprint, gopher_pass gate) so the card can never
+    drift from the operators it summarizes. The distinct counts are
+    exact (the contract of profile_table; swap approx_count_distinct in
+    at extreme cardinalities — profile_table_approx's trade)."""
+    from ..functions.text import fingerprint, gopher_pass, word_tokens
+
+    t = F.col(text_col)
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.size(word_tokens(t))).alias("n_tokens"),
+        F.countDistinct(fingerprint(t)).alias("n_distinct_docs"),
+        F.sum(gopher_pass(t).cast("long")).alias("n_gopher_pass"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.col("n_tokens") / F.col("n_docs"), 6).alias("mean_doc_tokens"),
+        "n_distinct_docs",
+        F.round(
+            F.lit(1.0) - F.col("n_distinct_docs") / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+        F.round(F.col("n_gopher_pass") / F.col("n_docs"), 6).alias(
+            "gopher_pass_rate"
+        ),
+    )

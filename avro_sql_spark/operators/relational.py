@@ -495,6 +495,64 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def position_attribution(
+    spark: SparkSession, sf_dir: str, window_hours: int = 24
+) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: every
+    purchase distributes credit over the user's touchpoints in the
+    prior ``window_hours`` — 40% first touch, 40% last, 20% split
+    across the middle (k=1 → 1.0, k=2 → 0.5/0.5) — reported as total
+    credit per touch type. The marketing-analytics standard between
+    last-click (streaming_click_attribution's rule) and Shapley.
+
+    Scale shape: ONE user-keyed equi-join with the time-range predicate
+    (touches per purchase bounded by the window), position/size via a
+    per-purchase window (purchase-keyed state only), credit a CASE of
+    exact literals with one division for the middle split. Credit sums
+    are rounded at 6dp (sub-ulp association drift only; every credit is
+    an exact rational of small ints)."""
+    t = load_tables(spark, sf_dir, register=False)
+    e = t["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    touches = e.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("t_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    joined = purchases.join(touches, "user_id").filter(
+        (F.col("t_ts") < F.col("p_ts"))
+        & F.expr(f"t_ts >= p_ts - INTERVAL {window_hours} HOURS")
+    )
+    w = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    sized = joined.select(
+        "p_id",
+        "touch_type",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("p_id")).alias("k"),
+    )
+    credit = (
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when(F.col("k") == 2, F.lit(0.5))
+        .when(F.col("pos") == 1, F.lit(0.4))
+        .when(F.col("pos") == F.col("k"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("k") - 2))
+    )
+    return (
+        sized.select("p_id", "touch_type", credit.alias("credit"))
+        .groupBy("touch_type")
+        .agg(
+            F.round(F.sum("credit"), 6).alias("total_credit"),
+            F.countDistinct("p_id").alias("n_conversions"),
+        )
+        .orderBy("touch_type")
+    )
+
+
 def union_high_low_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set op UNION ALL with a discriminator column: the very largest and
     very smallest orders in one frame (unionByName keeps schemas honest)."""

@@ -199,6 +199,8 @@ HEADLINE = [
     "cusum_drift",
     "seasonal_naive_backtest",
     "rfm_segments",
+    "position_attribution",
+    "dataset_card",
 ]
 
 

@@ -1652,3 +1652,22 @@ def test_seasonal_naive_backtest_hand_computed(spark):
     assert r["mae"] == 1.0                  # |2-1| at each predicted hour
     assert r["mape"] == 0.5                 # 1/2 per prediction
     assert r["bias"] == -1.0                # pred below actual
+
+
+def test_dataset_card_hand_computed(spark):
+    from avro_sql_spark.operators.profile import dataset_card
+
+    rows = [
+        (1, "alpha beta gamma", "en", "s1", 16),
+        (2, "alpha beta gamma", "en", "s2", 16),   # exact dup of doc 1
+        (3, "delta epsilon", "de", "s1", 13),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    r = dataset_card(df).collect()[0]
+    assert r["n_docs"] == 3 and r["n_sources"] == 2 and r["n_langs"] == 2
+    assert r["n_tokens"] == 8
+    assert r["n_distinct_docs"] == 2
+    assert r["dup_rate"] == round(1 - 2 / 3, 6)
+    assert r["gopher_pass_rate"] == 0.0  # all docs far below 30 tokens

@@ -508,3 +508,35 @@ def test_rfm_segments_partition_and_quartile_balance(spark, tmp_path):
     cells = {(r["r_q"], r["f_q"], r["m_q"]): r["n_users"] for r in out}
     assert set(cells) == {(1, 1, 1), (2, 2, 2), (3, 3, 3), (4, 4, 4)}
     assert [cells[(q, q, q)] for q in (1, 2, 3, 4)] == [2, 3, 2, 3]
+
+
+def test_position_attribution_u_shape(spark, tmp_path):
+    """k=3 touches -> 0.4/0.2/0.4; per-conversion credit sums to 1;
+    touches outside the 24h window are excluded."""
+    import datetime as dt
+    import os
+
+    from avro_sql_spark.operators.relational import position_attribution
+
+    base = dt.datetime(2024, 1, 2, 12, 0, 0)
+    rows = [
+        # user 1: 3 touches (view, click, view) then purchase
+        (1, base - dt.timedelta(hours=3), 1, "view", 0.0, None),
+        (2, base - dt.timedelta(hours=2), 1, "click", 0.0, None),
+        (3, base - dt.timedelta(hours=1), 1, "view", 0.0, None),
+        (4, base, 1, "purchase", 9.0, None),
+        # user 2: one touch 25h before purchase -> OUTSIDE the window
+        (5, base - dt.timedelta(hours=25), 2, "click", 0.0, None),
+        (6, base, 2, "purchase", 5.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string")
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.parquet(os.path.join(sf, "events.parquet"))
+    out = {r["touch_type"]: r for r in position_attribution(spark, sf).collect()}
+    # first view 0.4 + last view 0.4; middle click 0.2; user 2 contributes nothing
+    assert out["view"]["total_credit"] == 0.8
+    assert out["click"]["total_credit"] == 0.2
+    assert out["view"]["n_conversions"] == 1 and out["click"]["n_conversions"] == 1
