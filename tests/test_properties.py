@@ -368,3 +368,44 @@ def test_hyperplane_bucket_partitioning_invariant(spark):
     base = buckets(df)
     assert buckets(df.repartition(5)) == base
     assert buckets(df.repartition(3, F.col("vec_id"))) == base
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 10_000),                 # id
+            st.sampled_from(["s1", "s2", "s3"]),    # group
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_grouped_hash_rank_equals_single_window(spark, rows):
+    """Property: the bucketed two-pass per-group rank equals the naive
+    one-window rank on arbitrary id/group frames (the prefix-bucket
+    monotonicity argument, exercised rather than asserted)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from avro_sql_spark.operators.curation import grouped_hash_rank
+
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {
+        (r["doc_id"], r["source"]): r["grank"]
+        for r in grouped_hash_rank(df).collect()
+    }
+    key = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":cap")).cast("binary")
+    )
+    w = Window.partitionBy("source").orderBy(key, "doc_id")
+    want = {
+        (r["doc_id"], r["source"]): r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(w).cast("bigint")).collect()
+    }
+    assert got == want
