@@ -2849,6 +2849,14 @@ def _cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.cusum_drift(t["events"])
 
 
+def _ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test experiment readout over a deterministic
+    50/50 user split: per-arm conversion, pooled z, 5% verdict — exact
+    integer counts, single IEEE divisions/sqrt
+    (relational.ab_conversion_ztest)."""
+    return relational.ab_conversion_ztest(spark, sf_dir)
+
+
 def _dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row dataset datasheet (Gebru 2018): corpus size, spread,
     token volume, exact-dup rate, Gopher pass rate — composed from the
@@ -3201,6 +3209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": _rfm_segments,
         "position_attribution": _position_attribution,
         "dataset_card": _dataset_card,
+        "ab_conversion_ztest": _ab_conversion_ztest,
         "pareto_value_report": _pareto_value_report,
         "fano_burstiness": _fano_burstiness,
         "source_kl_matrix": _source_kl_matrix,
@@ -4970,6 +4979,32 @@ SELECT CAST(exact_size AS BIGINT) AS exact_size,
        CAST(est_size AS BIGINT) AS est_size,
        CAST(est_size - exact_size AS BIGINT) AS overestimate
 FROM ex CROSS JOIN est
+""",
+        # Pooled two-proportion z on exact integer counts.
+        "ab_conversion_ztest": """
+WITH u AS (SELECT user_id,
+                  CASE WHEN MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                            <= MIN(ts) + INTERVAL 1 HOUR
+                       THEN 1 ELSE 0 END AS conv
+           FROM events GROUP BY 1),
+arms AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+                CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS c
+         FROM u GROUP BY 1),
+j AS (SELECT a.n AS n_a, a.c AS conv_a, b.n AS n_b, b.c AS conv_b
+      FROM (SELECT n, c FROM arms WHERE arm = 'A') a
+      CROSS JOIN (SELECT n, c FROM arms WHERE arm = 'B') b)
+SELECT n_a, conv_a, ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+       n_b, conv_b, ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+       ROUND((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / NULLIF(SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 0), 6) AS z_stat,
+       ABS((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+           / NULLIF(SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                  * (CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                  * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 0))
+         > 1.959963985 AS significant_5pct
+FROM j
 """,
         # Datasheet header row from the shared primitives.
         "dataset_card": f"""

@@ -553,6 +553,74 @@ def position_attribution(
     )
 
 
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of purchase conversion between a
+    deterministic 50/50 user split (user_id parity stands in for the
+    assignment a real experimenter logs) — the experiment-readout table:
+    per-arm users/conversions/rates, the pooled z statistic, and the
+    5%-level verdict.
+
+    Conversion is "purchased within the first hour of activity" — a
+    genuinely mid-range rate ("ever purchased" saturates to 100% on an
+    active-user stream, making the pooled variance zero and the z
+    undefined; the NULLIF guard below keeps that degenerate case a NULL
+    statistic rather than an ANSI divide-by-zero).
+
+    Scale shape: one per-user aggregate, one per-arm aggregate (two
+    rows), then scalar arithmetic on exact integer counts — divisions
+    and sqrt are single IEEE ops identical in any engine (the
+    epoch_plan sqrt precedent), rounded at 6dp."""
+    t = load_tables(spark, sf_dir, register=False)
+    per_user = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("first_purchase"),
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("arm"),
+            (
+                F.col("first_purchase").isNotNull()
+                & F.expr("first_purchase <= first_ts + INTERVAL 1 HOUR")
+            )
+            .cast("int")
+            .alias("conv"),
+        )
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")
+    )
+    a = arms.filter(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("c").alias("conv_a")
+    )
+    b = arms.filter(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("c").alias("conv_b")
+    )
+    j = a.crossJoin(b)
+    pa = F.col("conv_a") / F.col("n_a")
+    pb = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    den = F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    z = (pa - pb) / F.nullif(den, F.lit(0.0))
+    return j.select(
+        "n_a",
+        "conv_a",
+        F.round(pa, 6).alias("rate_a"),
+        "n_b",
+        "conv_b",
+        F.round(pb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > 1.959963985).alias("significant_5pct"),
+    )
+
+
 def union_high_low_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set op UNION ALL with a discriminator column: the very largest and
     very smallest orders in one frame (unionByName keeps schemas honest)."""

@@ -201,6 +201,7 @@ HEADLINE = [
     "rfm_segments",
     "position_attribution",
     "dataset_card",
+    "ab_conversion_ztest",
 ]
 
 

@@ -540,3 +540,33 @@ def test_position_attribution_u_shape(spark, tmp_path):
     assert out["view"]["total_credit"] == 0.8
     assert out["click"]["total_credit"] == 0.2
     assert out["view"]["n_conversions"] == 1 and out["click"]["n_conversions"] == 1
+
+
+def test_ab_conversion_ztest_hand_computed(spark, tmp_path):
+    """4 users: arm A converts 2/2 (purchase within first hour), arm B
+    0/2 -> rates 1.0 vs 0.0, pooled p=0.5, z = 1/sqrt(0.25*1) = 2."""
+    import datetime as dt
+    import os
+
+    from avro_sql_spark.operators.relational import ab_conversion_ztest
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid in (2, 4):      # arm A: purchase 30 min after first event
+        eid += 1; rows.append((eid, base, uid, "view", 0.0, None))
+        eid += 1; rows.append((eid, base + dt.timedelta(minutes=30), uid, "purchase", 1.0, None))
+    for uid in (1, 3):      # arm B: purchase 2h after first event -> no conv
+        eid += 1; rows.append((eid, base, uid, "view", 0.0, None))
+        eid += 1; rows.append((eid, base + dt.timedelta(hours=2), uid, "purchase", 1.0, None))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string")
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.parquet(os.path.join(sf, "events.parquet"))
+    r = ab_conversion_ztest(spark, sf).collect()[0]
+    assert (r["n_a"], r["conv_a"], r["rate_a"]) == (2, 2, 1.0)
+    assert (r["n_b"], r["conv_b"], r["rate_b"]) == (2, 0, 0.0)
+    assert r["z_stat"] == 2.0
+    assert r["significant_5pct"] is True
