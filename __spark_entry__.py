@@ -2975,6 +2975,22 @@ def _skipping_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _skipping_effectiveness_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skipping_effectiveness widened to rank all THREE layouts —
+    linear vs Morton vs the jump-free Hilbert curve — under the same
+    predicate lattice (Hilbert's tighter file boxes prune best). Its
+    own entry so the two-layout row stays cost-comparable across
+    rounds; the Hilbert index adds a scale-stats pass + the 16-level
+    projection chain."""
+    from avro_sql_spark.operators.layout import skipping_report
+
+    t = load_tables(spark, sf_dir, register=False)
+    return skipping_report(
+        t["orders"], ["o_totalprice", "o_custkey"], "o_orderkey",
+        n_files=32, grid=4, layouts=("linear", "zorder", "hilbert"),
+    )
+
+
 def _event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov next-event transition matrix (lag window per
     user, totally ordered by (ts, event_id); counts bounded by the
@@ -3201,6 +3217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq": _ann_ivf_pq,
         "stratified_kfold": _stratified_kfold,
         "hilbert_layout_report": _hilbert_layout_report,
+        "skipping_effectiveness_hilbert": _skipping_effectiveness_hilbert,
         "blocklist_quarantine": _blocklist_quarantine,
         "incremental_join_agg": _incremental_join_agg,
         "join_size_sketch": _join_size_sketch,
@@ -4020,7 +4037,9 @@ GROUP BY 1 ORDER BY 1
 """
 
 
-def _skipping_oracle(n_files: int = 32, grid: int = 4) -> str:
+def _skipping_oracle(
+    n_files: int = 32, grid: int = 4, include_hilbert: bool = False
+) -> str:
     """SQL twin of layout.skipping_report over orders (o_totalprice,
     o_custkey, tiebreak o_orderkey): the identical scale-floor-clamp-
     interleave z-value arithmetic as _zorder_oracle, NTILE file
@@ -4052,7 +4071,20 @@ hz{hn} AS (SELECT tb, x, y,
        ELSE cy END AS cy,
   d + {s * s} * xor(3 * ((cx >> {level}) & 1), (cy >> {level}) & 1) AS d
  FROM {hprev})""")
-    hilbert_chain = ",".join(hlevels)
+    if include_hilbert:
+        hilbert_ctes = (
+            "hz0 AS (SELECT tb, x, y, s0 AS cx, s1 AS cy, "
+            "CAST(0 AS BIGINT) AS d FROM scaled),"
+            + ",".join(hlevels)
+            + f""",
+ho AS (SELECT x, y, ntile({n_files}) OVER (ORDER BY d, tb) AS f FROM hz{hn}),"""
+        )
+        hilbert_box = f"""
+  UNION ALL
+  SELECT 'hilbert' AS layout, f, MIN(x), MAX(x), MIN(y), MAX(y)
+  FROM ho GROUP BY 2"""
+    else:
+        hilbert_ctes, hilbert_box = "", ""
     return f"""
 WITH st AS (SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS mn_p,
                    MAX(CAST(o_totalprice AS DOUBLE)) AS mx_p,
@@ -4065,20 +4097,15 @@ scaled AS (SELECT o.o_orderkey AS tb,
                   {s0} AS s0, {s1} AS s1
            FROM orders o CROSS JOIN st),
 z AS (SELECT tb, x, y, ({interleave}) AS zv FROM scaled),
-hz0 AS (SELECT tb, x, y, s0 AS cx, s1 AS cy, CAST(0 AS BIGINT) AS d FROM scaled),
-{hilbert_chain},
+{hilbert_ctes}
 lin AS (SELECT x, y, ntile({n_files}) OVER (ORDER BY x, tb) AS f FROM z),
 zo  AS (SELECT x, y, ntile({n_files}) OVER (ORDER BY zv, tb) AS f FROM z),
-ho  AS (SELECT x, y, ntile({n_files}) OVER (ORDER BY d, tb) AS f FROM hz{hn}),
 boxes AS (
   SELECT 'linear' AS layout, f, MIN(x) AS mnx, MAX(x) AS mxx,
          MIN(y) AS mny, MAX(y) AS mxy FROM lin GROUP BY 2
   UNION ALL
   SELECT 'zorder' AS layout, f, MIN(x), MAX(x), MIN(y), MAX(y)
-  FROM zo GROUP BY 2
-  UNION ALL
-  SELECT 'hilbert' AS layout, f, MIN(x), MAX(x), MIN(y), MAX(y)
-  FROM ho GROUP BY 2),
+  FROM zo GROUP BY 2{hilbert_box}),
 ij AS (SELECT i.i AS i, j.j AS j FROM range({grid}) i(i), range({grid}) j(j)),
 preds AS (SELECT
     st.mn_p + (st.mx_p - st.mn_p) * ij.i / CAST({grid} AS DOUBLE) AS plx,
@@ -4363,6 +4390,9 @@ reach AS (
 SELECT id AS part, MIN(lbl) AS component FROM reach GROUP BY 1 ORDER BY 1
 """,
         "skipping_effectiveness": _skipping_oracle(32, 4),
+        "skipping_effectiveness_hilbert": _skipping_oracle(
+            32, 4, include_hilbert=True
+        ),
         # the chained curation funnel: each stage's predicate is the
         # already-proven oracle arithmetic of its standalone entry
         # (gopher gate, min-id exact dedup, minhash CTEs rebased onto

@@ -126,6 +126,7 @@ def skipping_report(
     n_files: int = 32,
     grid: int = 4,
     round_to: int = 6,
+    layouts: "tuple[str, ...]" = ("linear", "zorder"),
 ) -> DataFrame:
     """File-skipping effectiveness audit: how many of ``n_files`` would
     a min/max-pruning reader actually scan under each candidate layout,
@@ -156,30 +157,38 @@ def skipping_report(
     if len(cols) != 2:
         raise ValueError("skipping_report audits exactly two columns")
     c0, c1 = cols
-    hdf = hilbert_index(df, cols, bits, out_col="__hv")
+    # the hilbert layout pays two extra passes (its own scale stats +
+    # the 16-level projection chain), so it is opt-in via ``layouts``
+    src = (
+        hilbert_index(df, cols, bits, out_col="__hv")
+        if "hilbert" in layouts
+        else df
+    )
     z = zvalue(df, cols, bits).alias("__z")
     # the tiebreak column makes each NTILE ordering TOTAL: rows tied on
     # the layout key (same price cell, same curve cell) would otherwise
     # land in engine-dependent files and flake the per-file min/max
-    base = hdf.select(F.col(c0).cast("double").alias("x"),
-                      F.col(c1).cast("double").alias("y"), z,
-                      F.col("__hv"),
-                      F.col(tiebreak_col).alias("tb"))
-    layouts = []
-    for name, key in (
-        ("linear", ["x", "tb"]),
-        ("zorder", ["__z", "tb"]),
-        ("hilbert", ["__hv", "tb"]),
-    ):
-        w = Window.orderBy(*[F.col(k) for k in key])
+    base = src.select(
+        F.col(c0).cast("double").alias("x"),
+        F.col(c1).cast("double").alias("y"),
+        z,
+        *(["__hv"] if "hilbert" in layouts else []),
+        F.col(tiebreak_col).alias("tb"),
+    )
+    keys = {"linear": ["x", "tb"], "zorder": ["__z", "tb"], "hilbert": ["__hv", "tb"]}
+    parts = []
+    for name in layouts:
+        w = Window.orderBy(*[F.col(k) for k in keys[name]])
         files = (
             base.select("x", "y", F.ntile(n_files).over(w).alias("f"))
             .groupBy("f")
             .agg(F.min("x").alias("mnx"), F.max("x").alias("mxx"),
                  F.min("y").alias("mny"), F.max("y").alias("mxy"))
         )
-        layouts.append(files.select(F.lit(name).alias("layout"), "*"))
-    boxes = layouts[0].unionByName(layouts[1]).unionByName(layouts[2])
+        parts.append(files.select(F.lit(name).alias("layout"), "*"))
+    boxes = parts[0]
+    for p in parts[1:]:
+        boxes = boxes.unionByName(p)
     # global bounds (1 row) -> grid x grid predicate rectangles, built
     # in-row from a sequence — no driver collect
     bounds = df.agg(

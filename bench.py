@@ -202,6 +202,7 @@ HEADLINE = [
     "position_attribution",
     "dataset_card",
     "ab_conversion_ztest",
+    "skipping_effectiveness_hilbert",
 ]
 
 

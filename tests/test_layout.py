@@ -104,7 +104,8 @@ def test_skipping_report_zorder_beats_linear_off_axis(spark):
         (F.col("id") % n).cast("double").alias("x"),
         (F.col("id") / n).cast("long").cast("double").alias("y"),
     )
-    rep = skipping_report(df, ["x", "y"], "tb", n_files=16, grid=4)
+    rep = skipping_report(df, ["x", "y"], "tb", n_files=16, grid=4,
+                          layouts=("linear", "zorder", "hilbert"))
     rows = {r["layout"]: r for r in rep.collect()}
     assert set(rows) == {"linear", "zorder", "hilbert"}
     for r in rows.values():
