@@ -2849,6 +2849,35 @@ def _cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.cusum_drift(t["events"])
 
 
+def _equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of o_totalprice (16 buckets): boundaries
+    are exact order statistics from the two-pass rank, counts within-1
+    equal by construction (profile.equi_depth_histogram)."""
+    from avro_sql_spark.operators import profile
+
+    t = load_tables(spark, sf_dir, register=False)
+    return profile.equi_depth_histogram(
+        t["orders"], "o_totalprice", "o_orderkey", buckets=16
+    )
+
+
+def _disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing audit under a WORST-CASE arrival order: the
+    testdata stream arrives perfectly sorted (zero natural disorder),
+    so the entry audits the md5-of-id arrival permutation — an
+    unordered distributed collector — and reports per-type late
+    fraction and the max lateness a watermark would have needed
+    (profile.disorder_audit). All integer/timestamp arithmetic, md5
+    order replayed by the oracle."""
+    from avro_sql_spark.operators import profile
+
+    t = load_tables(spark, sf_dir, register=False)
+    ev = t["events"].withColumn(
+        "arrival", F.md5(F.col("event_id").cast("string").cast("binary"))
+    )
+    return profile.disorder_audit(ev, order_col="arrival")
+
+
 def _ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion z-test experiment readout over a deterministic
     50/50 user split: per-arm conversion, pooled z, 5% verdict — exact
@@ -3227,6 +3256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "position_attribution": _position_attribution,
         "dataset_card": _dataset_card,
         "ab_conversion_ztest": _ab_conversion_ztest,
+        "equi_depth_histogram": _equi_depth_histogram,
+        "disorder_audit": _disorder_audit,
         "pareto_value_report": _pareto_value_report,
         "fano_burstiness": _fano_burstiness,
         "source_kl_matrix": _source_kl_matrix,
@@ -5009,6 +5040,37 @@ SELECT CAST(exact_size AS BIGINT) AS exact_size,
        CAST(est_size AS BIGINT) AS est_size,
        CAST(est_size - exact_size AS BIGINT) AS overestimate
 FROM ex CROSS JOIN est
+""",
+        # Equi-depth: rank-ceil buckets, boundaries are data values.
+        "equi_depth_histogram": """
+WITH s AS (SELECT o_totalprice AS v, o_orderkey AS tb FROM orders
+           WHERE o_totalprice IS NOT NULL),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, tb) AS rk FROM s),
+b AS (SELECT v, CAST((rk * 16 + n.n - 1) // n.n AS INTEGER) AS bucket
+      FROM r CROSS JOIN n)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(v) AS lo, MAX(v) AS hi
+FROM b GROUP BY 1 ORDER BY bucket
+""",
+        # Running event-time max over the md5 arrival permutation.
+        "disorder_audit": """
+WITH m AS (
+  SELECT event_type, ts,
+         MAX(ts) OVER (PARTITION BY event_type
+                       ORDER BY md5(CAST(event_id AS VARCHAR))
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+  FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN hwm IS NOT NULL AND ts < hwm THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       CAST(MAX(CASE WHEN hwm IS NOT NULL AND ts < hwm
+                     THEN date_diff('microsecond', ts, hwm) // 1000000
+                     ELSE 0 END) AS BIGINT) AS max_lateness_s,
+       ROUND(CAST(SUM(CASE WHEN hwm IS NOT NULL AND ts < hwm THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS late_frac
+FROM m GROUP BY 1 ORDER BY event_type
 """,
         # Pooled two-proportion z on exact integer counts.
         "ab_conversion_ztest": """

@@ -1000,3 +1000,95 @@ def dataset_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "gopher_pass_rate"
         ),
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Equi-DEPTH histogram (the optimizer-statistics twin of the
+    equi-width ``value_histogram``): bucket b holds ranks
+    ceil(n·(b−1)/B) < r ≤ ceil(n·b/B), so counts are within-1 equal by
+    construction and the boundaries are exact ORDER STATISTICS — data
+    values, never interpolation floats. The histogram selectivity
+    estimators and range-partitioners actually want.
+
+    Rank comes from the two-pass range-partitioned
+    :func:`~avro_sql_spark.operators.curation.global_rank` (total order
+    via the tiebreak key — equal values may split across buckets, which
+    is the equi-depth contract), so no single task sorts the table; the
+    per-bucket rollup is a bounded ``buckets``-row frame."""
+    from .curation import global_rank
+
+    src = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("v"), F.col(tiebreak_col).alias("tb")
+    )
+    ranked = global_rank(src, [F.asc("v"), F.asc("tb")], rank_col="rk")
+    n = src.agg(F.count(F.lit(1)).alias("n"))
+    b = ranked.crossJoin(F.broadcast(n)).select(
+        "v",
+        F.expr(f"CAST((rk * {buckets} + n - 1) DIV n AS INT)").alias("bucket"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def disorder_audit(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Out-of-orderness audit over an event stream: within each group,
+    walk events in ARRIVAL order (the ingestion-assigned ``order_col``)
+    and flag rows whose event time is behind the running event-time
+    maximum — the empirical basis for choosing a Structured Streaming
+    watermark delay (max_lateness_s is exactly the delay that would
+    have dropped nothing).
+
+    One lag-style running-max window per group (hash-partitioned,
+    per-group state only), then a bounded per-group rollup; lateness is
+    exact integer microseconds scaled to whole seconds by FLOOR, so
+    every output cell is integer arithmetic."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = df.select(
+        F.col(group_col),
+        F.col(ts_col).alias("t"),
+        F.max(ts_col).over(w).alias("hwm"),
+    )
+    late = F.col("hwm").isNotNull() & (F.col("t") < F.col("hwm"))
+    lateness_s = F.when(
+        late,
+        F.floor(
+            (
+                F.unix_micros(F.col("hwm").cast("timestamp"))
+                - F.unix_micros(F.col("t").cast("timestamp"))
+            )
+            / 1_000_000
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        marked.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(late.cast("bigint")).alias("n_late"),
+            F.max(lateness_s).cast("bigint").alias("max_lateness_s"),
+            F.round(
+                F.sum(late.cast("bigint")) / F.count(F.lit(1)), 6
+            ).alias("late_frac"),
+        )
+        .orderBy(group_col)
+    )

@@ -203,6 +203,8 @@ HEADLINE = [
     "dataset_card",
     "ab_conversion_ztest",
     "skipping_effectiveness_hilbert",
+    "equi_depth_histogram",
+    "disorder_audit",
 ]
 
 

@@ -1671,3 +1671,39 @@ def test_dataset_card_hand_computed(spark):
     assert r["n_distinct_docs"] == 2
     assert r["dup_rate"] == round(1 - 2 / 3, 6)
     assert r["gopher_pass_rate"] == 0.0  # all docs far below 30 tokens
+
+
+def test_equi_depth_histogram_hand_computed(spark):
+    """10 values into 4 buckets: rank-ceil sizes 2/3/2/3, boundaries are
+    exact data values."""
+    from avro_sql_spark.operators.profile import equi_depth_histogram
+
+    df = spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(1, 11)], "o_orderkey long, v double"
+    )
+    out = {r["bucket"]: r for r in equi_depth_histogram(df, "v", "o_orderkey", buckets=4).collect()}
+    assert [out[b]["n_rows"] for b in (1, 2, 3, 4)] == [2, 3, 2, 3]
+    assert out[1]["lo"] == 10.0 and out[1]["hi"] == 20.0
+    assert out[4]["lo"] == 80.0 and out[4]["hi"] == 100.0
+
+
+def test_disorder_audit_hand_computed(spark):
+    """Arrival order 1,2,3 with event times 10:00, 09:00, 11:00: the
+    second event is 3600s late; the third is on time."""
+    import datetime as dt
+
+    from avro_sql_spark.operators.profile import disorder_audit
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    df = spark.createDataFrame(
+        [
+            ("a", base, 1),
+            ("a", base - dt.timedelta(hours=1), 2),
+            ("a", base + dt.timedelta(hours=1), 3),
+        ],
+        "event_type string, ts timestamp_ntz, arrival long",
+    )
+    r = disorder_audit(df, order_col="arrival").collect()[0]
+    assert r["n_events"] == 3 and r["n_late"] == 1
+    assert r["max_lateness_s"] == 3600
+    assert r["late_frac"] == round(1 / 3, 6)
