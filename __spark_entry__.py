@@ -2849,6 +2849,30 @@ def _cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.cusum_drift(t["events"])
 
 
+def _degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (Newman 2002):
+    Pearson correlation of endpoint degrees over edges — five exact
+    integer sums, closed-form double arithmetic
+    (graph.degree_assortativity)."""
+    from avro_sql_spark.operators.graph import (
+        copurchase_edges,
+        degree_assortativity,
+    )
+
+    t = load_tables(spark, sf_dir, register=False)
+    return degree_assortativity(copurchase_edges(t["lineitem"]))
+
+
+def _lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MSTTR-25 lexical diversity per doc: fixed 25-token chunks,
+    distinct/size per full chunk, ascending-fold mean — all in-row
+    (text.lexical_diversity)."""
+    from avro_sql_spark.operators.text import lexical_diversity
+
+    t = load_tables(spark, sf_dir, register=False)
+    return lexical_diversity(t["documents"])
+
+
 def _equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth histogram of o_totalprice (16 buckets): boundaries
     are exact order statistics from the two-pass rank, counts within-1
@@ -3258,6 +3282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_conversion_ztest": _ab_conversion_ztest,
         "equi_depth_histogram": _equi_depth_histogram,
         "disorder_audit": _disorder_audit,
+        "degree_assortativity": _degree_assortativity,
+        "lexical_diversity": _lexical_diversity,
         "pareto_value_report": _pareto_value_report,
         "fano_burstiness": _fano_burstiness,
         "source_kl_matrix": _source_kl_matrix,
@@ -5040,6 +5066,49 @@ SELECT CAST(exact_size AS BIGINT) AS exact_size,
        CAST(est_size AS BIGINT) AS est_size,
        CAST(est_size - exact_size AS BIGINT) AS overestimate
 FROM ex CROSS JOIN est
+""",
+        # Newman assortativity: five exact integer sums over the
+        # symmetric edge list, closed-form double finish.
+        "degree_assortativity": f"""
+WITH {_COPURCHASE_PC},
+e AS (SELECT pa AS a, pb AS b FROM pc UNION ALL SELECT pb, pa FROM pc),
+deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+j AS (SELECT da.deg AS dx, db.deg AS dy
+      FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+             CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+             CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+             CAST(SUM(dy * dy) AS BIGINT) AS syy
+      FROM j)
+SELECT m AS n_edges,
+       ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(m AS DOUBLE))
+             / NULLIF(SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))
+                           * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(m AS DOUBLE))), 0), 6)
+         AS assortativity
+FROM s
+""",
+        # MSTTR-25: full 25-token chunks, distinct/size, chunk-mean.
+        "lexical_diversity": r"""
+WITH toks AS (
+  SELECT doc_id, token, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS pos
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token,
+           generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS i
+    FROM documents)
+  WHERE regexp_matches(token, '^[a-z]+$')),
+n AS (SELECT doc_id, CAST(COUNT(*) // 25 AS INTEGER) AS n_chunks FROM toks GROUP BY 1),
+c AS (SELECT t.doc_id, CAST((t.pos - 1) // 25 AS INTEGER) AS chunk, t.token
+      FROM toks t JOIN n USING (doc_id)
+      WHERE (t.pos - 1) // 25 < n.n_chunks),
+ttr AS (SELECT doc_id, chunk,
+               CAST(COUNT(DISTINCT token) AS DOUBLE) / 25 AS ttr
+        FROM c GROUP BY 1, 2)
+SELECT t.doc_id, n.n_chunks, ROUND(SUM(t.ttr) / n.n_chunks, 6) AS msttr
+FROM ttr t JOIN n USING (doc_id)
+WHERE n.n_chunks >= 1
+GROUP BY t.doc_id, n.n_chunks
+ORDER BY t.doc_id
 """,
         # Equi-depth: rank-ceil buckets, boundaries are data values.
         "equi_depth_histogram": """

@@ -638,3 +638,54 @@ def scc_labels(
         .select("node", "scc_id", "scc_size")
         .orderBy("node")
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over all edges — positive when
+    hubs link to hubs (social nets), negative when hubs link to leaves
+    (tech/biology nets). One number that tells you whether hub-salting
+    or leaf-pruning is the right skew strategy for this graph.
+
+    Expects a symmetric edge list (copurchase_edges' contract; each
+    undirected edge counted in both directions, the standard convention
+    — the coefficient is invariant to it). Scale shape: one groupBy for
+    degrees, two skinny joins to attach endpoint degrees to edges, one
+    aggregate of five integer sums (Σx, Σy, Σxy, Σx², Σy² over exact
+    bigint degrees); the coefficient is closed-form double arithmetic
+    on those scalars, identical in any engine, rounded at 6dp. The edge
+    frame has THREE consumers (degrees + both endpoint joins), so it is
+    cached (caller-owns-unpersist, the dedup-module convention) —
+    uncached, an expensive upstream edge builder runs three times."""
+    edges = edges.cache()
+    deg = (
+        edges.groupBy(F.col(src_col).alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .join(deg.select(F.col("node").alias("a"), F.col("deg").alias("dx")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("dy")), "b")
+    )
+    s = e.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    m = F.col("m").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    num = sxy - sx * sy / m
+    den = F.sqrt((sxx - sx * sx / m) * (syy - sy * sy / m))
+    return s.select(
+        F.col("m").alias("n_edges"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("assortativity"),
+    )

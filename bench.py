@@ -205,6 +205,8 @@ HEADLINE = [
     "skipping_effectiveness_hilbert",
     "equi_depth_histogram",
     "disorder_audit",
+    "degree_assortativity",
+    "lexical_diversity",
 ]
 
 

@@ -209,3 +209,22 @@ def test_scc_labels_singletons_without_selfloop(spark):
     e = spark.createDataFrame([(1, 2), (2, 3)], "src LONG, dst LONG")
     out = {r["node"]: (r["scc_id"], r["scc_size"]) for r in scc_labels(e).collect()}
     assert out == {1: (1, 1), 2: (2, 1), 3: (3, 1)}
+
+
+def test_degree_assortativity_signs(spark):
+    """A star graph is maximally disassortative (hub degree n pairs
+    with leaf degree 1 on every edge -> r = -1); a clique's endpoint
+    degrees are constant -> undefined correlation surfaces as NULL."""
+    from avro_sql_spark.operators.graph import degree_assortativity
+
+    star = [(0, v) for v in range(1, 6)]
+    e = spark.createDataFrame(
+        star + [(b, a) for a, b in star], "src LONG, dst LONG"
+    )
+    r = degree_assortativity(e).collect()[0]
+    assert r["n_edges"] == 10
+    assert r["assortativity"] == -1.0
+    clique = [(a, b) for a in range(4) for b in range(4) if a != b]
+    e2 = spark.createDataFrame(clique, "src LONG, dst LONG")
+    r2 = degree_assortativity(e2).collect()[0]
+    assert r2["assortativity"] is None  # zero variance -> NULLIF guard

@@ -1707,3 +1707,27 @@ def test_disorder_audit_hand_computed(spark):
     assert r["n_events"] == 3 and r["n_late"] == 1
     assert r["max_lateness_s"] == 3600
     assert r["late_frac"] == round(1 / 3, 6)
+
+
+def test_lexical_diversity_hand_computed(spark):
+    """25 distinct tokens -> TTR 1.0; one token repeated 25x -> 0.04;
+    a 30-token doc has exactly one full chunk; <25 tokens excluded."""
+    from avro_sql_spark.operators.text import lexical_diversity
+
+    import itertools
+    import string
+
+    words = ["".join(p) for p in itertools.product(string.ascii_lowercase, repeat=2)]
+    uniq = " ".join(words[:25])
+    docs = spark.createDataFrame(
+        [
+            (1, uniq + " extra tokens here overflow ignored"),
+            (2, " ".join(["dup"] * 25)),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in lexical_diversity(docs).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_chunks"] == 1 and out[1]["msttr"] == 1.0
+    assert out[2]["n_chunks"] == 1 and out[2]["msttr"] == round(1 / 25, 6)
