@@ -2849,6 +2849,26 @@ def _cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.cusum_drift(t["events"])
 
 
+def _term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale term burstiness (cf/df): topical terms cluster where
+    they appear, function words sprinkle — top-30 at df ≥ 10, 9dp
+    pre-round before the rank (text.term_burstiness)."""
+    from avro_sql_spark.operators.text import term_burstiness
+
+    t = load_tables(spark, sf_dir, register=False)
+    return term_burstiness(t["documents"])
+
+
+def _interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival mean gap + CV (Poisson signature check):
+    exact integer microsecond gaps, DECIMAL Σd/Σd² (d² overflows
+    BIGINT), scalar double finish (profile.interarrival_stats)."""
+    from avro_sql_spark.operators import profile
+
+    t = load_tables(spark, sf_dir, register=False)
+    return profile.interarrival_stats(t["events"])
+
+
 def _degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the co-purchase graph (Newman 2002):
     Pearson correlation of endpoint degrees over edges — five exact
@@ -3284,6 +3304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disorder_audit": _disorder_audit,
         "degree_assortativity": _degree_assortativity,
         "lexical_diversity": _lexical_diversity,
+        "term_burstiness": _term_burstiness,
+        "interarrival_stats": _interarrival_stats,
         "pareto_value_report": _pareto_value_report,
         "fano_burstiness": _fano_burstiness,
         "source_kl_matrix": _source_kl_matrix,
@@ -5066,6 +5088,43 @@ SELECT CAST(exact_size AS BIGINT) AS exact_size,
        CAST(est_size AS BIGINT) AS est_size,
        CAST(est_size - exact_size AS BIGINT) AS overestimate
 FROM ex CROSS JOIN est
+""",
+        # cf/df on integer counts; 9dp pre-round; total rank order.
+        "term_burstiness": r"""
+WITH toks AS (
+  SELECT doc_id, token AS w FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+    FROM documents)
+  WHERE regexp_matches(token, '^[a-z]+$')),
+pd AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+s AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cf, CAST(COUNT(*) AS BIGINT) AS df
+      FROM pd GROUP BY 1)
+SELECT w AS term, cf, df,
+       ROUND(CAST(cf AS DOUBLE) / df, 9) AS burstiness
+FROM s WHERE df >= 10
+ORDER BY burstiness DESC, term
+LIMIT 30
+""",
+        # Integer-microsecond gaps, DECIMAL-exact sums, double finish.
+        "interarrival_stats": """
+WITH g AS (
+  SELECT event_type,
+         date_diff('microsecond',
+                   LAG(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id),
+                   ts) AS d
+  FROM events),
+a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             SUM(CAST(d AS DECIMAL(38,0))) AS s1,
+             SUM(CAST(CAST(d AS DECIMAL(19,0)) * d AS DECIMAL(38,0))) AS s2
+      FROM g WHERE d IS NOT NULL GROUP BY 1)
+SELECT event_type, n_gaps,
+       ROUND(CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) / 1000000.0, 6)
+         AS mean_gap_s,
+       ROUND(SQRT((CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                  / (CAST(n_gaps AS DOUBLE) - 1.0))
+             / (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 6) AS cv
+FROM a WHERE n_gaps >= 2 ORDER BY event_type
 """,
         # Newman assortativity: five exact integer sums over the
         # symmetric edge list, closed-form double finish.

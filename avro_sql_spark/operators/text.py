@@ -1324,3 +1324,42 @@ def lexical_diversity(
         )
         .orderBy(id_col)
     )
+
+
+def term_burstiness(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 10,
+    top_k: int = 30,
+) -> DataFrame:
+    """Term burstiness (Church & Gale 1995): mean occurrences per
+    CONTAINING document, cf/df — near 1 for function words that sprinkle
+    evenly, high for topical terms that cluster where they appear. The
+    dispersion statistic behind keyword weighting and stopword
+    discovery that raw frequency cannot provide.
+
+    One tokenize-explode pass into a (doc, term) count (both shuffles
+    key on the term after the first combine), then a vocab-sized
+    aggregate: cf = Σ counts, df = row count. Integer inputs, ONE
+    division, a 9dp pre-round before ranking (the tfidf_top_terms
+    convention) with the term as the total tiebreak."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(T.word_tokens(F.col(text_col))).alias("w"),
+    )
+    per_doc = toks.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    stats = per_doc.groupBy("w").agg(
+        F.sum("c").alias("cf"), F.count(F.lit(1)).alias("df")
+    )
+    return (
+        stats.filter(F.col("df") >= min_df)
+        .select(
+            F.col("w").alias("term"),
+            F.col("cf").cast("bigint").alias("cf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round(F.col("cf") / F.col("df"), 9).alias("burstiness"),
+        )
+        .orderBy(F.desc("burstiness"), F.asc("term"))
+        .limit(top_k)
+    )

@@ -207,6 +207,8 @@ HEADLINE = [
     "disorder_audit",
     "degree_assortativity",
     "lexical_diversity",
+    "term_burstiness",
+    "interarrival_stats",
 ]
 
 

@@ -1731,3 +1731,41 @@ def test_lexical_diversity_hand_computed(spark):
     assert set(out) == {1, 2}
     assert out[1]["n_chunks"] == 1 and out[1]["msttr"] == 1.0
     assert out[2]["n_chunks"] == 1 and out[2]["msttr"] == round(1 / 25, 6)
+
+
+def test_term_burstiness_hand_computed(spark):
+    """'aa' appears 6x across 2 docs -> burstiness 3; 'bb' once in each
+    of 2 docs -> 1 (the function-word signature)."""
+    from avro_sql_spark.operators.text import term_burstiness
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa bb"), (2, "aa aa aa bb")], "doc_id long, text string"
+    )
+    out = {r["term"]: r for r in term_burstiness(docs, min_df=2, top_k=10).collect()}
+    assert out["aa"]["cf"] == 6 and out["aa"]["df"] == 2
+    assert out["aa"]["burstiness"] == 3.0
+    assert out["bb"]["burstiness"] == 1.0
+
+
+def test_interarrival_stats_hand_computed(spark):
+    """Regular 60s gaps -> mean 60, CV 0; gaps 10/110 -> mean 60,
+    sample std = sqrt(5000), CV = sqrt(5000)/60."""
+    import datetime as dt
+    import math
+
+    from avro_sql_spark.operators.profile import interarrival_stats
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("flat", base + dt.timedelta(seconds=60 * i), i) for i in range(4)]
+    rows += [
+        ("bursty", base, 10),
+        ("bursty", base + dt.timedelta(seconds=10), 11),
+        ("bursty", base + dt.timedelta(seconds=120), 12),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp_ntz, event_id long"
+    )
+    out = {r["event_type"]: r for r in interarrival_stats(df).collect()}
+    assert out["flat"]["mean_gap_s"] == 60.0 and out["flat"]["cv"] == 0.0
+    assert out["bursty"]["mean_gap_s"] == 60.0
+    assert out["bursty"]["cv"] == round(math.sqrt(5000) / 60, 6)
