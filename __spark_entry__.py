@@ -2849,6 +2849,23 @@ def _cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.cusum_drift(t["events"])
 
 
+def _user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix, via the
+    ln(n) − Σc·ln(c)/n algebraic form on exact integer counts
+    (profile.user_entropy)."""
+    from avro_sql_spark.operators import profile
+
+    t = load_tables(spark, sf_dir, register=False)
+    return profile.user_entropy(t["events"])
+
+
+def _supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl concentration of supplier shipped-value shares per
+    nation: DECIMAL-exact values, one division per share, bounded
+    square-sum (relational.supplier_hhi)."""
+    return relational.supplier_hhi(spark, sf_dir)
+
+
 def _term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Church-Gale term burstiness (cf/df): topical terms cluster where
     they appear, function words sprinkle — top-30 at df ≥ 10, 9dp
@@ -3306,6 +3323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity": _lexical_diversity,
         "term_burstiness": _term_burstiness,
         "interarrival_stats": _interarrival_stats,
+        "user_entropy": _user_entropy,
+        "supplier_hhi": _supplier_hhi,
         "pareto_value_report": _pareto_value_report,
         "fano_burstiness": _fano_burstiness,
         "source_kl_matrix": _source_kl_matrix,
@@ -5088,6 +5107,31 @@ SELECT CAST(exact_size AS BIGINT) AS exact_size,
        CAST(est_size AS BIGINT) AS est_size,
        CAST(est_size - exact_size AS BIGINT) AS overestimate
 FROM ex CROSS JOIN est
+""",
+        # ln(n) - sum(c ln c)/n on exact integer counts.
+        "user_entropy": """
+WITH c AS (SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),
+p AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+             SUM(c * LN(CAST(c AS DOUBLE))) AS clc
+      FROM c GROUP BY 1)
+SELECT user_id, n AS n_events,
+       ROUND(LN(CAST(n AS DOUBLE)) - clc / n, 6) AS entropy
+FROM p ORDER BY user_id
+""",
+        # DECIMAL-exact supplier values; share squares summed per nation.
+        "supplier_hhi": """
+WITH ps AS (SELECT s.s_nationkey, l.l_suppkey,
+                   SUM(CAST(ROUND(l.l_extendedprice, 2) AS DECIMAL(38,6))) AS v
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2),
+pn AS (SELECT s_nationkey, SUM(v) AS tot, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+       FROM ps GROUP BY 1)
+SELECT ps.s_nationkey AS nationkey,
+       ANY_VALUE(pn.n_suppliers) AS n_suppliers,
+       ROUND(SUM((CAST(ps.v AS DOUBLE) / CAST(pn.tot AS DOUBLE))
+                 * (CAST(ps.v AS DOUBLE) / CAST(pn.tot AS DOUBLE))), 6) AS hhi
+FROM ps JOIN pn USING (s_nationkey)
+GROUP BY 1 ORDER BY nationkey
 """,
         # cf/df on integer counts; 9dp pre-round; total rank order.
         "term_burstiness": r"""

@@ -1145,3 +1145,32 @@ def interarrival_stats(
         )
         .orderBy(group_col)
     )
+
+
+def user_entropy(
+    df: DataFrame,
+    key_col: str = "user_id",
+    cat_col: str = "event_type",
+) -> DataFrame:
+    """Behavioral diversity per key: Shannon entropy (nats) of the
+    category distribution — 0 for single-action bots, ln(k) for
+    uniform explorers. The segmentation feature that separates
+    scripted traffic from organic use, and the per-user counterpart of
+    the corpus-level char_entropy.
+
+    Computed as ln(n) − (Σ c·ln c)/n from exact integer counts (the
+    algebraic form avoids per-row divisions inside the sum); the inner
+    aggregate is bounded by keys × categories, the outer by keys. The
+    ≤category-count float terms per key drift sub-ulp across engines —
+    absorbed by the 6dp round."""
+    counts = df.groupBy(key_col, cat_col).agg(F.count(F.lit(1)).alias("c"))
+    per = counts.groupBy(key_col).agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("clc"),
+    )
+    ent = F.log(F.col("n").cast("double")) - F.col("clc") / F.col("n")
+    return per.select(
+        key_col,
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(ent, 6).alias("entropy"),
+    ).orderBy(key_col)

@@ -2092,3 +2092,44 @@ def nearest_order_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration report: the Herfindahl-Hirschman index of
+    supplier shares of shipped value (lineitem extendedprice) per
+    nation — the antitrust-style concentration number a procurement
+    team watches; 1/n_suppliers for perfect competition, 1.0 for a
+    monopoly nation.
+
+    Per-supplier values accumulate ROUND(price, 2) in DECIMAL
+    (order-free); each share is one division of two exact decimals and
+    HHI sums ≤ suppliers-per-nation squares — a bounded frame with
+    sub-ulp cross-engine drift, rounded at 6dp."""
+    t = load_tables(spark, sf_dir, register=False)
+    # the driver testdata ships no partsupp table; lineitem
+    # extendedprice is the supplier-value base (same report shape)
+    li = t["lineitem"].join(
+        t["supplier"].select("s_suppkey", "s_nationkey"),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    )
+    per_supp = li.groupBy("s_nationkey", "l_suppkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice"), 2).cast("decimal(38,6)")
+        ).alias("v")
+    )
+    per_nation = per_supp.groupBy("s_nationkey").agg(
+        F.sum("v").alias("tot"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    shares = per_supp.join(per_nation, "s_nationkey").select(
+        "s_nationkey",
+        "n_suppliers",
+        (F.col("v").cast("double") / F.col("tot").cast("double")).alias("sh"),
+    )
+    return (
+        shares.groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.first("n_suppliers").cast("bigint").alias("n_suppliers"),
+            F.round(F.sum(F.col("sh") * F.col("sh")), 6).alias("hhi"),
+        )
+        .orderBy("nationkey")
+    )

@@ -209,6 +209,8 @@ HEADLINE = [
     "lexical_diversity",
     "term_burstiness",
     "interarrival_stats",
+    "user_entropy",
+    "supplier_hhi",
 ]
 
 

@@ -1769,3 +1769,39 @@ def test_interarrival_stats_hand_computed(spark):
     assert out["flat"]["mean_gap_s"] == 60.0 and out["flat"]["cv"] == 0.0
     assert out["bursty"]["mean_gap_s"] == 60.0
     assert out["bursty"]["cv"] == round(math.sqrt(5000) / 60, 6)
+
+
+def test_user_entropy_hand_computed(spark):
+    """Uniform over 2 types -> ln 2; single type -> 0."""
+    import math
+
+    from avro_sql_spark.operators.profile import user_entropy
+
+    rows = [(1, "a"), (1, "b"), (1, "a"), (1, "b"), (2, "a"), (2, "a")]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {r["user_id"]: r for r in user_entropy(df).collect()}
+    assert out[1]["entropy"] == round(math.log(2), 6)
+    assert out[2]["entropy"] == 0.0
+
+
+def test_supplier_hhi_bounds(spark, tmp_path):
+    """One nation with a monopoly supplier -> HHI 1; one with two equal
+    suppliers -> 0.5."""
+    import os
+
+    from avro_sql_spark.operators.relational import supplier_hhi
+
+    sup = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 1)], "s_suppkey long, s_nationkey long"
+    )
+    li = spark.createDataFrame(
+        [(1, 100.0), (2, 50.0), (3, 50.0)],
+        "l_suppkey long, l_extendedprice double",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    sup.write.parquet(os.path.join(sf, "supplier.parquet"))
+    li.write.parquet(os.path.join(sf, "lineitem.parquet"))
+    out = {r["nationkey"]: r for r in supplier_hhi(spark, sf).collect()}
+    assert out[0]["hhi"] == 1.0 and out[0]["n_suppliers"] == 1
+    assert out[1]["hhi"] == 0.5 and out[1]["n_suppliers"] == 2
