@@ -2849,6 +2849,45 @@ def _cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.cusum_drift(t["events"])
 
 
+def _markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state share of each event type: 8 power-method rounds of
+    π ← πP over the exact-division transition matrix — the capacity
+    number the transition matrix implies (graph.markov_stationary);
+    oracle unrolls the identical iterations."""
+    from avro_sql_spark.operators.graph import markov_stationary
+
+    t = load_tables(spark, sf_dir, register=False)
+    w = relational.Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        F.lag("event_type").over(w).alias("prev_type"), F.col("event_type")
+    )
+    counts = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.groupBy("prev_type").agg(F.sum("n").alias("tn"))
+    trans = counts.join(tot, "prev_type").select(
+        F.col("prev_type").alias("src"),
+        F.col("event_type").alias("dst"),
+        (F.col("n").cast("double") / F.col("tn")).alias("p"),
+    )
+    return markov_stationary(trans, iterations=8).select(
+        F.col("node").alias("event_type"), "pi"
+    )
+
+
+def _benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of o_totalprice: digit from the string
+    of floor(value) (no float-log boundary), per-digit observed vs
+    log10(1+1/d) expectation + chi-square contribution
+    (profile.benford_audit)."""
+    from avro_sql_spark.operators import profile
+
+    t = load_tables(spark, sf_dir, register=False)
+    return profile.benford_audit(t["orders"], "o_totalprice")
+
+
 def _user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user Shannon entropy of the event-type mix, via the
     ln(n) − Σc·ln(c)/n algebraic form on exact integer counts
@@ -3325,6 +3364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_stats": _interarrival_stats,
         "user_entropy": _user_entropy,
         "supplier_hhi": _supplier_hhi,
+        "markov_stationary": _markov_stationary,
+        "benford_audit": _benford_audit,
         "pareto_value_report": _pareto_value_report,
         "fano_burstiness": _fano_burstiness,
         "source_kl_matrix": _source_kl_matrix,
@@ -5107,6 +5148,52 @@ SELECT CAST(exact_size AS BIGINT) AS exact_size,
        CAST(est_size AS BIGINT) AS est_size,
        CAST(est_size - exact_size AS BIGINT) AS overestimate
 FROM ex CROSS JOIN est
+""",
+        # 8 unrolled power-method rounds over exact-division P.
+        "markov_stationary": """
+WITH seq AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type, event_type
+  FROM events),
+c AS (SELECT prev_type, event_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+tt AS (SELECT prev_type, SUM(n) AS tn FROM c GROUP BY 1),
+tp AS (SELECT c.prev_type AS s, c.event_type AS d,
+              CAST(n AS DOUBLE) / tn AS p
+       FROM c JOIN tt USING (prev_type)),
+nodes AS (SELECT DISTINCT s AS node FROM tp),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+p0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pi FROM nodes CROSS JOIN nn),
+"""
+        + ",\n".join(
+            f"p{k} AS (SELECT tp.d AS node, SUM(p{k-1}.pi * tp.p) AS pi\n"
+            f"      FROM tp JOIN p{k-1} ON p{k-1}.node = tp.s GROUP BY 1)"
+            for k in range(1, 9)
+        )
+        + """
+SELECT node AS event_type, ROUND(pi, 6) AS pi FROM p8 ORDER BY event_type
+""",
+        # String-of-floor first digit; LN-ratio expectation.
+        "benford_audit": """
+WITH src AS (SELECT o_totalprice AS v FROM orders WHERE o_totalprice >= 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM src),
+c AS (SELECT CAST(substring(CAST(CAST(FLOOR(v) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER)
+         AS digit,
+       CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM src GROUP BY 1)
+SELECT digit, n_obs,
+       ROUND(CAST(n_obs AS DOUBLE) / n.n, 6) AS obs_frac,
+       ROUND(LN(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(digit AS DOUBLE))
+             / LN(CAST(10 AS DOUBLE)), 6) AS benford_frac,
+       ROUND((CAST(n_obs AS DOUBLE)
+              - LN(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(digit AS DOUBLE))
+                / LN(CAST(10 AS DOUBLE)) * n.n)
+             * (CAST(n_obs AS DOUBLE)
+                - LN(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(digit AS DOUBLE))
+                  / LN(CAST(10 AS DOUBLE)) * n.n)
+             / (LN(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(digit AS DOUBLE))
+                / LN(CAST(10 AS DOUBLE)) * n.n), 6) AS chi2_term
+FROM c CROSS JOIN n ORDER BY digit
 """,
         # ln(n) - sum(c ln c)/n on exact integer counts.
         "user_entropy": """

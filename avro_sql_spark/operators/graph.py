@@ -689,3 +689,38 @@ def degree_assortativity(
         F.col("m").alias("n_edges"),
         F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("assortativity"),
     )
+
+
+def markov_stationary(
+    transitions: DataFrame,
+    iterations: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    p_col: str = "p",
+) -> DataFrame:
+    """Stationary distribution of a Markov chain by fixed-iteration
+    power method: π ← πP from uniform, ``iterations`` times — where the
+    event-type process spends its time in steady state, the number that
+    turns a transition matrix (event_transitions) into capacity shares.
+
+    Each round is one equi-join of the state vector with the transition
+    frame + one groupBy sum — both bounded by the state universe (the
+    precondition: this is for LABEL chains distilled from big streams,
+    like scc_labels). Fixed rounds + exact-division probabilities make
+    the result a closed-form expression the oracle unrolls; per-node
+    sums are ≤states float terms per round, sub-ulp drift absorbed by
+    the 6dp round."""
+    t = transitions.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d"), F.col(p_col).alias("p")
+    )
+    nodes = t.select(F.col("s").alias("node")).distinct()
+    n = nodes.count()
+    pi = nodes.select("node", F.lit(1.0 / n).alias("pi"))
+    for _ in range(iterations):
+        pi = (
+            t.join(pi.withColumnRenamed("node", "s"), "s")
+            .select("d", (F.col("pi") * F.col("p")).alias("m"))
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum("m").alias("pi"))
+        )
+    return pi.select("node", F.round("pi", 6).alias("pi")).orderBy("node")

@@ -1174,3 +1174,43 @@ def user_entropy(
         F.col("n").cast("bigint").alias("n_events"),
         F.round(ent, 6).alias("entropy"),
     ).orderBy(key_col)
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law first-digit audit: observed leading-digit shares
+    of a value column against the log10(1+1/d) expectation, with the
+    per-digit chi-square contribution — the fraud/fabrication screen
+    auditors run on monetary columns (organic multiplicative data obeys
+    Benford; invented numbers rarely do).
+
+    The digit comes from the STRING of floor(value) (values < 1
+    excluded) — never floor(log10): the float log at exact powers of
+    ten is the classic off-by-one-digit boundary bug. Integer counts,
+    one aggregate bounded by 9 rows; the expectation uses LN(1+1/d)/LN(10)
+    so both engines call the same libm op."""
+    src = df.filter(F.col(value_col) >= 1)
+    digit = F.substring(
+        F.floor(F.col(value_col)).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = src.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    total = src.agg(F.count(F.lit(1)).alias("n"))
+    dd = F.col("digit").cast("double")
+    exp_frac = F.log(F.lit(1.0) + F.lit(1.0) / dd) / F.log(F.lit(10.0))
+    expected = exp_frac * F.col("n")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs") / F.col("n"), 6).alias("obs_frac"),
+            F.round(exp_frac, 6).alias("benford_frac"),
+            F.round(
+                (F.col("n_obs") - expected) * (F.col("n_obs") - expected)
+                / expected,
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

@@ -211,6 +211,8 @@ HEADLINE = [
     "interarrival_stats",
     "user_entropy",
     "supplier_hhi",
+    "markov_stationary",
+    "benford_audit",
 ]
 
 

@@ -228,3 +228,16 @@ def test_degree_assortativity_signs(spark):
     e2 = spark.createDataFrame(clique, "src LONG, dst LONG")
     r2 = degree_assortativity(e2).collect()[0]
     assert r2["assortativity"] is None  # zero variance -> NULLIF guard
+
+
+def test_markov_stationary_two_state_chain(spark):
+    """P = [[0.5, 0.5], [1, 0]] has stationary (2/3, 1/3); 8 rounds from
+    uniform converge well past 6dp."""
+    t = spark.createDataFrame(
+        [("a", "a", 0.5), ("a", "b", 0.5), ("b", "a", 1.0)],
+        "src string, dst string, p double",
+    )
+    from avro_sql_spark.operators.graph import markov_stationary
+
+    out = {r["node"]: r["pi"] for r in markov_stationary(t, iterations=20).collect()}
+    assert abs(out["a"] - 2 / 3) < 1e-6 and abs(out["b"] - 1 / 3) < 1e-6

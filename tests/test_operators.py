@@ -1805,3 +1805,19 @@ def test_supplier_hhi_bounds(spark, tmp_path):
     out = {r["nationkey"]: r for r in supplier_hhi(spark, sf).collect()}
     assert out[0]["hhi"] == 1.0 and out[0]["n_suppliers"] == 1
     assert out[1]["hhi"] == 0.5 and out[1]["n_suppliers"] == 2
+
+
+def test_benford_audit_hand_computed(spark):
+    """Digits read from the floor-string: 19.5 -> 1, 250 -> 2, 0.5
+    excluded; observed fractions exact."""
+    from avro_sql_spark.operators.profile import benford_audit
+
+    df = spark.createDataFrame(
+        [(19.5,), (250.0,), (1000.0,), (0.5,)], "v double"
+    )
+    out = {r["digit"]: r for r in benford_audit(df, "v").collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_obs"] == 2 and out[1]["obs_frac"] == round(2 / 3, 6)
+    import math
+
+    assert out[1]["benford_frac"] == round(math.log10(2), 6)
