@@ -710,15 +710,19 @@ def markov_stationary(
     the result a closed-form expression the oracle unrolls; per-node
     sums are ≤states float terms per round, sub-ulp drift absorbed by
     the 6dp round."""
+    # checkpoint the (bounded) transition frame: 8 unrolled rounds each
+    # consume it, and an uncheckpointed upstream (lag window + two
+    # aggregates) would re-derive per round — a 50-exchange plan for a
+    # 25-row matrix. The state vector is states-bounded: broadcast it.
     t = transitions.select(
         F.col(src_col).alias("s"), F.col(dst_col).alias("d"), F.col(p_col).alias("p")
-    )
+    ).localCheckpoint(eager=True)
     nodes = t.select(F.col("s").alias("node")).distinct()
     n = nodes.count()
     pi = nodes.select("node", F.lit(1.0 / n).alias("pi"))
     for _ in range(iterations):
         pi = (
-            t.join(pi.withColumnRenamed("node", "s"), "s")
+            t.join(F.broadcast(pi.withColumnRenamed("node", "s")), "s")
             .select("d", (F.col("pi") * F.col("p")).alias("m"))
             .groupBy(F.col("d").alias("node"))
             .agg(F.sum("m").alias("pi"))

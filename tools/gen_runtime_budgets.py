@@ -62,6 +62,7 @@ ITERATIVE_ENTRIES = [
     "event_type_scc",
     "dup_cluster_size_histogram",
     "ann_ivf_pq",
+    "markov_stationary",
 ]
 
 
