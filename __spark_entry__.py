@@ -2849,6 +2849,28 @@ def _cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.cusum_drift(t["events"])
 
 
+def _gini_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event value — the Lorenz-curve
+    integral companion of pareto_value_report: DECIMAL-exact totals and
+    rank×value sums over the two-pass rank (profile.gini_coefficient)."""
+    from avro_sql_spark.operators import profile
+
+    t = load_tables(spark, sf_dir, register=False)
+    return profile.gini_coefficient(t["events"])
+
+
+def _kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve (signup → purchase, other
+    users censored at last activity): at-risk counts from one cumulative
+    window over the bounded distinct-time frame, survival as
+    exp(Σ ln(1−d/n)) with a floor clamp at the d==n step
+    (profile.kaplan_meier)."""
+    from avro_sql_spark.operators import profile
+
+    t = load_tables(spark, sf_dir, register=False)
+    return profile.kaplan_meier(t["events"])
+
+
 def _markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Steady-state share of each event type: 8 power-method rounds of
     π ← πP over the exact-division transition matrix — the capacity
@@ -3366,6 +3388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_hhi": _supplier_hhi,
         "markov_stationary": _markov_stationary,
         "benford_audit": _benford_audit,
+        "gini_value_concentration": _gini_value_concentration,
+        "kaplan_meier_conversion": _kaplan_meier_conversion,
         "pareto_value_report": _pareto_value_report,
         "fano_burstiness": _fano_burstiness,
         "source_kl_matrix": _source_kl_matrix,
@@ -5148,6 +5172,51 @@ SELECT CAST(exact_size AS BIGINT) AS exact_size,
        CAST(est_size AS BIGINT) AS est_size,
        CAST(est_size - exact_size AS BIGINT) AS overestimate
 FROM ex CROSS JOIN est
+""",
+        # Gini from DECIMAL rank-weighted sums over the total order.
+        "gini_value_concentration": """
+WITH t AS (SELECT user_id, SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS td
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+r AS (SELECT td, ROW_NUMBER() OVER (ORDER BY td, user_id) AS rk FROM t),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(td) AS sx,
+             SUM(CAST(CAST(rk AS DECIMAL(19,0)) * td AS DECIMAL(38,6))) AS six
+      FROM r)
+SELECT n AS n_keys,
+       ROUND(2.0 * CAST(six AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+FROM s
+""",
+        # KM: censoring-aware at-risk counts; exp-sum-ln product with
+        # the same floor clamp at a d == n_risk step.
+        "kaplan_meier_conversion": """
+WITH u AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tc,
+         MAX(ts) AS tlast
+  FROM events GROUP BY 1),
+pu AS (SELECT * FROM u WHERE t0 IS NOT NULL AND (tc IS NULL OR tc >= t0)),
+obs AS (SELECT CASE WHEN tc IS NOT NULL
+                    THEN date_diff('microsecond', t0, tc) // 1000000
+                    ELSE date_diff('microsecond', t0, tlast) // 1000000 END AS d_s,
+               CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM pu),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM obs),
+lv AS (SELECT d_s, CAST(COUNT(*) AS BIGINT) AS l FROM obs GROUP BY 1),
+risk AS (SELECT d_s,
+                COALESCE(SUM(l) OVER (ORDER BY d_s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS left_before
+         FROM lv),
+tms AS (SELECT d_s, CAST(SUM(ev) AS BIGINT) AS d FROM obs GROUP BY 1 HAVING SUM(ev) > 0),
+curve AS (SELECT t.d_s, t.d, tot.n_total - r.left_before AS n_risk
+          FROM tms t JOIN risk r USING (d_s) CROSS JOIN tot)
+SELECT d_s AS t_seconds, d AS n_events, CAST(n_risk AS BIGINT) AS n_at_risk,
+       ROUND(EXP(SUM(LN(GREATEST(CAST(1 AS DOUBLE)
+                                 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE),
+                                 1e-300)))
+                 OVER (ORDER BY d_s ROWS UNBOUNDED PRECEDING)), 6) AS survival
+FROM curve ORDER BY t_seconds
 """,
         # 8 unrolled power-method rounds over exact-division P.
         "markov_stationary": """

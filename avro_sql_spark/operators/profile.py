@@ -1214,3 +1214,138 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gini coefficient of per-key value totals — the single-number
+    integral of :func:`pareto_concentration`'s Lorenz curve:
+    G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over values sorted ascending.
+    0 = perfect equality, →1 = one whale holds everything.
+
+    Totals are DECIMAL-exact; the sort rank is the two-pass
+    range-partitioned global rank (total order via the key tiebreak);
+    Σ i·xᵢ accumulates rank×ROUND(total,6) in DECIMAL — order-free —
+    and the finish is three scalar double ops, rounded at 6dp."""
+    from .curation import global_rank
+
+    totals = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.sum(F.round(F.col(value_col), 6).cast("decimal(38,6)")).alias("td")
+        )
+    )
+    ranked = global_rank(totals, [F.asc("td"), F.asc(key_col)], rank_col="rk")
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("td").alias("sx"),
+        F.sum((F.col("rk").cast("decimal(19,0)") * F.col("td")).cast("decimal(38,6)")).alias("six"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    six = F.col("six").cast("double")
+    gini = F.lit(2.0) * six / (n * sx) - (n + F.lit(1.0)) / n
+    return s.select(
+        F.col("n").cast("bigint").alias("n_keys"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    start_type: str = "signup",
+    event_type_val: str = "purchase",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-conversion: each user
+    who signs up either converts after d seconds (an event) or is
+    censored at their last observed activity — the estimator that uses
+    censored users correctly instead of dropping them (the mistake a
+    plain AVG(time-to-convert) makes). S(t) steps down by (1 − dᵢ/nᵢ)
+    at each distinct event time.
+
+    Scale shape: one per-user aggregate builds (duration, is_event);
+    the curve lives on the DISTINCT-event-time frame (bounded by
+    conversion times, not users): a cumulative window over that frame
+    computes the at-risk counts, and the survival product replays as
+    exp(Σ ln(1−d/n)) — the identical libm composition on both engines,
+    ordered by time, rounded at 6dp."""
+    per_user = (
+        df.groupBy(user_col)
+        .agg(
+            F.min(
+                F.when(F.col(type_col) == start_type, F.col(ts_col))
+            ).alias("t0"),
+            F.min(
+                F.when(F.col(type_col) == event_type_val, F.col(ts_col))
+            ).alias("tc"),
+            F.max(F.col(ts_col)).alias("tlast"),
+        )
+        .filter(F.col("t0").isNotNull())
+        .filter(
+            F.col("tc").isNull() | (F.col("tc") >= F.col("t0"))
+        )
+    )
+    dur_us = F.when(
+        F.col("tc").isNotNull(),
+        F.unix_micros(F.col("tc").cast("timestamp"))
+        - F.unix_micros(F.col("t0").cast("timestamp")),
+    ).otherwise(
+        F.unix_micros(F.col("tlast").cast("timestamp"))
+        - F.unix_micros(F.col("t0").cast("timestamp"))
+    )
+    obs = per_user.select(
+        F.floor(dur_us / 1_000_000).cast("bigint").alias("d_s"),
+        F.col("tc").isNotNull().cast("int").alias("ev"),
+    )
+    total = obs.agg(F.count(F.lit(1)).alias("n_total"))
+    times = (
+        obs.groupBy("d_s")
+        .agg(
+            F.sum("ev").alias("d"),
+            F.count(F.lit(1)).alias("leaving"),
+        )
+        .filter(F.col("d") > 0)
+    )
+    # at risk at time t: everyone whose (event or censor) time >= t —
+    # total minus all who left strictly before; computed with ONE
+    # cumulative window over the bounded distinct-time frame joined to
+    # the per-time leaving counts (censor times included via a union)
+    leaves = (
+        obs.groupBy("d_s").agg(F.count(F.lit(1)).alias("l"))
+    )
+    w = Window.orderBy("d_s").rowsBetween(Window.unboundedPreceding, -1)
+    risk = leaves.withColumn(
+        "left_before", F.coalesce(F.sum("l").over(w), F.lit(0))
+    ).select("d_s", "left_before")
+    curve = (
+        times.join(risk, "d_s")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "d_s",
+            "d",
+            (F.col("n_total") - F.col("left_before")).alias("n_risk"),
+        )
+    )
+    ws = Window.orderBy("d_s").rowsBetween(Window.unboundedPreceding, 0)
+    # the final step can have d == n_risk (everyone left converts):
+    # ln(0) is an error in DuckDB and a NULL Spark's SUM would silently
+    # skip — the floor clamp makes the product collapse to exactly 0
+    # after rounding, identically on both engines
+    term = F.greatest(
+        F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk").cast("double"),
+        F.lit(1e-300),
+    )
+    surv = F.exp(F.sum(F.log(term)).over(ws))
+    return curve.select(
+        F.col("d_s").alias("t_seconds"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.col("n_risk").cast("bigint").alias("n_at_risk"),
+        F.round(surv, 6).alias("survival"),
+    ).orderBy("t_seconds")

@@ -213,6 +213,8 @@ HEADLINE = [
     "supplier_hhi",
     "markov_stationary",
     "benford_audit",
+    "gini_value_concentration",
+    "kaplan_meier_conversion",
 ]
 
 

@@ -1821,3 +1821,41 @@ def test_benford_audit_hand_computed(spark):
     import math
 
     assert out[1]["benford_frac"] == round(math.log10(2), 6)
+
+
+def test_gini_coefficient_bounds(spark):
+    """Equal totals -> 0; one whale among near-zeros -> close to
+    (n-1)/n (the finite-sample maximum)."""
+    from avro_sql_spark.operators.profile import gini_coefficient
+
+    eq = spark.createDataFrame(
+        [(u, 10.0) for u in range(1, 5)], "user_id long, value double"
+    )
+    assert gini_coefficient(eq).collect()[0]["gini"] == 0.0
+    whale = spark.createDataFrame(
+        [(1, 1e6)] + [(u, 0.000001) for u in range(2, 11)],
+        "user_id long, value double",
+    )
+    g = gini_coefficient(whale).collect()[0]["gini"]
+    assert 0.89 < g <= 0.9  # (n-1)/n = 0.9 at n=10
+
+
+def test_kaplan_meier_hand_computed(spark):
+    """3 signups: conversions at 10s and 20s, one censored at 15s.
+    S(10) = 1 - 1/3 = 2/3; at t=20 only 1 at risk (censor left at 15):
+    S(20) = 2/3 * (1 - 1/1) = 0."""
+    import datetime as dt
+
+    from avro_sql_spark.operators.profile import kaplan_meier
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "signup", base), (1, "purchase", base + dt.timedelta(seconds=10)),
+        (2, "signup", base), (2, "view", base + dt.timedelta(seconds=15)),
+        (3, "signup", base), (3, "purchase", base + dt.timedelta(seconds=20)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp_ntz")
+    out = {r["t_seconds"]: r for r in kaplan_meier(df).collect()}
+    assert set(out) == {10, 20}
+    assert out[10]["n_at_risk"] == 3 and out[10]["survival"] == round(2 / 3, 6)
+    assert out[20]["n_at_risk"] == 1 and out[20]["survival"] == 0.0
