@@ -2849,6 +2849,17 @@ def _cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.cusum_drift(t["events"])
 
 
+def _log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fightin'-Words discriminative terms between src0 and src1
+    (Monroe 2008 Dirichlet-smoothed log-odds z): all-integer counts
+    into a fixed ln/sqrt composition, 9dp pre-round, |z| rank with term
+    tiebreak (text.log_odds_terms)."""
+    from avro_sql_spark.operators.text import log_odds_terms
+
+    t = load_tables(spark, sf_dir, register=False)
+    return log_odds_terms(t["documents"], "src0", "src1")
+
+
 def _gini_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of per-user event value — the Lorenz-curve
     integral companion of pareto_value_report: DECIMAL-exact totals and
@@ -3390,6 +3401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_audit": _benford_audit,
         "gini_value_concentration": _gini_value_concentration,
         "kaplan_meier_conversion": _kaplan_meier_conversion,
+        "log_odds_terms": _log_odds_terms,
         "pareto_value_report": _pareto_value_report,
         "fano_burstiness": _fano_burstiness,
         "source_kl_matrix": _source_kl_matrix,
@@ -5172,6 +5184,31 @@ SELECT CAST(exact_size AS BIGINT) AS exact_size,
        CAST(est_size AS BIGINT) AS est_size,
        CAST(est_size - exact_size AS BIGINT) AS overestimate
 FROM ex CROSS JOIN est
+""",
+        # Monroe log-odds z: integer counts, fixed ln/sqrt composition.
+        "log_odds_terms": r"""
+WITH toks AS (
+  SELECT source AS s, token AS w FROM (
+    SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS token
+    FROM documents WHERE source IN ('src0', 'src1'))
+  WHERE regexp_matches(token, '^[a-z]+$')),
+c AS (SELECT w,
+             CAST(SUM(CASE WHEN s = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN s = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM toks GROUP BY 1),
+t AS (SELECT CAST(SUM(ca) AS DOUBLE) AS na, CAST(SUM(cb) AS DOUBLE) AS nb,
+             CAST(COUNT(*) AS DOUBLE) AS v
+      FROM c),
+z AS (SELECT w, ca, cb,
+             (LN((CAST(ca AS DOUBLE) + 1.0) / (na + 1.0 * v - CAST(ca AS DOUBLE) - 1.0))
+              - LN((CAST(cb AS DOUBLE) + 1.0) / (nb + 1.0 * v - CAST(cb AS DOUBLE) - 1.0)))
+             / SQRT(CAST(1 AS DOUBLE) / (CAST(ca AS DOUBLE) + 1.0)
+                    + CAST(1 AS DOUBLE) / (CAST(cb AS DOUBLE) + 1.0)) AS zz
+      FROM c CROSS JOIN t)
+SELECT w AS term, ca AS count_a, cb AS count_b, ROUND(zz, 9) AS log_odds_z
+FROM z
+ORDER BY ABS(ROUND(zz, 9)) DESC, term
+LIMIT 20
 """,
         # Gini from DECIMAL rank-weighted sums over the total order.
         "gini_value_concentration": """

@@ -215,6 +215,7 @@ HEADLINE = [
     "benford_audit",
     "gini_value_concentration",
     "kaplan_meier_conversion",
+    "log_odds_terms",
 ]
 
 

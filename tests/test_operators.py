@@ -1859,3 +1859,23 @@ def test_kaplan_meier_hand_computed(spark):
     assert set(out) == {10, 20}
     assert out[10]["n_at_risk"] == 3 and out[10]["survival"] == round(2 / 3, 6)
     assert out[20]["n_at_risk"] == 1 and out[20]["survival"] == 0.0
+
+
+def test_log_odds_terms_direction_and_symmetry(spark):
+    """A term exclusive to A gets a positive z, exclusive to B negative;
+    swapping the corpora flips every sign."""
+    from avro_sql_spark.operators.text import log_odds_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple shared", "en", "A", 1),
+            (2, "banana banana banana shared", "en", "B", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["term"]: r["log_odds_z"] for r in log_odds_terms(docs, "A", "B").collect()}
+    assert out["apple"] > 0 and out["banana"] < 0
+    assert abs(out["shared"]) < abs(out["apple"])
+    flipped = {r["term"]: r["log_odds_z"] for r in log_odds_terms(docs, "B", "A").collect()}
+    for term, z in out.items():
+        assert flipped[term] == -z
