@@ -2849,6 +2849,16 @@ def _cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.cusum_drift(t["events"])
 
 
+def _heldout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out unigram-LM evaluation: add-1 model fit on the md5-split
+    80% train docs, per-test-doc NLL/token with the OOV smoothing floor
+    — leakage-free model eval (text.heldout_nll)."""
+    from avro_sql_spark.operators.text import heldout_nll
+
+    t = load_tables(spark, sf_dir, register=False)
+    return heldout_nll(t["documents"])
+
+
 def _log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fightin'-Words discriminative terms between src0 and src1
     (Monroe 2008 Dirichlet-smoothed log-odds z): all-integer counts
@@ -3402,6 +3412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_value_concentration": _gini_value_concentration,
         "kaplan_meier_conversion": _kaplan_meier_conversion,
         "log_odds_terms": _log_odds_terms,
+        "heldout_nll": _heldout_nll,
         "pareto_value_report": _pareto_value_report,
         "fano_burstiness": _fano_burstiness,
         "source_kl_matrix": _source_kl_matrix,
@@ -5184,6 +5195,27 @@ SELECT CAST(exact_size AS BIGINT) AS exact_size,
        CAST(est_size AS BIGINT) AS est_size,
        CAST(est_size - exact_size AS BIGINT) AS overestimate
 FROM ex CROSS JOIN est
+""",
+        # Add-1 train-only LM scored on the md5-held-out docs.
+        "heldout_nll": f"""
+WITH toks AS (
+  SELECT doc_id,
+         {_hash_unit("doc_id", "lmeval")} < CAST(0.2 AS DOUBLE) AS is_test,
+         token AS w
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+    FROM documents)
+  WHERE regexp_matches(token, '^[a-z]+$')),
+c AS (SELECT w, COUNT(*) AS c FROM toks WHERE NOT is_test GROUP BY 1),
+s AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM c),
+sc AS (SELECT t.doc_id,
+              -LN((CAST(COALESCE(c.c, 0) AS DOUBLE) + 1.0)
+                  / CAST(s.n + s.v + 1.0 AS DOUBLE)) AS nll
+       FROM toks t LEFT JOIN c USING (w) CROSS JOIN s
+       WHERE t.is_test)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(nll), 6) AS nll_per_token
+FROM sc GROUP BY 1 ORDER BY doc_id
 """,
         # Monroe log-odds z: integer counts, fixed ln/sqrt composition.
         "log_odds_terms": r"""

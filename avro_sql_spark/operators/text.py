@@ -1421,3 +1421,59 @@ def log_odds_terms(
         .orderBy(F.desc(F.abs(F.col("log_odds_z"))), F.asc("term"))
         .limit(top_k)
     )
+
+
+def heldout_nll(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "lmeval",
+    test_frac: float = 0.2,
+) -> DataFrame:
+    """Held-out language-model evaluation — the TRAIN/TEST discipline
+    the in-corpus scorers (unigram_logprob) skip: an add-1 unigram LM
+    fits on the deterministic hash-split train docs only, and the
+    report is per-test-doc negative log-likelihood per token, with
+    out-of-vocabulary tokens falling to the 1/(n+V+1) smoothing floor
+    (the +1 virtual OOV type). The eval-set perplexity a data-quality
+    intervention must move, measured without leakage.
+
+    The split reuses the md5 row-lottery (engine-stable, leakage-free
+    by construction); the model is the vocab-sized train count table
+    broadcast into one test-token join; per-doc aggregation shuffles
+    once on the doc id. NLL floats are the usual sub-ulp drift under
+    the 6dp round."""
+    from .curation import hash_unit
+
+    is_test = hash_unit(F.col(id_col), salt) < test_frac
+    toks = docs.select(
+        F.col(id_col), is_test.alias("is_test"),
+        F.explode(T.word_tokens(F.col(text_col))).alias("w"),
+    )
+    train = toks.filter(~F.col("is_test"))
+    counts = train.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    scal = counts.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    test = toks.filter(F.col("is_test"))
+    scored = (
+        test.join(F.broadcast(counts), "w", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            F.col(id_col),
+            (
+                -F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(1.0))
+                    / (F.col("n") + F.col("v") + F.lit(1.0)).cast("double")
+                )
+            ).alias("nll"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("nll"), 6).alias("nll_per_token"),
+        )
+        .orderBy(id_col)
+    )

@@ -216,6 +216,7 @@ HEADLINE = [
     "gini_value_concentration",
     "kaplan_meier_conversion",
     "log_odds_terms",
+    "heldout_nll",
 ]
 
 

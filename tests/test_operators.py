@@ -1879,3 +1879,40 @@ def test_log_odds_terms_direction_and_symmetry(spark):
     flipped = {r["term"]: r["log_odds_z"] for r in log_odds_terms(docs, "B", "A").collect()}
     for term, z in out.items():
         assert flipped[term] == -z
+
+
+def test_heldout_nll_oov_floor_and_no_leakage(spark):
+    """A test doc whose tokens never appear in train scores exactly the
+    OOV floor -ln(1/(n+V+1)) per token; known-token NLL is lower."""
+    import math
+
+    from avro_sql_spark.operators.text import heldout_nll
+    from avro_sql_spark.operators.curation import hash_unit
+    import pyspark.sql.functions as F
+
+    rows = [(i, "alpha beta alpha") for i in range(40)] + [
+        (100 + i, "zzz qqq") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # find which docs the deterministic lottery holds out
+    test_ids = {
+        r["doc_id"]
+        for r in df.select("doc_id").filter(
+            hash_unit(F.col("doc_id"), "lmeval") < 0.2
+        ).collect()
+    }
+    out = {r["doc_id"]: r for r in heldout_nll(df).collect()}
+    assert set(out) == test_ids and test_ids
+    # train stats: recompute locally for the expected floor
+    train_tokens = [
+        w for r in rows if r[0] not in test_ids for w in r[1].split()
+    ]
+    n = len(train_tokens)
+    v = len(set(train_tokens))
+    floor = -math.log(1 / (n + v + 1))
+    for did, r in out.items():
+        if did >= 100 and not any(
+            t in set(train_tokens) for t in ("zzz", "qqq")
+        ):
+            assert r["nll_per_token"] == round(floor, 6)
+        assert r["nll_per_token"] <= floor + 1e-9
