@@ -2849,6 +2849,15 @@ def _cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.cusum_drift(t["events"])
 
 
+def _negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling table: unigram counts^(3/4) as the
+    exactly-reproducible sqrt(c)·sqrt(sqrt(c)) composition (never libm
+    pow), normalized against full-vocab mass, cumulative [lo,hi) ranges
+    over the top-50 terms (curation.negative_sampling_table)."""
+    t = load_tables(spark, sf_dir, register=False)
+    return curation.negative_sampling_table(t["documents"])
+
+
 def _heldout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out unigram-LM evaluation: add-1 model fit on the md5-split
     80% train docs, per-test-doc NLL/token with the OOV smoothing floor
@@ -3413,6 +3422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier_conversion": _kaplan_meier_conversion,
         "log_odds_terms": _log_odds_terms,
         "heldout_nll": _heldout_nll,
+        "negative_sampling_table": _negative_sampling_table,
         "pareto_value_report": _pareto_value_report,
         "fano_burstiness": _fano_burstiness,
         "source_kl_matrix": _source_kl_matrix,
@@ -5195,6 +5205,30 @@ SELECT CAST(exact_size AS BIGINT) AS exact_size,
        CAST(est_size AS BIGINT) AS est_size,
        CAST(est_size - exact_size AS BIGINT) AS overestimate
 FROM ex CROSS JOIN est
+""",
+        # c^(3/4) as composed sqrts (each exactly rounded -> identical
+        # cross-engine, unlike libm pow); full-vocab normalization.
+        "negative_sampling_table": r"""
+WITH toks AS (
+  SELECT token AS w FROM (
+    SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+    FROM documents)
+  WHERE regexp_matches(token, '^[a-z]+$')),
+c AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1),
+wt AS (SELECT w, c, SQRT(CAST(c AS DOUBLE)) * SQRT(SQRT(CAST(c AS DOUBLE))) AS wt
+       FROM c),
+tot AS (SELECT SUM(wt) AS tot FROM wt),
+top AS (SELECT w, c, wt FROM wt ORDER BY c DESC, w LIMIT 50)
+SELECT w AS term, CAST(c AS BIGINT) AS count,
+       ROUND(wt / tot.tot, 9) AS share,
+       ROUND(COALESCE(SUM(wt) OVER (ORDER BY c DESC, w
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / tot.tot, 9)
+         AS cum_lo,
+       ROUND((COALESCE(SUM(wt) OVER (ORDER BY c DESC, w
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + wt) / tot.tot, 9)
+         AS cum_hi
+FROM top CROSS JOIN tot
+ORDER BY count DESC, term
 """,
         # Add-1 train-only LM scored on the md5-held-out docs.
         "heldout_nll": f"""

@@ -1021,3 +1021,55 @@ def quantile_normalize_report(
         )
         .orderBy(group_col, "decile")
     )
+
+
+def negative_sampling_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """word2vec-style negative-sampling table (Mikolov et al. 2013):
+    unigram counts raised to the 3/4 power, normalized, and laid out as
+    cumulative [lo, hi) ranges a sampler hits with one uniform draw —
+    the embedding-training data-prep staple that damps stopword
+    dominance without losing them.
+
+    The 3/4 power is computed as sqrt(c)·sqrt(sqrt(c)) — each sqrt is
+    exactly rounded by IEEE-754, so the COMPOSITION is bit-identical
+    across engines, unlike a libm pow(x, 0.75) whose last-ulp behavior
+    is implementation-defined. The table keeps the ``top_k`` heaviest
+    terms (count-desc, term tiebreak — at real scale the sampler's
+    table is capped anyway and the tail aliases into a remainder
+    bucket); the cumulative window runs over that bounded frame only.
+    Weights normalize against the FULL vocabulary mass, so hi of the
+    last kept row < 1 shows exactly how much tail mass the cap
+    aliased."""
+    from ..functions import text as T
+
+    toks = docs.select(F.explode(T.word_tokens(F.col(text_col))).alias("w"))
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    cd = F.col("c").cast("double")
+    weighted = counts.select(
+        "w", "c", (F.sqrt(cd) * F.sqrt(F.sqrt(cd))).alias("wt")
+    )
+    total = weighted.agg(F.sum("wt").alias("tot"))
+    top = (
+        weighted.orderBy(F.desc("c"), F.asc("w"))
+        .limit(top_k)
+        .crossJoin(F.broadcast(total))
+    )
+    win = (
+        Window.orderBy(F.desc("c"), F.asc("w"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    share = F.col("wt") / F.col("tot")
+    # accumulate WEIGHTS and divide once — summing pre-divided shares
+    # would associate the division differently from the oracle
+    wsum = F.coalesce(F.sum("wt").over(win), F.lit(0.0))
+    return top.select(
+        F.col("w").alias("term"),
+        F.col("c").cast("bigint").alias("count"),
+        F.round(share, 9).alias("share"),
+        F.round(wsum / F.col("tot"), 9).alias("cum_lo"),
+        F.round((wsum + F.col("wt")) / F.col("tot"), 9).alias("cum_hi"),
+    ).orderBy(F.desc("count"), F.asc("term"))

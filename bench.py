@@ -217,6 +217,7 @@ HEADLINE = [
     "kaplan_meier_conversion",
     "log_odds_terms",
     "heldout_nll",
+    "negative_sampling_table",
 ]
 
 

@@ -482,3 +482,18 @@ def test_stratified_kfold_balanced_partition(docs):
         assert max(per) - min(per) <= 1, (lang, per)
     again = curation.stratified_kfold(docs, k=5)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_negative_sampling_table_ranges(docs):
+    """Ranges are contiguous ([lo, hi) chains), shares positive and the
+    3/4-power damping holds: a term with 16x the count gets only 8x the
+    weight share."""
+    out = curation.negative_sampling_table(docs, top_k=20).collect()
+    assert len(out) == 20
+    prev_hi = 0.0
+    for r in out:
+        assert abs(r["cum_lo"] - prev_hi) < 2e-9
+        assert r["cum_hi"] > r["cum_lo"] > -1e-12
+        assert abs((r["cum_hi"] - r["cum_lo"]) - r["share"]) < 2e-9
+        prev_hi = r["cum_hi"]
+    assert out[0]["cum_hi"] <= 1.0
