@@ -2849,6 +2849,17 @@ def _cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.cusum_drift(t["events"])
 
 
+def _weekday_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7×24 activity calendar over events: weekday from explicit
+    epoch-day arithmetic ((days+4)%7, 0=Sunday — engine DAYOFWEEK
+    conventions disagree), exact counts + one division
+    (profile.weekday_hour_profile)."""
+    from avro_sql_spark.operators import profile
+
+    t = load_tables(spark, sf_dir, register=False)
+    return profile.weekday_hour_profile(t["events"])
+
+
 def _negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """word2vec negative-sampling table: unigram counts^(3/4) as the
     exactly-reproducible sqrt(c)·sqrt(sqrt(c)) composition (never libm
@@ -3423,6 +3434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_odds_terms": _log_odds_terms,
         "heldout_nll": _heldout_nll,
         "negative_sampling_table": _negative_sampling_table,
+        "weekday_hour_profile": _weekday_hour_profile,
         "pareto_value_report": _pareto_value_report,
         "fano_burstiness": _fano_burstiness,
         "source_kl_matrix": _source_kl_matrix,
@@ -5205,6 +5217,19 @@ SELECT CAST(exact_size AS BIGINT) AS exact_size,
        CAST(est_size AS BIGINT) AS est_size,
        CAST(est_size - exact_size AS BIGINT) AS overestimate
 FROM ex CROSS JOIN est
+""",
+        # Epoch-day weekday formula (engine DOW conventions disagree).
+        "weekday_hour_profile": """
+WITH c AS (
+  SELECT CAST((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
+              AS INTEGER) AS weekday,
+         CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events)
+SELECT weekday, hour, CAST(n_events AS BIGINT) AS n_events,
+       ROUND(CAST(n_events AS DOUBLE) / t.n, 6) AS share
+FROM c CROSS JOIN t ORDER BY weekday, hour
 """,
         # c^(3/4) as composed sqrts (each exactly rounded -> identical
         # cross-engine, unlike libm pow); full-vocab normalization.

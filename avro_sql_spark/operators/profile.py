@@ -1349,3 +1349,36 @@ def kaplan_meier(
         F.col("n_risk").cast("bigint").alias("n_at_risk"),
         F.round(surv, 6).alias("survival"),
     ).orderBy("t_seconds")
+
+
+def weekday_hour_profile(
+    df: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Activity calendar: event share per (weekday, hour-of-day) cell —
+    the 7×24 heatmap behind maintenance-window picking and bot
+    detection (organic traffic has a diurnal/weekly shape; scripted
+    traffic is flat).
+
+    The weekday comes from explicit epoch-day arithmetic,
+    (days_since_1970 + 4) % 7 with 0 = Sunday — engine conventions for
+    DAYOFWEEK disagree (Spark is 1-based Sunday, DuckDB 0-based), and
+    the formula sidesteps both. One aggregate bounded by 168 cells;
+    share is one division of exact integers."""
+    days = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+    dow = ((days + 4) % 7).cast("int")
+    hr = F.hour(F.col(ts_col)).cast("int")
+    cells = df.groupBy(dow.alias("weekday"), hr.alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "weekday",
+            "hour",
+            "n_events",
+            F.round(F.col("n_events") / F.col("n"), 6).alias("share"),
+        )
+        .orderBy("weekday", "hour")
+    )

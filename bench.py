@@ -218,6 +218,7 @@ HEADLINE = [
     "log_odds_terms",
     "heldout_nll",
     "negative_sampling_table",
+    "weekday_hour_profile",
 ]
 
 

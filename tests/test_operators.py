@@ -1916,3 +1916,22 @@ def test_heldout_nll_oov_floor_and_no_leakage(spark):
         ):
             assert r["nll_per_token"] == round(floor, 6)
         assert r["nll_per_token"] <= floor + 1e-9
+
+
+def test_weekday_hour_profile_known_dates(spark):
+    """1970-01-01 was a Thursday (weekday 4 in the 0=Sunday formula);
+    2024-01-07 a Sunday (0); hours extracted exactly; shares sum to 1."""
+    import datetime as dt
+
+    from avro_sql_spark.operators.profile import weekday_hour_profile
+
+    rows = [
+        (dt.datetime(1970, 1, 1, 5, 0),),
+        (dt.datetime(2024, 1, 7, 23, 30),),
+        (dt.datetime(2024, 1, 8, 0, 1),),   # Monday -> 1
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp_ntz")
+    out = {(r["weekday"], r["hour"]): r for r in weekday_hour_profile(df).collect()}
+    assert set(out) == {(4, 5), (0, 23), (1, 0)}
+    # shares are rounded at 6dp, so the sum is within n*5e-7 of 1
+    assert abs(sum(r["share"] for r in out.values()) - 1.0) < 2e-6
