@@ -3319,70 +3319,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries with no driver row yet — plus everything changed this round
     — lead; the cumulative-green core follows."""
     return {
-        # --- r4 priority block: the driver sweeps ~50 entries in
-        # registration order per round. Leads: the one driver-RED row
-        # (embedding_covariance, fixed this round with exact fixed-point
-        # accumulation), the 2 since-oracled stale no_oracle rows, the 3
-        # entries changed this round, then every never-driver-checked
-        # entry. The final 4 (all independently oracle-verified by the
-        # r3 judge at sf0.01) sit just past the window and lead r5. ---
+        # --- r5 priority block: the driver sweeps the FIRST ~50 entries
+        # in registration order. Leads: the two rows that were driver-red
+        # on a -0.0 sign bit (oracles now normalize with `+ 0`), then 48
+        # never-driver-checked entries (registered r4). ---
         "embedding_covariance": _embedding_covariance,
-        "minhash_calibration": _minhash_calibration,
-        "incremental_near_dup": _incremental_near_dup,
-        "heaps_curve": _heaps_curve,
-        "embedding_power_iter": _embedding_power_iter,
         "embedding_correlation": _embedding_correlation,
-        "copurchase_components": _copurchase_components,
-        "skipping_effectiveness": _skipping_effectiveness,
-        "event_transitions": _event_transitions,
-        "ann_pq_topk": _ann_pq_topk,
-        "label_communities": _label_communities,
-        "corpus_funnel": _corpus_funnel,
-        "semantic_dedup": _semantic_dedup,
-        "gopher_repetition": _gopher_repetition,
-        "ccnet_buckets": _ccnet_buckets,
-        "ks_length_drift": _ks_length_drift,
-        "bpe_fertility": _bpe_fertility,
-        "compaction_plan": _compaction_plan,
-        "kcore_summary": _kcore_summary,
-        "event_throttle_dedup": _event_throttle_dedup,
-        "multiformat_roundtrip": _multiformat_roundtrip,
-        "streaming_reshape_totals": _streaming_reshape_totals,
-        "char_mass_median": _char_mass_median,
-        "quality_calibration": _quality_calibration,
-        "nearest_order_attribution": _nearest_order_attribution,
-        "skipgram_pairs": _skipgram_pairs,
-        "tf_cosine_pairs": _tf_cosine_pairs,
-        "ewma_hourly": _ewma_hourly,
-        "quality_rank_fusion": _quality_rank_fusion,
-        "cluster_representatives": _cluster_representatives,
-        "chi2_lang_source": _chi2_lang_source,
-        "ann_recall_lsh": _ann_recall_lsh,
-        "triangle_census": _triangle_census,
-        "salted_join_enrich": _salted_join_enrich,
-        "zorder_layout_report": _zorder_layout_report,
-        "streaming_enriched_totals": _streaming_enriched_totals,
-        "bloom_prefilter_join": _bloom_prefilter_join,
-        "udtf_shingle_counts": _udtf_shingle_counts,
-        "avro_fallback_roundtrip": _avro_fallback_roundtrip,
-        "merge_upsert_snapshot": _merge_upsert_snapshot,
-        "bucketed_join_revenue": _bucketed_join_revenue,
-        "redact_pii_text": _redact_pii_text,
-        "streaming_merge_sink": _streaming_merge_sink,
-        "decontam_embedding": _decontam_embedding,
-        "entity_clusters": _entity_clusters,
-        "bpe_top_pairs": _bpe_top_pairs,
-        "zipf_fit": _zipf_fit,
-        "event_value_outliers": _event_value_outliers,
-        "source_overlap": _source_overlap,
-        "bpe_merges": _bpe_merges,
         "kmeans_clusters": _kmeans_clusters,
         "jaccard_dup_clusters": _jaccard_dup_clusters,
         "epoch_plan": _epoch_plan,
         "dsir_weights": _dsir_weights,
-        "ann_recall": _ann_recall,  # since-oracled; stale r2 no_oracle row
-        # --- new in r4: oracled deterministic-sketch twins of the HLL
-        # rows-only trio (KMV distinct / order-statistic sample cuts) ---
+        "ann_recall": _ann_recall,
         "approx_distinct_events_kmv": _approx_distinct_events_kmv,
         "table_profile_kmv": _table_profile_kmv,
         "quality_shards_sampled": _quality_shards_sampled,
@@ -3426,6 +3373,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_burstiness": _term_burstiness,
         "interarrival_stats": _interarrival_stats,
         "user_entropy": _user_entropy,
+        # --- r6 head: never-checked remainder + entries whose Spark code
+        # changed this round (global-window -> global_rank rewrites; all
+        # re-verified bit-exact by tools/check_correctness.py locally). ---
         "supplier_hhi": _supplier_hhi,
         "markov_stationary": _markov_stationary,
         "benford_audit": _benford_audit,
@@ -3439,7 +3389,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fano_burstiness": _fano_burstiness,
         "source_kl_matrix": _source_kl_matrix,
         "dup_cluster_size_histogram": _dup_cluster_size_histogram,
-        # --- cumulative-green core (driver rows r1-r3) ---
+        "streaming_outer_attribution": _streaming_outer_attribution,
+        "skipping_effectiveness": _skipping_effectiveness,
+        "zipf_fit": _zipf_fit,
+        "quality_shards": _quality_shards,
+        "q15_top_supplier": relational.q15_top_supplier,
+        # --- new in r5 (lead the r6/r7 sweeps with the block above) ---
+        # --- cumulative-green core (driver rows r1-r4) ---
+        "minhash_calibration": _minhash_calibration,
+        "incremental_near_dup": _incremental_near_dup,
+        "heaps_curve": _heaps_curve,
+        "embedding_power_iter": _embedding_power_iter,
+        "copurchase_components": _copurchase_components,
+        "event_transitions": _event_transitions,
+        "ann_pq_topk": _ann_pq_topk,
+        "label_communities": _label_communities,
+        "corpus_funnel": _corpus_funnel,
+        "semantic_dedup": _semantic_dedup,
+        "gopher_repetition": _gopher_repetition,
+        "ccnet_buckets": _ccnet_buckets,
+        "ks_length_drift": _ks_length_drift,
+        "bpe_fertility": _bpe_fertility,
+        "compaction_plan": _compaction_plan,
+        "kcore_summary": _kcore_summary,
+        "event_throttle_dedup": _event_throttle_dedup,
+        "multiformat_roundtrip": _multiformat_roundtrip,
+        "streaming_reshape_totals": _streaming_reshape_totals,
+        "char_mass_median": _char_mass_median,
+        "quality_calibration": _quality_calibration,
+        "nearest_order_attribution": _nearest_order_attribution,
+        "skipgram_pairs": _skipgram_pairs,
+        "tf_cosine_pairs": _tf_cosine_pairs,
+        "ewma_hourly": _ewma_hourly,
+        "quality_rank_fusion": _quality_rank_fusion,
+        "cluster_representatives": _cluster_representatives,
+        "chi2_lang_source": _chi2_lang_source,
+        "ann_recall_lsh": _ann_recall_lsh,
+        "triangle_census": _triangle_census,
+        "salted_join_enrich": _salted_join_enrich,
+        "zorder_layout_report": _zorder_layout_report,
+        "streaming_enriched_totals": _streaming_enriched_totals,
+        "bloom_prefilter_join": _bloom_prefilter_join,
+        "udtf_shingle_counts": _udtf_shingle_counts,
+        "avro_fallback_roundtrip": _avro_fallback_roundtrip,
+        "merge_upsert_snapshot": _merge_upsert_snapshot,
+        "bucketed_join_revenue": _bucketed_join_revenue,
+        "redact_pii_text": _redact_pii_text,
+        "streaming_merge_sink": _streaming_merge_sink,
+        "decontam_embedding": _decontam_embedding,
+        "entity_clusters": _entity_clusters,
+        "bpe_top_pairs": _bpe_top_pairs,
+        "event_value_outliers": _event_value_outliers,
+        "source_overlap": _source_overlap,
+        "bpe_merges": _bpe_merges,
         "dedup_exact_keep": _dedup_exact_keep,
         "ngram_jaccard_pairs": _ngram_jaccard,
         "ngram_jaccard_capped": _ngram_jaccard_capped,
@@ -3450,7 +3452,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assignment": _split_assignment,
         "sample_10pct": _sample_10pct,
         "stratified_sample_lang": _stratified_sample_lang,
-        "quality_shards": _quality_shards,
         "quality_shards_approx": _quality_shards_approx,
         "pack_sequences": _pack_sequences,
         "decontam_exact": _decontam_exact,
@@ -3510,7 +3511,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_users": _streaming_dedup_users,
         "streaming_funnel_stages": _streaming_funnel_stages,
         "streaming_click_attribution": _streaming_click_attribution,
-        "streaming_outer_attribution": _streaming_outer_attribution,
         "streaming_sessions": _streaming_sessions,
         "remove_dup_spans": _remove_dup_spans,
         "jaccard_pairs_prefix": _jaccard_pairs_prefix,
@@ -3570,7 +3570,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": relational.q8_market_share,
         "q11_important_parts": relational.q11_important_parts,
         "q13_order_count_distribution": relational.q13_order_count_distribution,
-        "q15_top_supplier": relational.q15_top_supplier,
         "q16_supplier_part_count": relational.q16_supplier_part_count,
         "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
         "q20_excess_inventory_suppliers": relational.q20_excess_inventory_suppliers,
@@ -4929,7 +4928,7 @@ WHERE sz.n >= 2 ORDER BY l.id
 WITH {_fixed_cov_ctes()},
 dg AS (SELECT i AS d, cov AS var FROM cells WHERE i = j)
 SELECT c.i, c.j,
-       ROUND(c.cov / nullif(sqrt(di.var * dj.var), 0), 4) AS corr
+       ROUND(c.cov / nullif(sqrt(di.var * dj.var), 0), 4) + 0 AS corr
 FROM cells c
 JOIN dg di ON di.d = c.i
 JOIN dg dj ON dj.d = c.j
@@ -5296,7 +5295,7 @@ z AS (SELECT w, ca, cb,
              / SQRT(CAST(1 AS DOUBLE) / (CAST(ca AS DOUBLE) + 1.0)
                     + CAST(1 AS DOUBLE) / (CAST(cb AS DOUBLE) + 1.0)) AS zz
       FROM c CROSS JOIN t)
-SELECT w AS term, ca AS count_a, cb AS count_b, ROUND(zz, 9) AS log_odds_z
+SELECT w AS term, ca AS count_a, cb AS count_b, ROUND(zz, 9) + 0 AS log_odds_z
 FROM z
 ORDER BY ABS(ROUND(zz, 9)) DESC, term
 LIMIT 20
@@ -5311,7 +5310,7 @@ s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(td) AS sx,
       FROM r)
 SELECT n AS n_keys,
        ROUND(2.0 * CAST(six AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
-             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) + 0 AS gini
 FROM s
 """,
         # KM: censoring-aware at-risk counts; exp-sum-ln product with
@@ -5399,7 +5398,7 @@ p AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
              SUM(c * LN(CAST(c AS DOUBLE))) AS clc
       FROM c GROUP BY 1)
 SELECT user_id, n AS n_events,
-       ROUND(LN(CAST(n AS DOUBLE)) - clc / n, 6) AS entropy
+       ROUND(LN(CAST(n AS DOUBLE)) - clc / n, 6) + 0 AS entropy
 FROM p ORDER BY user_id
 """,
         # DECIMAL-exact supplier values; share squares summed per nation.
@@ -5471,7 +5470,7 @@ s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
 SELECT m AS n_edges,
        ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(m AS DOUBLE))
              / NULLIF(SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))
-                           * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(m AS DOUBLE))), 0), 6)
+                           * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(m AS DOUBLE))), 0), 6) + 0
          AS assortativity
 FROM s
 """,
@@ -5546,7 +5545,7 @@ SELECT n_a, conv_a, ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
        ROUND((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
              / NULLIF(SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
                     * (CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-                    * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 0), 6) AS z_stat,
+                    * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 0), 6) + 0 AS z_stat,
        ABS((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
            / NULLIF(SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
                   * (CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
@@ -5634,7 +5633,7 @@ SELECT g AS event_type,
        CAST(COUNT(*) AS BIGINT) AS n_predictions,
        ROUND(CAST(SUM(ABS(c - pred)) AS DOUBLE) / COUNT(*), 6) AS mae,
        ROUND(AVG(CAST(ABS(c - pred) AS DOUBLE) / c), 6) AS mape,
-       ROUND(CAST(SUM(pred - c) AS DOUBLE) / COUNT(*), 6) AS bias
+       ROUND(CAST(SUM(pred - c) AS DOUBLE) / COUNT(*), 6) + 0 AS bias
 FROM j GROUP BY 1 ORDER BY event_type
 """,
         # Hour-ordered running fold of integer-count deviations.
@@ -5647,7 +5646,7 @@ d AS (SELECT c.event_type, c.h, c.c,
       FROM c JOIN p USING (event_type))
 SELECT event_type, h, CAST(c AS BIGINT) AS c,
        ROUND(SUM(dev) OVER (PARTITION BY event_type ORDER BY h
-                            ROWS UNBOUNDED PRECEDING), 6) AS cusum
+                            ROWS UNBOUNDED PRECEDING), 6) + 0 AS cusum
 FROM d ORDER BY event_type, h
 """,
         # Delta-decomposition == recompute: the oracle IS the plain
@@ -5710,11 +5709,11 @@ SELECT event_type, n_hours,
        ROUND(CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE), 6) AS mean_per_hour,
        ROUND((CAST(s2 AS DOUBLE)
               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE))
-             / (CAST(n_hours AS DOUBLE) - 1.0), 6) AS var_per_hour,
+             / (CAST(n_hours AS DOUBLE) - 1.0), 6) + 0 AS var_per_hour,
        ROUND(((CAST(s2 AS DOUBLE)
                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE))
               / (CAST(n_hours AS DOUBLE) - 1.0))
-             / (CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE)), 6) AS fano
+             / (CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE)), 6) + 0 AS fano
 FROM a WHERE n_hours >= 2 ORDER BY event_type
 """,
         # Same algebraic collapse as the Spark side (per-source scalars
@@ -5736,7 +5735,7 @@ x AS (SELECT a.s AS sa, b.s AS sb,
       FROM counts a JOIN counts b USING (w) WHERE a.s <> b.s GROUP BY 1, 2)
 SELECT pa.s AS source_a, pb.s AS source_b,
        ROUND(LN(pb.n + v.vd) - LN(pa.n + v.vd)
-             + (pa.e1 - COALESCE(x.x, 0.0) - pb.lb) / (pa.n + v.vd), 6)
+             + (pa.e1 - COALESCE(x.x, 0.0) - pb.lb) / (pa.n + v.vd), 6) + 0
          AS kl_divergence
 FROM per pa JOIN per pb ON pa.s <> pb.s
 LEFT JOIN x ON x.sa = pa.s AND x.sb = pb.s
@@ -7506,7 +7505,7 @@ ORDER BY est_count DESC, user_id
 """,
         "embedding_covariance": f"""
 WITH {_fixed_cov_ctes()}
-SELECT i, j, ROUND(cov, 6) AS cov FROM cells ORDER BY i, j
+SELECT i, j, ROUND(cov, 6) + 0 AS cov FROM cells ORDER BY i, j
 """,
         "approx_distinct_events_kmv": _kmv_oracle(
             "events", "event_type", "CAST(user_id AS VARCHAR)",

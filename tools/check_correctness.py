@@ -9,6 +9,7 @@ order-insensitive value hash. Usage:
 from __future__ import annotations
 
 import math
+import struct
 import sys
 
 import duckdb
@@ -28,9 +29,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.astype("datetime64[us]").astype("int64")
         elif pd.api.types.is_float_dtype(s):
-            # round for cross-engine float stability, and hold as object
-            # so nulls stay None (a float Series coerces None back to NaN)
-            df[c] = s.round(9).astype(object).where(pd.notna(s), None)
+            # hold as object so nulls stay None (a float Series coerces
+            # None back to NaN). NO rounding: the driver hashes at the
+            # byte/string level, so a replica that pre-rounds is weaker
+            # than the gate (it shipped an -0.0 sign-bit mismatch twice).
+            df[c] = s.astype(object).where(pd.notna(s), None)
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("int64")
         else:
@@ -42,11 +45,23 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def value_hash(df: pd.DataFrame) -> int:
     # None sorts before any value (cube/rollup rows carry NULL keys;
-    # a plain tuple sort raises on None < str)
-    def key(t):
-        return tuple((v is None, "" if v is None else v) for v in t)
+    # a plain tuple sort raises on None < str). Floats are keyed by
+    # their IEEE-754 bit pattern: Python's hash(-0.0) == hash(0.0) and
+    # -0.0 == 0.0, so value-level hashing cannot see sign-of-zero or
+    # NaN-payload differences that the driver's byte-level hash does.
+    # Any total order works for a multiset hash as long as both frames
+    # use the same one, so raw-byte ordering for floats is fine.
+    def cell(v):
+        if v is None:
+            return (True, "")
+        if isinstance(v, float):
+            return (False, struct.pack("<d", v))
+        return (False, v)
 
-    return hash(tuple(sorted(map(tuple, df.itertuples(index=False, name=None)), key=key)))
+    def key(t):
+        return tuple(cell(v) for v in t)
+
+    return hash(tuple(sorted(map(key, df.itertuples(index=False, name=None)))))
 
 
 def main() -> int:
@@ -94,7 +109,14 @@ def main() -> int:
                 detail = ""
                 if ns.shape == no.shape:
                     diff = ns.compare(no)
-                    detail = "; first diffs:\n" + str(diff.head(5))
+                    if diff.empty:
+                        detail = (
+                            "; values compare equal — sign-of-zero (-0.0) or "
+                            "NaN-payload bit difference (normalize the oracle "
+                            "with `ROUND(...) + 0`)"
+                        )
+                    else:
+                        detail = "; first diffs:\n" + str(diff.head(5))
                 problems.append("value hash mismatch" + detail)
         if problems:
             print(f"FAIL  {name}: {'; '.join(str(p) for p in problems)}")
