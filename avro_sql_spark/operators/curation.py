@@ -104,15 +104,21 @@ def quality_shards(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Assign rows to ``n_shards`` quality-ordered shards (shard 1 =
-    best) via NTILE over (score desc, id) — the write-time curriculum /
-    quality-tier pass. The id tiebreak makes the assignment total and
-    deterministic despite heavily tied heuristic scores."""
+    best) with SQL-NTILE semantics over (score desc, id) — the
+    write-time curriculum / quality-tier pass. The id tiebreak makes
+    the assignment total and deterministic despite heavily tied
+    heuristic scores. Assignment is :func:`exact_ntile` (two-pass
+    range-partitioned rank + the NTILE remainder rule), so no task
+    ever holds more than one range partition; the sketch twins
+    (:func:`quality_shards_approx` / :func:`quality_shards_sampled`)
+    trade the exact equal-size guarantee for one fewer pass."""
     from ..functions.text import quality_score
 
     score = quality_score(F.col("text")) if score is None else score
     scored = df.withColumn("quality", score)
-    w = Window.orderBy(F.desc("quality"), F.asc(id_col))
-    return scored.withColumn("shard", F.ntile(n_shards).over(w))
+    return exact_ntile(
+        scored, [F.desc("quality"), F.asc(id_col)], n_shards, out_col="shard"
+    )
 
 
 def quality_shards_approx(
@@ -615,12 +621,24 @@ def global_rank(
     ties unbroken, ranks at partition boundaries would be
     nondeterministic. Scale: no task ever sorts more than one range
     partition; the only global structure is the partitions-row offset
-    frame on the driver-side broadcast."""
+    frame on the driver-side broadcast.
+
+    The ranged frame is localCheckpoint-ed (eager) before it forks into
+    the rank branch and the offsets branch. This is correctness, not an
+    optimization: ``repartitionByRange`` SAMPLES its partition
+    boundaries, and when the two branches don't hit Catalyst's
+    exchange-reuse (any payload column beyond the order keys makes the
+    pruned subtrees differ), each branch re-executes the range shuffle
+    with independently sampled boundaries — offsets counted from one
+    shuffle get added to partition-ranks from the other, corrupting the
+    global rank near every boundary. Pinning one materialization makes
+    both branches read the same partitioning."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     d = (
         df.repartitionByRange(n, *order_exprs)
         .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("_pid").orderBy(*order_exprs)
     d = d.withColumn("_rn", F.row_number().over(w))
@@ -644,6 +662,41 @@ def global_rank(
         d.join(F.broadcast(offsets), "_pid")
         .withColumn(rank_col, F.col("_off") + F.col("_rn"))
         .drop("_pid", "_rn", "_off")
+    )
+
+
+def exact_ntile(
+    df: DataFrame,
+    order_exprs: list,
+    n: int,
+    out_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """SQL-standard ``NTILE(n)`` over a TOTAL order without the
+    single-partition window ``ntile().over(Window.orderBy(...))`` costs:
+    exact rank via :func:`global_rank` (two-pass range-partitioned),
+    then the standard remainder rule — the first ``n_rows mod n`` tiles
+    carry one extra row — as integer arithmetic on the rank
+    (``ceil(a/b)`` = ``floor((a+b-1)/b)``), bit-identical to the
+    engine's NTILE for any (n_rows, n). The caller must pass a total
+    order (unique tiebreak) for a deterministic assignment. One extra
+    count pass over ``df`` supplies n_rows (broadcast, 1 row)."""
+    ranked = global_rank(
+        df, order_exprs, rank_col="_nt_r", num_partitions=num_partitions
+    )
+    cnt = df.agg(F.count(F.lit(1)).alias("_nt_n"))
+    k = F.lit(n).cast("long")
+    q = F.floor(F.col("_nt_n") / k).cast("long")
+    rem = (F.col("_nt_n") % k).cast("long")
+    big = (q + F.lit(1)) * rem
+    r = F.col("_nt_r")
+    tile = F.when(r <= big, F.floor((r + q) / (q + F.lit(1)))).otherwise(
+        rem + F.floor((r - big + q - F.lit(1)) / q)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cnt))
+        .withColumn(out_col, tile.cast("int"))
+        .drop("_nt_r", "_nt_n")
     )
 
 

@@ -593,26 +593,53 @@ def scc_labels(
     closure. Each doubling round is one self-equi-join + distinct
     (localCheckpoint keeps the plan shallow), and the fixed round count
     makes the result a closed-form function of the edge list that a
-    bounded recursive CTE replays exactly."""
+    bounded recursive CTE replays exactly.
+
+    A too-small ``rounds`` fails LOUDLY: each round's row count is
+    compared to the previous (checkpointed frames make the count free),
+    the loop exits early on convergence, and if the final round still
+    added rows one extra verification hop runs — growth there raises
+    ``ValueError`` instead of silently under-merging components (the
+    failure mode of any fixed-round closure on a graph whose
+    reachability diameter exceeds 2**rounds)."""
+
+    def _hop(r: DataFrame) -> DataFrame:
+        # the closure frame is bounded by the label-graph's reachable
+        # pairs (the precondition of this operator) and a checkpointed
+        # frame has no stats for AQE to size — broadcast explicitly so
+        # the doubling join never degrades to a sort-merge join
+        return (
+            r.alias("a")
+            .join(F.broadcast(r.alias("b")), F.col("a.d") == F.col("b.s"))
+            .select(F.col("a.s").alias("s"), F.col("b.d").alias("d"))
+        )
+
     reach = (
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
         .distinct()
         .localCheckpoint()
     )
+    prev = reach.count()
+    converged = False
     for _ in range(rounds):
-        # the closure frame is bounded by the label-graph's reachable
-        # pairs (the precondition of this operator) and a checkpointed
-        # frame has no stats for AQE to size — broadcast explicitly so
-        # the doubling join never degrades to a sort-merge join
-        hop = (
-            reach.alias("a")
-            .join(F.broadcast(reach.alias("b")), F.col("a.d") == F.col("b.s"))
-            .select(F.col("a.s").alias("s"), F.col("b.d").alias("d"))
-        )
-        nxt = reach.unionByName(hop).distinct().localCheckpoint()
+        nxt = reach.unionByName(_hop(reach)).distinct().localCheckpoint()
         reach.unpersist()
         reach = nxt
+        cnt = reach.count()
+        if cnt == prev:
+            converged = True
+            break
+        prev = cnt
+    if not converged:
+        grown = reach.unionByName(_hop(reach)).distinct().count()
+        if grown != prev:
+            raise ValueError(
+                f"scc_labels: transitive closure still growing after "
+                f"{rounds} doubling rounds ({prev} -> {grown} pairs); "
+                f"the graph's reachability diameter exceeds 2**{rounds} "
+                f"— raise `rounds`"
+            )
     nodes = (
         reach.select(F.col("s").alias("node"))
         .unionByName(reach.select(F.col("d").alias("node")))
@@ -709,7 +736,15 @@ def markov_stationary(
     like scc_labels). Fixed rounds + exact-division probabilities make
     the result a closed-form expression the oracle unrolls; per-node
     sums are ≤states float terms per round, sub-ulp drift absorbed by
-    the 6dp round."""
+    the 6dp round.
+
+    Precondition (checked, raises ``ValueError``): every ``dst`` state
+    must also appear as a ``src`` — a dst-only (absorbing/dangling)
+    state would RECEIVE mass one round and silently drop it the next
+    (its row has no outgoing match), so the returned π would neither
+    sum to 1 nor be stationary. Chains with absorbing states need a
+    dangling-mass redistribution like personalized_pagerank's, which is
+    a different operator contract."""
     # checkpoint the (bounded) transition frame: 8 unrolled rounds each
     # consume it, and an uncheckpointed upstream (lag window + two
     # aggregates) would re-derive per round — a 50-exchange plan for a
@@ -718,6 +753,19 @@ def markov_stationary(
         F.col(src_col).alias("s"), F.col(dst_col).alias("d"), F.col(p_col).alias("p")
     ).localCheckpoint(eager=True)
     nodes = t.select(F.col("s").alias("node")).distinct()
+    dangling = (
+        t.select(F.col("d").alias("node"))
+        .distinct()
+        .join(nodes, "node", "left_anti")
+        .count()
+    )
+    if dangling:
+        raise ValueError(
+            f"markov_stationary: {dangling} state(s) appear only as dst "
+            "(no outgoing transitions) — their probability mass would "
+            "silently drain each iteration; add self-loops or use a "
+            "dangling-mass redistribution (personalized_pagerank)"
+        )
     n = nodes.count()
     pi = nodes.select("node", F.lit(1.0 / n).alias("pi"))
     for _ in range(iterations):

@@ -145,14 +145,16 @@ def skipping_report(
     file must be scanned iff its [min, max] box intersects the
     predicate rectangle — exactly the parquet footer-stats test.
 
-    Scale shape: file assignment is NTILE over the layout key — a
-    global sort, fine for an AUDIT run on a table sample (cap the input
-    with .limit / .sample upstream; zorder_write itself uses
-    range-repartition, never a global sort). Everything downstream of
-    the per-file min/max aggregate is arithmetic on n_files x grid^2
-    rows — driver-negligible, oracle-replayable (the z-value is the
-    same integer interleave as :func:`zvalue`)."""
-    from pyspark.sql import Window
+    Scale shape: file assignment is :func:`curation.exact_ntile` — SQL
+    NTILE semantics from a two-pass range-partitioned rank, so no task
+    ever sorts more than one range partition (the old form was
+    ``ntile().over(Window.orderBy(...))`` — the whole projection through
+    ONE task per layout, the classic 100x scale killer). Everything
+    downstream of the per-file min/max aggregate is arithmetic on
+    n_files x grid^2 rows — driver-negligible, oracle-replayable (the
+    z-value is the same integer interleave as :func:`zvalue`, and the
+    NTILE remainder rule is replayed bit-exactly)."""
+    from .curation import exact_ntile
 
     if len(cols) != 2:
         raise ValueError("skipping_report audits exactly two columns")
@@ -178,10 +180,14 @@ def skipping_report(
     keys = {"linear": ["x", "tb"], "zorder": ["__z", "tb"], "hilbert": ["__hv", "tb"]}
     parts = []
     for name in layouts:
-        w = Window.orderBy(*[F.col(k) for k in keys[name]])
+        proj = base.select(
+            *dict.fromkeys(["x", "y", *keys[name]])  # dedup (linear keys on x)
+        )
+        assigned = exact_ntile(
+            proj, [F.col(k) for k in keys[name]], n_files, out_col="f"
+        )
         files = (
-            base.select("x", "y", F.ntile(n_files).over(w).alias("f"))
-            .groupBy("f")
+            assigned.groupBy("f")
             .agg(F.min("x").alias("mnx"), F.max("x").alias("mxx"),
                  F.min("y").alias("mny"), F.max("y").alias("mxy"))
         )

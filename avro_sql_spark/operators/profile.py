@@ -600,11 +600,13 @@ def grouped_winsorized_stats(
     equal-width bucket counts — a bounded (groups × buckets)-row frame
     — with a cumulative window ON THAT FRAME locating each rank's
     bucket and offset; then only the target buckets' rows are re-read
-    and the offset-th smallest inside each is selected. A naive
+    and the offset-th smallest inside each is selected by a rank window
+    scoped to the bucket (a spillable task sort of ~n_group/buckets
+    rows — 1024x smaller than the group). A naive
     ``row_number().over(partitionBy(group).orderBy(value))`` funnels
     each group through ONE sorting task — billions of rows per group at
-    100 TB; this shuffles ≤ groups·buckets counter rows plus the target
-    buckets.
+    100 TB; here the largest single-task unit is one bucket, and the
+    bucketing recurses mechanically if even that is too large.
 
     The winsorized mean accumulates ROUND(clamped, 6) in DECIMAL(38,6)
     — exact and order-free (the incremental_agg_merge pattern), so the
@@ -670,15 +672,25 @@ def grouped_winsorized_stats(
             "g", "b", "which", (F.col("k") - F.col("cum_before")).alias("off")
         )
     )
+    # the off-th smallest inside each target bucket via a rank window
+    # RESTRICTED to that bucket: the sort is a normal spillable task
+    # sort with O(1) state per row — NOT collect_list, which would
+    # materialize the whole bucket (~n_group/buckets values) as one
+    # in-memory array row. Ties in v permute only equal values, so the
+    # off-th smallest is deterministic either way. At extreme group
+    # sizes (bucket >> task memory) recurse the bucketing one more
+    # level before this step; a 1024-way split already leaves ~1e6 rows
+    # per bucket at 1e9 rows/group — a routine sort task.
     th_vals = (
         b.join(F.broadcast(target), ["g", "b"])
-        .groupBy("g", "which", "off")
-        .agg(F.sort_array(F.collect_list("v")).alias("vs"))
-        .select(
-            "g",
-            "which",
-            F.element_at("vs", F.col("off").cast("int")).alias("tv"),
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("g", "b", "which").orderBy("v")
+            ),
         )
+        .filter(F.col("_rn") == F.col("off"))
+        .select("g", "which", F.col("v").alias("tv"))
     )
     th = th_vals.groupBy("g").pivot("which", ["lo", "hi"]).agg(F.first("tv"))
     clamped = src.join(F.broadcast(th), "g").select(
@@ -937,10 +949,15 @@ def seasonal_naive_backtest(
     averages per-row rationals (rounded at 6dp, same convention as the
     LM scorers)."""
     h = F.date_trunc("hour", F.col(ts_col)).alias("h")
+    # the groups x hours count frame feeds both join sides; a bounded
+    # internal frame the caller never receives, so localCheckpoint
+    # (eager) per the markov_stationary convention — cache() here would
+    # leak session storage on every invocation (the caller has no
+    # handle to unpersist)
     counts = (
         df.groupBy(F.col(group_col).alias("g"), h)
         .agg(F.count(F.lit(1)).alias("c"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     base = counts.select(
         F.col("g"),

@@ -1051,13 +1051,16 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15-style: the supplier(s) with maximum revenue in one
-    quarter. The MAX scalar subquery is expressed as rank()==1 over the
-    per-supplier aggregate: a MAX-subquery formulation made Spark
-    recompute the aggregate branch (no exchange reuse → lineitem scanned
-    twice), while the rank window reuses the single aggregate — one fact
-    scan, and the global window only ever sees |suppliers| tiny rows.
-    rank() keeps ties, and exact decimals order identically in both
-    engines."""
+    quarter. The MAX scalar subquery is an argmax-by-filter: the
+    per-supplier aggregate (bounded by |suppliers|) is localCheckpointed
+    once — a naive MAX-subquery formulation made Spark recompute the
+    aggregate branch (column pruning defeats exchange reuse → lineitem
+    scanned twice) — then the 1-row MAX broadcasts back as an equality
+    filter. One fact scan, NO global window at all (rank()==1 over
+    Window.orderBy sorted |suppliers| rows through one task — the frame
+    grows linearly with SF; the repo's own argmax-aggregate rule).
+    The equality filter keeps ties, and exact decimals compare
+    identically in both engines."""
     t = load_tables(spark, sf_dir, register=False)
     rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
         F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
@@ -1070,11 +1073,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(F.sum(rev).alias("total_rev_dec"))
+        .localCheckpoint(eager=True)
     )
-    w = Window.orderBy(F.desc("total_rev_dec"))
+    mx = revenue.agg(F.max("total_rev_dec").alias("_mx"))
     return (
-        revenue.withColumn("rk", F.rank().over(w))
-        .filter(F.col("rk") == 1)
+        revenue.join(F.broadcast(mx), F.col("total_rev_dec") == F.col("_mx"))
+        .drop("_mx")
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", F.col("total_rev_dec").cast("double").alias("total_revenue"))
         .orderBy("s_suppkey")

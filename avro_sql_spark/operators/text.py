@@ -717,23 +717,24 @@ def zipf_fit(
 
     Scale shape: the token-frequency table is one partial-aggregated
     shuffle over the corpus; everything after runs on the VOCAB table
-    (≪ corpus — a few million rows at 100 TB). Ranking is a global sort
-    of that vocab table only (range-partitioned, never the corpus), and
-    the regression is a single commutative aggregate (regr_slope /
+    (≪ corpus — but itself 10⁸–10⁹ terms at 100 TB, so ranking uses
+    :func:`~avro_sql_spark.operators.curation.global_rank`'s two-pass
+    range-partition device, never a single-task
+    ``row_number().over(Window.orderBy(...))`` of the vocabulary). The
+    regression is a single commutative aggregate (regr_slope /
     regr_intercept / regr_r2 are mergeable moment sums). Tied counts
     get distinct ranks via the token tie-break, which leaves the fitted
     line unchanged — equal counts contribute the same y for whichever
     rank permutation — so the result is deterministic. Rounded to
     ``round_to`` (4) decimals so moment-sum ordering differences across
     engines cannot flip a rounding boundary."""
+    from .curation import global_rank
+
     toks = docs.select(F.explode(T.word_tokens(F.col(text_col))).alias("token"))
     freqs = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    ranked = freqs.select(
-        "c",
-        F.row_number()
-        .over(Window.orderBy(F.desc("c"), F.asc("token")))
-        .alias("rank"),
-    )
+    ranked = global_rank(
+        freqs, [F.desc("c"), F.asc("token")], rank_col="rank"
+    ).select("c", "rank")
     ln_c, ln_r = F.log("c"), F.log("rank")
     return ranked.agg(
         F.count(F.lit(1)).alias("vocab_size"),
