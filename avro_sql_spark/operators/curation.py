@@ -1126,3 +1126,68 @@ def negative_sampling_table(
         F.round(wsum / F.col("tot"), 9).alias("cum_lo"),
         F.round((wsum + F.col("wt")) / F.col("tot"), 9).alias("cum_hi"),
     ).orderBy(F.desc("count"), F.asc("term"))
+
+
+def doremi_weights(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    temperature: float = 0.1,
+) -> DataFrame:
+    """DoReMi-lite domain reweighting (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    reduced to its one-round statistical core): each source's mixture
+    weight grows exponentially with its EXCESS negative-log-likelihood
+    over the corpus baseline — up-weight the domains the reference
+    model finds hardest, the bandit step DoReMi iterates. Reports per
+    source: docs, mean NLL, excess, and the normalized weight.
+
+    The per-doc score is the unigram-LM mean ln p
+    (:func:`~avro_sql_spark.operators.text.unigram_logprob_scores` —
+    the same corpus-MLE, no-smoothing contract, already 6dp-rounded),
+    so this composes an existing oracled primitive. Per-source means
+    accumulate the rounded per-doc scores in DECIMAL(38,6)
+    (order-free); excess = max(0, nll_s - nll_corpus) on those exact
+    decimals; weights are exp(excess/T) terms rounded to 9dp and
+    DECIMAL-summed, so the softmax normalizer is order-free too."""
+    from .text import unigram_logprob_scores
+
+    scored = unigram_logprob_scores(
+        docs, id_col=id_col, text_col=text_col
+    ).join(docs.select(F.col(id_col), F.col(source_col).alias("src")), id_col)
+    dec = F.col("logprob_mean").cast("decimal(38,6)")
+    per_src = scored.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(dec).alias("s_lp")
+    )
+    corpus = scored.agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum(dec).alias("s_all")
+    )
+    nll_s = -(F.col("s_lp").cast("double") / F.col("n_docs"))
+    nll_ref = -(F.col("s_all").cast("double") / F.col("n_all"))
+    exc = F.round(
+        F.greatest(F.lit(0.0), F.round(nll_s, 6) - F.round(nll_ref, 6)), 6
+    )
+    terms = per_src.crossJoin(F.broadcast(corpus)).select(
+        "src",
+        "n_docs",
+        F.round(nll_s, 6).alias("nll"),
+        exc.alias("excess_nll"),
+        F.round(F.exp(exc / F.lit(temperature)), 9)
+        .cast("decimal(38,9)")
+        .alias("e"),
+    )
+    tot = terms.agg(F.sum("e").alias("te"))
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("src").alias(source_col),
+            "n_docs",
+            "nll",
+            "excess_nll",
+            F.round(F.col("e").cast("double") / F.col("te").cast("double"), 6).alias(
+                "weight"
+            ),
+        )
+        .orderBy(source_col)
+    )

@@ -776,3 +776,62 @@ def markov_stationary(
             .agg(F.sum("m").alias("pi"))
         )
     return pi.select("node", F.round("pi", 6).alias("pi")).orderBy("node")
+
+
+def link_prediction_topk(
+    edges: DataFrame,
+    top_k: int = 50,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Link-prediction candidate scores for an undirected graph
+    (symmetric edge list, copurchase_edges' contract): for every
+    NON-adjacent node pair sharing >= 1 neighbor, the common-neighbor
+    count and the Adamic–Adar index Σ_z 1/ln(deg(z)) (Adamic & Adar
+    2003) — the classic "products bought together next quarter" /
+    recommendation-candidate generator. Top-k by (adamic_adar desc, a,
+    b).
+
+    Shape: candidate pairs come from one self-equi-join of the edge
+    list ON THE SHARED NEIGHBOR (wedges z: a–z–b, a < b) — never an
+    all-pairs product; the degree frame joins broadcast; existing edges
+    leave via left_anti. Each wedge's 1/ln(deg z) term is rounded and
+    accumulated in DECIMAL(38,6), so the per-pair sum is order-free and
+    a SQL engine replays it exactly (deg(z) >= 2 for any common
+    neighbor, so ln never hits 0). The hub-wedge blowup (Σ deg²) is the
+    same bound triangle_count documents; cap hub degrees upstream for
+    celebrity-vertex graphs."""
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    deg = e.groupBy(F.col("s").alias("z")).agg(F.count(F.lit(1)).alias("deg"))
+    wedges = (
+        e.select(F.col("d").alias("z"), F.col("s").alias("a"))
+        .join(e.select(F.col("s").alias("z"), F.col("d").alias("b")), "z")
+        .filter(F.col("a") < F.col("b"))
+    )
+    scored = (
+        wedges.join(F.broadcast(deg), "z")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum(
+                F.round(F.lit(1.0) / F.log(F.col("deg").cast("double")), 9).cast(
+                    "decimal(38,9)"
+                )
+            ).alias("aa_dec"),
+        )
+    )
+    candidates = scored.join(
+        e.select(F.col("s").alias("a"), F.col("d").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    return (
+        candidates.select(
+            "a",
+            "b",
+            "common_neighbors",
+            F.round(F.col("aa_dec").cast("double"), 6).alias("adamic_adar"),
+        )
+        .orderBy(F.desc("adamic_adar"), F.asc("a"), F.asc("b"))
+        .limit(top_k)
+    )

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def interleave_bits(cols: list[Column], bits: int = 16) -> Column:
@@ -327,3 +328,244 @@ def compaction_plan(
         )
         .orderBy("bin")
     )
+
+
+def key_locality_report(
+    df: DataFrame,
+    key_col: str,
+    other_col: str,
+    tiebreak_col: str,
+    n_files: int = 32,
+    bits: int = 16,
+    bloom_bits_per_key: int = 10,
+    bloom_hashes: int = 7,
+) -> DataFrame:
+    """Point-lookup locality audit: for each candidate layout, how many
+    of ``n_files`` does a single-key lookup actually touch? Reports per
+    layout: files containing an average key (exact containment — the
+    file count a perfectly-sharp index pays), the worst key, and the
+    expected extra files a per-file BLOOM filter fails to skip (the
+    standard parquet/ORC bloom with ``bloom_bits_per_key`` m/n and
+    ``bloom_hashes`` k: fpr = (1 - exp(-k*n/m))^k per file).
+
+    Layouts: ``linear_key`` (clustered by the lookup key — containment
+    ~1 file), ``linear_other`` (clustered by an unrelated column — the
+    key smears everywhere), ``zorder`` (the compromise that keeps BOTH
+    range scans and point lookups bounded). File assignment is
+    :func:`curation.exact_ntile` (two-pass, no single-task sort);
+    containment counts are exact integers; per-key means accumulate in
+    DECIMAL; the bloom fpr uses exp/ln doubles on exact integer counts
+    (the kaplan_meier-proven cross-engine pair). The metadata frames
+    are n_files- and n_keys-bounded."""
+    from .curation import exact_ntile
+
+    z = zvalue(df, [key_col, other_col], bits).alias("__z")
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.col(other_col).cast("double").alias("o"),
+        z,
+        F.col(tiebreak_col).alias("tb"),
+    )
+    keys = {
+        "linear_key": ["k", "tb"],
+        "linear_other": ["o", "tb"],
+        "zorder": ["__z", "tb"],
+    }
+    parts = []
+    for name, ks in keys.items():
+        assigned = exact_ntile(
+            base.select(*dict.fromkeys(["k", *ks])),
+            [F.col(c) for c in ks],
+            n_files,
+            out_col="f",
+        )
+        per_file = assigned.groupBy("f").agg(
+            F.countDistinct("k").alias("nk")
+        )
+        # per-file bloom fpr on exact distinct-key counts; m sized by the
+        # AVERAGE file's key count (one filter budget per file)
+        m = F.lit(float(bloom_bits_per_key)) * F.col("nk").cast("double")
+        fpr = F.pow(
+            F.lit(1.0)
+            - F.exp(
+                F.lit(float(-bloom_hashes)) * F.col("nk").cast("double") / m
+            ),
+            F.lit(float(bloom_hashes)),
+        )
+        blooms = per_file.agg(
+            F.count(F.lit(1)).alias("nf"),
+            F.sum(F.round(fpr, 9).cast("decimal(38,9)")).alias("s_fpr"),
+        )
+        containment = (
+            assigned.groupBy("k")
+            .agg(F.countDistinct("f").alias("cf"))
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("cf").alias("s_cf"),
+                F.max("cf").alias("max_files_per_key"),
+            )
+        )
+        parts.append(
+            containment.crossJoin(F.broadcast(blooms)).select(
+                F.lit(name).alias("layout"),
+                F.lit(n_files).alias("n_files"),
+                "n_keys",
+                F.round(F.col("s_cf").cast("double") / F.col("n_keys"), 6).alias(
+                    "avg_files_per_key"
+                ),
+                "max_files_per_key",
+                F.round(
+                    (F.col("nf").cast("double") - F.col("s_cf").cast("double") / F.col("n_keys"))
+                    * (F.col("s_fpr").cast("double") / F.col("nf")),
+                    6,
+                ).alias("expected_bloom_fp_files"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("layout")
+
+
+def file_overlap_depth(
+    df: DataFrame,
+    ingest_col: str,
+    sort_col: str,
+    tiebreak_col: str,
+    n_files: int = 32,
+) -> DataFrame:
+    """LSM-style overlap audit: when files are cut by INGEST order, how
+    many files' [min, max] ranges over ``sort_col`` stack on top of each
+    other (the number of files a merging reader — or a compactor — must
+    open at once)? Reports per layout (``ingest`` vs ``sorted``):
+    max overlap depth and the mean depth at file starts. ``sorted``
+    is the after-compaction baseline (depth ~1); the gap between the
+    two rows is the compaction payoff, measured before running it.
+
+    Sweep-line on the 2*n_files boundary METADATA rows: +1 at each
+    file's min, -1 after its max, running sum ordered by (value, close
+    flag, file id) — closes sort before opens at ties via the flag, so
+    touching-but-not-overlapping boxes don't count as stacked. The
+    running sum's unpartitioned window is n_files-bounded (frozen in
+    the plan budget's global_windows metric); file assignment is
+    :func:`curation.exact_ntile`."""
+    from .curation import exact_ntile
+
+    base = df.select(
+        F.col(ingest_col).alias("ing"),
+        F.col(sort_col).cast("double").alias("v"),
+        F.col(tiebreak_col).alias("tb"),
+    )
+    keys = {"ingest": ["ing", "tb"], "sorted": ["v", "tb"]}
+    parts = []
+    for name, ks in keys.items():
+        boxes = (
+            exact_ntile(base, [F.col(c) for c in ks], n_files, out_col="f")
+            .groupBy("f")
+            .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        )
+        events = boxes.select(
+            F.col("mn").alias("val"), F.lit(0).alias("closing"),
+            F.col("f"), F.lit(1).alias("delta"),
+        ).unionByName(
+            boxes.select(
+                F.col("mx").alias("val"), F.lit(1).alias("closing"),
+                F.col("f"), F.lit(-1).alias("delta"),
+            )
+        )
+        w = (
+            Window.orderBy("val", F.desc("closing"), "f")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        depth = events.select(
+            "closing", F.sum("delta").over(w).alias("d")
+        )
+        parts.append(
+            depth.filter(F.col("closing") == 0)
+            .agg(
+                F.max("d").alias("max_overlap_depth"),
+                F.sum("d").alias("sd"),
+                F.count(F.lit(1)).alias("nf"),
+            )
+            .select(
+                F.lit(name).alias("layout"),
+                F.lit(n_files).alias("n_files"),
+                F.col("max_overlap_depth").cast("int").alias("max_overlap_depth"),
+                F.round(F.col("sd").cast("double") / F.col("nf"), 6).alias(
+                    "avg_depth_at_open"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("layout")
+
+
+def cow_rewrite_plan(
+    df: DataFrame,
+    key_col: str,
+    other_col: str,
+    tiebreak_col: str,
+    n_files: int = 32,
+    update_rate: float = 0.01,
+    salt: str = "cow",
+) -> DataFrame:
+    """Copy-on-write amplification audit: given a deterministic ~1%
+    update batch keyed by ``key_col``, how many files must a COW table
+    rewrite, and how many untouched rows ride along? Reports per
+    layout (clustered ``by_key`` vs ``by_other``): updated rows, files
+    touched, rows rewritten, and write amplification (rows rewritten /
+    rows updated) — the number that decides merge-on-read vs
+    copy-on-write, or a re-cluster before the backfill.
+
+    The update set is an md5 hash-lottery on the key
+    (:func:`curation.hash_unit` — reproducible across engines); file
+    assignment is :func:`curation.exact_ntile`; rewritten rows = the
+    exact row counts of touched files (integer sums). Everything after
+    assignment runs on n_files-bounded metadata."""
+    from .curation import exact_ntile, hash_unit
+
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.col(other_col).cast("double").alias("o"),
+        F.col(tiebreak_col).alias("tb"),
+    )
+    upd = F.col("is_upd")
+    keys = {"by_key": ["k", "tb"], "by_other": ["o", "tb"]}
+    parts = []
+    for name, ks in keys.items():
+        assigned = exact_ntile(
+            base, [F.col(c) for c in ks], n_files, out_col="f"
+        ).withColumn(
+            "is_upd", (hash_unit(F.col("k"), salt) < F.lit(update_rate)).cast("long")
+        )
+        per_file = assigned.groupBy("f").agg(
+            F.count(F.lit(1)).alias("rows"), F.sum(upd).alias("n_upd")
+        )
+        parts.append(
+            per_file.agg(
+                F.sum("n_upd").alias("rows_updated"),
+                F.sum(F.when(F.col("n_upd") > 0, 1).otherwise(0)).alias(
+                    "files_touched"
+                ),
+                F.sum(F.when(F.col("n_upd") > 0, F.col("rows")).otherwise(0)).alias(
+                    "rows_rewritten"
+                ),
+            ).select(
+                F.lit(name).alias("layout"),
+                F.lit(n_files).alias("n_files"),
+                F.col("rows_updated").cast("bigint").alias("rows_updated"),
+                F.col("files_touched").cast("bigint").alias("files_touched"),
+                F.col("rows_rewritten").cast("bigint").alias("rows_rewritten"),
+                F.round(
+                    F.col("rows_rewritten").cast("double")
+                    / F.col("rows_updated"),
+                    6,
+                ).alias("write_amplification"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("layout")

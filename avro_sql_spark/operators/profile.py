@@ -1399,3 +1399,346 @@ def weekday_hour_profile(
         )
         .orderBy("weekday", "hour")
     )
+
+
+def mutual_information_report(
+    df: DataFrame,
+    x_col: str = "event_type",
+    y_expr: Column | None = None,
+    y_name: str = "weekday",
+) -> DataFrame:
+    """Mutual information between two categorical columns — the
+    feature-selection / drift measurement (how much does knowing the
+    weekday tell you about the event mix?) reported with its companion
+    entropies: one row (n, h_x, h_y, h_xy, mi_nats, mi_normalized),
+    where mi_normalized = MI / min(H(X), H(Y)) in [0, 1].
+
+    Shape: ONE groupBy on the (x, y) cell — the marginals are exact
+    integer sums over the bounded |X|x|Y| cell frame (never a second
+    data scan), and every entropy is assembled from Σ c·ln(c) terms:
+    each term is rounded and accumulated in DECIMAL(38,6), so the sums
+    are order-free and DuckDB replays them exactly. H via the identity
+    H = ln(n) - (Σ c ln c)/n (user_entropy's device); MI =
+    H(X) + H(Y) - H(X,Y)."""
+    y = y_expr if y_expr is not None else F.dayofweek("ts")
+    cells = (
+        df.groupBy(F.col(x_col).alias("x"), y.alias("y"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # bounded |X|x|Y| frame, 3 consumers
+    )
+    clc = F.round(
+        F.col("c").cast("double") * F.log(F.col("c").cast("double")), 6
+    ).cast("decimal(38,6)")
+
+    def h_of(grouped: DataFrame) -> DataFrame:
+        return grouped.agg(
+            F.sum("c").alias("n"), F.sum(clc).alias("sclc")
+        )
+
+    hx = h_of(cells.groupBy("x").agg(F.sum("c").alias("c")).groupBy())
+    hy = h_of(cells.groupBy("y").agg(F.sum("c").alias("c")).groupBy())
+    hxy = h_of(cells.groupBy())
+    ent = lambda n, s: F.log(n.cast("double")) - s.cast("double") / n  # noqa: E731
+    joined = (
+        hxy.select(
+            F.col("n"), ent(F.col("n"), F.col("sclc")).alias("h_xy")
+        )
+        .crossJoin(hx.select(ent(F.col("n"), F.col("sclc")).alias("h_x")))
+        .crossJoin(hy.select(ent(F.col("n"), F.col("sclc")).alias("h_y")))
+    )
+    mi = F.col("h_x") + F.col("h_y") - F.col("h_xy")
+    return joined.select(
+        F.col("n").cast("bigint").alias("n"),
+        (F.round(F.col("h_x"), 6) + F.lit(0.0)).alias("h_x"),
+        (F.round(F.col("h_y"), 6) + F.lit(0.0)).alias("h_y"),
+        (F.round(F.col("h_xy"), 6) + F.lit(0.0)).alias("h_xy"),
+        (F.round(mi, 6) + F.lit(0.0)).alias("mi_nats"),
+        (F.round(mi / F.least(F.col("h_x"), F.col("h_y")), 6) + F.lit(0.0)).alias(
+            "mi_normalized"
+        ),
+    )
+
+
+def cuped_adjusted_lift(
+    events: DataFrame,
+    assign_salt: str = "cuped",
+    split_ts: str = "2024-01-08 00:00:00",
+) -> DataFrame:
+    """CUPED variance-reduced A/B lift (Deng et al. 2013, "Improving the
+    Sensitivity of Online Controlled Experiments by Utilizing
+    Pre-Experiment Data"): per-user PRE-period activity (events before
+    ``split_ts``) is the control covariate for the POST-period metric;
+    theta = cov(X, Y)/var(X) pooled over both arms, each user's
+    adjusted metric is y - theta*(x - mean(x)), and the reported lift
+    is the difference of adjusted arm means with the variance-reduction
+    factor (1 - rho^2).
+
+    Arms are a deterministic md5 lottery on user_id (hash_unit — the
+    engine-portable assignment every split/sample op here uses). All
+    moments are EXACT integer sums (counts per user per period), so
+    theta/rho/lift are closed-form double arithmetic on identical
+    integers in both engines; outputs rounded at 6dp and -0.0-normalized
+    (lift and theta can be tiny negatives)."""
+    from .curation import hash_unit
+
+    cut = F.lit(split_ts).cast("timestamp_ntz")
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.sum((F.col("ts") < cut).cast("long")).alias("x"),
+            F.sum((F.col("ts") >= cut).cast("long")).alias("y"),
+        )
+        .withColumn(
+            "arm",
+            F.when(hash_unit(F.col("user_id"), assign_salt) < 0.5, "A").otherwise(
+                "B"
+            ),
+        )
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = F.col("sxy").cast("double") / nd - (
+        F.col("sx").cast("double") / nd
+    ) * (F.col("sy").cast("double") / nd)
+    varx = F.col("sxx").cast("double") / nd - (
+        F.col("sx").cast("double") / nd
+    ) * (F.col("sx").cast("double") / nd)
+    vary = F.col("syy").cast("double") / nd - (
+        F.col("sy").cast("double") / nd
+    ) * (F.col("sy").cast("double") / nd)
+    theta = cov / varx
+    meanx = F.col("sx").cast("double") / nd
+    moments = m.select(
+        "n", theta.alias("theta"), meanx.alias("mean_x"),
+        (cov * cov / (varx * vary)).alias("rho2"),
+    )
+    arms = (
+        per_user.crossJoin(F.broadcast(moments))
+        .select(
+            "arm",
+            F.round(
+                F.col("y").cast("double")
+                - F.col("theta") * (F.col("x").cast("double") - F.col("mean_x")),
+                6,
+            )
+            .cast("decimal(38,6)")
+            .alias("adj"),
+            F.col("y").cast("long").alias("yl"),
+        )
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("adj").alias("s_adj"),
+            F.sum("yl").alias("s_y"),
+        )
+    )
+    a = arms.filter(F.col("arm") == "A").select(
+        F.col("n_users").alias("n_a"), F.col("s_adj").alias("adj_a"),
+        F.col("s_y").alias("y_a"),
+    )
+    b = arms.filter(F.col("arm") == "B").select(
+        F.col("n_users").alias("n_b"), F.col("s_adj").alias("adj_b"),
+        F.col("s_y").alias("y_b"),
+    )
+    return (
+        a.crossJoin(b)
+        .crossJoin(F.broadcast(moments.select("theta", "rho2")))
+        .select(
+            "n_a",
+            "n_b",
+            (F.round(F.col("theta"), 6) + F.lit(0.0)).alias("theta"),
+            (
+                F.round(
+                    F.col("y_b").cast("double") / F.col("n_b")
+                    - F.col("y_a").cast("double") / F.col("n_a"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("raw_lift"),
+            (
+                F.round(
+                    F.col("adj_b").cast("double") / F.col("n_b")
+                    - F.col("adj_a").cast("double") / F.col("n_a"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cuped_lift"),
+            (F.round(F.lit(1.0) - F.col("rho2"), 6) + F.lit(0.0)).alias(
+                "variance_ratio"
+            ),
+        )
+    )
+
+
+def theilsen_trend(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Theil–Sen trend estimate per group over the hourly event-count
+    series: the MEDIAN of all pairwise slopes (c_j - c_i)/(h_j - h_i) —
+    the robust trend line (up to ~29% outlier contamination) that OLS
+    on bursty ops series cannot give. Reported per group: n_hours,
+    n_pairs, and the slope in events/hour.
+
+    Shape: the pairwise frame is built from the BOUNDED hours-per-group
+    count series (time-bounded — never data rows; 30 days = 720 hours =
+    260k pairs per group), via one self-equi-join on the group key. The
+    median slope is selected by EXACT integer rank over (slope, i, j)
+    — k = (n_pairs+1) DIV 2, the lower median, no interpolation — with
+    a rank window partitioned per group (pairs frame is bounded, and
+    tied slope VALUES make any tie permutation select the same value).
+    Slopes are exact-integer differences divided once — identical
+    doubles in any engine."""
+    hours = (
+        events.groupBy(
+            F.col(group_col).alias("g"),
+            # integer hour index: slopes become int-diff / int-diff — one
+            # double division, bit-identical in any engine
+            F.floor(
+                F.unix_timestamp(F.date_trunc("hour", F.col(ts_col))) / 3600
+            ).cast("long").alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # bounded series; two join consumers
+    )
+    a = hours.select("g", F.col("h").alias("hi"), F.col("c").alias("ci"))
+    b = hours.select("g", F.col("h").alias("hj"), F.col("c").alias("cj"))
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("hj") > F.col("hi"))
+        .select(
+            "g",
+            "hi",
+            "hj",
+            (
+                (F.col("cj") - F.col("ci")).cast("double")
+                / (F.col("hj") - F.col("hi")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("g").orderBy("slope", "hi", "hj")
+    ranked = pairs.withColumn("rk", F.row_number().over(w))
+    counts = pairs.groupBy("g").agg(F.count(F.lit(1)).alias("n_pairs"))
+    nh = hours.groupBy("g").agg(F.count(F.lit(1)).alias("n_hours"))
+    med = (
+        ranked.join(F.broadcast(counts), "g")
+        .filter(F.col("rk") == F.floor((F.col("n_pairs") + 1) / 2).cast("long"))
+        .select("g", "n_pairs", F.col("slope").alias("s"))
+    )
+    return (
+        med.join(F.broadcast(nh), "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_hours",
+            "n_pairs",
+            (F.round(F.col("s"), 6) + F.lit(0.0)).alias("theilsen_slope"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def seasonal_residual_outliers(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Seasonality-adjusted anomaly counts: hourly counts minus the
+    (group, weekday, hour-of-day) seasonal mean, studentized by the
+    per-group residual standard deviation — the detector that does NOT
+    page on every Monday-morning ramp the raw z-score fires on.
+    Reports per group: hours observed, residual SD, outlier hours
+    (|z| > threshold), and the worst absolute z.
+
+    Every moment is assembled from EXACT integer sums: the seasonal
+    mean is a rational (Σc/n per cell), the residual sum-of-squares
+    uses the grouped-ANOVA identity SSE = Σc² - Σ_cells (Σc)²/n_cell
+    (computed per cell in DECIMAL-rounded terms, summed order-free),
+    so both engines derive identical doubles. The hourly frame is
+    time-bounded; the cell frame is 7x24-bounded per group."""
+    hours = (
+        events.groupBy(
+            F.col(group_col).alias("g"),
+            F.date_trunc("hour", F.col(ts_col)).alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "g",
+            "h",
+            "c",
+            F.dayofweek("h").alias("wd"),
+            F.hour("h").alias("hod"),
+        )
+        .localCheckpoint(eager=True)  # bounded hourly series, 3 consumers
+    )
+    cells = hours.groupBy("g", "wd", "hod").agg(
+        F.count(F.lit(1)).alias("n_cell"), F.sum("c").alias("s_cell")
+    )
+    sse_terms = cells.select(
+        "g",
+        F.round(
+            F.col("s_cell").cast("double")
+            * F.col("s_cell").cast("double")
+            / F.col("n_cell"),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("t"),
+    )
+    gstats = (
+        hours.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(F.col("c") * F.col("c")).alias("scc"),
+        )
+        .join(sse_terms.groupBy("g").agg(F.sum("t").alias("st")), "g")
+        .select(
+            "g",
+            "n_hours",
+            F.sqrt(
+                (F.col("scc").cast("double") - F.col("st").cast("double"))
+                / (F.col("n_hours") - F.lit(1)).cast("double")
+            ).alias("sd"),
+        )
+    )
+    resid = (
+        hours.join(cells, ["g", "wd", "hod"])
+        .join(F.broadcast(gstats), "g")
+        .select(
+            "g",
+            (
+                F.abs(
+                    F.col("c").cast("double")
+                    - F.col("s_cell").cast("double") / F.col("n_cell")
+                )
+                / F.col("sd")
+            ).alias("absz"),
+        )
+    )
+    return (
+        resid.groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum((F.col("absz") > F.lit(z_threshold)).cast("long")).alias(
+                "n_outlier_hours"
+            ),
+            (F.round(F.max("absz"), 6) + F.lit(0.0)).alias("max_abs_z"),
+        )
+        .join(
+            gstats.select(
+                F.col("g").alias(group_col),
+                (F.round(F.col("sd"), 6) + F.lit(0.0)).alias("residual_sd"),
+            ),
+            group_col,
+        )
+        .select(group_col, "n_hours", "residual_sd", "n_outlier_hours", "max_abs_z")
+        .orderBy(group_col)
+    )

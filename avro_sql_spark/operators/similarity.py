@@ -1468,3 +1468,54 @@ def mmr_select(
     for f in (pool_df, pc):
         f.unpersist()
     return out.orderBy("step")
+
+
+def embedding_energy_profile(
+    emb: DataFrame,
+    dims: "tuple[int, ...]" = (4, 8, 16, 32, 64),
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Prefix-energy profile of an embedding column — the measurement
+    behind a Matryoshka-style truncation decision (Kusupati et al. 2022,
+    "Matryoshka Representation Learning"): for each prefix length d,
+    the corpus-mean fraction of a vector's squared L2 norm carried by
+    its first d coordinates. cos(full, renormalized-d-prefix) equals
+    sqrt(prefix-energy), so a profile row ~0.99 at d=16 says a 4x
+    cheaper 16-dim index loses ~0.5% cosine fidelity — decided from one
+    scan, before building any index.
+
+    Shape: one projection computes all prefix energies IN-ROW with
+    ``aggregate`` over ``slice`` (each element cast to double BEFORE
+    squaring, left-to-right fold — the exact arithmetic DuckDB's
+    in-order ``list_sum(list_transform(...))`` replays); the per-row
+    fraction is rounded and accumulated in DECIMAL(38,6), so the
+    corpus mean is partition-order-free. One aggregate row out; no
+    shuffle beyond the global agg's partial pair."""
+    sq = lambda acc, x: acc + x.cast("double") * x.cast("double")  # noqa: E731
+    full = F.aggregate(F.col(vec_col), F.lit(0.0), sq)
+    row = emb.select(
+        *[
+            F.round(
+                F.aggregate(F.slice(F.col(vec_col), 1, d), F.lit(0.0), sq)
+                / full,
+                round_to,
+            )
+            .cast("decimal(38,6)")
+            .alias(f"e{d}")
+            for d in dims
+        ]
+    )
+    agg = row.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        *[F.sum(f"e{d}").alias(f"s{d}") for d in dims],
+    )
+    return agg.select(
+        "n_vectors",
+        *[
+            F.round(F.col(f"s{d}").cast("double") / F.col("n_vectors"), round_to).alias(
+                f"energy_d{d}"
+            )
+            for d in dims
+        ],
+    )

@@ -14,7 +14,8 @@ import re
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
 
 from avro_sql_spark.session import get_spark  # noqa: E402
 
@@ -261,6 +262,20 @@ def main() -> None:
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
+    # persist the FULL per-query map as a committed artifact: the driver
+    # records only the last ~2 KB of stdout, so round-over-round
+    # comparison from BENCH_r{N}.json alone covers ~10% of entries —
+    # this file makes every per-query number diffable across rounds
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", os.path.join(ROOT, "bench_full.json")
+    )
+    with open(full_path, "w") as f:
+        json.dump(
+            {"sf": sf, "cpus": cpus, "n_queries": len(timings),
+             "total_sec": total, "queries": timings},
+            f, indent=1, sort_keys=True,
+        )
+        f.write("\n")
     # Key order matters: the driver records only the last ~2 KB of
     # stdout, so the headline total, slowest-10, and query count go
     # LAST in the one JSON line (the full per-query map leads and may

@@ -2,8 +2,10 @@
 plan is budgeted (shuffle exchanges, sort-merge joins, cartesian
 products) from a reviewed snapshot — an edit that silently adds a
 shuffle or degrades a broadcast join to SMJ fails here before it costs
-anything at scale. Regenerate tests/plan_budgets.json deliberately when
-a plan change is intentional (see the generator in the file's git log).
+anything at scale. Covers every BATCH entry (streaming/reshape/roundtrip
+exempt — see the generator's docstring). Regenerate tests/plan_budgets.json
+deliberately when a plan change is intentional:
+``python tools/gen_plan_budgets.py``.
 """
 
 import json
@@ -12,7 +14,7 @@ import os
 import pytest
 
 import __spark_entry__ as entry_mod
-from bench import HEADLINE
+from tools.gen_plan_budgets import plan_metrics
 
 SF = "/root/testdata/sf0.001"
 BUDGETS = json.load(
@@ -20,7 +22,7 @@ BUDGETS = json.load(
 )
 
 
-@pytest.mark.parametrize("name", HEADLINE)
+@pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_headline_plan_within_budget(spark, name):
     # a materialized .cache() from an earlier query collapses the plan
     # below it into InMemoryTableScan, hiding exchanges — clear so the
@@ -28,12 +30,7 @@ def test_headline_plan_within_budget(spark, name):
     spark.catalog.clearCache()
     df = entry_mod.queries()[name](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    got = {
-        "exchanges": plan.count("Exchange hashpartitioning")
-        + plan.count("Exchange rangepartitioning"),
-        "sort_merge_joins": plan.count("SortMergeJoin"),
-        "cartesian": plan.count("CartesianProduct"),
-    }
+    got = plan_metrics(plan)
     budget = BUDGETS[name]
     for metric, cap in budget.items():
         assert got[metric] <= cap, (

@@ -63,6 +63,25 @@ ITERATIVE_ENTRIES = [
     "dup_cluster_size_histogram",
     "ann_ivf_pq",
     "markov_stationary",
+    # global_rank / exact_ntile consumers: the rank device localCheckpoints
+    # its ranged frame (correctness — see curation.global_rank docstring),
+    # so their static plan budgets see only the post-checkpoint tail
+    "heaps_curve",
+    "zipf_fit",
+    "quality_shards",
+    "quality_shards_sampled",
+    "quality_rank_fusion",
+    "quantile_normalized_quality",
+    "rfm_segments",
+    "equi_depth_histogram",
+    "gini_value_concentration",
+    "pareto_value_report",
+    "skipping_effectiveness",
+    "skipping_effectiveness_hilbert",
+    # argmax-by-filter over a checkpointed bounded aggregate
+    "q15_top_supplier",
+    # internal bounded counts frame localCheckpointed (storage-leak fix)
+    "seasonal_naive_backtest",
 ]
 
 
