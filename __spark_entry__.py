@@ -3312,6 +3312,124 @@ def _source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap(t["documents"], prefix_len=80)
 
 
+def _embedding_energy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-energy profile of the embedding corpus (one
+    row): corpus-mean fraction of squared norm in the first d dims for
+    d in 4/8/16/32/64 — the one-scan measurement behind a truncated-
+    index decision (similarity.embedding_energy_profile)."""
+    from avro_sql_spark.operators.similarity import embedding_energy_profile
+
+    t = load_tables(spark, sf_dir, register=False)
+    return embedding_energy_profile(t["embeddings"])
+
+
+def _doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-lite per-source mixture weights from excess unigram-LM
+    NLL over the corpus baseline (curation.doremi_weights; Xie 2023)."""
+    from avro_sql_spark.operators.curation import doremi_weights
+
+    t = load_tables(spark, sf_dir, register=False)
+    return doremi_weights(t["documents"])
+
+
+def _link_prediction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar / common-neighbor link-prediction candidates over the
+    co-purchase graph (graph.link_prediction_topk): wedge join on the
+    shared neighbor, anti-join out existing edges, top-50."""
+    from avro_sql_spark.operators.graph import copurchase_edges, link_prediction_topk
+
+    t = load_tables(spark, sf_dir, register=False)
+    return link_prediction_topk(copurchase_edges(t["lineitem"], min_count=2))
+
+
+def _mutual_information_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MI(event_type; weekday) with companion entropies from one
+    bounded cell aggregate (profile.mutual_information_report)."""
+    from avro_sql_spark.operators.profile import mutual_information_report
+
+    t = load_tables(spark, sf_dir, register=False)
+    return mutual_information_report(t["events"])
+
+
+def _cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B lift (Deng 2013): pre-period activity
+    as the covariate, md5-lottery arms, exact integer moments
+    (profile.cuped_adjusted_lift)."""
+    from avro_sql_spark.operators.profile import cuped_adjusted_lift
+
+    t = load_tables(spark, sf_dir, register=False)
+    return cuped_adjusted_lift(t["events"])
+
+
+def _theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type over hourly counts: median
+    pairwise slope by exact integer rank on the bounded series
+    (profile.theilsen_trend)."""
+    from avro_sql_spark.operators.profile import theilsen_trend
+
+    t = load_tables(spark, sf_dir, register=False)
+    return theilsen_trend(t["events"])
+
+
+def _seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted hourly anomaly counts per event type
+    (weekday-hour cell means, grouped-ANOVA SSE, |z|>3)
+    (profile.seasonal_residual_outliers)."""
+    from avro_sql_spark.operators.profile import seasonal_residual_outliers
+
+    t = load_tables(spark, sf_dir, register=False)
+    return seasonal_residual_outliers(t["events"])
+
+
+def _key_locality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup locality audit on orders (o_custkey lookups): exact
+    per-key file containment + expected bloom false-positive files per
+    layout (layout.key_locality_report)."""
+    from avro_sql_spark.operators.layout import key_locality_report
+
+    t = load_tables(spark, sf_dir, register=False)
+    return key_locality_report(
+        t["orders"], "o_custkey", "o_totalprice", "o_orderkey", n_files=32
+    )
+
+
+def _file_overlap_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSM-style overlap-depth audit: ingest-cut files vs sorted files
+    over o_totalprice, sweep-line on file metadata
+    (layout.file_overlap_depth)."""
+    from avro_sql_spark.operators.layout import file_overlap_depth
+
+    t = load_tables(spark, sf_dir, register=False)
+    return file_overlap_depth(
+        t["orders"], "o_orderkey", "o_totalprice", "o_orderkey", n_files=32
+    )
+
+
+def _cow_rewrite_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write amplification audit for a 1% update batch keyed by
+    o_custkey, clustered by-key vs by-price (layout.cow_rewrite_plan)."""
+    from avro_sql_spark.operators.layout import cow_rewrite_plan
+
+    t = load_tables(spark, sf_dir, register=False)
+    return cow_rewrite_plan(
+        t["orders"], "o_custkey", "o_totalprice", "o_orderkey",
+        n_files=32, update_rate=0.01,
+    )
+
+
+def _payload_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed dedup audit over binary media payloads: per
+    kind, distinct-md5 rate + reclaimable bytes
+    (multimodal.payload_dedup_stats on the deterministic fake payloads)."""
+    from avro_sql_spark.operators.multimodal import (
+        attach_fake_payload,
+        payload_dedup_stats,
+    )
+
+    t = load_tables(spark, sf_dir, register=False)
+    return payload_dedup_stats(attach_fake_payload(t["documents"]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes ~50 entries in this order per round (r1 covered the first
@@ -3395,6 +3513,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_shards": _quality_shards,
         "q15_top_supplier": relational.q15_top_supplier,
         # --- new in r5 (lead the r6/r7 sweeps with the block above) ---
+        "embedding_energy_profile": _embedding_energy_profile,
+        "doremi_weights": _doremi_weights,
+        "link_prediction_topk": _link_prediction_topk,
+        "mutual_information_report": _mutual_information_report,
+        "cuped_adjusted_lift": _cuped_adjusted_lift,
+        "theilsen_trend": _theilsen_trend,
+        "seasonal_residual_outliers": _seasonal_residual_outliers,
+        "key_locality_report": _key_locality_report,
+        "file_overlap_depth": _file_overlap_depth,
+        "cow_rewrite_plan": _cow_rewrite_plan,
+        "payload_dedup_stats": _payload_dedup_stats,
         # --- cumulative-green core (driver rows r1-r4) ---
         "minhash_calibration": _minhash_calibration,
         "incremental_near_dup": _incremental_near_dup,
@@ -4241,6 +4370,67 @@ SELECT o.source, CAST(SUM(occ) AS BIGINT) AS n_words,
              / CAST(SUM(occ * n_toks) AS DOUBLE), 6) AS chars_per_token
 FROM occ o JOIN vocab USING (word)
 GROUP BY 1 ORDER BY 1
+"""
+
+
+def _key_locality_oracle(n_files: int = 32) -> str:
+    """SQL twin of layout.key_locality_report over orders (lookup key
+    o_custkey, other column o_totalprice, tiebreak o_orderkey): the
+    identical scale-floor-clamp-interleave z-value (custkey = bit lane
+    0), NTILE file assignment per layout, exact per-key containment
+    counts, and the same constant-bits-per-key bloom fpr expression
+    (POWER/EXP on exact integer counts, 9dp-rounded DECIMAL sum)."""
+    interleave = " + ".join(
+        f"(((s{i} >> {b}) & 1) << {2 * b + i})" for b in range(16) for i in (0, 1)
+    )
+    scale = (
+        "LEAST(GREATEST(CAST(FLOOR((%(v)s - st.mn_%(c)s) / "
+        "(CASE WHEN st.mx_%(c)s > st.mn_%(c)s THEN st.mx_%(c)s - st.mn_%(c)s "
+        "ELSE CAST(1 AS DOUBLE) END) * CAST(65535 AS DOUBLE)) AS BIGINT), 0), 65535)"
+    )
+    s0 = scale % {"v": "CAST(o.o_custkey AS DOUBLE)", "c": "k"}
+    s1 = scale % {"v": "CAST(o.o_totalprice AS DOUBLE)", "c": "p"}
+    fpr = (
+        "CAST(ROUND(POWER(CAST(1 AS DOUBLE) - EXP(CAST(-7 AS DOUBLE)"
+        " * CAST(nk AS DOUBLE) / (CAST(10 AS DOUBLE) * CAST(nk AS DOUBLE))),"
+        " CAST(7 AS DOUBLE)), 9) AS DECIMAL(38,9))"
+    )
+    blocks = []
+    for name, order in (
+        ("linear_key", "k, tb"),
+        ("linear_other", "o, tb"),
+        ("zorder", "zv, tb"),
+    ):
+        a = f"af_{name}"
+        blocks.append(f"""
+{a} AS (SELECT k, ntile({n_files}) OVER (ORDER BY {order}) AS f FROM z),
+pf_{name} AS (SELECT f, COUNT(DISTINCT k) AS nk FROM {a} GROUP BY f),
+bl_{name} AS (SELECT COUNT(*) AS nf, SUM({fpr}) AS s_fpr FROM pf_{name}),
+ct_{name} AS (SELECT COUNT(*) AS n_keys, SUM(cf) AS s_cf, MAX(cf) AS mx
+              FROM (SELECT k, COUNT(DISTINCT f) AS cf FROM {a} GROUP BY k))""")
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS layout, CAST({n_files} AS INTEGER) AS n_files,
+       CAST(n_keys AS BIGINT) AS n_keys,
+       ROUND(CAST(s_cf AS DOUBLE) / n_keys, 6) AS avg_files_per_key,
+       CAST(mx AS BIGINT) AS max_files_per_key,
+       ROUND((CAST(nf AS DOUBLE) - CAST(s_cf AS DOUBLE) / n_keys)
+             * (CAST(s_fpr AS DOUBLE) / nf), 6) AS expected_bloom_fp_files
+FROM ct_{name}, bl_{name}"""
+        for name in ("linear_key", "linear_other", "zorder")
+    )
+    return f"""
+WITH st AS (SELECT MIN(CAST(o_custkey AS DOUBLE)) AS mn_k,
+                   MAX(CAST(o_custkey AS DOUBLE)) AS mx_k,
+                   MIN(CAST(o_totalprice AS DOUBLE)) AS mn_p,
+                   MAX(CAST(o_totalprice AS DOUBLE)) AS mx_p
+            FROM orders),
+scaled AS (SELECT o.o_custkey AS k, CAST(o.o_totalprice AS DOUBLE) AS o,
+                  o.o_orderkey AS tb, {s0} AS s0, {s1} AS s1
+           FROM orders o CROSS JOIN st),
+z AS (SELECT k, o, tb, ({interleave}) AS zv FROM scaled),
+{",".join(blocks)}
+{selects}
+ORDER BY layout
 """
 
 
@@ -8292,6 +8482,261 @@ ipranked AS (SELECT query_id, neighbor_id, adist,
 SELECT query_id, neighbor_id, adist, rank FROM ipranked WHERE rank <= 10
 ORDER BY query_id, rank
 """,
+        # --- new in r5 ---
+        "embedding_energy_profile": """
+WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                  generate_subscripts(embedding, 1) AS i FROM embeddings),
+per AS (SELECT vec_id,
+  SUM(CAST(ROUND(v * v, 12) AS DECIMAL(38,12))) AS full_e,
+  SUM(CASE WHEN i <= 4 THEN CAST(ROUND(v * v, 12) AS DECIMAL(38,12)) END) AS p4,
+  SUM(CASE WHEN i <= 8 THEN CAST(ROUND(v * v, 12) AS DECIMAL(38,12)) END) AS p8,
+  SUM(CASE WHEN i <= 16 THEN CAST(ROUND(v * v, 12) AS DECIMAL(38,12)) END) AS p16,
+  SUM(CASE WHEN i <= 32 THEN CAST(ROUND(v * v, 12) AS DECIMAL(38,12)) END) AS p32,
+  SUM(CASE WHEN i <= 64 THEN CAST(ROUND(v * v, 12) AS DECIMAL(38,12)) END) AS p64
+ FROM x GROUP BY vec_id),
+fr AS (SELECT
+  CAST(ROUND(CAST(p4 AS DOUBLE) / CAST(full_e AS DOUBLE), 6) AS DECIMAL(38,6)) AS e4,
+  CAST(ROUND(CAST(p8 AS DOUBLE) / CAST(full_e AS DOUBLE), 6) AS DECIMAL(38,6)) AS e8,
+  CAST(ROUND(CAST(p16 AS DOUBLE) / CAST(full_e AS DOUBLE), 6) AS DECIMAL(38,6)) AS e16,
+  CAST(ROUND(CAST(p32 AS DOUBLE) / CAST(full_e AS DOUBLE), 6) AS DECIMAL(38,6)) AS e32,
+  CAST(ROUND(CAST(p64 AS DOUBLE) / CAST(full_e AS DOUBLE), 6) AS DECIMAL(38,6)) AS e64
+ FROM per)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+  ROUND(CAST(SUM(e4) AS DOUBLE) / COUNT(*), 6) AS energy_d4,
+  ROUND(CAST(SUM(e8) AS DOUBLE) / COUNT(*), 6) AS energy_d8,
+  ROUND(CAST(SUM(e16) AS DOUBLE) / COUNT(*), 6) AS energy_d16,
+  ROUND(CAST(SUM(e32) AS DOUBLE) / COUNT(*), 6) AS energy_d32,
+  ROUND(CAST(SUM(e64) AS DOUBLE) / COUNT(*), 6) AS energy_d64
+FROM fr
+""",
+        "doremi_weights": r"""
+WITH toks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+    FROM documents)
+  WHERE regexp_matches(token, '^[a-z]+$')),
+freqs AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+tot AS (SELECT SUM(c) AS n FROM freqs),
+logp AS (SELECT token, LN(c / n) AS lp FROM freqs, tot),
+per_doc AS (SELECT t.doc_id, CAST(ROUND(AVG(lp), 6) AS DECIMAL(38,6)) AS lm
+            FROM toks t JOIN logp USING (token) GROUP BY t.doc_id),
+srcd AS (SELECT d.source AS src, p.lm FROM per_doc p
+         JOIN documents d USING (doc_id)),
+per_src AS (SELECT src, COUNT(*) AS n_docs, SUM(lm) AS s_lp
+            FROM srcd GROUP BY src),
+corpus AS (SELECT COUNT(*) AS n_all, SUM(lm) AS s_all FROM srcd),
+terms AS (SELECT src, n_docs,
+  ROUND(-(CAST(s_lp AS DOUBLE) / n_docs), 6) AS nll,
+  ROUND(GREATEST(CAST(0 AS DOUBLE),
+                 ROUND(-(CAST(s_lp AS DOUBLE) / n_docs), 6)
+                 - ROUND(-(CAST(s_all AS DOUBLE) / n_all), 6)), 6) AS excess_nll
+ FROM per_src, corpus),
+e AS (SELECT src, n_docs, nll, excess_nll,
+  CAST(ROUND(EXP(excess_nll / CAST(0.1 AS DOUBLE)), 9) AS DECIMAL(38,9)) AS ee
+ FROM terms),
+te AS (SELECT SUM(ee) AS t FROM e)
+SELECT src AS source, CAST(n_docs AS BIGINT) AS n_docs, nll, excess_nll,
+       ROUND(CAST(ee AS DOUBLE) / CAST(te.t AS DOUBLE), 6) AS weight
+FROM e, te ORDER BY source
+""",
+        "link_prediction_topk": """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pc AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       FROM li a JOIN li b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+e AS (SELECT pa AS s, pb AS d FROM pc UNION ALL SELECT pb, pa FROM pc),
+deg AS (SELECT s AS z, COUNT(*) AS deg FROM e GROUP BY 1),
+wedge AS (SELECT x.s AS a, x.d AS z, y.d AS b
+          FROM e x JOIN e y ON x.d = y.s WHERE x.s < y.d),
+scored AS (SELECT a, b, COUNT(*) AS common_neighbors,
+                  SUM(CAST(ROUND(CAST(1 AS DOUBLE)
+                                 / LN(CAST(deg AS DOUBLE)), 9)
+                           AS DECIMAL(38,9))) AS aa_dec
+           FROM wedge JOIN deg USING (z) GROUP BY 1, 2),
+cand AS (SELECT s.a, s.b, s.common_neighbors,
+                ROUND(CAST(s.aa_dec AS DOUBLE), 6) AS adamic_adar
+         FROM scored s
+         WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s = s.a AND e.d = s.b))
+SELECT a, b, CAST(common_neighbors AS BIGINT) AS common_neighbors, adamic_adar
+FROM cand ORDER BY adamic_adar DESC, a, b LIMIT 50
+""",
+        "mutual_information_report": """
+WITH cells AS (SELECT event_type AS x, dayofweek(ts) AS y, COUNT(*) AS c
+               FROM events GROUP BY 1, 2),
+hx AS (SELECT SUM(cc) AS n,
+              SUM(CAST(ROUND(CAST(cc AS DOUBLE) * LN(CAST(cc AS DOUBLE)), 6)
+                       AS DECIMAL(38,6))) AS sclc
+       FROM (SELECT x, SUM(c) AS cc FROM cells GROUP BY x)),
+hy AS (SELECT SUM(cc) AS n,
+              SUM(CAST(ROUND(CAST(cc AS DOUBLE) * LN(CAST(cc AS DOUBLE)), 6)
+                       AS DECIMAL(38,6))) AS sclc
+       FROM (SELECT y, SUM(c) AS cc FROM cells GROUP BY y)),
+hxy AS (SELECT SUM(c) AS n,
+               SUM(CAST(ROUND(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)), 6)
+                        AS DECIMAL(38,6))) AS sclc
+        FROM cells),
+ents AS (SELECT hxy.n AS n,
+    LN(CAST(hx.n AS DOUBLE)) - CAST(hx.sclc AS DOUBLE) / hx.n AS h_x,
+    LN(CAST(hy.n AS DOUBLE)) - CAST(hy.sclc AS DOUBLE) / hy.n AS h_y,
+    LN(CAST(hxy.n AS DOUBLE)) - CAST(hxy.sclc AS DOUBLE) / hxy.n AS h_xy
+  FROM hxy, hx, hy)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(h_x, 6) + 0 AS h_x,
+       ROUND(h_y, 6) + 0 AS h_y,
+       ROUND(h_xy, 6) + 0 AS h_xy,
+       ROUND(h_x + h_y - h_xy, 6) + 0 AS mi_nats,
+       ROUND((h_x + h_y - h_xy) / LEAST(h_x, h_y), 6) + 0 AS mi_normalized
+FROM ents
+""",
+        "cuped_adjusted_lift": f"""
+WITH pu AS (SELECT user_id,
+    SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS x,
+    SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS y,
+    CASE WHEN {_hash_unit("user_id", "cuped")} < CAST(0.5 AS DOUBLE)
+         THEN 'A' ELSE 'B' END AS arm
+  FROM events GROUP BY user_id),
+m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      FROM pu),
+mm AS (SELECT n,
+    CAST(sx AS DOUBLE) / n AS mean_x,
+    CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS cv,
+    CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS vx,
+    CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS vy
+  FROM m),
+mo AS (SELECT n, cv / vx AS theta, mean_x, cv * cv / (vx * vy) AS rho2 FROM mm),
+arms AS (SELECT arm, COUNT(*) AS n_users,
+    SUM(CAST(ROUND(CAST(y AS DOUBLE)
+                   - mo.theta * (CAST(x AS DOUBLE) - mo.mean_x), 6)
+             AS DECIMAL(38,6))) AS s_adj,
+    SUM(y) AS s_y
+  FROM pu, mo GROUP BY arm),
+a AS (SELECT n_users AS n_a, s_adj AS adj_a, s_y AS y_a FROM arms WHERE arm = 'A'),
+b AS (SELECT n_users AS n_b, s_adj AS adj_b, s_y AS y_b FROM arms WHERE arm = 'B')
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       ROUND(mo.theta, 6) + 0 AS theta,
+       ROUND(CAST(y_b AS DOUBLE) / n_b - CAST(y_a AS DOUBLE) / n_a, 6) + 0
+         AS raw_lift,
+       ROUND(CAST(adj_b AS DOUBLE) / n_b - CAST(adj_a AS DOUBLE) / n_a, 6) + 0
+         AS cuped_lift,
+       ROUND(CAST(1 AS DOUBLE) - mo.rho2, 6) + 0 AS variance_ratio
+FROM a, b, mo
+""",
+        "theilsen_trend": """
+WITH hrs AS (SELECT event_type AS g,
+                    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+                    COUNT(*) AS c
+             FROM events GROUP BY 1, 2),
+p AS (SELECT a.g, a.h AS hi, b.h AS hj,
+             CAST(b.c - a.c AS DOUBLE) / CAST(b.h - a.h AS DOUBLE) AS slope
+      FROM hrs a JOIN hrs b ON a.g = b.g AND b.h > a.h),
+r AS (SELECT g, slope, hi, hj,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY slope, hi, hj) AS rk,
+             COUNT(*) OVER (PARTITION BY g) AS np
+      FROM p),
+nh AS (SELECT g, COUNT(*) AS n_hours FROM hrs GROUP BY g)
+SELECT r.g AS event_type, CAST(nh.n_hours AS BIGINT) AS n_hours,
+       CAST(r.np AS BIGINT) AS n_pairs,
+       ROUND(r.slope, 6) + 0 AS theilsen_slope
+FROM r JOIN nh USING (g)
+WHERE rk = (np + 1) // 2
+ORDER BY event_type
+""",
+        "seasonal_residual_outliers": """
+WITH hrs AS (SELECT event_type AS g, date_trunc('hour', ts) AS h, COUNT(*) AS c
+             FROM events GROUP BY 1, 2),
+hb AS (SELECT g, h, c, dayofweek(h) AS wd, EXTRACT(hour FROM h) AS hod FROM hrs),
+cells AS (SELECT g, wd, hod, COUNT(*) AS n_cell, SUM(c) AS s_cell
+          FROM hb GROUP BY 1, 2, 3),
+sse AS (SELECT g, SUM(CAST(ROUND(CAST(s_cell AS DOUBLE) * CAST(s_cell AS DOUBLE)
+                                 / n_cell, 6) AS DECIMAL(38,6))) AS st
+        FROM cells GROUP BY g),
+gs AS (SELECT g, COUNT(*) AS n_hours, SUM(c * c) AS scc FROM hb GROUP BY g),
+gstats AS (SELECT gs.g, n_hours,
+                  SQRT((CAST(scc AS DOUBLE) - CAST(st AS DOUBLE))
+                       / CAST(n_hours - 1 AS DOUBLE)) AS sd
+           FROM gs JOIN sse USING (g)),
+resid AS (SELECT hb.g,
+                 ABS(CAST(c AS DOUBLE) - CAST(s_cell AS DOUBLE) / n_cell)
+                   / gstats.sd AS absz
+          FROM hb JOIN cells USING (g, wd, hod) JOIN gstats ON gstats.g = hb.g)
+SELECT r.g AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       ROUND(MIN(gstats.sd), 6) + 0 AS residual_sd,
+       CAST(SUM(CASE WHEN r.absz > CAST(3 AS DOUBLE) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outlier_hours,
+       ROUND(MAX(r.absz), 6) + 0 AS max_abs_z
+FROM resid r JOIN gstats ON gstats.g = r.g
+GROUP BY r.g ORDER BY event_type
+""",
+        "payload_dedup_stats": """
+WITH pc AS (SELECT 'image' AS kind, md5(text) AS h, COUNT(*) AS copies,
+                   MIN(octet_length(encode(text))) AS sz
+            FROM documents GROUP BY 1, 2)
+SELECT kind,
+       CAST(SUM(copies) AS BIGINT) AS n_payloads,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND((SUM(copies) - COUNT(*)) / CAST(SUM(copies) AS DOUBLE), 6)
+         AS dup_rate,
+       CAST(SUM(copies * sz) AS BIGINT) AS total_bytes,
+       CAST(SUM((copies - 1) * sz) AS BIGINT) AS reclaimable_bytes
+FROM pc GROUP BY kind ORDER BY kind
+""",
+        "file_overlap_depth": """
+WITH b AS (SELECT o_orderkey AS ing, CAST(o_totalprice AS DOUBLE) AS v,
+                  o_orderkey AS tb FROM orders),
+fi AS (SELECT v, ntile(32) OVER (ORDER BY ing, tb) AS f FROM b),
+fs AS (SELECT v, ntile(32) OVER (ORDER BY v, tb) AS f FROM b),
+boxi AS (SELECT f, MIN(v) AS mn, MAX(v) AS mx FROM fi GROUP BY f),
+boxs AS (SELECT f, MIN(v) AS mn, MAX(v) AS mx FROM fs GROUP BY f),
+evi AS (SELECT mn AS val, 0 AS closing, f, 1 AS delta FROM boxi
+        UNION ALL SELECT mx, 1, f, -1 FROM boxi),
+evs AS (SELECT mn AS val, 0 AS closing, f, 1 AS delta FROM boxs
+        UNION ALL SELECT mx, 1, f, -1 FROM boxs),
+di AS (SELECT closing, SUM(delta) OVER (ORDER BY val, closing DESC, f
+                                        ROWS UNBOUNDED PRECEDING) AS d
+       FROM evi),
+ds AS (SELECT closing, SUM(delta) OVER (ORDER BY val, closing DESC, f
+                                        ROWS UNBOUNDED PRECEDING) AS d
+       FROM evs)
+SELECT 'ingest' AS layout, CAST(32 AS INTEGER) AS n_files,
+       CAST(MAX(d) AS INTEGER) AS max_overlap_depth,
+       ROUND(CAST(SUM(d) AS DOUBLE) / COUNT(*), 6) AS avg_depth_at_open
+FROM di WHERE closing = 0
+UNION ALL
+SELECT 'sorted', 32, CAST(MAX(d) AS INTEGER),
+       ROUND(CAST(SUM(d) AS DOUBLE) / COUNT(*), 6)
+FROM ds WHERE closing = 0
+ORDER BY layout
+""",
+        "cow_rewrite_plan": f"""
+WITH b AS (SELECT o_custkey AS k, CAST(o_totalprice AS DOUBLE) AS o,
+                  o_orderkey AS tb,
+                  CASE WHEN {_hash_unit("o_custkey", "cow")}
+                            < CAST(0.01 AS DOUBLE) THEN 1 ELSE 0 END AS u
+           FROM orders),
+a1 AS (SELECT u, ntile(32) OVER (ORDER BY k, tb) AS f FROM b),
+a2 AS (SELECT u, ntile(32) OVER (ORDER BY o, tb) AS f FROM b),
+p1 AS (SELECT f, COUNT(*) AS rws, SUM(u) AS nu FROM a1 GROUP BY f),
+p2 AS (SELECT f, COUNT(*) AS rws, SUM(u) AS nu FROM a2 GROUP BY f)
+SELECT 'by_key' AS layout, CAST(32 AS INTEGER) AS n_files,
+       CAST(SUM(nu) AS BIGINT) AS rows_updated,
+       CAST(SUM(CASE WHEN nu > 0 THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+       CAST(SUM(CASE WHEN nu > 0 THEN rws ELSE 0 END) AS BIGINT) AS rows_rewritten,
+       ROUND(CAST(SUM(CASE WHEN nu > 0 THEN rws ELSE 0 END) AS DOUBLE)
+             / SUM(nu), 6) AS write_amplification
+FROM p1
+UNION ALL
+SELECT 'by_other', 32, CAST(SUM(nu) AS BIGINT),
+       CAST(SUM(CASE WHEN nu > 0 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN nu > 0 THEN rws ELSE 0 END) AS BIGINT),
+       ROUND(CAST(SUM(CASE WHEN nu > 0 THEN rws ELSE 0 END) AS DOUBLE)
+             / SUM(nu), 6)
+FROM p2
+ORDER BY layout
+""",
+        "key_locality_report": _key_locality_oracle(32),
         # no oracle (rows-only by design — sketch-/eigen-dependent,
         # approximate-by-construction, or sequential-fold):
         # quality_shards_approx, approx_distinct_events,

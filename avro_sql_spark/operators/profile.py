@@ -1462,7 +1462,7 @@ def mutual_information_report(
 def cuped_adjusted_lift(
     events: DataFrame,
     assign_salt: str = "cuped",
-    split_ts: str = "2024-01-08 00:00:00",
+    split_ts: str = "2024-01-16 00:00:00",
 ) -> DataFrame:
     """CUPED variance-reduced A/B lift (Deng et al. 2013, "Improving the
     Sensitivity of Online Controlled Experiments by Utilizing

@@ -220,6 +220,18 @@ HEADLINE = [
     "heldout_nll",
     "negative_sampling_table",
     "weekday_hour_profile",
+    # new in r5
+    "embedding_energy_profile",
+    "doremi_weights",
+    "link_prediction_topk",
+    "mutual_information_report",
+    "cuped_adjusted_lift",
+    "theilsen_trend",
+    "seasonal_residual_outliers",
+    "key_locality_report",
+    "file_overlap_depth",
+    "cow_rewrite_plan",
+    "payload_dedup_stats",
 ]
 
 

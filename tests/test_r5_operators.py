@@ -1,0 +1,219 @@
+"""Unit tests for the round-5 operators against hand-computable
+fixtures (the sf-level oracle checks live in tools/check_correctness.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from avro_sql_spark.operators.curation import doremi_weights, exact_ntile
+from avro_sql_spark.operators.graph import link_prediction_topk
+from avro_sql_spark.operators.layout import (
+    cow_rewrite_plan,
+    file_overlap_depth,
+    key_locality_report,
+)
+from avro_sql_spark.operators.multimodal import (
+    attach_fake_payload,
+    payload_dedup_stats,
+)
+from avro_sql_spark.operators.profile import (
+    cuped_adjusted_lift,
+    mutual_information_report,
+    seasonal_residual_outliers,
+    theilsen_trend,
+)
+from avro_sql_spark.operators.similarity import embedding_energy_profile
+
+
+def test_exact_ntile_matches_sql_ntile(spark):
+    """The shared rank->tile arithmetic must reproduce SQL NTILE's
+    remainder rule (first n%k tiles one extra row) for awkward n/k."""
+    from pyspark.sql.window import Window
+
+    for n, k in [(10, 4), (7, 7), (5, 8), (100, 32), (99, 32)]:
+        df = spark.range(n).select(F.col("id").alias("v"))
+        got = {
+            r["v"]: r["t"]
+            for r in exact_ntile(df, [F.col("v")], k, out_col="t").collect()
+        }
+        want = {
+            r["v"]: r["t"]
+            for r in df.select(
+                "v", F.ntile(k).over(Window.orderBy("v")).alias("t")
+            ).collect()
+        }
+        assert got == want, (n, k)
+
+
+def test_embedding_energy_profile_concentrated_vector(spark):
+    # all energy in the first coordinate -> every prefix fraction is 1
+    df = spark.createDataFrame(
+        [(1, [2.0, 0.0, 0.0, 0.0]), (2, [0.0, 0.0, 0.0, 3.0])],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    row = embedding_energy_profile(df, dims=(1, 2, 4)).collect()[0]
+    # vec 1 contributes 1.0 at every prefix; vec 2 contributes 0 until d=4
+    assert row["n_vectors"] == 2
+    assert row["energy_d1"] == pytest.approx(0.5)
+    assert row["energy_d4"] == pytest.approx(1.0)
+
+
+def test_link_prediction_scores_triangle_plus_leaf(spark):
+    # path a-z, b-z (z also linked to c): a,b share neighbor z only.
+    edges = [(1, 9), (9, 1), (2, 9), (9, 2), (3, 9), (9, 3)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    out = {
+        (r["a"], r["b"]): (r["common_neighbors"], r["adamic_adar"])
+        for r in link_prediction_topk(df, top_k=10).collect()
+    }
+    # all three leaf pairs share exactly hub 9 with deg 3
+    expected = round(1.0 / math.log(3.0), 6)
+    assert set(out) == {(1, 2), (1, 3), (2, 3)}
+    for cn, aa in out.values():
+        assert cn == 1
+        assert aa == pytest.approx(expected)
+
+
+def test_mutual_information_independent_and_dependent(spark):
+    # independent: MI ~ 0; fully dependent: MI = H(X)
+    rows = [("a", i % 2, 1) for i in range(8)] + [("b", i % 2, 1) for i in range(8)]
+    df = spark.createDataFrame(rows, "x STRING, y INT, c INT")
+    ind = mutual_information_report(
+        df, x_col="x", y_expr=F.col("y"), y_name="y"
+    ).collect()[0]
+    assert ind["mi_nats"] == pytest.approx(0.0, abs=1e-5)
+    rows2 = [("a", 0, 1)] * 8 + [("b", 1, 1)] * 8
+    df2 = spark.createDataFrame(rows2, "x STRING, y INT, c INT")
+    dep = mutual_information_report(
+        df2, x_col="x", y_expr=F.col("y"), y_name="y"
+    ).collect()[0]
+    assert dep["mi_nats"] == pytest.approx(dep["h_x"], abs=1e-5)
+    assert dep["mi_normalized"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_theilsen_slope_on_linear_series(spark):
+    # c = 3*h + noiseless -> every pairwise slope is exactly 3
+    rows = [("e", "2024-01-01 %02d:00:00" % h) for h in range(6) for _ in range(1)]
+    df = spark.createDataFrame(
+        [(t, e) for e, t in rows], "ts_s STRING, event_type STRING"
+    ).select(F.col("ts_s").cast("timestamp_ntz").alias("ts"), "event_type")
+    # replicate row h 3*h+1 times so hourly count = 3h+1
+    df = df.withColumn(
+        "n", (F.hour("ts") * 3 + 1).cast("int")
+    ).select(F.expr("explode(sequence(1, n))").alias("_"), "ts", "event_type")
+    out = theilsen_trend(df).collect()
+    assert len(out) == 1
+    assert out[0]["theilsen_slope"] == pytest.approx(3.0)
+    assert out[0]["n_hours"] == 6
+    assert out[0]["n_pairs"] == 15
+
+
+def test_seasonal_residual_outliers_flags_spike(spark):
+    # 4 weeks of a flat hourly series + one spiked hour
+    rows = []
+    for day in range(28):
+        for hod in (9, 10):
+            n = 5
+            if day == 27 and hod == 10:
+                n = 50  # the anomaly
+            for i in range(n):
+                rows.append(("e", f"2024-01-{day + 1:02d} {hod:02d}:00:00"))
+    df = spark.createDataFrame(rows, "event_type STRING, ts_s STRING").select(
+        "event_type", F.col("ts_s").cast("timestamp_ntz").alias("ts")
+    )
+    out = seasonal_residual_outliers(df).collect()[0]
+    assert out["n_outlier_hours"] >= 1
+    assert out["max_abs_z"] > 3.0
+
+
+def test_cuped_reduces_variance_metric(spark):
+    # y strongly correlated with x -> variance_ratio well below 1
+    rows = []
+    for uid in range(40):
+        base = uid % 7 + 1
+        for i in range(base):
+            rows.append((uid, "2024-01-10 10:00:00"))  # pre period
+        for i in range(base):
+            rows.append((uid, "2024-01-20 10:00:00"))  # post period
+    df = spark.createDataFrame(rows, "user_id LONG, ts_s STRING").select(
+        "user_id", F.col("ts_s").cast("timestamp_ntz").alias("ts")
+    )
+    out = cuped_adjusted_lift(df).collect()[0]
+    assert out["variance_ratio"] < 0.1  # y == x exactly -> rho^2 ~ 1
+    assert abs(out["cuped_lift"]) <= abs(out["raw_lift"]) + 1e-6
+
+
+def test_file_overlap_depth_sorted_is_one(spark):
+    df = spark.range(320).select(
+        F.col("id").alias("ing"),
+        (F.col("id") * 37 % 320).cast("double").alias("v"),
+        F.col("id").alias("tb"),
+    )
+    out = {
+        r["layout"]: r
+        for r in file_overlap_depth(df, "ing", "v", "tb", n_files=8).collect()
+    }
+    assert out["sorted"]["max_overlap_depth"] == 1
+    assert out["ingest"]["max_overlap_depth"] > 1
+
+
+def test_cow_rewrite_by_key_touches_fewer_files(spark):
+    df = spark.range(3200).select(
+        (F.col("id") % 100).alias("k"),
+        (F.col("id") * 13 % 997).cast("double").alias("o"),
+        F.col("id").alias("tb"),
+    )
+    out = {
+        r["layout"]: r
+        for r in cow_rewrite_plan(df, "k", "o", "tb", n_files=16,
+                                  update_rate=0.05).collect()
+    }
+    assert out["by_key"]["rows_updated"] == out["by_other"]["rows_updated"]
+    assert out["by_key"]["files_touched"] <= out["by_other"]["files_touched"]
+    assert (
+        out["by_key"]["write_amplification"]
+        <= out["by_other"]["write_amplification"]
+    )
+
+
+def test_key_locality_linear_key_wins(spark):
+    df = spark.range(2000).select(
+        (F.col("id") % 50).alias("k"),
+        (F.col("id") * 7 % 211).cast("double").alias("o"),
+        F.col("id").alias("tb"),
+    )
+    out = {
+        r["layout"]: r
+        for r in key_locality_report(df, "k", "o", "tb", n_files=16).collect()
+    }
+    assert (
+        out["linear_key"]["avg_files_per_key"]
+        < out["linear_other"]["avg_files_per_key"]
+    )
+    assert out["linear_key"]["max_files_per_key"] <= 2
+
+
+def test_payload_dedup_counts_copies(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "bbb")], "doc_id LONG, text STRING"
+    )
+    out = payload_dedup_stats(attach_fake_payload(df)).collect()[0]
+    assert out["n_payloads"] == 3
+    assert out["n_distinct"] == 2
+    assert out["reclaimable_bytes"] == 3  # one spare copy of 'aaa'
+
+
+def test_doremi_upweights_hard_source(spark):
+    rows = (
+        # src A: common tokens (low NLL); src B: each doc introduces
+        # rarer tokens (higher NLL) -> weight(B) > weight(A)
+        [(i, "common words common words", "A") for i in range(10)]
+        + [(100 + i, f"rare{i} tokens rare{i} unique{i}", "B") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    out = {r["source"]: r for r in doremi_weights(df).collect()}
+    assert out["B"]["excess_nll"] > 0
+    assert out["B"]["weight"] > out["A"]["weight"]
+    total = sum(r["weight"] for r in out.values())
+    assert total == pytest.approx(1.0, abs=1e-4)

@@ -82,6 +82,13 @@ ITERATIVE_ENTRIES = [
     "q15_top_supplier",
     # internal bounded counts frame localCheckpointed (storage-leak fix)
     "seasonal_naive_backtest",
+    # r5: exact_ntile consumers + bounded-frame localCheckpoint users
+    "key_locality_report",
+    "file_overlap_depth",
+    "cow_rewrite_plan",
+    "mutual_information_report",
+    "theilsen_trend",
+    "seasonal_residual_outliers",
 ]
 
 
