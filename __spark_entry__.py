@@ -3430,6 +3430,65 @@ def _payload_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload_dedup_stats(attach_fake_payload(t["documents"]))
 
 
+def _good_turing_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-mass report over word trigrams (unigrams are
+    saturated in this corpus — 31 types; trigrams have a real singleton
+    tail) (text.good_turing_report)."""
+    from avro_sql_spark.operators.text import good_turing_report
+
+    t = load_tables(spark, sf_dir, register=False)
+    return good_turing_report(t["documents"], shingle_width=3)
+
+
+def _typo_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell deletion-neighborhood edit-distance-1 pairs over the
+    part-name vocabulary (text.typo_candidate_pairs) — the color-word
+    vocabulary has genuine dist-1 neighbors (cold/old, red/rod)."""
+    from avro_sql_spark.operators.text import typo_candidate_pairs
+
+    t = load_tables(spark, sf_dir, register=False)
+    words = (
+        t["part"]
+        .select(F.explode(F.split(F.lower("p_name"), " ")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return typo_candidate_pairs(words)
+
+
+def _markov_next_event_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out accuracy of the argmax next-event Markov predictor vs
+    the majority baseline (profile.markov_next_event_backtest)."""
+    from avro_sql_spark.operators.profile import markov_next_event_backtest
+
+    t = load_tables(spark, sf_dir, register=False)
+    return markov_next_event_backtest(t["events"])
+
+
+def _score_decile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score decile calibration against exact-duplicate rate
+    (curation.score_decile_calibration)."""
+    from avro_sql_spark.operators.curation import score_decile_calibration
+
+    t = load_tables(spark, sf_dir, register=False)
+    return score_decile_calibration(t["documents"])
+
+
+def _ann_mrr_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR / hit@1 / miss rate of the LSH candidate ranking against the
+    exact nearest neighbor (similarity.mrr_report over the same
+    deterministic-hyperplane LSH leg as ann_recall_lsh)."""
+    from avro_sql_spark.operators import similarity
+
+    t = load_tables(spark, sf_dir, register=False)
+    emb = t["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 20)
+    truth1 = similarity.brute_force_topk(emb, qs, 1)
+    cand = similarity.lsh_bucketed_ann(emb, qs, 10, planes=4)
+    return similarity.mrr_report(truth1, cand, "lsh_bucketed")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes ~50 entries in this order per round (r1 covered the first
@@ -3524,6 +3583,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_overlap_depth": _file_overlap_depth,
         "cow_rewrite_plan": _cow_rewrite_plan,
         "payload_dedup_stats": _payload_dedup_stats,
+        "good_turing_vocab": _good_turing_vocab,
+        "typo_candidate_pairs": _typo_candidate_pairs,
+        "markov_next_event_backtest": _markov_next_event_backtest,
+        "score_decile_calibration": _score_decile_calibration,
+        "ann_mrr_lsh": _ann_mrr_lsh,
         # --- cumulative-green core (driver rows r1-r4) ---
         "minhash_calibration": _minhash_calibration,
         "incremental_near_dup": _incremental_near_dup,
@@ -8737,6 +8801,137 @@ FROM p2
 ORDER BY layout
 """,
         "key_locality_report": _key_locality_oracle(32),
+        "good_turing_vocab": """
+WITH toks AS (SELECT string_split(lower(text), ' ') AS w FROM documents),
+grams AS (SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          FROM (SELECT w, unnest(range(1, len(w) - 1)) AS i
+                FROM toks WHERE len(w) >= 3)),
+f AS (SELECT g, COUNT(*) AS c FROM grams GROUP BY g),
+fof AS (SELECT c, COUNT(*) AS n_r FROM f GROUP BY c),
+a AS (SELECT SUM(c * n_r) AS n_total, SUM(n_r) AS vocab,
+             COALESCE(MAX(CASE WHEN c = 1 THEN n_r END), 0) AS n1,
+             COALESCE(MAX(CASE WHEN c = 2 THEN n_r END), 0) AS n2,
+             COALESCE(MAX(CASE WHEN c = 3 THEN n_r END), 0) AS n3
+      FROM fof)
+SELECT CAST(vocab AS BIGINT) AS vocab, CAST(n_total AS BIGINT) AS n_total,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(n3 AS BIGINT) AS n3,
+       ROUND(n1 / CAST(n_total AS DOUBLE), 6) AS unseen_mass,
+       ROUND(n1 / CAST(vocab AS DOUBLE), 6) AS singleton_frac,
+       ROUND(CAST(2 AS DOUBLE) * n2 / CAST(NULLIF(n1, 0) AS DOUBLE), 6)
+         AS r1_star
+FROM a
+""",
+        "typo_candidate_pairs": """
+WITH words AS (SELECT w, COUNT(*) AS c FROM (
+    SELECT unnest(string_split(lower(p_name), ' ')) AS w FROM part)
+  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w),
+ks AS (SELECT w AS wd, c AS cnt,
+              unnest(list_distinct(list_prepend(w,
+                list_transform(range(1, length(w) + 1),
+                  i -> substr(w, 1, i - 1)
+                       || substr(w, i + 1, length(w)))))) AS k
+       FROM words),
+p AS (SELECT DISTINCT a.wd AS word_a, b.wd AS word_b,
+             a.cnt AS count_a, b.cnt AS count_b
+      FROM ks a JOIN ks b ON a.k = b.k AND a.wd < b.wd)
+SELECT word_a, word_b, CAST(count_a AS BIGINT) AS count_a,
+       CAST(count_b AS BIGINT) AS count_b
+FROM p WHERE levenshtein(word_a, word_b) = 1
+ORDER BY word_a, word_b
+""",
+        "markov_next_event_backtest": """
+WITH tr AS (SELECT event_type AS prev,
+       LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt_ts
+     FROM events),
+t2 AS (SELECT prev, nxt, nxt_ts FROM tr WHERE nxt IS NOT NULL),
+train AS (SELECT * FROM t2 WHERE nxt_ts < TIMESTAMP '2024-01-24 00:00:00'),
+test AS (SELECT * FROM t2 WHERE nxt_ts >= TIMESTAMP '2024-01-24 00:00:00'),
+cnt AS (SELECT prev, nxt, COUNT(*) AS c FROM train GROUP BY 1, 2),
+pred AS (SELECT prev, nxt AS pred_nxt FROM (
+           SELECT prev, nxt,
+                  ROW_NUMBER() OVER (PARTITION BY prev
+                                     ORDER BY c DESC, nxt) AS rk
+           FROM cnt) WHERE rk = 1),
+base AS (SELECT nxt AS base_nxt FROM (
+           SELECT nxt, SUM(c) AS c,
+                  ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, nxt) AS rk
+           FROM cnt GROUP BY nxt) WHERE rk = 1),
+ntr AS (SELECT COUNT(*) AS n_train FROM train),
+sc AS (SELECT t.nxt, p.pred_nxt, b.base_nxt
+       FROM test t LEFT JOIN pred p USING (prev) CROSS JOIN base b)
+SELECT CAST(ntr.n_train AS BIGINT) AS n_train,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       ROUND(SUM(CASE WHEN nxt = pred_nxt THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS model_accuracy,
+       ROUND(SUM(CASE WHEN nxt = base_nxt THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS baseline_accuracy,
+       ROUND(SUM(CASE WHEN nxt = pred_nxt THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE)
+             - SUM(CASE WHEN nxt = base_nxt THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE), 6) + 0 AS accuracy_lift
+FROM sc CROSS JOIN ntr GROUP BY ntr.n_train
+""",
+        "score_decile_calibration": rf"""
+WITH toks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+    FROM documents)
+  WHERE regexp_matches(token, '^[a-z]+$')),
+freqs AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+tot AS (SELECT SUM(c) AS n FROM freqs),
+logp AS (SELECT token, LN(c / n) AS lp FROM freqs, tot),
+per_doc AS (SELECT t.doc_id, COUNT(*) AS n_tokens,
+                   ROUND(AVG(lp), 6) AS lm
+            FROM toks t JOIN logp USING (token) GROUP BY t.doc_id),
+fpd AS (SELECT doc_id, {_FP} AS fp FROM documents),
+binned AS (SELECT p.doc_id, p.n_tokens, p.lm, f.fp,
+                  ntile(10) OVER (ORDER BY p.lm DESC, p.doc_id) AS decile
+           FROM per_doc p JOIN fpd f USING (doc_id))
+SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(lm AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_score,
+       ROUND((COUNT(*) - COUNT(DISTINCT fp)) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS dup_rate,
+       ROUND(SUM(n_tokens) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_tokens
+FROM binned GROUP BY decile ORDER BY decile
+""",
+        "ann_mrr_lsh": f"""
+WITH {_cos_topk_ctes("q.vec_id < 20")},
+bt AS (SELECT query_id, neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rk
+       FROM cosr),
+truth AS (SELECT query_id, neighbor_id FROM bt WHERE rk = 1),
+eb AS (SELECT vec_id, {_hp_bucket_sql(4, 0)} AS b0, {_hp_bucket_sql(4, 1)} AS b1,
+              {_hp_bucket_sql(4, 2)} AS b2, {_hp_bucket_sql(4, 3)} AS b3
+       FROM embeddings),
+cand0 AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+          FROM eb q JOIN eb e
+            ON (q.b0 = e.b0 OR q.b1 = e.b1 OR q.b2 = e.b2 OR q.b3 = e.b3)
+          WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id
+          GROUP BY 1, 2),
+lr AS (SELECT c.query_id, c.neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY c.query_id
+                            ORDER BY s.cos DESC, c.neighbor_id) AS rk
+       FROM cand0 c
+       JOIN cosr s ON s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id),
+cand AS (SELECT query_id, neighbor_id, rk FROM lr WHERE rk <= 10),
+j AS (SELECT t.query_id, c.rk FROM truth t
+      LEFT JOIN cand c ON c.query_id = t.query_id
+                      AND c.neighbor_id = t.neighbor_id)
+SELECT 'lsh_bucketed' AS method,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(CAST(SUM(CAST(ROUND(COALESCE(CAST(1 AS DOUBLE) / rk,
+                                          CAST(0 AS DOUBLE)), 9)
+                           AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6) AS mrr,
+       ROUND(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS hit_at_1,
+       ROUND(SUM(CASE WHEN rk IS NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS miss_rate
+FROM j
+""",
         # no oracle (rows-only by design — sketch-/eigen-dependent,
         # approximate-by-construction, or sequential-fold):
         # quality_shards_approx, approx_distinct_events,

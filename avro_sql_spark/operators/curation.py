@@ -1191,3 +1191,61 @@ def doremi_weights(
         )
         .orderBy(source_col)
     )
+
+
+def score_decile_calibration(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Calibration of the unigram-LM fluency score against an OUTCOME
+    it should predict (exact-duplicate rate): docs rank into score
+    deciles (:func:`exact_ntile` over (score desc, id) — decile 1 =
+    most fluent) and each decile reports its mean score, duplicate rate
+    (normalized-md5 fingerprints), and mean token count. A score whose
+    deciles show no outcome gradient is noise and should not gate a
+    100 TB corpus — the one-page check before trusting quality shards.
+    (The coarse heuristic ``quality_score`` takes 2 distinct values on
+    this corpus — useless to decile — so the calibration runs on the
+    CONTINUOUS LM score, the same oracled primitive doremi_weights
+    composes.)
+
+    Shape: the LM scorer is two corpus shuffles (its own contract); the
+    decile assignment is the two-pass exact_ntile; per-decile stats are
+    one groupBy with DECIMAL-accumulated 6dp scores (order-free)."""
+    from ..functions.text import fingerprint as fp
+    from .text import unigram_logprob_scores
+
+    scored = unigram_logprob_scores(docs, id_col=id_col, text_col=text_col).join(
+        docs.select(F.col(id_col), fp(F.col(text_col)).alias("fp")), id_col
+    )
+    binned = exact_ntile(
+        scored,
+        [F.desc("logprob_mean"), F.asc(id_col)],
+        n_buckets,
+        out_col="decile",
+    )
+    return (
+        binned.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("logprob_mean").cast("decimal(38,6)")).alias("sq"),
+            F.countDistinct("fp").alias("nd"),
+            F.sum("n_tokens").alias("st"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            F.round(F.col("sq").cast("double") / F.col("n_docs"), 6).alias(
+                "mean_score"
+            ),
+            F.round(
+                (F.col("n_docs") - F.col("nd")) / F.col("n_docs").cast("double"), 6
+            ).alias("dup_rate"),
+            F.round(F.col("st") / F.col("n_docs").cast("double"), 6).alias(
+                "mean_tokens"
+            ),
+        )
+        .orderBy("decile")
+    )

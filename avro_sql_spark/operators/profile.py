@@ -1742,3 +1742,78 @@ def seasonal_residual_outliers(
         .select(group_col, "n_hours", "residual_sd", "n_outlier_hours", "max_abs_z")
         .orderBy(group_col)
     )
+
+
+def markov_next_event_backtest(
+    events: DataFrame,
+    cut_ts: str = "2024-01-24 00:00:00",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Backtest of the first-order Markov next-event predictor: train
+    the argmax-next-given-previous table on transitions whose TARGET
+    lands before ``cut_ts``, score on the rest — the honest check that
+    a transition matrix (event_transitions) actually predicts, against
+    the always-predict-the-majority baseline. One row: train/test
+    sizes, model accuracy, baseline accuracy, and the lift.
+
+    Shape: the lag window is per-user (never global); train counts and
+    both argmaxes live on the |types|²-bounded matrix (argmax via
+    row_number over (count desc, label) — deterministic ties); scoring
+    is one broadcast join of the test transitions against the 5-row
+    prediction table. Accuracies are exact-integer ratios."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select("user_id", "ts", "event_id", F.col(group_col).alias("prev"))
+        .withColumn("nxt", F.lead("prev").over(w))
+        .withColumn("nxt_ts", F.lead("ts").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("prev", "nxt", "nxt_ts")
+    )
+    cut = F.lit(cut_ts).cast("timestamp_ntz")
+    train = trans.filter(F.col("nxt_ts") < cut)
+    test = trans.filter(F.col("nxt_ts") >= cut)
+    counts = train.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    wp = Window.partitionBy("prev").orderBy(F.desc("c"), F.asc("nxt"))
+    pred = (
+        counts.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .select("prev", F.col("nxt").alias("pred_nxt"))
+    )
+    wg = Window.orderBy(F.desc("c"), F.asc("nxt"))
+    base = (
+        counts.groupBy("nxt")
+        .agg(F.sum("c").alias("c"))
+        .withColumn("rk", F.row_number().over(wg))  # |types|-bounded frame
+        .filter(F.col("rk") == 1)
+        .select(F.col("nxt").alias("base_nxt"))
+    )
+    scored = test.join(F.broadcast(pred), "prev", "left").crossJoin(
+        F.broadcast(base)
+    )
+    n_train = train.groupBy().agg(F.count(F.lit(1)).alias("n_train"))
+    return (
+        scored.agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum((F.col("nxt") == F.col("pred_nxt")).cast("long")).alias("hit"),
+            F.sum((F.col("nxt") == F.col("base_nxt")).cast("long")).alias("bhit"),
+        )
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "n_train",
+            "n_test",
+            F.round(F.col("hit") / F.col("n_test").cast("double"), 6).alias(
+                "model_accuracy"
+            ),
+            F.round(F.col("bhit") / F.col("n_test").cast("double"), 6).alias(
+                "baseline_accuracy"
+            ),
+            (
+                F.round(
+                    F.col("hit") / F.col("n_test").cast("double")
+                    - F.col("bhit") / F.col("n_test").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("accuracy_lift"),
+        )
+    )

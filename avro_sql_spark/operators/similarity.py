@@ -1519,3 +1519,53 @@ def embedding_energy_profile(
             for d in dims
         ],
     )
+
+
+def mrr_report(
+    truth_top1: DataFrame,
+    cand: DataFrame,
+    method: str,
+) -> DataFrame:
+    """Mean reciprocal rank of the TRUE nearest neighbor inside an
+    approximate candidate ranking — the retrieval-eval companion to
+    :func:`recall_vs_truth` (recall@k says the neighbor is somewhere in
+    the list; MRR says how close to the top, which is what a reranker's
+    cost depends on). One row: method, query count, MRR, hit@1 rate,
+    and the miss rate (true NN absent from the candidate list → rr 0).
+
+    Inputs are bounded per-query frames (truth_top1: one row per query;
+    cand: k rows per query with a ``rank`` column), so the join is
+    |queries|-bounded regardless of corpus size. Reciprocal ranks are
+    exact rationals of small integers rounded at 9dp and accumulated in
+    DECIMAL — order-free, oracle-replayable."""
+    t = truth_top1.select("query_id", F.col("neighbor_id").alias("tn"))
+    j = t.join(
+        cand.select("query_id", "neighbor_id", "rank"),
+        (t["query_id"] == cand["query_id"]) & (F.col("tn") == cand["neighbor_id"]),
+        "left",
+    ).select(t["query_id"], "rank")
+    return (
+        j.agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(
+                F.round(
+                    F.coalesce(F.lit(1.0) / F.col("rank"), F.lit(0.0)), 9
+                ).cast("decimal(38,9)")
+            ).alias("srr"),
+            F.sum((F.col("rank") == 1).cast("long")).alias("h1"),
+            F.sum(F.col("rank").isNull().cast("long")).alias("miss"),
+        )
+        .select(
+            F.lit(method).alias("method"),
+            F.col("n_queries").cast("bigint").alias("n_queries"),
+            F.round(
+                F.col("srr").cast("double") / F.col("n_queries"), 6
+            ).alias("mrr"),
+            F.round(F.col("h1") / F.col("n_queries").cast("double"), 6).alias(
+                "hit_at_1"
+            ),
+            F.round(F.col("miss") / F.col("n_queries").cast("double"), 6).alias(
+                "miss_rate"
+            ),
+        )
+    )

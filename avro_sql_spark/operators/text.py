@@ -1478,3 +1478,101 @@ def heldout_nll(
         )
         .orderBy(id_col)
     )
+
+
+def good_turing_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_width: int = 3,
+) -> DataFrame:
+    """Good–Turing unseen-mass estimate over word n-grams (Good 1953;
+    the Gale & Sampson 1995 "simple Good–Turing" first step): from the
+    frequency-of-frequencies table of ``shingle_width``-gram counts,
+    the probability mass of UNSEEN n-grams is P0 = N1/N — the number
+    that says how open-ended the corpus still is (near 0: saturated /
+    heavily duplicated; large: keep crawling). One row: vocab size,
+    total n-grams, N1..N3, unseen mass, singleton fraction, and the
+    smoothed count r*(1) = 2·N2/N1 (what a singleton is really worth).
+
+    Shape: one n-gram explode (RAW multiplicities — word_ngrams, not
+    the distinct-set shingle view; GT statistics are occurrence counts)
+    + two integer aggregations (counts → freq-of-freqs); everything
+    after is arithmetic on ≤max-count rows. All-integer inputs make
+    every output a closed-form double."""
+    from ..functions.text import word_ngrams
+
+    grams = docs.select(
+        F.explode(word_ngrams(F.col(text_col), shingle_width)).alias("g")
+    )
+    freqs = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    fof = freqs.groupBy("c").agg(F.count(F.lit(1)).alias("n_r"))
+    nr = lambda r: F.max(F.when(F.col("c") == r, F.col("n_r")))  # noqa: E731
+    agg = fof.agg(
+        F.sum(F.col("c") * F.col("n_r")).alias("n_total"),
+        F.sum("n_r").alias("vocab"),
+        F.coalesce(nr(1), F.lit(0)).alias("n1"),
+        F.coalesce(nr(2), F.lit(0)).alias("n2"),
+        F.coalesce(nr(3), F.lit(0)).alias("n3"),
+    )
+    return agg.select(
+        F.col("vocab").cast("bigint").alias("vocab"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.col("n3").cast("bigint").alias("n3"),
+        F.round(F.col("n1") / F.col("n_total").cast("double"), 6).alias(
+            "unseen_mass"
+        ),
+        F.round(F.col("n1") / F.col("vocab").cast("double"), 6).alias(
+            "singleton_frac"
+        ),
+        F.round(
+            F.lit(2.0) * F.col("n2") / F.nullif(F.col("n1"), F.lit(0)).cast("double"),
+            6,
+        ).alias("r1_star"),
+    )
+
+
+def typo_candidate_pairs(
+    words: DataFrame,
+    word_col: str = "w",
+    count_col: str = "c",
+) -> DataFrame:
+    """Edit-distance-1 candidate pairs over a vocabulary by SymSpell's
+    deletion neighborhood (Garbe 2012, public domain algorithm): each
+    word emits itself plus its |w| single-deletion variants as join
+    keys; two words sharing a key are candidates (covers insert /
+    delete / substitute at distance 1, plus some distance-2 noise the
+    exact ``levenshtein`` filter removes). The standard spell-correct /
+    entity-conflation candidate generator.
+
+    Scale shape: keys are linear in vocab × word length and the match
+    is ONE equi-join on the key — never an all-pairs distance matrix
+    (the classic quadratic trap). The levenshtein verify runs only on
+    candidates. Works on a VOCABULARY frame (≪ corpus)."""
+    w = F.col(word_col)
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(w)),
+        lambda i: F.concat(
+            F.substring(w, F.lit(1), i - 1),
+            F.substring(w, i + 1, F.length(w)),
+        ),
+    )
+    keys = words.select(
+        w.alias("wd"), F.col(count_col).alias("cnt"),
+        F.explode(F.array_union(F.array(w), dels)).alias("k"),
+    )
+    pairs = (
+        keys.alias("a")
+        .join(keys.alias("b"), "k")
+        .filter(F.col("a.wd") < F.col("b.wd"))
+        .select(
+            F.col("a.wd").alias("word_a"),
+            F.col("b.wd").alias("word_b"),
+            F.col("a.cnt").alias("count_a"),
+            F.col("b.cnt").alias("count_b"),
+        )
+        .distinct()
+        .filter(F.levenshtein(F.col("word_a"), F.col("word_b")) == 1)
+    )
+    return pairs.orderBy("word_a", "word_b")

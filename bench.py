@@ -232,6 +232,11 @@ HEADLINE = [
     "file_overlap_depth",
     "cow_rewrite_plan",
     "payload_dedup_stats",
+    "good_turing_vocab",
+    "typo_candidate_pairs",
+    "markov_next_event_backtest",
+    "score_decile_calibration",
+    "ann_mrr_lsh",
 ]
 
 

@@ -217,3 +217,95 @@ def test_doremi_upweights_hard_source(spark):
     assert out["B"]["weight"] > out["A"]["weight"]
     total = sum(r["weight"] for r in out.values())
     assert total == pytest.approx(1.0, abs=1e-4)
+
+
+def test_good_turing_hapax_math(spark):
+    # 3 distinct trigrams: one appears twice, two appear once
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c"), (3, "x y z")],
+        "doc_id LONG, text STRING",
+    )
+    from avro_sql_spark.operators.text import good_turing_report
+
+    r = good_turing_report(df, shingle_width=3).collect()[0]
+    # grams: "a b c" x2, "b c d" x1, "x y z" x1
+    assert (r["vocab"], r["n_total"], r["n1"], r["n2"]) == (3, 4, 2, 1)
+    assert r["unseen_mass"] == pytest.approx(0.5)
+    assert r["r1_star"] == pytest.approx(1.0)  # 2*N2/N1 = 2/2
+
+
+def test_typo_pairs_distance_one_only(spark):
+    from avro_sql_spark.operators.text import typo_candidate_pairs
+
+    words = spark.createDataFrame(
+        [("cold", 5), ("old", 3), ("bold", 2), ("gold", 1), ("cat", 9)],
+        "w STRING, c LONG",
+    )
+    got = {
+        (r["word_a"], r["word_b"])
+        for r in typo_candidate_pairs(words).collect()
+    }
+    # every pair among {cold, bold, gold, old} is distance 1
+    # (deletions of the first letter + first-letter substitutions);
+    # cat matches none
+    assert got == {("cold", "old"), ("bold", "old"), ("gold", "old"),
+                   ("bold", "cold"), ("cold", "gold"), ("bold", "gold")}
+
+
+def test_markov_backtest_learns_deterministic_chain(spark):
+    # a -> b -> a -> b ... deterministic chain: model acc 1, baseline < 1
+    rows = []
+    for uid in range(4):
+        for i in range(40):
+            rows.append(
+                (uid, i, f"2024-01-{1 + i // 2:02d} {i % 24:02d}:00:00",
+                 "a" if i % 2 == 0 else "b")
+            )
+    df = spark.createDataFrame(
+        rows, "user_id LONG, event_id LONG, ts_s STRING, event_type STRING"
+    ).select(
+        "user_id", "event_id",
+        F.col("ts_s").cast("timestamp_ntz").alias("ts"), "event_type",
+    )
+    from avro_sql_spark.operators.profile import markov_next_event_backtest
+
+    r = markov_next_event_backtest(df, cut_ts="2024-01-15 00:00:00").collect()[0]
+    assert r["model_accuracy"] == pytest.approx(1.0)
+    assert r["baseline_accuracy"] < 1.0
+    assert r["accuracy_lift"] > 0
+
+
+def test_mrr_report_rank_arithmetic(spark):
+    from avro_sql_spark.operators.similarity import mrr_report
+
+    truth = spark.createDataFrame(
+        [(1, 101), (2, 202), (3, 303)], "query_id LONG, neighbor_id LONG"
+    )
+    cand = spark.createDataFrame(
+        # q1: true NN at rank 2; q2: at rank 1; q3: missing
+        [(1, 101, 2), (1, 999, 1), (2, 202, 1), (3, 999, 1)],
+        "query_id LONG, neighbor_id LONG, rank INT",
+    )
+    r = mrr_report(truth, cand, "m").collect()[0]
+    assert r["n_queries"] == 3
+    assert r["mrr"] == pytest.approx((0.5 + 1.0 + 0.0) / 3, abs=1e-6)
+    assert r["hit_at_1"] == pytest.approx(1 / 3, abs=1e-6)
+    assert r["miss_rate"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_score_decile_calibration_shape(spark):
+    from avro_sql_spark.operators.curation import score_decile_calibration
+
+    # rare tokens must be pure [a-z]+ or the tokenizer drops them and
+    # the LM scorer never sees those docs
+    rows = [(i, "common words here " * 3) for i in range(20)] + [
+        (100 + i, f"rare{chr(97 + i)} unique{chr(97 + i)} blob{chr(97 + i)}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = score_decile_calibration(df, n_buckets=4).collect()
+    assert [r["decile"] for r in out] == [1, 2, 3, 4]
+    assert sum(r["n_docs"] for r in out) == 40
+    # fluent (common) docs rank first and are exact dups of each other
+    assert out[0]["dup_rate"] > out[-1]["dup_rate"]
+    assert out[0]["mean_score"] >= out[-1]["mean_score"]

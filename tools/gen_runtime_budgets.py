@@ -89,6 +89,7 @@ ITERATIVE_ENTRIES = [
     "mutual_information_report",
     "theilsen_trend",
     "seasonal_residual_outliers",
+    "score_decile_calibration",
 ]
 
 
