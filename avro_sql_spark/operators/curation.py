@@ -605,6 +605,7 @@ def global_rank(
     order_exprs: list,
     rank_col: str = "rank",
     num_partitions: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """EXACT dense global rank (1-based) by a TOTAL order, without the
     single-partition window that ``row_number().over(Window.orderBy())``
@@ -632,32 +633,60 @@ def global_rank(
     with independently sampled boundaries — offsets counted from one
     shuffle get added to partition-ranks from the other, corrupting the
     global rank near every boundary. Pinning one materialization makes
-    both branches read the same partitioning."""
+    both branches read the same partitioning.
+
+    ``total_col``: when set, every output row also carries the TOTAL
+    row count under that name — computed from the same partitions-sized
+    counts frame the offsets come from, so callers that need (rank, n)
+    pairs (exact_ntile, quantile cuts) pay NO extra pass over the
+    data."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     d = (
         df.repartitionByRange(n, *order_exprs)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    w = Window.partitionBy("_pid").orderBy(*order_exprs)
-    d = d.withColumn("_rn", F.row_number().over(w))
-    offsets = (
-        d.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .withColumn(
-            "_off",
-            F.coalesce(
-                F.sum("_cnt").over(
-                    Window.orderBy("_pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
+        # the within-partition rank comes from sortWithinPartitions +
+        # monotonically_increasing_id (documented layout: partition id in
+        # the upper bits, CONSECUTIVE record number in the low 33), NOT
+        # row_number().over(partitionBy(_pid)) — the window would re-hash-
+        # shuffle data that is already partitioned correctly and re-sort
+        # what sortWithinPartitions already ordered (one full exchange +
+        # sort saved per call)
+        .sortWithinPartitions(*order_exprs)
+        .select(
+            "*",
+            F.spark_partition_id().alias("_pid"),
+            F.monotonically_increasing_id().alias("_mid"),
         )
-        .select("_pid", "_off")
+        # lazy: checkpointing still pins ONE RDD (hence one range shuffle
+        # with one sampled boundary set, and one frozen row order under
+        # the monotonic id) for both the rank branch and the offsets
+        # branch — the correctness requirement — while the materialization
+        # folds into the first action instead of paying a separate
+        # construction job per call
+        .localCheckpoint(eager=False)
     )
+    d = d.withColumn(
+        "_rn",
+        F.col("_mid") - F.shiftleft(F.col("_pid").cast("long"), 33) + F.lit(1),
+    ).drop("_mid")
+    counts = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    offsets = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_cnt").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_off")
+    if total_col is not None:
+        offsets = offsets.crossJoin(
+            F.broadcast(
+                counts.groupBy().agg(F.sum("_cnt").alias(total_col))
+            )
+        )
     return (
         d.join(F.broadcast(offsets), "_pid")
         .withColumn(rank_col, F.col("_off") + F.col("_rn"))
@@ -679,12 +708,16 @@ def exact_ntile(
     carry one extra row — as integer arithmetic on the rank
     (``ceil(a/b)`` = ``floor((a+b-1)/b)``), bit-identical to the
     engine's NTILE for any (n_rows, n). The caller must pass a total
-    order (unique tiebreak) for a deterministic assignment. One extra
-    count pass over ``df`` supplies n_rows (broadcast, 1 row)."""
+    order (unique tiebreak) for a deterministic assignment. n_rows
+    rides along from global_rank's own partition-counts frame
+    (``total_col``) — no extra pass over ``df``."""
     ranked = global_rank(
-        df, order_exprs, rank_col="_nt_r", num_partitions=num_partitions
+        df,
+        order_exprs,
+        rank_col="_nt_r",
+        num_partitions=num_partitions,
+        total_col="_nt_n",
     )
-    cnt = df.agg(F.count(F.lit(1)).alias("_nt_n"))
     k = F.lit(n).cast("long")
     q = F.floor(F.col("_nt_n") / k).cast("long")
     rem = (F.col("_nt_n") % k).cast("long")
@@ -693,11 +726,7 @@ def exact_ntile(
     tile = F.when(r <= big, F.floor((r + q) / (q + F.lit(1)))).otherwise(
         rem + F.floor((r - big + q - F.lit(1)) / q)
     )
-    return (
-        ranked.crossJoin(F.broadcast(cnt))
-        .withColumn(out_col, tile.cast("int"))
-        .drop("_nt_r", "_nt_n")
-    )
+    return ranked.withColumn(out_col, tile.cast("int")).drop("_nt_r", "_nt_n")
 
 
 def rrf_fuse(

@@ -177,7 +177,12 @@ def skipping_report(
         z,
         *(["__hv"] if "hilbert" in layouts else []),
         F.col(tiebreak_col).alias("tb"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ one materialization (lazy — folds into the first action): every
+    # layout's exact_ntile range-shuffles a
+    # projection of this frame, and without the checkpoint the 16-level
+    # Hilbert chain + the z-interleave re-evaluate once per layout per
+    # branch (measured 2x on the 3-layout audit at sf0.1)
     keys = {"linear": ["x", "tb"], "zorder": ["__z", "tb"], "hilbert": ["__hv", "tb"]}
     parts = []
     for name in layouts:

@@ -1494,16 +1494,19 @@ def good_turing_report(
     total n-grams, N1..N3, unseen mass, singleton fraction, and the
     smoothed count r*(1) = 2·N2/N1 (what a singleton is really worth).
 
-    Shape: one n-gram explode (RAW multiplicities — word_ngrams, not
-    the distinct-set shingle view; GT statistics are occurrence counts)
+    Shape: one n-gram explode (RAW multiplicities — not the
+    distinct-set shingle view; GT statistics are occurrence counts)
     + two integer aggregations (counts → freq-of-freqs); everything
     after is arithmetic on ≤max-count rows. All-integer inputs make
-    every output a closed-form double."""
-    from ..functions.text import word_ngrams
+    every output a closed-form double. The split is projected ONCE and
+    grams build on the array (word_ngrams_of) — inlining the split into
+    the gram lambda re-splits the text per gram (the 20x trap its
+    docstring documents)."""
+    from ..functions.text import word_ngrams_of
 
     grams = docs.select(
-        F.explode(word_ngrams(F.col(text_col), shingle_width)).alias("g")
-    )
+        F.split(F.lower(F.col(text_col)), " ").alias("ws")
+    ).select(F.explode(word_ngrams_of(F.col("ws"), shingle_width)).alias("g"))
     freqs = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
     fof = freqs.groupBy("c").agg(F.count(F.lit(1)).alias("n_r"))
     nr = lambda r: F.max(F.when(F.col("c") == r, F.col("n_r")))  # noqa: E731
