@@ -3489,6 +3489,16 @@ def _ann_mrr_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mrr_report(truth1, cand, "lsh_bucketed")
 
 
+def _textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction over the corpus co-occurrence graph
+    (Mihalcea & Tarau 2004; text.textrank_keywords): window-2 pairs
+    in-row, 10 weighted-PageRank rounds on the vocab frame, top-20."""
+    from avro_sql_spark.operators.text import textrank_keywords
+
+    t = load_tables(spark, sf_dir, register=False)
+    return textrank_keywords(t["documents"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes ~50 entries in this order per round (r1 covered the first
@@ -3588,6 +3598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_next_event_backtest": _markov_next_event_backtest,
         "score_decile_calibration": _score_decile_calibration,
         "ann_mrr_lsh": _ann_mrr_lsh,
+        "textrank_keywords": _textrank_keywords,
         # --- cumulative-green core (driver rows r1-r4) ---
         "minhash_calibration": _minhash_calibration,
         "incremental_near_dup": _incremental_near_dup,
@@ -4434,6 +4445,53 @@ SELECT o.source, CAST(SUM(occ) AS BIGINT) AS n_words,
              / CAST(SUM(occ * n_toks) AS DOUBLE), 6) AS chars_per_token
 FROM occ o JOIN vocab USING (word)
 GROUP BY 1 ORDER BY 1
+"""
+
+
+def _textrank_oracle(
+    iterations: int = 10, window: int = 2, top_k: int = 20
+) -> str:
+    """SQL twin of text.textrank_keywords: identical in-row window-pair
+    generation over the shared word_tokens filter, the same undirected
+    weight counts and wdeg-normalized coefficients, and ``iterations``
+    unrolled weighted-PageRank rounds with the exact expression shape
+    ((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) mirrors Python's
+    1.0 - 0.85 double); ROUND 6 at the end (pagerank-proven class)."""
+    its = []
+    prev = "r0"
+    for k in range(1, iterations + 1):
+        its.append(f"""
+it{k} AS (
+  SELECT nd.word,
+         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+         + CAST(0.85 AS DOUBLE) * COALESCE(s.s, CAST(0 AS DOUBLE)) AS tr
+  FROM nodes nd
+  LEFT JOIN (SELECT c.dst AS word, SUM(c.cf * p.tr) AS s
+             FROM coef c JOIN {prev} p ON p.word = c.src
+             GROUP BY 1) s ON s.word = nd.word)""")
+        prev = f"it{k}"
+    return rf"""
+WITH tk AS (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> regexp_matches(x, '^[a-z]+$')) AS w
+            FROM documents),
+pr AS (SELECT LEAST(w[i], w[j]) AS a, GREATEST(w[i], w[j]) AS b
+       FROM (SELECT w, unnest(range(1, len(w))) AS i
+             FROM tk WHERE len(w) >= 2) base,
+            LATERAL unnest(range(i + 1, LEAST(i + {window}, len(w)) + 1))
+              AS t(j)
+       WHERE w[i] <> w[j]),
+und AS (SELECT a, b, COUNT(*) AS wt FROM pr GROUP BY 1, 2),
+edges AS (SELECT a AS src, b AS dst, wt FROM und
+          UNION ALL SELECT b, a, wt FROM und),
+wdeg AS (SELECT src, SUM(wt) AS wd FROM edges GROUP BY 1),
+coef AS (SELECT e.src, e.dst,
+                CAST(e.wt AS DOUBLE) / CAST(w.wd AS DOUBLE) AS cf
+         FROM edges e JOIN wdeg w USING (src)),
+nodes AS (SELECT DISTINCT src AS word FROM coef),
+r0 AS (SELECT word, CAST(1 AS DOUBLE) AS tr FROM nodes),
+{",".join(its)}
+SELECT word, ROUND(tr, 6) AS textrank FROM {prev}
+ORDER BY textrank DESC, word LIMIT {top_k}
 """
 
 
@@ -8801,6 +8859,7 @@ FROM p2
 ORDER BY layout
 """,
         "key_locality_report": _key_locality_oracle(32),
+        "textrank_keywords": _textrank_oracle(10, 2, 20),
         "good_turing_vocab": """
 WITH toks AS (SELECT string_split(lower(text), ' ') AS w FROM documents),
 grams AS (SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g

@@ -1579,3 +1579,90 @@ def typo_candidate_pairs(
         .filter(F.levenshtein(F.col("word_a"), F.col("word_b")) == 1)
     )
     return pairs.orderBy("word_a", "word_b")
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    iterations: int = 10,
+    damping: float = 0.85,
+    top_k: int = 20,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): a word
+    co-occurrence graph (undirected, weight = co-occurrence count
+    within ``window`` positions) scored by weighted PageRank —
+    ``tr(w) = (1-d) + d·Σ_v w(v,w)/wdeg(v)·tr(v)`` from 1.0, fixed
+    ``iterations`` — then the top-k words by score. The classic
+    unsupervised keyword/keyphrase starter.
+
+    Shape: pair generation is IN-ROW over the tokenized array (the
+    skipgram device — linear in tokens × window, no self-join); the
+    graph lives on the VOCAB frame (≪ corpus), edges+coefficients
+    localCheckpoint once, and each round is one broadcast join + one
+    vocab-sized aggregate. Fixed rounds make the result a closed-form
+    expression a bounded recursive CTE replays; scores round at 6dp
+    (per-node sums are ≤vocab float terms — the pagerank-proven
+    class)."""
+    from ..functions.text import word_tokens
+
+    toks = docs.select(word_tokens(F.col(text_col)).alias("w"))
+    m = F.size("w")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(m - 1, F.lit(0))),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.least(i + window, m)),
+                lambda j: F.struct(
+                    F.least(F.element_at("w", i), F.element_at("w", j)).alias("a"),
+                    F.greatest(F.element_at("w", i), F.element_at("w", j)).alias("b"),
+                ),
+            ),
+        )
+    )
+    und = (
+        toks.filter(m >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .filter(F.col("p.a") != F.col("p.b"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("wt"))
+    )
+    edges = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "wt"
+    ).unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "wt"))
+    wdeg = edges.groupBy("src").agg(F.sum("wt").alias("wd"))
+    coef = (
+        edges.join(wdeg, "src")
+        .select(
+            "src", "dst",
+            (F.col("wt").cast("double") / F.col("wd").cast("double")).alias("cf"),
+        )
+        .localCheckpoint(eager=True)  # vocab^2-bounded; consumed per round
+    )
+    nodes = coef.select(F.col("src").alias("word")).distinct().localCheckpoint(
+        eager=True
+    )
+    ranks = nodes.select("word", F.lit(1.0).alias("tr"))
+    for i in range(iterations):
+        contribs = (
+            coef.join(
+                F.broadcast(ranks.withColumnRenamed("word", "src")), "src"
+            )
+            .select("dst", (F.col("cf") * F.col("tr")).alias("m"))
+            .groupBy(F.col("dst").alias("word"))
+            .agg(F.sum("m").alias("s"))
+        )
+        ranks = nodes.join(contribs, "word", "left").select(
+            "word",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("tr"),
+        )
+        if (i + 1) < iterations:
+            ranks = ranks.localCheckpoint()
+    return (
+        ranks.select("word", F.round("tr", 6).alias("textrank"))
+        .orderBy(F.desc("textrank"), F.asc("word"))
+        .limit(top_k)
+    )

@@ -237,6 +237,7 @@ HEADLINE = [
     "markov_next_event_backtest",
     "score_decile_calibration",
     "ann_mrr_lsh",
+    "textrank_keywords",
 ]
 
 

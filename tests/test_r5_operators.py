@@ -309,3 +309,16 @@ def test_score_decile_calibration_shape(spark):
     # fluent (common) docs rank first and are exact dups of each other
     assert out[0]["dup_rate"] > out[-1]["dup_rate"]
     assert out[0]["mean_score"] >= out[-1]["mean_score"]
+
+
+def test_textrank_hub_word_wins(spark):
+    from avro_sql_spark.operators.text import textrank_keywords
+
+    df = spark.createDataFrame(
+        [(1, "spark joins spark windows spark shuffles"),
+         (2, "spark aggregates spark scans")],
+        "doc_id LONG, text STRING",
+    )
+    out = textrank_keywords(df, top_k=3).collect()
+    assert out[0]["word"] == "spark"  # the hub co-occurs with everything
+    assert out[0]["textrank"] > out[1]["textrank"]

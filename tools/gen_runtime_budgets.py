@@ -90,6 +90,7 @@ ITERATIVE_ENTRIES = [
     "theilsen_trend",
     "seasonal_residual_outliers",
     "score_decile_calibration",
+    "textrank_keywords",
 ]
 
 
