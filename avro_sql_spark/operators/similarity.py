@@ -693,13 +693,22 @@ def recall_vs_truth(truth: DataFrame, cand: DataFrame, method: str) -> DataFrame
     top-k against the exact top-k ``truth`` (both as (query_id,
     neighbor_id) frames). Bounded work: joins touch k x |queries| rows
     regardless of corpus size."""
+    # both frames are k x |queries| bounded, but they arrive behind
+    # checkpoint-truncated lineage with no stats, so AQE plans SMJ —
+    # broadcast explicitly (the r5 plan audit found 2-4 SMJs per recall
+    # entry, all on these bounded joins)
     truth = truth.select("query_id", "neighbor_id")
-    hits = truth.join(cand.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+    hits = truth.join(
+        F.broadcast(cand.select("query_id", "neighbor_id")),
+        ["query_id", "neighbor_id"],
+    )
     per_q = (
         truth.groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_truth"))
         .join(
-            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            F.broadcast(
+                hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+            ),
             "query_id",
             "left",
         )
@@ -1540,7 +1549,7 @@ def mrr_report(
     DECIMAL — order-free, oracle-replayable."""
     t = truth_top1.select("query_id", F.col("neighbor_id").alias("tn"))
     j = t.join(
-        cand.select("query_id", "neighbor_id", "rank"),
+        F.broadcast(cand.select("query_id", "neighbor_id", "rank")),
         (t["query_id"] == cand["query_id"]) & (F.col("tn") == cand["neighbor_id"]),
         "left",
     ).select(t["query_id"], "rank")
