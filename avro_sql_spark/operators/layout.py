@@ -574,3 +574,140 @@ def cow_rewrite_plan(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("layout")
+
+
+def bloom_fpr_audit(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    n_files: int = 16,
+    n_hashes: int = 5,
+    n_longs: int = 8,
+    probe_rate: float = 0.2,
+    salt: str = "bloomfpr",
+) -> DataFrame:
+    """EMPIRICAL Bloom-filter false-positive audit: per ingest-cut file,
+    build a real Bloom bitmap over the file's keys (m = ``n_longs``·63
+    bits, ``n_hashes`` md5-derived positions per key — 63 bits per long
+    keeps every shift off the sign bit), probe it with a deterministic
+    hash-sample of keys the file does NOT contain, and count the exact
+    false positives — measured FPR next to the (1-e^{-kn/m})^k formula
+    the planner uses (:func:`key_locality_report`). The formula-vs-
+    reality gap is what decides whether footer blooms are worth their
+    bytes for THIS key distribution.
+
+    Shape: bitmap construction is one bit_or aggregate per file over
+    in-row per-key bitmaps (pure integer Column arithmetic — no UDF);
+    membership leaves via left_anti; the probe cross join is
+    (sampled keys × n_files) — rate-bounded, never keys × keys. Every
+    hash is md5 arithmetic both engines replay bit-for-bit."""
+    from .curation import exact_ntile, hash_unit
+
+    m_bits = n_longs * 63
+    base = df.select(F.col(key_col).alias("k"), F.col(order_col).alias("ob"))
+    files = exact_ntile(
+        base, [F.col("ob"), F.col("k")], n_files, out_col="f"
+    ).select("f", "k").distinct()
+
+    def positions(key: F.Column) -> F.Column:
+        return F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    key.cast("string"), F.lit(f":{salt}{i}")
+                                ).cast("binary")
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % m_bits
+                )
+                for i in range(n_hashes)
+            ]
+        )
+
+    # shiftleft needs a LITERAL shift count, so 2^(p mod 63) comes from
+    # a 63-entry power-of-two literal array lookup instead
+    pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(63)])
+
+    def bitmap_longs(pos: F.Column) -> list:
+        return [
+            F.aggregate(
+                pos,
+                F.lit(0).cast("long"),
+                lambda acc, p: acc.bitwiseOR(
+                    F.when(
+                        F.floor(p / 63) == j,
+                        F.element_at(pow2, (p % 63).cast("int") + F.lit(1)),
+                    ).otherwise(F.lit(0).cast("long"))
+                ),
+            ).alias(f"b{j}")
+            for j in range(n_longs)
+        ]
+
+    member_bits = files.select("f", *bitmap_longs(positions(F.col("k"))))
+    blooms = member_bits.groupBy("f").agg(
+        *[F.bit_or(f"b{j}").alias(f"m{j}") for j in range(n_longs)]
+    )
+    probes = (
+        base.select("k")
+        .distinct()
+        .filter(hash_unit(F.col("k"), salt) < F.lit(probe_rate))
+        .crossJoin(F.broadcast(blooms))
+        .join(files, ["f", "k"], "left_anti")
+    )
+    pb = probes.select(
+        "f",
+        *[F.col(f"m{j}") for j in range(n_longs)],
+        *bitmap_longs(positions(F.col("k"))),
+    )
+    might = None
+    for j in range(n_longs):
+        c = F.col(f"m{j}").bitwiseAND(F.col(f"b{j}")) == F.col(f"b{j}")
+        might = c if might is None else (might & c)
+    counted = pb.select(might.cast("long").alias("fp"))
+    nkeys = files.groupBy("f").agg(F.countDistinct("k").alias("nk"))
+    theo = nkeys.select(
+        F.round(
+            F.pow(
+                F.lit(1.0)
+                - F.exp(
+                    F.lit(float(-n_hashes))
+                    * F.col("nk").cast("double")
+                    / F.lit(float(m_bits))
+                ),
+                F.lit(float(n_hashes)),
+            ),
+            9,
+        )
+        .cast("decimal(38,9)")
+        .alias("t")
+    ).agg(
+        F.count(F.lit(1)).alias("nf"), F.sum("t").alias("st")
+    )
+    return (
+        counted.agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum("fp").alias("n_false_positives"),
+        )
+        .crossJoin(F.broadcast(theo))
+        .select(
+            F.lit(n_files).alias("n_files"),
+            F.lit(m_bits).alias("m_bits"),
+            F.lit(n_hashes).alias("k_hashes"),
+            F.col("n_probes").cast("bigint").alias("n_probes"),
+            F.col("n_false_positives").cast("bigint").alias("n_false_positives"),
+            F.round(
+                F.col("n_false_positives") / F.col("n_probes").cast("double"), 6
+            ).alias("empirical_fpr"),
+            F.round(F.col("st").cast("double") / F.col("nf"), 6).alias(
+                "theoretical_fpr"
+            ),
+        )
+    )

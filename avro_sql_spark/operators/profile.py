@@ -1817,3 +1817,75 @@ def markov_next_event_backtest(
             ).alias("accuracy_lift"),
         )
     )
+
+
+def conformal_interval_report(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    period_hours: int = 24,
+    cut_ts: str = "2024-01-24 00:00:00",
+    alpha: float = 0.9,
+) -> DataFrame:
+    """Split-conformal prediction interval for the seasonal-naive
+    forecaster (distribution-free finite-sample coverage — Vovk et al.;
+    Lei et al. 2018): calibrate |count - count_{h-period}| on hours
+    before ``cut_ts``, take the ceil((n_cal+1)·alpha)-th smallest
+    absolute residual as the interval half-width q_hat, and report the
+    EMPIRICAL coverage of pred ± q_hat on the held-out hours — the
+    honest "are my alert bands actually 90%?" check, with a
+    finite-sample guarantee OLS bands never give.
+
+    Shape: the period shift is the exact timestamp equi-join of
+    seasonal_naive_backtest; q_hat is an EXACT integer-rank order
+    statistic over the bounded per-group calibration series (rank
+    window partitioned per group — never global); coverage is an
+    integer ratio. Residuals are integer counts, so everything
+    replays exactly."""
+    h = F.date_trunc("hour", F.col(ts_col)).alias("h")
+    counts = (
+        events.groupBy(F.col(group_col).alias("g"), h)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # bounded series; both join sides
+    )
+    base = counts.select(
+        "g",
+        (F.col("h") + F.expr(f"INTERVAL {period_hours} HOURS")).alias("h"),
+        F.col("c").alias("pred"),
+    )
+    joined = counts.join(base, ["g", "h"]).select(
+        "g", "h", F.abs(F.col("c") - F.col("pred")).alias("ar"),
+        (F.col("c") - F.col("pred")).alias("r"),
+    )
+    cut = F.lit(cut_ts).cast("timestamp_ntz")
+    cal = joined.filter(F.col("h") < cut)
+    test = joined.filter(F.col("h") >= cut)
+    w = Window.partitionBy("g").orderBy("ar", "h")
+    ranked = cal.withColumn("rk", F.row_number().over(w))
+    ncal = cal.groupBy("g").agg(F.count(F.lit(1)).alias("n_cal"))
+    qhat = (
+        ranked.join(F.broadcast(ncal), "g")
+        .filter(
+            F.col("rk")
+            == F.least(
+                F.ceil((F.col("n_cal") + 1) * F.lit(alpha)).cast("long"),
+                F.col("n_cal").cast("long"),
+            )
+        )
+        .select("g", "n_cal", F.col("ar").alias("q_hat"))
+    )
+    return (
+        test.join(F.broadcast(qhat), "g")
+        .groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.min("n_cal").alias("n_cal"),
+            F.count(F.lit(1)).alias("n_test"),
+            F.min("q_hat").cast("bigint").alias("q_hat"),
+            F.round(
+                F.sum((F.col("ar") <= F.col("q_hat")).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy(group_col)
+    )

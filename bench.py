@@ -238,6 +238,8 @@ HEADLINE = [
     "score_decile_calibration",
     "ann_mrr_lsh",
     "textrank_keywords",
+    "conformal_interval_counts",
+    "bloom_fpr_audit",
 ]
 
 

@@ -322,3 +322,38 @@ def test_textrank_hub_word_wins(spark):
     out = textrank_keywords(df, top_k=3).collect()
     assert out[0]["word"] == "spark"  # the hub co-occurs with everything
     assert out[0]["textrank"] > out[1]["textrank"]
+
+
+def test_conformal_interval_covers(spark):
+    from avro_sql_spark.operators.profile import conformal_interval_report
+
+    # stable daily pattern: same count every hour -> residuals 0, q_hat 0,
+    # perfect coverage
+    rows = []
+    for day in range(1, 29):
+        for hod in (8, 9):
+            for i in range(4):
+                rows.append(("e", f"2024-01-{day:02d} {hod:02d}:00:00"))
+    df = spark.createDataFrame(rows, "event_type STRING, ts_s STRING").select(
+        "event_type", F.col("ts_s").cast("timestamp_ntz").alias("ts")
+    )
+    r = conformal_interval_report(df).collect()[0]
+    assert r["q_hat"] == 0
+    assert r["coverage"] == pytest.approx(1.0)
+
+
+def test_bloom_fpr_audit_member_keys_always_hit(spark):
+    from avro_sql_spark.operators.layout import bloom_fpr_audit
+
+    # cluster keys with the file order (ob = k) so each file holds a
+    # disjoint key range and cross-file probes actually exist (with
+    # ob = row id, every file spans all keys and the probe set is empty)
+    df = spark.range(2000).select(
+        (F.col("id") % 200).alias("k"), (F.col("id") % 200).alias("ob")
+    )
+    r = bloom_fpr_audit(df, "k", "ob", n_files=8, probe_rate=1.0).collect()[0]
+    # empirical FPR must be a valid probability in the same ballpark as
+    # the formula (small-n noise allowed), and the audit probed rows
+    assert r["n_probes"] > 0
+    assert 0.0 <= r["empirical_fpr"] <= 1.0
+    assert abs(r["empirical_fpr"] - r["theoretical_fpr"]) < 0.2

@@ -91,6 +91,8 @@ ITERATIVE_ENTRIES = [
     "seasonal_residual_outliers",
     "score_decile_calibration",
     "textrank_keywords",
+    "conformal_interval_counts",
+    "bloom_fpr_audit",
 ]
 
 
