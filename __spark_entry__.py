@@ -3519,6 +3519,25 @@ def _bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_fpr_audit(t["orders"], "o_custkey", "o_orderkey")
 
 
+def _source_ks_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs exact Kolmogorov-Smirnov drift matrix over doc-length
+    distributions across sources (profile.source_ks_matrix; integer
+    cross-multiplied D, bounded source x length-domain grid)."""
+    from avro_sql_spark.operators.profile import source_ks_matrix
+
+    t = load_tables(spark, sf_dir, register=False)
+    return source_ks_matrix(t["documents"])
+
+
+def _decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by exponential time-decay LTV anchored at max(ts)
+    (profile.decayed_user_value; 6dp DECIMAL-summed decay terms)."""
+    from avro_sql_spark.operators.profile import decayed_user_value
+
+    t = load_tables(spark, sf_dir, register=False)
+    return decayed_user_value(t["events"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes ~50 entries in this order per round (r1 covered the first
@@ -3621,6 +3640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": _textrank_keywords,
         "conformal_interval_counts": _conformal_interval_counts,
         "bloom_fpr_audit": _bloom_fpr_audit,
+        "source_ks_matrix": _source_ks_matrix,
+        "decayed_user_value": _decayed_user_value,
         # --- cumulative-green core (driver rows r1-r4) ---
         "minhash_calibration": _minhash_calibration,
         "incremental_near_dup": _incremental_near_dup,
@@ -8952,6 +8973,40 @@ ORDER BY layout
         "key_locality_report": _key_locality_oracle(32),
         "textrank_keywords": _textrank_oracle(10, 2, 20),
         "bloom_fpr_audit": _bloom_fpr_oracle(),
+        "source_ks_matrix": """
+WITH lens AS (SELECT source AS s, length(text) AS v FROM documents),
+counts AS (SELECT s, v, COUNT(*) AS c FROM lens GROUP BY 1, 2),
+grid AS (SELECT d.v, s.s FROM (SELECT DISTINCT v FROM counts) d
+         CROSS JOIN (SELECT DISTINCT s FROM counts) s),
+merged AS (SELECT g.s, g.v, COALESCE(c.c, 0) AS c
+           FROM grid g LEFT JOIN counts c ON c.s = g.s AND c.v = g.v),
+cdf AS (SELECT s, v,
+               SUM(c) OVER (PARTITION BY s ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER (PARTITION BY s) AS n
+        FROM merged)
+SELECT a.s AS source_a, b.s AS source_b,
+       CAST(MIN(a.n) AS BIGINT) AS n_a, CAST(MIN(b.n) AS BIGINT) AS n_b,
+       ROUND(MAX(ABS(a.cum * b.n - b.cum * a.n))
+             / CAST(MIN(a.n) * MIN(b.n) AS DOUBLE), 6) AS ks
+FROM cdf a JOIN cdf b ON a.v = b.v AND a.s < b.s
+GROUP BY a.s, b.s
+ORDER BY source_a, source_b
+""",
+        "decayed_user_value": """
+WITH mx AS (SELECT epoch_us(MAX(ts)) // 1000000 AS smx FROM events),
+src AS (SELECT user_id,
+               CAST(ROUND(value, 6) AS DECIMAL(38,6)) AS rv,
+               CAST(ROUND(value * EXP(CAST(-0.05 AS DOUBLE)
+                     * ((mx.smx - epoch_us(ts) // 1000000)
+                        / CAST(86400 AS DOUBLE))), 6) AS DECIMAL(38,6)) AS dv
+        FROM events, mx WHERE value IS NOT NULL)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(rv) AS DOUBLE), 6) AS total_value,
+       ROUND(CAST(SUM(dv) AS DOUBLE), 6) AS decayed_value
+FROM src GROUP BY user_id
+ORDER BY decayed_value DESC, user_id LIMIT 20
+""",
         "conformal_interval_counts": """
 WITH counts AS (SELECT event_type AS g, date_trunc('hour', ts) AS h,
                        COUNT(*) AS c

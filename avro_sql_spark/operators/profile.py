@@ -1889,3 +1889,130 @@ def conformal_interval_report(
         )
         .orderBy(group_col)
     )
+
+
+def source_ks_matrix(
+    docs: DataFrame,
+    source_col: str = "source",
+    value_expr: Column | None = None,
+) -> DataFrame:
+    """Pairwise exact Kolmogorov–Smirnov drift matrix across ALL
+    sources (the all-pairs generalization of :func:`ks_drift`): one row
+    per unordered source pair with the exact two-sample D over the
+    document-length distribution — the triage table that says which
+    crawls actually came from the same distribution before mixing.
+
+    Shape: lengths aggregate to their DISTINCT domain per source, each
+    source's step-CDF evaluates once on the GLOBAL value domain
+    (sources × |domain| grid — bounded: ~20 × ~1000 rows regardless of
+    corpus size), and the pair comparison is one self-equi-join on the
+    domain value. D stays in INTEGER cross-multiplied arithmetic
+    (|cum_a·n_b − cum_b·n_a| / (n_a·n_b)) — no float discipline needed
+    until the final division."""
+    v = (
+        value_expr
+        if value_expr is not None
+        else F.length(F.col("text"))
+    )
+    lens = docs.select(F.col(source_col).alias("s"), v.alias("v"))
+    counts = lens.groupBy("s", "v").agg(F.count(F.lit(1)).alias("c"))
+    grid = (
+        counts.select("v").distinct()
+        .crossJoin(counts.select("s").distinct())
+    )
+    merged = grid.join(counts, ["s", "v"], "left").na.fill({"c": 0})
+    part = Window.partitionBy("s")
+    wcum = part.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = part.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cdf = merged.select(
+        "s",
+        "v",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    a = cdf.select(
+        F.col("s").alias("source_a"), "v",
+        F.col("cum").alias("ca"), F.col("n").alias("n_a"),
+    )
+    b = cdf.select(
+        F.col("s").alias("source_b"), "v",
+        F.col("cum").alias("cb"), F.col("n").alias("n_b"),
+    )
+    return (
+        a.join(b, "v")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b", "n_a", "n_b")
+        .agg(
+            F.max(
+                F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+            ).alias("num")
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("num") / (F.col("n_a") * F.col("n_b")).cast("double"), 6
+            ).alias("ks"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def decayed_user_value(
+    events: DataFrame,
+    half_life_lambda: float = 0.05,
+    top_k: int = 20,
+) -> DataFrame:
+    """Recency-weighted user value (exponential time-decay LTV): each
+    purchase contributes value·e^(−λ·age_days) anchored at the
+    dataset's max timestamp — the ranking every retention/engagement
+    dashboard uses instead of the raw lifetime sum, which never decays
+    a whale who left a year ago. Top-k users by decayed value, with the
+    raw total alongside for contrast.
+
+    Determinism: ages are integer-second differences divided once;
+    each decayed term rounds at 6dp into DECIMAL(38,6), so per-user
+    sums are order-free and the ranking key is exact; ties break on
+    user_id. One broadcast of the 1-row max-ts frame; one groupBy."""
+    mx = events.agg(F.unix_timestamp(F.max("ts")).alias("smx"))
+    src = (
+        events.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.round(F.col("value"), 6).cast("decimal(38,6)").alias("rv"),
+            F.round(
+                F.col("value")
+                * F.exp(
+                    F.lit(-half_life_lambda)
+                    * (
+                        (F.col("smx") - F.unix_timestamp(F.col("ts")))
+                        / F.lit(86400.0)
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(38,6)")
+            .alias("dv"),
+        )
+    )
+    return (
+        src.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("rv").alias("tot"),
+            F.sum("dv").alias("dec"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("tot").cast("double"), 6).alias("total_value"),
+            F.round(F.col("dec").cast("double"), 6).alias("decayed_value"),
+        )
+        .orderBy(F.desc("decayed_value"), F.asc("user_id"))
+        .limit(top_k)
+    )

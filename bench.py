@@ -240,6 +240,8 @@ HEADLINE = [
     "textrank_keywords",
     "conformal_interval_counts",
     "bloom_fpr_audit",
+    "source_ks_matrix",
+    "decayed_user_value",
 ]
 
 

@@ -357,3 +357,33 @@ def test_bloom_fpr_audit_member_keys_always_hit(spark):
     assert r["n_probes"] > 0
     assert 0.0 <= r["empirical_fpr"] <= 1.0
     assert abs(r["empirical_fpr"] - r["theoretical_fpr"]) < 0.2
+
+
+def test_source_ks_identical_vs_shifted(spark):
+    from avro_sql_spark.operators.profile import source_ks_matrix
+
+    rows = (
+        [(i, "x" * 10, "A") for i in range(20)]
+        + [(100 + i, "x" * 10, "B") for i in range(20)]   # same dist as A
+        + [(200 + i, "x" * 30, "C") for i in range(20)]   # shifted
+    )
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    out = {(r["source_a"], r["source_b"]): r["ks"]
+           for r in source_ks_matrix(df).collect()}
+    assert out[("A", "B")] == pytest.approx(0.0)
+    assert out[("A", "C")] == pytest.approx(1.0)  # disjoint supports
+
+
+def test_decayed_value_prefers_recent(spark):
+    from avro_sql_spark.operators.profile import decayed_user_value
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 100.0),   # old whale
+        (2, "2024-01-30 00:00:00", 60.0),    # recent smaller spender
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts_s STRING, value DOUBLE").select(
+        "user_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"), "value"
+    )
+    out = decayed_user_value(df, half_life_lambda=0.1).collect()
+    assert out[0]["user_id"] == 2                 # recency wins
+    assert out[1]["total_value"] > out[0]["total_value"]  # raw sum disagrees
