@@ -1941,7 +1941,10 @@ def source_ks_matrix(
         F.col("cum").alias("cb"), F.col("n").alias("n_b"),
     )
     return (
-        a.join(b, "v")
+        # both sides are the bounded sources x domain CDF frame (~20 x
+        # ~1e3 rows at any corpus size) — broadcast beats the SMJ AQE
+        # picks on the stats-free window output
+        a.join(F.broadcast(b), "v")
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b", "n_a", "n_b")
         .agg(
