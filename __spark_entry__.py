@@ -3538,6 +3538,29 @@ def _decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_user_value(t["events"])
 
 
+def _selectivity_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-statistics audit: true vs equi-width vs equi-depth
+    histogram selectivity for a 10-range lattice on o_totalprice
+    (profile.selectivity_estimate_audit; grid=10 deliberately
+    misaligned with the 32 buckets so interpolation error is real)."""
+    from avro_sql_spark.operators.profile import selectivity_estimate_audit
+
+    t = load_tables(spark, sf_dir, register=False)
+    return selectivity_estimate_audit(
+        t["orders"], "o_totalprice", "o_orderkey", buckets=32, grid=10
+    )
+
+
+def _retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase retention decay per first-purchase-week cohort:
+    log-linear fit of weekly retention fractions
+    (profile.retention_decay_fit)."""
+    from avro_sql_spark.operators.profile import retention_decay_fit
+
+    t = load_tables(spark, sf_dir, register=False)
+    return retention_decay_fit(t["events"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes ~50 entries in this order per round (r1 covered the first
@@ -3642,6 +3665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_fpr_audit": _bloom_fpr_audit,
         "source_ks_matrix": _source_ks_matrix,
         "decayed_user_value": _decayed_user_value,
+        "selectivity_estimate_audit": _selectivity_estimate_audit,
+        "retention_decay_fit": _retention_decay_fit,
         # --- cumulative-green core (driver rows r1-r4) ---
         "minhash_calibration": _minhash_calibration,
         "incremental_near_dup": _incremental_near_dup,
@@ -8992,6 +9017,94 @@ SELECT a.s AS source_a, b.s AS source_b,
 FROM cdf a JOIN cdf b ON a.v = b.v AND a.s < b.s
 GROUP BY a.s, b.s
 ORDER BY source_a, source_b
+""",
+        "selectivity_estimate_audit": """
+WITH st AS (SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS lo,
+                   MAX(CAST(o_totalprice AS DOUBLE)) AS hi,
+                   COUNT(*) AS n
+            FROM orders),
+src AS (SELECT CAST(o_totalprice AS DOUBLE) AS v, o_orderkey AS tb
+        FROM orders),
+preds AS (SELECT i, n,
+                 lo + (hi - lo) * CAST(i AS DOUBLE) / CAST(10 AS DOUBLE) AS plo,
+                 lo + (hi - lo) * CAST(i + 1 AS DOUBLE) / CAST(10 AS DOUBLE) AS phi
+          FROM st, unnest(range(0, 10)) AS t(i)),
+tc AS (SELECT p.i, COUNT(s.v) AS true_n
+       FROM preds p LEFT JOIN src s ON s.v >= p.plo AND s.v < p.phi
+       GROUP BY p.i),
+wb0 AS (SELECT LEAST(CAST(FLOOR((CASE WHEN hi > lo THEN (v - lo) / (hi - lo)
+                                      ELSE CAST(0 AS DOUBLE) END) * 32)
+                          AS INTEGER), 31) AS b,
+               COUNT(*) AS c, MIN(lo) AS lo, MIN(hi) AS hi
+        FROM src, st GROUP BY 1),
+wb AS (SELECT c,
+              lo + (hi - lo) * CAST(b AS DOUBLE) / CAST(32 AS DOUBLE) AS blo,
+              lo + (hi - lo) * CAST(b + 1 AS DOUBLE) / CAST(32 AS DOUBLE) AS bhi
+       FROM wb0),
+ranked AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, tb) AS rk FROM src),
+cutr AS (SELECT DISTINCT j,
+                GREATEST(CAST(CEIL(j * n / 32) AS BIGINT), 1) AS rk
+         FROM st, unnest(range(0, 33)) AS t(j)),
+bounds AS (SELECT c.j, r.v FROM cutr c JOIN ranked r USING (rk)),
+db AS (SELECT blo, bhi,
+              CAST(CEIL(j * n / 32) - CEIL((j - 1) * n / 32) AS BIGINT) AS c
+       FROM (SELECT j, LAG(v) OVER (ORDER BY j) AS blo, v AS bhi
+             FROM bounds) x, st
+       WHERE blo IS NOT NULL),
+ew AS (SELECT p.i,
+              SUM((CASE WHEN w.bhi - w.blo > 0
+                        THEN GREATEST(LEAST(p.phi, w.bhi)
+                                      - GREATEST(p.plo, w.blo),
+                                      CAST(0 AS DOUBLE)) / (w.bhi - w.blo)
+                        WHEN w.blo >= p.plo AND w.blo < p.phi
+                        THEN CAST(1 AS DOUBLE)
+                        ELSE CAST(0 AS DOUBLE) END) * w.c) AS est_width
+       FROM preds p CROSS JOIN wb w GROUP BY p.i),
+ed AS (SELECT p.i,
+              SUM((CASE WHEN d.bhi - d.blo > 0
+                        THEN GREATEST(LEAST(p.phi, d.bhi)
+                                      - GREATEST(p.plo, d.blo),
+                                      CAST(0 AS DOUBLE)) / (d.bhi - d.blo)
+                        WHEN d.blo >= p.plo AND d.blo < p.phi
+                        THEN CAST(1 AS DOUBLE)
+                        ELSE CAST(0 AS DOUBLE) END) * d.c) AS est_depth
+       FROM preds p CROSS JOIN db d GROUP BY p.i)
+SELECT p.i AS pred_id, ROUND(p.plo, 6) AS pred_lo, ROUND(p.phi, 6) AS pred_hi,
+       CAST(tc.true_n AS BIGINT) AS true_n,
+       ROUND(ew.est_width, 6) AS est_width,
+       ROUND(ed.est_depth, 6) AS est_depth,
+       ROUND(ABS(ew.est_width - tc.true_n) / p.n, 6) AS err_width,
+       ROUND(ABS(ed.est_depth - tc.true_n) / p.n, 6) AS err_depth
+FROM preds p JOIN tc USING (i) JOIN ew USING (i) JOIN ed USING (i)
+ORDER BY pred_id
+""",
+        "retention_decay_fit": """
+WITH pe AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+first AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cw FROM pe
+          GROUP BY user_id),
+coh AS (SELECT f.cw AS cohort, p.user_id,
+               CAST(FLOOR((epoch_us(p.ts) // 1000000
+                           - epoch_us(f.cw) // 1000000)
+                          / 604800) AS INTEGER) AS wk
+        FROM pe p JOIN first f USING (user_id)),
+cf AS (SELECT * FROM coh WHERE wk < 4),
+sizes AS (SELECT cohort, COUNT(DISTINCT user_id) AS n_users FROM cf
+          WHERE wk = 0 GROUP BY cohort),
+act AS (SELECT cohort, wk, COUNT(DISTINCT user_id) AS a FROM cf
+        GROUP BY cohort, wk),
+fr AS (SELECT a.cohort, s.n_users, a.wk,
+              a.a / CAST(s.n_users AS DOUBLE) AS frac
+       FROM act a JOIN sizes s USING (cohort)
+       WHERE a.a / CAST(s.n_users AS DOUBLE) > 0),
+fit AS (SELECT cohort, n_users, COUNT(*) AS weeks_observed,
+               regr_slope(LN(frac), CAST(wk AS DOUBLE)) AS s
+        FROM fr GROUP BY cohort, n_users)
+SELECT cohort, CAST(n_users AS BIGINT) AS n_users,
+       CAST(weeks_observed AS BIGINT) AS weeks_observed,
+       ROUND(-s, 6) + 0 AS decay_rate,
+       ROUND(CAST(0.6931471805599453 AS DOUBLE) / NULLIF(-s, 0), 6) + 0
+         AS half_life_weeks
+FROM fit ORDER BY cohort
 """,
         "decayed_user_value": """
 WITH mx AS (SELECT epoch_us(MAX(ts)) // 1000000 AS smx FROM events),

@@ -2019,3 +2019,252 @@ def decayed_user_value(
         .orderBy(F.desc("decayed_value"), F.asc("user_id"))
         .limit(top_k)
     )
+
+
+def selectivity_estimate_audit(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    buckets: int = 32,
+    grid: int = 16,
+) -> DataFrame:
+    """Optimizer-statistics audit: for a lattice of ``grid`` range
+    predicates, the TRUE row count next to what an equi-WIDTH histogram
+    and an equi-DEPTH histogram estimate (fractional-overlap
+    interpolation — the standard cardinality model), with per-predicate
+    relative errors. The companion to the layout audits: skipping
+    measures what FILE stats buy, this measures what COLUMN stats are
+    worth before trusting a join order to them (equi-depth should win
+    on skew — this is the table that proves it on YOUR data).
+
+    Shape: the equi-width counts are one scaled-floor aggregation; the
+    equi-depth boundaries are EXACT order statistics (global_rank cut
+    ranks — two-pass, no global sort) with exact per-bucket counts from
+    consecutive rank differences; the true counts are ONE pass of
+    ``grid`` conditional sums (no row expansion); every estimate is
+    arithmetic on the (buckets + grid)-row metadata. Predicate bounds
+    are the same double expressions on (lo, hi) everywhere, so the
+    audit replays exactly."""
+    from .curation import global_rank
+
+    v = F.col(value_col).cast("double")
+    src = df.select(v.alias("v"), F.col(tiebreak_col).alias("tb"))
+    st = src.agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).localCheckpoint(eager=False)  # 1 row, many consumers
+
+    span = F.col("hi") - F.col("lo")
+    g = F.lit(float(grid))
+
+    def plo(i):
+        return F.col("lo") + span * i / g
+
+    # --- true counts: one conditional-aggregation pass ---
+    withst = src.crossJoin(F.broadcast(st))
+    true_row = withst.agg(
+        *[
+            F.sum(
+                (
+                    (F.col("v") >= plo(F.lit(float(i))))
+                    & (F.col("v") < plo(F.lit(float(i + 1))))
+                ).cast("long")
+            ).alias(f"t{i}")
+            for i in range(grid)
+        ]
+    )
+    true_counts = true_row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), F.col(f"t{i}").alias("true_n")
+                    )
+                    for i in range(grid)
+                ]
+            )
+        ).alias("s")
+    ).select(F.col("s.i").alias("i"), F.col("s.true_n").alias("true_n"))
+
+    # --- equi-width histogram: counts + theoretical bucket edges ---
+    b = F.least(
+        F.floor(
+            F.when(span > 0, (F.col("v") - F.col("lo")) / span)
+            .otherwise(F.lit(0.0))
+            * buckets
+        ).cast("int"),
+        F.lit(buckets - 1),
+    )
+    wb = (
+        withst.select(b.alias("b"), "lo", "hi")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("lo").alias("lo"),
+             F.min("hi").alias("hi"))
+        .select(
+            "c",
+            (F.col("lo") + (F.col("hi") - F.col("lo")) * F.col("b")
+             / F.lit(float(buckets))).alias("blo"),
+            (F.col("lo") + (F.col("hi") - F.col("lo")) * (F.col("b") + 1)
+             / F.lit(float(buckets))).alias("bhi"),
+        )
+    )
+
+    # --- equi-depth histogram: exact order-statistic boundaries ---
+    ranked = global_rank(src, [F.col("v"), F.col("tb")], rank_col="rk")
+    spark = df.sparkSession
+    cutr = (
+        spark.range(0, buckets + 1)
+        .select(F.col("id").alias("j"))
+        .crossJoin(F.broadcast(st))
+        .select(
+            "j",
+            F.greatest(
+                F.ceil(F.col("j") * F.col("n") / buckets).cast("long"),
+                F.lit(1),
+            ).alias("rk"),
+        )
+        .distinct()
+    )
+    bounds = ranked.join(F.broadcast(cutr), "rk").select("j", "v")
+    wj = Window.orderBy("j")  # buckets+1 metadata rows
+    # bucket j holds ranks (ceil((j-1)n/B), ceil(jn/B)] — the count is
+    # pure integer arithmetic on n (no rank subtraction across the lag,
+    # which would under-count bucket 1 by the rank-1 row)
+    db = (
+        bounds.select("j", F.lag("v").over(wj).alias("blo"),
+                      F.col("v").alias("bhi"))
+        .filter(F.col("blo").isNotNull())
+        .crossJoin(F.broadcast(st.select("n")))
+        .select(
+            "blo", "bhi",
+            (
+                F.ceil(F.col("j") * F.col("n") / buckets)
+                - F.ceil((F.col("j") - 1) * F.col("n") / buckets)
+            ).cast("long").alias("c"),
+        )
+    )
+
+    # --- predicates frame + interpolated estimates ---
+    preds = st.select(
+        F.explode(F.sequence(F.lit(0), F.lit(grid - 1))).alias("i"),
+        "lo", "hi", "n",
+    ).select(
+        "i", "n",
+        plo(F.col("i").cast("double")).alias("plo"),
+        plo((F.col("i") + 1).cast("double")).alias("phi"),
+    ).localCheckpoint(eager=False)
+
+    def est(bkts: DataFrame, out: str) -> DataFrame:
+        width = F.col("bhi") - F.col("blo")
+        inter = F.least(F.col("phi"), F.col("bhi")) - F.greatest(
+            F.col("plo"), F.col("blo")
+        )
+        frac = F.when(
+            width > 0, F.greatest(inter, F.lit(0.0)) / width
+        ).otherwise(
+            F.when(
+                (F.col("blo") >= F.col("plo"))
+                & (F.col("blo") < F.col("phi")),
+                F.lit(1.0),
+            ).otherwise(F.lit(0.0))
+        )
+        return (
+            preds.crossJoin(F.broadcast(bkts))
+            .groupBy("i")
+            .agg(F.sum(frac * F.col("c")).alias(out))
+        )
+
+    return (
+        preds.join(true_counts, "i")
+        .join(est(wb, "est_width"), "i")
+        .join(est(db, "est_depth"), "i")
+        .select(
+            F.col("i").alias("pred_id"),
+            F.round("plo", 6).alias("pred_lo"),
+            F.round("phi", 6).alias("pred_hi"),
+            F.col("true_n").cast("bigint").alias("true_n"),
+            F.round("est_width", 6).alias("est_width"),
+            F.round("est_depth", 6).alias("est_depth"),
+            F.round(
+                F.abs(F.col("est_width") - F.col("true_n")) / F.col("n"), 6
+            ).alias("err_width"),
+            F.round(
+                F.abs(F.col("est_depth") - F.col("true_n")) / F.col("n"), 6
+            ).alias("err_depth"),
+        )
+        .orderBy("pred_id")
+    )
+
+
+def retention_decay_fit(
+    events: DataFrame,
+    weeks: int = 4,
+    event_type: str | None = "purchase",
+) -> DataFrame:
+    """Exponential retention-decay fit per signup cohort: weekly
+    retention fractions (exact active-user counts over the cohort
+    size), then the log-linear fit ln(retention) ~ week via regr_slope
+    — the one-number-per-cohort decay rate and its half-life that a
+    plain retention table hides. Cohort = first-event week.
+
+    Shape: first-event assignment is one groupBy-min; the cohort x week
+    activity matrix is a distinct count on a bounded (cohorts x weeks)
+    frame; the regression is a mergeable moment aggregate over <= weeks
+    points per cohort (regr_slope — the zipf_fit-proven cross-engine
+    pair). ln() only sees fractions > 0 (both engines filter
+    identically). ``event_type`` scopes both the cohort anchor and the
+    activity signal (default: repeat-PURCHASE retention — on this
+    corpus every user is active every week, so all-event retention is
+    a flat 1.0)."""
+    if event_type is not None:
+        events = events.filter(F.col("event_type") == event_type)
+    first = events.groupBy("user_id").agg(F.min("ts").alias("f0"))
+    cohorted = (
+        events.join(first, "user_id")
+        .select(
+            F.date_trunc("week", F.col("f0")).alias("cohort"),
+            "user_id",
+            F.floor(
+                (F.unix_timestamp("ts") - F.unix_timestamp(F.date_trunc("week", F.col("f0"))))
+                / (7 * 86400)
+            ).cast("int").alias("wk"),
+        )
+        .filter(F.col("wk") < weeks)
+    )
+    sizes = cohorted.filter(F.col("wk") == 0).groupBy("cohort").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    active = cohorted.groupBy("cohort", "wk").agg(
+        F.countDistinct("user_id").alias("a")
+    )
+    fr = (
+        active.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort", "wk", "n_users",
+            (F.col("a") / F.col("n_users").cast("double")).alias("frac"),
+        )
+        .filter(F.col("frac") > 0)
+    )
+    return (
+        fr.groupBy("cohort", "n_users")
+        .agg(
+            F.count(F.lit(1)).alias("weeks_observed"),
+            F.regr_slope(F.log("frac"), F.col("wk").cast("double")).alias("_s"),
+        )
+        .select(
+            F.col("cohort"),
+            "n_users",
+            "weeks_observed",
+            (F.round(-F.col("_s"), 6) + F.lit(0.0)).alias("decay_rate"),
+            (
+                F.round(
+                    F.lit(float(__import__("math").log(2.0)))
+                    / F.nullif(-F.col("_s"), F.lit(0.0)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("half_life_weeks"),
+        )
+        .orderBy("cohort")
+    )

@@ -242,6 +242,8 @@ HEADLINE = [
     "bloom_fpr_audit",
     "source_ks_matrix",
     "decayed_user_value",
+    "selectivity_estimate_audit",
+    "retention_decay_fit",
 ]
 
 

@@ -387,3 +387,53 @@ def test_decayed_value_prefers_recent(spark):
     out = decayed_user_value(df, half_life_lambda=0.1).collect()
     assert out[0]["user_id"] == 2                 # recency wins
     assert out[1]["total_value"] > out[0]["total_value"]  # raw sum disagrees
+
+
+def test_selectivity_audit_uniform_and_skewed(spark):
+    from avro_sql_spark.operators.profile import selectivity_estimate_audit
+
+    # uniform data: both histograms estimate near-perfectly
+    uni = spark.range(1000).select(
+        F.col("id").cast("double").alias("v"), F.col("id").alias("tb")
+    )
+    out_u = selectivity_estimate_audit(uni, "v", "tb", buckets=16,
+                                       grid=7).collect()
+    assert len(out_u) == 7
+    assert all(r["err_width"] < 0.02 and r["err_depth"] < 0.02 for r in out_u)
+    # heavy skew: the audit must REGISTER estimation error somewhere
+    # (which histogram wins depends on predicate width vs mass shape —
+    # measuring that gap is the operator's whole point)
+    skew = spark.range(1000).select(
+        F.when(F.col("id") < 900, (F.col("id") % 30).cast("double"))
+        .otherwise((F.col("id") * 10).cast("double"))
+        .alias("v"),
+        F.col("id").alias("tb"),
+    )
+    out_s = selectivity_estimate_audit(skew, "v", "tb", buckets=16,
+                                       grid=7).collect()
+    assert sum(r["true_n"] for r in out_s) <= 1000
+    assert max(r["err_width"] + r["err_depth"] for r in out_s) > 0.005
+
+
+def test_retention_decay_on_synthetic_halving(spark):
+    from avro_sql_spark.operators.profile import retention_decay_fit
+
+    # 16 users purchase in week 1; half survive each later week
+    rows = []
+    for uid in range(16):
+        rows.append((uid, "2024-01-01 10:00:00", "purchase"))
+        if uid < 8:
+            rows.append((uid, "2024-01-08 10:00:00", "purchase"))
+        if uid < 4:
+            rows.append((uid, "2024-01-15 10:00:00", "purchase"))
+        if uid < 2:
+            rows.append((uid, "2024-01-22 10:00:00", "purchase"))
+    df = spark.createDataFrame(
+        rows, "user_id LONG, ts_s STRING, event_type STRING"
+    ).select("user_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+             "event_type")
+    r = retention_decay_fit(df).collect()[0]
+    assert r["n_users"] == 16
+    # exact halving -> decay rate ln(2), half-life 1 week
+    assert r["decay_rate"] == pytest.approx(math.log(2.0), abs=1e-4)
+    assert r["half_life_weeks"] == pytest.approx(1.0, abs=1e-4)

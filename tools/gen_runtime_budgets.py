@@ -93,6 +93,7 @@ ITERATIVE_ENTRIES = [
     "textrank_keywords",
     "conformal_interval_counts",
     "bloom_fpr_audit",
+    "selectivity_estimate_audit",
 ]
 
 
