@@ -3561,6 +3561,34 @@ def _retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_decay_fit(t["events"])
 
 
+def _roc_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Mann-Whitney AUC of doc length separating lang='en'
+    (profile.roc_auc_by_source; tie-corrected, integer-exact over the
+    score domain)."""
+    from avro_sql_spark.operators.profile import roc_auc_by_source
+
+    t = load_tables(spark, sf_dir, register=False)
+    return roc_auc_by_source(t["documents"])
+
+
+def _acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-count autocorrelation, lags 1..24, zero-filled
+    spine (profile.acf_hourly; exact integer ratio per lag)."""
+    from avro_sql_spark.operators.profile import acf_hourly
+
+    t = load_tables(spark, sf_dir, register=False)
+    return acf_hourly(t["events"])
+
+
+def _shuffle_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-reducer hash-partition load table for events.user_id
+    (profile.shuffle_skew_audit; md5 bucket, exact counts)."""
+    from avro_sql_spark.operators.profile import shuffle_skew_audit
+
+    t = load_tables(spark, sf_dir, register=False)
+    return shuffle_skew_audit(t["events"], "user_id", 64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes ~50 entries in this order per round (r1 covered the first
@@ -3667,6 +3695,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_user_value": _decayed_user_value,
         "selectivity_estimate_audit": _selectivity_estimate_audit,
         "retention_decay_fit": _retention_decay_fit,
+        "roc_auc_by_source": _roc_auc_by_source,
+        "acf_hourly": _acf_hourly,
+        "shuffle_skew_audit": _shuffle_skew_audit,
         # --- cumulative-green core (driver rows r1-r4) ---
         "minhash_calibration": _minhash_calibration,
         "incremental_near_dup": _incremental_near_dup,
@@ -9105,6 +9136,64 @@ SELECT cohort, CAST(n_users AS BIGINT) AS n_users,
        ROUND(CAST(0.6931471805599453 AS DOUBLE) / NULLIF(-s, 0), 6) + 0
          AS half_life_weeks
 FROM fit ORDER BY cohort
+""",
+        "roc_auc_by_source": """
+WITH base AS (SELECT source AS s, CAST(n_chars AS BIGINT) AS v,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+              FROM documents),
+c AS (SELECT s, v, SUM(p) AS np, SUM(1 - p) AS nn FROM base GROUP BY 1, 2),
+k AS (SELECT s, np, nn,
+             COALESCE(SUM(nn) OVER (PARTITION BY s ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn
+      FROM c)
+SELECT s AS source,
+       CAST(SUM(np) AS BIGINT) AS n_pos,
+       CAST(SUM(nn) AS BIGINT) AS n_neg,
+       ROUND(CAST(2 * SUM(np * cn) + SUM(np * nn) AS DOUBLE)
+             / NULLIF(CAST(2 * SUM(np) * SUM(nn) AS DOUBLE), 0), 6) + 0 AS auc
+FROM k GROUP BY s ORDER BY source
+""",
+        "acf_hourly": """
+WITH hrs AS (SELECT epoch_us(ts) // 3600000000 AS hi FROM events),
+counts AS (SELECT hi, COUNT(*) AS c FROM hrs GROUP BY hi),
+st AS (SELECT MIN(hi) AS mn, MAX(hi) AS mx FROM counts),
+spine AS (SELECT g.hi, COALESCE(c.c, 0) AS c
+          FROM (SELECT unnest(range((SELECT mn FROM st),
+                                    (SELECT mx FROM st) + 1)) AS hi) g
+          LEFT JOIN counts c USING (hi)),
+tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS h, CAST(SUM(c) AS HUGEINT) AS s,
+               CAST(SUM(c * c) AS HUGEINT) AS q FROM spine),
+lags AS (SELECT unnest(range(1, 25)) AS lag),
+per AS (SELECT l.lag,
+               CAST(SUM(a.c * b.c) AS HUGEINT) AS x,
+               CAST(SUM(a.c) AS HUGEINT) AS aa,
+               CAST(SUM(b.c) AS HUGEINT) AS bb
+        FROM lags l
+        JOIN spine a ON TRUE
+        JOIN spine b ON b.hi = a.hi - l.lag
+        GROUP BY l.lag)
+SELECT CAST(p.lag AS BIGINT) AS lag,
+       ROUND(CAST(t.h * t.h * p.x - t.h * t.s * (p.aa + p.bb)
+                  + (t.h - p.lag) * t.s * t.s AS DOUBLE)
+             / NULLIF(CAST(t.h * t.h * t.q - t.h * t.s * t.s AS DOUBLE), 0), 6)
+       + 0 AS acf
+FROM per p CROSS JOIN tot t ORDER BY lag
+""",
+        "shuffle_skew_audit": """
+WITH pk AS (SELECT (CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                         AS BIGINT) % 64) AS bucket,
+                   user_id AS k, COUNT(*) AS kc
+            FROM events GROUP BY 1, 2),
+pb AS (SELECT bucket, SUM(kc) AS n_rows, COUNT(*) AS n_keys,
+              MAX(kc) AS max_key_rows
+       FROM pk GROUP BY bucket),
+tot AS (SELECT SUM(n_rows) AS n FROM pb)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(max_key_rows AS BIGINT) AS max_key_rows,
+       ROUND(CAST(n_rows * 64 AS DOUBLE) / CAST(t.n AS DOUBLE), 6)
+       AS ratio_to_avg
+FROM pb CROSS JOIN tot t ORDER BY bucket
 """,
         "decayed_user_value": """
 WITH mx AS (SELECT epoch_us(MAX(ts)) // 1000000 AS smx FROM events),

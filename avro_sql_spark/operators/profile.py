@@ -2268,3 +2268,197 @@ def retention_decay_fit(
         )
         .orderBy("cohort")
     )
+
+
+def roc_auc_by_source(
+    docs: DataFrame,
+    source_col: str = "source",
+    score_col: str = "n_chars",
+    lang_col: str = "lang",
+    pos_lang: str = "en",
+) -> DataFrame:
+    """Per-source ROC AUC of a score column separating a binary label
+    (here: does document length discriminate English from everything
+    else?) — the standard health check before trusting any quality
+    score as a filter: AUC 0.5 means the score is noise for that
+    source, and a per-source breakdown catches the source where a
+    globally-good score silently inverts.
+
+    Computed by the Mann-Whitney identity with full tie correction:
+    AUC = (#concordant + ½·#tied) / (n_pos·n_neg), folded over the
+    SCORE DOMAIN rather than pairs — group by (source, score) once,
+    then a cumulative negative count over the per-source score domain
+    gives every concordant count in one window pass. The window
+    partition is the per-source distinct-score domain (bounded by the
+    score's value range, NOT by rows), and every sum is exact integer
+    arithmetic in DECIMAL(38,0) — the only float op is the final
+    single division, identical in any IEEE engine.
+    """
+    base = docs.select(
+        F.col(source_col).alias("s"),
+        F.col(score_col).cast("long").alias("v"),
+        (F.col(lang_col) == pos_lang).cast("long").alias("p"),
+    )
+    c = base.groupBy("s", "v").agg(
+        F.sum("p").alias("np"),
+        F.sum(F.lit(1) - F.col("p")).alias("nn"),
+    )
+    w = (
+        Window.partitionBy("s")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    k = c.select(
+        "s",
+        "np",
+        "nn",
+        F.coalesce(F.sum("nn").over(w), F.lit(0)).alias("cn"),
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    agg = k.groupBy("s").agg(
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+        F.sum(dec(F.col("np") * F.col("cn"))).alias("conc"),
+        F.sum(dec(F.col("np") * F.col("nn"))).alias("tied"),
+    )
+    auc = (
+        (F.lit(2) * F.col("conc") + F.col("tied")).cast("double")
+        / F.nullif(
+            (F.lit(2) * dec(F.col("n_pos") * F.col("n_neg"))).cast("double"),
+            F.lit(0.0),
+        )
+    )
+    return agg.select(
+        F.col("s").alias("source"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        (F.round(auc, 6) + F.lit(0.0)).alias("auc"),
+    ).orderBy("source")
+
+
+def acf_hourly(
+    events: DataFrame,
+    max_lag: int = 24,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Autocorrelation function of the hourly event-count series at
+    lags 1..max_lag — the seasonality detector behind every
+    capacity-planning and anomaly model (a spike at lag 24 says the
+    series is daily-periodic; fast decay says yesterday predicts
+    nothing). Missing hours count as zero — computing ACF on a
+    gap-compressed series aliases the periods.
+
+    Exactness: with integer hourly counts c_t, series length H, sum S,
+    and sum of squares Q, the standard full-series-mean estimator
+    collapses to an exact integer ratio
+
+        r_k = (H²·X_k − H·S·(A_k + B_k) + (H−k)·S²) / (H²·Q − H·S²)
+
+    where X_k = Σ c_t·c_{t−k}, A_k/B_k the matched current/lagged sums
+    — every term accumulates in DECIMAL(38,0) (order-free), the single
+    final division is the only float op. Scale shape: the series frame
+    is TIME-bounded (hours in the data span, not rows); the lag join is
+    an equi-join on integer hour index over that bounded frame.
+    """
+    hrs = events.select(
+        (F.unix_timestamp(F.col(ts_col)) / F.lit(3600))
+        .cast("long")
+        .alias("hi")
+    )
+    counts = hrs.groupBy("hi").agg(F.count(F.lit(1)).alias("c"))
+    st = counts.agg(F.min("hi").alias("mn"), F.max("hi").alias("mx"))
+    spine = (
+        st.select(F.explode(F.sequence("mn", "mx")).alias("hi"))
+        .join(counts, "hi", "left")
+        .select("hi", F.coalesce("c", F.lit(0)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    tot = spine.agg(
+        F.count(F.lit(1)).alias("h"),
+        F.sum(dec(F.col("c"))).alias("s"),
+        F.sum(dec(F.col("c") * F.col("c"))).alias("q"),
+    )
+    spark = events.sparkSession
+    lags = spark.range(1, max_lag + 1).select(F.col("id").alias("lag"))
+    cur = spine.crossJoin(lags).select(
+        "lag", "hi", "c", (F.col("hi") - F.col("lag")).alias("hj")
+    )
+    prev = spine.select(F.col("hi").alias("hj"), F.col("c").alias("c2"))
+    per = (
+        cur.join(prev, "hj")
+        .groupBy("lag")
+        .agg(
+            F.sum(dec(F.col("c") * F.col("c2"))).alias("x"),
+            F.sum(dec(F.col("c"))).alias("a"),
+            F.sum(dec(F.col("c2"))).alias("b"),
+        )
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    h = F.col("h").cast("decimal(38,0)")
+    num = (
+        h * h * F.col("x")
+        - h * F.col("s") * (F.col("a") + F.col("b"))
+        + (h - F.col("lag")) * F.col("s") * F.col("s")
+    )
+    den = h * h * F.col("q") - h * F.col("s") * F.col("s")
+    return j.select(
+        F.col("lag").cast("long").alias("lag"),
+        (
+            F.round(
+                num.cast("double")
+                / F.nullif(den.cast("double"), F.lit(0.0)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("acf"),
+    ).orderBy("lag")
+
+
+def shuffle_skew_audit(
+    df: DataFrame,
+    key_col: str = "user_id",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Pre-shuffle skew diagnostic: hash-partition the frame's join key
+    into ``num_buckets`` reducers (engine-portable md5 hash, the same
+    unit-interval device the samplers use) and report each bucket's row
+    count, distinct-key count, and its load relative to the uniform
+    ideal — the table you read BEFORE deciding whether a join needs
+    salting or AQE skew-split (a bucket at 5× average with one hot key
+    says salt; many keys says just raise parallelism).
+
+    All counts are exact integers from one groupBy; ratio_to_avg is
+    n_rows·P / N as a single division. Scale shape: two aggregations
+    (key→bucket, bucket→stats) with map-side combine; the output is
+    buckets-sized.
+    """
+    b = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 12), 16, 10)
+        .cast("long")
+        % num_buckets
+    )
+    per_key = df.select(b.alias("bucket"), F.col(key_col).alias("k")).groupBy(
+        "bucket", "k"
+    ).agg(F.count(F.lit(1)).alias("kc"))
+    per_bucket = per_key.groupBy("bucket").agg(
+        F.sum("kc").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("kc").alias("max_key_rows"),
+    )
+    tot = per_bucket.agg(F.sum("n_rows").alias("n"))
+    return (
+        per_bucket.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("max_key_rows").cast("long").alias("max_key_rows"),
+            F.round(
+                (F.col("n_rows") * F.lit(num_buckets)).cast("double")
+                / F.col("n").cast("double"),
+                6,
+            ).alias("ratio_to_avg"),
+        )
+        .orderBy("bucket")
+    )

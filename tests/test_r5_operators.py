@@ -437,3 +437,101 @@ def test_retention_decay_on_synthetic_halving(spark):
     # exact halving -> decay rate ln(2), half-life 1 week
     assert r["decay_rate"] == pytest.approx(math.log(2.0), abs=1e-4)
     assert r["half_life_weeks"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_roc_auc_perfect_and_random_separation(spark):
+    from avro_sql_spark.operators.profile import roc_auc_by_source
+
+    # source A: every 'en' doc longer than every other -> AUC 1.0;
+    # source B: identical lengths -> all pairs tied -> AUC 0.5
+    rows = [
+        (1, "x", "en", "A", 100),
+        (2, "x", "en", "A", 90),
+        (3, "x", "fr", "A", 50),
+        (4, "x", "de", "A", 40),
+        (5, "x", "en", "B", 70),
+        (6, "x", "fr", "B", 70),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    got = {r["source"]: r for r in roc_auc_by_source(df).collect()}
+    assert got["A"]["auc"] == pytest.approx(1.0)
+    assert got["A"]["n_pos"] == 2 and got["A"]["n_neg"] == 2
+    assert got["B"]["auc"] == pytest.approx(0.5)
+
+
+def test_roc_auc_reversed_score_is_zero(spark):
+    from avro_sql_spark.operators.profile import roc_auc_by_source
+
+    rows = [
+        (1, "x", "en", "A", 10),
+        (2, "x", "fr", "A", 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    assert roc_auc_by_source(df).collect()[0]["auc"] == pytest.approx(0.0)
+
+
+def test_acf_constant_series_is_null_and_period2_alternation(spark):
+    from datetime import datetime
+
+    from avro_sql_spark.operators.profile import acf_hourly
+
+    # alternating 2,0,2,0,... hourly counts -> acf(1) = -1, acf(2) = +1
+    rows = []
+    eid = 0
+    for h in range(0, 12, 2):  # events only in even hours
+        for _ in range(2):
+            rows.append((eid, datetime(2024, 1, 1, h, 30), 1, "click", 1.0, ""))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    got = {r["lag"]: r["acf"] for r in acf_hourly(df, max_lag=3).collect()}
+    # finite-series boundary terms keep |r| below 1; signs + ordering
+    # are the period-2 signature
+    assert got[1] < -0.5
+    assert got[2] > 0.7
+    assert got[2] > got[3] > got[1] or got[2] > got[1]
+
+
+def test_acf_zero_fills_missing_hours(spark):
+    from datetime import datetime
+
+    from avro_sql_spark.operators.profile import acf_hourly
+
+    # two bursts 3 hours apart with silent hours between: the spine
+    # must include the empty hours (H=4), not compress them away
+    rows = [
+        (0, datetime(2024, 1, 1, 0, 0), 1, "c", 1.0, ""),
+        (1, datetime(2024, 1, 1, 3, 0), 1, "c", 1.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    out = acf_hourly(df, max_lag=3).collect()
+    assert [r["lag"] for r in out] == [1, 2, 3]
+    # series 1,0,0,1: mean .5-ish math — just assert lag-3 is the max
+    # correlation (the two spikes line up) and lag-1 is negative
+    got = {r["lag"]: r["acf"] for r in out}
+    assert got[3] > got[1]
+
+
+def test_shuffle_skew_audit_exact_counts_and_hot_key(spark):
+    from avro_sql_spark.operators.profile import shuffle_skew_audit
+
+    rows = [(i, i % 5) for i in range(50)] + [(100 + i, 99) for i in range(50)]
+    df = spark.createDataFrame(rows, "event_id LONG, user_id LONG")
+    out = shuffle_skew_audit(df, "user_id", num_buckets=8).collect()
+    assert sum(r["n_rows"] for r in out) == 100
+    assert sum(r["n_keys"] for r in out) == 6
+    # the hot key (99, 50 rows) dominates exactly one bucket
+    assert max(r["max_key_rows"] for r in out) == 50
+    hot = [r for r in out if r["max_key_rows"] == 50]
+    assert len(hot) == 1 and hot[0]["ratio_to_avg"] > 1.0
