@@ -3589,6 +3589,66 @@ def _shuffle_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_skew_audit(t["events"], "user_id", 64)
 
 
+def _spearman_user_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rho between per-user event count and summed value
+    (profile.spearman_user_corr; tie-averaged integer ranks via the
+    global_rank device)."""
+    from avro_sql_spark.operators.profile import spearman_user_corr
+
+    t = load_tables(spark, sf_dir, register=False)
+    return spearman_user_corr(t["events"])
+
+
+def _srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """50/50 assignment health: chi-square SRM + per-arm Wilson CI
+    (profile.srm_audit; md5 unit-interval assignment)."""
+    from avro_sql_spark.operators.profile import srm_audit
+
+    t = load_tables(spark, sf_dir, register=False)
+    return srm_audit(t["events"])
+
+
+def _local_clustering_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree vs average local clustering coefficient on the
+    co-purchase graph (graph.local_clustering_curve; compact-forward
+    per-node triangles, 6dp DECIMAL-summed coefficients)."""
+    from avro_sql_spark.operators.graph import (
+        copurchase_edges,
+        local_clustering_curve,
+    )
+
+    t = load_tables(spark, sf_dir, register=False)
+    return local_clustering_curve(copurchase_edges(t["lineitem"]))
+
+
+def _mann_whitney_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs tie-corrected Mann-Whitney U/z over doc-length
+    distributions across sources (profile.mann_whitney_matrix; the
+    directional companion to source_ks_matrix)."""
+    from avro_sql_spark.operators.profile import mann_whitney_matrix
+
+    t = load_tables(spark, sf_dir, register=False)
+    return mann_whitney_matrix(t["documents"])
+
+
+def _cramers_v_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square + Cramér's V between source and lang
+    (profile.cramers_v_report; 9dp-quantized cell terms)."""
+    from avro_sql_spark.operators.profile import cramers_v_report
+
+    t = load_tables(spark, sf_dir, register=False)
+    return cramers_v_report(t["documents"])
+
+
+def _simpson_event_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inverse Simpson of event-type usage, bucket histogram
+    (profile.simpson_event_diversity; exact n²/Σc² ratios)."""
+    from avro_sql_spark.operators.profile import simpson_event_diversity
+
+    t = load_tables(spark, sf_dir, register=False)
+    return simpson_event_diversity(t["events"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes ~50 entries in this order per round (r1 covered the first
@@ -3698,6 +3758,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc_by_source": _roc_auc_by_source,
         "acf_hourly": _acf_hourly,
         "shuffle_skew_audit": _shuffle_skew_audit,
+        "spearman_user_corr": _spearman_user_corr,
+        "srm_audit": _srm_audit,
+        "local_clustering_curve": _local_clustering_curve,
+        "mann_whitney_matrix": _mann_whitney_matrix,
+        "cramers_v_report": _cramers_v_report,
+        "simpson_event_diversity": _simpson_event_diversity,
         # --- cumulative-green core (driver rows r1-r4) ---
         "minhash_calibration": _minhash_calibration,
         "incremental_near_dup": _incremental_near_dup,
@@ -9194,6 +9260,177 @@ SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_rows AS BIGINT) AS n_rows,
        ROUND(CAST(n_rows * 64 AS DOUBLE) / CAST(t.n AS DOUBLE), 6)
        AS ratio_to_avg
 FROM pb CROSS JOIN tot t ORDER BY bucket
+""",
+        "spearman_user_corr": """
+WITH pu AS (SELECT user_id,
+                   COUNT(*) AS x,
+                   COALESCE(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))),
+                            0) AS y
+            FROM events GROUP BY user_id),
+r AS (SELECT user_id, x, y,
+             ROW_NUMBER() OVER (ORDER BY x, user_id) AS rx,
+             ROW_NUMBER() OVER (ORDER BY y, user_id) AS ry
+      FROM pu),
+gx AS (SELECT x, MIN(rx) + MAX(rx) AS ix2 FROM r GROUP BY x),
+gy AS (SELECT y, MIN(ry) + MAX(ry) AS iy2 FROM r GROUP BY y),
+j AS (SELECT ix2, iy2 FROM pu JOIN gx USING (x) JOIN gy USING (y)),
+s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(ix2) AS HUGEINT) AS sx,
+             CAST(SUM(iy2) AS HUGEINT) AS sy,
+             CAST(SUM(ix2 * iy2) AS HUGEINT) AS sxy,
+             CAST(SUM(ix2 * ix2) AS HUGEINT) AS sxx,
+             CAST(SUM(iy2 * iy2) AS HUGEINT) AS syy
+      FROM j)
+SELECT CAST(n AS BIGINT) AS n_users,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / NULLIF(SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * SQRT(CAST(n * syy - sy * sy AS DOUBLE)), 0), 6) + 0
+         AS spearman_rho
+FROM s
+""",
+        "srm_audit": f"""
+WITH pu AS (SELECT user_id AS uid,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     AS conv
+            FROM events GROUP BY user_id),
+asg AS (SELECT CASE WHEN {_hash_unit("uid", "srm")} < 0.5
+                    THEN 'A' ELSE 'B' END AS arm, conv
+        FROM pu),
+arms AS (SELECT arm, COUNT(*) AS n_users, SUM(conv) AS conversions
+         FROM asg GROUP BY arm),
+tot AS (SELECT SUM(n_users) AS n,
+               MAX(CASE WHEN arm = 'A' THEN n_users END) AS na,
+               MAX(CASE WHEN arm = 'B' THEN n_users END) AS nb
+        FROM arms),
+calc AS (SELECT arm, n_users, conversions,
+                CAST(conversions AS DOUBLE) / CAST(n_users AS DOUBLE) AS p,
+                CAST(n_users AS DOUBLE) AS nn
+         FROM arms),
+w AS (SELECT arm, n_users, conversions, p,
+             p + 1.959963985 * 1.959963985 / (2.0 * nn) AS center,
+             1.959963985 * SQRT(p * (1.0 - p) / nn
+                + 1.959963985 * 1.959963985 / (4.0 * nn * nn)) AS margin,
+             1.0 + 1.959963985 * 1.959963985 / nn AS denom
+      FROM calc)
+SELECT w.arm, CAST(w.n_users AS BIGINT) AS n_users,
+       CAST(w.conversions AS BIGINT) AS conversions,
+       ROUND(w.p, 6) AS conv_rate,
+       ROUND((w.center - w.margin) / w.denom, 6) AS wilson_lo,
+       ROUND((w.center + w.margin) / w.denom, 6) AS wilson_hi,
+       ROUND(CAST(t.na - t.nb AS DOUBLE) * CAST(t.na - t.nb AS DOUBLE)
+             / CAST(t.n AS DOUBLE), 6) AS srm_chi2,
+       (CAST(t.na - t.nb AS DOUBLE) * CAST(t.na - t.nb AS DOUBLE)
+        / CAST(t.n AS DOUBLE)) > 3.841458821 AS srm_flag
+FROM w CROSS JOIN tot t ORDER BY arm
+""",
+        "local_clustering_curve": """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pc AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       FROM d a JOIN d b
+       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+und AS (SELECT pa AS a, pb AS b FROM pc),
+deg AS (SELECT n, COUNT(*) AS dg
+        FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+        GROUP BY 1),
+rk AS (SELECT u.a, u.b, da.dg AS dega, db.dg AS degb
+       FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b),
+ori AS (SELECT CASE WHEN (dega < degb) OR (dega = degb AND a < b)
+                    THEN a ELSE b END AS u,
+               CASE WHEN (dega < degb) OR (dega = degb AND a < b)
+                    THEN b ELSE a END AS v,
+               CASE WHEN (dega < degb) OR (dega = degb AND a < b)
+                    THEN degb ELSE dega END AS dv
+        FROM rk),
+wg AS (SELECT x.u AS u, x.v AS v1, y.v AS v2
+       FROM ori x JOIN ori y ON x.u = y.u
+       WHERE (x.dv < y.dv) OR (x.dv = y.dv AND x.v < y.v)),
+tri AS (SELECT wg.u, wg.v1, wg.v2
+        FROM wg JOIN ori o ON o.u = wg.v1 AND o.v = wg.v2),
+pn AS (SELECT n, COUNT(*) AS t
+       FROM (SELECT u AS n FROM tri
+             UNION ALL SELECT v1 FROM tri
+             UNION ALL SELECT v2 FROM tri)
+       GROUP BY n),
+cc AS (SELECT deg.dg AS dg,
+              CAST(ROUND(2.0 * COALESCE(pn.t, 0)
+                         / (deg.dg * (deg.dg - 1)), 6)
+                   AS DECIMAL(38,6)) AS cc
+       FROM deg LEFT JOIN pn ON pn.n = deg.n
+       WHERE deg.dg >= 2)
+SELECT CAST(dg AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       ROUND(CAST(SUM(cc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS avg_clustering
+FROM cc GROUP BY dg ORDER BY degree
+""",
+        "mann_whitney_matrix": """
+WITH lens AS (SELECT source AS s, length(text) AS v FROM documents),
+counts AS (SELECT s, v, COUNT(*) AS c FROM lens GROUP BY 1, 2),
+grid AS (SELECT d.v, s.s
+         FROM (SELECT DISTINCT v FROM counts) d
+         CROSS JOIN (SELECT DISTINCT s FROM counts) s),
+m AS (SELECT g.s, g.v, COALESCE(c.c, 0) AS c
+      FROM grid g LEFT JOIN counts c ON c.s = g.s AND c.v = g.v),
+cdf AS (SELECT s, v, c,
+               SUM(c) OVER (PARTITION BY s ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+                 AS below,
+               SUM(c) OVER (PARTITION BY s) AS n
+        FROM m),
+agg AS (SELECT a.s AS source_a, b.s AS source_b, a.n AS n_a, b.n AS n_b,
+               CAST(SUM(2 * a.c * b.below + a.c * b.c) AS HUGEINT) AS u2,
+               CAST(SUM((a.c + b.c) * (a.c + b.c) * (a.c + b.c)
+                        - (a.c + b.c)) AS HUGEINT) AS tsum
+        FROM cdf a JOIN cdf b ON a.v = b.v AND a.s < b.s
+        GROUP BY 1, 2, 3, 4)
+SELECT source_a, source_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(u2 AS DOUBLE) / 2.0 AS u_stat,
+       ROUND((CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+             / NULLIF(2.0 * SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                 * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+                    - CAST(tsum AS DOUBLE)
+                      / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                         * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))
+                 / 12.0), 0), 6) + 0 AS z
+FROM agg ORDER BY source_a, source_b
+""",
+        "cramers_v_report": """
+WITH o AS (SELECT source AS x, lang AS y, COUNT(*) AS o
+           FROM documents GROUP BY 1, 2),
+rx AS (SELECT x, SUM(o) AS r FROM o GROUP BY x),
+cy AS (SELECT y, SUM(o) AS c FROM o GROUP BY y),
+tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT x) AS kx,
+               COUNT(DISTINCT y) AS ky
+        FROM o),
+cells AS (SELECT CAST(ROUND(CAST(o.o * o.o * t.n AS DOUBLE)
+                            / CAST(rx.r * cy.c AS DOUBLE), 9)
+                      AS DECIMAL(38,9)) AS term
+          FROM o JOIN rx USING (x) JOIN cy USING (y) CROSS JOIN tot t),
+s AS (SELECT SUM(term) AS ssum FROM cells)
+SELECT CAST(t.n AS BIGINT) AS n,
+       CAST(t.kx AS BIGINT) AS levels_x, CAST(t.ky AS BIGINT) AS levels_y,
+       ROUND(CAST(s.ssum AS DOUBLE) - CAST(t.n AS DOUBLE), 6) + 0 AS chi2,
+       ROUND(SQRT(GREATEST((CAST(s.ssum AS DOUBLE) - CAST(t.n AS DOUBLE))
+                  / CAST(t.n * LEAST(t.kx - 1, t.ky - 1) AS DOUBLE), 0.0)), 6)
+       + 0 AS cramers_v
+FROM s CROSS JOIN tot t
+""",
+        "simpson_event_diversity": """
+WITH ut AS (SELECT user_id, event_type, COUNT(*) AS c
+            FROM events GROUP BY 1, 2),
+pu AS (SELECT user_id, CAST(SUM(c) AS HUGEINT) AS n,
+              CAST(SUM(c * c) AS HUGEINT) AS q
+       FROM ut GROUP BY user_id),
+iv AS (SELECT CAST(FLOOR(CAST(n * n AS DOUBLE) / CAST(q AS DOUBLE))
+                   AS BIGINT) AS bucket,
+              CAST(ROUND(CAST(n * n AS DOUBLE) / CAST(q AS DOUBLE), 6)
+                   AS DECIMAL(38,6)) AS ivd
+       FROM pu)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(ivd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS avg_inv_simpson
+FROM iv GROUP BY bucket ORDER BY bucket
 """,
         "decayed_user_value": """
 WITH mx AS (SELECT epoch_us(MAX(ts)) // 1000000 AS smx FROM events),

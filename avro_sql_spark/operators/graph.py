@@ -835,3 +835,89 @@ def link_prediction_topk(
         .orderBy(F.desc("adamic_adar"), F.asc("a"), F.asc("b"))
         .limit(top_k)
     )
+
+
+def local_clustering_curve(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree vs average LOCAL clustering coefficient — the
+    curve that separates a clustered network (flat or slowly-decaying
+    cc) from a hub-and-spoke one (cc ~ 1/d): for each node, cc(n) =
+    2·t(n) / (d(n)·(d(n)−1)) with t(n) the triangles through n, then
+    the average of cc over all nodes of each degree.
+
+    Per-node triangle counts reuse the compact-forward orientation of
+    ``triangle_count`` (each triangle materializes EXACTLY once as an
+    oriented closed wedge, out-degrees bounded by O(sqrt m)), then one
+    explode credits the triangle to its three corners — the m^1.5
+    wedge bound survives, no per-node neighborhood self-join exists.
+    Exactness: t and d are integers; each node's cc rounds at 6dp into
+    DECIMAL(38,6) so the per-degree average is an order-free decimal
+    sum with one final division. The oracle counts the same triangles
+    from the closed a<b<c triple join — algorithm-free semantics."""
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ranked = und.join(
+        deg.select(F.col("n").alias("a"), F.col("d").alias("dega")), "a"
+    ).join(deg.select(F.col("n").alias("b"), F.col("d").alias("degb")), "b")
+    lower_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("degb")).otherwise(F.col("dega")).alias("dv"),
+    ).localCheckpoint(eager=True)
+    x = oriented.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    y = oriented.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedges = x.join(y, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    per_node_t = (
+        tri.select(F.explode(F.array("u", "v1", "v2")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    cc = (
+        deg.join(per_node_t, "n", "left")
+        .select(
+            "d",
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("t"), F.lit(0)).cast("double")
+                / (F.col("d") * (F.col("d") - 1)).cast("double"),
+                6,
+            )
+            .cast("decimal(38,6)")
+            .alias("cc"),
+        )
+        .filter(F.col("d") >= 2)
+    )
+    return (
+        cc.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_nodes"), F.sum("cc").alias("s"))
+        .select(
+            F.col("d").cast("long").alias("degree"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.round(
+                F.col("s").cast("double") / F.col("n_nodes").cast("double"), 6
+            ).alias("avg_clustering"),
+        )
+        .orderBy("degree")
+    )

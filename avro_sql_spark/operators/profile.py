@@ -2462,3 +2462,343 @@ def shuffle_skew_audit(
         )
         .orderBy("bucket")
     )
+
+
+def spearman_user_corr(events: DataFrame) -> DataFrame:
+    """Spearman rank correlation between per-user activity (event
+    count) and per-user monetary value — the monotone-association
+    check run before any engagement-predicts-revenue claim; Spearman
+    rather than Pearson because user value is heavy-tailed and one
+    whale pins Pearson to itself.
+
+    Exactness: ranks use the tie-averaged convention, computed WITHOUT
+    floats — rank by (metric, user_id) with the scale-safe
+    ``global_rank`` device (range-partitioned two-pass, no global
+    window), then per-tie-group averaging collapses to the integer
+    min_rank + max_rank (consecutive ranks), i.e. 2× the average rank.
+    The doubled ranks cancel in the correlation ratio, so every
+    accumulated sum is exact DECIMAL(38,0); the only float ops are the
+    final two sqrts and one division, written identically in the
+    oracle. Scale shape: one per-user aggregate, two rank passes, a
+    metric-domain-sized tie regroup, one scalar assembly row.
+    """
+    from .curation import global_rank
+
+    pu = (
+        events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.coalesce(
+                F.sum(F.round(F.col("value"), 6).cast("decimal(38,6)")),
+                F.lit(0).cast("decimal(38,6)"),
+            ).alias("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    rx = global_rank(pu, [F.col("x"), F.col("user_id")], rank_col="rx")
+    gx = rx.groupBy("x").agg((F.min("rx") + F.max("rx")).alias("ix2"))
+    ry = global_rank(pu, [F.col("y"), F.col("user_id")], rank_col="ry")
+    gy = ry.groupBy("y").agg((F.min("ry") + F.max("ry")).alias("iy2"))
+    ranked = pu.join(gx, "x").join(gy, "y")
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("ix2"))).alias("sx"),
+        F.sum(dec(F.col("iy2"))).alias("sy"),
+        F.sum(dec(F.col("ix2") * F.col("iy2"))).alias("sxy"),
+        F.sum(dec(F.col("ix2") * F.col("ix2"))).alias("sxx"),
+        F.sum(dec(F.col("iy2") * F.col("iy2"))).alias("syy"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    rho = num / F.nullif(F.sqrt(dx) * F.sqrt(dy), F.lit(0.0))
+    return s.select(
+        F.col("n").cast("long").alias("n_users"),
+        (F.round(rho, 6) + F.lit(0.0)).alias("spearman_rho"),
+    )
+
+
+def srm_audit(
+    events: DataFrame,
+    id_col: str = "user_id",
+    salt: str = "srm",
+    z: float = 1.959963985,
+) -> DataFrame:
+    """Sample-ratio-mismatch audit for a 50/50 experiment assignment —
+    the first thing to check before reading ANY experiment result: if
+    the arms' user counts fail a chi-square against the intended 50/50
+    split, the assignment pipeline is broken and every downstream
+    metric is biased. Per-arm rows carry user count, purchase
+    conversion with a Wilson 95% interval (the interval that stays
+    inside [0,1] at small n, unlike the normal approximation), and the
+    shared chi-square verdict.
+
+    Assignment replays the engine-portable md5 unit interval (the
+    deterministic_split device), so the audit is a pure function of
+    the ids. Exactness: counts are integers; chi-square for two cells
+    collapses to (n_a − n_b)²/N; Wilson terms are a fixed expression
+    tree of single IEEE ops on exact integer inputs, written
+    identically in the oracle. One per-user aggregate, one 2-row arm
+    aggregate, scalar assembly.
+    """
+    from .curation import hash_unit
+
+    per_user = (
+        events.groupBy(F.col(id_col).alias("uid"))
+        .agg(
+            F.max(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("conv")
+        )
+        .select(
+            F.when(hash_unit(F.col("uid"), salt) < 0.5, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("arm"),
+            "conv",
+        )
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("conv").alias("conversions")
+    )
+    tot = arms.agg(
+        F.sum("n_users").alias("n"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("nb"),
+    )
+    p = F.col("conversions").cast("double") / F.col("n_users").cast("double")
+    zc = F.lit(z)
+    nn = F.col("n_users").cast("double")
+    center = p + zc * zc / (F.lit(2.0) * nn)
+    margin = zc * F.sqrt(
+        p * (F.lit(1.0) - p) / nn + zc * zc / (F.lit(4.0) * nn * nn)
+    )
+    denom = F.lit(1.0) + zc * zc / nn
+    chi2 = (
+        (F.col("na") - F.col("nb")).cast("double")
+        * (F.col("na") - F.col("nb")).cast("double")
+        / F.col("n").cast("double")
+    )
+    return (
+        arms.crossJoin(F.broadcast(tot))
+        .select(
+            "arm",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("conversions").cast("long").alias("conversions"),
+            F.round(p, 6).alias("conv_rate"),
+            F.round((center - margin) / denom, 6).alias("wilson_lo"),
+            F.round((center + margin) / denom, 6).alias("wilson_hi"),
+            F.round(chi2, 6).alias("srm_chi2"),
+            (chi2 > F.lit(3.841458821)).alias("srm_flag"),
+        )
+        .orderBy("arm")
+    )
+
+
+def mann_whitney_matrix(
+    docs: DataFrame,
+    source_col: str = "source",
+    value_expr: Column | None = None,
+) -> DataFrame:
+    """Pairwise Mann-Whitney U test across all sources over the
+    document-length distribution — the nonparametric companion to
+    :func:`source_ks_matrix`: KS asks "same distribution?", U asks the
+    directional question "does one source systematically produce longer
+    documents?", with a tie-corrected normal z for the verdict.
+
+    Shape (identical to the KS matrix): per-source counts aggregate to
+    the GLOBAL length domain (sources × |domain| grid — bounded by the
+    value range, not rows), exclusive CDFs come from one window pass
+    per source, and the pair assembly is a broadcast self-equi-join on
+    the domain value. 2U = Σ_v 2·na_v·cb_below(v) + na_v·nb_v and the
+    tie term T = Σ_v (t_v³ − t_v) stay exact DECIMAL(38,0) integers;
+    z = (2U − n_a·n_b) / (2·sqrt(var)) with the tie-corrected
+    var = n_a·n_b·((n+1) − T/(n(n−1)))/12 is a fixed tree of single
+    IEEE ops, written identically in the oracle."""
+    v = (
+        value_expr
+        if value_expr is not None
+        else F.length(F.col("text"))
+    )
+    lens = docs.select(F.col(source_col).alias("s"), v.alias("v"))
+    counts = lens.groupBy("s", "v").agg(F.count(F.lit(1)).alias("c"))
+    grid = (
+        counts.select("v").distinct()
+        .crossJoin(counts.select("s").distinct())
+    )
+    merged = grid.join(counts, ["s", "v"], "left").na.fill({"c": 0})
+    part = Window.partitionBy("s")
+    wcum = part.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = part.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cdf = merged.select(
+        "s",
+        "v",
+        F.col("c"),
+        (F.sum("c").over(wcum) - F.col("c")).alias("below"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    a = cdf.select(
+        F.col("s").alias("source_a"), "v",
+        F.col("c").alias("ca"), F.col("n").alias("n_a"),
+    )
+    b = cdf.select(
+        F.col("s").alias("source_b"), "v",
+        F.col("c").alias("cb"), F.col("below").alias("bb"),
+        F.col("n").alias("n_b"),
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    t = F.col("ca") + F.col("cb")
+    agg = (
+        a.join(F.broadcast(b), "v")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b", "n_a", "n_b")
+        .agg(
+            F.sum(
+                dec(
+                    F.lit(2) * F.col("ca") * F.col("bb")
+                    + F.col("ca") * F.col("cb")
+                )
+            ).alias("u2"),
+            F.sum(dec(t * t * t - t)).alias("tsum"),
+        )
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    var = (
+        na
+        * nb
+        * (
+            (nn + F.lit(1.0))
+            - F.col("tsum").cast("double") / (nn * (nn - F.lit(1.0)))
+        )
+        / F.lit(12.0)
+    )
+    z = (
+        (F.col("u2").cast("double") - na * nb)
+        / F.nullif(F.lit(2.0) * F.sqrt(var), F.lit(0.0))
+    )
+    return agg.select(
+        "source_a",
+        "source_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (F.col("u2").cast("double") / F.lit(2.0)).alias("u_stat"),
+        (F.round(z, 6) + F.lit(0.0)).alias("z"),
+    ).orderBy("source_a", "source_b")
+
+
+def cramers_v_report(
+    docs: DataFrame,
+    x_col: str = "source",
+    y_col: str = "lang",
+) -> DataFrame:
+    """Chi-square independence test + Cramér's V between two
+    categorical columns — the association strength behind every
+    "is language confounded with source?" mixing question (V near 0:
+    sample freely; V near 1: per-source language quotas are load-
+    bearing).
+
+    Exactness: with the algebraic identity χ² = n·Σ o²/(r·c) − n, each
+    cell term (o²·n)/(r_i·c_j) is ONE integer-to-double division,
+    quantized at 9dp into DECIMAL(38,9) so the grid sum is order-free;
+    the identical quantization runs in the oracle. Scale shape: one
+    contingency aggregate (bounded levels × levels grid), two marginal
+    reductions joined back by level, one scalar row out."""
+    o = (
+        docs.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rx = o.groupBy("x").agg(F.sum("o").alias("r"))
+    cy = o.groupBy("y").agg(F.sum("o").alias("c"))
+    tot = o.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("x").alias("kx"),
+        F.countDistinct("y").alias("ky"),
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    cells = (
+        o.join(rx, "x")
+        .join(cy, "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (dec(F.col("o")) * dec(F.col("o")) * dec(F.col("n")))
+                .cast("double")
+                / (dec(F.col("r")) * dec(F.col("c"))).cast("double"),
+                9,
+            )
+            .cast("decimal(38,9)")
+            .alias("term")
+        )
+    )
+    s = cells.agg(F.sum("term").alias("ssum"))
+    assembled = s.crossJoin(
+        F.broadcast(
+            tot.select(
+                "n",
+                F.least(F.col("kx") - 1, F.col("ky") - 1).alias("mindof"),
+                "kx",
+                "ky",
+            )
+        )
+    )
+    chi2 = F.col("ssum").cast("double") - F.col("n").cast("double")
+    vsq = chi2 / (F.col("n") * F.col("mindof")).cast("double")
+    return assembled.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("kx").cast("long").alias("levels_x"),
+        F.col("ky").cast("long").alias("levels_y"),
+        (F.round(chi2, 6) + F.lit(0.0)).alias("chi2"),
+        (F.round(F.sqrt(F.greatest(vsq, F.lit(0.0))), 6) + F.lit(0.0)).alias(
+            "cramers_v"
+        ),
+    )
+
+
+def simpson_event_diversity(events: DataFrame) -> DataFrame:
+    """Per-user inverse Simpson index of event-type usage — the
+    "effective number of behaviors" metric (1 = a one-trick user, k =
+    uniform over k types), reported as the bucket histogram every
+    engagement dashboard wants: floor(effective types) → user count +
+    average index.
+
+    Exactness: with per-(user, type) counts c_i and user total n_u,
+    the inverse Simpson collapses to the exact integer ratio
+    n_u² / Σc_i² — ONE division per user, rounded at 6dp into
+    DECIMAL(38,6) so the per-bucket averages are order-free sums.
+    Scale shape: two map-side-combined aggregates (user×type → user),
+    one bucket regroup; output is bounded by the event-type
+    universe."""
+    ut = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    per_user = ut.groupBy("user_id").agg(
+        F.sum(dec(F.col("c"))).alias("n"),
+        F.sum(dec(F.col("c") * F.col("c"))).alias("q"),
+    )
+    inv = (
+        (F.col("n") * F.col("n")).cast("double")
+        / F.col("q").cast("double")
+    )
+    pu = per_user.select(
+        F.floor(inv).cast("long").alias("bucket"),
+        F.round(inv, 6).cast("decimal(38,6)").alias("iv"),
+    )
+    return (
+        pu.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_users"), F.sum("iv").alias("s"))
+        .select(
+            "bucket",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.round(
+                F.col("s").cast("double") / F.col("n_users").cast("double"), 6
+            ).alias("avg_inv_simpson"),
+        )
+        .orderBy("bucket")
+    )

@@ -535,3 +535,165 @@ def test_shuffle_skew_audit_exact_counts_and_hot_key(spark):
     assert max(r["max_key_rows"] for r in out) == 50
     hot = [r for r in out if r["max_key_rows"] == 50]
     assert len(hot) == 1 and hot[0]["ratio_to_avg"] > 1.0
+
+
+def test_spearman_perfect_monotone_and_inverse(spark):
+    from avro_sql_spark.operators.profile import spearman_user_corr
+
+    # user u has u+1 events; value per event = u -> more events, more
+    # value: rho = 1 exactly
+    rows = []
+    eid = 0
+    for u in range(6):
+        for _ in range(u + 1):
+            rows.append((eid, None, u, "c", float(u), ""))
+            eid += 1
+    from datetime import datetime
+
+    rows = [(e, datetime(2024, 1, 1), u, t, v, p) for e, _, u, t, v, p in rows]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    r = spearman_user_corr(df).collect()[0]
+    assert r["n_users"] == 6
+    assert r["spearman_rho"] == pytest.approx(1.0)
+
+    # per-event value (100-10u)/(u+1) makes the per-user TOTAL
+    # 100-10u, strictly decreasing in event count -> rho = -1
+    rows2 = [
+        (e, ts, u, t, (100.0 - 10.0 * u) / (u + 1), p)
+        for e, ts, u, t, v, p in rows
+    ]
+    df2 = spark.createDataFrame(
+        rows2,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    assert spearman_user_corr(df2).collect()[0]["spearman_rho"] == pytest.approx(
+        -1.0
+    )
+
+
+def test_srm_audit_balanced_split_not_flagged(spark):
+    from datetime import datetime
+
+    from avro_sql_spark.operators.profile import srm_audit
+
+    rows = [
+        (u, datetime(2024, 1, 1), u, "purchase" if u % 3 == 0 else "view", 1.0, "")
+        for u in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    out = srm_audit(df).collect()
+    assert [r["arm"] for r in out] == ["A", "B"]
+    assert sum(r["n_users"] for r in out) == 400
+    for r in out:
+        assert r["wilson_lo"] <= r["conv_rate"] <= r["wilson_hi"]
+        assert 0.0 <= r["wilson_lo"] and r["wilson_hi"] <= 1.0
+    # md5 assignment of 400 uniform ids should be nowhere near an SRM
+    assert not out[0]["srm_flag"]
+
+
+def test_local_clustering_triangle_and_star(spark):
+    from avro_sql_spark.operators.graph import local_clustering_curve
+
+    # triangle: every node degree 2, cc 1.0
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src LONG, dst LONG"
+    )
+    out = local_clustering_curve(tri).collect()
+    assert len(out) == 1
+    assert out[0]["degree"] == 2 and out[0]["n_nodes"] == 3
+    assert out[0]["avg_clustering"] == pytest.approx(1.0)
+
+    # star: hub degree 4 cc 0, leaves degree 1 excluded
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src LONG, dst LONG"
+    )
+    out = local_clustering_curve(star).collect()
+    assert len(out) == 1
+    assert out[0]["degree"] == 4
+    assert out[0]["avg_clustering"] == pytest.approx(0.0)
+
+
+def test_mann_whitney_shifted_vs_identical(spark):
+    from avro_sql_spark.operators.profile import mann_whitney_matrix
+
+    # A strictly shorter than B -> U = 0 for A, strongly negative z;
+    # A vs C identical -> U = n²/2, z = 0 (all ties)
+    rows = (
+        [(i, "x" * 5, "en", "A", 5) for i in range(10)]
+        + [(100 + i, "x" * 20, "en", "B", 20) for i in range(10)]
+        + [(200 + i, "x" * 5, "en", "C", 5) for i in range(10)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in mann_whitney_matrix(df).collect()
+    }
+    ab = out[("A", "B")]
+    assert ab["u_stat"] == pytest.approx(0.0)
+    assert ab["z"] < -3.0
+    ac = out[("A", "C")]
+    assert ac["u_stat"] == pytest.approx(50.0)
+    # all-tied pair: tie-corrected variance is 0 -> z is NULL, not 0/0
+    assert ac["z"] is None
+
+
+def test_cramers_v_independent_and_determined(spark):
+    from avro_sql_spark.operators.profile import cramers_v_report
+
+    # independent 2x2 grid -> V ~ 0
+    rows = [(i, "t", y, x, 1) for i, (x, y) in enumerate(
+        [(x, y) for x in ("s1", "s2") for y in ("en", "fr") for _ in range(5)]
+    )]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    r = cramers_v_report(df).collect()[0]
+    assert r["chi2"] == pytest.approx(0.0, abs=1e-6)
+    assert r["cramers_v"] == pytest.approx(0.0, abs=1e-6)
+
+    # lang fully determined by source -> V = 1
+    rows2 = [(i, "t", "en", "s1", 1) for i in range(5)] + [
+        (10 + i, "t", "fr", "s2", 1) for i in range(5)
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    r2 = cramers_v_report(df2).collect()[0]
+    assert r2["cramers_v"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_simpson_diversity_one_trick_and_uniform(spark):
+    from datetime import datetime
+
+    from avro_sql_spark.operators.profile import simpson_event_diversity
+
+    rows = []
+    # user 1: 8 events of one type -> inv simpson 1.0 (bucket 1)
+    rows += [(i, datetime(2024, 1, 1), 1, "view", 1.0, "") for i in range(8)]
+    # user 2: 4 types x 2 events -> inv simpson 4.0 (bucket 4)
+    for j, t in enumerate(["a", "b", "c", "d"]):
+        rows += [
+            (100 + 2 * j + k, datetime(2024, 1, 1), 2, t, 1.0, "")
+            for k in range(2)
+        ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    got = {r["bucket"]: r for r in simpson_event_diversity(df).collect()}
+    assert got[1]["n_users"] == 1
+    assert got[1]["avg_inv_simpson"] == pytest.approx(1.0)
+    assert got[4]["n_users"] == 1
+    assert got[4]["avg_inv_simpson"] == pytest.approx(4.0)

@@ -94,6 +94,9 @@ ITERATIVE_ENTRIES = [
     "conformal_interval_counts",
     "bloom_fpr_audit",
     "selectivity_estimate_audit",
+    # r5 continuation: compact-forward checkpoints + rank-device consumer
+    "local_clustering_curve",
+    "spearman_user_corr",
 ]
 
 
