@@ -3649,6 +3649,36 @@ def _simpson_event_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simpson_event_diversity(t["events"])
 
 
+def _hits_supplier_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 HITS authorities on the customer→supplier purchase graph
+    (graph.hits_supplier_authority; 3 unnormalized integer rounds,
+    one final max-normalization division)."""
+    from avro_sql_spark.operators.graph import hits_supplier_authority
+
+    t = load_tables(spark, sf_dir, register=False)
+    return hits_supplier_authority(t["orders"], t["lineitem"])
+
+
+def _eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta-binomial empirical-Bayes shrunk per-source English rates
+    (profile.eb_shrunk_rates; method-of-moments strength, 9dp-quantized
+    moments)."""
+    from avro_sql_spark.operators.profile import eb_shrunk_rates
+
+    t = load_tables(spark, sf_dir, register=False)
+    return eb_shrunk_rates(t["documents"])
+
+
+def _dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace(1/ε) differential-privacy release rehearsal over
+    event-type counts (curation.dp_count_release; deterministic
+    md5-inverse-CDF noise, utility audit columns)."""
+    from avro_sql_spark.operators.curation import dp_count_release
+
+    t = load_tables(spark, sf_dir, register=False)
+    return dp_count_release(t["events"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes ~50 entries in this order per round (r1 covered the first
@@ -3764,6 +3794,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney_matrix": _mann_whitney_matrix,
         "cramers_v_report": _cramers_v_report,
         "simpson_event_diversity": _simpson_event_diversity,
+        "hits_supplier_authority": _hits_supplier_authority,
+        "eb_shrunk_rates": _eb_shrunk_rates,
+        "dp_count_release": _dp_count_release,
         # --- cumulative-green core (driver rows r1-r4) ---
         "minhash_calibration": _minhash_calibration,
         "incremental_near_dup": _incremental_near_dup,
@@ -9431,6 +9464,75 @@ SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_users,
        ROUND(CAST(SUM(ivd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
          AS avg_inv_simpson
 FROM iv GROUP BY bucket ORDER BY bucket
+""",
+        "hits_supplier_authority": """
+WITH w AS (SELECT o.o_custkey AS c, l.l_suppkey AS s,
+                  CAST(COUNT(*) AS HUGEINT) AS w
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           GROUP BY 1, 2),
+a1 AS (SELECT s, SUM(w) AS a FROM w GROUP BY s),
+h1 AS (SELECT w.c, SUM(w.w * a1.a) AS h FROM w JOIN a1 USING (s)
+       GROUP BY w.c),
+a2 AS (SELECT w.s, SUM(w.w * h1.h) AS a FROM w JOIN h1 USING (c)
+       GROUP BY w.s),
+h2 AS (SELECT w.c, SUM(w.w * a2.a) AS h FROM w JOIN a2 USING (s)
+       GROUP BY w.c),
+a3 AS (SELECT w.s, SUM(w.w * h2.h) AS a FROM w JOIN h2 USING (c)
+       GROUP BY w.s),
+mx AS (SELECT MAX(a) AS mx FROM a3)
+SELECT CAST(s AS BIGINT) AS supplier,
+       ROUND(CAST(a AS DOUBLE) / CAST(mx AS DOUBLE), 6) AS authority
+FROM a3 CROSS JOIN mx
+ORDER BY authority DESC, supplier LIMIT 20
+""",
+        "eb_shrunk_rates": """
+WITH g AS (SELECT source AS gk,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS hit
+           FROM documents),
+per AS (SELECT gk, COUNT(*) AS n, SUM(hit) AS c FROM g GROUP BY gk),
+rates AS (SELECT gk, n, c,
+                 CAST(ROUND(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                      AS DECIMAL(38,9)) AS r
+          FROM per),
+m1 AS (SELECT COUNT(*) AS k, SUM(r) AS sr FROM rates),
+withm AS (SELECT gk, n, c, r,
+                 CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) AS m, k
+          FROM rates CROSS JOIN m1),
+dev AS (SELECT gk, n, c, r, m, k,
+               CAST(ROUND((CAST(r AS DOUBLE) - m)
+                          * (CAST(r AS DOUBLE) - m), 9)
+                    AS DECIMAL(38,9)) AS d2
+        FROM withm),
+mom AS (SELECT m, k, SUM(d2) AS sd2 FROM dev GROUP BY m, k),
+params AS (SELECT m,
+                  m * GREATEST(m * (1.0 - m)
+                      / NULLIF(CAST(sd2 AS DOUBLE)
+                               / (CAST(k AS DOUBLE) - 1.0), 0)
+                      - 1.0, 0.0) AS alpha,
+                  (1.0 - m) * GREATEST(m * (1.0 - m)
+                      / NULLIF(CAST(sd2 AS DOUBLE)
+                               / (CAST(k AS DOUBLE) - 1.0), 0)
+                      - 1.0, 0.0) AS beta
+           FROM mom)
+SELECT d.gk AS group_key, CAST(d.n AS BIGINT) AS n,
+       CAST(d.c AS BIGINT) AS hits,
+       CAST(d.r AS DOUBLE) AS raw_rate,
+       ROUND((CAST(d.c AS DOUBLE) + COALESCE(p.alpha, 0.0))
+             / (CAST(d.n AS DOUBLE) + COALESCE(p.alpha, 0.0)
+                + COALESCE(p.beta, 0.0)), 6) AS shrunk_rate
+FROM dev d CROSS JOIN params p ORDER BY group_key
+""",
+        "dp_count_release": f"""
+WITH per AS (SELECT event_type AS g, COUNT(*) AS n FROM events GROUP BY 1),
+x AS (SELECT g, n, ({_hash_unit("g", "dp")}) - 0.5 AS ctr FROM per),
+nz AS (SELECT g, n,
+              ROUND(-1.0 * SIGN(ctr) * LN(1.0 - 2.0 * ABS(ctr)), 6) AS nr
+       FROM x)
+SELECT g AS group_key, CAST(n AS BIGINT) AS true_count,
+       ROUND(CAST(n AS DOUBLE) + nr, 6) AS noisy_count,
+       ROUND(ABS(nr), 6) AS abs_err,
+       ROUND(ABS(nr) / CAST(n AS DOUBLE), 6) AS rel_err
+FROM nz ORDER BY group_key
 """,
         "decayed_user_value": """
 WITH mx AS (SELECT epoch_us(MAX(ts)) // 1000000 AS smx FROM events),

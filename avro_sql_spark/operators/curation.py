@@ -1278,3 +1278,48 @@ def score_decile_calibration(
         )
         .orderBy("decile")
     )
+
+
+def dp_count_release(
+    events: DataFrame,
+    group_col: str = "event_type",
+    epsilon: float = 1.0,
+    salt: str = "dp",
+) -> DataFrame:
+    """Differential-privacy release REHEARSAL for grouped counts: add
+    Laplace(1/ε) noise to each group's count (sensitivity 1 — one user
+    event moves one count by one) and report the utility cost
+    (absolute + relative error) next to the release — the audit a
+    pipeline runs BEFORE committing to an ε, answering "is the noisy
+    histogram still usable?".
+
+    The noise is DETERMINISTIC here by design: a real release draws
+    fresh randomness, but a rehearsal must be replayable (and
+    oracle-checkable), so the Laplace draw comes from the engine-
+    portable md5 unit interval via the inverse CDF,
+    noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|). The u=½ center maps to
+    noise 0; u is quantized to 1e−6 buckets so ln's argument is
+    exactly representable in both engines. All remaining ops are
+    single IEEE ops on exact inputs; counts are exact integers.
+    Scale shape: one map-side-combined aggregate; noise is row-local
+    arithmetic on the groups-sized frame."""
+    per = events.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    u = hash_unit(F.col("g"), salt)
+    centered = u - F.lit(0.5)
+    noise = (
+        F.lit(-1.0 / epsilon)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    noisy = F.col("n").cast("double") + F.round(noise, 6)
+    return per.select(
+        F.col("g").alias("group_key"),
+        F.col("n").cast("long").alias("true_count"),
+        F.round(noisy, 6).alias("noisy_count"),
+        F.round(F.abs(F.round(noise, 6)), 6).alias("abs_err"),
+        F.round(
+            F.abs(F.round(noise, 6)) / F.col("n").cast("double"), 6
+        ).alias("rel_err"),
+    ).orderBy("group_key")

@@ -2802,3 +2802,93 @@ def simpson_event_diversity(events: DataFrame) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def eb_shrunk_rates(
+    docs: DataFrame,
+    group_col: str = "source",
+    hit_expr: Column | None = None,
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrunk per-group rates — the
+    smoothed-CTR device every ranking pipeline uses instead of raw
+    fractions: a group with 2/2 hits must NOT outrank one with
+    180/200, so each raw rate shrinks toward the cross-group mean
+    with strength learned from the method-of-moments beta fit
+    (α+β ≈ m(1−m)/var − 1).
+
+    Exactness: per-group (hits, n) are integers; each raw rate and
+    each squared deviation rounds at 9dp into DECIMAL(38,9) before the
+    cross-group sums, so the moment estimates are order-free; the
+    final shrunk rate (c + α)/(n + α + β) is a fixed scalar expression
+    replayed by the oracle. Scale shape: one data aggregate, one
+    groups-sized moment reduction, broadcast back. Degenerate guard:
+    var = 0 (all groups equal) keeps the raw rate (strength NULL →
+    coalesce)."""
+    h = (
+        hit_expr
+        if hit_expr is not None
+        else (F.col("lang") == "en").cast("long")
+    )
+    g = docs.select(F.col(group_col).alias("g"), h.alias("hit"))
+    per = g.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("hit").alias("c")
+    )
+    r9 = F.round(
+        F.col("c").cast("double") / F.col("n").cast("double"), 9
+    ).cast("decimal(38,9)")
+    rates = per.select("g", "n", "c", r9.alias("r"))
+    m1 = rates.agg(
+        F.count(F.lit(1)).alias("k"), F.sum("r").alias("sr")
+    )
+    withm = rates.crossJoin(F.broadcast(m1)).select(
+        "g", "n", "c", "r",
+        (F.col("sr").cast("double") / F.col("k").cast("double")).alias("m"),
+        "k",
+    )
+    dev = withm.select(
+        "g", "n", "c", "r", "m", "k",
+        F.round(
+            (F.col("r").cast("double") - F.col("m"))
+            * (F.col("r").cast("double") - F.col("m")),
+            9,
+        )
+        .cast("decimal(38,9)")
+        .alias("d2"),
+    )
+    mom = dev.groupBy("m", "k").agg(F.sum("d2").alias("sd2"))
+    # var over groups; strength = m(1-m)/var - 1, floored at 0
+    strength = F.greatest(
+        F.col("m")
+        * (F.lit(1.0) - F.col("m"))
+        / F.nullif(
+            F.col("sd2").cast("double")
+            / (F.col("k").cast("double") - F.lit(1.0)),
+            F.lit(0.0),
+        )
+        - F.lit(1.0),
+        F.lit(0.0),
+    )
+    params = mom.select(
+        "m",
+        (F.col("m") * strength).alias("alpha"),
+        ((F.lit(1.0) - F.col("m")) * strength).alias("beta"),
+    )
+    shrunk = (
+        F.col("c").cast("double") + F.coalesce(F.col("alpha"), F.lit(0.0))
+    ) / (
+        F.col("n").cast("double")
+        + F.coalesce(F.col("alpha"), F.lit(0.0))
+        + F.coalesce(F.col("beta"), F.lit(0.0))
+    )
+    return (
+        dev.select("g", "n", "c", "r")
+        .crossJoin(F.broadcast(params))
+        .select(
+            F.col("g").alias("group_key"),
+            F.col("n").cast("long").alias("n"),
+            F.col("c").cast("long").alias("hits"),
+            F.col("r").cast("double").alias("raw_rate"),
+            F.round(shrunk, 6).alias("shrunk_rate"),
+        )
+        .orderBy("group_key")
+    )

@@ -697,3 +697,75 @@ def test_simpson_diversity_one_trick_and_uniform(spark):
     assert got[1]["avg_inv_simpson"] == pytest.approx(1.0)
     assert got[4]["n_users"] == 1
     assert got[4]["avg_inv_simpson"] == pytest.approx(4.0)
+
+
+def test_hits_authority_prefers_discerning_buyers(spark):
+    from avro_sql_spark.operators.graph import hits_supplier_authority
+
+    # customers 1,2 (hubs) buy from suppliers 10 and 11; customer 3
+    # only buys once from supplier 12. Supplier 10 gets double weight.
+    orders = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2), (4, 2), (5, 3)],
+        "o_orderkey LONG, o_custkey LONG",
+    )
+    li = spark.createDataFrame(
+        [(1, 10), (1, 10), (2, 11), (3, 10), (4, 11), (5, 12)],
+        "l_orderkey LONG, l_suppkey LONG",
+    )
+    out = hits_supplier_authority(orders, li, rounds=3, top_k=10).collect()
+    scores = {r["supplier"]: r["authority"] for r in out}
+    assert scores[10] == pytest.approx(1.0)  # max-normalized winner
+    assert scores[11] < 1.0
+    assert scores[12] < scores[11]  # isolated buyer ranks last
+
+
+def test_eb_shrinkage_pulls_small_groups_to_mean(spark):
+    from avro_sql_spark.operators.profile import eb_shrunk_rates
+
+    # big group at 50%, big group at 10%, tiny group at 100% (2/2):
+    # the tiny group must shrink well below 1.0; big groups barely move
+    rows = (
+        [(i, "t", "en" if i % 2 == 0 else "fr", "big50", 1) for i in range(200)]
+        + [(1000 + i, "t", "en" if i % 10 == 0 else "fr", "big10", 1)
+           for i in range(200)]
+        + [(5000, "t", "en", "tiny", 1), (5001, "t", "en", "tiny", 1)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    got = {r["group_key"]: r for r in eb_shrunk_rates(df).collect()}
+    assert got["tiny"]["raw_rate"] == pytest.approx(1.0)
+    # 3-group MoM prior is weak, but the pull must be toward the mean
+    # and strictly away from the raw extreme
+    assert 0.55 < got["tiny"]["shrunk_rate"] < 1.0
+    assert abs(got["big50"]["shrunk_rate"] - got["big50"]["raw_rate"]) < 0.1
+    # n=200 groups barely move, n=2 group moves the most
+    move = lambda k: abs(got[k]["shrunk_rate"] - got[k]["raw_rate"])  # noqa: E731
+    assert move("tiny") > move("big50")
+    assert move("tiny") > move("big10")
+
+
+def test_dp_release_noise_is_bounded_and_deterministic(spark):
+    from datetime import datetime
+
+    from avro_sql_spark.operators.curation import dp_count_release
+
+    rows = [
+        (i, datetime(2024, 1, 1), i, ["a", "b", "c"][i % 3], 1.0, "")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    out1 = dp_count_release(df, epsilon=1.0).collect()
+    out2 = dp_count_release(df, epsilon=1.0).collect()
+    assert out1 == out2  # replayable rehearsal
+    for r in out1:
+        assert r["true_count"] == 100
+        assert r["abs_err"] == pytest.approx(
+            abs(r["noisy_count"] - r["true_count"]), abs=1e-6
+        )
+        # Laplace(1) at the md5 quantization can't exceed ln(1e6)/1
+        assert r["abs_err"] < 14.0

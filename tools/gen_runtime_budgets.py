@@ -97,6 +97,7 @@ ITERATIVE_ENTRIES = [
     # r5 continuation: compact-forward checkpoints + rank-device consumer
     "local_clustering_curve",
     "spearman_user_corr",
+    "hits_supplier_authority",
 ]
 
 
