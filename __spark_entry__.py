@@ -3679,6 +3679,33 @@ def _dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_count_release(t["events"])
 
 
+def _entropy_rate_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bigram entropy rate + perplexity
+    (text.entropy_rate_bigram; 9dp-quantized summands)."""
+    from avro_sql_spark.operators.text import entropy_rate_bigram
+
+    t = load_tables(spark, sf_dir, register=False)
+    return entropy_rate_bigram(t["documents"])
+
+
+def _burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between all source pairs
+    over the top-30 corpus terms (text.burrows_delta)."""
+    from avro_sql_spark.operators.text import burrows_delta
+
+    t = load_tables(spark, sf_dir, register=False)
+    return burrows_delta(t["documents"])
+
+
+def _did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences purchase-rate readout over the md5
+    50/50 split and the data-span midpoint (profile.did_lift)."""
+    from avro_sql_spark.operators.profile import did_lift
+
+    t = load_tables(spark, sf_dir, register=False)
+    return did_lift(t["events"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes ~50 entries in this order per round (r1 covered the first
@@ -3797,6 +3824,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_supplier_authority": _hits_supplier_authority,
         "eb_shrunk_rates": _eb_shrunk_rates,
         "dp_count_release": _dp_count_release,
+        "entropy_rate_bigram": _entropy_rate_bigram,
+        "burrows_delta": _burrows_delta,
+        "did_lift": _did_lift,
         # --- cumulative-green core (driver rows r1-r4) ---
         "minhash_calibration": _minhash_calibration,
         "incremental_near_dup": _incremental_near_dup,
@@ -9533,6 +9563,102 @@ SELECT g AS group_key, CAST(n AS BIGINT) AS true_count,
        ROUND(ABS(nr), 6) AS abs_err,
        ROUND(ABS(nr) / CAST(n AS DOUBLE), 6) AS rel_err
 FROM nz ORDER BY group_key
+""",
+        "entropy_rate_bigram": r"""
+WITH tk AS (SELECT source AS s,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> regexp_matches(x, '^[a-z]+$')) AS tk
+            FROM documents),
+pairs AS (SELECT s, tk[i] AS wa, tk[i+1] AS wb
+          FROM (SELECT s, tk, unnest(range(1, len(tk))) AS i
+                FROM tk WHERE len(tk) >= 2)),
+big AS (SELECT s, wa, wb, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2, 3),
+ctx AS (SELECT s, wa, SUM(c12) AS c1 FROM big GROUP BY 1, 2),
+terms AS (SELECT b.s, b.c12,
+                 CAST(ROUND(b.c12 * LN(CAST(b.c12 AS DOUBLE)
+                                       / CAST(c.c1 AS DOUBLE)), 9)
+                      AS DECIMAL(38,9)) AS t
+          FROM big b JOIN ctx c ON b.s = c.s AND b.wa = c.wa),
+per AS (SELECT s, SUM(c12) AS n, SUM(t) AS ssum FROM terms GROUP BY s),
+cn AS (SELECT s, COUNT(*) AS n_contexts FROM ctx GROUP BY s)
+SELECT per.s AS source, CAST(per.n AS BIGINT) AS n_bigrams,
+       CAST(cn.n_contexts AS BIGINT) AS n_contexts,
+       ROUND(-(CAST(ssum AS DOUBLE) / CAST(per.n AS DOUBLE)), 6) + 0
+         AS entropy_rate_nats,
+       ROUND(EXP(-(CAST(ssum AS DOUBLE) / CAST(per.n AS DOUBLE))), 6)
+         AS perplexity
+FROM per JOIN cn USING (s) ORDER BY source
+""",
+        "burrows_delta": r"""
+WITH toks AS (SELECT source AS s,
+                     unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> regexp_matches(x, '^[a-z]+$'))) AS w
+              FROM documents),
+counts AS (SELECT s, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+ns AS (SELECT s, SUM(c) AS n FROM counts GROUP BY s),
+top AS (SELECT w FROM (SELECT w, SUM(c) AS tc FROM counts GROUP BY w)
+        ORDER BY tc DESC, w LIMIT 30),
+grid AS (SELECT ns.s, top.w,
+                CAST(ROUND(CAST(COALESCE(c.c, 0) AS DOUBLE)
+                           / CAST(ns.n AS DOUBLE), 9)
+                     AS DECIMAL(38,9)) AS f
+         FROM ns CROSS JOIN top
+         LEFT JOIN counts c ON c.s = ns.s AND c.w = top.w),
+k1 AS (SELECT w, COUNT(*) AS k, SUM(f) AS sf FROM grid GROUP BY w),
+withm AS (SELECT g.s, g.w, g.f,
+                 CAST(k1.sf AS DOUBLE) / CAST(k1.k AS DOUBLE) AS m, k1.k
+          FROM grid g JOIN k1 USING (w)),
+sig AS (SELECT w, m, k,
+               SUM(CAST(ROUND((CAST(f AS DOUBLE) - m)
+                              * (CAST(f AS DOUBLE) - m), 12)
+                        AS DECIMAL(38,12))) AS sd2
+        FROM withm GROUP BY w, m, k),
+z AS (SELECT wm.s, wm.w,
+             (CAST(wm.f AS DOUBLE) - wm.m)
+             / NULLIF(SQRT(CAST(sg.sd2 AS DOUBLE)
+                           / (CAST(sg.k AS DOUBLE) - 1.0)), 0) AS z
+      FROM withm wm JOIN sig sg ON wm.w = sg.w)
+SELECT a.s AS source_a, b.s AS source_b,
+       ROUND(CAST(SUM(CAST(ROUND(ABS(a.z - b.z), 9) AS DECIMAL(38,9)))
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS delta
+FROM z a JOIN z b ON a.w = b.w AND a.s < b.s
+GROUP BY 1, 2 ORDER BY source_a, source_b
+""",
+        "did_lift": f"""
+WITH bounds AS (SELECT (epoch_us(MIN(ts)) // 1000000
+                        + epoch_us(MAX(ts)) // 1000000) // 2 AS mid
+                FROM events),
+cells AS (SELECT CASE WHEN {_hash_unit("user_id", "did")} < 0.5
+                      THEN 'A' ELSE 'B' END AS arm,
+                 CASE WHEN epoch_us(ts) // 1000000 < b.mid
+                      THEN 'pre' ELSE 'post' END AS period,
+                 user_id AS uid,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pur
+          FROM events, bounds b),
+agg AS (SELECT arm, period, COUNT(DISTINCT uid) AS n_users,
+               SUM(pur) AS purchases
+        FROM cells GROUP BY 1, 2),
+wide AS (SELECT
+  MAX(CASE WHEN arm = 'A' AND period = 'pre'
+           THEN CAST(purchases AS DOUBLE) / CAST(n_users AS DOUBLE) END)
+    AS r_a_pre,
+  MAX(CASE WHEN arm = 'A' AND period = 'post'
+           THEN CAST(purchases AS DOUBLE) / CAST(n_users AS DOUBLE) END)
+    AS r_a_post,
+  MAX(CASE WHEN arm = 'B' AND period = 'pre'
+           THEN CAST(purchases AS DOUBLE) / CAST(n_users AS DOUBLE) END)
+    AS r_b_pre,
+  MAX(CASE WHEN arm = 'B' AND period = 'post'
+           THEN CAST(purchases AS DOUBLE) / CAST(n_users AS DOUBLE) END)
+    AS r_b_post
+  FROM agg)
+SELECT arm, period, CAST(n_users AS BIGINT) AS n_users,
+       CAST(purchases AS BIGINT) AS purchases,
+       ROUND(CAST(purchases AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+         AS purchase_rate,
+       ROUND((w.r_b_post - w.r_b_pre) - (w.r_a_post - w.r_a_pre), 6) + 0
+         AS did
+FROM agg CROSS JOIN wide w ORDER BY arm, period
 """,
         "decayed_user_value": """
 WITH mx AS (SELECT epoch_us(MAX(ts)) // 1000000 AS smx FROM events),

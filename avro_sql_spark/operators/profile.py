@@ -2892,3 +2892,78 @@ def eb_shrunk_rates(
         )
         .orderBy("group_key")
     )
+
+
+def did_lift(
+    events: DataFrame,
+    id_col: str = "user_id",
+    salt: str = "did",
+) -> DataFrame:
+    """Difference-in-differences readout for a 50/50 experiment: split
+    the data span at its midpoint into pre/post periods, and report
+    per-(arm, period) purchase rates plus the DiD estimate
+    (B_post − B_pre) − (A_post − A_pre) — the design that removes both
+    the fixed arm offset and the common time trend, which a naive
+    post-only comparison conflates with the treatment effect.
+
+    Assignment replays the md5 unit interval (pure function of the
+    id); the period cut is integer epoch-second arithmetic
+    ((min+max) div 2). Rates are exact-integer purchases/active-users
+    per cell; the DiD is a fixed scalar expression on the four rates.
+    Shape: one bounds aggregate broadcast back, one per-cell aggregate
+    (4 rows), scalar assembly."""
+    from .curation import hash_unit
+
+    bounds = events.agg(
+        F.unix_timestamp(F.min("ts")).alias("mn"),
+        F.unix_timestamp(F.max("ts")).alias("mx"),
+    ).select(F.expr("(mn + mx) div 2").alias("mid"))
+    cells = (
+        events.crossJoin(F.broadcast(bounds))
+        .select(
+            F.when(hash_unit(F.col(id_col), salt) < 0.5, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("arm"),
+            F.when(
+                F.unix_timestamp(F.col("ts")) < F.col("mid"), F.lit("pre")
+            )
+            .otherwise(F.lit("post"))
+            .alias("period"),
+            F.col(id_col).alias("uid"),
+            (F.col("event_type") == "purchase").cast("long").alias("pur"),
+        )
+        .groupBy("arm", "period")
+        .agg(
+            F.countDistinct("uid").alias("n_users"),
+            F.sum("pur").alias("purchases"),
+        )
+    )
+    rate = F.col("purchases").cast("double") / F.col("n_users").cast("double")
+    wide = cells.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("arm") == a) & (F.col("period") == p), rate
+                )
+            ).alias(f"r_{a}_{p}")
+            for a in ("A", "B")
+            for p in ("pre", "post")
+        ]
+    )
+    did = (F.col("r_B_post") - F.col("r_B_pre")) - (
+        F.col("r_A_post") - F.col("r_A_pre")
+    )
+    return (
+        cells.crossJoin(
+            F.broadcast(wide.select((F.round(did, 6) + F.lit(0.0)).alias("did")))
+        )
+        .select(
+            "arm",
+            "period",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("purchases").cast("long").alias("purchases"),
+            F.round(rate, 6).alias("purchase_rate"),
+            "did",
+        )
+        .orderBy("arm", "period")
+    )

@@ -1666,3 +1666,177 @@ def textrank_keywords(
         .orderBy(F.desc("textrank"), F.asc("word"))
         .limit(top_k)
     )
+
+
+def entropy_rate_bigram(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source bigram entropy rate H(w₂|w₁) and its perplexity —
+    the text-complexity number LM curricula sort by (low entropy rate:
+    templated/boilerplate text; high: diverse prose), computed from
+    the maximum-likelihood bigram model: H = −Σ p(w₁,w₂)·ln p(w₂|w₁)
+    = −(1/N)·Σ c₁₂·ln(c₁₂/c₁).
+
+    Shape: bigrams build IN-ROW (the pmi_collocations device), the
+    context totals c₁ come from regrouping the bigram counts (NOT the
+    unigram table — the last token of each doc has no successor), and
+    each summand c₁₂·ln(c₁₂/c₁) quantizes at 9dp into DECIMAL(38,9)
+    so the vocab-sized sum is order-free; the only unquantized float
+    ops are the final division and exp, single IEEE ops the oracle
+    replays."""
+    tk = T.word_tokens(F.col(text_col))
+    base = docs.select(F.col(source_col).alias("s"), tk.alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    pairs = base.select(
+        "s",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("tk"), i).alias("wa"),
+                    F.element_at(F.col("tk"), i + 1).alias("wb"),
+                ),
+            )
+        ).alias("p"),
+    ).select("s", F.col("p.wa").alias("wa"), F.col("p.wb").alias("wb"))
+    big = pairs.groupBy("s", "wa", "wb").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = big.groupBy("s", "wa").agg(F.sum("c12").alias("c1"))
+    term = F.round(
+        F.col("c12")
+        * F.log(F.col("c12").cast("double") / F.col("c1").cast("double")),
+        9,
+    ).cast("decimal(38,9)")
+    per = (
+        big.join(ctx, ["s", "wa"])
+        .select("s", F.col("c12"), term.alias("t"))
+        .groupBy("s")
+        .agg(
+            F.sum("c12").alias("n"),
+            F.sum("t").alias("ssum"),
+        )
+    )
+    ctxn = ctx.groupBy("s").agg(F.count(F.lit(1)).alias("n_contexts"))
+    h = -(F.col("ssum").cast("double") / F.col("n").cast("double"))
+    return (
+        per.join(ctxn, "s")
+        .select(
+            F.col("s").alias("source"),
+            F.col("n").cast("long").alias("n_bigrams"),
+            F.col("n_contexts").cast("long").alias("n_contexts"),
+            (F.round(h, 6) + F.lit(0.0)).alias("entropy_rate_nats"),
+            F.round(F.exp(h), 6).alias("perplexity"),
+        )
+        .orderBy("source")
+    )
+
+
+def burrows_delta(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    top_terms: int = 30,
+) -> DataFrame:
+    """Burrows' Delta (Burrows 2002) stylometric distance between all
+    source pairs — the classic authorship-attribution measure: z-score
+    each source's relative frequency of the corpus' top function words
+    against the cross-source distribution, then Delta = mean |z_a−z_b|.
+    Low Delta says two crawls share register/boilerplate even when
+    their vocabularies differ — a mixing signal KL misses because
+    Delta looks only at the high-frequency head.
+
+    Shape: the top-term selection is a map-side top-k (orderBy+limit =
+    TakeOrdered, no full vocab sort), everything after lives on the
+    bounded top_terms × sources grid. Relative frequencies quantize at
+    9dp, squared deviations at 12dp, |z_a−z_b| at 9dp — every
+    cross-row sum is an order-free DECIMAL; μ, σ, z are single-op
+    scalar chains the oracle replays."""
+    toks = docs.select(
+        F.col(source_col).alias("s"),
+        F.explode(T.word_tokens(F.col(text_col))).alias("w"),
+    )
+    # counts fans out into three consumers (source totals, the top-k
+    # selection, and the grid join) — pin ONE materialization so the
+    # corpus tokenize+shuffle runs once, not per consumer
+    counts = (
+        toks.groupBy("s", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    ns = counts.groupBy("s").agg(F.sum("c").alias("n"))
+    top = (
+        counts.groupBy("w")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.desc("tc"), F.asc("w"))
+        .limit(top_terms)
+        .select("w")
+    )
+    grid = (
+        ns.crossJoin(F.broadcast(top))
+        .join(counts, ["s", "w"], "left")
+        .na.fill({"c": 0})
+        .select(
+            "s",
+            "w",
+            F.round(
+                F.col("c").cast("double") / F.col("n").cast("double"), 9
+            )
+            .cast("decimal(38,9)")
+            .alias("f"),
+        )
+    )
+    k1 = grid.groupBy("w").agg(
+        F.count(F.lit(1)).alias("k"), F.sum("f").alias("sf")
+    )
+    withm = grid.join(F.broadcast(k1), "w").select(
+        "s",
+        "w",
+        "f",
+        (F.col("sf").cast("double") / F.col("k").cast("double")).alias("m"),
+        "k",
+    )
+    d2 = F.round(
+        (F.col("f").cast("double") - F.col("m"))
+        * (F.col("f").cast("double") - F.col("m")),
+        12,
+    ).cast("decimal(38,12)")
+    sig = withm.groupBy("w", "m", "k").agg(F.sum(d2).alias("sd2"))
+    sigma = F.sqrt(
+        F.col("sd2").cast("double") / (F.col("k").cast("double") - F.lit(1.0))
+    )
+    z = (
+        withm.join(
+            F.broadcast(sig.select("w", sigma.alias("sg"))), "w"
+        )
+        .select(
+            "s",
+            "w",
+            (
+                (F.col("f").cast("double") - F.col("m"))
+                / F.nullif(F.col("sg"), F.lit(0.0))
+            ).alias("z"),
+        )
+        # top_terms x sources rows; the pair join consumes it twice
+        .localCheckpoint(eager=True)
+    )
+    za = z.select(F.col("s").alias("source_a"), "w", F.col("z").alias("za"))
+    zb = z.select(F.col("s").alias("source_b"), "w", F.col("z").alias("zb"))
+    pair_term = F.round(F.abs(F.col("za") - F.col("zb")), 9).cast(
+        "decimal(38,9)"
+    )
+    return (
+        za.join(F.broadcast(zb), "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(pair_term).alias("sab"), F.count(F.lit(1)).alias("kt"))
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                F.col("sab").cast("double") / F.col("kt").cast("double"), 6
+            ).alias("delta"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -244,6 +244,18 @@ HEADLINE = [
     "decayed_user_value",
     "selectivity_estimate_audit",
     "retention_decay_fit",
+    "roc_auc_by_source",
+    "acf_hourly",
+    "shuffle_skew_audit",
+    "spearman_user_corr",
+    "srm_audit",
+    "local_clustering_curve",
+    "mann_whitney_matrix",
+    "cramers_v_report",
+    "simpson_event_diversity",
+    "hits_supplier_authority",
+    "eb_shrunk_rates",
+    "dp_count_release",
 ]
 
 

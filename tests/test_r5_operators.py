@@ -769,3 +769,87 @@ def test_dp_release_noise_is_bounded_and_deterministic(spark):
         )
         # Laplace(1) at the md5 quantization can't exceed ln(1e6)/1
         assert r["abs_err"] < 14.0
+
+
+def test_entropy_rate_templated_vs_diverse(spark):
+    from avro_sql_spark.operators.text import entropy_rate_bigram
+
+    # source T: every bigram deterministic (one repeated sentence) ->
+    # H = 0, perplexity 1; source D: contexts branch -> H > 0
+    rows = [(i, "the cat sat", "en", "T", 11) for i in range(4)] + [
+        (100, "a b", "en", "D", 3),
+        (101, "a c", "en", "D", 3),
+        (102, "a d", "en", "D", 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    got = {r["source"]: r for r in entropy_rate_bigram(df).collect()}
+    assert got["T"]["entropy_rate_nats"] == pytest.approx(0.0)
+    assert got["T"]["perplexity"] == pytest.approx(1.0)
+    # D: context 'a' branches 3 ways uniformly -> H = ln 3
+    assert got["D"]["entropy_rate_nats"] == pytest.approx(math.log(3.0), abs=1e-5)
+    assert got["D"]["n_bigrams"] == 3 and got["D"]["n_contexts"] == 1
+
+
+def test_burrows_delta_same_style_near_zero(spark):
+    from avro_sql_spark.operators.text import burrows_delta
+
+    # A and B share identical term frequencies; C skews the function
+    # words -> delta(A,B) must be far below delta(A,C)
+    txt_ab = "the of and to in " * 10
+    txt_c = "the the the the the of " * 10
+    rows = (
+        [(i, txt_ab, "en", "A", 1) for i in range(3)]
+        + [(10 + i, txt_ab, "en", "B", 1) for i in range(3)]
+        + [(20 + i, txt_c, "en", "C", 1) for i in range(3)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["delta"]
+        for r in burrows_delta(df, top_terms=5).collect()
+    }
+    assert got[("A", "B")] == pytest.approx(0.0, abs=1e-6)
+    assert got[("A", "C")] > 0.5
+    assert got[("A", "C")] == pytest.approx(got[("B", "C")], abs=1e-6)
+
+
+def test_did_lift_removes_common_trend(spark):
+    from datetime import datetime
+
+    from avro_sql_spark.operators.profile import did_lift
+
+    # both arms double their purchase rate pre->post (a pure time
+    # trend): the DiD estimate must be ~0 even though post-only rates
+    # differ from pre-only rates
+    rows = []
+    eid = 0
+    for u in range(200):
+        # every user: view pre, purchase post — a trend IDENTICAL in
+        # both arms regardless of how the md5 split lands, so the
+        # per-arm diffs are both exactly 1.0 and DiD is exactly 0
+        for period, day, etype in (
+            ("pre", 1, "view"),
+            ("post", 20, "purchase"),
+        ):
+            rows.append((eid, datetime(2024, 1, day), u, etype, 1.0, ""))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    out = did_lift(df).collect()
+    assert len(out) == 4
+    assert {(r["arm"], r["period"]) for r in out} == {
+        ("A", "pre"), ("A", "post"), ("B", "pre"), ("B", "post")
+    }
+    did = out[0]["did"]
+    assert all(r["did"] == did for r in out)
+    assert did == pytest.approx(0.0, abs=1e-9)
+    for r in out:
+        assert r["purchase_rate"] == pytest.approx(
+            r["purchases"] / r["n_users"], abs=1e-6
+        )

@@ -98,6 +98,7 @@ ITERATIVE_ENTRIES = [
     "local_clustering_curve",
     "spearman_user_corr",
     "hits_supplier_authority",
+    "burrows_delta",
 ]
 
 
