@@ -2967,3 +2967,192 @@ def did_lift(
         )
         .orderBy("arm", "period")
     )
+
+
+def lorenz_curve_points(
+    events: DataFrame,
+    deciles: int = 10,
+) -> DataFrame:
+    """Lorenz curve of user value concentration in ``deciles`` points —
+    the picture behind the Gini number (gini_value_concentration):
+    users sort ascending by lifetime value, and each decile row reports
+    its share of total value plus the cumulative share. A straight
+    diagonal is perfect equality; the classic "bottom 80% hold 20%"
+    reads directly off the cum_share column.
+
+    Shape: per-user totals are order-free DECIMAL(38,6) sums of
+    6dp-rounded values; decile assignment uses the scale-safe
+    ``exact_ntile`` (range-partitioned two-pass rank, no global
+    window); shares are single divisions on exact decimal sums over
+    the deciles-sized frame. Cumulative share accumulates over the
+    10-row output — a bounded metadata window."""
+    from .curation import exact_ntile
+
+    pu = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.round(F.col("value"), 6).cast("decimal(38,6)")
+            ).alias("v")
+        )
+    )
+    tiled = exact_ntile(pu, [F.col("v"), F.col("user_id")], deciles,
+                        out_col="decile")
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("v").alias("sv")
+    )
+    tot = per.agg(F.sum("sv").alias("tv"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.round(
+                F.col("sv").cast("double") / F.col("tv").cast("double"), 6
+            ).alias("value_share"),
+            F.col("sv").alias("_sv"),
+            F.col("tv").alias("_tv"),
+        )
+        .select(
+            "decile",
+            "n_users",
+            "value_share",
+            F.round(
+                F.sum("_sv").over(w).cast("double")
+                / F.col("_tv").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+def new_vs_returning_mix(events: DataFrame) -> DataFrame:
+    """Daily active users split into NEW (first-ever day) vs RETURNING
+    — the growth-accounting table every engagement dashboard leads
+    with: a product can show flat DAU while silently swapping loyal
+    users for drive-by traffic, and this split is how that shows.
+
+    All integer: first-seen day per user (one aggregate), then one
+    day × is-new aggregate; the returning share is a single division.
+    Output is calendar-bounded (days in span)."""
+    days = events.select(
+        F.col("user_id").alias("u"),
+        F.date_trunc("day", F.col("ts")).alias("d"),
+    ).distinct()
+    first = days.groupBy("u").agg(F.min("d").alias("fd"))
+    j = days.join(first, "u").select(
+        "d", (F.col("d") == F.col("fd")).cast("long").alias("is_new")
+    )
+    return (
+        j.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("dau"),
+            F.sum("is_new").alias("new_users"),
+        )
+        .select(
+            F.col("d").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("new_users").cast("long").alias("new_users"),
+            (F.col("dau") - F.col("new_users")).cast("long").alias(
+                "returning_users"
+            ),
+            F.round(
+                (F.col("dau") - F.col("new_users")).cast("double")
+                / F.col("dau").cast("double"),
+                6,
+            ).alias("returning_share"),
+        )
+        .orderBy("day")
+    )
+
+
+def repeat_purchase_interval(events: DataFrame) -> DataFrame:
+    """Distribution of the gap (in whole days) between a user's
+    consecutive purchases — the replenishment-cycle table behind
+    churn-window and win-back-timing decisions, with exact quantiles
+    computed by DOMAIN COUNTING: gaps aggregate to their day-valued
+    domain (bounded by the data span, not by purchase count), the
+    exact p25/p50/p90 order statistics read off the cumulative counts,
+    and no per-user window survives to the output.
+
+    The per-user ordering window partitions by user (the standard
+    sessionize shape); everything after is integer arithmetic on the
+    gap-domain frame."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pur = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    gaps = (
+        pur.select(
+            "user_id",
+            (
+                (
+                    F.unix_timestamp("ts")
+                    - F.unix_timestamp(F.lag("ts").over(w))
+                )
+                / F.lit(86400)
+            )
+            .cast("long")
+            .alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    dom = gaps.groupBy("gap_days").agg(F.count(F.lit(1)).alias("c"))
+    wd = Window.orderBy("gap_days").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dom.select(
+        "gap_days", "c", F.sum("c").over(wd).alias("cum")
+    ).crossJoin(F.broadcast(dom.agg(F.sum("c").alias("n"))))
+
+    def q(p: float):
+        # smallest gap whose cumulative count reaches ceil(p*n)
+        target = F.ceil(F.col("n") * F.lit(p))
+        return F.min(F.when(F.col("cum") >= target, F.col("gap_days")))
+
+    return cum.agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        q(0.25).cast("long").alias("p25_days"),
+        q(0.50).cast("long").alias("p50_days"),
+        q(0.90).cast("long").alias("p90_days"),
+        F.max("gap_days").cast("long").alias("max_days"),
+    )
+
+
+def negbin_overdispersion(events: DataFrame) -> DataFrame:
+    """Overdispersion diagnostic of per-user event counts with a
+    method-of-moments negative-binomial fit — the test that says
+    whether "events per user" is Poisson-ish (dispersion ≈ 1: one
+    homogeneous population) or heavy-tailed (dispersion ≫ 1: model
+    per-user rates, or a mean-based capacity plan will be wrong).
+    MoM: r = m²/(v−m), p = m/v.
+
+    Exactness: per-user counts are integers; m and v derive from the
+    exact integer Σc and Σc² (sample variance via (n·Σc² − S²)/
+    (n·(n−1))); the fit parameters are fixed single-op scalar chains.
+    One data aggregate, one users-sized reduction, one row out."""
+    pu = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    s = pu.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("c"))).alias("sc"),
+        F.sum(dec(F.col("c") * F.col("c"))).alias("sq"),
+    )
+    n = F.col("n").cast("double")
+    m = F.col("sc").cast("double") / n
+    v = (
+        F.col("n").cast("decimal(38,0)") * F.col("sq")
+        - F.col("sc") * F.col("sc")
+    ).cast("double") / (n * (n - F.lit(1.0)))
+    disp = v / m
+    r = m * m / F.nullif(v - m, F.lit(0.0))
+    p = m / F.nullif(v, F.lit(0.0))
+    return s.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round(m, 6).alias("mean_events"),
+        F.round(v, 6).alias("var_events"),
+        F.round(disp, 6).alias("dispersion"),
+        (F.round(r, 6) + F.lit(0.0)).alias("nb_r"),
+        F.round(p, 6).alias("nb_p"),
+    )

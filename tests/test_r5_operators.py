@@ -853,3 +853,116 @@ def test_did_lift_removes_common_trend(spark):
         assert r["purchase_rate"] == pytest.approx(
             r["purchases"] / r["n_users"], abs=1e-6
         )
+
+
+def test_lorenz_deciles_sum_to_one_and_monotone(spark):
+    from datetime import datetime
+
+    from avro_sql_spark.operators.profile import lorenz_curve_points
+
+    rows = [
+        (u, datetime(2024, 1, 1), u, "purchase", float(u + 1), "")
+        for u in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    out = lorenz_curve_points(df).collect()
+    assert [r["decile"] for r in out] == list(range(1, 11))
+    assert sum(r["n_users"] for r in out) == 100
+    assert out[-1]["cum_share"] == pytest.approx(1.0)
+    shares = [r["value_share"] for r in out]
+    assert shares == sorted(shares)  # ascending-value deciles
+    # values 1..100: top decile (91..100) holds 955/5050
+    assert out[-1]["value_share"] == pytest.approx(955.0 / 5050.0, abs=1e-6)
+
+
+def test_new_vs_returning_counts(spark):
+    from datetime import datetime
+
+    from avro_sql_spark.operators.profile import new_vs_returning_mix
+
+    rows = [
+        # day 1: users 1,2 new; day 2: user 1 returns, user 3 new
+        (1, datetime(2024, 1, 1, 5), 1, "v", 1.0, ""),
+        (2, datetime(2024, 1, 1, 6), 2, "v", 1.0, ""),
+        (3, datetime(2024, 1, 2, 5), 1, "v", 1.0, ""),
+        (4, datetime(2024, 1, 2, 7), 3, "v", 1.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    out = new_vs_returning_mix(df).collect()
+    assert out[0]["dau"] == 2 and out[0]["new_users"] == 2
+    assert out[0]["returning_users"] == 0
+    assert out[1]["dau"] == 2 and out[1]["new_users"] == 1
+    assert out[1]["returning_share"] == pytest.approx(0.5)
+
+
+def test_repeat_purchase_quantiles_exact(spark):
+    from datetime import datetime, timedelta
+
+    from avro_sql_spark.operators.profile import repeat_purchase_interval
+
+    # user gaps: 10 users with gap 1 day, 10 with 5, 10 with 30
+    rows = []
+    eid = 0
+    for u in range(30):
+        gap = [1, 5, 30][u // 10]
+        t0 = datetime(2024, 1, 1, 12)
+        for t in (t0, t0 + timedelta(days=gap)):
+            rows.append((eid, t, u, "purchase", 1.0, ""))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    r = repeat_purchase_interval(df).collect()[0]
+    assert r["n_gaps"] == 30
+    assert r["p25_days"] == 1
+    assert r["p50_days"] == 5
+    assert r["p90_days"] == 30
+    assert r["max_days"] == 30
+
+
+def test_negbin_poisson_vs_overdispersed(spark):
+    from datetime import datetime
+
+    from avro_sql_spark.operators.profile import negbin_overdispersion
+
+    # constant counts (all users 4 events): var 0 -> dispersion 0,
+    # nb_r NULL (v - m < 0 path guarded via nullif only at v==m... here
+    # v=0 != m so r is negative-denominator finite; just sanity-check
+    # the moments)
+    rows = [
+        (u * 10 + i, datetime(2024, 1, 1), u, "v", 1.0, "")
+        for u in range(20)
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    r = negbin_overdispersion(df).collect()[0]
+    assert r["n_users"] == 20
+    assert r["mean_events"] == pytest.approx(4.0)
+    assert r["var_events"] == pytest.approx(0.0)
+    assert r["dispersion"] == pytest.approx(0.0)
+
+    # heavy tail: 19 users with 1 event, 1 user with 81 -> dispersion >> 1
+    rows2 = [(u, datetime(2024, 1, 1), u, "v", 1.0, "") for u in range(19)]
+    rows2 += [(100 + i, datetime(2024, 1, 1), 99, "v", 1.0, "") for i in range(81)]
+    df2 = spark.createDataFrame(
+        rows2,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    r2 = negbin_overdispersion(df2).collect()[0]
+    assert r2["dispersion"] > 10.0
+    assert r2["nb_r"] is not None and r2["nb_r"] > 0.0

@@ -99,6 +99,7 @@ ITERATIVE_ENTRIES = [
     "spearman_user_corr",
     "hits_supplier_authority",
     "burrows_delta",
+    "lorenz_curve_points",
 ]
 
 
