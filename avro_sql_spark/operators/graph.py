@@ -993,3 +993,79 @@ def hits_supplier_authority(
         .orderBy(F.desc("authority"), F.asc("supplier"))
         .limit(top_k)
     )
+
+
+def basket_affinity_lift(
+    lineitem: DataFrame,
+    min_pair_orders: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """Market-basket association rules over co-purchased part pairs:
+    support, confidence, and LIFT (observed co-occurrence over the
+    independence expectation) — the "customers who bought A also
+    bought B" table, reported for the top-k pairs by lift. Lift > 1
+    is real affinity; confidence alone just rediscovers popular items.
+
+    Shape: the pair frame is the IN-ROW basket-pair device (baskets
+    schema-bounded, no self-join); per-part basket counts are one
+    aggregate; the per-pair row joins two part counts and the 1-row
+    basket total. Exactness: all counts integers; lift = (c_ab·N) /
+    (c_a·c_b) and confidence = c_ab/c_a are single divisions, rounded
+    at 6dp BEFORE ranking (rank-stable across engines), pair id as
+    tiebreak."""
+    d = lineitem.select("l_orderkey", "l_partkey").distinct()
+    baskets = d.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    m = F.size("ps")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), m - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, m),
+                lambda j: F.struct(
+                    F.element_at("ps", i).alias("pa"),
+                    F.element_at("ps", j).alias("pb"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        baskets.filter(m >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= min_pair_orders)
+    )
+    per_part = d.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ck")
+    )
+    n = baskets.agg(F.count(F.lit(1)).alias("n"))
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    scored = (
+        pairs.join(
+            F.broadcast(per_part.select(F.col("k").alias("pa"),
+                                        F.col("ck").alias("ca"))), "pa"
+        )
+        .join(
+            F.broadcast(per_part.select(F.col("k").alias("pb"),
+                                        F.col("ck").alias("cb"))), "pb"
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pa",
+            "pb",
+            F.col("cab").cast("long").alias("pair_orders"),
+            F.round(
+                F.col("cab").cast("double") / F.col("ca").cast("double"), 6
+            ).alias("confidence"),
+            F.round(
+                (dec(F.col("cab")) * dec(F.col("n"))).cast("double")
+                / (dec(F.col("ca")) * dec(F.col("cb"))).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("pa"), F.asc("pb")
+    ).limit(top_k)

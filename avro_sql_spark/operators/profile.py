@@ -3156,3 +3156,137 @@ def negbin_overdispersion(events: DataFrame) -> DataFrame:
         (F.round(r, 6) + F.lit(0.0)).alias("nb_r"),
         F.round(p, 6).alias("nb_p"),
     )
+
+
+def price_elasticity(
+    part: DataFrame,
+    lineitem: DataFrame,
+    min_parts: int = 10,
+) -> DataFrame:
+    """Log-log price elasticity of demand per brand: the OLS slope of
+    ln(quantity sold) on ln(retail price) across a brand's parts — the
+    classic price-sensitivity readout (≈ −1: revenue-neutral pricing;
+    < −1: price cuts pay for themselves; ≈ 0: captive demand).
+
+    Exactness: the regression never touches float aggregation — both
+    logs quantize to 1e−6 (integer micro-nats, exact BIGINT/DECIMAL
+    sums), and the OLS slope (nΣxy − ΣxΣy)/(nΣxx − Σx²) is an exact
+    integer ratio whose 1e6 scalings cancel; the single final division
+    is the only float op. Shape: one fact aggregate (qty per part),
+    one broadcast dim join, one brand aggregate."""
+    qty = lineitem.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("q")
+    )
+    base = qty.join(
+        F.broadcast(
+            part.select(
+                F.col("p_partkey").alias("k"),
+                F.col("p_brand").alias("brand"),
+                F.col("p_retailprice").alias("price"),
+            )
+        ),
+        "k",
+    ).filter((F.col("q") > 0) & (F.col("price") > 0))
+    xi = F.round(F.log(F.col("price")) * F.lit(1e6)).cast("long")
+    yi = F.round(F.log(F.col("q").cast("double")) * F.lit(1e6)).cast("long")
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    g = base.select("brand", xi.alias("x"), yi.alias("y")).groupBy(
+        "brand"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / F.nullif(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        F.lit(0.0),
+    )
+    return (
+        g.filter(F.col("n") >= min_parts)
+        .select(
+            "brand",
+            F.col("n").cast("long").alias("n_parts"),
+            (F.round(slope, 6) + F.lit(0.0)).alias("elasticity"),
+        )
+        .orderBy("brand")
+    )
+
+
+def runs_test_daily(events: DataFrame) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily purchase-count series:
+    are above-median and below-median days randomly interleaved, or
+    does the series trend/cluster? Too FEW runs says regimes (weeks of
+    high then weeks of low — watch for drift); too MANY says
+    oscillation (day-of-week aliasing). The z-statistic uses the exact
+    run count against the random-arrangement moments.
+
+    Exactness: daily counts are integers; the median is an exact order
+    statistic read from the cumulative count over the bounded
+    day-domain; runs/n1/n2 are integers from one lag pass over the
+    calendar-bounded series; μ_R and σ_R are fixed single-op chains.
+    Ties with the median count as 'below' (the <= convention, stated
+    so the oracle replays it)."""
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    # exact median of the day-domain counts: value at cum >= ceil(n/2)
+    dom = daily.groupBy("c").agg(F.count(F.lit(1)).alias("k"))
+    wd = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    med = (
+        dom.select("c", F.sum("k").over(wd).alias("cum"))
+        .crossJoin(F.broadcast(dom.agg(F.sum("k").alias("nd"))))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.col("nd") / 2), F.col("c")
+                )
+            ).alias("med")
+        )
+    )
+    signed = daily.crossJoin(F.broadcast(med)).select(
+        "d", (F.col("c") > F.col("med")).cast("long").alias("s")
+    )
+    wl = Window.orderBy("d")
+    flips = signed.select(
+        "s", F.lag("s").over(wl).alias("ps")
+    )
+    agg = flips.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s").alias("n1"),
+        F.sum(F.lit(1) - F.col("s")).alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                (F.col("ps").isNotNull() & (F.col("s") != F.col("ps")))
+                .cast("long")
+            )
+        ).alias("r"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    nn = F.col("n").cast("double")
+    mu = F.lit(2.0) * n1 * n2 / nn + F.lit(1.0)
+    var = (
+        F.lit(2.0)
+        * n1
+        * n2
+        * (F.lit(2.0) * n1 * n2 - nn)
+        / (nn * nn * (nn - F.lit(1.0)))
+    )
+    z = (F.col("r").cast("double") - mu) / F.nullif(
+        F.sqrt(var), F.lit(0.0)
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("n1").cast("long").alias("days_above"),
+        F.col("n2").cast("long").alias("days_at_or_below"),
+        F.col("r").cast("long").alias("runs"),
+        F.round(mu, 6).alias("expected_runs"),
+        (F.round(z, 6) + F.lit(0.0)).alias("z"),
+    )

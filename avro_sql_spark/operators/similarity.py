@@ -1578,3 +1578,59 @@ def mrr_report(
             ),
         )
     )
+
+
+def embedding_isotropy(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Isotropy health check for an embedding space: the ratio
+    ‖μ‖² / E[‖x‖²] (share of total energy sitting in the common mean
+    direction) plus the per-space norms — the first diagnostic for the
+    "narrow cone" pathology (Ethayarajh 2019): anisotropic spaces make
+    every cosine similarity high and break ANN pruning; the fix
+    (mean-centering) is justified exactly when this ratio is large.
+
+    Exactness: float32 coordinates are exact in double; per-dimension
+    sums quantize each coordinate at 7dp into DECIMAL(38,7) (beyond
+    float32 precision — lossless), squared norms quantize at 9dp; the
+    d-term assembly of ‖μ‖² quantizes each (S_d/n)² at 12dp. One
+    posexplode pass, one d-sized reduction, one scalar row."""
+    x = embeddings.select(
+        F.posexplode(F.col(vec_col)).alias("d", "v")
+    ).select(
+        "d",
+        F.round(F.col("v").cast("double"), 7).cast("decimal(38,7)").alias("v7"),
+        F.round(
+            F.col("v").cast("double") * F.col("v").cast("double"), 9
+        ).cast("decimal(38,9)").alias("v2"),
+    )
+    per_dim = x.groupBy("d").agg(
+        F.sum("v7").alias("sd"), F.sum("v2").alias("q")
+    )
+    nrow = embeddings.agg(F.count(F.lit(1)).alias("n"))
+    terms = per_dim.crossJoin(F.broadcast(nrow)).select(
+        F.round(
+            (F.col("sd").cast("double") / F.col("n").cast("double"))
+            * (F.col("sd").cast("double") / F.col("n").cast("double")),
+            12,
+        ).cast("decimal(38,12)").alias("mu2"),
+        F.col("q"),
+        F.col("n"),
+    )
+    agg = terms.groupBy("n").agg(
+        F.count(F.lit(1)).alias("dim"),
+        F.sum("mu2").alias("mean_sq"),
+        F.sum("q").alias("qtot"),
+    )
+    mean_norm_sq = F.col("qtot").cast("double") / F.col("n").cast("double")
+    mu_norm_sq = F.col("mean_sq").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n_vectors"),
+        F.col("dim").cast("long").alias("dim"),
+        F.round(mean_norm_sq, 6).alias("mean_norm_sq"),
+        F.round(mu_norm_sq, 6).alias("mean_vector_norm_sq"),
+        F.round(
+            mu_norm_sq / F.nullif(mean_norm_sq, F.lit(0.0)), 6
+        ).alias("isotropy_ratio"),
+    )

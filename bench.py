@@ -256,6 +256,13 @@ HEADLINE = [
     "hits_supplier_authority",
     "eb_shrunk_rates",
     "dp_count_release",
+    "entropy_rate_bigram",
+    "burrows_delta",
+    "did_lift",
+    "lorenz_curve_points",
+    "new_vs_returning_mix",
+    "repeat_purchase_interval",
+    "negbin_overdispersion",
 ]
 
 

@@ -966,3 +966,101 @@ def test_negbin_poisson_vs_overdispersed(spark):
     r2 = negbin_overdispersion(df2).collect()[0]
     assert r2["dispersion"] > 10.0
     assert r2["nb_r"] is not None and r2["nb_r"] > 0.0
+
+
+def test_basket_lift_anticorrelation_and_affinity(spark):
+    from avro_sql_spark.operators.graph import basket_affinity_lift
+
+    # parts 1,2 always together (4 baskets); part 3 in every basket
+    rows = []
+    for o in range(1, 5):
+        rows += [(o, 1), (o, 2), (o, 3)]
+    for o in range(5, 9):
+        rows += [(o, 3), (o, 4)]
+    df = spark.createDataFrame(rows, "l_orderkey LONG, l_partkey LONG")
+    out = {
+        (r["pa"], r["pb"]): r
+        for r in basket_affinity_lift(df, min_pair_orders=2, top_k=50).collect()
+    }
+    # N=8 baskets; pair (1,2): cab=4, ca=cb=4 -> lift = 4*8/16 = 2.0
+    assert out[(1, 2)]["lift"] == pytest.approx(2.0)
+    assert out[(1, 2)]["confidence"] == pytest.approx(1.0)
+    # pair (1,3): cab=4, ca=4, cb=8 -> lift = 4*8/32 = 1.0 (independent)
+    assert out[(1, 3)]["lift"] == pytest.approx(1.0)
+
+
+def test_price_elasticity_exact_slope(spark):
+    from avro_sql_spark.operators.profile import price_elasticity
+
+    # construct demand q = price^(-2) * 1e6 exactly in logs:
+    # ln q = ln 1e6 - 2 ln p -> elasticity -2
+    parts = [(k, "n", "B1", "t", 1, float(2 ** k)) for k in range(1, 12)]
+    part = spark.createDataFrame(
+        parts,
+        "p_partkey LONG, p_name STRING, p_brand STRING, p_type STRING,"
+        " p_size INT, p_retailprice DOUBLE",
+    )
+    li = []
+    oid = 0
+    for k in range(1, 12):
+        q = 2 ** (2 * (12 - k))  # exact: ln q = (24-2k)ln2, ln p = k ln2
+        li.append((oid, k, float(q)))
+        oid += 1
+    lineitem = spark.createDataFrame(
+        li, "l_orderkey LONG, l_partkey LONG, l_quantity DOUBLE"
+    )
+    out = price_elasticity(part, lineitem, min_parts=5).collect()
+    assert len(out) == 1
+    assert out[0]["elasticity"] == pytest.approx(-2.0, abs=1e-3)
+
+
+def test_runs_test_alternating_and_blocked(spark):
+    from datetime import datetime, timedelta
+
+    from avro_sql_spark.operators.profile import runs_test_daily
+
+    def mk(counts):
+        rows = []
+        eid = 0
+        for i, c in enumerate(counts):
+            for _ in range(c):
+                rows.append(
+                    (eid, datetime(2024, 1, 1) + timedelta(days=i), 1,
+                     "purchase", 1.0, "")
+                )
+                eid += 1
+        return spark.createDataFrame(
+            rows,
+            "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+            " value DOUBLE, props STRING",
+        )
+
+    # perfectly alternating 1,9,1,9,... -> maximum runs, z > 0
+    alt = runs_test_daily(mk([1, 9] * 10)).collect()[0]
+    assert alt["runs"] == 20
+    assert alt["z"] > 2.0
+    # blocked 1*10 then 9*10 -> exactly 2 runs, z < 0
+    blk = runs_test_daily(mk([1] * 10 + [9] * 10)).collect()[0]
+    assert blk["runs"] == 2
+    assert blk["z"] < -2.0
+
+
+def test_isotropy_mean_free_vs_shifted(spark):
+    from avro_sql_spark.operators.similarity import embedding_isotropy
+
+    # symmetric pair (+v, -v): mean is 0 -> ratio 0
+    sym = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [-1.0, -2.0])],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    r = embedding_isotropy(sym).collect()[0]
+    assert r["isotropy_ratio"] == pytest.approx(0.0)
+    assert r["dim"] == 2
+    # identical vectors: all energy in the mean -> ratio 1
+    same = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [3.0, 4.0])],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    r2 = embedding_isotropy(same).collect()[0]
+    assert r2["isotropy_ratio"] == pytest.approx(1.0)
+    assert r2["mean_norm_sq"] == pytest.approx(25.0)
