@@ -3778,6 +3778,36 @@ def _embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_isotropy(t["embeddings"])
 
 
+def _script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Unicode-script character mix
+    (text.script_profile; regexp-strip counting, integer sums)."""
+    from avro_sql_spark.operators.text import script_profile
+
+    t = load_tables(spark, sf_dir, register=False)
+    return script_profile(t["documents"])
+
+
+def _posting_list_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index df histogram in power-of-two buckets
+    (text.posting_list_histogram; bit-length buckets, all integer)."""
+    from avro_sql_spark.operators.text import posting_list_histogram
+
+    t = load_tables(spark, sf_dir, register=False)
+    return posting_list_histogram(t["documents"])
+
+
+def _degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill MLE power-law exponent of the co-purchase degree
+    distribution (graph.degree_powerlaw_fit; integer nano-nat sums)."""
+    from avro_sql_spark.operators.graph import (
+        copurchase_edges,
+        degree_powerlaw_fit,
+    )
+
+    t = load_tables(spark, sf_dir, register=False)
+    return degree_powerlaw_fit(copurchase_edges(t["lineitem"]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes ~50 entries in this order per round (r1 covered the first
@@ -3907,6 +3937,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_elasticity": _price_elasticity,
         "runs_test_daily": _runs_test_daily,
         "embedding_isotropy": _embedding_isotropy,
+        "script_profile": _script_profile,
+        "posting_list_histogram": _posting_list_histogram,
+        "degree_powerlaw_fit": _degree_powerlaw_fit,
         # --- cumulative-green core (driver rows r1-r4) ---
         "minhash_calibration": _minhash_calibration,
         "incremental_near_dup": _incremental_near_dup,
@@ -9899,6 +9932,71 @@ SELECT CAST(n AS BIGINT) AS n_vectors, CAST(dim AS BIGINT) AS dim,
              / NULLIF(CAST(qtot AS DOUBLE) / CAST(n AS DOUBLE), 0), 6)
          AS isotropy_ratio
 FROM agg
+""",
+        "script_profile": r"""
+WITH per AS (SELECT source AS s, length(text) AS total,
+                    length(text) - length(regexp_replace(text,
+                        '[a-zA-Z]', '', 'g')) AS latin,
+                    length(text) - length(regexp_replace(text,
+                        '[0-9]', '', 'g')) AS digit,
+                    length(text) - length(regexp_replace(text,
+                        '\s', '', 'g')) AS space,
+                    length(text) - length(regexp_replace(text,
+                        '[一-鿿]', '', 'g')) AS cjk
+             FROM documents),
+agg AS (SELECT s, SUM(total) AS total, SUM(latin) AS latin,
+               SUM(digit) AS digit, SUM(space) AS space, SUM(cjk) AS cjk
+        FROM per GROUP BY s)
+SELECT s AS source, CAST(total AS BIGINT) AS n_chars,
+       ROUND(CAST(latin AS DOUBLE) / CAST(total AS DOUBLE), 6) AS latin_frac,
+       ROUND(CAST(digit AS DOUBLE) / CAST(total AS DOUBLE), 6) AS digit_frac,
+       ROUND(CAST(space AS DOUBLE) / CAST(total AS DOUBLE), 6) AS space_frac,
+       ROUND(CAST(cjk AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cjk_frac,
+       ROUND(CAST(total - latin - digit - space - cjk AS DOUBLE)
+             / CAST(total AS DOUBLE), 6) AS other_frac
+FROM agg ORDER BY source
+""",
+        "posting_list_histogram": r"""
+WITH toks AS (SELECT DISTINCT d, w FROM (
+                SELECT doc_id AS d,
+                       unnest(list_filter(string_split_regex(lower(text),
+                              '\s+'),
+                              x -> regexp_matches(x, '^[a-z]+$'))) AS w
+                FROM documents)),
+dfc AS (SELECT w, COUNT(*) AS df FROM toks GROUP BY w)
+SELECT CAST(length(bin(df)) AS BIGINT) AS df_bits,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(df) AS BIGINT) AS total_postings,
+       CAST(MAX(df) AS BIGINT) AS max_df
+FROM dfc GROUP BY 1 ORDER BY df_bits
+""",
+        "degree_powerlaw_fit": """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pc AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       FROM d a JOIN d b
+       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+und AS (SELECT pa AS a, pb AS b FROM pc),
+deg AS (SELECT n, COUNT(*) AS dg
+        FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+        GROUP BY 1),
+dom AS (SELECT dg AS dd, COUNT(*) AS k FROM deg GROUP BY dg),
+tail AS (SELECT dd, k,
+                CAST(ROUND(LN(CAST(dd AS DOUBLE) / 2.0) * 1000000000.0)
+                     AS BIGINT) AS t9
+         FROM dom WHERE dd >= 2),
+s AS (SELECT CAST(SUM(k) AS BIGINT) AS n_tail,
+             CAST(SUM(CAST(t9 AS HUGEINT) * k) AS HUGEINT) AS slog9,
+             CAST(MAX(dd) AS BIGINT) AS d_max
+      FROM tail),
+nn AS (SELECT CAST(SUM(k) AS BIGINT) AS n_nodes FROM dom)
+SELECT nn.n_nodes, s.n_tail, s.d_max,
+       ROUND(CAST(s.n_tail AS DOUBLE) / CAST(nn.n_nodes AS DOUBLE), 6)
+         AS tail_share,
+       ROUND(1.0 + CAST(s.n_tail AS DOUBLE)
+             / NULLIF(CAST(s.slog9 AS DOUBLE) / 1000000000.0, 0), 6)
+         AS alpha
+FROM s CROSS JOIN nn
 """,
         "decayed_user_value": """
 WITH mx AS (SELECT epoch_us(MAX(ts)) // 1000000 AS smx FROM events),

@@ -1069,3 +1069,67 @@ def basket_affinity_lift(
     return scored.orderBy(
         F.desc("lift"), F.asc("pa"), F.asc("pb")
     ).limit(top_k)
+
+
+def degree_powerlaw_fit(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    d_min: int = 2,
+) -> DataFrame:
+    """Hill/Clauset MLE for the degree-distribution power-law exponent
+    α = 1 + n / Σ ln(d/d_min) over nodes with degree ≥ d_min — the
+    one-number answer to "is this graph hub-dominated?" that decides
+    whether joins on it need skew handling (α < 2.5: heavy hubs,
+    salt; α > 3: effectively homogeneous).
+
+    Exactness: degrees are integers from one aggregate; each ln(d/dmin)
+    quantizes at 9dp into DECIMAL(38,9) on the DEGREE DOMAIN (bounded
+    by max degree, not node count) weighted by the node count at that
+    degree, so the sum is order-free; α is one division. Also reports
+    the tail share and max degree."""
+    a, b = F.col(src_col), F.col(dst_col)
+    # und feeds both union branches of the degree count, and dom feeds
+    # both the tail aggregate and the node total — pin each once so the
+    # upstream edge build runs a single time
+    und = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dom = (
+        deg.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=True)  # degree-domain-sized
+    )
+    tail = dom.filter(F.col("d") >= d_min)
+    # integer nano-nats: ln(d/dmin) quantized to 1e-9 as a LONG, then
+    # weighted by the node count — pure integer sums, one final /1e9
+    t9 = F.round(
+        F.log(F.col("d").cast("double") / F.lit(float(d_min))) * F.lit(1e9)
+    ).cast("long")
+    s = tail.agg(
+        F.sum("k").alias("n_tail"),
+        F.sum((t9 * F.col("k")).cast("decimal(38,0)")).alias("slog9"),
+        F.max("d").alias("d_max"),
+    ).crossJoin(F.broadcast(dom.agg(F.sum("k").alias("n_nodes"))))
+    alpha = F.lit(1.0) + F.col("n_tail").cast("double") / F.nullif(
+        F.col("slog9").cast("double") / F.lit(1e9), F.lit(0.0)
+    )
+    return s.select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_tail").cast("long").alias("n_tail"),
+        F.col("d_max").cast("long").alias("d_max"),
+        F.round(
+            F.col("n_tail").cast("double") / F.col("n_nodes").cast("double"),
+            6,
+        ).alias("tail_share"),
+        F.round(alpha, 6).alias("alpha"),
+    )

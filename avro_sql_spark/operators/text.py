@@ -1840,3 +1840,109 @@ def burrows_delta(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def script_profile(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source Unicode-script composition: the fraction of
+    characters that are Latin letters, digits, whitespace, CJK
+    ideographs, or other — the first-pass corpus audit that catches a
+    "Chinese" crawl that is 80% Latin boilerplate or an English one
+    stuffed with digit tables, before any language-ID model runs.
+
+    Counting is subtraction of regexp-stripped lengths (chars minus
+    chars-after-removing-class) — one scan, no tokenization, integer
+    per-class counts summed exactly; the five fractions are single
+    divisions. The oracle replays the same character classes (RE2 and
+    Java regex agree on literal BMP ranges)."""
+    t = F.col(text_col)
+    ln = F.length(t)
+
+    def cnt(pattern: str) -> Column:
+        return ln - F.length(F.regexp_replace(t, pattern, ""))
+
+    per_doc = docs.select(
+        F.col(source_col).alias("s"),
+        ln.alias("total"),
+        cnt("[a-zA-Z]").alias("latin"),
+        cnt("[0-9]").alias("digit"),
+        cnt(r"\s").alias("space"),
+        cnt("[一-鿿]").alias("cjk"),
+    )
+    agg = per_doc.groupBy("s").agg(
+        F.sum("total").alias("total"),
+        F.sum("latin").alias("latin"),
+        F.sum("digit").alias("digit"),
+        F.sum("space").alias("space"),
+        F.sum("cjk").alias("cjk"),
+    )
+    tot = F.col("total").cast("double")
+
+    def frac(c: str) -> Column:
+        return F.round(F.col(c).cast("double") / tot, 6)
+
+    return agg.select(
+        F.col("s").alias("source"),
+        F.col("total").cast("long").alias("n_chars"),
+        frac("latin").alias("latin_frac"),
+        frac("digit").alias("digit_frac"),
+        frac("space").alias("space_frac"),
+        frac("cjk").alias("cjk_frac"),
+        F.round(
+            (
+                F.col("total")
+                - F.col("latin")
+                - F.col("digit")
+                - F.col("space")
+                - F.col("cjk")
+            ).cast("double")
+            / tot,
+            6,
+        ).alias("other_frac"),
+    ).orderBy("source")
+
+
+def posting_list_histogram(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document-frequency histogram of the inverted index in power-of-
+    two buckets — the search-engine capacity table: how many terms are
+    hapax noise (bucket 1), how many live in the skippable mid-range,
+    and how heavy the stopword head is (the last buckets dominate
+    posting storage and WAND upper bounds).
+
+    Bucket = bit-length of df (``length(bin(df))`` — exact integer
+    arithmetic, immune to the float log2 boundary problem at exact
+    powers of two). One tokenize + distinct pass, one vocab aggregate,
+    one buckets-sized regroup; everything integer."""
+    df_counts = (
+        docs.select(
+            F.col(id_col).alias("d"),
+            F.explode(T.word_tokens(F.col(text_col))).alias("w"),
+        )
+        .distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    bucket = F.length(F.expr("bin(df)"))
+    return (
+        df_counts.select(bucket.alias("bucket"), "df")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("df").alias("total_postings"),
+            F.max("df").alias("max_df"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("df_bits"),
+            F.col("n_terms").cast("long").alias("n_terms"),
+            F.col("total_postings").cast("long").alias("total_postings"),
+            F.col("max_df").cast("long").alias("max_df"),
+        )
+        .orderBy("df_bits")
+    )

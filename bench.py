@@ -263,6 +263,13 @@ HEADLINE = [
     "new_vs_returning_mix",
     "repeat_purchase_interval",
     "negbin_overdispersion",
+    "basket_affinity_lift",
+    "price_elasticity",
+    "runs_test_daily",
+    "embedding_isotropy",
+    "script_profile",
+    "posting_list_histogram",
+    "degree_powerlaw_fit",
 ]
 
 

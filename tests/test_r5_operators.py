@@ -1064,3 +1064,51 @@ def test_isotropy_mean_free_vs_shifted(spark):
     r2 = embedding_isotropy(same).collect()[0]
     assert r2["isotropy_ratio"] == pytest.approx(1.0)
     assert r2["mean_norm_sq"] == pytest.approx(25.0)
+
+
+def test_script_profile_fractions(spark):
+    from avro_sql_spark.operators.text import script_profile
+
+    rows = [
+        (1, "abc 12", "en", "L", 6),   # 3 latin, 2 digit, 1 space
+        (2, "中文中文", "zh", "C", 4),  # 4 cjk
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    got = {r["source"]: r for r in script_profile(df).collect()}
+    assert got["L"]["n_chars"] == 6
+    assert got["L"]["latin_frac"] == pytest.approx(0.5)
+    assert got["L"]["digit_frac"] == pytest.approx(2 / 6, abs=1e-6)
+    assert got["L"]["space_frac"] == pytest.approx(1 / 6, abs=1e-6)
+    assert got["C"]["cjk_frac"] == pytest.approx(1.0)
+    assert got["C"]["other_frac"] == pytest.approx(0.0)
+
+
+def test_posting_histogram_buckets(spark):
+    from avro_sql_spark.operators.text import posting_list_histogram
+
+    # term 'a' in 1 doc (bits 1), 'b' in 3 docs (bits 2), 'c' in 5 (bits 3)
+    rows = [
+        (1, "a b c"), (2, "b c"), (3, "b c"), (4, "c"), (5, "c c c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["df_bits"]: r for r in posting_list_histogram(df).collect()}
+    assert got[1]["n_terms"] == 1 and got[1]["max_df"] == 1
+    assert got[2]["n_terms"] == 1 and got[2]["max_df"] == 3
+    assert got[3]["n_terms"] == 1 and got[3]["max_df"] == 5
+    assert got[3]["total_postings"] == 5  # distinct docs, not occurrences
+
+
+def test_powerlaw_alpha_on_star(spark):
+    from avro_sql_spark.operators.graph import degree_powerlaw_fit
+
+    # hub with 8 leaves: degrees {8:1, 1:8}; tail (>=2) = just the hub
+    edges = [(0, i) for i in range(1, 9)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    r = degree_powerlaw_fit(df).collect()[0]
+    assert r["n_nodes"] == 9
+    assert r["n_tail"] == 1
+    assert r["d_max"] == 8
+    # alpha = 1 + 1/ln(8/2) = 1 + 1/ln4
+    assert r["alpha"] == pytest.approx(1.0 + 1.0 / math.log(4.0), abs=1e-5)

@@ -100,6 +100,7 @@ ITERATIVE_ENTRIES = [
     "hits_supplier_authority",
     "burrows_delta",
     "lorenz_curve_points",
+    "degree_powerlaw_fit",
 ]
 
 
