@@ -3808,6 +3808,24 @@ def _degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_powerlaw_fit(copurchase_edges(t["lineitem"]))
 
 
+def _join_order_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True vs independence-estimated join sizes for the
+    customer⋈orders⋈lineitem chain (profile.join_order_cost_audit)."""
+    from avro_sql_spark.operators.profile import join_order_cost_audit
+
+    t = load_tables(spark, sf_dir, register=False)
+    return join_order_cost_audit(t["customer"], t["orders"], t["lineitem"])
+
+
+def _mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD modified-z daily anomaly summary
+    (profile.mad_outlier_days; exact domain-counted medians)."""
+    from avro_sql_spark.operators.profile import mad_outlier_days
+
+    t = load_tables(spark, sf_dir, register=False)
+    return mad_outlier_days(t["events"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes ~50 entries in this order per round (r1 covered the first
@@ -3940,6 +3958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": _script_profile,
         "posting_list_histogram": _posting_list_histogram,
         "degree_powerlaw_fit": _degree_powerlaw_fit,
+        "join_order_cost_audit": _join_order_cost_audit,
+        "mad_outlier_days": _mad_outlier_days,
         # --- cumulative-green core (driver rows r1-r4) ---
         "minhash_calibration": _minhash_calibration,
         "incremental_near_dup": _incremental_near_dup,
@@ -9997,6 +10017,75 @@ SELECT nn.n_nodes, s.n_tail, s.d_max,
              / NULLIF(CAST(s.slog9 AS DOUBLE) / 1000000000.0, 0), 6)
          AS alpha
 FROM s CROSS JOIN nn
+""",
+        "join_order_cost_audit": """
+WITH stats AS (SELECT
+    (SELECT COUNT(*) FROM customer) AS c_rows,
+    (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS c_ndv,
+    (SELECT COUNT(*) FROM orders) AS o_rows,
+    (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS o_ndv_ck,
+    (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS o_ndv_ok,
+    (SELECT COUNT(*) FROM lineitem) AS l_rows,
+    (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS l_ndv),
+tr AS (
+  SELECT 'customer_orders' AS join_step,
+         (SELECT COUNT(*) FROM customer c
+          JOIN orders o ON c.c_custkey = o.o_custkey) AS t
+  UNION ALL SELECT 'orders_lineitem',
+         (SELECT COUNT(*) FROM orders o
+          JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+  UNION ALL SELECT 'customer_orders_lineitem',
+         (SELECT COUNT(*) FROM customer c
+          JOIN orders o ON c.c_custkey = o.o_custkey
+          JOIN lineitem l ON o.o_orderkey = l.l_orderkey)),
+est AS (SELECT 'customer_orders' AS join_step,
+               ROUND(CAST(c_rows * o_rows AS DOUBLE)
+                     / CAST(GREATEST(c_ndv, o_ndv_ck) AS DOUBLE), 6)
+                 AS est_rows
+        FROM stats
+        UNION ALL SELECT 'orders_lineitem',
+               ROUND(CAST(o_rows * l_rows AS DOUBLE)
+                     / CAST(GREATEST(o_ndv_ok, l_ndv) AS DOUBLE), 6)
+        FROM stats
+        UNION ALL SELECT 'customer_orders_lineitem',
+               ROUND(CAST(c_rows * o_rows AS DOUBLE)
+                     / CAST(GREATEST(c_ndv, o_ndv_ck) AS DOUBLE)
+                     * CAST(l_rows AS DOUBLE)
+                     / CAST(GREATEST(o_ndv_ok, l_ndv) AS DOUBLE), 6)
+        FROM stats)
+SELECT tr.join_step, CAST(tr.t AS BIGINT) AS true_rows, est.est_rows,
+       ROUND(ABS(est.est_rows - CAST(tr.t AS DOUBLE))
+             / CAST(tr.t AS DOUBLE), 6) AS rel_error
+FROM tr JOIN est USING (join_step) ORDER BY join_step
+""",
+        "mad_outlier_days": """
+WITH daily AS (SELECT date_trunc('day', ts) AS d, COUNT(*) AS c
+               FROM events GROUP BY 1),
+dom1 AS (SELECT c AS v, COUNT(*) AS k FROM daily GROUP BY c),
+med AS (SELECT MIN(CASE WHEN cum >= CEIL(nd / 2) THEN v END) AS med
+        FROM (SELECT v, SUM(k) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM dom1)
+        CROSS JOIN (SELECT SUM(k) AS nd FROM dom1)),
+dev AS (SELECT d, c, ABS(c - m.med) AS ad, m.med
+        FROM daily CROSS JOIN med m),
+dom2 AS (SELECT ad AS v, COUNT(*) AS k FROM dev GROUP BY ad),
+mad AS (SELECT MIN(CASE WHEN cum >= CEIL(nd / 2) THEN v END) AS mad
+        FROM (SELECT v, SUM(k) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM dom2)
+        CROSS JOIN (SELECT SUM(k) AS nd FROM dom2)),
+scored AS (SELECT d, c, dev.med, mad.mad,
+                  0.6745 * CAST(c - dev.med AS DOUBLE)
+                  / NULLIF(CAST(mad.mad AS DOUBLE), 0) AS z
+           FROM dev CROSS JOIN mad)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(MAX(med) AS BIGINT) AS median_daily,
+       CAST(MAX(mad) AS BIGINT) AS mad,
+       CAST(SUM(CASE WHEN ABS(z) > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outlier_days,
+       ROUND(MAX(ABS(z)), 6) + 0 AS max_abs_z
+FROM scored
 """,
         "decayed_user_value": """
 WITH mx AS (SELECT epoch_us(MAX(ts)) // 1000000 AS smx FROM events),

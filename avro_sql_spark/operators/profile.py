@@ -3290,3 +3290,169 @@ def runs_test_daily(events: DataFrame) -> DataFrame:
         F.round(mu, 6).alias("expected_runs"),
         (F.round(z, 6) + F.lit(0.0)).alias("z"),
     )
+
+
+def join_order_cost_audit(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Optimizer cardinality audit for the canonical 3-table join
+    chain customer⋈orders⋈lineitem: the TRUE join sizes next to the
+    textbook independence estimate |A⋈B| ≈ |A|·|B| / max(ndv_A(k),
+    ndv_B(k)) — the formula every cost-based optimizer starts from.
+    The rel_error column is the number to distrust a join order by:
+    FK joins land near 1.0; skew and correlation are exactly where it
+    drifts. Companion to selectivity_estimate_audit (single-column
+    stats) — this one audits the JOIN-size model.
+
+    All inputs are exact integers (row counts + exact NDVs, one
+    aggregate per table + one count per true join); each estimate is
+    one multiply-divide on DECIMAL(38,0); rel_error is a single
+    division. Output: 3 rows (c⋈o, o⋈l, c⋈o⋈l)."""
+    spark = customer.sparkSession
+    c = customer.select(F.col("c_custkey").alias("ck"))
+    o = orders.select(
+        F.col("o_custkey").alias("ck"), F.col("o_orderkey").alias("ok")
+    )
+    l = lineitem.select(F.col("l_orderkey").alias("ok"))
+    stats = (
+        c.agg(
+            F.count(F.lit(1)).alias("c_rows"),
+            F.countDistinct("ck").alias("c_ndv"),
+        )
+        .crossJoin(
+            o.agg(
+                F.count(F.lit(1)).alias("o_rows"),
+                F.countDistinct("ck").alias("o_ndv_ck"),
+                F.countDistinct("ok").alias("o_ndv_ok"),
+            )
+        )
+        .crossJoin(
+            l.agg(
+                F.count(F.lit(1)).alias("l_rows"),
+                F.countDistinct("ok").alias("l_ndv"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    t_co = c.join(o, "ck").agg(F.count(F.lit(1)).alias("t")).select(
+        F.lit("customer_orders").alias("join_step"), "t"
+    )
+    t_ol = o.join(l, "ok").agg(F.count(F.lit(1)).alias("t")).select(
+        F.lit("orders_lineitem").alias("join_step"), "t"
+    )
+    t_col = (
+        c.join(o, "ck")
+        .join(l, "ok")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .select(F.lit("customer_orders_lineitem").alias("join_step"), "t")
+    )
+    true_sizes = t_co.unionByName(t_ol).unionByName(t_col)
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    est_co = (dec(F.col("c_rows")) * dec(F.col("o_rows"))).cast(
+        "double"
+    ) / F.greatest(F.col("c_ndv"), F.col("o_ndv_ck")).cast("double")
+    est_ol = (dec(F.col("o_rows")) * dec(F.col("l_rows"))).cast(
+        "double"
+    ) / F.greatest(F.col("o_ndv_ok"), F.col("l_ndv")).cast("double")
+    est_col = est_co * F.col("l_rows").cast("double") / F.greatest(
+        F.col("o_ndv_ok"), F.col("l_ndv")
+    ).cast("double")
+    ests = stats.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("customer_orders").alias("join_step"),
+                    F.round(est_co, 6).alias("est_rows"),
+                ),
+                F.struct(
+                    F.lit("orders_lineitem").alias("join_step"),
+                    F.round(est_ol, 6).alias("est_rows"),
+                ),
+                F.struct(
+                    F.lit("customer_orders_lineitem").alias("join_step"),
+                    F.round(est_col, 6).alias("est_rows"),
+                ),
+            )
+        ).alias("s")
+    ).select(F.col("s.join_step").alias("join_step"), F.col("s.est_rows"))
+    return (
+        true_sizes.join(F.broadcast(ests), "join_step")
+        .select(
+            "join_step",
+            F.col("t").cast("long").alias("true_rows"),
+            "est_rows",
+            F.round(
+                F.abs(F.col("est_rows") - F.col("t").cast("double"))
+                / F.col("t").cast("double"),
+                6,
+            ).alias("rel_error"),
+        )
+        .orderBy("join_step")
+    )
+
+
+def mad_outlier_days(events: DataFrame, z_cut: float = 3.5) -> DataFrame:
+    """Robust daily-volume anomaly summary via median absolute
+    deviation: the modified z-score 0.6745·(c − median)/MAD flags
+    outlier days without the masking problem mean/std anomaly
+    detection has (one huge day inflates σ and hides the others —
+    the reason ops dashboards use MAD).
+
+    Both medians are EXACT order statistics read from cumulative
+    counts over the bounded count-domain (the twopass_median device) —
+    no sort of data rows, no percentile approximation; the z per day
+    is a single-op chain on integers. One row out."""
+    daily = (
+        events.groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+
+    def exact_median(df: DataFrame, col: str) -> DataFrame:
+        dom = df.groupBy(col).agg(F.count(F.lit(1)).alias("k"))
+        wd = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return (
+            dom.select(F.col(col).alias("v"), F.sum("k").over(wd).alias("cum"))
+            .crossJoin(F.broadcast(dom.agg(F.sum("k").alias("nd"))))
+            .agg(
+                F.min(
+                    F.when(F.col("cum") >= F.ceil(F.col("nd") / 2), F.col("v"))
+                ).alias("med")
+            )
+        )
+    med = exact_median(daily, "c")
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "d", "c", F.abs(F.col("c") - F.col("med")).alias("ad"), "med"
+    )
+    mad = exact_median(dev, "ad").withColumnRenamed("med", "mad")
+    z = (
+        F.lit(0.6745)
+        * (F.col("c") - F.col("med")).cast("double")
+        / F.nullif(F.col("mad").cast("double"), F.lit(0.0))
+    )
+    scored = dev.crossJoin(F.broadcast(mad)).select(
+        "d", "c", "med", "mad", z.alias("z")
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("med").cast("long").alias("median_daily"),
+        F.max("mad").cast("long").alias("mad"),
+        # when/otherwise (not a bare cast): a NULL z (mad = 0) must
+        # count as 0, matching the oracle's CASE, not poison the sum
+        F.sum(
+            F.when(F.abs(F.col("z")) > F.lit(z_cut), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_outlier_days"),
+        (F.round(F.max(F.abs(F.col("z"))), 6) + F.lit(0.0)).alias("max_abs_z"),
+    ).select(
+        F.col("n_days").cast("long").alias("n_days"),
+        "median_daily",
+        "mad",
+        "n_outlier_days",
+        "max_abs_z",
+    )

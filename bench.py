@@ -270,6 +270,8 @@ HEADLINE = [
     "script_profile",
     "posting_list_histogram",
     "degree_powerlaw_fit",
+    "join_order_cost_audit",
+    "mad_outlier_days",
 ]
 
 

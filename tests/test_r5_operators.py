@@ -1112,3 +1112,57 @@ def test_powerlaw_alpha_on_star(spark):
     assert r["d_max"] == 8
     # alpha = 1 + 1/ln(8/2) = 1 + 1/ln4
     assert r["alpha"] == pytest.approx(1.0 + 1.0 / math.log(4.0), abs=1e-5)
+
+
+def test_join_order_audit_fk_joins_near_exact(spark):
+    from avro_sql_spark.operators.profile import join_order_cost_audit
+
+    # clean FK data: every order has a customer, 3 lines per order ->
+    # the independence estimate is exact for both FK joins
+    cust = spark.createDataFrame(
+        [(c, "n", 0, 1.0, "m") for c in range(10)],
+        "c_custkey LONG, c_name STRING, c_nationkey INT, c_acctbal DOUBLE,"
+        " c_mktsegment STRING",
+    )
+    orders = spark.createDataFrame(
+        [(o, o % 10) for o in range(40)], "o_orderkey LONG, o_custkey LONG"
+    )
+    li = spark.createDataFrame(
+        [(o, i) for o in range(40) for i in range(3)],
+        "l_orderkey LONG, l_partkey LONG",
+    )
+    out = {r["join_step"]: r for r in
+           join_order_cost_audit(cust, orders, li).collect()}
+    assert out["customer_orders"]["true_rows"] == 40
+    assert out["customer_orders"]["rel_error"] == pytest.approx(0.0)
+    assert out["orders_lineitem"]["true_rows"] == 120
+    assert out["orders_lineitem"]["rel_error"] == pytest.approx(0.0)
+    assert out["customer_orders_lineitem"]["true_rows"] == 120
+    assert out["customer_orders_lineitem"]["rel_error"] == pytest.approx(0.0)
+
+
+def test_mad_outliers_single_spike(spark):
+    from datetime import datetime, timedelta
+
+    from avro_sql_spark.operators.profile import mad_outlier_days
+
+    # 20 days oscillating 10/12 events, one day with 100
+    rows = []
+    eid = 0
+    for i in range(21):
+        c = 100 if i == 20 else (10 if i % 2 == 0 else 12)
+        for _ in range(c):
+            rows.append(
+                (eid, datetime(2024, 1, 1) + timedelta(days=i), 1, "v", 1.0, "")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    r = mad_outlier_days(df).collect()[0]
+    assert r["n_days"] == 21
+    assert r["median_daily"] in (10, 12)
+    assert r["n_outlier_days"] == 1
+    assert r["max_abs_z"] > 3.5

@@ -101,6 +101,8 @@ ITERATIVE_ENTRIES = [
     "burrows_delta",
     "lorenz_curve_points",
     "degree_powerlaw_fit",
+    "join_order_cost_audit",
+    "mad_outlier_days",
 ]
 
 
