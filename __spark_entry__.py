@@ -3826,6 +3826,19 @@ def _mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outlier_days(t["events"])
 
 
+def _community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the 2-round label-propagation partition
+    on the co-purchase graph (graph.community_modularity; exact
+    integer ratio (4m·SL − ΣD²)/(4m²))."""
+    from avro_sql_spark.operators.graph import (
+        community_modularity,
+        copurchase_edges,
+    )
+
+    t = load_tables(spark, sf_dir, register=False)
+    return community_modularity(copurchase_edges(t["lineitem"], min_count=2))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes ~50 entries in this order per round (r1 covered the first
@@ -3960,6 +3973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_powerlaw_fit": _degree_powerlaw_fit,
         "join_order_cost_audit": _join_order_cost_audit,
         "mad_outlier_days": _mad_outlier_days,
+        "community_modularity": _community_modularity,
         # --- cumulative-green core (driver rows r1-r4) ---
         "minhash_calibration": _minhash_calibration,
         "incremental_near_dup": _incremental_near_dup,
@@ -10086,6 +10100,50 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
          AS n_outlier_days,
        ROUND(MAX(ABS(z)), 6) + 0 AS max_abs_z
 FROM scored
+""",
+        "community_modularity": """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pc AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       FROM d a JOIN d b
+       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+e AS (SELECT pa AS src, pb AS dst FROM pc
+      UNION ALL SELECT pb, pa FROM pc),
+l0 AS (SELECT DISTINCT src AS id, src AS community FROM e),
+v1 AS (SELECT e.dst AS id, l.community, COUNT(*) AS n
+       FROM e JOIN l0 l ON l.id = e.src GROUP BY 1, 2),
+l1 AS (SELECT id, community FROM v1
+       QUALIFY row_number() OVER (PARTITION BY id
+                                  ORDER BY n DESC, community) = 1),
+v2 AS (SELECT e.dst AS id, l.community, COUNT(*) AS n
+       FROM e JOIN l1 l ON l.id = e.src GROUP BY 1, 2),
+l2 AS (SELECT id, community FROM v2
+       QUALIFY row_number() OVER (PARTITION BY id
+                                  ORDER BY n DESC, community) = 1),
+und AS (SELECT pa AS a, pb AS b FROM pc),
+mono AS (SELECT COUNT(*) AS m,
+                SUM(CASE WHEN la.community = lb.community
+                         THEN 1 ELSE 0 END) AS sl
+         FROM und JOIN l2 la ON la.id = und.a
+         JOIN l2 lb ON lb.id = und.b),
+deg AS (SELECT n, COUNT(*) AS dg
+        FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+        GROUP BY 1),
+dc AS (SELECT l.community, SUM(deg.dg) AS dcs, COUNT(*) AS sz
+       FROM deg JOIN l2 l ON l.id = deg.n GROUP BY 1),
+dt AS (SELECT COUNT(*) AS n_communities,
+              CAST(SUM(CAST(dcs AS HUGEINT) * dcs) AS HUGEINT) AS sd2,
+              MAX(sz) AS largest
+       FROM dc)
+SELECT CAST(mono.m AS BIGINT) AS n_edges,
+       CAST(dt.n_communities AS BIGINT) AS n_communities,
+       CAST(dt.largest AS BIGINT) AS largest_community,
+       ROUND(CAST(mono.sl AS DOUBLE) / CAST(mono.m AS DOUBLE), 6)
+         AS intra_edge_share,
+       ROUND(CAST(4 * CAST(mono.m AS HUGEINT) * mono.sl - dt.sd2 AS DOUBLE)
+             / CAST(4 * CAST(mono.m AS HUGEINT) * mono.m AS DOUBLE), 6) + 0
+         AS modularity
+FROM mono CROSS JOIN dt
 """,
         "decayed_user_value": """
 WITH mx AS (SELECT epoch_us(MAX(ts)) // 1000000 AS smx FROM events),

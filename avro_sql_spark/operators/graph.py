@@ -1133,3 +1133,73 @@ def degree_powerlaw_fit(
         ).alias("tail_share"),
         F.round(alpha, 6).alias("alpha"),
     )
+
+
+def community_modularity(
+    edges: DataFrame,
+    rounds: int = 2,
+) -> DataFrame:
+    """Newman modularity Q of the deterministic label-propagation
+    partition — the one-number quality check for ANY community
+    assignment (Q near 0: the "communities" are no better than random
+    wiring; 0.3+: real structure worth exploiting for locality or
+    mixture design). Composes :func:`label_propagation` with the exact
+    modularity identity.
+
+    Exactness: with m undirected edges, SL monochrome (intra-community)
+    edges, and per-community degree sums D_c,
+        Q = SL/m − Σ(D_c/2m)² = (4m·SL − ΣD_c²) / (4m²)
+    — an EXACT integer ratio (the numerator and denominator accumulate
+    in DECIMAL(38,0)); the single final division is the only float op.
+    Scale shape: two label joins on the canonical edge list, one degree
+    aggregate, one communities-sized reduction."""
+    a, b = F.col("src"), F.col("dst")
+    und = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = label_propagation(und, rounds=rounds, src_col="a", dst_col="b")
+    la = labels.select(F.col("id").alias("a"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("id").alias("b"), F.col("community").alias("cb"))
+    mono = (
+        und.join(la, "a")
+        .join(lb, "b")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum((F.col("ca") == F.col("cb")).cast("long")).alias("sl"),
+        )
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dc = (
+        deg.join(labels.withColumnRenamed("id", "n"), "n")
+        .groupBy("community")
+        .agg(F.sum("d").alias("dc"), F.count(F.lit(1)).alias("sz"))
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    dterm = dc.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum(dec(F.col("dc") * F.col("dc"))).alias("sd2"),
+        F.max("sz").alias("largest_community"),
+    )
+    j = mono.crossJoin(F.broadcast(dterm))
+    m = dec(F.col("m"))
+    q = (
+        (F.lit(4) * m * dec(F.col("sl")) - F.col("sd2")).cast("double")
+        / (F.lit(4) * m * m).cast("double")
+    )
+    return j.select(
+        F.col("m").cast("long").alias("n_edges"),
+        F.col("n_communities").cast("long").alias("n_communities"),
+        F.col("largest_community").cast("long").alias("largest_community"),
+        F.round(
+            F.col("sl").cast("double") / F.col("m").cast("double"), 6
+        ).alias("intra_edge_share"),
+        (F.round(q, 6) + F.lit(0.0)).alias("modularity"),
+    )

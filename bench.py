@@ -272,6 +272,7 @@ HEADLINE = [
     "degree_powerlaw_fit",
     "join_order_cost_audit",
     "mad_outlier_days",
+    "community_modularity",
 ]
 
 

@@ -1166,3 +1166,24 @@ def test_mad_outliers_single_spike(spark):
     assert r["median_daily"] in (10, 12)
     assert r["n_outlier_days"] == 1
     assert r["max_abs_z"] > 3.5
+
+
+def test_modularity_two_cliques_vs_clique(spark):
+    from avro_sql_spark.operators.graph import community_modularity
+
+    # two 4-cliques joined by one bridge: strong structure, Q ~ 0.4+
+    def clique(nodes):
+        return [(a, b) for a in nodes for b in nodes if a < b]
+
+    edges = clique([1, 2, 3, 4]) + clique([5, 6, 7, 8]) + [(4, 5)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    r = community_modularity(df, rounds=2).collect()[0]
+    assert r["n_edges"] == 13
+    assert r["modularity"] > 0.3
+    assert r["intra_edge_share"] >= 12 / 13 - 1e-6
+
+    # single clique: one community, Q = 0 exactly (SL = m, D_c = 2m)
+    one = spark.createDataFrame(clique([1, 2, 3, 4, 5]), "src LONG, dst LONG")
+    r2 = community_modularity(one, rounds=2).collect()[0]
+    assert r2["n_communities"] == 1
+    assert r2["modularity"] == pytest.approx(0.0)

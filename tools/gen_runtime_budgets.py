@@ -103,6 +103,7 @@ ITERATIVE_ENTRIES = [
     "degree_powerlaw_fit",
     "join_order_cost_audit",
     "mad_outlier_days",
+    "community_modularity",
 ]
 
 
