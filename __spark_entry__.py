@@ -3839,6 +3839,16 @@ def _community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return community_modularity(copurchase_edges(t["lineitem"], min_count=2))
 
 
+def _markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect multi-touch attribution over first-
+    conversion journeys (profile.markov_removal_attribution; joint
+    5-variant absorption iteration on the bounded chain frame)."""
+    from avro_sql_spark.operators.profile import markov_removal_attribution
+
+    t = load_tables(spark, sf_dir, register=False)
+    return markov_removal_attribution(t["events"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes ~50 entries in this order per round (r1 covered the first
@@ -3974,6 +3984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_order_cost_audit": _join_order_cost_audit,
         "mad_outlier_days": _mad_outlier_days,
         "community_modularity": _community_modularity,
+        "markov_removal_attribution": _markov_removal_attribution,
         # --- cumulative-green core (driver rows r1-r4) ---
         "minhash_calibration": _minhash_calibration,
         "incremental_near_dup": _incremental_near_dup,
@@ -10144,6 +10155,111 @@ SELECT CAST(mono.m AS BIGINT) AS n_edges,
              / CAST(4 * CAST(mono.m AS HUGEINT) * mono.m AS DOUBLE), 6) + 0
          AS modularity
 FROM mono CROSS JOIN dt
+""",
+        "markov_removal_attribution": """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+           OVER (PARTITION BY user_id) AS conv_ts
+  FROM events),
+fseq AS (SELECT * FROM seq WHERE conv_ts IS NULL OR ts <= conv_ts),
+steps AS (SELECT user_id,
+                 COALESCE(LAG(event_type) OVER (PARTITION BY user_id
+                          ORDER BY i), 'START') AS s,
+                 CASE WHEN event_type = 'purchase' THEN 'CONV'
+                      ELSE event_type END AS d,
+                 i,
+                 MAX(i) OVER (PARTITION BY user_id) AS last_i,
+                 conv_ts IS NOT NULL AS converted
+          FROM fseq),
+tails AS (SELECT d AS s, 'NULL' AS d FROM steps
+          WHERE i = last_i AND NOT converted),
+trans AS (SELECT s, d, COUNT(*) AS n
+          FROM (SELECT s, d FROM steps UNION ALL SELECT s, d FROM tails)
+          GROUP BY 1, 2),
+channels AS (SELECT DISTINCT s AS ch FROM trans WHERE s <> 'START'),
+variants AS (SELECT ch AS removed FROM channels UNION ALL SELECT 'none'),
+grid AS (SELECT v.removed, t.s,
+                CASE WHEN t.d = v.removed THEN 'NULL' ELSE t.d END AS d, t.n
+         FROM trans t CROSS JOIN variants v),
+tot AS (SELECT removed, s, SUM(n) AS tn FROM grid GROUP BY 1, 2),
+tpg AS (SELECT removed, s, d, SUM(n) AS n FROM grid GROUP BY 1, 2, 3),
+tp AS (SELECT tpg.removed, tpg.s, tpg.d,
+              CAST(tpg.n AS DOUBLE) / CAST(tot.tn AS DOUBLE) AS p
+       FROM tpg JOIN tot USING (removed, s)),
+pc AS (SELECT removed, s, p AS pconv FROM tp WHERE d = 'CONV'),
+tpt AS (SELECT * FROM tp WHERE d NOT IN ('CONV', 'NULL')),
+states AS (SELECT DISTINCT removed, s FROM tp),
+a0 AS (SELECT st.removed, st.s, COALESCE(pc.pconv, 0.0) AS a
+       FROM states st LEFT JOIN pc USING (removed, s)),
+a1 AS (SELECT st.removed, st.s,
+              COALESCE(pc.pconv, 0.0) + COALESCE(cb.c, 0.0) AS a
+       FROM states st LEFT JOIN pc USING (removed, s)
+       LEFT JOIN (SELECT t.removed, t.s, SUM(t.p * a0.a) AS c
+                  FROM tpt t JOIN a0
+                    ON a0.removed = t.removed AND a0.s = t.d
+                  GROUP BY 1, 2) cb USING (removed, s)),
+a2 AS (SELECT st.removed, st.s,
+              COALESCE(pc.pconv, 0.0) + COALESCE(cb.c, 0.0) AS a
+       FROM states st LEFT JOIN pc USING (removed, s)
+       LEFT JOIN (SELECT t.removed, t.s, SUM(t.p * a1.a) AS c
+                  FROM tpt t JOIN a1
+                    ON a1.removed = t.removed AND a1.s = t.d
+                  GROUP BY 1, 2) cb USING (removed, s)),
+a3 AS (SELECT st.removed, st.s,
+              COALESCE(pc.pconv, 0.0) + COALESCE(cb.c, 0.0) AS a
+       FROM states st LEFT JOIN pc USING (removed, s)
+       LEFT JOIN (SELECT t.removed, t.s, SUM(t.p * a2.a) AS c
+                  FROM tpt t JOIN a2
+                    ON a2.removed = t.removed AND a2.s = t.d
+                  GROUP BY 1, 2) cb USING (removed, s)),
+a4 AS (SELECT st.removed, st.s,
+              COALESCE(pc.pconv, 0.0) + COALESCE(cb.c, 0.0) AS a
+       FROM states st LEFT JOIN pc USING (removed, s)
+       LEFT JOIN (SELECT t.removed, t.s, SUM(t.p * a3.a) AS c
+                  FROM tpt t JOIN a3
+                    ON a3.removed = t.removed AND a3.s = t.d
+                  GROUP BY 1, 2) cb USING (removed, s)),
+a5 AS (SELECT st.removed, st.s,
+              COALESCE(pc.pconv, 0.0) + COALESCE(cb.c, 0.0) AS a
+       FROM states st LEFT JOIN pc USING (removed, s)
+       LEFT JOIN (SELECT t.removed, t.s, SUM(t.p * a4.a) AS c
+                  FROM tpt t JOIN a4
+                    ON a4.removed = t.removed AND a4.s = t.d
+                  GROUP BY 1, 2) cb USING (removed, s)),
+a6 AS (SELECT st.removed, st.s,
+              COALESCE(pc.pconv, 0.0) + COALESCE(cb.c, 0.0) AS a
+       FROM states st LEFT JOIN pc USING (removed, s)
+       LEFT JOIN (SELECT t.removed, t.s, SUM(t.p * a5.a) AS c
+                  FROM tpt t JOIN a5
+                    ON a5.removed = t.removed AND a5.s = t.d
+                  GROUP BY 1, 2) cb USING (removed, s)),
+a7 AS (SELECT st.removed, st.s,
+              COALESCE(pc.pconv, 0.0) + COALESCE(cb.c, 0.0) AS a
+       FROM states st LEFT JOIN pc USING (removed, s)
+       LEFT JOIN (SELECT t.removed, t.s, SUM(t.p * a6.a) AS c
+                  FROM tpt t JOIN a6
+                    ON a6.removed = t.removed AND a6.s = t.d
+                  GROUP BY 1, 2) cb USING (removed, s)),
+a8 AS (SELECT st.removed, st.s,
+              COALESCE(pc.pconv, 0.0) + COALESCE(cb.c, 0.0) AS a
+       FROM states st LEFT JOIN pc USING (removed, s)
+       LEFT JOIN (SELECT t.removed, t.s, SUM(t.p * a7.a) AS c
+                  FROM tpt t JOIN a7
+                    ON a7.removed = t.removed AND a7.s = t.d
+                  GROUP BY 1, 2) cb USING (removed, s)),
+b AS (SELECT removed, a AS b FROM a8 WHERE s = 'START'),
+base AS (SELECT b AS b0 FROM b WHERE removed = 'none'),
+eff AS (SELECT b.removed AS channel, b.b, base.b0,
+               GREATEST(1.0 - b.b / NULLIF(base.b0, 0), 0.0) AS re
+        FROM b CROSS JOIN base WHERE b.removed <> 'none'),
+tre AS (SELECT SUM(CAST(ROUND(re, 9) AS DECIMAL(38,9))) AS sre FROM eff)
+SELECT channel, ROUND(b0, 6) AS base_conv, ROUND(b, 6) AS removal_conv,
+       ROUND(re, 6) AS removal_effect,
+       ROUND(ROUND(re, 9) / NULLIF(CAST(sre AS DOUBLE), 0), 6)
+         AS attribution_share
+FROM eff CROSS JOIN tre ORDER BY channel
 """,
         "decayed_user_value": """
 WITH mx AS (SELECT epoch_us(MAX(ts)) // 1000000 AS smx FROM events),

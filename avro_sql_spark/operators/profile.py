@@ -3456,3 +3456,168 @@ def mad_outlier_days(events: DataFrame, z_cut: float = 3.5) -> DataFrame:
         "n_outlier_days",
         "max_abs_z",
     )
+
+
+def markov_removal_attribution(
+    events: DataFrame,
+    conv_type: str = "purchase",
+    rounds: int = 8,
+) -> DataFrame:
+    """Markov removal-effect multi-touch attribution (Anderl et al.
+    2016) — the data-driven alternative to position rules: build the
+    START → channel → … → CONV/NULL journey chain from every user's
+    events up to their first conversion, compute the absorption
+    probability of CONV by fixed-point iteration, then re-compute it
+    with each channel REMOVED (its inbound edges redirected to NULL);
+    a channel's credit is its removal effect 1 − B_c/B, normalized.
+
+    Scale shape: ONE per-user lag pass builds transitions (the
+    sessionize window shape); everything after lives on the bounded
+    (variants × states²) chain frame — the 5-variant removal grid
+    iterates JOINTLY, ``rounds`` fixed join+aggregate steps on a
+    checkpointed tiny frame (the markov_stationary discipline), so the
+    oracle unrolls the identical recursion. Absorption sums are over
+    ≤|states| float terms — the pagerank-proven class."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("i"),
+        F.min(
+            F.when(F.col("event_type") == conv_type, F.col("ts"))
+        ).over(Window.partitionBy("user_id")).alias("conv_ts"),
+        "ts",
+    ).filter(F.col("conv_ts").isNull() | (F.col("ts") <= F.col("conv_ts")))
+    wj = Window.partitionBy("user_id").orderBy("i")
+    steps = seq.select(
+        "user_id",
+        F.coalesce(F.lag("event_type").over(wj), F.lit("START")).alias("s"),
+        F.when(F.col("event_type") == conv_type, F.lit("CONV"))
+        .otherwise(F.col("event_type"))
+        .alias("d"),
+        "i",
+        F.max("i").over(Window.partitionBy("user_id")).alias("last_i"),
+        F.col("conv_ts").isNotNull().alias("converted"),
+    )
+    tails = (
+        steps.filter(
+            (F.col("i") == F.col("last_i")) & ~F.col("converted")
+        ).select(F.col("d").alias("s"), F.lit("NULL").alias("d"))
+    )
+    trans = (
+        steps.select("s", "d")
+        .unionByName(tails)
+        .groupBy("s", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # states²-bounded
+    )
+    channels = (
+        trans.select(F.col("s").alias("ch"))
+        .filter(F.col("ch") != "START")
+        .distinct()
+    )
+    variants = channels.select(F.col("ch").alias("removed")).unionByName(
+        trans.sparkSession.createDataFrame([("none",)], "removed STRING")
+    )
+    # removal: edges INTO the removed channel go to NULL instead
+    grid = trans.crossJoin(F.broadcast(variants)).select(
+        "removed",
+        "s",
+        F.when(F.col("d") == F.col("removed"), F.lit("NULL"))
+        .otherwise(F.col("d"))
+        .alias("d"),
+        "n",
+    )
+    tot = grid.groupBy("removed", "s").agg(F.sum("n").alias("tn"))
+    tp = (
+        grid.groupBy("removed", "s", "d")
+        .agg(F.sum("n").alias("n"))
+        .join(tot, ["removed", "s"])
+        .select(
+            "removed",
+            "s",
+            "d",
+            (F.col("n").cast("double") / F.col("tn").cast("double")).alias(
+                "p"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pc = tp.filter(F.col("d") == "CONV").select(
+        "removed", "s", F.col("p").alias("pconv")
+    )
+    tpt = tp.filter(~F.col("d").isin("CONV", "NULL")).localCheckpoint(
+        eager=True
+    )
+    states = tp.select("removed", "s").distinct().localCheckpoint(eager=True)
+    a = states.join(F.broadcast(pc), ["removed", "s"], "left").select(
+        "removed", "s", F.coalesce("pconv", F.lit(0.0)).alias("a")
+    )
+    for r in range(rounds):
+        # every frame here is (variants x states)-bounded -> broadcast
+        # hints keep the per-round joins exchange-free
+        contrib = (
+            tpt.join(
+                F.broadcast(
+                    a.select(
+                        "removed",
+                        F.col("s").alias("d"),
+                        F.col("a").alias("ad"),
+                    )
+                ),
+                ["removed", "d"],
+            )
+            .groupBy("removed", "s")
+            .agg(F.sum(F.col("p") * F.col("ad")).alias("c"))
+        )
+        a = (
+            states.join(F.broadcast(pc), ["removed", "s"], "left")
+            .join(F.broadcast(contrib), ["removed", "s"], "left")
+            .select(
+                "removed",
+                "s",
+                (
+                    F.coalesce("pconv", F.lit(0.0))
+                    + F.coalesce("c", F.lit(0.0))
+                ).alias("a"),
+            )
+        )
+        if (r + 1) < rounds:
+            a = a.localCheckpoint(eager=True)
+    b = a.filter(F.col("s") == "START").select(
+        F.col("removed"), F.col("a").alias("b")
+    )
+    base = b.filter(F.col("removed") == "none").select(
+        F.col("b").alias("b0")
+    )
+    eff = (
+        b.filter(F.col("removed") != "none")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("removed").alias("channel"),
+            "b",
+            "b0",
+            F.greatest(
+                F.lit(1.0) - F.col("b") / F.nullif(F.col("b0"), F.lit(0.0)),
+                F.lit(0.0),
+            ).alias("re"),
+        )
+    )
+    tot_re = eff.agg(
+        F.sum(F.round(F.col("re"), 9).cast("decimal(38,9)")).alias("sre")
+    )
+    return (
+        eff.crossJoin(F.broadcast(tot_re))
+        .select(
+            "channel",
+            F.round("b0", 6).alias("base_conv"),
+            F.round("b", 6).alias("removal_conv"),
+            F.round("re", 6).alias("removal_effect"),
+            F.round(
+                F.round(F.col("re"), 9)
+                / F.nullif(F.col("sre").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("attribution_share"),
+        )
+        .orderBy("channel")
+    )

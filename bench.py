@@ -273,6 +273,7 @@ HEADLINE = [
     "join_order_cost_audit",
     "mad_outlier_days",
     "community_modularity",
+    "markov_removal_attribution",
 ]
 
 

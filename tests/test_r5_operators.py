@@ -1187,3 +1187,35 @@ def test_modularity_two_cliques_vs_clique(spark):
     r2 = community_modularity(one, rounds=2).collect()[0]
     assert r2["n_communities"] == 1
     assert r2["modularity"] == pytest.approx(0.0)
+
+
+def test_markov_removal_credits_the_load_bearing_channel(spark):
+    from datetime import datetime, timedelta
+
+    from avro_sql_spark.operators.profile import markov_removal_attribution
+
+    rows = []
+    eid = 0
+    t0 = datetime(2024, 1, 1)
+    # 10 users: view -> purchase (view is load-bearing)
+    for u in range(10):
+        rows.append((eid, t0, u, "view", 1.0, "")); eid += 1
+        rows.append((eid, t0 + timedelta(hours=1), u, "purchase", 1.0, ""))
+        eid += 1
+    # 10 users: click only, never convert
+    for u in range(100, 110):
+        rows.append((eid, t0, u, "click", 1.0, "")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    out = {r["channel"]: r for r in markov_removal_attribution(df).collect()}
+    assert set(out) == {"view", "click"}
+    # removing view kills every conversion path
+    assert out["view"]["removal_effect"] == pytest.approx(1.0)
+    assert out["view"]["attribution_share"] == pytest.approx(1.0)
+    # click never reaches CONV: zero credit
+    assert out["click"]["removal_effect"] == pytest.approx(0.0)
+    assert out["click"]["attribution_share"] == pytest.approx(0.0)
+    assert out["view"]["base_conv"] > 0.4
