@@ -3849,6 +3849,16 @@ def _markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_removal_attribution(t["events"])
 
 
+def _sequence_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent ordered type-pair mining over user histories
+    (profile.sequence_pattern_support; first-occurrence precedence,
+    exact integer supports)."""
+    from avro_sql_spark.operators.profile import sequence_pattern_support
+
+    t = load_tables(spark, sf_dir, register=False)
+    return sequence_pattern_support(t["events"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes ~50 entries in this order per round (r1 covered the first
@@ -3985,6 +3995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outlier_days": _mad_outlier_days,
         "community_modularity": _community_modularity,
         "markov_removal_attribution": _markov_removal_attribution,
+        "sequence_pattern_support": _sequence_pattern_support,
         # --- cumulative-green core (driver rows r1-r4) ---
         "minhash_calibration": _minhash_calibration,
         "incremental_near_dup": _incremental_near_dup,
@@ -10260,6 +10271,30 @@ SELECT channel, ROUND(b0, 6) AS base_conv, ROUND(b, 6) AS removal_conv,
        ROUND(ROUND(re, 9) / NULLIF(CAST(sre AS DOUBLE), 0), 6)
          AS attribution_share
 FROM eff CROSS JOIN tre ORDER BY channel
+""",
+        "sequence_pattern_support": """
+WITH fk AS (SELECT user_id, event_type,
+                   MIN(lpad(CAST(epoch_us(ts) // 1000000 AS VARCHAR), 12, '0')
+                       || ':' || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+                     AS fk
+            FROM events GROUP BY 1, 2),
+nu AS (SELECT COUNT(DISTINCT user_id) AS n FROM events),
+pairs AS (SELECT a.event_type AS a, b.event_type AS b, COUNT(*) AS n_seq
+          FROM fk a JOIN fk b ON a.user_id = b.user_id
+          WHERE a.event_type <> b.event_type AND a.fk < b.fk
+          GROUP BY 1, 2),
+pt AS (SELECT event_type, COUNT(*) AS n_t FROM fk GROUP BY 1)
+SELECT p.a AS first_type, p.b AS then_type,
+       CAST(p.n_seq AS BIGINT) AS n_users,
+       ROUND(CAST(p.n_seq AS DOUBLE) / CAST(nu.n AS DOUBLE), 6) AS support,
+       ROUND(CAST(p.n_seq * nu.n AS DOUBLE)
+             / CAST(na.n_t * nb.n_t AS DOUBLE), 6) AS lift
+FROM pairs p
+JOIN pt na ON na.event_type = p.a
+JOIN pt nb ON nb.event_type = p.b
+CROSS JOIN nu
+WHERE ROUND(CAST(p.n_seq AS DOUBLE) / CAST(nu.n AS DOUBLE), 6) >= 0.05
+ORDER BY support DESC, first_type, then_type
 """,
         "decayed_user_value": """
 WITH mx AS (SELECT epoch_us(MAX(ts)) // 1000000 AS smx FROM events),

@@ -3621,3 +3621,86 @@ def markov_removal_attribution(
         )
         .orderBy("channel")
     )
+
+
+def sequence_pattern_support(
+    events: DataFrame,
+    min_support: float = 0.05,
+) -> DataFrame:
+    """Frequent 2-sequence mining over user event histories (the GSP /
+    PrefixSpan first level): for every ordered type pair a→b, the
+    number of users whose FIRST a precedes their FIRST b, its support,
+    and the lift against independence P(a→b)/(P(a in history)·
+    P(b after a's median?)) simplified to support/(p_a·p_b) — the
+    navigation-pattern table that seeds funnel definitions and
+    curriculum orderings.
+
+    Shape: one per-(user, type) first-occurrence aggregate (types are
+    schema-bounded), the ordered-pair test is an in-row comparison
+    after a user-keyed self-join on the bounded type set, and supports
+    are exact integer counts over users; lift is one multiply-divide.
+    The 'first occurrence' convention makes a→b and b→a disjoint for
+    a ≠ b (strict timestamp order, event_id tiebreak)."""
+    # first-occurrence key as a zero-padded sortable STRING (epoch
+    # seconds + event_id): string MIN and string < compare identically
+    # in any engine, unlike struct ordering
+    fk = F.concat(
+        F.lpad(F.unix_timestamp("ts").cast("string"), 12, "0"),
+        F.lit(":"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+    first = events.groupBy("user_id", "event_type").agg(
+        F.min(fk).alias("fk")
+    )
+    n_users = events.select("user_id").distinct().count()
+    a = first.select(
+        "user_id", F.col("event_type").alias("a"), F.col("fk").alias("ka")
+    )
+    b = first.select(
+        "user_id", F.col("event_type").alias("b"), F.col("fk").alias("kb")
+    )
+    pairs = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("a") != F.col("b")) & (F.col("ka") < F.col("kb"))
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_seq"))
+    )
+    per_type = first.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    out = (
+        pairs.join(
+            F.broadcast(
+                per_type.select(F.col("event_type").alias("a"),
+                                F.col("n_t").alias("na"))
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                per_type.select(F.col("event_type").alias("b"),
+                                F.col("n_t").alias("nb"))
+            ),
+            "b",
+        )
+        .select(
+            F.col("a").alias("first_type"),
+            F.col("b").alias("then_type"),
+            F.col("n_seq").cast("long").alias("n_users"),
+            F.round(
+                F.col("n_seq").cast("double") / F.lit(float(n_users)), 6
+            ).alias("support"),
+            F.round(
+                (dec(F.col("n_seq")) * F.lit(n_users).cast("decimal(38,0)"))
+                .cast("double")
+                / (dec(F.col("na")) * dec(F.col("nb"))).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .filter(F.col("support") >= F.lit(min_support))
+        .orderBy(F.desc("support"), "first_type", "then_type")
+    )
+    return out

@@ -274,6 +274,7 @@ HEADLINE = [
     "mad_outlier_days",
     "community_modularity",
     "markov_removal_attribution",
+    "sequence_pattern_support",
 ]
 
 

@@ -1219,3 +1219,36 @@ def test_markov_removal_credits_the_load_bearing_channel(spark):
     assert out["click"]["removal_effect"] == pytest.approx(0.0)
     assert out["click"]["attribution_share"] == pytest.approx(0.0)
     assert out["view"]["base_conv"] > 0.4
+
+
+def test_sequence_pattern_order_matters(spark):
+    from datetime import datetime, timedelta
+
+    from avro_sql_spark.operators.profile import sequence_pattern_support
+
+    rows = []
+    eid = 0
+    t0 = datetime(2024, 1, 1)
+    # 8 users: view then purchase; 2 users: purchase then view
+    for u in range(8):
+        rows.append((eid, t0, u, "view", 1.0, "")); eid += 1
+        rows.append((eid, t0 + timedelta(hours=1), u, "purchase", 1.0, ""))
+        eid += 1
+    for u in range(100, 102):
+        rows.append((eid, t0, u, "purchase", 1.0, "")); eid += 1
+        rows.append((eid, t0 + timedelta(hours=1), u, "view", 1.0, ""))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    got = {
+        (r["first_type"], r["then_type"]): r
+        for r in sequence_pattern_support(df, min_support=0.05).collect()
+    }
+    assert got[("view", "purchase")]["n_users"] == 8
+    assert got[("view", "purchase")]["support"] == pytest.approx(0.8)
+    assert got[("purchase", "view")]["n_users"] == 2
+    # both types occur in all 10 users: lift = n_seq*10/(10*10)
+    assert got[("view", "purchase")]["lift"] == pytest.approx(0.8)
