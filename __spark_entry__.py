@@ -3859,6 +3859,26 @@ def _sequence_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_pattern_support(t["events"])
 
 
+def _referential_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema FK orphan + unused-dimension audit
+    (profile.referential_coverage_report; 7 anti-join counts)."""
+    from avro_sql_spark.operators.profile import referential_coverage_report
+
+    t = load_tables(spark, sf_dir, register=False)
+    return referential_coverage_report(
+        t["customer"], t["orders"], t["lineitem"], t["part"], t["supplier"]
+    )
+
+
+def _power_analysis_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion sample-size planner on the measured baseline
+    conversion (profile.power_analysis_report; 5-point lift grid)."""
+    from avro_sql_spark.operators.profile import power_analysis_report
+
+    t = load_tables(spark, sf_dir, register=False)
+    return power_analysis_report(t["events"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes ~50 entries in this order per round (r1 covered the first
@@ -3996,6 +4016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_modularity": _community_modularity,
         "markov_removal_attribution": _markov_removal_attribution,
         "sequence_pattern_support": _sequence_pattern_support,
+        "referential_coverage_report": _referential_coverage_report,
+        "power_analysis_report": _power_analysis_report,
         # --- cumulative-green core (driver rows r1-r4) ---
         "minhash_calibration": _minhash_calibration,
         "incremental_near_dup": _incremental_near_dup,
@@ -10295,6 +10317,74 @@ JOIN pt nb ON nb.event_type = p.b
 CROSS JOIN nu
 WHERE ROUND(CAST(p.n_seq AS DOUBLE) / CAST(nu.n AS DOUBLE), 6) >= 0.05
 ORDER BY support DESC, first_type, then_type
+""",
+        "referential_coverage_report": """
+WITH rows_ AS (
+  SELECT 'orders_without_customer' AS relationship,
+         (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+           AS violations,
+         (SELECT COUNT(*) FROM orders) AS total_rows
+  UNION ALL SELECT 'lineitem_without_order',
+         (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+         (SELECT COUNT(*) FROM lineitem)
+  UNION ALL SELECT 'lineitem_without_part',
+         (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+         (SELECT COUNT(*) FROM lineitem)
+  UNION ALL SELECT 'lineitem_without_supplier',
+         (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)),
+         (SELECT COUNT(*) FROM lineitem)
+  UNION ALL SELECT 'customers_never_ordered',
+         (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)),
+         (SELECT COUNT(*) FROM customer)
+  UNION ALL SELECT 'parts_never_sold',
+         (SELECT COUNT(*) FROM part p WHERE NOT EXISTS
+            (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)),
+         (SELECT COUNT(*) FROM part)
+  UNION ALL SELECT 'suppliers_never_used',
+         (SELECT COUNT(*) FROM supplier s WHERE NOT EXISTS
+            (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)),
+         (SELECT COUNT(*) FROM supplier))
+SELECT relationship, CAST(violations AS BIGINT) AS violations,
+       CAST(total_rows AS BIGINT) AS total_rows,
+       ROUND(CAST(violations AS DOUBLE) / CAST(total_rows AS DOUBLE), 6)
+         AS violation_rate
+FROM rows_ ORDER BY relationship
+""",
+        "power_analysis_report": """
+WITH pu AS (SELECT user_id, MIN(ts) AS first_ts,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                     AS first_purchase
+            FROM events GROUP BY 1),
+base AS (SELECT COUNT(*) AS n,
+                SUM(CASE WHEN first_purchase IS NOT NULL
+                          AND first_purchase <= first_ts + INTERVAL 1 HOUR
+                         THEN 1 ELSE 0 END) AS conv
+         FROM pu),
+g AS (SELECT CAST(conv AS DOUBLE) / CAST(n AS DOUBLE) AS p1,
+             CAST(n AS BIGINT) AS n_obs,
+             unnest([CAST(0.01 AS DOUBLE), CAST(0.02 AS DOUBLE),
+                     CAST(0.05 AS DOUBLE), CAST(0.10 AS DOUBLE),
+                     CAST(0.20 AS DOUBLE)]) AS rel_lift
+      FROM base),
+calc AS (SELECT rel_lift, p1, n_obs, p1 * (1.0 + rel_lift) AS p2 FROM g),
+f AS (SELECT rel_lift, p1, p2, n_obs,
+             (1.959963985 * SQRT(2.0 * ((p1 + p2) / 2.0)
+                                 * (1.0 - (p1 + p2) / 2.0))
+              + 0.841621234 * SQRT(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+               AS num
+      FROM calc)
+SELECT rel_lift, ROUND(p1, 6) AS baseline_rate, ROUND(p2, 6) AS target_rate,
+       CAST(CEIL((num * num) / ((p2 - p1) * (p2 - p1))) AS BIGINT)
+         AS users_per_arm,
+       n_obs AS n_users_observed,
+       (CAST(CEIL((num * num) / ((p2 - p1) * (p2 - p1))) AS BIGINT) * 2
+        <= n_obs) AS feasible_on_current_traffic
+FROM f ORDER BY rel_lift
 """,
         "decayed_user_value": """
 WITH mx AS (SELECT epoch_us(MAX(ts)) // 1000000 AS smx FROM events),

@@ -3704,3 +3704,130 @@ def sequence_pattern_support(
         .orderBy(F.desc("support"), "first_type", "then_type")
     )
     return out
+
+
+def referential_coverage_report(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """Referential-integrity and coverage audit across the star schema:
+    for each FK relationship, the orphan count (children whose parent
+    key is missing — broken ingestion) and the unused-parent count
+    (dimension rows no fact ever references — wasted broadcast bytes
+    and a hint the dim is stale). The first data-quality table a
+    warehouse runs after every load.
+
+    Shape: each row is one left-anti-join count — Spark compiles these
+    to broadcast/shuffled anti-joins with no row materialization; all
+    outputs are exact integers."""
+    def anti_count(child: DataFrame, ck: str, parent: DataFrame, pk: str):
+        return child.join(
+            parent.select(F.col(pk).alias(ck)).distinct(), ck, "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    spark = customer.sparkSession
+
+    def rowf(rel: str, cnt: DataFrame, total: DataFrame):
+        return (
+            cnt.crossJoin(F.broadcast(total.withColumnRenamed("t", "tot")))
+            .select(
+                F.lit(rel).alias("relationship"),
+                F.col("n").cast("long").alias("violations"),
+                F.col("tot").cast("long").alias("total_rows"),
+                F.round(
+                    F.col("n").cast("double") / F.col("tot").cast("double"),
+                    6,
+                ).alias("violation_rate"),
+            )
+        )
+
+    t_o = orders.agg(F.count(F.lit(1)).alias("t"))
+    t_l = lineitem.agg(F.count(F.lit(1)).alias("t"))
+    t_c = customer.agg(F.count(F.lit(1)).alias("t"))
+    t_p = part.agg(F.count(F.lit(1)).alias("t"))
+    t_s = supplier.agg(F.count(F.lit(1)).alias("t"))
+    rows = [
+        rowf("orders_without_customer",
+             anti_count(orders, "o_custkey", customer, "c_custkey"), t_o),
+        rowf("lineitem_without_order",
+             anti_count(lineitem, "l_orderkey", orders, "o_orderkey"), t_l),
+        rowf("lineitem_without_part",
+             anti_count(lineitem, "l_partkey", part, "p_partkey"), t_l),
+        rowf("lineitem_without_supplier",
+             anti_count(lineitem, "l_suppkey", supplier, "s_suppkey"), t_l),
+        rowf("customers_never_ordered",
+             anti_count(customer, "c_custkey", orders, "o_custkey"), t_c),
+        rowf("parts_never_sold",
+             anti_count(part, "p_partkey", lineitem, "l_partkey"), t_p),
+        rowf("suppliers_never_used",
+             anti_count(supplier, "s_suppkey", lineitem, "l_suppkey"), t_s),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("relationship")
+
+
+def power_analysis_report(
+    events: DataFrame,
+    alpha_z: float = 1.959963985,
+    beta_z: float = 0.841621234,
+) -> DataFrame:
+    """Experiment sample-size planner anchored on the MEASURED baseline:
+    from the data's purchase conversion rate, the required users per
+    arm to detect each of a grid of relative lifts at α = 5% (two-
+    sided) and 80% power — the two-proportion formula
+    n = (z_α·√(2·p̄·q̄) + z_β·√(p₁q₁ + p₂q₂))² / (p₁ − p₂)². The table
+    that answers "can this experiment even conclude in a week?".
+
+    Exactness: the baseline is an exact integer ratio; each grid row is
+    a fixed chain of single IEEE ops on that one double (the oracle
+    replays the identical expression); the grid is a literal array.
+    Conversion is "purchased within the first hour of activity" (the
+    ab_conversion_ztest definition) — 'ever purchased' saturates on an
+    active-user stream and pushes p₂ = p₁(1+lift) past 1."""
+    base = events.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    ).select(
+        (
+            F.col("first_purchase").isNotNull()
+            & F.expr("first_purchase <= first_ts + INTERVAL 1 HOUR")
+        ).cast("long").alias("c")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("conv")
+    )
+    p1 = F.col("conv").cast("double") / F.col("n").cast("double")
+    grid = base.select(
+        p1.alias("p1"),
+        F.col("n").cast("long").alias("n_users_observed"),
+        F.explode(
+            F.array(*[F.lit(x) for x in (0.01, 0.02, 0.05, 0.10, 0.20)])
+        ).alias("rel_lift"),
+    )
+    p2 = F.col("p1") * (F.lit(1.0) + F.col("rel_lift"))
+    pbar = (F.col("p1") + p2) / F.lit(2.0)
+    num = (
+        F.lit(alpha_z) * F.sqrt(F.lit(2.0) * pbar * (F.lit(1.0) - pbar))
+        + F.lit(beta_z)
+        * F.sqrt(
+            F.col("p1") * (F.lit(1.0) - F.col("p1"))
+            + p2 * (F.lit(1.0) - p2)
+        )
+    )
+    n_req = (num * num) / ((p2 - F.col("p1")) * (p2 - F.col("p1")))
+    return grid.select(
+        "rel_lift",
+        F.round(F.col("p1"), 6).alias("baseline_rate"),
+        F.round(p2, 6).alias("target_rate"),
+        F.ceil(n_req).cast("long").alias("users_per_arm"),
+        "n_users_observed",
+        (F.ceil(n_req) * 2 <= F.col("n_users_observed")).alias(
+            "feasible_on_current_traffic"
+        ),
+    ).orderBy("rel_lift")

@@ -275,6 +275,8 @@ HEADLINE = [
     "community_modularity",
     "markov_removal_attribution",
     "sequence_pattern_support",
+    "referential_coverage_report",
+    "power_analysis_report",
 ]
 
 

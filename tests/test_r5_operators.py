@@ -1252,3 +1252,64 @@ def test_sequence_pattern_order_matters(spark):
     assert got[("purchase", "view")]["n_users"] == 2
     # both types occur in all 10 users: lift = n_seq*10/(10*10)
     assert got[("view", "purchase")]["lift"] == pytest.approx(0.8)
+
+
+def test_referential_coverage_orphans_and_unused(spark):
+    from avro_sql_spark.operators.profile import referential_coverage_report
+
+    cust = spark.createDataFrame(
+        [(1, "a", 0, 1.0, "m"), (2, "b", 0, 1.0, "m")],
+        "c_custkey LONG, c_name STRING, c_nationkey INT, c_acctbal DOUBLE,"
+        " c_mktsegment STRING",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 99)], "o_orderkey LONG, o_custkey LONG"
+    )  # order 11 is an orphan; customer 2 never ordered
+    li = spark.createDataFrame(
+        [(10, 100, 200), (12, 100, 200)],
+        "l_orderkey LONG, l_partkey LONG, l_suppkey LONG",
+    )  # line 12 orphan order
+    part = spark.createDataFrame(
+        [(100, "p", "b", "t", 1, 1.0), (101, "p", "b", "t", 1, 1.0)],
+        "p_partkey LONG, p_name STRING, p_brand STRING, p_type STRING,"
+        " p_size INT, p_retailprice DOUBLE",
+    )
+    supp = spark.createDataFrame([(200,), (201,)], "s_suppkey LONG")
+    got = {
+        r["relationship"]: r
+        for r in referential_coverage_report(cust, orders, li, part, supp)
+        .collect()
+    }
+    assert got["orders_without_customer"]["violations"] == 1
+    assert got["lineitem_without_order"]["violations"] == 1
+    assert got["customers_never_ordered"]["violations"] == 1
+    assert got["parts_never_sold"]["violations"] == 1
+    assert got["suppliers_never_used"]["violations"] == 1
+    assert got["lineitem_without_part"]["violations"] == 0
+    assert got["orders_without_customer"]["violation_rate"] == 0.5
+
+
+def test_power_analysis_smaller_lift_needs_more_users(spark):
+    from datetime import datetime, timedelta
+
+    from avro_sql_spark.operators.profile import power_analysis_report
+
+    rows = []
+    eid = 0
+    t0 = datetime(2024, 1, 1)
+    for u in range(100):
+        rows.append((eid, t0, u, "view", 1.0, "")); eid += 1
+        if u < 20:  # 20% first-hour conversion
+            rows.append((eid, t0 + timedelta(minutes=30), u, "purchase",
+                         1.0, "")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    out = power_analysis_report(df).collect()
+    assert [r["rel_lift"] for r in out] == [0.01, 0.02, 0.05, 0.1, 0.2]
+    assert all(r["baseline_rate"] == pytest.approx(0.2) for r in out)
+    ns = [r["users_per_arm"] for r in out]
+    assert ns == sorted(ns, reverse=True)  # smaller MDE -> more users
+    assert ns[0] > ns[-1] * 50  # 1% vs 20% lift is orders of magnitude
