@@ -3879,6 +3879,36 @@ def _power_analysis_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return power_analysis_report(t["events"])
 
 
+def _dim_broadcast_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-feasibility size audit for the five dimension tables
+    (profile.dim_broadcast_audit; documented 8B-numeric/length-string
+    size model, exact integer sums)."""
+    from avro_sql_spark.operators.profile import dim_broadcast_audit
+
+    t = load_tables(spark, sf_dir, register=False)
+    return dim_broadcast_audit(
+        {k: t[k] for k in ("region", "nation", "customer", "supplier", "part")}
+    )
+
+
+def _session_bounce_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entry-type session bounce rates at 30-minute gaps
+    (profile.session_bounce_report)."""
+    from avro_sql_spark.operators.profile import session_bounce_report
+
+    t = load_tables(spark, sf_dir, register=False)
+    return session_bounce_report(t["events"])
+
+
+def _neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation over sources by
+    doc-length variance (profile.neyman_allocation; budget 1000)."""
+    from avro_sql_spark.operators.profile import neyman_allocation
+
+    t = load_tables(spark, sf_dir, register=False)
+    return neyman_allocation(t["documents"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes ~50 entries in this order per round (r1 covered the first
@@ -4018,6 +4048,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pattern_support": _sequence_pattern_support,
         "referential_coverage_report": _referential_coverage_report,
         "power_analysis_report": _power_analysis_report,
+        "dim_broadcast_audit": _dim_broadcast_audit,
+        "session_bounce_report": _session_bounce_report,
+        "neyman_allocation": _neyman_allocation,
         # --- cumulative-green core (driver rows r1-r4) ---
         "minhash_calibration": _minhash_calibration,
         "incremental_near_dup": _incremental_near_dup,
@@ -10385,6 +10418,83 @@ SELECT rel_lift, ROUND(p1, 6) AS baseline_rate, ROUND(p2, 6) AS target_rate,
        (CAST(CEIL((num * num) / ((p2 - p1) * (p2 - p1))) AS BIGINT) * 2
         <= n_obs) AS feasible_on_current_traffic
 FROM f ORDER BY rel_lift
+""",
+        "dim_broadcast_audit": """
+WITH rows_ AS (
+  SELECT 'customer' AS table_name, COUNT(*) AS n_rows,
+         SUM(16 + 24 + COALESCE(length(c_name), 0)
+             + COALESCE(length(c_mktsegment), 0)) AS est_bytes
+  FROM customer
+  UNION ALL
+  SELECT 'nation', COUNT(*),
+         SUM(16 + 16 + COALESCE(length(n_name), 0)) FROM nation
+  UNION ALL
+  SELECT 'part', COUNT(*),
+         SUM(16 + 24 + COALESCE(length(p_name), 0)
+             + COALESCE(length(p_brand), 0)
+             + COALESCE(length(p_type), 0)) FROM part
+  UNION ALL
+  SELECT 'region', COUNT(*),
+         SUM(16 + 8 + COALESCE(length(r_name), 0)) FROM region
+  UNION ALL
+  SELECT 'supplier', COUNT(*),
+         SUM(16 + 24 + COALESCE(length(s_name), 0)) FROM supplier)
+SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(est_bytes AS BIGINT) AS est_bytes,
+       (est_bytes <= 10485760) AS auto_broadcastable
+FROM rows_ ORDER BY table_name
+""",
+        "session_bounce_report": """
+WITH lagd AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) // 1000000
+                   - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id)) // 1000000 > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM lagd),
+per_sess AS (
+  SELECT user_id, sid, COUNT(*) AS n_events,
+         MIN(lpad(CAST(epoch_us(ts) // 1000000 AS VARCHAR), 12, '0')
+             || ':' || lpad(CAST(event_id AS VARCHAR), 20, '0')
+             || ':' || event_type) AS first_key
+  FROM sess GROUP BY 1, 2),
+typed AS (SELECT string_split(first_key, ':')[3] AS entry_type, n_events
+          FROM per_sess)
+SELECT entry_type, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS bounces,
+       ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events
+FROM typed GROUP BY entry_type ORDER BY entry_type
+""",
+        "neyman_allocation": """
+WITH per AS (SELECT source AS g, CAST(COUNT(*) AS HUGEINT) AS n,
+                    CAST(SUM(n_chars) AS HUGEINT) AS sx,
+                    CAST(SUM(n_chars * n_chars) AS HUGEINT) AS sq
+             FROM documents GROUP BY source),
+scored AS (SELECT g, n,
+                  CAST(n * sq - sx * sx AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS v,
+                  CAST(ROUND(CAST(n AS DOUBLE)
+                       * SQRT(GREATEST(CAST(n * sq - sx * sx AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)),
+                         0.0)), 6) AS DECIMAL(38,6)) AS t
+           FROM per),
+tot AS (SELECT SUM(t) AS tt FROM scored)
+SELECT g AS stratum, CAST(n AS BIGINT) AS n_rows,
+       ROUND(SQRT(GREATEST(v, 0.0)), 6) AS stddev,
+       ROUND(CAST(t AS DOUBLE) / NULLIF(CAST(tt AS DOUBLE), 0), 6)
+         AS neyman_share,
+       CAST(CEIL(CAST(t AS DOUBLE) / NULLIF(CAST(tt AS DOUBLE), 0)
+                 * 1000.0) AS BIGINT) AS allocated_n
+FROM scored CROSS JOIN tot ORDER BY stratum
 """,
         "decayed_user_value": """
 WITH mx AS (SELECT epoch_us(MAX(ts)) // 1000000 AS smx FROM events),

@@ -3831,3 +3831,182 @@ def power_analysis_report(
             "feasible_on_current_traffic"
         ),
     ).orderBy("rel_lift")
+
+
+def dim_broadcast_audit(
+    tables: "dict[str, DataFrame]",
+    threshold_bytes: int = 10 * 1024 * 1024,
+) -> DataFrame:
+    """Broadcast-feasibility audit for the dimension tables: estimated
+    in-memory size (fixed 8 bytes per numeric/temporal column, exact
+    summed byte-lengths for strings, 16 bytes row overhead) against
+    the auto-broadcast threshold — the planning table that says which
+    join sides are safely `broadcast()`-hintable before a 100× scale-up
+    flips one of them silently into a shuffle join.
+
+    The size model is deliberately simple and DOCUMENTED (it is an
+    audit heuristic, not JVM-exact); every term is an exact integer
+    aggregate, so the oracle replays it bit-for-bit."""
+    from pyspark.sql.types import NumericType, StringType, TimestampType
+
+    spark = next(iter(tables.values())).sparkSession
+    outs = []
+    for name, df in sorted(tables.items()):
+        fixed = 0
+        str_cols = []
+        for f in df.schema.fields:
+            if isinstance(f.dataType, StringType):
+                str_cols.append(f.name)
+            elif isinstance(f.dataType, (NumericType, TimestampType)):
+                fixed += 8
+            else:
+                fixed += 8
+        size_expr = F.lit(16 + fixed)
+        for c in str_cols:
+            size_expr = size_expr + F.coalesce(
+                F.length(F.col(c)), F.lit(0)
+            )
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(size_expr).alias("est_bytes"),
+            ).select(
+                F.lit(name).alias("table_name"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("est_bytes").cast("long").alias("est_bytes"),
+                (F.col("est_bytes") <= F.lit(threshold_bytes)).alias(
+                    "auto_broadcastable"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("table_name")
+
+
+def session_bounce_report(
+    events: DataFrame,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-entry-type session bounce rates: sessionize each user's
+    stream at ``gap_minutes`` gaps, key every session by its FIRST
+    event type, and report how many sessions of each entry type end
+    after that single event — the landing-quality table (a high-bounce
+    entry type is where engagement dies).
+
+    Shape: the lag/cumsum sessionization window partitions by user
+    (the standard shape), session aggregates are one groupBy, all
+    counts exact integers."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lit(gap_minutes * 60)
+    sess = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(
+            F.when(
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+                > gap,
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+        )
+        .over(w)
+        .alias("sid"),
+    )
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(
+            F.concat(
+                F.lpad(F.unix_timestamp("ts").cast("string"), 12, "0"),
+                F.lit(":"),
+                F.lpad(F.col("event_id").cast("string"), 20, "0"),
+                F.lit(":"),
+                F.col("event_type"),
+            )
+        ).alias("first_key"),
+    )
+    typed = per_sess.select(
+        F.element_at(F.split("first_key", ":"), 3).alias("entry_type"),
+        "n_events",
+    )
+    return (
+        typed.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("long")).alias("bounces"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .select(
+            "entry_type",
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            F.col("bounces").cast("long").alias("bounces"),
+            F.round(
+                F.col("bounces").cast("double")
+                / F.col("n_sessions").cast("double"),
+                6,
+            ).alias("bounce_rate"),
+            F.col("max_session_events").cast("long").alias(
+                "max_session_events"
+            ),
+        )
+        .orderBy("entry_type")
+    )
+
+
+def neyman_allocation(
+    docs: DataFrame,
+    budget: int = 1000,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Neyman-optimal stratified sampling design for estimating the
+    corpus mean of a value column: each stratum's share of the sample
+    budget is proportional to N_h·S_h (size × within-stratum std) —
+    the allocation that minimizes estimator variance, and the reason
+    high-variance strata deserve more than proportional sampling.
+
+    Exactness: per-stratum N and S come from exact integer Σx, Σx²
+    (sample variance (n·Σx² − S²)/(n(n−1)), one sqrt); each weight
+    term N_h·S_h quantizes at 6dp into DECIMAL(38,6) so the
+    normalizing sum is order-free; allocations are ceil(budget·w)."""
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    per = docs.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col(value_col))).alias("sx"),
+        F.sum(dec(F.col(value_col) * F.col(value_col))).alias("sq"),
+    )
+    n = F.col("n").cast("double")
+    var = (
+        F.col("n").cast("decimal(38,0)") * F.col("sq")
+        - F.col("sx") * F.col("sx")
+    ).cast("double") / (n * (n - F.lit(1.0)))
+    term = F.round(n * F.sqrt(F.greatest(var, F.lit(0.0))), 6).cast(
+        "decimal(38,6)"
+    )
+    scored = per.select(
+        "g", "n", var.alias("v"), term.alias("t")
+    )
+    tot = scored.agg(F.sum("t").alias("tt"))
+    w = F.col("t").cast("double") / F.nullif(
+        F.col("tt").cast("double"), F.lit(0.0)
+    )
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("g").alias("stratum"),
+            F.col("n").cast("long").alias("n_rows"),
+            F.round(F.sqrt(F.greatest(F.col("v"), F.lit(0.0))), 6).alias(
+                "stddev"
+            ),
+            F.round(w, 6).alias("neyman_share"),
+            F.ceil(w * F.lit(float(budget))).cast("long").alias(
+                "allocated_n"
+            ),
+        )
+        .orderBy("stratum")
+    )

@@ -277,6 +277,9 @@ HEADLINE = [
     "sequence_pattern_support",
     "referential_coverage_report",
     "power_analysis_report",
+    "dim_broadcast_audit",
+    "session_bounce_report",
+    "neyman_allocation",
 ]
 
 

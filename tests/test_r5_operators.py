@@ -1313,3 +1313,68 @@ def test_power_analysis_smaller_lift_needs_more_users(spark):
     ns = [r["users_per_arm"] for r in out]
     assert ns == sorted(ns, reverse=True)  # smaller MDE -> more users
     assert ns[0] > ns[-1] * 50  # 1% vs 20% lift is orders of magnitude
+
+
+def test_dim_broadcast_audit_size_model(spark):
+    from avro_sql_spark.operators.profile import dim_broadcast_audit
+
+    region = spark.createDataFrame(
+        [(0, "abc"), (1, "de")], "r_regionkey INT, r_name STRING"
+    )
+    out = dim_broadcast_audit({"region": region}).collect()
+    assert len(out) == 1
+    r = out[0]
+    # per row: 16 overhead + 8 fixed + len(name): (24+3) + (24+2) = 53
+    assert r["n_rows"] == 2
+    assert r["est_bytes"] == 53
+    assert r["auto_broadcastable"]
+
+
+def test_session_bounce_single_vs_multi(spark):
+    from datetime import datetime, timedelta
+
+    from avro_sql_spark.operators.profile import session_bounce_report
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: one 2-event session entered via view
+        (0, t0, 1, "view", 1.0, ""),
+        (1, t0 + timedelta(minutes=5), 1, "click", 1.0, ""),
+        # user 1: later bounce session entered via click
+        (2, t0 + timedelta(hours=5), 1, "click", 1.0, ""),
+        # user 2: bounce entered via view
+        (3, t0, 2, "view", 1.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    got = {r["entry_type"]: r for r in session_bounce_report(df).collect()}
+    assert got["view"]["n_sessions"] == 2
+    assert got["view"]["bounces"] == 1
+    assert got["view"]["bounce_rate"] == pytest.approx(0.5)
+    assert got["click"]["n_sessions"] == 1
+    assert got["click"]["bounce_rate"] == pytest.approx(1.0)
+    assert got["view"]["max_session_events"] == 2
+
+
+def test_neyman_gives_variable_stratum_more(spark):
+    from avro_sql_spark.operators.profile import neyman_allocation
+
+    rows = []
+    did = 0
+    # stratum A: constant length 100 (std 0); B: alternating 50/150
+    for i in range(50):
+        rows.append((did, "t", "en", "A", 100)); did += 1
+    for i in range(50):
+        rows.append((did, "t", "en", "B", 50 if i % 2 == 0 else 150))
+        did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    got = {r["stratum"]: r for r in neyman_allocation(df, budget=100).collect()}
+    assert got["A"]["stddev"] == pytest.approx(0.0)
+    assert got["A"]["neyman_share"] == pytest.approx(0.0)
+    assert got["B"]["neyman_share"] == pytest.approx(1.0)
+    assert got["B"]["allocated_n"] == 100
