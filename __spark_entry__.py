@@ -3909,6 +3909,16 @@ def _neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neyman_allocation(t["documents"])
 
 
+def _kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-simplified silhouette of the Lloyd k=4 partition
+    (clustering.kmeans_silhouette; same centroid replay as
+    kmeans_clusters, 9dp-quantized per-point scores)."""
+    from avro_sql_spark.operators.clustering import kmeans_silhouette
+
+    t = load_tables(spark, sf_dir, register=False)
+    return kmeans_silhouette(t["embeddings"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes ~50 entries in this order per round (r1 covered the first
@@ -4049,6 +4059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_coverage_report": _referential_coverage_report,
         "power_analysis_report": _power_analysis_report,
         "dim_broadcast_audit": _dim_broadcast_audit,
+        "kmeans_silhouette": _kmeans_silhouette,
         "session_bounce_report": _session_bounce_report,
         "neyman_allocation": _neyman_allocation,
         # --- cumulative-green core (driver rows r1-r4) ---
@@ -10495,6 +10506,48 @@ SELECT g AS stratum, CAST(n AS BIGINT) AS n_rows,
        CAST(CEIL(CAST(t AS DOUBLE) / NULLIF(CAST(tt AS DOUBLE), 0)
                  * 1000.0) AS BIGINT) AS allocated_n
 FROM scored CROSS JOIN tot ORDER BY stratum
+""",
+        "kmeans_silhouette": """
+WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c
+          FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+c0 AS (SELECT s.c, x.i, x.v FROM x JOIN seeds s USING (vec_id)),
+
+d1 AS (SELECT x.vec_id, cc.c, SUM((x.v - cc.v) * (x.v - cc.v)) AS d
+        FROM x JOIN c0 cc USING (i) GROUP BY 1, 2),
+a1 AS (SELECT vec_id, c, d FROM d1
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) = 1),
+c1 AS (SELECT a.c, x.i, ROUND(AVG(x.v), 9) AS v
+        FROM a1 a JOIN x ON x.vec_id = a.vec_id GROUP BY 1, 2),
+d2 AS (SELECT x.vec_id, cc.c, SUM((x.v - cc.v) * (x.v - cc.v)) AS d
+        FROM x JOIN c1 cc USING (i) GROUP BY 1, 2),
+a2 AS (SELECT vec_id, c, d FROM d2
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) = 1),
+c2 AS (SELECT a.c, x.i, ROUND(AVG(x.v), 9) AS v
+        FROM a2 a JOIN x ON x.vec_id = a.vec_id GROUP BY 1, 2),
+dF AS (SELECT x.vec_id, cc.c, SUM((x.v - cc.v) * (x.v - cc.v)) AS d
+       FROM x JOIN c2 cc USING (i) GROUP BY 1, 2),
+srt AS (SELECT vec_id, d, c,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk
+     FROM dF),
+two AS (SELECT vec_id,
+               MAX(CASE WHEN rk = 1 THEN d END) AS d0,
+               MAX(CASE WHEN rk = 2 THEN d END) AS d1,
+               MAX(CASE WHEN rk = 1 THEN c END) AS cluster
+        FROM srt GROUP BY vec_id),
+sil AS (SELECT cluster,
+               CAST(ROUND(CASE WHEN GREATEST(SQRT(d0), SQRT(d1)) > 0
+                               THEN (SQRT(d1) - SQRT(d0))
+                                    / GREATEST(SQRT(d0), SQRT(d1))
+                               ELSE 0.0 END, 9) AS DECIMAL(38,9)) AS s
+        FROM two)
+SELECT CAST(cluster AS INT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       ROUND(CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS avg_silhouette
+FROM sil GROUP BY 1 ORDER BY 1
 """,
         "decayed_user_value": """
 WITH mx AS (SELECT epoch_us(MAX(ts)) // 1000000 AS smx FROM events),

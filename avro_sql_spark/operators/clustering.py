@@ -166,3 +166,75 @@ def kmeans_report(
         )
         .orderBy("cluster")
     )
+
+
+def kmeans_silhouette(
+    emb: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Centroid-simplified silhouette of the Lloyd partition: per point
+    s = (b − a)/max(a, b) with a = distance to the OWN centroid and
+    b = distance to the nearest OTHER centroid (the O(n·k) medoid-free
+    variant — the exact silhouette's O(n²) pair pass is the textbook
+    definition, not a 100 TB plan), averaged per cluster. Near 1:
+    compact and separated; near 0: the point sits on a boundary —
+    the go/no-go readout before trusting k-means labels for SemDeDup
+    or curriculum bucketing.
+
+    Replays :func:`lloyd_centroids` (same k/iterations as the oracled
+    kmeans entries), computes all k distances in-row with the same
+    unrolled left-associated sum as ``_assign``, takes the two
+    smallest via array_sort, and quantizes each point's s at 9dp into
+    DECIMAL(38,9) so cluster averages are order-free."""
+    cents = lloyd_centroids(emb, k, iterations, id_col, vec_col)
+    d = len(cents[0])
+    dists = ", ".join(
+        " + ".join(
+            f"(_v[{i}] - {c[i]!r}D) * (_v[{i}] - {c[i]!r}D)"
+            for i in range(d)
+        )
+        for c in cents
+    )
+    scored = (
+        emb.selectExpr("*", f"cast(`{vec_col}` as array<double>) AS _v")
+        .selectExpr(
+            f"`{id_col}`",
+            f"array({dists}) AS _dists",
+        )
+        .selectExpr(
+            f"`{id_col}`",
+            "cast(array_position(_dists, array_min(_dists)) - 1 as int)"
+            " AS cluster",
+            "sqrt(element_at(array_sort(_dists), 1)) AS a",
+            "sqrt(element_at(array_sort(_dists), 2)) AS b",
+        )
+        .select(
+            "cluster",
+            F.round(
+                F.when(
+                    F.greatest(F.col("a"), F.col("b")) > 0,
+                    (F.col("b") - F.col("a"))
+                    / F.greatest(F.col("a"), F.col("b")),
+                ).otherwise(F.lit(0.0)),
+                9,
+            )
+            .cast("decimal(38,9)")
+            .alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_points"), F.sum("s").alias("ss"))
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("n_points").cast("long").alias("n_points"),
+            F.round(
+                F.col("ss").cast("double") / F.col("n_points").cast("double"),
+                6,
+            ).alias("avg_silhouette"),
+        )
+        .orderBy("cluster")
+    )

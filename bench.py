@@ -280,6 +280,7 @@ HEADLINE = [
     "dim_broadcast_audit",
     "session_bounce_report",
     "neyman_allocation",
+    "kmeans_silhouette",
 ]
 
 

@@ -1378,3 +1378,18 @@ def test_neyman_gives_variable_stratum_more(spark):
     assert got["A"]["neyman_share"] == pytest.approx(0.0)
     assert got["B"]["neyman_share"] == pytest.approx(1.0)
     assert got["B"]["allocated_n"] == 100
+
+
+def test_silhouette_separated_blobs_near_one(spark):
+    from avro_sql_spark.operators.clustering import kmeans_silhouette
+
+    # two tight far-apart blobs, k=2: silhouette near 1 for both
+    rows = [(i, [0.0 + 0.01 * i, 0.0]) for i in range(5)] + [
+        (10 + i, [100.0 + 0.01 * i, 0.0]) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = kmeans_silhouette(df, k=2, iterations=2).collect()
+    assert len(out) == 2
+    assert sum(r["n_points"] for r in out) == 10
+    for r in out:
+        assert r["avg_silhouette"] > 0.99

@@ -104,6 +104,7 @@ ITERATIVE_ENTRIES = [
     "join_order_cost_audit",
     "mad_outlier_days",
     "community_modularity",
+    "kmeans_silhouette",
 ]
 
 
