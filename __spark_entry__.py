@@ -3919,6 +3919,24 @@ def _kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_silhouette(t["embeddings"])
 
 
+def _tail_index_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index + top-k share over user lifetime value
+    (profile.tail_index_user_value; TakeOrdered top-100)."""
+    from avro_sql_spark.operators.profile import tail_index_user_value
+
+    t = load_tables(spark, sf_dir, register=False)
+    return tail_index_user_value(t["events"])
+
+
+def _lm_interpolation_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer EM interpolation weights on an md5 80/20 split
+    (profile.lm_interpolation_weights; 3 unrolled rounds)."""
+    from avro_sql_spark.operators.profile import lm_interpolation_weights
+
+    t = load_tables(spark, sf_dir, register=False)
+    return lm_interpolation_weights(t["documents"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes ~50 entries in this order per round (r1 covered the first
@@ -4060,6 +4078,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "power_analysis_report": _power_analysis_report,
         "dim_broadcast_audit": _dim_broadcast_audit,
         "kmeans_silhouette": _kmeans_silhouette,
+        "tail_index_user_value": _tail_index_user_value,
+        "lm_interpolation_weights": _lm_interpolation_weights,
         "session_bounce_report": _session_bounce_report,
         "neyman_allocation": _neyman_allocation,
         # --- cumulative-green core (driver rows r1-r4) ---
@@ -10548,6 +10568,74 @@ SELECT CAST(cluster AS INT) AS cluster,
        ROUND(CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
          AS avg_silhouette
 FROM sil GROUP BY 1 ORDER BY 1
+""",
+        "tail_index_user_value": """
+WITH pu AS (SELECT user_id, SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS v
+            FROM events WHERE value IS NOT NULL GROUP BY user_id
+            HAVING SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) > 0),
+top AS (SELECT user_id, v FROM pu ORDER BY v DESC, user_id LIMIT 100),
+thr AS (SELECT MIN(v) AS xk, COUNT(*) AS ke FROM top),
+s AS (SELECT MAX(t.ke) AS ke, MAX(t.xk) AS xk,
+             SUM(CAST(ROUND(LN(CAST(top.v AS DOUBLE)
+                                / CAST(t.xk AS DOUBLE)), 9)
+                      AS DECIMAL(38,9))) AS slog,
+             SUM(top.v) AS topv
+      FROM top CROSS JOIN thr t),
+tot AS (SELECT COUNT(*) AS n_users, SUM(v) AS allv FROM pu)
+SELECT CAST(tot.n_users AS BIGINT) AS n_users,
+       CAST(s.ke AS BIGINT) AS k_used,
+       ROUND(CAST(s.xk AS DOUBLE), 6) AS threshold_value,
+       ROUND(CAST(s.ke AS DOUBLE) / NULLIF(CAST(s.slog AS DOUBLE), 0), 6)
+         AS hill_alpha,
+       ROUND(CAST(s.topv AS DOUBLE) / CAST(tot.allv AS DOUBLE), 6)
+         AS topk_value_share
+FROM s CROSS JOIN tot
+""",
+        "lm_interpolation_weights": """
+WITH base AS (SELECT doc_id AS d,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> regexp_matches(x, '^[a-z]+$')) AS tk,
+                     ((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':lmmix'), 1, 8)) AS BIGINT) % 1000000) / 1000000.0) < 0.8 AS is_train
+              FROM documents),
+fb AS (SELECT * FROM base WHERE len(tk) >= 2),
+pairs AS (SELECT is_train, tk[i] AS wa, tk[i+1] AS wb
+          FROM (SELECT is_train, tk, unnest(range(1, len(tk))) AS i
+                FROM fb)),
+train AS (SELECT wa, wb FROM pairs WHERE is_train),
+held AS (SELECT wa, wb FROM pairs WHERE NOT is_train),
+big AS (SELECT wa, wb, COUNT(*) AS cvw FROM train GROUP BY 1, 2),
+ctx AS (SELECT wa, SUM(cvw) AS cv FROM big GROUP BY wa),
+uni AS (SELECT w, COUNT(*) AS cw
+        FROM (SELECT wb AS w FROM train UNION ALL SELECT wa FROM train)
+        GROUP BY w),
+un AS (SELECT SUM(cw) AS nt, COUNT(*) AS vocab FROM uni),
+scored AS (SELECT CASE WHEN b.cvw IS NOT NULL AND c.cv IS NOT NULL
+                       THEN CAST(b.cvw AS DOUBLE) / CAST(c.cv AS DOUBLE)
+                       ELSE 0.0 END AS pb,
+                  CAST(COALESCE(u.cw, 0) + 1 AS DOUBLE)
+                  / CAST(un.nt + un.vocab AS DOUBLE) AS pu
+           FROM held h LEFT JOIN big b ON b.wa = h.wa AND b.wb = h.wb
+           LEFT JOIN ctx c ON c.wa = h.wa
+           LEFT JOIN uni u ON u.w = h.wb
+           CROSS JOIN un),
+n AS (SELECT COUNT(*) AS n FROM scored),
+l1 AS (SELECT CAST(SUM(CAST(ROUND((0.5 * pb)
+              / (0.5 * pb + (1.0 - 0.5) * pu), 9) AS DECIMAL(38,9)))
+              AS DOUBLE) / CAST(n.n AS DOUBLE) AS lam
+       FROM scored CROSS JOIN n GROUP BY n.n),
+l2 AS (SELECT CAST(SUM(CAST(ROUND((l1.lam * pb)
+              / (l1.lam * pb + (1.0 - l1.lam) * pu), 9) AS DECIMAL(38,9)))
+              AS DOUBLE) / CAST(n.n AS DOUBLE) AS lam
+       FROM scored CROSS JOIN n CROSS JOIN l1 GROUP BY n.n),
+l3 AS (SELECT CAST(SUM(CAST(ROUND((l2.lam * pb)
+              / (l2.lam * pb + (1.0 - l2.lam) * pu), 9) AS DECIMAL(38,9)))
+              AS DOUBLE) / CAST(n.n AS DOUBLE) AS lam
+       FROM scored CROSS JOIN n CROSS JOIN l2 GROUP BY n.n)
+SELECT CAST(n.n AS BIGINT) AS n_held_bigrams,
+       ROUND(l1.lam, 6) AS lambda_round1,
+       ROUND(l2.lam, 6) AS lambda_round2,
+       ROUND(l3.lam, 6) AS lambda_round3
+FROM n CROSS JOIN l1 CROSS JOIN l2 CROSS JOIN l3
 """,
         "decayed_user_value": """
 WITH mx AS (SELECT epoch_us(MAX(ts)) // 1000000 AS smx FROM events),

@@ -4010,3 +4010,165 @@ def neyman_allocation(
         )
         .orderBy("stratum")
     )
+
+
+def tail_index_user_value(
+    events: DataFrame,
+    k: int = 100,
+) -> DataFrame:
+    """Hill tail-index estimate over the top-k user lifetime values —
+    the heavy-tail exponent of revenue concentration (α ≤ 1: the mean
+    is dominated by whales and capacity plans built on averages are
+    fiction; α > 2: finite variance, normal statistics apply), plus
+    the top-k value share.
+
+    Scale shape: per-user totals are order-free DECIMAL sums; the
+    top-k selection is orderBy+limit = TakeOrdered (map-side top-k, no
+    global sort); every ln(x_i/x_k) quantizes at 9dp into
+    DECIMAL(38,9) over the k-row frame. α = k_eff/Σ is one division."""
+    pu = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.round(F.col("value"), 6).cast("decimal(38,6)")
+            ).alias("v")
+        )
+        .filter(F.col("v") > 0)
+        .localCheckpoint(eager=True)
+    )
+    top = pu.orderBy(F.desc("v"), F.asc("user_id")).limit(k).localCheckpoint(
+        eager=True
+    )
+    thr = top.agg(F.min("v").alias("xk"), F.count(F.lit(1)).alias("ke"))
+    term = F.round(
+        F.log(F.col("v").cast("double") / F.col("xk").cast("double")), 9
+    ).cast("decimal(38,9)")
+    s = (
+        top.crossJoin(F.broadcast(thr))
+        .agg(
+            F.max("ke").alias("ke"),
+            F.max("xk").alias("xk"),
+            F.sum(term).alias("slog"),
+            F.sum("v").alias("topv"),
+        )
+    )
+    tot = pu.agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("v").alias("allv")
+    )
+    alpha = F.col("ke").cast("double") / F.nullif(
+        F.col("slog").cast("double"), F.lit(0.0)
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("ke").cast("long").alias("k_used"),
+            F.round(F.col("xk").cast("double"), 6).alias("threshold_value"),
+            F.round(alpha, 6).alias("hill_alpha"),
+            F.round(
+                F.col("topv").cast("double") / F.col("allv").cast("double"),
+                6,
+            ).alias("topk_value_share"),
+        )
+    )
+
+
+def lm_interpolation_weights(
+    docs: DataFrame,
+    rounds: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "lmmix",
+) -> DataFrame:
+    """Jelinek-Mercer interpolation weight λ for
+    P(w|v) = λ·P_bigram(w|v) + (1−λ)·P_unigram(w), fit by ``rounds``
+    EM steps on a held-out md5 split — the classic LM smoothing
+    calibration (Jelinek & Mercer 1980): high λ says bigram context
+    generalizes to held-out text; low λ says the bigram table is
+    memorizing.
+
+    Train/held split is the deterministic md5 unit interval (80/20);
+    P_unigram is add-1 smoothed over the train vocab, P_bigram is the
+    MLE with unseen (context, word) contributing 0, and every EM
+    responsibility quantizes at 9dp into DECIMAL(38,9) so the per-round
+    averages are order-free — each round is ONE aggregate over the
+    checkpointed held-out bigram frame, and the λ recursion is a fixed
+    scalar chain the oracle unrolls."""
+    from ..functions.text import word_tokens
+    from .curation import hash_unit
+
+    base = docs.select(
+        F.col(id_col).alias("d"),
+        word_tokens(F.col(text_col)).alias("tk"),
+        (hash_unit(F.col(id_col), salt) < 0.8).alias("is_train"),
+    ).filter(F.size("tk") >= 2)
+    pairs = base.select(
+        "is_train",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("tk"), i).alias("wa"),
+                    F.element_at(F.col("tk"), i + 1).alias("wb"),
+                ),
+            )
+        ).alias("p"),
+    ).select(
+        "is_train", F.col("p.wa").alias("wa"), F.col("p.wb").alias("wb")
+    )
+    train = pairs.filter(F.col("is_train"))
+    held = pairs.filter(~F.col("is_train"))
+    big = train.groupBy("wa", "wb").agg(F.count(F.lit(1)).alias("cvw"))
+    ctx = big.groupBy("wa").agg(F.sum("cvw").alias("cv"))
+    uni = (
+        train.select(F.col("wb").alias("w"))
+        .unionAll(train.select(F.col("wa").alias("w")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    un = uni.agg(
+        F.sum("cw").alias("nt"), F.count(F.lit(1)).alias("vocab")
+    )
+    scored = (
+        held.join(big, ["wa", "wb"], "left")
+        .join(ctx, "wa", "left")
+        .join(uni.withColumnRenamed("w", "wb"), "wb", "left")
+        .crossJoin(F.broadcast(un))
+        .select(
+            F.when(
+                F.col("cvw").isNotNull() & F.col("cv").isNotNull(),
+                F.col("cvw").cast("double") / F.col("cv").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pb"),
+            (
+                (F.coalesce(F.col("cw"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("nt") + F.col("vocab")).cast("double")
+            ).alias("pu"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_held = scored.count()
+    lam = 0.5
+    lams = []
+    for _ in range(rounds):
+        lam_col = F.lit(lam)
+        resp = F.round(
+            (lam_col * F.col("pb"))
+            / (lam_col * F.col("pb") + (F.lit(1.0) - lam_col) * F.col("pu")),
+            9,
+        ).cast("decimal(38,9)")
+        row = scored.agg(F.sum(resp).alias("sr")).collect()[0]
+        lam = float(row["sr"]) / n_held if n_held else 0.0
+        lams.append(lam)
+    spark = docs.sparkSession
+    # F.round (HALF_UP) — not Python round (half-even) — so the output
+    # quantization matches the oracle's SQL ROUND exactly
+    return spark.range(1).select(
+        F.lit(int(n_held)).cast("long").alias("n_held_bigrams"),
+        *[
+            F.round(F.lit(x), 6).alias(f"lambda_round{i + 1}")
+            for i, x in enumerate(lams)
+        ],
+    )

@@ -281,6 +281,8 @@ HEADLINE = [
     "session_bounce_report",
     "neyman_allocation",
     "kmeans_silhouette",
+    "tail_index_user_value",
+    "lm_interpolation_weights",
 ]
 
 

@@ -1393,3 +1393,44 @@ def test_silhouette_separated_blobs_near_one(spark):
     assert sum(r["n_points"] for r in out) == 10
     for r in out:
         assert r["avg_silhouette"] > 0.99
+
+
+def test_hill_alpha_exact_pareto(spark):
+    from datetime import datetime
+
+    from avro_sql_spark.operators.profile import tail_index_user_value
+
+    # values v_i = 2^(i/10): ln spacing 0.1*ln2 -> Hill alpha over
+    # k covering all = k / sum(ln(v_i/v_min))
+    import math
+
+    rows = [
+        (u, datetime(2024, 1, 1), u, "purchase", float(2 ** (u / 10.0)), "")
+        for u in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    r = tail_index_user_value(df, k=20).collect()[0]
+    assert r["k_used"] == 20
+    expected = 20.0 / sum(math.log(2 ** (u / 10.0) / 1.0) for u in range(20))
+    assert r["hill_alpha"] == pytest.approx(expected, rel=1e-4)
+    assert r["topk_value_share"] == pytest.approx(1.0)
+
+
+def test_lm_interpolation_memorized_corpus_high_lambda(spark):
+    from avro_sql_spark.operators.profile import lm_interpolation_weights
+
+    # identical text everywhere: every held-out bigram is perfectly
+    # predicted by the bigram model -> lambda climbs toward 1
+    rows = [(i, "the cat sat on the mat", "en", "s", 1) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    out = lm_interpolation_weights(df).collect()[0]
+    assert out["n_held_bigrams"] > 0
+    assert out["lambda_round1"] > 0.5
+    assert out["lambda_round3"] >= out["lambda_round1"] - 1e-9
+    assert out["lambda_round3"] > 0.9

@@ -105,6 +105,8 @@ ITERATIVE_ENTRIES = [
     "mad_outlier_days",
     "community_modularity",
     "kmeans_silhouette",
+    "tail_index_user_value",
+    "lm_interpolation_weights",
 ]
 
 
