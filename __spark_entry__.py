@@ -3937,6 +3937,15 @@ def _lm_interpolation_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_interpolation_weights(t["documents"])
 
 
+def _weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sample of 50 docs by length
+    (curation.weighted_reservoir_sample; md5 keys, TakeOrdered)."""
+    from avro_sql_spark.operators.curation import weighted_reservoir_sample
+
+    t = load_tables(spark, sf_dir, register=False)
+    return weighted_reservoir_sample(t["documents"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes ~50 entries in this order per round (r1 covered the first
@@ -4080,6 +4089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_silhouette": _kmeans_silhouette,
         "tail_index_user_value": _tail_index_user_value,
         "lm_interpolation_weights": _lm_interpolation_weights,
+        "weighted_reservoir_sample": _weighted_reservoir_sample,
         "session_bounce_report": _session_bounce_report,
         "neyman_allocation": _neyman_allocation,
         # --- cumulative-green core (driver rows r1-r4) ---
@@ -10636,6 +10646,23 @@ SELECT CAST(n.n AS BIGINT) AS n_held_bigrams,
        ROUND(l2.lam, 6) AS lambda_round2,
        ROUND(l3.lam, 6) AS lambda_round3
 FROM n CROSS JOIN l1 CROSS JOIN l2 CROSS JOIN l3
+""",
+        "weighted_reservoir_sample": """
+WITH keyed AS (SELECT doc_id,
+                      CAST(n_chars AS BIGINT) AS weight,
+                      ROUND(-LN((((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':wrs'), 1, 8)) AS BIGINT) % 1000000) / 1000000.0) * 999999.0 + 1.0) / 1000000.0)
+                            / CAST(n_chars AS DOUBLE), 9) AS key
+               FROM documents WHERE n_chars > 0),
+sampled AS (SELECT doc_id, weight, key FROM keyed
+            ORDER BY key, doc_id LIMIT 50),
+stats AS (SELECT COUNT(*) AS n_corpus,
+                 CAST(SUM(CAST(n_chars AS HUGEINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS avg_w
+          FROM documents WHERE n_chars > 0)
+SELECT s.doc_id, s.weight, s.key,
+       CAST(st.n_corpus AS BIGINT) AS n_corpus,
+       ROUND(st.avg_w, 6) AS avg_weight_corpus
+FROM sampled s CROSS JOIN stats st ORDER BY s.key, s.doc_id
 """,
         "decayed_user_value": """
 WITH mx AS (SELECT epoch_us(MAX(ts)) // 1000000 AS smx FROM events),

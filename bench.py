@@ -283,6 +283,7 @@ HEADLINE = [
     "kmeans_silhouette",
     "tail_index_user_value",
     "lm_interpolation_weights",
+    "weighted_reservoir_sample",
 ]
 
 

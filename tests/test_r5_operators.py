@@ -1434,3 +1434,23 @@ def test_lm_interpolation_memorized_corpus_high_lambda(spark):
     assert out["lambda_round1"] > 0.5
     assert out["lambda_round3"] >= out["lambda_round1"] - 1e-9
     assert out["lambda_round3"] > 0.9
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    from avro_sql_spark.operators.curation import weighted_reservoir_sample
+
+    # 100 light docs (weight 1) + 100 heavy (weight 1000): the k=20
+    # sample must be dominated by heavy docs, deterministically
+    rows = [(i, "t", "en", "s", 1) for i in range(100)] + [
+        (1000 + i, "t", "en", "s", 1000) for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    out1 = weighted_reservoir_sample(df, k=20).collect()
+    out2 = weighted_reservoir_sample(df, k=20).collect()
+    assert out1 == out2  # deterministic
+    heavy = sum(1 for r in out1 if r["weight"] == 1000)
+    assert heavy >= 18  # ~1000x odds per draw
+    assert all(r["n_corpus"] == 200 for r in out1)
+    assert out1[0]["avg_weight_corpus"] == pytest.approx(500.5)
