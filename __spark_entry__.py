@@ -3946,6 +3946,36 @@ def _weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_reservoir_sample(t["documents"])
 
 
+def _diameter_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter lower bound of the co-purchase graph
+    (graph.diameter_double_sweep; two 8-hop BFS runs)."""
+    from avro_sql_spark.operators.graph import (
+        copurchase_edges,
+        diameter_double_sweep,
+    )
+
+    t = load_tables(spark, sf_dir, register=False)
+    return diameter_double_sweep(copurchase_edges(t["lineitem"], min_count=2))
+
+
+def _attribution_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-purchase conversion rate under 1h/6h/24h/7d attribution
+    windows (profile.attribution_window_sensitivity)."""
+    from avro_sql_spark.operators.profile import attribution_window_sensitivity
+
+    t = load_tables(spark, sf_dir, register=False)
+    return attribution_window_sensitivity(t["events"])
+
+
+def _vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the corpus term-frequency distribution
+    (text.vocab_gini; rank-device ascending ranks, integer exact)."""
+    from avro_sql_spark.operators.text import vocab_gini
+
+    t = load_tables(spark, sf_dir, register=False)
+    return vocab_gini(t["documents"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes ~50 entries in this order per round (r1 covered the first
@@ -4090,6 +4120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tail_index_user_value": _tail_index_user_value,
         "lm_interpolation_weights": _lm_interpolation_weights,
         "weighted_reservoir_sample": _weighted_reservoir_sample,
+        "diameter_double_sweep": _diameter_double_sweep,
+        "attribution_window_sensitivity": _attribution_window_sensitivity,
+        "vocab_gini": _vocab_gini,
         "session_bounce_report": _session_bounce_report,
         "neyman_allocation": _neyman_allocation,
         # --- cumulative-green core (driver rows r1-r4) ---
@@ -10663,6 +10696,79 @@ SELECT s.doc_id, s.weight, s.key,
        CAST(st.n_corpus AS BIGINT) AS n_corpus,
        ROUND(st.avg_w, 6) AS avg_weight_corpus
 FROM sampled s CROSS JOIN stats st ORDER BY s.key, s.doc_id
+""",
+        "diameter_double_sweep": """
+WITH RECURSIVE d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pc AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       FROM d a JOIN d b
+       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+und AS (SELECT pa AS src, pb AS dst FROM pc
+        UNION ALL SELECT pb, pa FROM pc),
+s1 AS (SELECT MIN(src) AS node FROM und),
+w1(node, dd) AS (
+  SELECT node, 0 FROM s1
+  UNION
+  SELECT u.dst, w.dd + 1 FROM w1 w JOIN und u ON u.src = w.node
+  WHERE w.dd < 8),
+d1 AS (SELECT node, MIN(dd) AS dist FROM w1 GROUP BY node),
+far AS (SELECT node FROM d1 ORDER BY dist DESC, node LIMIT 1),
+w2(node, dd) AS (
+  SELECT node, 0 FROM far
+  UNION
+  SELECT u.dst, w.dd + 1 FROM w2 w JOIN und u ON u.src = w.node
+  WHERE w.dd < 8),
+d2 AS (SELECT node, MIN(dd) AS dist FROM w2 GROUP BY node)
+SELECT CAST((SELECT node FROM s1) AS BIGINT) AS start_node,
+       CAST((SELECT MAX(dist) FROM d1) AS BIGINT) AS ecc_start,
+       CAST((SELECT node FROM far) AS BIGINT) AS far_node,
+       CAST((SELECT MAX(dist) FROM d2) AS BIGINT) AS diameter_lower_bound,
+       CAST((SELECT COUNT(*) FROM d1) AS BIGINT) AS n_reached
+""",
+        "attribution_window_sensitivity": """
+WITH pu AS (SELECT user_id, epoch_us(MIN(ts)) // 1000000 AS t0,
+                   epoch_us(MIN(CASE WHEN event_type = 'purchase'
+                                     THEN ts END)) // 1000000 AS tp
+            FROM events GROUP BY user_id),
+agg AS (SELECT COUNT(*) AS n,
+               SUM(CASE WHEN tp IS NOT NULL AND tp - t0 <= 3600
+                        THEN 1 ELSE 0 END) AS c3600,
+               SUM(CASE WHEN tp IS NOT NULL AND tp - t0 <= 21600
+                        THEN 1 ELSE 0 END) AS c21600,
+               SUM(CASE WHEN tp IS NOT NULL AND tp - t0 <= 86400
+                        THEN 1 ELSE 0 END) AS c86400,
+               SUM(CASE WHEN tp IS NOT NULL AND tp - t0 <= 604800
+                        THEN 1 ELSE 0 END) AS c604800
+        FROM pu)
+SELECT '1h' AS window, CAST(3600 AS BIGINT) AS window_seconds,
+       CAST(c3600 AS BIGINT) AS conversions, CAST(n AS BIGINT) AS n_users,
+       ROUND(CAST(c3600 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS conv_rate
+FROM agg
+UNION ALL
+SELECT '6h', 21600, CAST(c21600 AS BIGINT), CAST(n AS BIGINT),
+       ROUND(CAST(c21600 AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM agg
+UNION ALL
+SELECT '24h', 86400, CAST(c86400 AS BIGINT), CAST(n AS BIGINT),
+       ROUND(CAST(c86400 AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM agg
+UNION ALL
+SELECT '7d', 604800, CAST(c604800 AS BIGINT), CAST(n AS BIGINT),
+       ROUND(CAST(c604800 AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM agg
+ORDER BY window_seconds
+""",
+        "vocab_gini": """
+WITH toks AS (SELECT unnest(list_filter(string_split_regex(lower(text),
+                     '\s+'), x -> regexp_matches(x, '^[a-z]+$'))) AS w
+              FROM documents),
+counts AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+ranked AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c, w) AS i FROM counts),
+s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(c) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(i AS HUGEINT) * c) AS HUGEINT) AS six
+      FROM ranked)
+SELECT CAST(n AS BIGINT) AS vocab_size, CAST(sx AS BIGINT) AS total_tokens,
+       ROUND(CAST(2 * six AS DOUBLE) / CAST(n * sx AS DOUBLE)
+             - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0
+         AS vocab_gini
+FROM s
 """,
         "decayed_user_value": """
 WITH mx AS (SELECT epoch_us(MAX(ts)) // 1000000 AS smx FROM events),

@@ -4172,3 +4172,63 @@ def lm_interpolation_weights(
             for i, x in enumerate(lams)
         ],
     )
+
+
+def attribution_window_sensitivity(events: DataFrame) -> DataFrame:
+    """Conversion-rate sensitivity to the attribution window: the share
+    of users whose first purchase lands within 1h / 6h / 24h / 7d of
+    their first activity — the table that shows how much of a
+    'conversion lift' is really just window choice (the classic
+    attribution knob fight, settled with data).
+
+    One per-user aggregate, then four conditional sums over exact
+    integer second-differences; rates are single divisions."""
+    pu = events.groupBy("user_id").agg(
+        F.unix_timestamp(F.min("ts")).alias("t0"),
+        F.unix_timestamp(
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("tp"),
+    )
+    lag = F.col("tp") - F.col("t0")
+    agg = pu.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.when(
+                    F.col("tp").isNotNull() & (lag <= F.lit(w)), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias(f"c{w}")
+            for w in (3600, 21600, 86400, 604800)
+        ],
+    )
+    spark = events.sparkSession
+    labels = [("1h", 3600), ("6h", 21600), ("24h", 86400), ("7d", 604800)]
+    return (
+        agg.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(lbl).alias("window"),
+                            F.lit(w).cast("long").alias("window_seconds"),
+                            F.col(f"c{w}").cast("long").alias("conversions"),
+                            F.col("n").cast("long").alias("n_users"),
+                        )
+                        for lbl, w in labels
+                    ]
+                )
+            ).alias("s")
+        )
+        .select(
+            F.col("s.window").alias("window"),
+            F.col("s.window_seconds").alias("window_seconds"),
+            F.col("s.conversions").alias("conversions"),
+            F.col("s.n_users").alias("n_users"),
+            F.round(
+                F.col("s.conversions").cast("double")
+                / F.col("s.n_users").cast("double"),
+                6,
+            ).alias("conv_rate"),
+        )
+        .orderBy("window_seconds")
+    )

@@ -1946,3 +1946,46 @@ def posting_list_histogram(
         )
         .orderBy("df_bits")
     )
+
+
+def vocab_gini(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Gini coefficient of the term-frequency distribution — the
+    one-number head-heaviness of the vocabulary (0: every term equally
+    common; →1: a few stopwords carry all the mass), the companion
+    summary to the Zipf slope and the df histogram.
+
+    Exactness: term counts rank by (count, term) through the
+    scale-safe ``global_rank`` device (no single-task vocab sort);
+    Gini = (2·Σ i·xᵢ)/(n·Σxᵢ) − (n+1)/n over ascending ranks i is
+    exact integer arithmetic in DECIMAL(38,0) with one final
+    division pair."""
+    from ..operators.curation import global_rank
+
+    counts = (
+        docs.select(F.explode(T.word_tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = global_rank(
+        counts, [F.col("c"), F.col("w")], rank_col="i", total_col="nv"
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    s = ranked.agg(
+        F.max("nv").alias("n"),
+        F.sum(dec(F.col("c"))).alias("sx"),
+        F.sum(dec(F.col("i") * F.col("c"))).alias("six"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    gini = (
+        (F.lit(2) * F.col("six")).cast("double")
+        / (n * F.col("sx")).cast("double")
+        - (F.col("n") + 1).cast("double") / F.col("n").cast("double")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("vocab_size"),
+        F.col("sx").cast("long").alias("total_tokens"),
+        (F.round(gini, 6) + F.lit(0.0)).alias("vocab_gini"),
+    )

@@ -284,6 +284,9 @@ HEADLINE = [
     "tail_index_user_value",
     "lm_interpolation_weights",
     "weighted_reservoir_sample",
+    "diameter_double_sweep",
+    "attribution_window_sensitivity",
+    "vocab_gini",
 ]
 
 

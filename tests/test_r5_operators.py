@@ -1454,3 +1454,64 @@ def test_weighted_sample_prefers_heavy_docs(spark):
     assert heavy >= 18  # ~1000x odds per draw
     assert all(r["n_corpus"] == 200 for r in out1)
     assert out1[0]["avg_weight_corpus"] == pytest.approx(500.5)
+
+
+def test_diameter_path_graph_exact(spark):
+    from avro_sql_spark.operators.graph import diameter_double_sweep
+
+    # path 1-2-3-4-5 (symmetric edges): start=1, ecc=4, far=5, diam=4
+    path = [(i, i + 1) for i in range(1, 5)]
+    sym = path + [(b, a) for a, b in path]
+    df = spark.createDataFrame(sym, "src LONG, dst LONG")
+    r = diameter_double_sweep(df, max_hops=8).collect()[0]
+    assert r["start_node"] == 1
+    assert r["ecc_start"] == 4
+    assert r["far_node"] == 5
+    assert r["diameter_lower_bound"] == 4
+    assert r["n_reached"] == 5
+
+
+def test_attribution_windows_monotone(spark):
+    from datetime import datetime, timedelta
+
+    from avro_sql_spark.operators.profile import attribution_window_sensitivity
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # u0 converts in 30min, u1 in 12h, u2 in 3d, u3 never
+    for u, delay in [(0, 0.5), (1, 12.0), (2, 72.0), (3, None)]:
+        rows.append((eid, t0, u, "view", 1.0, "")); eid += 1
+        if delay is not None:
+            rows.append(
+                (eid, t0 + timedelta(hours=delay), u, "purchase", 1.0, "")
+            ); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    got = {r["window"]: r for r in attribution_window_sensitivity(df).collect()}
+    assert got["1h"]["conversions"] == 1
+    assert got["6h"]["conversions"] == 1
+    assert got["24h"]["conversions"] == 2
+    assert got["7d"]["conversions"] == 3
+    assert got["7d"]["conv_rate"] == pytest.approx(0.75)
+
+
+def test_vocab_gini_uniform_vs_skewed(spark):
+    from avro_sql_spark.operators.text import vocab_gini
+
+    uni = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "doc_id LONG, text STRING"
+    )
+    r = vocab_gini(uni).collect()[0]
+    assert r["vocab_size"] == 4 and r["total_tokens"] == 8
+    assert r["vocab_gini"] == pytest.approx(0.0, abs=1e-6)
+
+    skew = spark.createDataFrame(
+        [(1, " ".join(["the"] * 97 + ["a", "b", "c"]))],
+        "doc_id LONG, text STRING",
+    )
+    r2 = vocab_gini(skew).collect()[0]
+    assert r2["vocab_gini"] > 0.7

@@ -107,6 +107,8 @@ ITERATIVE_ENTRIES = [
     "kmeans_silhouette",
     "tail_index_user_value",
     "lm_interpolation_weights",
+    "diameter_double_sweep",
+    "vocab_gini",
 ]
 
 
