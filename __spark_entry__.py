@@ -3976,6 +3976,15 @@ def _vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_gini(t["documents"])
 
 
+def _quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile lifetime-value QTE between the md5 50/50 arms
+    (profile.quantile_treatment_effect; exact_ntile order statistics)."""
+    from avro_sql_spark.operators.profile import quantile_treatment_effect
+
+    t = load_tables(spark, sf_dir, register=False)
+    return quantile_treatment_effect(t["events"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes ~50 entries in this order per round (r1 covered the first
@@ -4123,6 +4132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diameter_double_sweep": _diameter_double_sweep,
         "attribution_window_sensitivity": _attribution_window_sensitivity,
         "vocab_gini": _vocab_gini,
+        "quantile_treatment_effect": _quantile_treatment_effect,
         "session_bounce_report": _session_bounce_report,
         "neyman_allocation": _neyman_allocation,
         # --- cumulative-green core (driver rows r1-r4) ---
@@ -10769,6 +10779,26 @@ SELECT CAST(n AS BIGINT) AS vocab_size, CAST(sx AS BIGINT) AS total_tokens,
              - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0
          AS vocab_gini
 FROM s
+""",
+        "quantile_treatment_effect": """
+WITH pu AS (SELECT user_id AS uid,
+                   SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS v
+            FROM events WHERE value IS NOT NULL GROUP BY user_id),
+armed AS (SELECT CASE WHEN (CAST(('0x' || substring(md5(CAST(uid AS VARCHAR) || ':qte'), 1, 8)) AS BIGINT) % 1000000) / 1000000.0 < 0.5 THEN 'A' ELSE 'B' END AS arm, uid, v
+          FROM pu),
+ta AS (SELECT v, NTILE(10) OVER (ORDER BY v, uid) AS decile
+       FROM armed WHERE arm = 'A'),
+tb AS (SELECT v, NTILE(10) OVER (ORDER BY v, uid) AS decile
+       FROM armed WHERE arm = 'B'),
+da AS (SELECT decile, MAX(v) AS v_a, COUNT(*) AS n_a FROM ta GROUP BY 1),
+db AS (SELECT decile, MAX(v) AS v_b, COUNT(*) AS n_b FROM tb GROUP BY 1)
+SELECT CAST(da.decile AS BIGINT) AS decile,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       ROUND(CAST(v_a AS DOUBLE), 6) AS value_a,
+       ROUND(CAST(v_b AS DOUBLE), 6) AS value_b,
+       ROUND(CAST(v_b AS DOUBLE) - CAST(v_a AS DOUBLE), 6) + 0
+         AS qte_b_minus_a
+FROM da JOIN db USING (decile) ORDER BY decile
 """,
         "decayed_user_value": """
 WITH mx AS (SELECT epoch_us(MAX(ts)) // 1000000 AS smx FROM events),

@@ -4232,3 +4232,72 @@ def attribution_window_sensitivity(events: DataFrame) -> DataFrame:
         )
         .orderBy("window_seconds")
     )
+
+
+def quantile_treatment_effect(
+    events: DataFrame,
+    id_col: str = "user_id",
+    salt: str = "qte",
+    deciles: int = 10,
+) -> DataFrame:
+    """Quantile treatment effect: per-arm deciles of user lifetime
+    value and their differences — the distributional readout an
+    average lift hides (a treatment can leave the mean flat while
+    shifting only the top decile, or lift the median while hurting
+    whales; QTE is how you see which).
+
+    Assignment replays the md5 unit interval; per-user totals are
+    order-free DECIMAL sums; each arm's decile boundaries come from
+    the scale-safe ``exact_ntile`` (range-partitioned, no global
+    window) as the MAX value in each tile — exact order statistics.
+    The arms join on decile; the effect is one subtraction."""
+    from .curation import exact_ntile, hash_unit
+
+    pu = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(F.col(id_col).alias("uid"))
+        .agg(
+            F.sum(
+                F.round(F.col("value"), 6).cast("decimal(38,6)")
+            ).alias("v")
+        )
+        .select(
+            F.when(hash_unit(F.col("uid"), salt) < 0.5, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("arm"),
+            "uid",
+            "v",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def arm_deciles(arm: str) -> DataFrame:
+        part = pu.filter(F.col("arm") == arm)
+        tiled = exact_ntile(
+            part, [F.col("v"), F.col("uid")], deciles, out_col="decile"
+        )
+        return tiled.groupBy("decile").agg(
+            F.max("v").alias(f"v_{arm.lower()}"),
+            F.count(F.lit(1)).alias(f"n_{arm.lower()}"),
+        )
+
+    a = arm_deciles("A")
+    b = arm_deciles("B")
+    return (
+        a.join(b, "decile")
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(F.col("v_a").cast("double"), 6).alias("value_a"),
+            F.round(F.col("v_b").cast("double"), 6).alias("value_b"),
+            (
+                F.round(
+                    F.col("v_b").cast("double") - F.col("v_a").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("qte_b_minus_a"),
+        )
+        .orderBy("decile")
+    )

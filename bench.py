@@ -287,6 +287,7 @@ HEADLINE = [
     "diameter_double_sweep",
     "attribution_window_sensitivity",
     "vocab_gini",
+    "quantile_treatment_effect",
 ]
 
 

@@ -1515,3 +1515,33 @@ def test_vocab_gini_uniform_vs_skewed(spark):
     )
     r2 = vocab_gini(skew).collect()[0]
     assert r2["vocab_gini"] > 0.7
+
+
+def test_qte_uniform_shift_detected(spark):
+    from datetime import datetime
+
+    from avro_sql_spark.operators.profile import quantile_treatment_effect
+
+    # values identical per user id mod 100; the md5 split makes arms
+    # statistically similar, so every-decile |QTE| stays small relative
+    # to the value scale while the table structure is exact
+    rows = [
+        (u, datetime(2024, 1, 1), u, "purchase", float(u % 100 + 1), "")
+        for u in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    out = quantile_treatment_effect(df).collect()
+    assert [r["decile"] for r in out] == list(range(1, 11))
+    assert sum(r["n_a"] for r in out) + sum(r["n_b"] for r in out) == 400
+    va = [r["value_a"] for r in out]
+    vb = [r["value_b"] for r in out]
+    assert va == sorted(va) and vb == sorted(vb)  # deciles ascend
+    for r in out:
+        assert r["qte_b_minus_a"] == pytest.approx(
+            r["value_b"] - r["value_a"], abs=1e-6
+        )
+        assert abs(r["qte_b_minus_a"]) < 20.0  # same distribution

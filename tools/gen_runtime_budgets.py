@@ -109,6 +109,7 @@ ITERATIVE_ENTRIES = [
     "lm_interpolation_weights",
     "diameter_double_sweep",
     "vocab_gini",
+    "quantile_treatment_effect",
 ]
 
 
