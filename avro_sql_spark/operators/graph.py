@@ -466,36 +466,43 @@ def bfs_distances(
     node_col: str = "node",
 ) -> DataFrame:
     """Multi-source BFS: hop distance from the nearest seed, bounded at
-    ``max_hops`` rounds (nodes further away are absent). The classic
-    frontier expansion as DataFrame ops: each round is ONE node-keyed
-    equi-join (frontier x edges) + ONE min-aggregate — shuffle volume is
-    edge-linear per round, state is node-linear, and the fixed round
-    count makes the result a closed-form function of the edge list that
-    a bounded recursive CTE replays exactly.
+    ``max_hops`` rounds (nodes further away are absent). Textbook
+    FRONTIER expansion as DataFrame ops: each round joins only the
+    NODES REACHED LAST ROUND against the edge list (not the whole
+    reached set — the difference between edge-linear-per-frontier and
+    cumulative re-expansion), dedupes against the reached set with one
+    anti-join, and stops as soon as a round reaches nothing new (a
+    no-op round; the result is identical to running all ``max_hops``,
+    so the fixed-hop recursive-CTE oracle still matches exactly).
 
     ``edges`` must already contain both directions for an undirected
-    graph (copurchase_edges does). Rounds localCheckpoint(eager) so the
-    plan stays shallow (the iterative-algorithm hygiene every loop in
-    this repo follows); superseded frames are unpersisted."""
+    graph (copurchase_edges does). Frames localCheckpoint per round
+    (the iterative-algorithm hygiene every loop in this repo follows);
+    the per-round frontier count is the only driver value."""
     dist = seeds.select(
         F.col(node_col), F.lit(0).cast("int").alias("dist")
     ).localCheckpoint()
-    for _ in range(max_hops):
-        step = (
-            dist.join(edges, dist[node_col] == edges[src_col])
-            .select(
-                F.col(dst_col).alias(node_col),
-                (F.col("dist") + F.lit(1)).alias("dist"),
-            )
+    frontier = dist
+    for r in range(max_hops):
+        cand = (
+            frontier.join(edges, frontier[node_col] == edges[src_col])
+            .select(F.col(dst_col).alias(node_col))
+            .distinct()
         )
-        nxt = (
-            dist.unionByName(step)
-            .groupBy(node_col)
-            .agg(F.min("dist").alias("dist"))
+        new = (
+            cand.join(dist, node_col, "left_anti")
+            .select(
+                F.col(node_col),
+                F.lit(r + 1).cast("int").alias("dist"),
+            )
             .localCheckpoint()
         )
+        if new.count() == 0:
+            break
+        nxt = dist.unionByName(new).localCheckpoint()
         dist.unpersist()
         dist = nxt
+        frontier = new
     return dist.orderBy(node_col)
 
 
