@@ -3992,10 +3992,100 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries with no driver row yet — plus everything changed this round
     — lead; the cumulative-green core follows."""
     return {
-        # --- r5 priority block: the driver sweeps the FIRST ~50 entries
-        # in registration order. Leads: the two rows that were driver-red
-        # on a -0.0 sign bit (oracles now normalize with `+ 0`), then 48
-        # never-driver-checked entries (registered r4). ---
+        # --- r6 window (positions 0-49): the driver sweeps the FIRST ~50
+        # entries in registration order. Leads: never-checked r5 entries +
+        # the 4 rewritten in r5 (global-window -> global_rank devices; all
+        # re-verified bit-exact by tools/check_correctness.py locally). ---
+        "supplier_hhi": _supplier_hhi,
+        "markov_stationary": _markov_stationary,
+        "benford_audit": _benford_audit,
+        "gini_value_concentration": _gini_value_concentration,
+        "kaplan_meier_conversion": _kaplan_meier_conversion,
+        "log_odds_terms": _log_odds_terms,
+        "heldout_nll": _heldout_nll,
+        "negative_sampling_table": _negative_sampling_table,
+        "weekday_hour_profile": _weekday_hour_profile,
+        "pareto_value_report": _pareto_value_report,
+        "fano_burstiness": _fano_burstiness,
+        "source_kl_matrix": _source_kl_matrix,
+        "dup_cluster_size_histogram": _dup_cluster_size_histogram,
+        "streaming_outer_attribution": _streaming_outer_attribution,
+        "skipping_effectiveness": _skipping_effectiveness,
+        "zipf_fit": _zipf_fit,
+        "quality_shards": _quality_shards,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "embedding_energy_profile": _embedding_energy_profile,
+        "doremi_weights": _doremi_weights,
+        "link_prediction_topk": _link_prediction_topk,
+        "mutual_information_report": _mutual_information_report,
+        "cuped_adjusted_lift": _cuped_adjusted_lift,
+        "theilsen_trend": _theilsen_trend,
+        "seasonal_residual_outliers": _seasonal_residual_outliers,
+        "key_locality_report": _key_locality_report,
+        "file_overlap_depth": _file_overlap_depth,
+        "cow_rewrite_plan": _cow_rewrite_plan,
+        "payload_dedup_stats": _payload_dedup_stats,
+        "good_turing_vocab": _good_turing_vocab,
+        "typo_candidate_pairs": _typo_candidate_pairs,
+        "markov_next_event_backtest": _markov_next_event_backtest,
+        "score_decile_calibration": _score_decile_calibration,
+        "ann_mrr_lsh": _ann_mrr_lsh,
+        "textrank_keywords": _textrank_keywords,
+        "conformal_interval_counts": _conformal_interval_counts,
+        "bloom_fpr_audit": _bloom_fpr_audit,
+        "source_ks_matrix": _source_ks_matrix,
+        "decayed_user_value": _decayed_user_value,
+        "selectivity_estimate_audit": _selectivity_estimate_audit,
+        "retention_decay_fit": _retention_decay_fit,
+        "roc_auc_by_source": _roc_auc_by_source,
+        "acf_hourly": _acf_hourly,
+        "shuffle_skew_audit": _shuffle_skew_audit,
+        "spearman_user_corr": _spearman_user_corr,
+        "srm_audit": _srm_audit,
+        "local_clustering_curve": _local_clustering_curve,
+        "mann_whitney_matrix": _mann_whitney_matrix,
+        "cramers_v_report": _cramers_v_report,
+        "simpson_event_diversity": _simpson_event_diversity,
+        # --- r7 stragglers (positions 50-84): never-driver-checked r5
+        # entries queued directly behind the r6 window. ---
+        "hits_supplier_authority": _hits_supplier_authority,
+        "eb_shrunk_rates": _eb_shrunk_rates,
+        "dp_count_release": _dp_count_release,
+        "entropy_rate_bigram": _entropy_rate_bigram,
+        "burrows_delta": _burrows_delta,
+        "did_lift": _did_lift,
+        "lorenz_curve_points": _lorenz_curve_points,
+        "new_vs_returning_mix": _new_vs_returning_mix,
+        "repeat_purchase_interval": _repeat_purchase_interval,
+        "negbin_overdispersion": _negbin_overdispersion,
+        "basket_affinity_lift": _basket_affinity_lift,
+        "price_elasticity": _price_elasticity,
+        "runs_test_daily": _runs_test_daily,
+        "embedding_isotropy": _embedding_isotropy,
+        "script_profile": _script_profile,
+        "posting_list_histogram": _posting_list_histogram,
+        "degree_powerlaw_fit": _degree_powerlaw_fit,
+        "join_order_cost_audit": _join_order_cost_audit,
+        "mad_outlier_days": _mad_outlier_days,
+        "community_modularity": _community_modularity,
+        "markov_removal_attribution": _markov_removal_attribution,
+        "sequence_pattern_support": _sequence_pattern_support,
+        "referential_coverage_report": _referential_coverage_report,
+        "power_analysis_report": _power_analysis_report,
+        "dim_broadcast_audit": _dim_broadcast_audit,
+        "kmeans_silhouette": _kmeans_silhouette,
+        "tail_index_user_value": _tail_index_user_value,
+        "lm_interpolation_weights": _lm_interpolation_weights,
+        "weighted_reservoir_sample": _weighted_reservoir_sample,
+        "diameter_double_sweep": _diameter_double_sweep,
+        "attribution_window_sensitivity": _attribution_window_sensitivity,
+        "vocab_gini": _vocab_gini,
+        "quantile_treatment_effect": _quantile_treatment_effect,
+        "session_bounce_report": _session_bounce_report,
+        "neyman_allocation": _neyman_allocation,
+        # --- new in r6 (registered BEHIND the never-checked block so the
+        # r7 sweep covers stragglers first, then these) ---
+        # --- cumulative-green core (driver rows r1-r5) ---
         "embedding_covariance": _embedding_covariance,
         "embedding_correlation": _embedding_correlation,
         "kmeans_clusters": _kmeans_clusters,
@@ -4046,96 +4136,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_burstiness": _term_burstiness,
         "interarrival_stats": _interarrival_stats,
         "user_entropy": _user_entropy,
-        # --- r6 head: never-checked remainder + entries whose Spark code
-        # changed this round (global-window -> global_rank rewrites; all
-        # re-verified bit-exact by tools/check_correctness.py locally). ---
-        "supplier_hhi": _supplier_hhi,
-        "markov_stationary": _markov_stationary,
-        "benford_audit": _benford_audit,
-        "gini_value_concentration": _gini_value_concentration,
-        "kaplan_meier_conversion": _kaplan_meier_conversion,
-        "log_odds_terms": _log_odds_terms,
-        "heldout_nll": _heldout_nll,
-        "negative_sampling_table": _negative_sampling_table,
-        "weekday_hour_profile": _weekday_hour_profile,
-        "pareto_value_report": _pareto_value_report,
-        "fano_burstiness": _fano_burstiness,
-        "source_kl_matrix": _source_kl_matrix,
-        "dup_cluster_size_histogram": _dup_cluster_size_histogram,
-        "streaming_outer_attribution": _streaming_outer_attribution,
-        "skipping_effectiveness": _skipping_effectiveness,
-        "zipf_fit": _zipf_fit,
-        "quality_shards": _quality_shards,
-        "q15_top_supplier": relational.q15_top_supplier,
-        # --- new in r5 (lead the r6/r7 sweeps with the block above) ---
-        "embedding_energy_profile": _embedding_energy_profile,
-        "doremi_weights": _doremi_weights,
-        "link_prediction_topk": _link_prediction_topk,
-        "mutual_information_report": _mutual_information_report,
-        "cuped_adjusted_lift": _cuped_adjusted_lift,
-        "theilsen_trend": _theilsen_trend,
-        "seasonal_residual_outliers": _seasonal_residual_outliers,
-        "key_locality_report": _key_locality_report,
-        "file_overlap_depth": _file_overlap_depth,
-        "cow_rewrite_plan": _cow_rewrite_plan,
-        "payload_dedup_stats": _payload_dedup_stats,
-        "good_turing_vocab": _good_turing_vocab,
-        "typo_candidate_pairs": _typo_candidate_pairs,
-        "markov_next_event_backtest": _markov_next_event_backtest,
-        "score_decile_calibration": _score_decile_calibration,
-        "ann_mrr_lsh": _ann_mrr_lsh,
-        "textrank_keywords": _textrank_keywords,
-        "conformal_interval_counts": _conformal_interval_counts,
-        "bloom_fpr_audit": _bloom_fpr_audit,
-        "source_ks_matrix": _source_ks_matrix,
-        "decayed_user_value": _decayed_user_value,
-        "selectivity_estimate_audit": _selectivity_estimate_audit,
-        "retention_decay_fit": _retention_decay_fit,
-        "roc_auc_by_source": _roc_auc_by_source,
-        "acf_hourly": _acf_hourly,
-        "shuffle_skew_audit": _shuffle_skew_audit,
-        "spearman_user_corr": _spearman_user_corr,
-        "srm_audit": _srm_audit,
-        "local_clustering_curve": _local_clustering_curve,
-        "mann_whitney_matrix": _mann_whitney_matrix,
-        "cramers_v_report": _cramers_v_report,
-        "simpson_event_diversity": _simpson_event_diversity,
-        "hits_supplier_authority": _hits_supplier_authority,
-        "eb_shrunk_rates": _eb_shrunk_rates,
-        "dp_count_release": _dp_count_release,
-        "entropy_rate_bigram": _entropy_rate_bigram,
-        "burrows_delta": _burrows_delta,
-        "did_lift": _did_lift,
-        "lorenz_curve_points": _lorenz_curve_points,
-        "new_vs_returning_mix": _new_vs_returning_mix,
-        "repeat_purchase_interval": _repeat_purchase_interval,
-        "negbin_overdispersion": _negbin_overdispersion,
-        "basket_affinity_lift": _basket_affinity_lift,
-        "price_elasticity": _price_elasticity,
-        "runs_test_daily": _runs_test_daily,
-        "embedding_isotropy": _embedding_isotropy,
-        "script_profile": _script_profile,
-        "posting_list_histogram": _posting_list_histogram,
-        "degree_powerlaw_fit": _degree_powerlaw_fit,
-        "join_order_cost_audit": _join_order_cost_audit,
-        "mad_outlier_days": _mad_outlier_days,
-        "community_modularity": _community_modularity,
-        "markov_removal_attribution": _markov_removal_attribution,
-        "sequence_pattern_support": _sequence_pattern_support,
-        "referential_coverage_report": _referential_coverage_report,
-        "power_analysis_report": _power_analysis_report,
-        "dim_broadcast_audit": _dim_broadcast_audit,
-        "kmeans_silhouette": _kmeans_silhouette,
-        "tail_index_user_value": _tail_index_user_value,
-        "lm_interpolation_weights": _lm_interpolation_weights,
-        "weighted_reservoir_sample": _weighted_reservoir_sample,
-        "diameter_double_sweep": _diameter_double_sweep,
-        "attribution_window_sensitivity": _attribution_window_sensitivity,
-        "vocab_gini": _vocab_gini,
-        "quantile_treatment_effect": _quantile_treatment_effect,
-        "session_bounce_report": _session_bounce_report,
-        "neyman_allocation": _neyman_allocation,
-        # --- cumulative-green core (driver rows r1-r4) ---
         "minhash_calibration": _minhash_calibration,
         "incremental_near_dup": _incremental_near_dup,
         "heaps_curve": _heaps_curve,
@@ -9862,7 +9862,10 @@ FROM dev d CROSS JOIN params p ORDER BY group_key
 """,
         "dp_count_release": f"""
 WITH per AS (SELECT event_type AS g, COUNT(*) AS n FROM events GROUP BY 1),
-x AS (SELECT g, n, ({_hash_unit("g", "dp")}) - 0.5 AS ctr FROM per),
+x AS (SELECT g, n,
+             (({_hash_unit("g", "dp")}) * 999999.0 + 1.0) / 1000000.0 - 0.5
+               AS ctr
+      FROM per),
 nz AS (SELECT g, n,
               ROUND(-1.0 * SIGN(ctr) * LN(1.0 - 2.0 * ABS(ctr)), 6) AS nr
        FROM x)
@@ -10307,13 +10310,16 @@ SELECT CAST(mono.m AS BIGINT) AS n_edges,
 FROM mono CROSS JOIN dt
 """,
         "markov_removal_attribution": """
-WITH seq AS (
-  SELECT user_id, event_type, ts, event_id,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
-         MIN(CASE WHEN event_type = 'purchase' THEN ts END)
-           OVER (PARTITION BY user_id) AS conv_ts
+WITH idx AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
   FROM events),
-fseq AS (SELECT * FROM seq WHERE conv_ts IS NULL OR ts <= conv_ts),
+seq AS (
+  SELECT user_id, event_type, i,
+         MIN(CASE WHEN event_type = 'purchase' THEN i END)
+           OVER (PARTITION BY user_id) AS conv_i
+  FROM idx),
+fseq AS (SELECT * FROM seq WHERE conv_i IS NULL OR i <= conv_i),
 steps AS (SELECT user_id,
                  COALESCE(LAG(event_type) OVER (PARTITION BY user_id
                           ORDER BY i), 'START') AS s,
@@ -10321,7 +10327,7 @@ steps AS (SELECT user_id,
                       ELSE event_type END AS d,
                  i,
                  MAX(i) OVER (PARTITION BY user_id) AS last_i,
-                 conv_ts IS NOT NULL AS converted
+                 conv_i IS NOT NULL AS converted
           FROM fseq),
 tails AS (SELECT d AS s, 'NULL' AS d FROM steps
           WHERE i = last_i AND NOT converted),
@@ -10765,7 +10771,7 @@ SELECT '7d', 604800, CAST(c604800 AS BIGINT), CAST(n AS BIGINT),
        ROUND(CAST(c604800 AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM agg
 ORDER BY window_seconds
 """,
-        "vocab_gini": """
+        "vocab_gini": r"""
 WITH toks AS (SELECT unnest(list_filter(string_split_regex(lower(text),
                      '\s+'), x -> regexp_matches(x, '^[a-z]+$'))) AS w
               FROM documents),

@@ -128,9 +128,9 @@ def quality_shards_approx(
     id_col: str = "doc_id",
     relative_error: float = 0.001,
 ) -> DataFrame:
-    """The 100 TB variant of :func:`quality_shards`: the global NTILE
-    needs a total order (one partition holds every row), which is exact
-    but caps out around 10^8 rows. Here the shard boundaries come from
+    """The one-pass variant of :func:`quality_shards`: the exact
+    version runs a two-pass range-partitioned rank (:func:`exact_ntile`
+    — scale-safe, but two jobs). Here the shard boundaries come from
     an ``approxQuantile`` sketch (Greenwald-Khanna, driver-merged,
     bounded memory) and shard assignment is a row-local comparison
     against the broadcast cut list — no global sort, no shuffle beyond
@@ -1299,14 +1299,21 @@ def dp_count_release(
     portable md5 unit interval via the inverse CDF,
     noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|). The u=½ center maps to
     noise 0; u is quantized to 1e−6 buckets so ln's argument is
-    exactly representable in both engines. All remaining ops are
-    single IEEE ops on exact inputs; counts are exact integers.
-    Scale shape: one map-side-combined aggregate; noise is row-local
-    arithmetic on the groups-sized frame."""
+    exactly representable in both engines, and remapped into the OPEN
+    interval via (u·999999+1)/1e6 (the weighted_reservoir_sample
+    device): the raw md5 bucket can be exactly 0 (~1e−6 per key),
+    where ln(1−2|u−½|) = ln(0) — Spark F.log would return NULL while
+    the DuckDB oracle LN(0) throws, a latent engine divergence for
+    unlucky keys. All remaining ops are single IEEE ops on exact
+    inputs; counts are exact integers. Scale shape: one
+    map-side-combined aggregate; noise is row-local arithmetic on the
+    groups-sized frame."""
     per = events.groupBy(F.col(group_col).alias("g")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    u = hash_unit(F.col("g"), salt)
+    u = (hash_unit(F.col("g"), salt) * F.lit(999999.0) + F.lit(1.0)) / F.lit(
+        1000000.0
+    )
     centered = u - F.lit(0.5)
     noise = (
         F.lit(-1.0 / epsilon)

@@ -476,7 +476,10 @@ def bfs_distances(
     so the fixed-hop recursive-CTE oracle still matches exactly).
 
     ``edges`` must already contain both directions for an undirected
-    graph (copurchase_edges does). Frames localCheckpoint per round
+    graph (copurchase_edges does). ``seeds`` must be UNIQUE on
+    ``node_col`` (a stated precondition: duplicate seed rows would
+    yield duplicate dist=0 output rows; every in-repo caller passes a
+    distinct or limit-1 seed frame). Frames localCheckpoint per round
     (the iterative-algorithm hygiene every loop in this repo follows);
     the per-round frontier count is the only driver value."""
     dist = seeds.select(
@@ -1192,7 +1195,7 @@ def community_modularity(
     dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     dterm = dc.agg(
         F.count(F.lit(1)).alias("n_communities"),
-        F.sum(dec(F.col("dc") * F.col("dc"))).alias("sd2"),
+        F.sum(dec(F.col("dc")) * dec(F.col("dc"))).alias("sd2"),
         F.max("sz").alias("largest_community"),
     )
     j = mono.crossJoin(F.broadcast(dterm))

@@ -2318,13 +2318,13 @@ def roc_auc_by_source(
     agg = k.groupBy("s").agg(
         F.sum("np").alias("n_pos"),
         F.sum("nn").alias("n_neg"),
-        F.sum(dec(F.col("np") * F.col("cn"))).alias("conc"),
-        F.sum(dec(F.col("np") * F.col("nn"))).alias("tied"),
+        F.sum(dec(F.col("np")) * dec(F.col("cn"))).alias("conc"),
+        F.sum(dec(F.col("np")) * dec(F.col("nn"))).alias("tied"),
     )
     auc = (
         (F.lit(2) * F.col("conc") + F.col("tied")).cast("double")
         / F.nullif(
-            (F.lit(2) * dec(F.col("n_pos") * F.col("n_neg"))).cast("double"),
+            (F.lit(2) * dec(F.col("n_pos")) * dec(F.col("n_neg"))).cast("double"),
             F.lit(0.0),
         )
     )
@@ -2360,8 +2360,11 @@ def acf_hourly(
     is TIME-bounded (hours in the data span, not rows); the lag join is
     an equi-join on integer hour index over that bounded frame.
     """
+    # FLOOR, not cast-to-long: cast truncates toward zero, which
+    # diverges from the oracle's floor division for pre-1970 epochs
+    # (the repo's FLOOR-both-sides rule).
     hrs = events.select(
-        (F.unix_timestamp(F.col(ts_col)) / F.lit(3600))
+        F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(3600))
         .cast("long")
         .alias("hi")
     )
@@ -2377,7 +2380,7 @@ def acf_hourly(
     tot = spine.agg(
         F.count(F.lit(1)).alias("h"),
         F.sum(dec(F.col("c"))).alias("s"),
-        F.sum(dec(F.col("c") * F.col("c"))).alias("q"),
+        F.sum(dec(F.col("c")) * dec(F.col("c"))).alias("q"),
     )
     spark = events.sparkSession
     lags = spark.range(1, max_lag + 1).select(F.col("id").alias("lag"))
@@ -2389,7 +2392,7 @@ def acf_hourly(
         cur.join(prev, "hj")
         .groupBy("lag")
         .agg(
-            F.sum(dec(F.col("c") * F.col("c2"))).alias("x"),
+            F.sum(dec(F.col("c")) * dec(F.col("c2"))).alias("x"),
             F.sum(dec(F.col("c"))).alias("a"),
             F.sum(dec(F.col("c2"))).alias("b"),
         )
@@ -2505,9 +2508,9 @@ def spearman_user_corr(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(dec(F.col("ix2"))).alias("sx"),
         F.sum(dec(F.col("iy2"))).alias("sy"),
-        F.sum(dec(F.col("ix2") * F.col("iy2"))).alias("sxy"),
-        F.sum(dec(F.col("ix2") * F.col("ix2"))).alias("sxx"),
-        F.sum(dec(F.col("iy2") * F.col("iy2"))).alias("syy"),
+        F.sum(dec(F.col("ix2")) * dec(F.col("iy2"))).alias("sxy"),
+        F.sum(dec(F.col("ix2")) * dec(F.col("ix2"))).alias("sxx"),
+        F.sum(dec(F.col("iy2")) * dec(F.col("iy2"))).alias("syy"),
     )
     n = F.col("n").cast("decimal(38,0)")
     num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
@@ -2780,7 +2783,7 @@ def simpson_event_diversity(events: DataFrame) -> DataFrame:
     dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     per_user = ut.groupBy("user_id").agg(
         F.sum(dec(F.col("c"))).alias("n"),
-        F.sum(dec(F.col("c") * F.col("c"))).alias("q"),
+        F.sum(dec(F.col("c")) * dec(F.col("c"))).alias("q"),
     )
     inv = (
         (F.col("n") * F.col("n")).cast("double")
@@ -3137,7 +3140,7 @@ def negbin_overdispersion(events: DataFrame) -> DataFrame:
     s = pu.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dec(F.col("c"))).alias("sc"),
-        F.sum(dec(F.col("c") * F.col("c"))).alias("sq"),
+        F.sum(dec(F.col("c")) * dec(F.col("c"))).alias("sq"),
     )
     n = F.col("n").cast("double")
     m = F.col("sc").cast("double") / n
@@ -3196,8 +3199,8 @@ def price_elasticity(
         F.count(F.lit(1)).alias("n"),
         F.sum(dec(F.col("x"))).alias("sx"),
         F.sum(dec(F.col("y"))).alias("sy"),
-        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
-        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
     )
     n = F.col("n").cast("decimal(38,0)")
     slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / F.nullif(
@@ -3478,16 +3481,24 @@ def markov_removal_attribution(
     checkpointed tiny frame (the markov_stationary discipline), so the
     oracle unrolls the identical recursion. Absorption sums are over
     ≤|states| float terms — the pagerank-proven class."""
+    # Cut the journey at the conversion EVENT's position in the
+    # (ts, event_id) total order, not at its raw ts: a ts-only cut
+    # keeps timestamp-tied events that sort AFTER the conversion,
+    # injecting transitions out of the absorbing CONV step. The row
+    # index i is that total order, so `i <= conv_i` is tie-exact and
+    # engine-portable (ROW_NUMBER is identical both sides).
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = events.select(
+    idx = events.select(
+        "user_id", "event_type", F.row_number().over(w).alias("i")
+    )
+    seq = idx.select(
         "user_id",
         "event_type",
-        F.row_number().over(w).alias("i"),
+        "i",
         F.min(
-            F.when(F.col("event_type") == conv_type, F.col("ts"))
-        ).over(Window.partitionBy("user_id")).alias("conv_ts"),
-        "ts",
-    ).filter(F.col("conv_ts").isNull() | (F.col("ts") <= F.col("conv_ts")))
+            F.when(F.col("event_type") == conv_type, F.col("i"))
+        ).over(Window.partitionBy("user_id")).alias("conv_i"),
+    ).filter(F.col("conv_i").isNull() | (F.col("i") <= F.col("conv_i")))
     wj = Window.partitionBy("user_id").orderBy("i")
     steps = seq.select(
         "user_id",
@@ -3497,7 +3508,7 @@ def markov_removal_attribution(
         .alias("d"),
         "i",
         F.max("i").over(Window.partitionBy("user_id")).alias("last_i"),
-        F.col("conv_ts").isNotNull().alias("converted"),
+        F.col("conv_i").isNotNull().alias("converted"),
     )
     tails = (
         steps.filter(
@@ -3978,7 +3989,7 @@ def neyman_allocation(
     per = docs.groupBy(F.col(group_col).alias("g")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dec(F.col(value_col))).alias("sx"),
-        F.sum(dec(F.col(value_col) * F.col(value_col))).alias("sq"),
+        F.sum(dec(F.col(value_col)) * dec(F.col(value_col))).alias("sq"),
     )
     n = F.col("n").cast("double")
     var = (

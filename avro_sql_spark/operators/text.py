@@ -1976,7 +1976,7 @@ def vocab_gini(
     s = ranked.agg(
         F.max("nv").alias("n"),
         F.sum(dec(F.col("c"))).alias("sx"),
-        F.sum(dec(F.col("i") * F.col("c"))).alias("six"),
+        F.sum(dec(F.col("i")) * dec(F.col("c"))).alias("six"),
     )
     n = F.col("n").cast("decimal(38,0)")
     gini = (
