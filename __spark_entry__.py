@@ -3985,6 +3985,62 @@ def _quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_treatment_effect(t["events"])
 
 
+def _chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Chao1 unseen-vocabulary estimate + Good-Turing
+    coverage (text.chao1_richness; exact-integer f1/f2)."""
+    from avro_sql_spark.operators.text import chao1_richness
+
+    t = load_tables(spark, sf_dir, register=False)
+    return chao1_richness(t["documents"])
+
+
+def _poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI for per-event-type mean value
+    (profile.poisson_bootstrap_ci; md5 CDF-ladder multiplicities,
+    order-statistic interval over 32 replicate means)."""
+    from avro_sql_spark.operators.profile import poisson_bootstrap_ci
+
+    t = load_tables(spark, sf_dir, register=False)
+    return poisson_bootstrap_ci(t["events"])
+
+
+def _bh_fdr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up over per-event-type A/B Welch tests
+    (profile.bh_fdr_report; logistic-approx normal CDF, 9dp p-values)."""
+    from avro_sql_spark.operators.profile import bh_fdr_report
+
+    t = load_tables(spark, sf_dir, register=False)
+    return bh_fdr_report(t["events"])
+
+
+def _psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index of the value distribution between
+    the two halves of the data span (profile.psi_drift_report;
+    exact_ntile deciles, 9dp-quantized terms)."""
+    from avro_sql_spark.operators.profile import psi_drift_report
+
+    t = load_tables(spark, sf_dir, register=False)
+    return psi_drift_report(t["events"])
+
+
+def _salt_plan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salting planner over the user_id key histogram
+    (profile.salt_plan_report; all-integer ceil arithmetic)."""
+    from avro_sql_spark.operators.profile import salt_plan_report
+
+    t = load_tables(spark, sf_dir, register=False)
+    return salt_plan_report(t["events"])
+
+
+def _jackknife_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-day jackknife CI for conversions-per-event
+    (profile.jackknife_ratio_ci; exact decimal deviation sum)."""
+    from avro_sql_spark.operators.profile import jackknife_ratio_ci
+
+    t = load_tables(spark, sf_dir, register=False)
+    return jackknife_ratio_ci(t["events"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes ~50 entries in this order per round (r1 covered the first
@@ -4085,6 +4141,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neyman_allocation": _neyman_allocation,
         # --- new in r6 (registered BEHIND the never-checked block so the
         # r7 sweep covers stragglers first, then these) ---
+        "chao1_vocab_richness": _chao1_vocab_richness,
+        "poisson_bootstrap_ci": _poisson_bootstrap_ci,
+        "bh_fdr_report": _bh_fdr_report,
+        "psi_drift_report": _psi_drift_report,
+        "salt_plan_report": _salt_plan_report,
+        "jackknife_ratio_ci": _jackknife_ratio_ci,
         # --- cumulative-green core (driver rows r1-r5) ---
         "embedding_covariance": _embedding_covariance,
         "embedding_correlation": _embedding_correlation,
@@ -10975,6 +11037,176 @@ SELECT 'lsh_bucketed' AS method,
        ROUND(SUM(CASE WHEN rk IS NULL THEN 1 ELSE 0 END)
              / CAST(COUNT(*) AS DOUBLE), 6) AS miss_rate
 FROM j
+""",
+        "chao1_vocab_richness": r"""
+WITH toks AS (SELECT source AS s,
+                     unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> regexp_matches(x, '^[a-z]+$'))) AS w
+              FROM documents),
+counts AS (SELECT s, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+per AS (SELECT s, COUNT(*) AS vocab, SUM(c) AS n_tokens,
+               SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+               SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+        FROM counts GROUP BY s)
+SELECT s AS source, CAST(vocab AS BIGINT) AS vocab_size,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+       ROUND(CAST(vocab AS DOUBLE)
+             + CAST(CAST(f1 AS DECIMAL(38,0)) * (f1 - 1) AS DOUBLE)
+               / (2.0 * CAST(f2 + 1 AS DOUBLE)), 6) + 0 AS chao1_estimate,
+       ROUND(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) + 0
+         AS coverage
+FROM per ORDER BY source
+""",
+        "poisson_bootstrap_ci": """
+WITH ev AS (SELECT event_type AS g, event_id,
+                   CAST(ROUND(value, 6) AS DECIMAL(38,6)) AS qv
+            FROM events WHERE value IS NOT NULL),
+base AS (SELECT g, COUNT(*) AS n_events, SUM(qv) AS sv FROM ev GROUP BY g),
+reps AS (SELECT g, event_id, qv, t.b AS b
+         FROM ev CROSS JOIN (SELECT unnest(range(0, 32)) AS b) t),
+us AS (SELECT g, b, qv, (CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':boot'), 1, 8)) AS BIGINT) % 1000000) / 1000000.0 AS u FROM reps),
+wts AS (SELECT g, b, qv,
+               CASE WHEN u < 0.36787944117144233 THEN 0
+                    WHEN u < 0.7357588823428847 THEN 1
+                    WHEN u < 0.9196986029286058 THEN 2
+                    WHEN u < 0.9810118431238462 THEN 3
+                    WHEN u < 0.9963401531726563 THEN 4
+                    WHEN u < 0.9994058151824183 THEN 5
+                    ELSE 6 END AS w
+        FROM us),
+per AS (SELECT g, b, SUM(CAST(w AS DECIMAL(38,0)) * qv) AS sw, SUM(w) AS nw
+        FROM wts GROUP BY g, b),
+means AS (SELECT g, b,
+                 ROUND(CAST(sw AS DOUBLE)
+                       / nullif(CAST(nw AS DOUBLE), 0.0), 9) + 0 AS m
+          FROM per),
+ranked AS (SELECT g, m,
+                  ROW_NUMBER() OVER (PARTITION BY g ORDER BY m, b) AS r
+           FROM means),
+ci AS (SELECT g, MAX(CASE WHEN r = 2 THEN m END) AS lo,
+              MAX(CASE WHEN r = 31 THEN m END) AS hi
+       FROM ranked GROUP BY g)
+SELECT g AS group_key, CAST(n_events AS BIGINT) AS n_events,
+       ROUND(CAST(sv AS DOUBLE) / CAST(n_events AS DOUBLE), 6) + 0
+         AS point_mean,
+       ROUND(lo, 6) + 0 AS boot_lo, ROUND(hi, 6) + 0 AS boot_hi
+FROM base JOIN ci USING (g) ORDER BY group_key
+""",
+        "bh_fdr_report": """
+WITH ev AS (SELECT event_type AS g,
+                   CASE WHEN (CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':bh'), 1, 8)) AS BIGINT) % 1000000) / 1000000.0 < 0.5 THEN 'A' ELSE 'B' END AS arm,
+                   CAST(ROUND(value, 6) AS DECIMAL(38,6)) AS qv
+            FROM events WHERE value IS NOT NULL),
+per AS (SELECT g, arm, COUNT(*) AS n, SUM(qv) AS s, SUM(qv * qv) AS ss
+        FROM ev GROUP BY 1, 2),
+j AS (SELECT a.g, a.n AS na, a.s AS sa, a.ss AS ssa,
+             b.n AS nb, b.s AS sb, b.ss AS ssb
+      FROM per a JOIN per b ON a.g = b.g AND a.arm = 'A' AND b.arm = 'B'),
+zs AS (SELECT g, na, nb,
+              (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+               - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+              / nullif(SQRT(
+                  (CAST(CAST(na AS DECIMAL(38,0)) * ssa - sa * sa AS DOUBLE)
+                   / (CAST(na AS DOUBLE) * CAST(na - 1 AS DOUBLE)))
+                  / CAST(na AS DOUBLE)
+                + (CAST(CAST(nb AS DECIMAL(38,0)) * ssb - sb * sb AS DOUBLE)
+                   / (CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE)))
+                  / CAST(nb AS DOUBLE)), 0.0) AS z
+       FROM j),
+ps AS (SELECT g, na, nb, ROUND(z, 6) AS z6,
+              ROUND(2.0 * (1.0 - 1.0 / (1.0
+                + EXP(-(0.07056 * ABS(z) * ABS(z) * ABS(z)
+                        + 1.5976 * ABS(z))))), 9) + 0 AS p
+       FROM zs),
+ranked AS (SELECT g, na, nb, z6, p,
+                  ROW_NUMBER() OVER (ORDER BY p, g) AS r,
+                  COUNT(*) OVER () AS m
+           FROM ps),
+k AS (SELECT MAX(CASE WHEN p <= CAST(r AS DOUBLE) * 0.1
+                               / CAST(m AS DOUBLE)
+                      THEN r ELSE 0 END) AS kk
+      FROM ranked)
+SELECT g AS event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       z6 + 0 AS z, p AS p_value, CAST(r AS BIGINT) AS p_rank,
+       r <= kk AS rejected
+FROM ranked CROSS JOIN k ORDER BY p_rank
+""",
+        "psi_drift_report": """
+WITH bounds AS (SELECT (epoch_us(MIN(ts)) // 1000000
+                        + epoch_us(MAX(ts)) // 1000000) // 2 AS mid
+                FROM events),
+ev AS (SELECT event_id, value,
+              CASE WHEN epoch_us(ts) // 1000000 < b.mid THEN 1 ELSE 2 END
+                AS half
+       FROM events, bounds b WHERE value IS NOT NULL),
+tiled AS (SELECT half,
+                 NTILE(10) OVER (ORDER BY value, event_id) AS decile
+          FROM ev),
+cells AS (SELECT decile,
+                 SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_h1,
+                 SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS n_h2
+          FROM tiled GROUP BY decile),
+tot AS (SELECT SUM(n_h1) AS t1, SUM(n_h2) AS t2 FROM cells),
+terms AS (SELECT decile, n_h1, n_h2,
+                 CASE WHEN n_h1 > 0 AND n_h2 > 0 THEN
+                   ROUND((CAST(n_h1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+                          - CAST(n_h2 AS DOUBLE) / CAST(t2 AS DOUBLE))
+                         * LN((CAST(n_h1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+                              / (CAST(n_h2 AS DOUBLE) / CAST(t2 AS DOUBLE))),
+                         9) + 0
+                 END AS psi_term
+          FROM cells CROSS JOIN tot),
+total AS (SELECT ROUND(CAST(COALESCE(
+                   SUM(CAST(psi_term AS DECIMAL(38,9))),
+                   CAST(0 AS DECIMAL(38,9))) AS DOUBLE), 6) AS pt
+          FROM terms)
+SELECT CAST(decile AS BIGINT) AS decile, CAST(n_h1 AS BIGINT) AS n_h1,
+       CAST(n_h2 AS BIGINT) AS n_h2, psi_term, pt + 0 AS psi_total
+FROM terms CROSS JOIN total ORDER BY decile
+""",
+        "salt_plan_report": """
+WITH per AS (SELECT user_id AS k, COUNT(*) AS n FROM events GROUP BY 1),
+tot AS (SELECT SUM(n) AS total FROM per),
+j AS (SELECT k, n, (total + 32 - 1) // 32 AS t FROM per CROSS JOIN tot),
+s AS (SELECT k, n, t,
+             GREATEST(1, LEAST(16, (n + t - 1) // t)) AS salt_n
+      FROM j)
+SELECT CAST(k AS BIGINT) AS key, CAST(n AS BIGINT) AS n_rows,
+       CAST(t AS BIGINT) AS target_rows, CAST(salt_n AS BIGINT) AS salt_n,
+       CAST((n + salt_n - 1) // salt_n AS BIGINT) AS rows_per_task_after
+FROM s ORDER BY n_rows DESC, key LIMIT 20
+""",
+        "jackknife_ratio_ci": """
+WITH daily AS (SELECT date_trunc('day', ts) AS d, COUNT(*) AS e,
+                      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS p
+               FROM events GROUP BY 1),
+tot AS (SELECT SUM(e) AS te, SUM(p) AS tp, COUNT(*) AS nd FROM daily),
+loo AS (SELECT te, tp, nd,
+               CAST(ROUND(CAST(tp - p AS DOUBLE)
+                          / nullif(CAST(te - e AS DOUBLE), 0.0)
+                          * 1000000000.0, 0) AS BIGINT) AS ri
+        FROM daily CROSS JOIN tot),
+s AS (SELECT te, tp, nd,
+             SUM(CAST(ri AS DECIMAL(38,0))) AS sr,
+             SUM(CAST(ri AS DECIMAL(38,0)) * CAST(ri AS DECIMAL(38,0)))
+               AS srr
+      FROM loo GROUP BY 1, 2, 3),
+fin AS (SELECT nd, te, tp,
+               CAST(tp AS DOUBLE) / CAST(te AS DOUBLE) AS ratio,
+               SQRT(GREATEST((CAST(nd AS DOUBLE) - 1.0)
+                 * CAST(CAST(nd AS DECIMAL(38,0)) * srr - sr * sr AS DOUBLE)
+                 / (CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE)), 0.0))
+               / 1000000000.0 AS se
+        FROM s)
+SELECT CAST(nd AS BIGINT) AS n_days, CAST(te AS BIGINT) AS n_events,
+       CAST(tp AS BIGINT) AS n_conversions,
+       ROUND(ratio, 6) + 0 AS ratio,
+       ROUND(se, 6) + 0 AS jk_se,
+       ROUND(ratio - 1.959963985 * se, 6) + 0 AS ci_lo,
+       ROUND(ratio + 1.959963985 * se, 6) + 0 AS ci_hi
+FROM fin
 """,
         # no oracle (rows-only by design — sketch-/eigen-dependent,
         # approximate-by-construction, or sequential-fold):

@@ -4312,3 +4312,460 @@ def quantile_treatment_effect(
         )
         .orderBy("decile")
     )
+
+
+def poisson_bootstrap_ci(
+    events: DataFrame,
+    group_col: str = "event_type",
+    n_replicates: int = 32,
+    salt: str = "boot",
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the per-group mean
+    value (Chamandy et al. 2012, "Estimating Uncertainty for Massive
+    Data Streams" — the Google large-scale bootstrap): instead of
+    resampling n rows WITH replacement (which needs a global pass per
+    replicate), each row independently draws a Poisson(1) multiplicity
+    per replicate, which converges to the multinomial bootstrap at
+    large n and makes every replicate a ROW-LOCAL weight. All
+    ``n_replicates`` replicate sums accumulate in ONE aggregation
+    (map-side combined — the explode inflates rows only inside the
+    scan stage; the shuffle carries groups x replicates partials).
+
+    Determinism: the multiplicity comes from the engine-portable md5
+    unit interval keyed by (event_id, replicate), inverted through the
+    exact Poisson(1) CDF thresholds (truncated at 6, CDF 0.99999); the
+    oracle replays the identical CASE ladder. Replicate means quantize
+    at 9 dp before ranking so the order statistic picks identical rows
+    in both engines. The interval is the 2nd..31st order statistic of
+    32 replicate means (~93.75% coverage), reported beside the full-
+    sample point estimate. Exactness: weighted sums are
+    DECIMAL(38,0)-weight x DECIMAL(38,6)-value products (order-free);
+    the mean division is the only float op per replicate."""
+    ev = events.filter(F.col("value").isNotNull()).select(
+        F.col(group_col).alias("g"),
+        "event_id",
+        F.round(F.col("value"), 6).cast("decimal(38,6)").alias("qv"),
+    )
+    base = ev.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("qv").alias("sv")
+    )
+    from .curation import hash_unit
+
+    reps = ev.withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1)))
+    )
+    u = hash_unit(F.concat_ws(":", F.col("event_id"), F.col("b")), salt)
+    # exact Poisson(1) CDF ladder: P(X<=k) = e^-1 * sum 1/j!
+    w = (
+        F.when(u < F.lit(0.36787944117144233), F.lit(0))
+        .when(u < F.lit(0.7357588823428847), F.lit(1))
+        .when(u < F.lit(0.9196986029286058), F.lit(2))
+        .when(u < F.lit(0.9810118431238462), F.lit(3))
+        .when(u < F.lit(0.9963401531726563), F.lit(4))
+        .when(u < F.lit(0.9994058151824183), F.lit(5))
+        .otherwise(F.lit(6))
+    )
+    per = (
+        reps.select("g", "b", F.col("qv"), w.alias("w"))
+        .groupBy("g", "b")
+        .agg(
+            F.sum(F.col("w").cast("decimal(38,0)") * F.col("qv")).alias(
+                "sw"
+            ),
+            F.sum("w").cast("long").alias("nw"),
+        )
+    )
+    mean_b = (
+        F.round(
+            F.col("sw").cast("double")
+            / F.nullif(F.col("nw").cast("double"), F.lit(0.0)),
+            9,
+        )
+        + F.lit(0.0)
+    )
+    ranked = per.select("g", "b", mean_b.alias("m")).select(
+        "g",
+        "m",
+        F.row_number()
+        .over(Window.partitionBy("g").orderBy("m", "b"))
+        .alias("r"),
+    )
+    ci = ranked.groupBy("g").agg(
+        F.max(F.when(F.col("r") == 2, F.col("m"))).alias("lo"),
+        F.max(F.when(F.col("r") == n_replicates - 1, F.col("m"))).alias(
+            "hi"
+        ),
+    )
+    return (
+        base.join(ci, "g")
+        .select(
+            F.col("g").alias("group_key"),
+            F.col("n_events").cast("long").alias("n_events"),
+            (
+                F.round(
+                    F.col("sv").cast("double")
+                    / F.col("n_events").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("point_mean"),
+            (F.round(F.col("lo"), 6) + F.lit(0.0)).alias("boot_lo"),
+            (F.round(F.col("hi"), 6) + F.lit(0.0)).alias("boot_hi"),
+        )
+        .orderBy("group_key")
+    )
+
+
+def bh_fdr_report(
+    events: DataFrame,
+    id_col: str = "user_id",
+    q: float = 0.10,
+    salt: str = "bh",
+) -> DataFrame:
+    """Benjamini-Hochberg FDR correction across the per-event-type A/B
+    mean-value comparisons (Benjamini & Hochberg 1995) — the guard a
+    metrics platform applies when ONE experiment readout fans out into
+    many simultaneous tests: raw p < 0.05 on 20 metrics yields ~1 false
+    positive by construction; BH bounds the expected false-discovery
+    rate at ``q`` by the step-up rule (reject the k smallest p-values
+    where p_(k) <= k*q/m).
+
+    Per type: Welch z on per-event values between md5-assigned arms,
+    p from the normal CDF via the Bowling et al. 2009 logistic
+    approximation Phi(x) ~ 1/(1+exp(-(0.07056x^3+1.5976x))) (|err| <
+    1.4e-4; a closed form of single IEEE ops, so both engines compute
+    the identical double — Spark and DuckDB share no erf builtin).
+    Exactness: per-arm sums/squares accumulate in DECIMAL (values
+    quantized at 6 dp; squares exact at scale 12); p quantizes at 9 dp
+    before the rank so the step-up compares identical doubles. Scale
+    shape: one per-(type, arm) aggregate; everything after lives on
+    the TYPES-sized frame — the two unpartitioned windows (p-rank and
+    the step-up max) are bounded by the type-domain cardinality, never
+    row count."""
+    from .curation import hash_unit
+
+    dec6 = lambda col: col.cast("decimal(38,6)")  # noqa: E731
+    ev = events.filter(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("g"),
+        F.when(hash_unit(F.col(id_col), salt) < 0.5, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+        F.round(F.col("value"), 6).cast("decimal(38,6)").alias("qv"),
+    )
+    per = ev.groupBy("g", "arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qv").alias("s"),
+        F.sum(dec6(F.col("qv")) * dec6(F.col("qv"))).alias("ss"),
+    )
+    a = per.filter(F.col("arm") == "A").select(
+        "g",
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+        F.col("ss").alias("ssa"),
+    )
+    b = per.filter(F.col("arm") == "B").select(
+        "g",
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+        F.col("ss").alias("ssb"),
+    )
+    j = a.join(b, "g")
+    dn = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    # sample variance via exact decimal (n*ss - s^2) / (n*(n-1))
+    var_a = (dn("na") * F.col("ssa") - F.col("sa") * F.col("sa")).cast(
+        "double"
+    ) / (
+        F.col("na").cast("double") * (F.col("na") - F.lit(1)).cast("double")
+    )
+    var_b = (dn("nb") * F.col("ssb") - F.col("sb") * F.col("sb")).cast(
+        "double"
+    ) / (
+        F.col("nb").cast("double") * (F.col("nb") - F.lit(1)).cast("double")
+    )
+    z = (
+        F.col("sa").cast("double") / F.col("na").cast("double")
+        - F.col("sb").cast("double") / F.col("nb").cast("double")
+    ) / F.nullif(
+        F.sqrt(
+            var_a / F.col("na").cast("double")
+            + var_b / F.col("nb").cast("double")
+        ),
+        F.lit(0.0),
+    )
+    az = F.abs(z)
+    phi = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(
+            -(F.lit(0.07056) * az * az * az + F.lit(1.5976) * az)
+        )
+    )
+    p9 = F.round(F.lit(2.0) * (F.lit(1.0) - phi), 9) + F.lit(0.0)
+    scored = j.select(
+        "g", "na", "nb", F.round(z, 6).alias("z6"), p9.alias("p")
+    )
+    wr = Window.orderBy("p", "g")
+    ranked = scored.select(
+        "*",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("m"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    k = F.max(
+        F.when(
+            F.col("p")
+            <= F.col("r").cast("double") * F.lit(q) / F.col("m").cast("double"),
+            F.col("r"),
+        ).otherwise(F.lit(0))
+    ).over(wall)
+    return ranked.select(
+        F.col("g").alias("event_type"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        (F.col("z6") + F.lit(0.0)).alias("z"),
+        F.col("p").alias("p_value"),
+        F.col("r").cast("long").alias("p_rank"),
+        (F.col("r") <= k).alias("rejected"),
+    ).orderBy("p_rank")
+
+
+def psi_drift_report(
+    events: DataFrame,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population-stability-index drift report for the event value
+    distribution between the first and second half of the data span —
+    the standard model-monitoring drift metric (PSI < 0.1 stable,
+    0.1-0.25 moderate shift, > 0.25 retrain): bucket the metric into
+    equal-depth deciles over the FULL period, then
+    PSI = sum (p_i - q_i) * ln(p_i / q_i) over the halves' bucket
+    shares. Equal-depth (not fixed-width) buckets make the report
+    scale-free and heavy-tail-proof.
+
+    Bucket assignment is :func:`avro_sql_spark.operators.curation.
+    exact_ntile` over (value, event_id) — the two-pass
+    range-partitioned rank, no single-partition window — mirrored by
+    the oracle's NTILE over the identical total order. The period cut
+    is integer epoch-second arithmetic ((min+max) div 2, the did_lift
+    device). Exactness: cell counts are exact integers; each PSI term
+    is one closed-form float expression quantized at 9 dp into
+    DECIMAL(38,9) so the 10-term total is order-free; buckets empty in
+    either half contribute NULL (excluded from the sum — the
+    standard epsilon-free convention, stated in the output). Scale
+    shape: two rank passes + one 2x``n_buckets`` aggregate; the
+    decile frame is localCheckpoint-ed (it forks into per-bucket rows
+    and the total)."""
+    from .curation import exact_ntile
+
+    bounds = events.agg(
+        F.unix_timestamp(F.min("ts")).alias("mn"),
+        F.unix_timestamp(F.max("ts")).alias("mx"),
+    ).select(F.expr("(mn + mx) div 2").alias("mid"))
+    ev = (
+        events.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_id",
+            "value",
+            F.when(
+                F.unix_timestamp(F.col("ts")) < F.col("mid"), F.lit(1)
+            )
+            .otherwise(F.lit(2))
+            .alias("half"),
+        )
+    )
+    tiled = exact_ntile(
+        ev, [F.asc("value"), F.asc("event_id")], n_buckets, out_col="decile"
+    )
+    cells = (
+        tiled.groupBy("decile")
+        .agg(
+            F.sum(
+                F.when(F.col("half") == 1, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_h1"),
+            F.sum(
+                F.when(F.col("half") == 2, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_h2"),
+        )
+        .localCheckpoint(eager=True)  # n_buckets-sized frame, forked
+    )
+    tot = cells.agg(
+        F.sum("n_h1").alias("t1"), F.sum("n_h2").alias("t2")
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    p = F.col("n_h1").cast("double") / F.col("t1").cast("double")
+    qq = F.col("n_h2").cast("double") / F.col("t2").cast("double")
+    term = F.when(
+        (F.col("n_h1") > 0) & (F.col("n_h2") > 0),
+        F.round((p - qq) * F.log(p / qq), 9) + F.lit(0.0),
+    )
+    terms = j.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("n_h1").cast("long").alias("n_h1"),
+        F.col("n_h2").cast("long").alias("n_h2"),
+        term.alias("psi_term"),
+    ).localCheckpoint(eager=True)  # forks into rows + total
+    total = terms.agg(
+        F.round(
+            F.coalesce(
+                F.sum(F.col("psi_term").cast("decimal(38,9)")),
+                F.lit(0).cast("decimal(38,9)"),
+            ).cast("double"),
+            6,
+        ).alias("pt")
+    )
+    return (
+        terms.crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_h1",
+            "n_h2",
+            "psi_term",
+            (F.col("pt") + F.lit(0.0)).alias("psi_total"),
+        )
+        .orderBy("decile")
+    )
+
+
+def salt_plan_report(
+    df: DataFrame,
+    key_col: str = "user_id",
+    num_partitions: int = 32,
+    max_salt: int = 16,
+    top_k: int = 20,
+) -> DataFrame:
+    """Skew-salting planner: from the key histogram, recommend a
+    per-key salt factor that splits each hot key into enough sub-keys
+    that no single task holds more than one partition-target of rows —
+    the audit a pipeline runs BEFORE a shuffle on a suspected-skewed
+    key (the prescriptive counterpart of shuffle_skew_audit, which
+    only diagnoses). salt_n = ceil(key_rows / target) capped at
+    ``max_salt``, target = ceil(total / num_partitions); the report
+    shows the ``top_k`` heaviest keys with their before/after
+    max-task-rows so the win is visible next to the cost (salt_n-way
+    duplicate of the build side in a salted join).
+
+    All-integer arithmetic (ceil(a/b) as (a+b-1) div b, the
+    exact_ntile device) — bit-identical in any engine. Scale shape:
+    one map-side-combined count per key, one scalar total broadcast
+    back, top-k via orderBy+limit (TakeOrdered, no global sort)."""
+    per = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = per.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("nk"))
+    j = per.crossJoin(F.broadcast(tot))
+    target = F.expr(f"(total + {num_partitions} - 1) div {num_partitions}")
+    out = (
+        j.select("k", "n", target.alias("t"))
+        .select(
+            F.col("k").alias("key"),
+            F.col("n").cast("long").alias("n_rows"),
+            F.col("t").cast("long").alias("target_rows"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.least(
+                    F.lit(max_salt).cast("long"),
+                    F.expr("(n + t - 1) div t"),
+                ),
+            ).alias("salt_n"),
+        )
+        .select(
+            "key",
+            "n_rows",
+            "target_rows",
+            "salt_n",
+            F.expr("(n_rows + salt_n - 1) div salt_n").alias(
+                "rows_per_task_after"
+            ),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(top_k)
+    )
+    return out
+
+
+def jackknife_ratio_ci(
+    events: DataFrame,
+    conv_type: str = "purchase",
+    z: float = 1.959963985,
+) -> DataFrame:
+    """Delete-one-day jackknife confidence interval for the
+    conversions-per-event ratio (Quenouille 1956 / Tukey 1958; the
+    delete-a-GROUP variant Google's experiment platform applies to
+    ratio metrics, where rows within a day are correlated so the IID
+    bootstrap understates variance): recompute the ratio with each day
+    removed, r_i = (P - p_i)/(E - e_i), and
+    SE^2 = (D-1)/D * sum (r_i - rbar)^2.
+
+    Exactness: per-day counts are exact integers; each leave-one-out
+    ratio is held as the INTEGER round(r * 1e9) — not DECIMAL(38,9),
+    whose square needs scale 18 and precision 76, where Spark silently
+    reduces scale and DuckDB falls back to DOUBLE, diverging — so the
+    deviation sum (D*sum ri^2 - (sum ri)^2) is exact DECIMAL(38,0)
+    integer arithmetic, descaled by 1e9 only inside the final sqrt;
+    that sqrt and the +/- z*SE assembly are the only float ops,
+    written identically in the oracle. Scale
+    shape: one map-side-combined day aggregate; everything after lives
+    on the day-domain-sized frame (localCheckpoint-ed — it forks into
+    totals and the leave-one-out pass)."""
+    daily = (
+        events.groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("e"),
+            F.sum(
+                F.when(F.col("event_type") == conv_type, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("p"),
+        )
+        .localCheckpoint(eager=True)  # day-domain frame, forked
+    )
+    tot = daily.agg(
+        F.sum("e").alias("te"),
+        F.sum("p").alias("tp"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+    loo = daily.crossJoin(F.broadcast(tot)).select(
+        "te",
+        "tp",
+        "nd",
+        F.round(
+            (F.col("tp") - F.col("p")).cast("double")
+            / F.nullif(
+                (F.col("te") - F.col("e")).cast("double"), F.lit(0.0)
+            )
+            * F.lit(1000000000.0),
+            0,
+        )
+        .cast("long")
+        .alias("ri"),
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    s = loo.groupBy("te", "tp", "nd").agg(
+        F.sum(dec(F.col("ri"))).alias("sr"),
+        F.sum(dec(F.col("ri")) * dec(F.col("ri"))).alias("srr"),
+    )
+    d = F.col("nd").cast("double")
+    num = (
+        F.col("nd").cast("decimal(38,0)") * F.col("srr")
+        - F.col("sr") * F.col("sr")
+    ).cast("double")
+    se = (
+        F.sqrt(F.greatest((d - F.lit(1.0)) * num / (d * d), F.lit(0.0)))
+        / F.lit(1000000000.0)
+    )
+    ratio = F.col("tp").cast("double") / F.col("te").cast("double")
+    return s.select(
+        F.col("nd").cast("long").alias("n_days"),
+        F.col("te").cast("long").alias("n_events"),
+        F.col("tp").cast("long").alias("n_conversions"),
+        (F.round(ratio, 6) + F.lit(0.0)).alias("ratio"),
+        (F.round(se, 6) + F.lit(0.0)).alias("jk_se"),
+        (F.round(ratio - F.lit(z) * se, 6) + F.lit(0.0)).alias("ci_lo"),
+        (F.round(ratio + F.lit(z) * se, 6) + F.lit(0.0)).alias("ci_hi"),
+    )

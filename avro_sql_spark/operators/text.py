@@ -1989,3 +1989,63 @@ def vocab_gini(
         F.col("sx").cast("long").alias("total_tokens"),
         (F.round(gini, 6) + F.lit(0.0)).alias("vocab_gini"),
     )
+
+
+def chao1_richness(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Chao1 nonparametric vocabulary-richness estimate per source
+    (Chao 1984; the bias-corrected form in Colwell & Coddington 1994):
+    from the frequency-of-frequencies of word counts, the number of
+    word types the corpus HASN'T shown yet is estimated from the
+    singletons/doubletons ratio — chao1 = V + f1(f1-1)/(2(f2+1)) —
+    alongside the Good-Turing sample coverage 1 - f1/N. The pair
+    answers the crawl-planning question "how much of this source's
+    vocabulary have we actually seen?" (coverage near 1 + chao1 near V:
+    saturated; large chao1 gap: keep crawling). Complements
+    :func:`good_turing_report`, which estimates unseen probability
+    MASS; chao1 estimates unseen TYPE COUNT.
+
+    Exactness: every input to the two output ratios is an exact
+    integer (f1, f2 fit long; the f1(f1-1) product is computed in
+    DECIMAL(38,0) so the estimate stays exact past int64 vocabularies);
+    the single division each is the only float op, written identically
+    in the oracle. Scale shape: one token explode + two integer
+    aggregations (the word-count -> freq-of-freq reduction), both
+    map-side combined; the output frame is sources-sized."""
+    from ..functions.text import word_tokens
+
+    toks = docs.select(
+        F.col(group_col).alias("s"),
+        F.explode(word_tokens(F.col(text_col))).alias("w"),
+    )
+    counts = toks.groupBy("s", "w").agg(F.count(F.lit(1)).alias("c"))
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    per = counts.groupBy("s").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, F.lit(1)).otherwise(F.lit(0))).alias(
+            "f1"
+        ),
+        F.sum(F.when(F.col("c") == 2, F.lit(1)).otherwise(F.lit(0))).alias(
+            "f2"
+        ),
+    )
+    chao1 = F.col("vocab").cast("double") + (
+        (dec(F.col("f1")) * dec(F.col("f1") - F.lit(1))).cast("double")
+        / (F.lit(2.0) * (F.col("f2") + F.lit(1)).cast("double"))
+    )
+    coverage = F.lit(1.0) - (
+        F.col("f1").cast("double") / F.col("n_tokens").cast("double")
+    )
+    return per.select(
+        F.col("s").alias("source"),
+        F.col("vocab").cast("long").alias("vocab_size"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("f1").cast("long").alias("f1"),
+        F.col("f2").cast("long").alias("f2"),
+        (F.round(chao1, 6) + F.lit(0.0)).alias("chao1_estimate"),
+        (F.round(coverage, 6) + F.lit(0.0)).alias("coverage"),
+    ).orderBy("source")
