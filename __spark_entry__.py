@@ -4041,6 +4041,46 @@ def _jackknife_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jackknife_ratio_ci(t["events"])
 
 
+def _capture_recapture_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture population estimate per source pair
+    (dedup.capture_recapture_overlap; exact-integer fingerprint
+    counts, in-row pair generation)."""
+    from avro_sql_spark.operators.dedup import capture_recapture_overlap
+
+    t = load_tables(spark, sf_dir, register=False)
+    return capture_recapture_overlap(t["documents"])
+
+
+def _cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage conversion-vs-value trend test over exact_ntile
+    user tiers (profile.cochran_armitage_trend; all-integer score
+    sums, Bowling-approx p)."""
+    from avro_sql_spark.operators.profile import cochran_armitage_trend
+
+    t = load_tables(spark, sf_dir, register=False)
+    return cochran_armitage_trend(t["events"])
+
+
+def _split_half_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman-Brown split-half reliability of per-user event counts
+    (profile.split_half_reliability; md5 halves, exact decimal
+    correlation sums)."""
+    from avro_sql_spark.operators.profile import split_half_reliability
+
+    t = load_tables(spark, sf_dir, register=False)
+    return split_half_reliability(t["events"])
+
+
+def _partition_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-column decision table for the events stream
+    (profile.partition_layout_advisor; integer ceil arithmetic,
+    per-candidate skew/small-file profile)."""
+    from avro_sql_spark.operators.profile import partition_layout_advisor
+
+    t = load_tables(spark, sf_dir, register=False)
+    return partition_layout_advisor(t["events"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes ~50 entries in this order per round (r1 covered the first
@@ -4147,6 +4187,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift_report": _psi_drift_report,
         "salt_plan_report": _salt_plan_report,
         "jackknife_ratio_ci": _jackknife_ratio_ci,
+        "capture_recapture_overlap": _capture_recapture_overlap,
+        "cochran_armitage_trend": _cochran_armitage_trend,
+        "split_half_reliability": _split_half_reliability,
+        "partition_layout_advisor": _partition_layout_advisor,
         # --- cumulative-green core (driver rows r1-r5) ---
         "embedding_covariance": _embedding_covariance,
         "embedding_correlation": _embedding_correlation,
@@ -11207,6 +11251,131 @@ SELECT CAST(nd AS BIGINT) AS n_days, CAST(te AS BIGINT) AS n_events,
        ROUND(ratio - 1.959963985 * se, 6) + 0 AS ci_lo,
        ROUND(ratio + 1.959963985 * se, 6) + 0 AS ci_hi
 FROM fin
+""",
+        "capture_recapture_overlap": r"""
+WITH fps AS (SELECT DISTINCT
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+               source
+             FROM documents),
+tot AS (SELECT source, COUNT(*) AS n_fps FROM fps GROUP BY source),
+sh AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS m
+       FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+       GROUP BY 1, 2),
+pairs AS (SELECT ta.source AS source_a, tb.source AS source_b,
+                 ta.n_fps AS na, tb.n_fps AS nb,
+                 COALESCE(sh.m, 0) AS m
+          FROM tot ta CROSS JOIN tot tb
+          LEFT JOIN sh ON sh.source_a = ta.source
+                      AND sh.source_b = tb.source
+          WHERE ta.source < tb.source),
+est AS (SELECT source_a, source_b, na, nb, m,
+               CAST(CAST(na + 1 AS DECIMAL(38,0)) * CAST(nb + 1 AS DECIMAL(38,0))
+                    AS DOUBLE) / CAST(m + 1 AS DOUBLE) - 1.0 AS nhat
+        FROM pairs)
+SELECT source_a, source_b, CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b, CAST(m AS BIGINT) AS n_shared,
+       ROUND(nhat, 6) + 0 AS chapman_total,
+       ROUND(CAST(na + nb - m AS DOUBLE) / nhat, 6) + 0 AS crawl_coverage
+FROM est ORDER BY source_a, source_b
+""",
+        "cochran_armitage_trend": """
+WITH pu AS (SELECT user_id,
+                   COALESCE(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))),
+                            CAST(0 AS DECIMAL(38,6))) AS v,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     AS conv
+            FROM events GROUP BY user_id),
+tiled AS (SELECT conv, NTILE(3) OVER (ORDER BY v, user_id) AS tier FROM pu),
+cells AS (SELECT tier, COUNT(*) AS n, SUM(conv) AS c
+          FROM tiled GROUP BY tier),
+s AS (SELECT SUM(n) AS nn, SUM(c) AS r,
+             SUM(CAST(tier AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+               AS sc,
+             SUM(CAST(tier AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))
+               AS sn,
+             SUM(CAST(tier AS DECIMAL(38,0)) * CAST(tier AS DECIMAL(38,0))
+                 * CAST(n AS DECIMAL(38,0))) AS snn,
+             MAX(CASE WHEN tier = 1 THEN c END) AS c1,
+             MAX(CASE WHEN tier = 1 THEN n END) AS n1,
+             MAX(CASE WHEN tier = 2 THEN c END) AS c2,
+             MAX(CASE WHEN tier = 2 THEN n END) AS n2,
+             MAX(CASE WHEN tier = 3 THEN c END) AS ck,
+             MAX(CASE WHEN tier = 3 THEN n END) AS nk
+      FROM cells),
+zz AS (SELECT nn, r, n1, c1, n2, c2, nk, ck,
+              CAST(CAST(nn AS DECIMAL(38,0)) * sc
+                   - CAST(r AS DECIMAL(38,0)) * sn AS DOUBLE)
+              / nullif(SQRT(CAST(CAST(r AS DECIMAL(38,0))
+                   * CAST(nn - r AS DECIMAL(38,0))
+                   * (CAST(nn AS DECIMAL(38,0)) * snn - sn * sn)
+                   AS DOUBLE) / CAST(nn AS DOUBLE)), 0.0) AS z
+       FROM s)
+SELECT CAST(nn AS BIGINT) AS n_users,
+       CAST(n1 AS BIGINT) AS n_low, CAST(c1 AS BIGINT) AS conv_low,
+       CAST(n2 AS BIGINT) AS n_mid, CAST(c2 AS BIGINT) AS conv_mid,
+       CAST(nk AS BIGINT) AS n_high, CAST(ck AS BIGINT) AS conv_high,
+       ROUND(z, 6) + 0 AS trend_z,
+       ROUND(2.0 * (1.0 - 1.0 / (1.0
+         + EXP(-(0.07056 * ABS(z) * ABS(z) * ABS(z)
+                 + 1.5976 * ABS(z))))), 9) + 0 AS p_value
+FROM zz
+""",
+        "split_half_reliability": """
+WITH halves AS (SELECT user_id,
+                       SUM(CASE WHEN (CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || ':shr'), 1, 8)) AS BIGINT) % 1000000) / 1000000.0 < 0.5 THEN 1 ELSE 0 END) AS x,
+                       SUM(CASE WHEN (CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || ':shr'), 1, 8)) AS BIGINT) % 1000000) / 1000000.0 < 0.5 THEN 0 ELSE 1 END) AS y
+                FROM events GROUP BY user_id),
+s AS (SELECT COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy,
+             SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
+      FROM halves),
+rr AS (SELECT n,
+              CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+              / nullif(SQRT(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx
+                                 AS DOUBLE))
+                       * SQRT(CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy
+                                   AS DOUBLE)), 0.0) AS r
+       FROM s)
+SELECT CAST(n AS BIGINT) AS n_users,
+       ROUND(r, 6) + 0 AS half_corr,
+       ROUND(2.0 * r / (1.0 + r), 6) + 0 AS sb_reliability
+FROM rr
+""",
+        "partition_layout_advisor": """
+WITH t AS (SELECT event_type AS k FROM events),
+d AS (SELECT CAST(date_trunc('day', ts) AS VARCHAR) AS k FROM events),
+b AS (SELECT CAST(user_id % 256 AS VARCHAR) AS k FROM events),
+pt AS (SELECT k, COUNT(*) AS n FROM t GROUP BY k),
+pd AS (SELECT k, COUNT(*) AS n FROM d GROUP BY k),
+pb AS (SELECT k, COUNT(*) AS n FROM b GROUP BY k),
+prof AS (
+  SELECT 'event_type' AS candidate, COUNT(*) AS np, SUM(n) AS nr,
+         MIN(n) AS mn, MAX(n) AS mx,
+         SUM(CASE WHEN n < 12500 THEN 1 ELSE 0 END) AS small,
+         SUM((n + 50000 - 1) // 50000) AS ef
+  FROM pt
+  UNION ALL
+  SELECT 'day', COUNT(*), SUM(n), MIN(n), MAX(n),
+         SUM(CASE WHEN n < 12500 THEN 1 ELSE 0 END),
+         SUM((n + 50000 - 1) // 50000)
+  FROM pd
+  UNION ALL
+  SELECT 'user_bucket_256', COUNT(*), SUM(n), MIN(n), MAX(n),
+         SUM(CASE WHEN n < 12500 THEN 1 ELSE 0 END),
+         SUM((n + 50000 - 1) // 50000)
+  FROM pb)
+SELECT candidate, CAST(np AS BIGINT) AS n_partitions,
+       CAST(nr AS BIGINT) AS n_rows,
+       CAST(mn AS BIGINT) AS min_rows, CAST(mx AS BIGINT) AS max_rows,
+       ROUND(CAST(mx AS DOUBLE) * CAST(np AS DOUBLE)
+             / CAST(nr AS DOUBLE), 6) + 0 AS skew,
+       ROUND(CAST(small AS DOUBLE) / CAST(np AS DOUBLE), 6) + 0
+         AS frac_small,
+       CAST(ef AS BIGINT) AS est_files
+FROM prof ORDER BY candidate
 """,
         # no oracle (rows-only by design — sketch-/eigen-dependent,
         # approximate-by-construction, or sequential-fold):

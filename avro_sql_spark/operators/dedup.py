@@ -1175,3 +1175,104 @@ def cluster_representatives(
         "n_members",
         F.col("m.n_chars").alias("rep_n_chars"),
     ).orderBy("cluster_id")
+
+
+def capture_recapture_overlap(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chapman capture-recapture estimate of the TOTAL underlying
+    document population behind every source pair (Chapman 1951; the
+    Lincoln-Petersen mark-recapture estimator with the +1 bias
+    correction, defined even at zero overlap): treating source A's
+    fingerprint set as the marked sample and source B's as the
+    recapture, N_hat = (nA+1)(nB+1)/(m+1) - 1 estimates how many
+    distinct documents the two crawls are jointly drawing from, and
+    coverage = union/N_hat says how much of that pool is already
+    crawled — the planning complement of :func:`source_overlap`
+    (which reports only the OBSERVED overlap).
+
+    Fingerprints are the same whitespace-normalized full-text md5 as
+    source_overlap, so the two reports share a universe. Scale shape
+    identical too: no self-join — distinct (fp, source) rows, in-row
+    pair generation from the per-fingerprint source set (bounded by
+    the source-domain size), per-source totals broadcast back. Pairs
+    with zero shared fingerprints are still emitted (the sources-sized
+    cross of totals), where the estimator degenerates to the stated
+    lower bound. Exactness: all inputs integer; the (nA+1)(nB+1)
+    product is computed in DECIMAL(38,0); the division and the two
+    coverage ratios are the only float ops."""
+    normalized = F.regexp_replace(
+        F.lower(F.trim(F.col(text_col))), r"\s+", " "
+    )
+    fps = docs.select(
+        F.md5(normalized.cast("binary")).alias("fp"),
+        F.col(source_col).alias("source"),
+    ).distinct()
+    totals = fps.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_fps")
+    )
+    sets_ = fps.groupBy("fp").agg(
+        F.array_sort(F.collect_set("source")).alias("ss")
+    )
+    msz = F.size("ss")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), msz - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, msz),
+                lambda j: F.struct(
+                    F.element_at("ss", i).alias("source_a"),
+                    F.element_at("ss", j).alias("source_b"),
+                ),
+            ),
+        )
+    )
+    shared = (
+        sets_.filter(msz >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    ta = totals.select(
+        F.col("source").alias("source_a"), F.col("n_fps").alias("na")
+    )
+    tb = totals.select(
+        F.col("source").alias("source_b"), F.col("n_fps").alias("nb")
+    )
+    pairs = (
+        ta.crossJoin(F.broadcast(tb))  # sources-sized frame, BNLJ
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(shared, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "na",
+            "nb",
+            F.coalesce(F.col("m"), F.lit(0)).alias("m"),
+        )
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    nhat = (
+        (dec(F.col("na") + F.lit(1)) * dec(F.col("nb") + F.lit(1))).cast(
+            "double"
+        )
+        / (F.col("m") + F.lit(1)).cast("double")
+        - F.lit(1.0)
+    )
+    union_sz = F.col("na") + F.col("nb") - F.col("m")
+    return pairs.select(
+        "source_a",
+        "source_b",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("m").cast("long").alias("n_shared"),
+        (F.round(nhat, 6) + F.lit(0.0)).alias("chapman_total"),
+        (
+            F.round(union_sz.cast("double") / nhat, 6) + F.lit(0.0)
+        ).alias("crawl_coverage"),
+    ).orderBy("source_a", "source_b")

@@ -4769,3 +4769,220 @@ def jackknife_ratio_ci(
         (F.round(ratio - F.lit(z) * se, 6) + F.lit(0.0)).alias("ci_lo"),
         (F.round(ratio + F.lit(z) * se, 6) + F.lit(0.0)).alias("ci_hi"),
     )
+
+
+def cochran_armitage_trend(
+    events: DataFrame,
+    conv_type: str = "purchase",
+    n_groups: int = 3,
+) -> DataFrame:
+    """Cochran-Armitage trend test (Cochran 1954; Armitage 1955) for
+    "does conversion propensity RISE with user value?" — the ordered
+    alternative a plain chi-square cannot see: users are ranked into
+    ``n_groups`` value tiers (exact_ntile over per-user quantized
+    spend), each tier scored 1..k, and the statistic tests a linear
+    trend in per-tier conversion rates. One row: per-tier user/convert
+    counts plus z and its two-sided p.
+
+    Exactness: with integer tier counts n_i, converts c_i, scores s_i,
+    totals N, R: z = (N*Sc - R*Sn) / sqrt(R*(N-R)*(N*Snn - Sn^2)/N)
+    where Sc, Sn, Snn are integer score-weighted sums — every product
+    accumulates in DECIMAL(38,0) (operands cast BEFORE multiplying),
+    the sqrt/division are the only float ops, and p comes from the
+    same Bowling-approximation normal CDF as bh_fdr_report (identical
+    closed form both engines). Scale shape: one per-user aggregate,
+    two rank passes (the exact_ntile device), one k-row cell
+    aggregate, scalar assembly."""
+    from .curation import exact_ntile
+
+    pu = (
+        events.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("value"), 6).cast("decimal(38,6)")),
+                F.lit(0).cast("decimal(38,6)"),
+            ).alias("v"),
+            F.max(
+                F.when(F.col("event_type") == conv_type, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("conv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tiled = exact_ntile(
+        pu, [F.asc("v"), F.asc("user_id")], n_groups, out_col="tier"
+    )
+    cells = tiled.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    s = cells.agg(
+        F.sum("n").alias("nn"),
+        F.sum("c").alias("r"),
+        F.sum(dec(F.col("tier")) * dec(F.col("c"))).alias("sc"),
+        F.sum(dec(F.col("tier")) * dec(F.col("n"))).alias("sn"),
+        F.sum(
+            dec(F.col("tier")) * dec(F.col("tier")) * dec(F.col("n"))
+        ).alias("snn"),
+        F.max(F.when(F.col("tier") == 1, F.col("c"))).alias("c1"),
+        F.max(F.when(F.col("tier") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("tier") == 2, F.col("c"))).alias("c2"),
+        F.max(F.when(F.col("tier") == 2, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("tier") == n_groups, F.col("c"))).alias("ck"),
+        F.max(F.when(F.col("tier") == n_groups, F.col("n"))).alias("nk"),
+    )
+    num = (dec(F.col("nn")) * F.col("sc") - dec(F.col("r")) * F.col("sn")).cast(
+        "double"
+    )
+    den_i = (
+        dec(F.col("r"))
+        * dec(F.col("nn") - F.col("r"))
+        * (dec(F.col("nn")) * F.col("snn") - F.col("sn") * F.col("sn"))
+    ).cast("double")
+    z = num / F.nullif(
+        F.sqrt(den_i / F.col("nn").cast("double")), F.lit(0.0)
+    )
+    az = F.abs(z)
+    phi = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-(F.lit(0.07056) * az * az * az + F.lit(1.5976) * az))
+    )
+    return s.select(
+        F.col("nn").cast("long").alias("n_users"),
+        F.col("n1").cast("long").alias("n_low"),
+        F.col("c1").cast("long").alias("conv_low"),
+        F.col("n2").cast("long").alias("n_mid"),
+        F.col("c2").cast("long").alias("conv_mid"),
+        F.col("nk").cast("long").alias("n_high"),
+        F.col("ck").cast("long").alias("conv_high"),
+        (F.round(z, 6) + F.lit(0.0)).alias("trend_z"),
+        (
+            F.round(F.lit(2.0) * (F.lit(1.0) - phi), 9) + F.lit(0.0)
+        ).alias("p_value"),
+    )
+
+
+def split_half_reliability(
+    events: DataFrame,
+    salt: str = "shr",
+) -> DataFrame:
+    """Split-half reliability of per-user event counts with the
+    Spearman-Brown step-up (Spearman 1910; Brown 1910) — the metric-
+    quality audit an experimentation platform runs before trusting a
+    per-user engagement metric: split each user's events into two
+    deterministic halves (md5 on event_id), correlate the half-counts
+    across users, and correct the half-length correlation to full
+    length via 2r/(1+r). Low reliability means the metric is mostly
+    within-user noise and experiments on it are underpowered.
+
+    Exactness: half-counts are integers; the correlation's five sums
+    accumulate in DECIMAL(38,0) with operands cast before every
+    product; the two sqrts and the final ratios are the only float
+    ops, identical in the oracle. Scale shape: one per-(user, half)
+    countable aggregate, one scalar assembly row."""
+    from .curation import hash_unit
+
+    halves = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                hash_unit(F.col("event_id"), salt) < 0.5, F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias("x"),
+        F.sum(
+            F.when(
+                hash_unit(F.col("event_id"), salt) < 0.5, F.lit(0)
+            ).otherwise(F.lit(1))
+        ).alias("y"),
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    s = halves.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    r = num / F.nullif(F.sqrt(dx) * F.sqrt(dy), F.lit(0.0))
+    sb = F.lit(2.0) * r / (F.lit(1.0) + r)
+    return s.select(
+        F.col("n").cast("long").alias("n_users"),
+        (F.round(r, 6) + F.lit(0.0)).alias("half_corr"),
+        (F.round(sb, 6) + F.lit(0.0)).alias("sb_reliability"),
+    )
+
+
+def partition_layout_advisor(
+    events: DataFrame,
+    target_rows: int = 50000,
+) -> DataFrame:
+    """Partition-column advisor: for each candidate partition key of
+    the events table (event_type, event day, a 256-way user bucket),
+    report the partition-count/skew/small-file profile a writer would
+    produce — the decision table behind ``partitionBy(...)``: too few
+    partitions loses pruning, too many drowns the table in small
+    files, a skewed key does both. ``est_files`` is the file count at
+    ``target_rows`` rows per file (ceil per partition, the writer's
+    behavior); ``frac_small`` the fraction of partitions under a
+    quarter-target (the small-file-problem share).
+
+    All-integer arithmetic except the two reported ratios (skew =
+    max/avg, frac_small); ceil(a/b) is the (a+b-1) div b device.
+    Scale shape: three map-side-combined key counts (one per
+    candidate), each reduced to a one-row profile."""
+    spark = events.sparkSession
+
+    def profile(keyed: DataFrame, label: str) -> DataFrame:
+        per = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        return per.agg(
+            F.lit(label).alias("candidate"),
+            F.count(F.lit(1)).cast("long").alias("n_partitions"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.min("n").cast("long").alias("min_rows"),
+            F.max("n").cast("long").alias("max_rows"),
+            (
+                F.round(
+                    F.max("n").cast("double")
+                    * F.count(F.lit(1)).cast("double")
+                    / F.sum("n").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("skew"),
+            (
+                F.round(
+                    F.sum(
+                        F.when(
+                            F.col("n") < F.lit(target_rows // 4), F.lit(1)
+                        ).otherwise(F.lit(0))
+                    ).cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("frac_small"),
+            F.sum(
+                F.expr(f"(n + {target_rows} - 1) div {target_rows}")
+            )
+            .cast("long")
+            .alias("est_files"),
+        )
+
+    by_type = events.select(F.col("event_type").alias("k"))
+    by_day = events.select(
+        F.date_trunc("day", F.col("ts")).cast("string").alias("k")
+    )
+    by_bucket = events.select(
+        (F.col("user_id") % F.lit(256)).cast("string").alias("k")
+    )
+    return (
+        profile(by_type, "event_type")
+        .unionByName(profile(by_day, "day"))
+        .unionByName(profile(by_bucket, "user_bucket_256"))
+        .orderBy("candidate")
+    )

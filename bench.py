@@ -4,7 +4,14 @@ JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
 Each query is forced end-to-end with a noop sink (full computation, no
 collect-to-driver, no disk write) — the number is the distributed plan's
-wall time, not serialization overhead."""
+wall time, not serialization overhead.
+
+HEADLINE covers every BATCH entry in ``queries()``. The only exclusions
+(19) are entries whose wall time is not a batch-plan cost: the 9
+``streaming_*`` entries (micro-batch runner latency, not plan cost), the
+8 ``reshape_*`` entries (LocalRelation-backed schema-transform fixtures,
+sub-ms plans), and the 2 avro roundtrip entries (tempdir write+read
+harness cost dominates). Everything else is benched."""
 
 from __future__ import annotations
 
@@ -71,8 +78,6 @@ HEADLINE = [
     "text_profile",
     "dedup_exact_keep",
     "split_assignment",
-    # the 100 TB sharding path (sketch cuts, no global sort) is the
-    # benched one; the exact-NTILE variant stays correctness-checked
     "quality_shards_approx",
     "pack_sequences",
     "decontam_exact",
@@ -89,8 +94,6 @@ HEADLINE = [
     "jaccard_pairs_prefix",
     "hourly_anomalies",
     "weighted_take",
-    # the 100 TB profiling path (HLL state per column) is the benched
-    # one; the exact-distinct variant stays correctness-checked
     "table_profile_approx",
     "cdc_snapshot",
     "bigram_logprob",
@@ -288,6 +291,53 @@ HEADLINE = [
     "attribution_window_sensitivity",
     "vocab_gini",
     "quantile_treatment_effect",
+    # r6: the remaining batch entries, so bench coverage = every batch
+    # entry and round-over-round perf is visible for all of them
+    "quality_shards",
+    "ann_recall",
+    "minhash_calibration",
+    "incremental_near_dup",
+    "ann_pq_topk",
+    "ann_recall_lsh",
+    "udtf_shingle_counts",
+    "bucketed_join_revenue",
+    "near_dup_clusters",
+    "simhash_candidate_pairs",
+    "sample_10pct",
+    "stratified_sample_lang",
+    "mixture_by_lang",
+    "redact_pii_stats",
+    "repetition_stats",
+    "winnow_fingerprints",
+    "tfidf_top_terms",
+    "take_exact",
+    "embedding_near_dup",
+    "ann_lsh_bucketed",
+    "ann_ivf",
+    "multimodal_profile",
+    "multimodal_frames",
+    "table_profile",
+    "variant_props_stats",
+    "curation_pipeline_e2e",
+    "embedding_centroids",
+    "dedup_exact_groups",
+    "anti_join_no_orders",
+    "intersect_brand_buyers",
+    "distinct_agg_segments",
+    "exists_big_spenders",
+    "except_urgent_buyers",
+    "scalar_functions",
+    "union_order_extremes",
+    "quantity_percentiles",
+    "customer_value_vs_global",
+    "orders_pivot_by_status",
+    # new in r6
+    "chao1_vocab_richness",
+    "poisson_bootstrap_ci",
+    "bh_fdr_report",
+    "psi_drift_report",
+    "salt_plan_report",
+    "jackknife_ratio_ci",
 ]
 
 

@@ -173,3 +173,102 @@ def test_jackknife_se_positive_on_heterogeneous_days(spark):
     r = jackknife_ratio_ci(_events(spark, rows)).collect()[0]
     assert r["jk_se"] > 0
     assert r["ci_lo"] < r["ratio"] < r["ci_hi"]
+
+
+def test_capture_recapture_chapman(spark):
+    # A has 3 docs, B has 2, 1 shared -> Chapman = 4*3/2 - 1 = 5
+    rows = [
+        (1, "shared doc text", "A"),
+        (2, "only in a one", "A"),
+        (3, "only in a two", "A"),
+        (4, "shared doc text", "B"),
+        (5, "only in b one", "B"),
+    ]
+    from avro_sql_spark.operators.dedup import capture_recapture_overlap
+
+    out = capture_recapture_overlap(_docs(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_a"], r["n_b"], r["n_shared"]) == (3, 2, 1)
+    assert r["chapman_total"] == pytest.approx(5.0)
+    # union = 4 of estimated 5 -> coverage 0.8
+    assert r["crawl_coverage"] == pytest.approx(0.8)
+
+
+def test_capture_recapture_zero_overlap_pair_emitted(spark):
+    rows = [(1, "xx", "A"), (2, "yy", "B")]
+    from avro_sql_spark.operators.dedup import capture_recapture_overlap
+
+    r = capture_recapture_overlap(_docs(spark, rows)).collect()[0]
+    assert r["n_shared"] == 0
+    # Chapman degenerates to (1+1)(1+1)/1 - 1 = 3: a stated lower bound
+    assert r["chapman_total"] == pytest.approx(3.0)
+
+
+def test_cochran_armitage_detects_rising_trend(spark):
+    import datetime as dt
+
+    # value tiers: users 0-9 low spend never convert, 10-19 mid spend
+    # convert half, 20-29 high spend always convert -> strong + trend
+    rows = []
+    eid = 0
+    for u in range(30):
+        tier = u // 10
+        rows.append(
+            (eid, dt.datetime(2024, 1, 1), u, "view", float(tier * 100 + u))
+        )
+        eid += 1
+        if tier == 2 or (tier == 1 and u % 2 == 0):
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1), u, "purchase", 0.0)
+            )
+            eid += 1
+    from avro_sql_spark.operators.profile import cochran_armitage_trend
+
+    r = cochran_armitage_trend(_events(spark, rows)).collect()[0]
+    assert r["n_users"] == 30
+    assert r["conv_low"] < r["conv_mid"] < r["conv_high"]
+    assert r["trend_z"] > 2.0
+    assert r["p_value"] < 0.05
+
+
+def test_split_half_reliability_perfect_for_heavy_users(spark):
+    import datetime as dt
+
+    # users with wildly different event counts: both halves track the
+    # user's total -> correlation near 1, SB pushes it higher
+    rows = []
+    eid = 0
+    for u in range(20):
+        for _ in range(10 + u * 40):
+            rows.append((eid, dt.datetime(2024, 1, 1), u, "view", 0.0))
+            eid += 1
+    from avro_sql_spark.operators.profile import split_half_reliability
+
+    r = split_half_reliability(_events(spark, rows)).collect()[0]
+    assert r["n_users"] == 20
+    assert r["half_corr"] > 0.95
+    assert r["sb_reliability"] >= r["half_corr"]
+
+
+def test_partition_advisor_counts_and_ceils(spark):
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i % 3), i % 5, f"t{i % 2}", 0.0)
+        for i in range(600)
+    ]
+    from avro_sql_spark.operators.profile import partition_layout_advisor
+
+    out = {
+        r["candidate"]: r
+        for r in partition_layout_advisor(
+            _events(spark, rows), target_rows=100
+        ).collect()
+    }
+    assert out["event_type"]["n_partitions"] == 2
+    assert out["day"]["n_partitions"] == 3
+    assert out["event_type"]["n_rows"] == 600
+    # 300 rows/type at target 100 -> 3 files each
+    assert out["event_type"]["est_files"] == 6
+    assert out["event_type"]["skew"] == pytest.approx(1.0)

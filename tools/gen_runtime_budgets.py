@@ -110,9 +110,10 @@ ITERATIVE_ENTRIES = [
     "diameter_double_sweep",
     "vocab_gini",
     "quantile_treatment_effect",
-    # r6: exact_ntile consumer + bounded-frame localCheckpoint users
+    # r6: exact_ntile consumers + bounded-frame localCheckpoint users
     "psi_drift_report",
     "jackknife_ratio_ci",
+    "cochran_armitage_trend",
 ]
 
 
