@@ -338,6 +338,10 @@ HEADLINE = [
     "psi_drift_report",
     "salt_plan_report",
     "jackknife_ratio_ci",
+    "capture_recapture_overlap",
+    "cochran_armitage_trend",
+    "split_half_reliability",
+    "partition_layout_advisor",
 ]
 
 

@@ -1,22 +1,25 @@
 """Bench-regression gate over the COMMITTED artifacts: the current
 ``bench_full.json`` must not show any per-query time >1.5x (and >+1s)
-its entry in the previous round's frozen ``bench_full_r*.json``. The
-same comparison ``tools/check_bench_regression.py`` runs standalone —
-this test makes a regressed bench un-committable, the way
+its entry in the previous round's frozen ``bench_full_r*.json`` AFTER
+normalizing out the machine-speed drift between the two runs (the
+median per-entry ratio — see tools/check_bench_regression.py for why a
+fixed threshold cannot work on a box whose absolute speed moves
+round-over-round). The same comparison the tool runs standalone — this
+test makes a regressed bench un-committable, the way
 plan_budgets.json makes a regressed plan shape un-committable.
 
 The gate logic itself is unit-tested below against synthetic maps
-(red on an injected slowdown, green on noise inside the slack).
+(red on an injected slowdown, green on uniform drift and noise).
 """
 
 import json
 import os
 
 from tools.check_bench_regression import (
-    ABS_SLACK_SEC,
-    REGRESSION_FACTOR,
     find_regressions,
     latest_baseline,
+    load_waivers,
+    speed_drift,
 )
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -25,21 +28,44 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_committed_bench_within_budget():
     new = json.load(open(os.path.join(ROOT, "bench_full.json")))["queries"]
     base = json.load(open(latest_baseline()))["queries"]
-    regs = find_regressions(new, base)
+    waivers = load_waivers()
+    regs = [r for r in find_regressions(new, base) if r[0] not in waivers]
     assert not regs, "bench regressions vs committed baseline: " + ", ".join(
         f"{n} {b:.2f}s->{t:.2f}s" for n, b, t in regs
     )
 
 
+def _flat(n, t=2.0):
+    return {f"q{i}": t for i in range(n)}
+
+
 def test_gate_red_on_injected_slowdown():
-    base = {"q": 2.0}
-    slow = {"q": 2.0 * REGRESSION_FACTOR + ABS_SLACK_SEC + 0.01}
-    assert find_regressions(slow, base) == [("q", 2.0, slow["q"])]
+    # 20 entries sit at 1x; one regresses 4x -> drift ~1, entry flags
+    base = _flat(20) | {"bad": 2.0}
+    new = _flat(20) | {"bad": 8.0}
+    assert find_regressions(new, base) == [("bad", 2.0, 8.0)]
+
+
+def test_gate_green_on_uniform_machine_drift():
+    # every entry exactly 2x slower: that's the box, not the code
+    base = _flat(20) | {"big": 10.0}
+    new = {k: v * 2.0 for k, v in (base | {}).items()}
+    assert speed_drift(new, base) == 2.0
+    assert find_regressions(new, base) == []
 
 
 def test_gate_green_on_noise_and_new_entries():
-    base = {"fast": 0.2, "slow": 4.0}
+    base = _flat(10) | {"fast": 0.2, "slow": 4.0}
     # +0.4s on a 0.2s entry is 3x but inside the absolute slack;
     # 1.4x on a 4s entry is inside the factor; new entries skip
-    new = {"fast": 0.6, "slow": 5.6, "brand_new": 9.9}
+    new = _flat(10) | {"fast": 0.6, "slow": 5.6, "brand_new": 9.9}
     assert find_regressions(new, base) == []
+
+
+def test_gate_red_on_regression_hiding_under_drift():
+    # box is 1.5x slower overall; one entry is ALSO 3x slower on top —
+    # raw ratio 4.5x; drift-normalized 3x must still flag
+    base = _flat(20) | {"bad": 2.0}
+    new = {k: v * 1.5 for k, v in base.items()} | {"bad": 9.0}
+    regs = find_regressions(new, base)
+    assert regs == [("bad", 2.0, 9.0)]
