@@ -4191,13 +4191,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cochran_armitage_trend": _cochran_armitage_trend,
         "split_half_reliability": _split_half_reliability,
         "partition_layout_advisor": _partition_layout_advisor,
+        # dsir_weights re-queued (r7 window): its Spark code gained the
+        # -0.0 normalization on log_importance after its r5 driver row
+        # (the sign bit only surfaces at sf0.1; sf0.01 was and is green)
+        "dsir_weights": _dsir_weights,
         # --- cumulative-green core (driver rows r1-r5) ---
         "embedding_covariance": _embedding_covariance,
         "embedding_correlation": _embedding_correlation,
         "kmeans_clusters": _kmeans_clusters,
         "jaccard_dup_clusters": _jaccard_dup_clusters,
         "epoch_plan": _epoch_plan,
-        "dsir_weights": _dsir_weights,
         "ann_recall": _ann_recall,
         "approx_distinct_events_kmv": _approx_distinct_events_kmv,
         "table_profile_kmv": _table_profile_kmv,
@@ -5741,7 +5744,7 @@ llr AS (SELECT b,
              - ln((cr + CAST(1.0 AS DOUBLE)) / (tr + CAST(4096.0 AS DOUBLE))) AS llr
         FROM model CROSS JOIN tot)
 SELECT dc.doc_id, CAST(SUM(dc.n) AS BIGINT) AS n_feats,
-       ROUND(SUM(dc.n * l.llr), 4) AS log_importance
+       ROUND(SUM(dc.n * l.llr), 4) + 0 AS log_importance
 FROM dc JOIN llr l ON l.b = dc.b
 GROUP BY 1
 ORDER BY dc.doc_id

@@ -503,7 +503,12 @@ def dsir_importance(
         .groupBy(id_col)
         .agg(
             F.sum("n").alias("n_feats"),
-            F.round(F.sum(F.col("n") * F.col("llr")), round_to).alias("log_importance"),
+            # + 0.0 normalizes a rounded tiny-negative score's -0.0 (the
+            # sign bit surfaced at sf0.1; oracle mirrors with + 0)
+            (
+                F.round(F.sum(F.col("n") * F.col("llr")), round_to)
+                + F.lit(0.0)
+            ).alias("log_importance"),
         )
     )
 
