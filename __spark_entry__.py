@@ -4081,6 +4081,45 @@ def _partition_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partition_layout_advisor(t["events"])
 
 
+def _max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-to-trough drawdown of cumulative daily value
+    (profile.max_drawdown_daily; all-decimal running sums, float only
+    at output rounding)."""
+    from avro_sql_spark.operators.profile import max_drawdown_daily
+
+    t = load_tables(spark, sf_dir, register=False)
+    return max_drawdown_daily(t["events"])
+
+
+def _ljung_box_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box white-noise test on the hourly count series
+    (profile.ljung_box_hourly; builds on acf_hourly's exact integer
+    ratios, fixed chi-square critical literal)."""
+    from avro_sql_spark.operators.profile import ljung_box_hourly
+
+    t = load_tables(spark, sf_dir, register=False)
+    return ljung_box_hourly(t["events"])
+
+
+def _lift_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains/lift curve of the quality score against the
+    src1* family (profile.lift_curve_points; exact_ntile deciles on
+    the rounded score)."""
+    from avro_sql_spark.operators.profile import lift_curve_points
+
+    t = load_tables(spark, sf_dir, register=False)
+    return lift_curve_points(t["documents"])
+
+
+def _length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lognormal fit of document lengths
+    (text.length_lognormal_fit; integer-scaled ln moments)."""
+    from avro_sql_spark.operators.text import length_lognormal_fit
+
+    t = load_tables(spark, sf_dir, register=False)
+    return length_lognormal_fit(t["documents"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes ~50 entries in this order per round (r1 covered the first
@@ -4191,6 +4230,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cochran_armitage_trend": _cochran_armitage_trend,
         "split_half_reliability": _split_half_reliability,
         "partition_layout_advisor": _partition_layout_advisor,
+        "max_drawdown_daily": _max_drawdown_daily,
+        "ljung_box_hourly": _ljung_box_hourly,
+        "lift_curve_points": _lift_curve_points,
+        "length_lognormal_fit": _length_lognormal_fit,
         # dsir_weights re-queued (r7 window): its Spark code gained the
         # -0.0 normalization on log_importance after its r5 driver row
         # (the sign bit only surfaces at sf0.1; sf0.01 was and is green)
@@ -11379,6 +11422,126 @@ SELECT candidate, CAST(np AS BIGINT) AS n_partitions,
          AS frac_small,
        CAST(ef AS BIGINT) AS est_files
 FROM prof ORDER BY candidate
+""",
+        "max_drawdown_daily": """
+WITH daily AS (SELECT date_trunc('day', ts) AS d,
+                      SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS r
+               FROM events WHERE value IS NOT NULL GROUP BY 1),
+cum AS (SELECT d, SUM(r) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+        FROM daily),
+pk AS (SELECT d, cum, MAX(cum) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND CURRENT ROW) AS peak
+       FROM cum),
+dd AS (SELECT d, peak - cum AS dd, cum, peak FROM pk),
+rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY dd DESC, d) AS rk,
+              COUNT(*) OVER () AS nd
+       FROM dd)
+SELECT CAST(nd AS BIGINT) AS n_days,
+       ROUND(CAST(peak AS DOUBLE), 6) + 0 AS peak_value,
+       ROUND(CAST(dd AS DOUBLE), 6) + 0 AS max_drawdown,
+       CAST(CAST(d AS DATE) AS VARCHAR) AS trough_day
+FROM rk WHERE rk = 1
+""",
+        "ljung_box_hourly": """
+WITH hrs AS (SELECT epoch_us(ts) // 3600000000 AS hi FROM events),
+counts AS (SELECT hi, COUNT(*) AS c FROM hrs GROUP BY hi),
+st AS (SELECT MIN(hi) AS mn, MAX(hi) AS mx FROM counts),
+spine AS (SELECT g.hi, COALESCE(c.c, 0) AS c
+          FROM (SELECT unnest(range((SELECT mn FROM st),
+                                    (SELECT mx FROM st) + 1)) AS hi) g
+          LEFT JOIN counts c USING (hi)),
+tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS h, CAST(SUM(c) AS HUGEINT) AS s,
+               CAST(SUM(c * c) AS HUGEINT) AS q FROM spine),
+lags AS (SELECT unnest(range(1, 25)) AS lag),
+per AS (SELECT l.lag,
+               CAST(SUM(a.c * b.c) AS HUGEINT) AS x,
+               CAST(SUM(a.c) AS HUGEINT) AS aa,
+               CAST(SUM(b.c) AS HUGEINT) AS bb
+        FROM lags l
+        JOIN spine a ON TRUE
+        JOIN spine b ON b.hi = a.hi - l.lag
+        GROUP BY l.lag),
+acf AS (SELECT CAST(p.lag AS BIGINT) AS lag,
+               ROUND(CAST(t.h * t.h * p.x - t.h * t.s * (p.aa + p.bb)
+                          + (t.h - p.lag) * t.s * t.s AS DOUBLE)
+                     / NULLIF(CAST(t.h * t.h * t.q - t.h * t.s * t.s
+                                   AS DOUBLE), 0), 6)
+               + 0 AS acf
+        FROM per p CROSS JOIN tot t),
+hh AS (SELECT CAST(mx - mn + 1 AS BIGINT) AS h FROM st),
+terms AS (SELECT h, lag,
+                 CAST(ROUND(acf * acf / CAST(h - lag AS DOUBLE), 12)
+                      AS DECIMAL(38,12)) AS term
+          FROM acf CROSS JOIN hh),
+s AS (SELECT MAX(h) AS h, COUNT(*) AS df, SUM(term) AS tsum FROM terms)
+SELECT CAST(h AS BIGINT) AS n_hours, CAST(df AS BIGINT) AS df,
+       ROUND(CAST(h AS DOUBLE) * CAST(h + 2 AS DOUBLE)
+             * CAST(tsum AS DOUBLE), 6) + 0 AS q_stat,
+       (CAST(h AS DOUBLE) * CAST(h + 2 AS DOUBLE) * CAST(tsum AS DOUBLE))
+         > 36.41502850180731 AS reject_white_noise_5pct
+FROM s
+""",
+        "lift_curve_points": f"""
+WITH base AS (
+  SELECT doc_id, source, text,
+         ' ' || lower(text) || ' ' AS padded,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         ROUND({_quality_expr()}, 6) + 0 AS q,
+         CASE WHEN source LIKE 'src1%' THEN 1 ELSE 0 END AS pos
+  FROM base
+), tiled AS (
+  SELECT pos, NTILE(10) OVER (ORDER BY q DESC, doc_id) AS decile
+  FROM scored
+), cells AS (
+  SELECT decile, COUNT(*) AS n_docs, SUM(pos) AS n_pos
+  FROM tiled GROUP BY decile
+), tot AS (SELECT SUM(n_docs) AS td, SUM(n_pos) AS tp FROM cells),
+cum AS (SELECT decile, n_docs, n_pos,
+               SUM(n_docs) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) AS cd,
+               SUM(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) AS cp
+        FROM cells)
+SELECT CAST(decile AS BIGINT) AS decile, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       ROUND(CAST(cd AS DOUBLE) / CAST(td AS DOUBLE), 6) + 0
+         AS cum_docs_share,
+       ROUND(CAST(cp AS DOUBLE) / nullif(CAST(tp AS DOUBLE), 0.0), 6) + 0
+         AS cum_pos_share,
+       ROUND((CAST(cp AS DOUBLE) / nullif(CAST(tp AS DOUBLE), 0.0))
+             / (CAST(cd AS DOUBLE) / CAST(td AS DOUBLE)), 6) + 0 AS lift
+FROM cum CROSS JOIN tot ORDER BY decile
+""",
+        "length_lognormal_fit": """
+WITH per AS (
+  SELECT source AS s, COUNT(*) AS n,
+         SUM(CAST(ROUND(LN(CAST(n_chars AS DOUBLE)) * 1000000000.0, 0)
+                  AS DECIMAL(38,0))) AS st,
+         SUM(CAST(ROUND(LN(CAST(n_chars AS DOUBLE)) * 1000000000.0, 0)
+                  AS DECIMAL(38,0))
+             * CAST(ROUND(LN(CAST(n_chars AS DOUBLE)) * 1000000000.0, 0)
+                    AS DECIMAL(38,0))) AS stt,
+         SUM(CAST(n_chars AS DECIMAL(38,0))) AS sl
+  FROM documents WHERE n_chars > 0 GROUP BY source),
+fin AS (
+  SELECT s, n,
+         CAST(st AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0 AS mu,
+         CAST(CAST(n AS DECIMAL(38,0)) * stt - st * st AS DOUBLE)
+           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 1e18 AS var,
+         CAST(sl AS DOUBLE) / CAST(n AS DOUBLE) AS mean_obs
+  FROM per)
+SELECT s AS source, CAST(n AS BIGINT) AS n_docs,
+       ROUND(mu, 6) + 0 AS mu_log,
+       ROUND(SQRT(GREATEST(var, 0.0)), 6) + 0 AS sigma_log,
+       ROUND(EXP(mu), 6) + 0 AS median_est,
+       ROUND(EXP(mu + var / 2.0), 6) + 0 AS mean_est,
+       ROUND(mean_obs, 6) + 0 AS mean_observed,
+       EXP(mu + var / 2.0) > 1.5 * mean_obs AS heavy_tail_flag
+FROM fin ORDER BY source
 """,
         # no oracle (rows-only by design — sketch-/eigen-dependent,
         # approximate-by-construction, or sequential-fold):

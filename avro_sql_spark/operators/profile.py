@@ -4986,3 +4986,176 @@ def partition_layout_advisor(
         .unionByName(profile(by_bucket, "user_bucket_256"))
         .orderBy("candidate")
     )
+
+
+def max_drawdown_daily(events: DataFrame) -> DataFrame:
+    """Maximum drawdown of the cumulative daily event value — the
+    worst peak-to-trough drop a running revenue/engagement total has
+    seen, the stress metric behind "how bad did the worst regression
+    get before recovery": running cumulative sum over the day series,
+    running max of that, drawdown = running max - cumulative; report
+    the deepest one and the (first) day it bottomed.
+
+    Exactness: ZERO float ops before the output rounding — daily sums
+    quantize values at 6 dp into DECIMAL(38,6), the cumulative sum,
+    running max, and their difference stay in decimal, and the argmax
+    day is picked by a deterministic (drawdown desc, day asc) rank on
+    the exact decimals. Scale shape: one map-side-combined day
+    aggregate; the two windows run over the DAY-DOMAIN frame (time-
+    bounded, never row count — the audited bounded-frame class)."""
+    daily = events.filter(F.col("value").isNotNull()).groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value"), 6).cast("decimal(38,6)")).alias("r")
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "d",
+        "r",
+        F.sum("r").over(wcum).alias("cum"),
+    ).select(
+        "d", "cum", F.max("cum").over(wcum).alias("peak")
+    )
+    dd = cum.select(
+        "d", (F.col("peak") - F.col("cum")).alias("dd"), "cum", "peak"
+    )
+    ranked = dd.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.desc("dd"), F.asc("d")))
+        .alias("rk"),
+        F.count(F.lit(1))
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("nd"),
+    ).filter(F.col("rk") == 1)
+    return ranked.select(
+        F.col("nd").cast("long").alias("n_days"),
+        (F.round(F.col("peak").cast("double"), 6) + F.lit(0.0)).alias(
+            "peak_value"
+        ),
+        (F.round(F.col("dd").cast("double"), 6) + F.lit(0.0)).alias(
+            "max_drawdown"
+        ),
+        F.col("d").cast("date").cast("string").alias("trough_day"),
+    )
+
+
+def ljung_box_hourly(
+    events: DataFrame,
+    max_lag: int = 24,
+) -> DataFrame:
+    """Ljung-Box portmanteau test on the hourly event-count series
+    (Ljung & Box 1978): Q = H(H+2) * sum_k r_k^2/(H-k) over the first
+    ``max_lag`` autocorrelations — the one-number answer to "is this
+    series white noise, or is there structure worth a seasonal model?"
+    Builds directly on :func:`acf_hourly`'s exact integer-ratio
+    autocorrelations (already 6 dp-quantized and engine-identical);
+    each Q term quantizes at 12 dp into DECIMAL(38,12) so the 24-term
+    sum is order-free. The 5% verdict compares against the fixed
+    chi-square(df=24) critical value 36.41502850180731 (both engines
+    the same literal — neither ships a chi-square CDF).
+
+    Scale shape: acf_hourly's time-bounded spine + one 24-row
+    aggregate and a scalar assembly."""
+    acf = acf_hourly(events, max_lag=max_lag)
+    hrs = events.select(
+        F.floor(F.unix_timestamp(F.col("ts")) / F.lit(3600))
+        .cast("long")
+        .alias("hi")
+    ).agg((F.max("hi") - F.min("hi") + F.lit(1)).alias("h"))
+    j = acf.crossJoin(F.broadcast(hrs))
+    term = F.round(
+        F.col("acf") * F.col("acf")
+        / (F.col("h") - F.col("lag")).cast("double"),
+        12,
+    ).cast("decimal(38,12)")
+    s = j.agg(
+        F.max("h").alias("h"),
+        F.count(F.lit(1)).alias("df"),
+        F.sum(term).alias("tsum"),
+    )
+    q = (
+        F.col("h").cast("double")
+        * (F.col("h") + F.lit(2)).cast("double")
+        * F.col("tsum").cast("double")
+    )
+    crit = 36.41502850180731  # chi-square 0.95 quantile, df=24
+    return s.select(
+        F.col("h").cast("long").alias("n_hours"),
+        F.col("df").cast("long").alias("df"),
+        (F.round(q, 6) + F.lit(0.0)).alias("q_stat"),
+        (q > F.lit(crit)).alias("reject_white_noise_5pct"),
+    )
+
+
+def lift_curve_points(
+    docs: DataFrame,
+    target: Column | None = None,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Cumulative-gains / lift curve of the heuristic quality score
+    against a target label (default: the src1* source family, the same
+    in-domain definition dsir_importance steers toward) — the
+    classifier-triage readout "if I keep only the top-k score deciles,
+    what share of the in-domain documents do I capture?": rank by
+    (score desc, id), bucket into deciles, report per-decile counts
+    and the cumulative capture share + lift over random.
+
+    Ranking is :func:`avro_sql_spark.operators.curation.exact_ntile`
+    (two-pass range-partitioned, no single-partition sort), mirrored
+    by the oracle's NTILE over the identical (score desc, id) total
+    order; the score compared is the ROUNDED 6 dp quality (the
+    filters-on-rounded-values rule). Counts are exact integers; the
+    cumulative window runs over the n_buckets-sized frame; the three
+    ratios are the only float ops. Scale shape: one scan + two rank
+    passes + a deciles-sized assembly."""
+    from ..functions.text import quality_score
+    from .curation import exact_ntile
+
+    if target is None:
+        target = F.col("source").like("src1%")
+    scored = docs.select(
+        "doc_id",
+        (F.round(quality_score(F.col("text")), 6) + F.lit(0.0)).alias("q"),
+        target.cast("int").alias("pos"),
+    )
+    tiled = exact_ntile(
+        scored, [F.desc("q"), F.asc("doc_id")], n_buckets, out_col="decile"
+    )
+    cells = (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pos").alias("n_pos"),
+        )
+        .localCheckpoint(eager=True)  # deciles-sized, forked below
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = cells.agg(
+        F.sum("n_docs").alias("td"), F.sum("n_pos").alias("tp")
+    )
+    cum = cells.select(
+        "decile",
+        "n_docs",
+        "n_pos",
+        F.sum("n_docs").over(wcum).alias("cd"),
+        F.sum("n_pos").over(wcum).alias("cp"),
+    ).crossJoin(F.broadcast(tot))
+    docs_share = F.col("cd").cast("double") / F.col("td").cast("double")
+    pos_share = F.col("cp").cast("double") / F.nullif(
+        F.col("tp").cast("double"), F.lit(0.0)
+    )
+    return cum.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        (F.round(docs_share, 6) + F.lit(0.0)).alias("cum_docs_share"),
+        (F.round(pos_share, 6) + F.lit(0.0)).alias("cum_pos_share"),
+        (F.round(pos_share / docs_share, 6) + F.lit(0.0)).alias("lift"),
+    ).orderBy("decile")

@@ -2049,3 +2049,61 @@ def chao1_richness(
         (F.round(chao1, 6) + F.lit(0.0)).alias("chao1_estimate"),
         (F.round(coverage, 6) + F.lit(0.0)).alias("coverage"),
     ).orderBy("source")
+
+
+def length_lognormal_fit(
+    docs: DataFrame,
+    len_col: str = "n_chars",
+    group_col: str = "source",
+) -> DataFrame:
+    """Method-of-moments lognormal fit of the document-length
+    distribution per source — the standard length model for natural
+    text corpora (Mitzenmacher 2004 survey): report mu/sigma of
+    ln(length), the implied median exp(mu) and mean exp(mu+sigma^2/2),
+    and flag sources whose implied mean wildly exceeds the observed
+    one (a heavy-tail / contamination smell the plain mean hides).
+
+    Exactness: each ln(length) quantizes to the INTEGER round(ln*1e9)
+    (the jackknife device — a DECIMAL(38,9) square would overflow
+    precision 38 and diverge between engines), so the moment sums are
+    exact DECIMAL(38,0); the final exp/division float ops are written
+    identically in the oracle. Scale shape: one map-side-combined
+    aggregate per source."""
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    ti = F.round(
+        F.log(F.col(len_col).cast("double")) * F.lit(1000000000.0), 0
+    ).cast("long")
+    per = (
+        docs.filter(F.col(len_col) > 0)
+        .select(F.col(group_col).alias("s"), ti.alias("ti"), F.col(len_col))
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec(F.col("ti"))).alias("st"),
+            F.sum(dec(F.col("ti")) * dec(F.col("ti"))).alias("stt"),
+            F.sum(dec(F.col(len_col))).alias("sl"),
+        )
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("st").cast("double") / n / F.lit(1000000000.0)
+    var = (
+        (dec(F.col("n")) * F.col("stt") - F.col("st") * F.col("st")).cast(
+            "double"
+        )
+        / (n * (n - F.lit(1.0)))
+        / F.lit(1e18)
+    )
+    mean_obs = F.col("sl").cast("double") / n
+    mean_est = F.exp(mu + var / F.lit(2.0))
+    return per.select(
+        F.col("s").alias("source"),
+        F.col("n").cast("long").alias("n_docs"),
+        (F.round(mu, 6) + F.lit(0.0)).alias("mu_log"),
+        (F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6) + F.lit(0.0)).alias(
+            "sigma_log"
+        ),
+        (F.round(F.exp(mu), 6) + F.lit(0.0)).alias("median_est"),
+        (F.round(mean_est, 6) + F.lit(0.0)).alias("mean_est"),
+        (F.round(mean_obs, 6) + F.lit(0.0)).alias("mean_observed"),
+        (mean_est > F.lit(1.5) * mean_obs).alias("heavy_tail_flag"),
+    ).orderBy("source")

@@ -342,6 +342,10 @@ HEADLINE = [
     "cochran_armitage_trend",
     "split_half_reliability",
     "partition_layout_advisor",
+    "max_drawdown_daily",
+    "ljung_box_hourly",
+    "lift_curve_points",
+    "length_lognormal_fit",
 ]
 
 

@@ -272,3 +272,101 @@ def test_partition_advisor_counts_and_ceils(spark):
     # 300 rows/type at target 100 -> 3 files each
     assert out["event_type"]["est_files"] == 6
     assert out["event_type"]["skew"] == pytest.approx(1.0)
+
+
+def test_max_drawdown_monotone_series_is_zero(spark):
+    import datetime as dt
+
+    # strictly rising cumulative value -> no drawdown, trough = day 1
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i), 1, "a", 10.0) for i in range(8)
+    ]
+    from avro_sql_spark.operators.profile import max_drawdown_daily
+
+    r = max_drawdown_daily(_events(spark, rows)).collect()[0]
+    assert r["n_days"] == 8
+    assert r["max_drawdown"] == 0.0
+    assert r["trough_day"] == "2024-01-01"
+
+
+def test_max_drawdown_detects_trough(spark):
+    import datetime as dt
+
+    # daily values +10, +10, -15, -5, +20: cum = 10,20,5,0,20
+    # peak=20 at day2; trough at day4 (drawdown 20)
+    vals = [10.0, 10.0, -15.0, -5.0, 20.0]
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i), 1, "a", v)
+        for i, v in enumerate(vals)
+    ]
+    from avro_sql_spark.operators.profile import max_drawdown_daily
+
+    r = max_drawdown_daily(_events(spark, rows)).collect()[0]
+    assert r["max_drawdown"] == pytest.approx(20.0)
+    assert r["trough_day"] == "2024-01-04"
+    assert r["peak_value"] == pytest.approx(20.0)
+
+
+def test_ljung_box_periodic_series_rejects(spark):
+    import datetime as dt
+
+    # strong 24h periodicity: bursts at hour 0 of each day
+    rows = []
+    eid = 0
+    for d in range(20):
+        for i in range(50):
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1 + d, 0, i % 60), 1, "a", 0.0)
+            )
+            eid += 1
+        rows.append((eid, dt.datetime(2024, 1, 1 + d, 12), 1, "a", 0.0))
+        eid += 1
+    from avro_sql_spark.operators.profile import ljung_box_hourly
+
+    r = ljung_box_hourly(_events(spark, rows)).collect()[0]
+    assert r["df"] == 24
+    assert r["q_stat"] > 36.415
+    assert bool(r["reject_white_noise_5pct"])
+
+
+def test_lift_curve_perfect_ranking(spark):
+    # score == target: every positive doc sits in the top deciles ->
+    # monotone non-increasing lift, top-decile lift = 1/positive_rate
+    rows = []
+    for i in range(100):
+        good = i < 20
+        text = (
+            "the quick and nimble fox, it is of the essence."
+            if good
+            else "zz qq xx yy ww vv uu tt ss rr qq pp oo nn mm ll"
+        )
+        rows.append((i, text, "src1" if good else "src9"))
+    from avro_sql_spark.operators.profile import lift_curve_points
+    from pyspark.sql import functions as F
+
+    out = lift_curve_points(
+        _docs(spark, rows), target=F.col("source") == "src1"
+    ).collect()
+    assert len(out) == 10
+    # all 20 positives are captured within the top 2 deciles
+    assert out[1]["cum_pos_share"] == pytest.approx(1.0)
+    assert out[0]["lift"] == pytest.approx(5.0)
+    assert out[-1]["cum_pos_share"] == pytest.approx(1.0)
+    assert out[-1]["lift"] == pytest.approx(1.0)
+
+
+def test_length_lognormal_exact_moments(spark):
+    import math
+
+    # two docs with lengths e^2 and e^4 (approx): mu ~ 3
+    rows = [(1, "x", "s"), (2, "y", "s")]
+    df = spark.createDataFrame(
+        [(1, "x", "s", int(round(math.e**2))), (2, "y", "s", int(round(math.e**4)))],
+        "doc_id LONG, text STRING, source STRING, n_chars LONG",
+    )
+    from avro_sql_spark.operators.text import length_lognormal_fit
+
+    r = length_lognormal_fit(df).collect()[0]
+    assert r["n_docs"] == 2
+    assert abs(r["mu_log"] - 3.0) < 0.05
+    assert r["median_est"] == pytest.approx(math.exp(r["mu_log"]), rel=1e-4)

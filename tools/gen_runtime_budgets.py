@@ -114,6 +114,8 @@ ITERATIVE_ENTRIES = [
     "psi_drift_report",
     "jackknife_ratio_ci",
     "cochran_armitage_trend",
+    "ljung_box_hourly",
+    "lift_curve_points",
 ]
 
 
