@@ -11173,7 +11173,7 @@ means AS (SELECT g, b,
           FROM per),
 ranked AS (SELECT g, m,
                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY m, b) AS r
-           FROM means),
+           FROM means WHERE m IS NOT NULL),
 ci AS (SELECT g, MAX(CASE WHEN r = 2 THEN m END) AS lo,
               MAX(CASE WHEN r = 31 THEN m END) AS hi
        FROM ranked GROUP BY g)
@@ -11192,7 +11192,8 @@ per AS (SELECT g, arm, COUNT(*) AS n, SUM(qv) AS s, SUM(qv * qv) AS ss
         FROM ev GROUP BY 1, 2),
 j AS (SELECT a.g, a.n AS na, a.s AS sa, a.ss AS ssa,
              b.n AS nb, b.s AS sb, b.ss AS ssb
-      FROM per a JOIN per b ON a.g = b.g AND a.arm = 'A' AND b.arm = 'B'),
+      FROM per a JOIN per b ON a.g = b.g AND a.arm = 'A' AND b.arm = 'B'
+      WHERE a.n > 1 AND b.n > 1),
 zs AS (SELECT g, na, nb,
               (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
                - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
@@ -11471,8 +11472,9 @@ acf AS (SELECT CAST(p.lag AS BIGINT) AS lag,
         FROM per p CROSS JOIN tot t),
 hh AS (SELECT CAST(mx - mn + 1 AS BIGINT) AS h FROM st),
 terms AS (SELECT h, lag,
-                 CAST(ROUND(acf * acf / CAST(h - lag AS DOUBLE), 12)
-                      AS DECIMAL(38,12)) AS term
+                 CAST(CASE WHEN lag < h THEN
+                        ROUND(acf * acf / CAST(h - lag AS DOUBLE), 12)
+                      END AS DECIMAL(38,12)) AS term
           FROM acf CROSS JOIN hh),
 s AS (SELECT MAX(h) AS h, COUNT(*) AS df, SUM(term) AS tsum FROM terms)
 SELECT CAST(h AS BIGINT) AS n_hours, CAST(df AS BIGINT) AS df,
@@ -11526,7 +11528,8 @@ WITH per AS (
              * CAST(ROUND(LN(CAST(n_chars AS DOUBLE)) * 1000000000.0, 0)
                     AS DECIMAL(38,0))) AS stt,
          SUM(CAST(n_chars AS DECIMAL(38,0))) AS sl
-  FROM documents WHERE n_chars > 0 GROUP BY source),
+  FROM documents WHERE n_chars > 0 GROUP BY source
+  HAVING COUNT(*) > 1),
 fin AS (
   SELECT s, n,
          CAST(st AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0 AS mu,

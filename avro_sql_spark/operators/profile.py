@@ -4383,12 +4383,20 @@ def poisson_bootstrap_ci(
         )
         + F.lit(0.0)
     )
-    ranked = per.select("g", "b", mean_b.alias("m")).select(
-        "g",
-        "m",
-        F.row_number()
-        .over(Window.partitionBy("g").orderBy("m", "b"))
-        .alias("r"),
+    # NULL means (a replicate whose Poisson weights were all zero --
+    # only possible for tiny groups) are EXCLUDED before ranking:
+    # Spark orders NULLS FIRST, DuckDB NULLS LAST, so a NULL in the
+    # rank frame would silently diverge the order statistics.
+    ranked = (
+        per.select("g", "b", mean_b.alias("m"))
+        .filter(F.col("m").isNotNull())
+        .select(
+            "g",
+            "m",
+            F.row_number()
+            .over(Window.partitionBy("g").orderBy("m", "b"))
+            .alias("r"),
+        )
     )
     ci = ranked.groupBy("g").agg(
         F.max(F.when(F.col("r") == 2, F.col("m"))).alias("lo"),
@@ -4469,7 +4477,10 @@ def bh_fdr_report(
         F.col("s").alias("sb"),
         F.col("ss").alias("ssb"),
     )
-    j = a.join(b, "g")
+    # arms with a single event make the sample variance 0/0 (NaN with
+    # engine-specific payload bits); require n >= 2 per arm (mirrored
+    # in the oracle's WHERE)
+    j = a.join(b, "g").filter((F.col("na") > 1) & (F.col("nb") > 1))
     dn = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     # sample variance via exact decimal (n*ss - s^2) / (n*(n-1))
     var_a = (dn("na") * F.col("ssa") - F.col("sa") * F.col("sa")).cast(
@@ -5068,10 +5079,15 @@ def ljung_box_hourly(
         .alias("hi")
     ).agg((F.max("hi") - F.min("hi") + F.lit(1)).alias("h"))
     j = acf.crossJoin(F.broadcast(hrs))
-    term = F.round(
-        F.col("acf") * F.col("acf")
-        / (F.col("h") - F.col("lag")).cast("double"),
-        12,
+    # lag >= h would divide by <= 0 (Inf; CAST(Inf AS DECIMAL) is NULL
+    # in Spark but an ERROR in DuckDB) -- only defined lags contribute
+    term = F.when(
+        F.col("lag") < F.col("h"),
+        F.round(
+            F.col("acf") * F.col("acf")
+            / (F.col("h") - F.col("lag")).cast("double"),
+            12,
+        ),
     ).cast("decimal(38,12)")
     s = j.agg(
         F.max("h").alias("h"),

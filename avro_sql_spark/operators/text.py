@@ -2083,6 +2083,9 @@ def length_lognormal_fit(
             F.sum(dec(F.col("ti")) * dec(F.col("ti"))).alias("stt"),
             F.sum(dec(F.col(len_col))).alias("sl"),
         )
+        # a singleton source makes the sample variance 0/0 (NaN with
+        # engine-specific bits); the fit needs n >= 2 (mirrored HAVING)
+        .filter(F.col("n") > 1)
     )
     n = F.col("n").cast("double")
     mu = F.col("st").cast("double") / n / F.lit(1000000000.0)

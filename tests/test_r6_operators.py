@@ -370,3 +370,57 @@ def test_length_lognormal_exact_moments(spark):
     assert r["n_docs"] == 2
     assert abs(r["mu_log"] - 3.0) < 0.05
     assert r["median_est"] == pytest.approx(math.exp(r["mu_log"]), rel=1e-4)
+
+
+def test_poisson_bootstrap_tiny_group_no_null_rank_divergence(spark):
+    import datetime as dt
+
+    # 1-event group: many replicates draw weight 0 -> NULL means,
+    # which are excluded from the rank (Spark NULLS FIRST vs DuckDB
+    # NULLS LAST would otherwise diverge); op must still return a row
+    rows = [(1, dt.datetime(2024, 1, 1), 1, "solo", 5.0)]
+    r = poisson_bootstrap_ci(_events(spark, rows)).collect()
+    assert len(r) == 1
+    assert r[0]["n_events"] == 1
+
+
+def test_bh_fdr_single_event_arm_excluded(spark):
+    import datetime as dt
+
+    # type "tiny" has 1 user in each arm-side at most -> excluded
+    # (variance would be 0/0); the populated types still report
+    rows = [(0, dt.datetime(2024, 1, 1), 999, "tiny", 1.0)] + [
+        (i + 1, dt.datetime(2024, 1, 1), i, "big", float(i % 7))
+        for i in range(200)
+    ]
+    out = bh_fdr_report(_events(spark, rows)).collect()
+    assert all(r["event_type"] == "big" for r in out)
+    assert all(r["n_a"] > 1 and r["n_b"] > 1 for r in out)
+
+
+def test_ljung_box_series_shorter_than_max_lag(spark):
+    import datetime as dt
+
+    # 6-hour series with max_lag 24: lags >= h contribute nothing
+    # (no Inf -> DECIMAL cast, which errors in some engines)
+    rows = [
+        (i, dt.datetime(2024, 1, 1, h), 1, "a", 0.0)
+        for i, h in enumerate([0, 0, 1, 2, 3, 4, 5, 5])
+    ]
+    from avro_sql_spark.operators.profile import ljung_box_hourly
+
+    r = ljung_box_hourly(_events(spark, rows)).collect()[0]
+    assert r["n_hours"] == 6
+    assert r["q_stat"] is not None
+
+
+def test_lognormal_singleton_source_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, "x", "solo", 100), (2, "y", "pair", 50), (3, "z", "pair", 200)],
+        "doc_id LONG, text STRING, source STRING, n_chars LONG",
+    )
+    from avro_sql_spark.operators.text import length_lognormal_fit
+
+    out = length_lognormal_fit(df).collect()
+    assert [r["source"] for r in out] == ["pair"]
+    assert out[0]["sigma_log"] > 0
