@@ -11213,7 +11213,7 @@ ps AS (SELECT g, na, nb, ROUND(z, 6) AS z6,
 ranked AS (SELECT g, na, nb, z6, p,
                   ROW_NUMBER() OVER (ORDER BY p, g) AS r,
                   COUNT(*) OVER () AS m
-           FROM ps),
+           FROM ps WHERE p IS NOT NULL),
 k AS (SELECT MAX(CASE WHEN p <= CAST(r AS DOUBLE) * 0.1
                                / CAST(m AS DOUBLE)
                       THEN r ELSE 0 END) AS kk
@@ -11476,13 +11476,18 @@ terms AS (SELECT h, lag,
                         ROUND(acf * acf / CAST(h - lag AS DOUBLE), 12)
                       END AS DECIMAL(38,12)) AS term
           FROM acf CROSS JOIN hh),
-s AS (SELECT MAX(h) AS h, COUNT(*) AS df, SUM(term) AS tsum FROM terms)
+s AS (SELECT MAX(h) AS h, COUNT(*) AS df, SUM(term) AS tsum FROM terms),
+wh AS (SELECT h, df, tsum,
+              1.0 - 2.0 / (9.0 * CAST(df AS DOUBLE))
+              + 1.6448536269514722
+                * SQRT(2.0 / (9.0 * CAST(df AS DOUBLE))) AS b
+       FROM s)
 SELECT CAST(h AS BIGINT) AS n_hours, CAST(df AS BIGINT) AS df,
        ROUND(CAST(h AS DOUBLE) * CAST(h + 2 AS DOUBLE)
              * CAST(tsum AS DOUBLE), 6) + 0 AS q_stat,
        (CAST(h AS DOUBLE) * CAST(h + 2 AS DOUBLE) * CAST(tsum AS DOUBLE))
-         > 36.41502850180731 AS reject_white_noise_5pct
-FROM s
+         > CAST(df AS DOUBLE) * b * b * b AS reject_white_noise_5pct
+FROM wh
 """,
         "lift_curve_points": f"""
 WITH base AS (

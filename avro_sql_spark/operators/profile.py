@@ -4511,9 +4511,13 @@ def bh_fdr_report(
         )
     )
     p9 = F.round(F.lit(2.0) * (F.lit(1.0) - phi), 9) + F.lit(0.0)
+    # a zero-variance pair of arms (constant value in both, n > 1) makes
+    # the Welch SE 0, so nullif yields NULL z / NULL p; NULL p must not
+    # reach the rank (Spark orders NULLs first, DuckDB last — the exact
+    # divergence class fixed in poisson_bootstrap_ci) nor count into m
     scored = j.select(
         "g", "na", "nb", F.round(z, 6).alias("z6"), p9.alias("p")
-    )
+    ).filter(F.col("p").isNotNull())
     wr = Window.orderBy("p", "g")
     ranked = scored.select(
         "*",
@@ -4827,6 +4831,7 @@ def cochran_armitage_trend(
     cells = tiled.groupBy("tier").agg(
         F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")
     )
+    mid_tier = (n_groups + 1) // 2
     dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     s = cells.agg(
         F.sum("n").alias("nn"),
@@ -4838,8 +4843,11 @@ def cochran_armitage_trend(
         ).alias("snn"),
         F.max(F.when(F.col("tier") == 1, F.col("c"))).alias("c1"),
         F.max(F.when(F.col("tier") == 1, F.col("n"))).alias("n1"),
-        F.max(F.when(F.col("tier") == 2, F.col("c"))).alias("c2"),
-        F.max(F.when(F.col("tier") == 2, F.col("n"))).alias("n2"),
+        # mid tier derived from n_groups, not hardwired to 2 (which is
+        # the middle only for the default n_groups=3); the oracle, per
+        # repo convention, covers only the default n_groups=3
+        F.max(F.when(F.col("tier") == mid_tier, F.col("c"))).alias("c2"),
+        F.max(F.when(F.col("tier") == mid_tier, F.col("n"))).alias("n2"),
         F.max(F.when(F.col("tier") == n_groups, F.col("c"))).alias("ck"),
         F.max(F.when(F.col("tier") == n_groups, F.col("n"))).alias("nk"),
     )
@@ -5066,9 +5074,16 @@ def ljung_box_hourly(
     Builds directly on :func:`acf_hourly`'s exact integer-ratio
     autocorrelations (already 6 dp-quantized and engine-identical);
     each Q term quantizes at 12 dp into DECIMAL(38,12) so the 24-term
-    sum is order-free. The 5% verdict compares against the fixed
-    chi-square(df=24) critical value 36.41502850180731 (both engines
-    the same literal — neither ships a chi-square CDF).
+    sum is order-free. The 5% verdict compares against the chi-square
+    0.95 quantile at the REALIZED df via the Wilson-Hilferty cube
+    approximation (Wilson & Hilferty 1931): chi2_q(df, .95) ~=
+    df * (1 - 2/(9 df) + z_.95 * sqrt(2/(9 df)))^3 with z_.95 =
+    1.6448536269514722 (|err| < 0.05 for df >= 3; df=24 gives 36.404
+    vs exact 36.415). Neither engine ships a chi-square CDF, so the
+    quantile is assembled from sqrt/div/mul only — each IEEE
+    correctly-rounded, so both engines compute the identical double
+    (pow is deliberately avoided: libm pow may differ in the last ulp
+    between the JVM and DuckDB).
 
     Scale shape: acf_hourly's time-bounded spine + one 24-row
     aggregate and a scalar assembly."""
@@ -5099,12 +5114,21 @@ def ljung_box_hourly(
         * (F.col("h") + F.lit(2)).cast("double")
         * F.col("tsum").cast("double")
     )
-    crit = 36.41502850180731  # chi-square 0.95 quantile, df=24
+    # Wilson-Hilferty chi-square 0.95 quantile at the realized df;
+    # cube by multiplication (not pow) for cross-engine bit-identity
+    dfd = F.col("df").cast("double")
+    wh_base = (
+        F.lit(1.0)
+        - F.lit(2.0) / (F.lit(9.0) * dfd)
+        + F.lit(1.6448536269514722)
+        * F.sqrt(F.lit(2.0) / (F.lit(9.0) * dfd))
+    )
+    crit = dfd * wh_base * wh_base * wh_base
     return s.select(
         F.col("h").cast("long").alias("n_hours"),
         F.col("df").cast("long").alias("df"),
         (F.round(q, 6) + F.lit(0.0)).alias("q_stat"),
-        (q > F.lit(crit)).alias("reject_white_noise_5pct"),
+        (q > crit).alias("reject_white_noise_5pct"),
     )
 
 

@@ -424,3 +424,67 @@ def test_lognormal_singleton_source_excluded(spark):
     out = length_lognormal_fit(df).collect()
     assert [r["source"] for r in out] == ["pair"]
     assert out[0]["sigma_log"] > 0
+
+
+def test_bh_fdr_zero_variance_pair_excluded_from_rank(spark):
+    import datetime as dt
+
+    # type "const" has a CONSTANT value in both arms with n > 1 per
+    # arm: Welch SE is exactly 0, nullif makes z/p NULL -- the NULL p
+    # must be dropped BEFORE the rank (Spark orders NULLs first,
+    # DuckDB last) and must not count into m for the step-up k
+    rows = [
+        (i, dt.datetime(2024, 1, 1), i, "const", 7.0) for i in range(40)
+    ] + [
+        (100 + i, dt.datetime(2024, 1, 1), i, "var", float(i % 9))
+        for i in range(200)
+    ]
+    out = bh_fdr_report(_events(spark, rows)).collect()
+    assert all(r["event_type"] == "var" for r in out)
+    assert len(out) == 1
+    assert out[0]["p_rank"] == 1
+    assert out[0]["p_value"] is not None
+
+
+def test_ljung_box_critical_value_tracks_realized_df(spark):
+    import datetime as dt
+    import math
+
+    # 6-hour series, max_lag=5 -> df=5; the 5% verdict must use the
+    # Wilson-Hilferty chi-square quantile at df=5 (~11.04), not the
+    # df=24 value (36.42)
+    rows = [
+        (i, dt.datetime(2024, 1, 1, h, i % 60), 1, "a", 0.0)
+        for i, h in enumerate([0] * 30 + [1, 2, 3, 4, 5] * 2)
+    ]
+    from avro_sql_spark.operators.profile import ljung_box_hourly
+
+    r = ljung_box_hourly(_events(spark, rows), max_lag=5).collect()[0]
+    assert r["df"] == 5
+    b = 1.0 - 2.0 / 45.0 + 1.6448536269514722 * math.sqrt(2.0 / 45.0)
+    crit5 = 5.0 * b * b * b
+    assert abs(crit5 - 11.07) < 0.05  # WH vs exact chi2(.95, 5)
+    assert bool(r["reject_white_noise_5pct"]) == (r["q_stat"] > crit5)
+
+
+def test_cochran_armitage_mid_tier_follows_n_groups(spark):
+    import datetime as dt
+
+    from avro_sql_spark.operators.profile import cochran_armitage_trend
+
+    # 50 users in 5 equal tiers; conversion only in tier 3 (the true
+    # middle) -> with n_groups=5 the mid columns must report tier 3
+    rows = []
+    eid = 0
+    for u in range(50):
+        rows.append(
+            (eid, dt.datetime(2024, 1, 1), u, "view", float(u))
+        )
+        eid += 1
+        if 20 <= u < 30:  # values 20..29 rank into tier 3 of 5
+            rows.append((eid, dt.datetime(2024, 1, 1), u, "purchase", 0.0))
+            eid += 1
+    r = cochran_armitage_trend(_events(spark, rows), n_groups=5).collect()[0]
+    assert r["n_users"] == 50
+    assert r["n_mid"] == 10
+    assert r["conv_mid"] == 10  # all-and-only the tier-3 users convert
