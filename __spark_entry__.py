@@ -1681,24 +1681,41 @@ def _quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a monotone pass_rate in q3 means it can pre-filter). Integer
     group keys and counts; one division per row."""
     from avro_sql_spark.functions.text import (
-        gopher_pass,
+        gopher_pass_of,
+        gopher_signal_columns,
         punct_ratio,
-        stopword_ratio,
-        whitespace_token_count,
     )
 
     t = load_tables(spark, sf_dir, register=False)
     text = F.col("text")
-    n_ws = whitespace_token_count(text).cast("double")
+    # project the five Gopher signals + punct ratio ONCE; both q3 and
+    # the gate read the projected columns, so the 10-stopword replace
+    # chain and the token count are evaluated once per row instead of
+    # once per consuming expression (r6 verdict perf item)
+    sig = gopher_signal_columns(text)
+    projected = t["documents"].select(
+        "lang",
+        *(c.alias(k) for k, c in sig.items()),
+        punct_ratio(text).alias("punct"),
+    )
+    n_ws = F.col("n_ws")
+    stop_ratio = F.col("stop_hits") / F.nullif(n_ws, F.lit(0))
     q3 = (
         F.when((n_ws >= 5) & (n_ws <= 100000), 1).otherwise(0)
-        + F.when(punct_ratio(text) <= 0.2, 1).otherwise(0)
-        + F.when(stopword_ratio(text) >= 0.05, 1).otherwise(0)
+        + F.when(F.col("punct") <= 0.2, 1).otherwise(0)
+        + F.when(stop_ratio.cast("double") >= 0.05, 1).otherwise(0)
     )
-    s = t["documents"].select(
+    ok = gopher_pass_of(
+        n_ws,
+        F.col("stop_hits"),
+        F.col("mean_word_len"),
+        F.col("symbol_ratio"),
+        F.col("alpha_frac"),
+    )
+    s = projected.select(
         "lang",
         q3.alias("q3"),
-        F.when(gopher_pass(text), 1).otherwise(0).alias("ok"),
+        F.when(ok, 1).otherwise(0).alias("ok"),
     )
     return (
         s.groupBy("lang", "q3")

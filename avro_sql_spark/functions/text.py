@@ -163,6 +163,51 @@ def alpha_word_fraction(text: Column) -> Column:
     return (n_alpha / F.nullif(F.size(words).cast("double"), F.lit(0))).cast("double")
 
 
+def gopher_signal_columns(text: Column) -> dict[str, Column]:
+    """The five row-local signals :func:`gopher_pass` gates on, as
+    named Columns. Project these ONCE and feed the projected columns to
+    :func:`gopher_pass_of` when another expression over the same text
+    (e.g. quality_score's indicator components) shares them — the
+    sharing is then explicit in the plan instead of relying on codegen
+    subexpression elimination to dedupe the 10-stopword replace chain
+    across conditional branches."""
+    return {
+        "n_ws": whitespace_token_count(text).cast("double"),
+        "stop_hits": _stopword_hits(text),
+        "mean_word_len": mean_word_length(text),
+        "symbol_ratio": symbol_word_ratio(text),
+        "alpha_frac": alpha_word_fraction(text),
+    }
+
+
+def gopher_pass_of(
+    n: Column,
+    stop_hits: Column,
+    mwl: Column,
+    symbol_ratio: Column,
+    alpha_frac: Column,
+    min_tokens: int = 30,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.05,
+    min_alpha_fraction: float = 0.8,
+    min_stopword_hits: int = 1,
+) -> Column:
+    """Gopher gate over ALREADY-PROJECTED signal columns (see
+    :func:`gopher_signal_columns`); :func:`gopher_pass` is the
+    plain-text convenience form of this."""
+    return (
+        (n >= min_tokens)
+        & (n <= max_tokens)
+        & (mwl >= min_mean_word_len)
+        & (mwl <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (alpha_frac >= min_alpha_fraction)
+        & (stop_hits >= min_stopword_hits)
+    )
+
+
 def gopher_pass(
     text: Column,
     min_tokens: int = 30,
@@ -177,17 +222,20 @@ def gopher_pass(
     adapted): token-count window, mean-word-length window, symbol ratio,
     alphabetic-word fraction, and a minimum count of English stopwords.
     Pure Column expression — fuses into the scan, row-local, no shuffle."""
-    n = whitespace_token_count(text).cast("double")
-    stop_hits = _stopword_hits(text)
-    mwl = mean_word_length(text)
-    return (
-        (n >= min_tokens)
-        & (n <= max_tokens)
-        & (mwl >= min_mean_word_len)
-        & (mwl <= max_mean_word_len)
-        & (symbol_word_ratio(text) <= max_symbol_ratio)
-        & (alpha_word_fraction(text) >= min_alpha_fraction)
-        & (stop_hits >= min_stopword_hits)
+    sig = gopher_signal_columns(text)
+    return gopher_pass_of(
+        sig["n_ws"],
+        sig["stop_hits"],
+        sig["mean_word_len"],
+        sig["symbol_ratio"],
+        sig["alpha_frac"],
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_ratio=max_symbol_ratio,
+        min_alpha_fraction=min_alpha_fraction,
+        min_stopword_hits=min_stopword_hits,
     )
 
 

@@ -26,8 +26,11 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_committed_bench_within_budget():
+    # latest_baseline(new) skips any frozen artifact identical to the
+    # map under test, so freezing bench_full_r{N}.json cannot
+    # grandfather the regressions it carries (the r6 hole)
     new = json.load(open(os.path.join(ROOT, "bench_full.json")))["queries"]
-    base = json.load(open(latest_baseline()))["queries"]
+    base = json.load(open(latest_baseline(new)))["queries"]
     waivers = load_waivers()
     regs = [r for r in find_regressions(new, base) if r[0] not in waivers]
     assert not regs, "bench regressions vs committed baseline: " + ", ".join(
@@ -69,3 +72,22 @@ def test_gate_red_on_regression_hiding_under_drift():
     new = {k: v * 1.5 for k, v in base.items()} | {"bad": 9.0}
     regs = find_regressions(new, base)
     assert regs == [("bad", 2.0, 9.0)]
+
+
+def test_latest_baseline_skips_self_identical_artifact():
+    # the newest frozen artifact IS the map under test -> the gate
+    # must select the prior round's artifact, not self-compare
+    import tools.check_bench_regression as g
+
+    newest = g.latest_baseline()
+    new = json.load(open(newest))["queries"]
+    prior = g.latest_baseline(new)
+    cands = sorted(
+        p
+        for p in os.listdir(ROOT)
+        if p.startswith("bench_full_r") and p.endswith(".json")
+    )
+    if len(cands) >= 2:
+        assert os.path.basename(prior) == cands[-2]
+    else:
+        assert prior == newest

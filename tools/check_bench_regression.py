@@ -89,10 +89,26 @@ def find_regressions(
     return out
 
 
-def latest_baseline() -> str:
+def latest_baseline(new_queries: dict[str, float] | None = None) -> str:
+    """Newest committed ``bench_full_r*.json`` — EXCLUDING any whose
+    query map is identical to the map under test. Without the
+    exclusion the gate has a freeze-ordering hole: the moment a new
+    round's map is committed it becomes the newest baseline, the gate
+    compares the map against itself, and any regression it carried is
+    grandfathered (this happened to quality_calibration in r6). With
+    it, the gate keeps judging a freshly-frozen map against the PRIOR
+    round until a genuinely newer measurement exists."""
     cands = sorted(glob.glob(os.path.join(ROOT, "bench_full_r*.json")))
     if not cands:
         raise SystemExit("no committed bench_full_r*.json baseline found")
+    if new_queries is not None:
+        for path in reversed(cands):
+            try:
+                queries = json.load(open(path)).get("queries")
+            except (OSError, ValueError):
+                continue
+            if queries != new_queries:
+                return path
     return cands[-1]
 
 
@@ -107,8 +123,8 @@ def main() -> int:
     new_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         ROOT, "bench_full.json"
     )
-    base_path = sys.argv[2] if len(sys.argv) > 2 else latest_baseline()
     new = json.load(open(new_path))["queries"]
+    base_path = sys.argv[2] if len(sys.argv) > 2 else latest_baseline(new)
     base = json.load(open(base_path))["queries"]
     drift = speed_drift(new, base)
     waivers = load_waivers()
