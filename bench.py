@@ -7,11 +7,16 @@ collect-to-driver, no disk write) — the number is the distributed plan's
 wall time, not serialization overhead.
 
 HEADLINE covers every BATCH entry in ``queries()``. The only exclusions
-(19) are entries whose wall time is not a batch-plan cost: the 9
+(20) are entries whose wall time is not a batch-plan cost: the 9
 ``streaming_*`` entries (micro-batch runner latency, not plan cost), the
 8 ``reshape_*`` entries (LocalRelation-backed schema-transform fixtures,
-sub-ms plans), and the 2 avro roundtrip entries (tempdir write+read
-harness cost dominates). Everything else is benched."""
+sub-ms plans), the 2 avro roundtrip entries (tempdir write+read harness
+cost dominates), and ``embedding_near_dup`` — the deliberate exact
+all-pairs O(n^2) oracle baseline for the LSH path (76s at sf0.1,
+alpha~2 by construction, probed sf0.01->sf0.1 in
+bench_scale_probe.json; its scale twin ``embedding_near_dup_lsh`` IS
+benched, and the exact entry stays oracle-checked in queries()).
+Everything else is benched."""
 
 from __future__ import annotations
 
@@ -311,7 +316,8 @@ HEADLINE = [
     "winnow_fingerprints",
     "tfidf_top_terms",
     "take_exact",
-    "embedding_near_dup",
+    # embedding_near_dup deliberately NOT here: exact O(n^2) oracle
+    # baseline, excluded per the module docstring (LSH twin is benched)
     "ann_lsh_bucketed",
     "ann_ivf",
     "multimodal_profile",

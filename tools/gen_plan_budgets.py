@@ -57,6 +57,11 @@ def plan_metrics(plan: str) -> dict[str, int]:
                 gw += 1
     return {
         "cartesian": plan.count("CartesianProduct"),
+        # a non-equi self-join is a BroadcastNestedLoopJoin, NOT a
+        # CartesianProduct node — without this metric an all-pairs
+        # O(n^2) plan reads as "cartesian: 0" (the r6 verdict's
+        # embedding_near_dup finding); count the class explicitly
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
         "exchanges": plan.count("Exchange hashpartitioning")
         + plan.count("Exchange rangepartitioning"),
         "sort_merge_joins": plan.count("SortMergeJoin"),

@@ -19,10 +19,16 @@ the duplicate-heavy worst case, which upper-bounds the honest cost.
 Usage:
     python tools/scale_probe.py [entry ...]
 
-Defaults to the slowest-10 of the committed bench_full.json. Writes
-bench_scale_probe.json: per-entry sf0.1 time, sf1.0 time, ratio, and
-the log-log scaling exponent alpha (t ~ data^alpha; alpha <= ~1.1 is
-linear within noise, 0 is fixed-overhead-bound).
+Defaults to the slowest-10 of the committed bench_full.json. MERGES
+into bench_scale_probe.json (re-probing an entry overwrites its row;
+entries not named are preserved): per-entry sf0.1 time, sf1.0 time,
+ratio, and the log-log scaling exponent alpha (t ~ data^alpha;
+alpha <= ~1.1 is linear within noise, 0 is fixed-overhead-bound).
+
+Entries in SMALL_BASIS (the deliberate O(n^2) exact baselines) are
+probed one decade DOWN — sf0.01 -> sf0.1, also a 10x step — because
+at alpha ~= 2 the sf1.0 run would take ~100x the sf0.1 time (hours);
+their rows carry a ``basis`` field saying so.
 """
 
 from __future__ import annotations
@@ -51,6 +57,18 @@ SHIFTS = {
     "embeddings": ["vec_id"],
 }
 COPY_ONCE = ["region", "nation"]
+
+# deliberate O(n^2) exact baselines: probed one decade DOWN
+# (sf0.01 -> sf0.1, still a 10x step) because their sf1.0 leg would
+# take ~100x the sf0.1 time by construction — the honest alpha~2 is
+# the point of the measurement, not a surprise to spend hours on
+SMALL_BASIS = {
+    "embedding_near_dup": (
+        "probed sf0.01->sf0.1: exact all-pairs cosine baseline "
+        "(BroadcastNestedLoopJoin, alpha~2 BY DESIGN); the headline "
+        "scale path is embedding_near_dup_lsh"
+    ),
+}
 
 
 def build_probe_data(src: str, dst: str) -> None:
@@ -118,12 +136,18 @@ def main() -> None:
     queries = entry_mod.queries()
     results = {}
     for name in names:
+        if name in SMALL_BASIS:
+            lo, hi = "/root/testdata/sf0.01", src
+            keys = ("sf0.01_sec", "sf0.1_sec")
+        else:
+            lo, hi = src, dst
+            keys = ("sf0.1_sec", "sf1.0_sec")
         # warmup at small scale (JIT/codegen), then timed at both scales
-        queries[name](spark, src).write.format("noop").mode(
+        queries[name](spark, lo).write.format("noop").mode(
             "overwrite"
         ).save()
-        t_small = time_entry(spark, queries, name, src)
-        t_big = time_entry(spark, queries, name, dst)
+        t_small = time_entry(spark, queries, name, lo)
+        t_big = time_entry(spark, queries, name, hi)
         ratio = round(t_big / t_small, 3) if t_small > 0 else None
         alpha = (
             round(math.log(t_big / t_small) / math.log(FACTOR), 3)
@@ -131,16 +155,23 @@ def main() -> None:
             else None
         )
         results[name] = {
-            "sf0.1_sec": t_small,
-            f"sf1.0_sec": t_big,
+            keys[0]: t_small,
+            keys[1]: t_big,
             "ratio": ratio,
             "alpha": alpha,
         }
+        if name in SMALL_BASIS:
+            results[name]["basis"] = SMALL_BASIS[name]
         print(
             f"{name}: {t_small:.2f}s -> {t_big:.2f}s "
             f"(x{ratio}, alpha={alpha})",
             flush=True,
         )
+    out_path = os.path.join(ROOT, "bench_scale_probe.json")
+    merged = results
+    if os.path.exists(out_path):
+        prior = json.load(open(out_path)).get("entries", {})
+        merged = {**prior, **results}
     out = {
         "factor": FACTOR,
         "note": (
@@ -148,14 +179,17 @@ def main() -> None:
             "(joins/graphs preserved; documents.text replicated verbatim, "
             "so dedup-family entries measure the duplicate-heavy worst "
             "case). alpha = log(t_ratio)/log(10): ~1 linear, <1 "
-            "overhead-bound, >1 super-linear."
+            "overhead-bound, >1 super-linear. Entries with a 'basis' "
+            "field are probed sf0.01 -> sf0.1 instead (the deliberate "
+            "quadratic exact baselines, where the sf1.0 leg would take "
+            "hours by construction)."
         ),
-        "entries": results,
+        "entries": merged,
     }
-    with open(os.path.join(ROOT, "bench_scale_probe.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
-    print(json.dumps({"probe_entries": len(results)}))
+    print(json.dumps({"probe_entries": len(merged)}))
 
 
 if __name__ == "__main__":
