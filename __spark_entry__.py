@@ -4137,6 +4137,103 @@ def _length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_lognormal_fit(t["documents"])
 
 
+def _kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily count and daily value total
+    (profile.kendall_tau_daily; exact integer pair counts on the
+    bounded day frame)."""
+    from avro_sql_spark.operators.profile import kendall_tau_daily
+
+    t = load_tables(spark, sf_dir, register=False)
+    return kendall_tau_daily(t["events"])
+
+
+def _page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift statistic on the daily mean value
+    (profile.page_hinkley_drift; decimal cumulative walk on the day
+    frame)."""
+    from avro_sql_spark.operators.profile import page_hinkley_drift
+
+    t = load_tables(spark, sf_dir, register=False)
+    return page_hinkley_drift(t["events"])
+
+
+def _gumbel_daily_max_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel method-of-moments fit to the daily maximum event value
+    (profile.gumbel_daily_max_fit; exact decimal moments, shared
+    irrational literals)."""
+    from avro_sql_spark.operators.profile import gumbel_daily_max_fit
+
+    t = load_tables(spark, sf_dir, register=False)
+    return gumbel_daily_max_fit(t["events"])
+
+
+def _ses_backtest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic-weight SES one-step backtest vs naive forecast
+    (profile.ses_backtest_daily; integer 2^k weight sums, bounded
+    range join on the day frame)."""
+    from avro_sql_spark.operators.profile import ses_backtest_daily
+
+    t = load_tables(spark, sf_dir, register=False)
+    return ses_backtest_daily(t["events"])
+
+
+def _user_path_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type entropy histogram (profile.user_path_entropy;
+    bounded per-user float fold, floor-on-rounded binning)."""
+    from avro_sql_spark.operators.profile import user_path_entropy
+
+    t = load_tables(spark, sf_dir, register=False)
+    return user_path_entropy(t["events"])
+
+
+def _hoeffding_adequacy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Hoeffding sample-size adequacy of the quality mean
+    (text.hoeffding_adequacy_report; shared ln-40 literal)."""
+    from avro_sql_spark.operators.text import hoeffding_adequacy_report
+
+    t = load_tables(spark, sf_dir, register=False)
+    return hoeffding_adequacy_report(t["documents"])
+
+
+def _mcnemar_gate_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired test between the Gopher gate and the cheap q3
+    heuristic (text.mcnemar_gate_compare; one scan-once projection)."""
+    from avro_sql_spark.operators.text import mcnemar_gate_compare
+
+    t = load_tables(spark, sf_dir, register=False)
+    return mcnemar_gate_compare(t["documents"])
+
+
+def _template_prefix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate templates by normalized 40-char prefix
+    (text.template_prefix_report; hash groupBy, top-k on the template
+    frame)."""
+    from avro_sql_spark.operators.text import template_prefix_report
+
+    t = load_tables(spark, sf_dir, register=False)
+    return template_prefix_report(t["documents"])
+
+
+def _robust_zscore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source MAD-based length outlier report
+    (text.robust_zscore_docs; exact per-source medians via the
+    partitioned count-domain device)."""
+    from avro_sql_spark.operators.text import robust_zscore_docs
+
+    t = load_tables(spark, sf_dir, register=False)
+    return robust_zscore_docs(t["documents"])
+
+
+def _quality_gate_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knock-out analysis of the five Gopher constraints
+    (text.quality_gate_pareto; one scan, one aggregate row, unpivoted
+    per constraint)."""
+    from avro_sql_spark.operators.text import quality_gate_pareto
+
+    t = load_tables(spark, sf_dir, register=False)
+    return quality_gate_pareto(t["documents"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes ~50 entries in this order per round (r1 covered the first
@@ -4255,6 +4352,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -0.0 normalization on log_importance after its r5 driver row
         # (the sign bit only surfaces at sf0.1; sf0.01 was and is green)
         "dsir_weights": _dsir_weights,
+        # --- new in r7 (registered BEHIND the r7 sweep window, positions
+        # 100+, so the window stays exactly the 49 stragglers +
+        # dsir_weights; these lead the r8 sweep) ---
+        "kendall_tau_daily": _kendall_tau_daily,
+        "page_hinkley_drift": _page_hinkley_drift,
+        "gumbel_daily_max_fit": _gumbel_daily_max_fit,
+        "ses_backtest_daily": _ses_backtest_daily,
+        "user_path_entropy": _user_path_entropy,
+        "hoeffding_adequacy_report": _hoeffding_adequacy_report,
+        "mcnemar_gate_compare": _mcnemar_gate_compare,
+        "template_prefix_report": _template_prefix_report,
+        "robust_zscore_docs": _robust_zscore_docs,
+        "quality_gate_pareto": _quality_gate_pareto,
         # --- cumulative-green core (driver rows r1-r5) ---
         "embedding_covariance": _embedding_covariance,
         "embedding_correlation": _embedding_correlation,
@@ -11568,6 +11678,321 @@ SELECT s AS source, CAST(n AS BIGINT) AS n_docs,
        EXP(mu + var / 2.0) > 1.5 * mean_obs AS heavy_tail_flag
 FROM fin ORDER BY source
 """,
+        # exact integer pair counts on the bounded day frame; value
+        # totals in DECIMAL(38,6) so every comparison is exact
+        "kendall_tau_daily": """
+WITH daily AS (SELECT date_trunc('day', ts) AS d, COUNT(*) AS c,
+                      COALESCE(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))),
+                               CAST(0 AS DECIMAL(38,6))) AS v
+               FROM events GROUP BY 1),
+p AS (SELECT CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS dc,
+             CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS dv
+      FROM daily a JOIN daily b ON a.d < b.d),
+s AS (SELECT COUNT(*) AS n_pairs,
+             SUM(CASE WHEN dc * dv > 0 THEN 1 ELSE 0 END) AS conc,
+             SUM(CASE WHEN dc * dv < 0 THEN 1 ELSE 0 END) AS disc,
+             SUM(CASE WHEN dc = 0 THEN 1 ELSE 0 END) AS tx,
+             SUM(CASE WHEN dv = 0 THEN 1 ELSE 0 END) AS ty
+      FROM p)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(conc AS BIGINT) AS concordant,
+       CAST(disc AS BIGINT) AS discordant,
+       ROUND(CAST(conc - disc AS DOUBLE)
+             / nullif(SQRT(CAST(n_pairs - tx AS DOUBLE))
+                      * SQRT(CAST(n_pairs - ty AS DOUBLE)), 0.0), 6) + 0
+         AS tau_b
+FROM s
+""",
+        # 9 dp-quantized deviation terms into DECIMAL(38,9) before the
+        # cumulative walk, so the running sum is order-free
+        "page_hinkley_drift": """
+WITH daily AS (SELECT date_trunc('day', ts) AS d, COUNT(*) AS n,
+                      SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS s
+               FROM events WHERE value IS NOT NULL GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_days,
+               SUM(CAST(ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                        AS DECIMAL(38,9))) AS sx
+        FROM daily),
+dev AS (SELECT d, n_days,
+               CAST(ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                          - CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE), 9)
+                    AS DECIMAL(38,9)) AS dev
+        FROM daily CROSS JOIN tot),
+walk AS (SELECT d, n_days,
+                SUM(dev) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS m
+         FROM dev),
+wm AS (SELECT d, n_days, m,
+              MIN(m) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS runmin
+       FROM walk),
+r AS (SELECT d, n_days, m - runmin AS diff,
+             ROW_NUMBER() OVER (ORDER BY m - runmin DESC, d ASC) AS rk
+      FROM wm)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       ROUND(CAST(diff AS DOUBLE), 6) + 0 AS ph_stat,
+       CAST(CAST(d AS DATE) AS VARCHAR) AS peak_day
+FROM r WHERE rk = 1
+""",
+        # per-day max is a comparison; moments via the exact decimal
+        # (n*ss - s^2)/(n(n-1)) identity; shared irrational literals
+        "gumbel_daily_max_fit": """
+WITH daily AS (SELECT date_trunc('day', ts) AS d,
+                      CAST(ROUND(MAX(value), 6) + 0 AS DECIMAL(38,6)) AS m
+               FROM events WHERE value IS NOT NULL GROUP BY 1),
+s AS (SELECT COUNT(*) AS n, SUM(m) AS sm, SUM(m * m) AS smm FROM daily),
+fin AS (SELECT n,
+               CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+               SQRT(GREATEST(
+                 CAST(CAST(n AS DECIMAL(38,0)) * smm - sm * sm AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)),
+                 0.0)) * 0.779696801233676 AS beta
+        FROM s)
+SELECT CAST(n AS BIGINT) AS n_days,
+       ROUND(mean - 0.5772156649015329 * beta, 6) + 0 AS gumbel_mu,
+       ROUND(beta, 6) + 0 AS gumbel_beta,
+       ROUND((mean - 0.5772156649015329 * beta)
+             + beta * 4.600149226776579, 6) + 0 AS daily_max_p99
+FROM fin
+""",
+        # dyadic weights make the smoother a ratio of two INTEGER sums;
+        # per-day errors quantize at 9 dp for the order-free MAE
+        "ses_backtest_daily": """
+WITH daily AS (SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS di,
+                      COUNT(*) AS y
+               FROM events GROUP BY 1),
+j AS (SELECT a.di AS ti, a.y AS yt, b.y AS yb, a.di - b.di AS k
+      FROM daily a JOIN daily b
+      ON b.di >= a.di - 16 AND b.di < a.di),
+per AS (SELECT ti, yt,
+               SUM(yb * (CAST(1 AS BIGINT) << CAST(16 - k AS INTEGER)))
+                 AS num,
+               SUM(CAST(1 AS BIGINT) << CAST(16 - k AS INTEGER)) AS den,
+               MAX(CASE WHEN k = 1 THEN yb END) AS y_prev
+        FROM j GROUP BY 1, 2),
+sc AS (SELECT ti,
+              CAST(ROUND(ABS(CAST(yt AS DOUBLE)
+                             - CAST(num AS DOUBLE) / CAST(den AS DOUBLE)), 9)
+                   AS DECIMAL(38,9)) AS ses_err,
+              ABS(yt - y_prev) AS naive_err
+       FROM per WHERE y_prev IS NOT NULL),
+o AS (SELECT COUNT(*) AS n, SUM(ses_err) AS se, SUM(naive_err) AS ne FROM sc)
+SELECT CAST(n AS BIGINT) AS n_days_scored,
+       ROUND(CAST(se AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0 AS ses_mae,
+       ROUND(CAST(ne AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0 AS naive_mae,
+       ROUND((CAST(se AS DOUBLE) / CAST(n AS DOUBLE))
+             / nullif(CAST(ne AS DOUBLE) / CAST(n AS DOUBLE), 0.0), 6) + 0
+         AS mae_ratio
+FROM o
+""",
+        # per-user c*ln(c) fold over <= |event-type| float terms (the
+        # bounded-fold class); floor on the ROUNDED entropy
+        "user_path_entropy": """
+WITH per AS (SELECT user_id, event_type, COUNT(*) AS c
+             FROM events GROUP BY 1, 2),
+peru AS (SELECT user_id, SUM(c) AS n,
+                SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS clc
+         FROM per GROUP BY 1),
+h AS (SELECT ROUND(LN(CAST(n AS DOUBLE)) - clc / CAST(n AS DOUBLE), 9) + 0
+               AS h9
+      FROM peru),
+b AS (SELECT CAST(FLOOR(h9 / 0.25) AS BIGINT) AS h_bin,
+             CAST(h9 AS DECIMAL(38,9)) AS h9
+      FROM h)
+SELECT h_bin, CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(h9) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) + 0
+         AS mean_entropy
+FROM b GROUP BY 1 ORDER BY 1
+""",
+        # quality mean in DECIMAL(38,6); ln 40 as a shared literal so
+        # both engines evaluate the same sqrt tree
+        "hoeffding_adequacy_report": f"""
+WITH base AS (
+  SELECT source, text, ' ' || lower(text) || ' ' AS padded,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
+  FROM documents),
+per AS (SELECT source, COUNT(*) AS n,
+               SUM(CAST(ROUND({{Q}}, 6) + 0 AS DECIMAL(38,6))) AS sq
+        FROM base GROUP BY 1)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+       ROUND(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0 AS mean_quality,
+       ROUND(SQRT(3.6888794541139363 / (2.0 * CAST(n AS DOUBLE))), 6) + 0
+         AS epsilon95,
+       SQRT(3.6888794541139363 / (2.0 * CAST(n AS DOUBLE))) <= 0.02
+         AS adequate
+FROM per ORDER BY source
+""".replace("{Q}", _quality_expr()),
+        # both gates off one projection; discordant cells are integers,
+        # the continuity-clamped chi2 and Bowling p are the only floats
+        "mcnemar_gate_compare": f"""
+WITH base AS (
+  SELECT text, ' ' || lower(text) || ' ' AS padded,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+         len(string_split(text, ' ')) AS n_ws
+  FROM documents),
+s0 AS (SELECT
+  CASE WHEN {{GOPHER}} THEN 1 ELSE 0 END AS ga,
+  CASE WHEN (CASE WHEN n_ws >= 5 AND n_ws <= 100000 THEN 1 ELSE 0 END
+     + CASE WHEN CAST((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) AS DOUBLE)
+                 / nullif(length(text), 0) <= 0.2 THEN 1 ELSE 0 END
+     + CASE WHEN CAST(({{STOP}}) AS DOUBLE)
+                 / nullif(CAST(n_ws AS DOUBLE), 0) >= 0.05 THEN 1 ELSE 0 END)
+       >= 2 THEN 1 ELSE 0 END AS hb
+  FROM base),
+agg AS (SELECT COUNT(*) AS n_docs,
+        SUM(CASE WHEN ga = 1 AND hb = 1 THEN 1 ELSE 0 END) AS both_pass,
+        SUM(CASE WHEN ga = 1 AND hb = 0 THEN 1 ELSE 0 END) AS only_gopher,
+        SUM(CASE WHEN ga = 0 AND hb = 1 THEN 1 ELSE 0 END) AS only_heuristic,
+        SUM(CASE WHEN ga = 0 AND hb = 0 THEN 1 ELSE 0 END) AS neither
+        FROM s0),
+f AS (SELECT *,
+             (GREATEST(CAST(ABS(only_gopher - only_heuristic) AS DOUBLE)
+                       - 1.0, 0.0)
+              * GREATEST(CAST(ABS(only_gopher - only_heuristic) AS DOUBLE)
+                         - 1.0, 0.0))
+             / nullif(CAST(only_gopher + only_heuristic AS DOUBLE), 0.0)
+               AS chi2
+      FROM agg)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(both_pass AS BIGINT) AS both_pass,
+       CAST(only_gopher AS BIGINT) AS only_gopher,
+       CAST(only_heuristic AS BIGINT) AS only_heuristic,
+       CAST(neither AS BIGINT) AS neither,
+       ROUND(chi2, 6) + 0 AS mcnemar_chi2,
+       ROUND(2.0 * (1.0 - 1.0 / (1.0
+         + EXP(-(0.07056 * SQRT(chi2) * SQRT(chi2) * SQRT(chi2)
+                 + 1.5976 * SQRT(chi2))))), 9) + 0 AS p_value
+FROM f
+""".replace("{GOPHER}", _gopher_ok_expr()).replace(
+            "{STOP}", " + ".join(_occ(f" {w} ") for w in _EN_STOPWORDS)
+        ),
+        # fingerprint-device normalization (DuckDB regex needs the 'g'
+        # flag); integer counts, one rounded division
+        "template_prefix_report": """
+WITH pre AS (SELECT substring(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                              1, 24) AS prefix,
+                    source
+             FROM documents),
+g AS (SELECT prefix, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources
+      FROM pre GROUP BY 1 HAVING COUNT(*) >= 2),
+tot AS (SELECT COUNT(*) AS total FROM documents),
+r AS (SELECT g.*, total,
+             ROW_NUMBER() OVER (ORDER BY n_docs DESC, prefix ASC) AS rk
+      FROM g CROSS JOIN tot)
+SELECT CAST(rk AS BIGINT) AS rank, prefix,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_sources AS BIGINT) AS n_sources,
+       ROUND(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE), 6) + 0
+         AS corpus_share
+FROM r WHERE rk <= 10 ORDER BY rank
+""",
+        # the mad_outlier_days median device, partitioned by source
+        "robust_zscore_docs": """
+WITH lens AS (SELECT source, n_chars AS len FROM documents),
+dom1 AS (SELECT source, len, COUNT(*) AS k FROM lens GROUP BY 1, 2),
+cum1 AS (SELECT source, len AS v,
+                SUM(k) OVER (PARTITION BY source ORDER BY len
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum,
+                SUM(k) OVER (PARTITION BY source) AS nd
+         FROM dom1),
+med AS (SELECT source, MIN(CASE WHEN cum >= CEIL(nd / 2) THEN v END) AS med
+        FROM cum1 GROUP BY 1),
+dev AS (SELECT l.source, l.len, m.med, ABS(l.len - m.med) AS ad
+        FROM lens l JOIN med m USING (source)),
+dom2 AS (SELECT source, ad, COUNT(*) AS k FROM dev GROUP BY 1, 2),
+cum2 AS (SELECT source, ad AS v,
+                SUM(k) OVER (PARTITION BY source ORDER BY ad
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum,
+                SUM(k) OVER (PARTITION BY source) AS nd
+         FROM dom2),
+mad AS (SELECT source, MIN(CASE WHEN cum >= CEIL(nd / 2) THEN v END) AS mad
+        FROM cum2 GROUP BY 1),
+sc AS (SELECT d.source, d.len, d.med, m2.mad,
+              0.6745 * CAST(d.len - d.med AS DOUBLE)
+              / NULLIF(CAST(m2.mad AS DOUBLE), 0) AS z
+       FROM dev d JOIN mad m2 USING (source))
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(med) AS BIGINT) AS median_len,
+       CAST(MAX(mad) AS BIGINT) AS mad_len,
+       CAST(SUM(CASE WHEN ABS(z) > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       ROUND(MAX(ABS(z)), 6) + 0 AS max_abs_z
+FROM sc GROUP BY 1 ORDER BY 1
+""",
+        # the five gate constraints decomposed from the shared gopher
+        # expression; NULL conditions count as fails (ELSE branch)
+        "quality_gate_pareto": f"""
+WITH base AS (
+  SELECT text, ' ' || lower(text) || ' ' AS padded,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+  FROM documents),
+flags AS (SELECT
+  CASE WHEN (n >= 30 AND n <= 100000) THEN 0 ELSE 1 END AS f_token_count,
+  CASE WHEN ((length(replace(text, ' ', '')) / n) >= 3.0
+             AND (length(replace(text, ' ', '')) / n) <= 10.0)
+       THEN 0 ELSE 1 END AS f_mean_word_len,
+  CASE WHEN ((({{SYM}}) / n) <= 0.05) THEN 0 ELSE 1 END AS f_symbol_ratio,
+  CASE WHEN ((CAST(len(list_filter(string_split(lower(text), ' '),
+                                   x -> regexp_matches(x, '[a-z]')))
+                   AS DOUBLE)
+              / len(string_split(lower(text), ' '))) >= 0.8)
+       THEN 0 ELSE 1 END AS f_alpha_fraction,
+  CASE WHEN (({{STOP}}) >= 1) THEN 0 ELSE 1 END AS f_stopword_hits
+  FROM base),
+t AS (SELECT f_token_count + f_mean_word_len + f_symbol_ratio
+             + f_alpha_fraction + f_stopword_hits AS nf, *
+      FROM flags),
+s AS (SELECT COUNT(*) AS n_docs,
+  SUM(f_token_count) AS fail_token_count,
+  SUM(CASE WHEN f_token_count = 1 AND nf = 1 THEN 1 ELSE 0 END) AS only_token_count,
+  SUM(CASE WHEN nf - f_token_count = 0 THEN 1 ELSE 0 END) AS pd_token_count,
+  SUM(f_mean_word_len) AS fail_mean_word_len,
+  SUM(CASE WHEN f_mean_word_len = 1 AND nf = 1 THEN 1 ELSE 0 END) AS only_mean_word_len,
+  SUM(CASE WHEN nf - f_mean_word_len = 0 THEN 1 ELSE 0 END) AS pd_mean_word_len,
+  SUM(f_symbol_ratio) AS fail_symbol_ratio,
+  SUM(CASE WHEN f_symbol_ratio = 1 AND nf = 1 THEN 1 ELSE 0 END) AS only_symbol_ratio,
+  SUM(CASE WHEN nf - f_symbol_ratio = 0 THEN 1 ELSE 0 END) AS pd_symbol_ratio,
+  SUM(f_alpha_fraction) AS fail_alpha_fraction,
+  SUM(CASE WHEN f_alpha_fraction = 1 AND nf = 1 THEN 1 ELSE 0 END) AS only_alpha_fraction,
+  SUM(CASE WHEN nf - f_alpha_fraction = 0 THEN 1 ELSE 0 END) AS pd_alpha_fraction,
+  SUM(f_stopword_hits) AS fail_stopword_hits,
+  SUM(CASE WHEN f_stopword_hits = 1 AND nf = 1 THEN 1 ELSE 0 END) AS only_stopword_hits,
+  SUM(CASE WHEN nf - f_stopword_hits = 0 THEN 1 ELSE 0 END) AS pd_stopword_hits
+  FROM t)
+SELECT 'alpha_fraction' AS gate_constraint, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(fail_alpha_fraction AS BIGINT) AS n_fail,
+       CAST(only_alpha_fraction AS BIGINT) AS n_fail_only,
+       ROUND(CAST(pd_alpha_fraction AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) + 0
+         AS pass_rate_if_dropped
+FROM s
+UNION ALL
+SELECT 'mean_word_len', CAST(n_docs AS BIGINT),
+       CAST(fail_mean_word_len AS BIGINT), CAST(only_mean_word_len AS BIGINT),
+       ROUND(CAST(pd_mean_word_len AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) + 0
+FROM s
+UNION ALL
+SELECT 'stopword_hits', CAST(n_docs AS BIGINT),
+       CAST(fail_stopword_hits AS BIGINT), CAST(only_stopword_hits AS BIGINT),
+       ROUND(CAST(pd_stopword_hits AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) + 0
+FROM s
+UNION ALL
+SELECT 'symbol_ratio', CAST(n_docs AS BIGINT),
+       CAST(fail_symbol_ratio AS BIGINT), CAST(only_symbol_ratio AS BIGINT),
+       ROUND(CAST(pd_symbol_ratio AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) + 0
+FROM s
+UNION ALL
+SELECT 'token_count', CAST(n_docs AS BIGINT),
+       CAST(fail_token_count AS BIGINT), CAST(only_token_count AS BIGINT),
+       ROUND(CAST(pd_token_count AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) + 0
+FROM s
+ORDER BY gate_constraint
+""".replace(
+            "{SYM}", f"{_occ('#', 'text')} + {_occ('...', 'text')}"
+        ).replace(
+            "{STOP}", " + ".join(_occ(f" {w} ") for w in _EN_STOPWORDS)
+        ),
         # no oracle (rows-only by design — sketch-/eigen-dependent,
         # approximate-by-construction, or sequential-fold):
         # quality_shards_approx, approx_distinct_events,

@@ -365,12 +365,15 @@ def key_locality_report(
     from .curation import exact_ntile
 
     z = zvalue(df, [key_col, other_col], bits).alias("__z")
+    # one scan: the projected frame (including the bit-interleaved
+    # z-value) is materialized once and forked into the three layout
+    # passes instead of re-scanning parquet per layout
     base = df.select(
         F.col(key_col).alias("k"),
         F.col(other_col).cast("double").alias("o"),
         z,
         F.col(tiebreak_col).alias("tb"),
-    )
+    ).localCheckpoint(eager=True)
     keys = {
         "linear_key": ["k", "tb"],
         "linear_other": ["o", "tb"],
@@ -384,8 +387,15 @@ def key_locality_report(
             n_files,
             out_col="f",
         )
-        per_file = assigned.groupBy("f").agg(
-            F.countDistinct("k").alias("nk")
+        # the distinct (key, file) incidence pairs feed BOTH the
+        # per-file and the per-key views: dedupe once (one shuffle on
+        # the pair) instead of two expand-heavy countDistinct aggs
+        # re-reading the assignment
+        pairs = (
+            assigned.select("k", "f").distinct().localCheckpoint(eager=True)
+        )
+        per_file = pairs.groupBy("f").agg(
+            F.count(F.lit(1)).alias("nk")
         )
         # per-file bloom fpr on exact distinct-key counts; m sized by the
         # AVERAGE file's key count (one filter budget per file)
@@ -402,8 +412,8 @@ def key_locality_report(
             F.sum(F.round(fpr, 9).cast("decimal(38,9)")).alias("s_fpr"),
         )
         containment = (
-            assigned.groupBy("k")
-            .agg(F.countDistinct("f").alias("cf"))
+            pairs.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("cf"))
             .agg(
                 F.count(F.lit(1)).alias("n_keys"),
                 F.sum("cf").alias("s_cf"),

@@ -5199,3 +5199,296 @@ def lift_curve_points(
         (F.round(pos_share, 6) + F.lit(0.0)).alias("cum_pos_share"),
         (F.round(pos_share / docs_share, 6) + F.lit(0.0)).alias("lift"),
     ).orderBy("decile")
+
+
+def kendall_tau_daily(events: DataFrame) -> DataFrame:
+    """Kendall tau-b rank correlation between the daily event COUNT and
+    the daily VALUE total (Kendall 1938; tau-b tie correction per
+    Agresti 2010) — the monotone-association check behind "do busy days
+    also move more value, or is volume decoupled from spend?": count
+    concordant/discordant day pairs and correct for ties on either
+    margin, tau_b = (C - D) / sqrt((n0 - t_x)(n0 - t_y)).
+
+    Exactness: counts are integers and value totals accumulate in
+    DECIMAL(38,6) (6 dp-quantized terms), so every pair comparison is
+    exact; C/D/tie counts are integers; the two sqrts and one division
+    are the only float ops, written identically in the oracle. Scale
+    shape: one per-day aggregate (map-side combined); the pair join
+    lives on the bounded DAY frame (a broadcast nested-loop over
+    days^2, never data rows)."""
+    daily = (
+        events.groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(
+                F.sum(F.round(F.col("value"), 6).cast("decimal(38,6)")),
+                F.lit(0).cast("decimal(38,6)"),
+            ).alias("v"),
+        )
+        .localCheckpoint(eager=True)  # day frame, forked into both join sides
+    )
+    a = daily.select(
+        F.col("d").alias("da"), F.col("c").alias("ca"), F.col("v").alias("va")
+    )
+    b = daily.select(
+        F.col("d").alias("db"), F.col("c").alias("cb"), F.col("v").alias("vb")
+    )
+    pairs = F.broadcast(a).join(b, F.col("da") < F.col("db"))
+    dc = F.when(F.col("cb") > F.col("ca"), 1).when(
+        F.col("cb") < F.col("ca"), -1
+    ).otherwise(0)
+    dv = F.when(F.col("vb") > F.col("va"), 1).when(
+        F.col("vb") < F.col("va"), -1
+    ).otherwise(0)
+    s = pairs.select(dc.alias("dc"), dv.alias("dv")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.when((F.col("dc") * F.col("dv")) > 0, 1).otherwise(0)
+        ).alias("conc"),
+        F.sum(
+            F.when((F.col("dc") * F.col("dv")) < 0, 1).otherwise(0)
+        ).alias("disc"),
+        F.sum(F.when(F.col("dc") == 0, 1).otherwise(0)).alias("tx"),
+        F.sum(F.when(F.col("dv") == 0, 1).otherwise(0)).alias("ty"),
+    )
+    tau = (F.col("conc") - F.col("disc")).cast("double") / F.nullif(
+        F.sqrt((F.col("n_pairs") - F.col("tx")).cast("double"))
+        * F.sqrt((F.col("n_pairs") - F.col("ty")).cast("double")),
+        F.lit(0.0),
+    )
+    return s.select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("conc").cast("long").alias("concordant"),
+        F.col("disc").cast("long").alias("discordant"),
+        (F.round(tau, 6) + F.lit(0.0)).alias("tau_b"),
+    )
+
+
+def page_hinkley_drift(events: DataFrame) -> DataFrame:
+    """Page-Hinkley change detection on the daily mean event value
+    (Page 1954; the streaming-drift form in Gama et al. 2014): track
+    the cumulative deviation m_t = sum_{i<=t} (x_i - xbar) of the daily
+    mean from the whole-period mean; the PH statistic is
+    max_t (m_t - min_{i<=t} m_i) — a sustained upward shift in the
+    metric makes the cumulative walk climb away from its running
+    minimum. Reports the statistic and the day it peaks (the drift's
+    most-likely end point).
+
+    Exactness: daily means come from DECIMAL(38,6) sums over quantized
+    values; each deviation term is 9 dp-quantized into DECIMAL(38,9)
+    before the cumulative window, so the running sum is order-free and
+    exact; the running min / final max compare exact decimals. Scale
+    shape: one per-day aggregate; every window runs on the bounded DAY
+    frame."""
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value"), 6).cast("decimal(38,6)")).alias(
+                "s"
+            ),
+        )
+        .localCheckpoint(eager=True)  # day frame, forked (mean + walk)
+    )
+    x = F.col("s").cast("double") / F.col("n").cast("double")
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.round(x, 9).cast("decimal(38,9)")).alias("sx"),
+    )
+    xbar = F.col("sx").cast("double") / F.col("n_days").cast("double")
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n_days",
+        F.round(x - xbar, 9).cast("decimal(38,9)").alias("dev"),
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    walk = dev.select(
+        "d", "n_days", F.sum("dev").over(wcum).alias("m")
+    ).select(
+        "d", "n_days", "m", F.min("m").over(wcum).alias("runmin")
+    )
+    ranked = walk.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.desc(F.col("m") - F.col("runmin")), F.asc("d")))
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return ranked.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        (
+            F.round((F.col("m") - F.col("runmin")).cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("ph_stat"),
+        F.col("d").cast("date").cast("string").alias("peak_day"),
+    )
+
+
+def gumbel_daily_max_fit(events: DataFrame) -> DataFrame:
+    """Gumbel (extreme-value type I) fit to the daily MAXIMUM event
+    value by the method of moments (Gumbel 1958): beta =
+    s * sqrt(6)/pi, mu = mean - gamma * beta (Euler-Mascheroni gamma),
+    plus the implied 99th-percentile daily max mu + beta * 4.6001... =
+    mu - beta * ln(-ln 0.99) — the capacity-planning question "what
+    single-event spike should one day in a hundred reach?".
+
+    Exactness: per-day max is a comparison (no accumulation); maxima
+    quantize at 6 dp into DECIMAL(38,6); mean/variance use the exact
+    decimal (n*ss - s^2) / (n(n-1)) identity ((38,6) products stay at
+    scale 12, inside precision 38); all irrational constants are
+    shared double literals, so both engines evaluate the identical
+    float expression tree. Scale shape: one per-day aggregate, one
+    scalar assembly row."""
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(
+            (F.round(F.max("value"), 6) + F.lit(0.0))
+            .cast("decimal(38,6)")
+            .alias("m")
+        )
+    )
+    dec6 = lambda c: F.col(c).cast("decimal(38,6)")  # noqa: E731
+    s = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("m").alias("sm"),
+        F.sum(dec6("m") * dec6("m")).alias("smm"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("sm").cast("double") / n
+    var = (
+        F.col("n").cast("decimal(38,0)") * F.col("smm")
+        - F.col("sm") * F.col("sm")
+    ).cast("double") / (n * (n - F.lit(1.0)))
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    beta = sd * F.lit(0.779696801233676)  # sqrt(6)/pi
+    mu = mean - F.lit(0.5772156649015329) * beta  # Euler-Mascheroni
+    p99 = mu + beta * F.lit(4.600149226776579)  # -ln(-ln 0.99)
+    return s.select(
+        F.col("n").cast("long").alias("n_days"),
+        (F.round(mu, 6) + F.lit(0.0)).alias("gumbel_mu"),
+        (F.round(beta, 6) + F.lit(0.0)).alias("gumbel_beta"),
+        (F.round(p99, 6) + F.lit(0.0)).alias("daily_max_p99"),
+    )
+
+
+def ses_backtest_daily(
+    events: DataFrame,
+    max_lag: int = 16,
+) -> DataFrame:
+    """One-step-ahead backtest of simple exponential smoothing
+    (alpha = 1/2) on the daily event-count series against the naive
+    last-value forecast — the "is a smoother even worth it?" check
+    that precedes any forecasting investment. The SES forecast for day
+    t is the 2^-k-weighted mean of the up-to-``max_lag`` OBSERVED
+    previous days (weights renormalized over the lags present, so gap
+    days skip rather than zero-fill); scored days are those whose
+    immediately-previous day exists, so the naive forecast is defined
+    on the same set.
+
+    Exactness: with dyadic weights the forecast is a ratio of two
+    INTEGER sums — each lag contributes y * 2^(max_lag - k) and
+    2^(max_lag - k) — so the smoother is exact integer arithmetic
+    until one final double division; per-day absolute errors quantize
+    at 9 dp into DECIMAL(38,9) for the order-free MAE sums. Scale
+    shape: one per-day aggregate; the lag join is a bounded range
+    join on the DAY frame (max_lag rows per day)."""
+    daily = (
+        events.groupBy(
+            F.floor(
+                F.unix_timestamp(F.date_trunc("day", F.col("ts")))
+                / F.lit(86400)
+            )
+            .cast("long")
+            .alias("di")
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+        .localCheckpoint(eager=True)  # day frame, forked into join sides
+    )
+    a = daily.select(F.col("di").alias("ti"), F.col("y").alias("yt"))
+    b = daily.select(F.col("di").alias("bi"), F.col("y").alias("yb"))
+    j = F.broadcast(a).join(
+        b,
+        (F.col("bi") >= F.col("ti") - F.lit(max_lag))
+        & (F.col("bi") < F.col("ti")),
+    )
+    k = (F.col("ti") - F.col("bi")).cast("int")
+    w_scaled = F.expr(f"shiftleft(1L, {max_lag} - cast(k as int))")
+    per_day = j.select(
+        "ti", "yt", "yb", k.alias("k")
+    ).withColumn("w", w_scaled).groupBy("ti", "yt").agg(
+        F.sum(F.col("yb") * F.col("w")).alias("num"),
+        F.sum("w").alias("den"),
+        F.max(F.when(F.col("k") == 1, F.col("yb"))).alias("y_prev"),
+    ).filter(F.col("y_prev").isNotNull())
+    f = F.col("num").cast("double") / F.col("den").cast("double")
+    scored = per_day.select(
+        "ti",
+        F.round(F.abs(F.col("yt").cast("double") - f), 9)
+        .cast("decimal(38,9)")
+        .alias("ses_err"),
+        F.abs(F.col("yt") - F.col("y_prev")).alias("naive_err"),
+    )
+    out = scored.agg(
+        F.count(F.lit(1)).alias("n_days_scored"),
+        F.sum("ses_err").alias("se"),
+        F.sum("naive_err").alias("ne"),
+    )
+    nd = F.col("n_days_scored").cast("double")
+    ses_mae = F.col("se").cast("double") / nd
+    naive_mae = F.col("ne").cast("double") / nd
+    return out.select(
+        F.col("n_days_scored").cast("long").alias("n_days_scored"),
+        (F.round(ses_mae, 6) + F.lit(0.0)).alias("ses_mae"),
+        (F.round(naive_mae, 6) + F.lit(0.0)).alias("naive_mae"),
+        (
+            F.round(ses_mae / F.nullif(naive_mae, F.lit(0.0)), 6)
+            + F.lit(0.0)
+        ).alias("mae_ratio"),
+    )
+
+
+def user_path_entropy(events: DataFrame) -> DataFrame:
+    """Histogram of per-user event-type Shannon entropy — the behavioral
+    -diversity profile behind personalization and bot triage (H = 0:
+    single-action users; high H: users spreading evenly over the event
+    vocabulary): H_u = ln(n_u) - (1/n_u) * sum_type c ln c, binned at
+    0.25-nat resolution with per-bin user counts and mean entropy.
+
+    Exactness: per-user c*ln(c) folds over at most |event-type| float
+    terms (the bounded-fold class proven hash-stable by the pagerank /
+    KL-matrix family); H quantizes at 9 dp BEFORE the floor that bins
+    it (floor-on-rounded rule) and per-bin means sum DECIMAL(38,9)
+    terms. Scale shape: one (user, type) aggregate, one per-user
+    reduce, one bins-sized aggregate — all map-side combinable."""
+    per = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cl = F.col("c").cast("double")
+    peru = per.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(cl * F.log(cl)).alias("clc"),
+    )
+    h = F.log(F.col("n").cast("double")) - F.col("clc") / F.col("n").cast(
+        "double"
+    )
+    h9 = F.round(h, 9) + F.lit(0.0)
+    binned = peru.select(
+        F.floor(h9 / F.lit(0.25)).cast("long").alias("h_bin"),
+        h9.cast("decimal(38,9)").alias("h9"),
+    )
+    return (
+        binned.groupBy("h_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            (
+                F.round(
+                    F.sum("h9").cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("mean_entropy"),
+        )
+        .orderBy("h_bin")
+    )

@@ -2110,3 +2110,324 @@ def length_lognormal_fit(
         (F.round(mean_obs, 6) + F.lit(0.0)).alias("mean_observed"),
         (mean_est > F.lit(1.5) * mean_obs).alias("heavy_tail_flag"),
     ).orderBy("source")
+
+
+def hoeffding_adequacy_report(
+    docs: DataFrame,
+    target_eps: float = 0.02,
+) -> DataFrame:
+    """Per-source sample-size adequacy via the Hoeffding bound
+    (Hoeffding 1963): the quality score lives in [0,1], so with n docs
+    the 95% half-width on its mean is eps = sqrt(ln(2/0.05) / (2n))
+    regardless of the distribution — the distribution-free answer to
+    "is this source's sample big enough to trust its quality mean to
+    +/-2 points?". Reports n, the mean, eps, and the adequacy verdict
+    per source.
+
+    Exactness: quality quantizes at 6 dp into DECIMAL(38,6) sums;
+    ln(2/0.05) = ln 40 is a shared double literal (3.6888794541139363)
+    so both engines evaluate the same sqrt/division tree. Scale shape:
+    one per-source aggregate (map-side combined), sources-sized
+    output."""
+    from ..functions.text import quality_score
+
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.round(quality_score(F.col("text")), 6) + F.lit(0.0)).cast(
+                "decimal(38,6)"
+            )
+        ).alias("sq"),
+    )
+    n = F.col("n").cast("double")
+    eps = F.sqrt(F.lit(3.6888794541139363) / (F.lit(2.0) * n))
+    return per.select(
+        F.col("source"),
+        F.col("n").cast("long").alias("n_docs"),
+        (F.round(F.col("sq").cast("double") / n, 6) + F.lit(0.0)).alias(
+            "mean_quality"
+        ),
+        (F.round(eps, 6) + F.lit(0.0)).alias("epsilon95"),
+        (eps <= F.lit(target_eps)).alias("adequate"),
+    ).orderBy("source")
+
+
+def mcnemar_gate_compare(docs: DataFrame) -> DataFrame:
+    """McNemar's paired test (McNemar 1947, continuity-corrected)
+    between the full Gopher gate and the cheap 3-component heuristic
+    (q3 >= 2) on the SAME documents — the right test for "do the two
+    gates disagree systematically, or just randomly?" because paired
+    verdicts make the independent two-sample test invalid; only the
+    discordant cells carry information: chi2 = (|b - c| - 1)^2 /
+    (b + c), b = gopher-only passes, c = heuristic-only passes.
+
+    Exactness: both gates and all four cells are integer counts off
+    ONE projection of the shared Gopher signal columns (the
+    scan-once device from quality_calibration); the final chi2 and its
+    Bowling-approximation p are the only float ops, identical both
+    engines. Scale shape: one scan, one global aggregate row."""
+    from ..functions.text import (
+        gopher_pass_of,
+        gopher_signal_columns,
+        punct_ratio,
+    )
+
+    text = F.col("text")
+    sig = gopher_signal_columns(text)
+    projected = docs.select(
+        *(c.alias(k) for k, c in sig.items()),
+        punct_ratio(text).alias("punct"),
+    )
+    n_ws = F.col("n_ws")
+    stop_ratio = F.col("stop_hits") / F.nullif(n_ws, F.lit(0))
+    q3 = (
+        F.when((n_ws >= 5) & (n_ws <= 100000), 1).otherwise(0)
+        + F.when(F.col("punct") <= 0.2, 1).otherwise(0)
+        + F.when(stop_ratio.cast("double") >= 0.05, 1).otherwise(0)
+    )
+    a = gopher_pass_of(
+        n_ws,
+        F.col("stop_hits"),
+        F.col("mean_word_len"),
+        F.col("symbol_ratio"),
+        F.col("alpha_frac"),
+    )
+    flags = projected.select(
+        F.when(a, 1).otherwise(0).alias("ga"),
+        F.when(q3 >= 2, 1).otherwise(0).alias("hb"),
+    )
+    s = flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when((F.col("ga") == 1) & (F.col("hb") == 1), 1).otherwise(0)
+        ).alias("both_pass"),
+        F.sum(
+            F.when((F.col("ga") == 1) & (F.col("hb") == 0), 1).otherwise(0)
+        ).alias("only_gopher"),
+        F.sum(
+            F.when((F.col("ga") == 0) & (F.col("hb") == 1), 1).otherwise(0)
+        ).alias("only_heuristic"),
+        F.sum(
+            F.when((F.col("ga") == 0) & (F.col("hb") == 0), 1).otherwise(0)
+        ).alias("neither"),
+    )
+    b, c = F.col("only_gopher"), F.col("only_heuristic")
+    # standard continuity clamp: |b-c| <= 1 means zero evidence, not
+    # a spurious 1/(b+c) statistic
+    diff = F.greatest(
+        F.abs(b - c).cast("double") - F.lit(1.0), F.lit(0.0)
+    )
+    chi2 = (diff * diff) / F.nullif((b + c).cast("double"), F.lit(0.0))
+    z = F.sqrt(chi2)
+    phi = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-(F.lit(0.07056) * z * z * z + F.lit(1.5976) * z))
+    )
+    return s.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("both_pass").cast("long").alias("both_pass"),
+        F.col("only_gopher").cast("long").alias("only_gopher"),
+        F.col("only_heuristic").cast("long").alias("only_heuristic"),
+        F.col("neither").cast("long").alias("neither"),
+        (F.round(chi2, 6) + F.lit(0.0)).alias("mcnemar_chi2"),
+        (
+            F.round(F.lit(2.0) * (F.lit(1.0) - phi), 9) + F.lit(0.0)
+        ).alias("p_value"),
+    )
+
+
+def template_prefix_report(
+    docs: DataFrame,
+    prefix_len: int = 24,
+    min_docs: int = 2,
+    top_k: int = 10,
+) -> DataFrame:
+    """Boilerplate / template detection by normalized prefix: documents
+    opening with the same first ``prefix_len`` characters (lowercased,
+    trimmed, whitespace-collapsed) are template candidates — the cheap
+    high-precision screen crawl pipelines run BEFORE fuzzy dedup,
+    because license headers / cookie banners / scraped nav bars share
+    exact prefixes long before they share shingles. Top templates by
+    document count, with the source spread (a template spanning many
+    sources is infrastructure boilerplate, not an author's style).
+
+    Exactness: string normalization is the fingerprint device
+    (identical regex both engines; DuckDB side uses the 'g' flag);
+    counts are integers, the share is one rounded division. Scale
+    shape: hash groupBy on the prefix (map-side combined) — never
+    pairwise; the top-k rank runs on the filtered template frame."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    pre = docs.select(
+        F.substring(norm, 1, prefix_len).alias("prefix"), "source"
+    )
+    groups = (
+        pre.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .localCheckpoint(eager=True)  # templates-sized, forked below
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("total"))
+    ranked = groups.crossJoin(F.broadcast(tot)).select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_docs"), F.asc("prefix")))
+        .alias("rk"),
+    ).filter(F.col("rk") <= top_k)
+    return ranked.select(
+        F.col("rk").cast("long").alias("rank"),
+        "prefix",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+        (
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.col("total").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("corpus_share"),
+    ).orderBy("rank")
+
+
+def robust_zscore_docs(docs: DataFrame, z_cut: float = 3.5) -> DataFrame:
+    """Per-source robust length-outlier report via median absolute
+    deviation: modified z = 0.6745 (len - median) / MAD on n_chars —
+    the length-anomaly screen that survives the heavy tails mean/sigma
+    z-scores drown in (one 10 MB doc inflates sigma and masks every
+    other outlier). Both medians are EXACT order statistics read from
+    cumulative counts over the per-source length DOMAIN (the
+    twopass_median device, partitioned by source) — no sort of data
+    rows, no percentile approximation.
+
+    Scale shape: two (source, value)-domain aggregates + cumulative
+    windows PARTITIONED BY SOURCE (bounded by the per-source distinct-
+    length domain, shuffled on source — no global window), one
+    per-source verdict aggregate."""
+
+    def per_source_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        dom = df.groupBy("source", col).agg(F.count(F.lit(1)).alias("k"))
+        wd = (
+            Window.partitionBy("source")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wt = Window.partitionBy("source")
+        cum = dom.select(
+            "source",
+            F.col(col).alias("v"),
+            F.sum("k").over(wd).alias("cum"),
+            F.sum("k").over(wt).alias("nd"),
+        )
+        return cum.groupBy("source").agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.col("nd") / 2), F.col("v")
+                )
+            ).alias(out)
+        )
+    lens = docs.select("source", F.col("n_chars").alias("len"))
+    med = per_source_median(lens, "len", "med")
+    dev = lens.join(med, "source").select(
+        "source", "len", "med", F.abs(F.col("len") - F.col("med")).alias("ad")
+    )
+    mad = per_source_median(dev, "ad", "mad")
+    z = (
+        F.lit(0.6745)
+        * (F.col("len") - F.col("med")).cast("double")
+        / F.nullif(F.col("mad").cast("double"), F.lit(0.0))
+    )
+    scored = dev.join(mad, "source").select("source", "len", "med", "mad", z.alias("z"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("med").cast("long").alias("median_len"),
+            F.max("mad").cast("long").alias("mad_len"),
+            F.sum(
+                F.when(F.abs(F.col("z")) > F.lit(z_cut), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            (F.round(F.max(F.abs(F.col("z"))), 6) + F.lit(0.0)).alias(
+                "max_abs_z"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def quality_gate_pareto(docs: DataFrame) -> DataFrame:
+    """Knock-out analysis of the five Gopher gate constraints: per
+    constraint, how many documents fail it, how many fail ONLY it
+    (the docs that one constraint alone removes), and the pass rate
+    the corpus would have if that constraint were dropped — the
+    filter-tuning Pareto view that says which knob actually moves
+    yield. All five verdicts come from ONE projection of the shared
+    signal columns (the scan-once device), so the whole report is one
+    scan + one aggregate row, unpivoted to a row per constraint.
+
+    Exactness: integer counts; two rounded divisions per row."""
+    from ..functions.text import gopher_signal_columns
+
+    sig = gopher_signal_columns(F.col("text"))
+    p = docs.select(*(c.alias(k) for k, c in sig.items()))
+    fails = {
+        "token_count": ~((F.col("n_ws") >= 30) & (F.col("n_ws") <= 100000)),
+        "mean_word_len": ~(
+            (F.col("mean_word_len") >= 3.0)
+            & (F.col("mean_word_len") <= 10.0)
+        ),
+        "symbol_ratio": ~(F.col("symbol_ratio") <= 0.05),
+        "alpha_fraction": ~(F.col("alpha_frac") >= 0.8),
+        "stopword_hits": ~(F.col("stop_hits") >= 1),
+    }
+    # NULL-signal rows (empty text) fail every constraint: ~NULL is
+    # NULL, so wrap in coalesce(cond, true)
+    f = {k: F.coalesce(v, F.lit(True)) for k, v in fails.items()}
+    n_fail_all = sum(
+        F.when(c, 1).otherwise(0) for c in f.values()
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for name, cond in f.items():
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"fail_{name}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(cond & (n_fail_all == 1), 1).otherwise(0)
+            ).alias(f"only_{name}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(n_fail_all - F.when(cond, 1).otherwise(0) == 0, 1)
+                .otherwise(0)
+            ).alias(f"passdrop_{name}")
+        )
+    s = docs.sparkSession.createDataFrame(
+        [(k,) for k in f], "gate_constraint string"
+    )
+    one = p.agg(*aggs)
+    wide = F.broadcast(one).crossJoin(s)
+    pick = lambda pre: F.coalesce(  # noqa: E731
+        *[
+            F.when(F.col("gate_constraint") == name, F.col(f"{pre}_{name}"))
+            for name in f
+        ]
+    )
+    return wide.select(
+        "gate_constraint",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        pick("fail").cast("long").alias("n_fail"),
+        pick("only").cast("long").alias("n_fail_only"),
+        (
+            F.round(
+                pick("passdrop").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("pass_rate_if_dropped"),
+    ).orderBy("gate_constraint")

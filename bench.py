@@ -352,6 +352,17 @@ HEADLINE = [
     "ljung_box_hourly",
     "lift_curve_points",
     "length_lognormal_fit",
+    # new in r7
+    "kendall_tau_daily",
+    "page_hinkley_drift",
+    "gumbel_daily_max_fit",
+    "ses_backtest_daily",
+    "user_path_entropy",
+    "hoeffding_adequacy_report",
+    "mcnemar_gate_compare",
+    "template_prefix_report",
+    "robust_zscore_docs",
+    "quality_gate_pareto",
 ]
 
 

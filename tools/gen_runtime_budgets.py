@@ -116,6 +116,11 @@ ITERATIVE_ENTRIES = [
     "cochran_armitage_trend",
     "ljung_box_hourly",
     "lift_curve_points",
+    # r7: day-frame / template-frame localCheckpoint users
+    "kendall_tau_daily",
+    "page_hinkley_drift",
+    "ses_backtest_daily",
+    "template_prefix_report",
 ]
 
 
