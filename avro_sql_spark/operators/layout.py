@@ -665,17 +665,18 @@ def bloom_fpr_audit(
     blooms = member_bits.groupBy("f").agg(
         *[F.bit_or(f"b{j}").alias(f"m{j}") for j in range(n_longs)]
     )
-    probes = (
+    # the probe key's bitmap depends only on k: compute the 5-md5 fold
+    # ONCE per sampled key BEFORE the files crossJoin (inside it, each
+    # key would recompute the fold n_files times — measured 16x md5
+    # work on the probe side)
+    probe_keys = (
         base.select("k")
         .distinct()
         .filter(hash_unit(F.col("k"), salt) < F.lit(probe_rate))
-        .crossJoin(F.broadcast(blooms))
-        .join(files, ["f", "k"], "left_anti")
+        .select("k", *bitmap_longs(positions(F.col("k"))))
     )
-    pb = probes.select(
-        "f",
-        *[F.col(f"m{j}") for j in range(n_longs)],
-        *bitmap_longs(positions(F.col("k"))),
+    pb = probe_keys.crossJoin(F.broadcast(blooms)).join(
+        files, ["f", "k"], "left_anti"
     )
     might = None
     for j in range(n_longs):
