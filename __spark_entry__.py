@@ -4234,6 +4234,63 @@ def _quality_gate_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_gate_pareto(t["documents"])
 
 
+def _odds_ratio_ci_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type A/B odds ratio with the Woolf log-OR 95% CI
+    (profile.odds_ratio_ci_report; exact integer cells, ln/exp on
+    integer products)."""
+    from avro_sql_spark.operators.profile import odds_ratio_ci_report
+
+    t = load_tables(spark, sf_dir, register=False)
+    return odds_ratio_ci_report(t["events"])
+
+
+def _changepoint_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single changepoint of the daily mean value by binary
+    segmentation (profile.changepoint_daily_mean; decimal prefix sums
+    over the day frame)."""
+    from avro_sql_spark.operators.profile import changepoint_daily_mean
+
+    t = load_tables(spark, sf_dir, register=False)
+    return changepoint_daily_mean(t["events"])
+
+
+def _sprt_daily_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT early-stopping audit of the daily conversion share
+    (profile.sprt_daily_audit; literal LLR weights, decimal walk)."""
+    from avro_sql_spark.operators.profile import sprt_daily_audit
+
+    t = load_tables(spark, sf_dir, register=False)
+    return sprt_daily_audit(t["events"])
+
+
+def _topk_spender_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day top-20 spender set churn
+    (profile.topk_spender_churn; day-partitioned rank, k-bounded set
+    join)."""
+    from avro_sql_spark.operators.profile import topk_spender_churn
+
+    t = load_tables(spark, sf_dir, register=False)
+    return topk_spender_churn(t["events"])
+
+
+def _cohens_kappa_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected gate agreement (text.cohens_kappa_gates; the
+    mcnemar cells with the kappa correction)."""
+    from avro_sql_spark.operators.text import cohens_kappa_gates
+
+    t = load_tables(spark, sf_dir, register=False)
+    return cohens_kappa_gates(t["documents"])
+
+
+def _g2_keyness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning G^2 keyness of terms for the src1 family vs the rest
+    (text.g2_keyness_terms; integer cells, TakeOrdered top-20)."""
+    from avro_sql_spark.operators.text import g2_keyness_terms
+
+    t = load_tables(spark, sf_dir, register=False)
+    return g2_keyness_terms(t["documents"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order note: the driver's per-round correctness sweep
     processes ~50 entries in this order per round (r1 covered the first
@@ -4365,6 +4422,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_prefix_report": _template_prefix_report,
         "robust_zscore_docs": _robust_zscore_docs,
         "quality_gate_pareto": _quality_gate_pareto,
+        "odds_ratio_ci_report": _odds_ratio_ci_report,
+        "changepoint_daily_mean": _changepoint_daily_mean,
+        "sprt_daily_audit": _sprt_daily_audit,
+        "topk_spender_churn": _topk_spender_churn,
+        "cohens_kappa_gates": _cohens_kappa_gates,
+        "g2_keyness_terms": _g2_keyness_terms,
         # --- cumulative-green core (driver rows r1-r5) ---
         "embedding_covariance": _embedding_covariance,
         "embedding_correlation": _embedding_correlation,
@@ -11993,6 +12056,213 @@ ORDER BY gate_constraint
         ).replace(
             "{STOP}", " + ".join(_occ(f" {w} ") for w in _EN_STOPWORDS)
         ),
+        # integer cells off the rounded-value-vs-type-mean cut; ln/exp
+        # on exact integer products, 1.96 literal
+        "odds_ratio_ci_report": """
+WITH ev AS (SELECT event_type AS g,
+                   CASE WHEN (CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':orci'), 1, 8)) AS BIGINT) % 1000000) / 1000000.0 < 0.5 THEN 'A' ELSE 'B' END AS arm,
+                   ROUND(value, 6) + 0 AS v6
+            FROM events WHERE value IS NOT NULL),
+means AS (SELECT g,
+                 CAST(SUM(CAST(v6 AS DECIMAL(38,6))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS m
+          FROM ev GROUP BY 1),
+cells AS (SELECT e.g, e.arm, COUNT(*) AS n,
+                 SUM(CASE WHEN e.v6 > m.m THEN 1 ELSE 0 END) AS k
+          FROM ev e JOIN means m USING (g) GROUP BY 1, 2),
+j AS (SELECT x.g, x.k AS aa, x.n - x.k AS bb, y.k AS cc, y.n - y.k AS dd
+      FROM cells x JOIN cells y
+      ON x.g = y.g AND x.arm = 'A' AND y.arm = 'B'
+      WHERE x.k > 0 AND x.n - x.k > 0 AND y.k > 0 AND y.n - y.k > 0),
+calc AS (SELECT g, aa, bb, cc, dd,
+                LN((CAST(aa AS DOUBLE) * CAST(dd AS DOUBLE))
+                   / (CAST(bb AS DOUBLE) * CAST(cc AS DOUBLE))) AS lnor,
+                SQRT(1.0 / CAST(aa AS DOUBLE) + 1.0 / CAST(bb AS DOUBLE)
+                     + 1.0 / CAST(cc AS DOUBLE)
+                     + 1.0 / CAST(dd AS DOUBLE)) AS se
+         FROM j)
+SELECT g AS event_type,
+       CAST(aa AS BIGINT) AS n_a_success, CAST(bb AS BIGINT) AS n_a_failure,
+       CAST(cc AS BIGINT) AS n_b_success, CAST(dd AS BIGINT) AS n_b_failure,
+       ROUND(EXP(lnor), 6) + 0 AS odds_ratio,
+       ROUND(EXP(lnor - 1.96 * se), 6) + 0 AS ci_lo,
+       ROUND(EXP(lnor + 1.96 * se), 6) + 0 AS ci_hi,
+       (ROUND(EXP(lnor - 1.96 * se), 6) > 1.0
+        OR ROUND(EXP(lnor + 1.96 * se), 6) < 1.0) AS significant_5pct
+FROM calc ORDER BY event_type
+""",
+        # decimal prefix sums drive every candidate split; SSB ranks on
+        # its 9 dp rounding with the day tiebreak
+        "changepoint_daily_mean": """
+WITH daily AS (SELECT date_trunc('day', ts) AS d, COUNT(*) AS n,
+                      SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS s
+               FROM events WHERE value IS NOT NULL GROUP BY 1),
+tot AS (SELECT COUNT(*) AS nd,
+               SUM(CAST(ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                        AS DECIMAL(38,9))) AS sx
+        FROM daily),
+pre AS (SELECT d, nd, sx,
+               ROW_NUMBER() OVER (ORDER BY d) AS i,
+               SUM(CAST(ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                        AS DECIMAL(38,9)))
+                 OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum
+        FROM daily CROSS JOIN tot),
+cand AS (SELECT d, nd,
+                ROUND(CAST(i AS DOUBLE)
+                      * (CAST(cum AS DOUBLE) / CAST(i AS DOUBLE)
+                         - CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE))
+                      * (CAST(cum AS DOUBLE) / CAST(i AS DOUBLE)
+                         - CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE))
+                      + CAST(nd - i AS DOUBLE)
+                      * (CAST(sx - cum AS DOUBLE) / CAST(nd - i AS DOUBLE)
+                         - CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE))
+                      * (CAST(sx - cum AS DOUBLE) / CAST(nd - i AS DOUBLE)
+                         - CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE)), 9) + 0
+                  AS ssb9,
+                ROUND(CAST(cum AS DOUBLE) / CAST(i AS DOUBLE), 6) + 0 AS mb,
+                ROUND(CAST(sx - cum AS DOUBLE) / CAST(nd - i AS DOUBLE), 6)
+                  + 0 AS ma
+         FROM pre WHERE i < nd),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY ssb9 DESC, d ASC) AS rk
+      FROM cand)
+SELECT CAST(nd AS BIGINT) AS n_days,
+       CAST(CAST(d AS DATE) AS VARCHAR) AS split_day,
+       ROUND(ssb9, 6) + 0 AS ssb, mb AS mean_before, ma AS mean_after
+FROM r WHERE rk = 1
+""",
+        # literal LLR weights (no runtime ln), decimal walk, ln(19)
+        # boundary literals
+        "sprt_daily_audit": """
+WITH daily AS (SELECT date_trunc('day', ts) AS d, COUNT(*) AS n,
+                      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS k
+               FROM events GROUP BY 1),
+walk AS (SELECT d,
+                SUM(CAST(ROUND(CAST(k AS DOUBLE) * 0.20067069546215124
+                               + CAST(n - k AS DOUBLE)
+                                 * -0.050010420574661305, 9)
+                         AS DECIMAL(38,9)))
+                  OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS m
+         FROM daily),
+flagged AS (SELECT d, m,
+                   CASE WHEN CAST(m AS DOUBLE) >= 2.9444389791664403
+                          THEN 'accept_h1'
+                        WHEN CAST(m AS DOUBLE) <= -2.9444389791664403
+                          THEN 'accept_h0' END AS verdict
+            FROM walk),
+summary AS (SELECT COUNT(*) AS n_days,
+                   MIN(CASE WHEN verdict IS NOT NULL THEN d END) AS cd
+            FROM flagged),
+final AS (SELECT ROUND(CAST(m AS DOUBLE), 6) + 0 AS final_llr
+          FROM flagged ORDER BY d DESC LIMIT 1)
+SELECT CAST(n_days AS BIGINT) AS n_days, final_llr,
+       COALESCE(f2.verdict, 'continue') AS decision,
+       CAST(CAST(cd AS DATE) AS VARCHAR) AS crossing_day
+FROM summary LEFT JOIN flagged f2 ON f2.d = summary.cd CROSS JOIN final
+""",
+        # day-partitioned rank on exact decimal totals; k-bounded set
+        # join on adjacent day indices
+        "topk_spender_churn": """
+WITH per AS (SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS di,
+                    user_id AS u,
+                    SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS sv
+             FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+top AS (SELECT di, u FROM (
+          SELECT di, u,
+                 ROW_NUMBER() OVER (PARTITION BY di
+                                    ORDER BY sv DESC, u ASC) AS rk
+          FROM per) WHERE rk <= 20),
+sizes AS (SELECT di, COUNT(*) AS sz FROM top GROUP BY 1),
+common AS (SELECT t.di, COUNT(*) AS nc
+           FROM top t JOIN (SELECT di + 1 AS di, u FROM top) p
+           USING (di, u)
+           GROUP BY 1),
+pairs AS (SELECT cur.di, cur.sz, prv.szp, COALESCE(c.nc, 0) AS nc
+          FROM sizes cur
+          JOIN (SELECT di + 1 AS di, sz AS szp FROM sizes) prv USING (di)
+          LEFT JOIN common c USING (di))
+SELECT CAST(di AS BIGINT) AS day_index, CAST(nc AS BIGINT) AS n_common,
+       ROUND(CAST(nc AS DOUBLE) / CAST(sz + szp - nc AS DOUBLE), 6) + 0
+         AS jaccard
+FROM pairs ORDER BY day_index
+""",
+        # the mcnemar cells with the chance correction
+        "cohens_kappa_gates": f"""
+WITH base AS (
+  SELECT text, ' ' || lower(text) || ' ' AS padded,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+         len(string_split(text, ' ')) AS n_ws
+  FROM documents),
+s0 AS (SELECT
+  CASE WHEN {{GOPHER}} THEN 1 ELSE 0 END AS ga,
+  CASE WHEN (CASE WHEN n_ws >= 5 AND n_ws <= 100000 THEN 1 ELSE 0 END
+     + CASE WHEN CAST((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) AS DOUBLE)
+                 / nullif(length(text), 0) <= 0.2 THEN 1 ELSE 0 END
+     + CASE WHEN CAST(({{STOP}}) AS DOUBLE)
+                 / nullif(CAST(n_ws AS DOUBLE), 0) >= 0.05 THEN 1 ELSE 0 END)
+       >= 2 THEN 1 ELSE 0 END AS hb
+  FROM base),
+agg AS (SELECT COUNT(*) AS n,
+        SUM(CASE WHEN ga = 1 AND hb = 1 THEN 1 ELSE 0 END) AS bb,
+        SUM(CASE WHEN ga = 1 AND hb = 0 THEN 1 ELSE 0 END) AS og,
+        SUM(CASE WHEN ga = 0 AND hb = 1 THEN 1 ELSE 0 END) AS oh,
+        SUM(CASE WHEN ga = 0 AND hb = 0 THEN 1 ELSE 0 END) AS nn
+        FROM s0),
+k AS (SELECT n,
+             CAST(bb + nn AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+             (CAST(bb + og AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(bb + oh AS DOUBLE) / CAST(n AS DOUBLE))
+             + (1.0 - CAST(bb + og AS DOUBLE) / CAST(n AS DOUBLE))
+               * (1.0 - CAST(bb + oh AS DOUBLE) / CAST(n AS DOUBLE)) AS pe
+      FROM agg)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       ROUND(po, 6) + 0 AS p_observed,
+       ROUND(pe, 6) + 0 AS p_expected,
+       ROUND((po - pe) / nullif(1.0 - pe, 0.0), 6) + 0 AS kappa
+FROM k
+""".replace("{GOPHER}", _gopher_ok_expr()).replace(
+            "{STOP}", " + ".join(_occ(f" {w} ") for w in _EN_STOPWORDS)
+        ),
+        # the log_odds token device; integer cells, sign by exact
+        # integer cross-product, TakeOrdered top-20
+        "g2_keyness_terms": r"""
+WITH toks AS (
+  SELECT fam, token AS w FROM (
+    SELECT starts_with(source, 'src1') AS fam,
+           unnest(string_split_regex(lower(text), '\s+')) AS token
+    FROM documents)
+  WHERE regexp_matches(token, '^[a-z]+$')),
+c AS (SELECT w,
+             CAST(SUM(CASE WHEN fam THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN fam THEN 0 ELSE 1 END) AS BIGINT) AS b
+      FROM toks GROUP BY 1),
+t AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM c),
+f AS (SELECT w, a, b, na, nb FROM c CROSS JOIN t
+      WHERE a > 0 AND b > 0 AND a + b >= 20),
+g AS (SELECT w, a, b,
+             2.0 * (CAST(a AS DOUBLE)
+                    * LN(CAST(a AS DOUBLE)
+                         / (CAST(na AS DOUBLE)
+                            * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                            / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))))
+                    + CAST(b AS DOUBLE)
+                    * LN(CAST(b AS DOUBLE)
+                         / (CAST(nb AS DOUBLE)
+                            * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                            / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))))
+               AS g2,
+             a * nb > b * na AS fam_leaning
+      FROM f)
+SELECT w AS term, a AS count_family, b AS count_rest,
+       (CASE WHEN fam_leaning THEN ROUND(g2, 9)
+             ELSE -ROUND(g2, 9) END) + 0 AS g2_signed
+FROM g
+ORDER BY ABS((CASE WHEN fam_leaning THEN ROUND(g2, 9)
+              ELSE -ROUND(g2, 9) END) + 0) DESC, term
+LIMIT 20
+""",
         # no oracle (rows-only by design — sketch-/eigen-dependent,
         # approximate-by-construction, or sequential-fold):
         # quality_shards_approx, approx_distinct_events,

@@ -5492,3 +5492,288 @@ def user_path_entropy(events: DataFrame) -> DataFrame:
         )
         .orderBy("h_bin")
     )
+
+
+def odds_ratio_ci_report(
+    events: DataFrame,
+    id_col: str = "user_id",
+    salt: str = "orci",
+) -> DataFrame:
+    """Per-event-type odds ratio between md5-assigned A/B arms for
+    "value above the type's own mean", with the Woolf log-OR 95%
+    confidence interval (Woolf 1955): OR = (a*d)/(b*c), ln OR +/-
+    1.96 * sqrt(1/a + 1/b + 1/c + 1/d) — the effect-size readout that
+    complements bh_fdr_report's p-values (a significant p with OR ~ 1
+    is a large-sample nothing). Types with any empty cell are excluded
+    (the Woolf SE is undefined there), mirrored in the oracle.
+
+    Exactness: the success cut compares the 6 dp-ROUNDED value against
+    the type mean derived from DECIMAL(38,6) sums (both engines build
+    the identical double); cells are integers; ln/exp on exact integer
+    products and the 1.96 literal are the only float ops. Scale shape:
+    two per-type aggregates (mean pass, cell pass), types-sized
+    output."""
+    from .curation import hash_unit
+
+    ev = events.filter(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("g"),
+        F.when(hash_unit(F.col(id_col), salt) < 0.5, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+        (F.round(F.col("value"), 6) + F.lit(0.0)).alias("v6"),
+    )
+    means = ev.groupBy("g").agg(
+        (
+            F.sum(F.col("v6").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("m")
+    )
+    cells = (
+        ev.join(F.broadcast(means), "g")
+        .groupBy("g", "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("v6") > F.col("m"), 1).otherwise(0)
+            ).alias("k"),
+        )
+    )
+    a_side = cells.filter(F.col("arm") == "A").select(
+        "g", F.col("k").alias("a"), (F.col("n") - F.col("k")).alias("b")
+    )
+    b_side = cells.filter(F.col("arm") == "B").select(
+        "g", F.col("k").alias("c"), (F.col("n") - F.col("k")).alias("d")
+    )
+    j = a_side.join(b_side, "g").filter(
+        (F.col("a") > 0) & (F.col("b") > 0) & (F.col("c") > 0) & (F.col("d") > 0)
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    lnor = F.log(
+        (dbl("a") * dbl("d")) / (dbl("b") * dbl("c"))
+    )
+    se = F.sqrt(
+        F.lit(1.0) / dbl("a")
+        + F.lit(1.0) / dbl("b")
+        + F.lit(1.0) / dbl("c")
+        + F.lit(1.0) / dbl("d")
+    )
+    lo = F.exp(lnor - F.lit(1.96) * se)
+    hi = F.exp(lnor + F.lit(1.96) * se)
+    return j.select(
+        F.col("g").alias("event_type"),
+        F.col("a").cast("long").alias("n_a_success"),
+        F.col("b").cast("long").alias("n_a_failure"),
+        F.col("c").cast("long").alias("n_b_success"),
+        F.col("d").cast("long").alias("n_b_failure"),
+        (F.round(F.exp(lnor), 6) + F.lit(0.0)).alias("odds_ratio"),
+        (F.round(lo, 6) + F.lit(0.0)).alias("ci_lo"),
+        (F.round(hi, 6) + F.lit(0.0)).alias("ci_hi"),
+        ((F.round(lo, 6) > 1.0) | (F.round(hi, 6) < 1.0)).alias(
+            "significant_5pct"
+        ),
+    ).orderBy("event_type")
+
+
+def changepoint_daily_mean(events: DataFrame) -> DataFrame:
+    """Best single changepoint of the daily mean value by binary
+    segmentation (Scott & Knott 1974; the first step of every
+    binary-seg changepoint routine): the split k maximizing the
+    between-segment sum of squares SSB = n1 (m1 - M)^2 + n2 (m2 - M)^2
+    over the day series — the exact "WHEN did the metric move" answer
+    that page_hinkley_drift's sequential statistic approximates.
+
+    Exactness: daily means quantize at 9 dp into DECIMAL(38,9); the
+    prefix sums driving every candidate split are decimal-exact and
+    order-free; each candidate's SSB is the identical float expression
+    on both engines and ranks on its 9 dp rounding with the day
+    tiebreak. Scale shape: one per-day aggregate; every window and the
+    candidate scan live on the bounded DAY frame."""
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value"), 6).cast("decimal(38,6)")).alias(
+                "s"
+            ),
+        )
+        .localCheckpoint(eager=True)  # day frame, forked below
+    )
+    x9 = F.round(
+        F.col("s").cast("double") / F.col("n").cast("double"), 9
+    ).cast("decimal(38,9)")
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum(x9).alias("sx"),
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "nd",
+        "sx",
+        F.row_number().over(Window.orderBy("d")).alias("i"),
+        F.sum(x9).over(wcum).alias("cum"),
+    ).filter(F.col("i") < F.col("nd"))
+    k = F.col("i").cast("double")
+    n2 = (F.col("nd") - F.col("i")).cast("double")
+    m = F.col("sx").cast("double") / F.col("nd").cast("double")
+    m1 = F.col("cum").cast("double") / k
+    m2 = (F.col("sx") - F.col("cum")).cast("double") / n2
+    ssb = k * (m1 - m) * (m1 - m) + n2 * (m2 - m) * (m2 - m)
+    ranked = pre.select(
+        "d",
+        "nd",
+        (F.round(ssb, 9) + F.lit(0.0)).alias("ssb9"),
+        (F.round(m1, 6) + F.lit(0.0)).alias("mb"),
+        (F.round(m2, 6) + F.lit(0.0)).alias("ma"),
+    ).select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.desc("ssb9"), F.asc("d")))
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return ranked.select(
+        F.col("nd").cast("long").alias("n_days"),
+        F.col("d").cast("date").cast("string").alias("split_day"),
+        (F.round(F.col("ssb9"), 6) + F.lit(0.0)).alias("ssb"),
+        F.col("mb").alias("mean_before"),
+        F.col("ma").alias("mean_after"),
+    )
+
+
+def sprt_daily_audit(
+    events: DataFrame,
+    conv_type: str = "purchase",
+) -> DataFrame:
+    """Wald sequential probability-ratio audit (Wald 1945) of the
+    daily conversion share against H0: p = 0.18 vs H1: p = 0.22 at
+    alpha = beta = 0.05 — the "could we have stopped this experiment
+    early?" readout: the cumulative log-likelihood ratio walks until
+    it crosses ln(19) (accept H1) or -ln(19) (accept H0); the audit
+    reports the final LLR, the verdict, and the first crossing day.
+
+    Exactness: daily (events, conversions) are integers; the per-day
+    LLR uses PRE-COMPUTED python literals for ln(p1/p0) and
+    ln((1-p1)/(1-p0)) (no runtime ln at all), quantizes at 9 dp into
+    DECIMAL(38,9), and the walk/crossing comparisons are decimal-exact
+    against the ln(19) literal. Scale shape: one per-day aggregate,
+    day-frame windows."""
+    l1 = 0.20067069546215124  # ln(0.22/0.18)
+    l0 = -0.050010420574661305  # ln(0.78/0.82)
+    bound = 2.9444389791664403  # ln(19), alpha = beta = 0.05
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == conv_type, 1).otherwise(0)
+        ).alias("k"),
+    )
+    llr = F.round(
+        F.col("k").cast("double") * F.lit(l1)
+        + (F.col("n") - F.col("k")).cast("double") * F.lit(l0),
+        9,
+    ).cast("decimal(38,9)")
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    walk = daily.select("d", llr.alias("t")).select(
+        "d", F.sum("t").over(wcum).alias("m")
+    )
+    crossed = F.when(
+        F.col("m").cast("double") >= F.lit(bound), F.lit("accept_h1")
+    ).when(F.col("m").cast("double") <= F.lit(-bound), F.lit("accept_h0"))
+    flagged = walk.select("d", "m", crossed.alias("verdict")).localCheckpoint(
+        eager=True
+    )  # day frame, forked into the summary and the crossing lookup
+    summary = flagged.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.min(
+            F.when(F.col("verdict").isNotNull(), F.col("d"))
+        ).alias("cd"),
+    )
+    final = flagged.select(
+        "*", F.row_number().over(Window.orderBy(F.desc("d"))).alias("rkl")
+    ).filter(F.col("rkl") == 1).select(
+        (F.round(F.col("m").cast("double"), 6) + F.lit(0.0)).alias(
+            "final_llr"
+        )
+    )
+    # left join: no crossing -> NULL verdict -> 'continue'
+    at_cross = flagged.select(
+        F.col("d").alias("cd"), F.col("verdict").alias("decision")
+    )
+    return (
+        summary.join(at_cross, "cd", "left")
+        .crossJoin(F.broadcast(final))
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            "final_llr",
+            F.coalesce(F.col("decision"), F.lit("continue")).alias(
+                "decision"
+            ),
+            F.col("cd").cast("date").cast("string").alias("crossing_day"),
+        )
+    )
+
+
+def topk_spender_churn(events: DataFrame, k: int = 20) -> DataFrame:
+    """Day-over-day churn of the top-k spender set: rank users per day
+    by quantized value total (user_id tiebreak), keep the top k, and
+    report each day's overlap and Jaccard with the PREVIOUS day's set
+    — the leaderboard-stability metric behind "is our whale cohort a
+    stable population or a daily lottery?".
+
+    Exactness: per-(day, user) totals in DECIMAL(38,6); the per-day
+    rank is a day-PARTITIONED window (never global); overlap counts
+    are integers and Jaccard is one rounded division. Scale shape: one
+    (day, user) aggregate, a partitioned rank, and a self-join of the
+    k-bounded daily sets on adjacent day indices."""
+    per = events.filter(F.col("value").isNotNull()).groupBy(
+        F.floor(
+            F.unix_timestamp(F.date_trunc("day", F.col("ts")))
+            / F.lit(86400)
+        )
+        .cast("long")
+        .alias("di"),
+        F.col("user_id").alias("u"),
+    ).agg(
+        F.sum(F.round(F.col("value"), 6).cast("decimal(38,6)")).alias("sv")
+    )
+    wday = Window.partitionBy("di").orderBy(F.desc("sv"), F.asc("u"))
+    top = (
+        per.select("di", "u", F.row_number().over(wday).alias("rk"))
+        .filter(F.col("rk") <= k)
+        .localCheckpoint(eager=True)  # k-bounded daily sets, forked below
+    )
+    sizes = top.groupBy("di").agg(F.count(F.lit(1)).alias("sz"))
+    prev = top.select((F.col("di") + 1).alias("di"), F.col("u"))
+    common = top.join(prev, ["di", "u"]).groupBy("di").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    pairs = (
+        sizes.alias("cur")
+        .join(
+            sizes.select(
+                (F.col("di") + 1).alias("di"), F.col("sz").alias("szp")
+            ).alias("prv"),
+            "di",
+        )
+        .join(common, "di", "left")
+        .select(
+            "di",
+            F.col("sz"),
+            F.col("szp"),
+            F.coalesce(F.col("n_common"), F.lit(0)).alias("nc"),
+        )
+    )
+    return pairs.select(
+        F.col("di").cast("long").alias("day_index"),
+        F.col("nc").cast("long").alias("n_common"),
+        (
+            F.round(
+                F.col("nc").cast("double")
+                / (F.col("sz") + F.col("szp") - F.col("nc")).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("jaccard"),
+    ).orderBy("day_index")

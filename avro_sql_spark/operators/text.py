@@ -2431,3 +2431,133 @@ def quality_gate_pareto(docs: DataFrame) -> DataFrame:
             + F.lit(0.0)
         ).alias("pass_rate_if_dropped"),
     ).orderBy("gate_constraint")
+
+
+def cohens_kappa_gates(docs: DataFrame) -> DataFrame:
+    """Cohen's kappa agreement (Cohen 1960) between the full Gopher
+    gate and the cheap q3 heuristic — the chance-corrected companion
+    to :func:`mcnemar_gate_compare`: McNemar asks "do they disagree
+    SYSTEMATICALLY", kappa asks "how much better than coin-flipping is
+    their agreement" (kappa = (p_o - p_e)/(1 - p_e)); a gate pair can
+    pass McNemar yet have near-zero kappa on an imbalanced corpus.
+
+    Exactness: the same four integer cells as mcnemar (one shared-
+    signal projection, one aggregate row); the marginal products and
+    the final ratio are the only float ops."""
+    from ..functions.text import (
+        gopher_pass_of,
+        gopher_signal_columns,
+        punct_ratio,
+    )
+
+    text = F.col("text")
+    sig = gopher_signal_columns(text)
+    projected = docs.select(
+        *(c.alias(k) for k, c in sig.items()),
+        punct_ratio(text).alias("punct"),
+    )
+    n_ws = F.col("n_ws")
+    stop_ratio = F.col("stop_hits") / F.nullif(n_ws, F.lit(0))
+    q3 = (
+        F.when((n_ws >= 5) & (n_ws <= 100000), 1).otherwise(0)
+        + F.when(F.col("punct") <= 0.2, 1).otherwise(0)
+        + F.when(stop_ratio.cast("double") >= 0.05, 1).otherwise(0)
+    )
+    a = gopher_pass_of(
+        n_ws,
+        F.col("stop_hits"),
+        F.col("mean_word_len"),
+        F.col("symbol_ratio"),
+        F.col("alpha_frac"),
+    )
+    flags = projected.select(
+        F.when(a, 1).otherwise(0).alias("ga"),
+        F.when(q3 >= 2, 1).otherwise(0).alias("hb"),
+    )
+    s = flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when((F.col("ga") == 1) & (F.col("hb") == 1), 1).otherwise(0)
+        ).alias("bb"),
+        F.sum(
+            F.when((F.col("ga") == 1) & (F.col("hb") == 0), 1).otherwise(0)
+        ).alias("og"),
+        F.sum(
+            F.when((F.col("ga") == 0) & (F.col("hb") == 1), 1).otherwise(0)
+        ).alias("oh"),
+        F.sum(
+            F.when((F.col("ga") == 0) & (F.col("hb") == 0), 1).otherwise(0)
+        ).alias("nn"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("bb") + F.col("nn")).cast("double") / n
+    pa = (F.col("bb") + F.col("og")).cast("double") / n
+    pb = (F.col("bb") + F.col("oh")).cast("double") / n
+    pe = pa * pb + (F.lit(1.0) - pa) * (F.lit(1.0) - pb)
+    kappa = (po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0))
+    return s.select(
+        F.col("n").cast("long").alias("n_docs"),
+        (F.round(po, 6) + F.lit(0.0)).alias("p_observed"),
+        (F.round(pe, 6) + F.lit(0.0)).alias("p_expected"),
+        (F.round(kappa, 6) + F.lit(0.0)).alias("kappa"),
+    )
+
+
+def g2_keyness_terms(
+    docs: DataFrame,
+    family_prefix: str = "src1",
+    top_k: int = 20,
+    min_total: int = 20,
+) -> DataFrame:
+    """Dunning log-likelihood keyness (Dunning 1993 G^2) of vocabulary
+    terms between the ``family_prefix`` source family and the rest of
+    the corpus — corpus linguistics' standard "what words characterize
+    this subcorpus" test, more robust at low counts than the
+    chi-square and complementary to log_odds_terms' Bayesian-smoothed
+    z: G^2 = 2 (a ln(a/E_a) + b ln(b/E_b)) with expected counts from
+    the pooled margin; the sign is carried by the direction of the
+    rate comparison (positive = family-leaning, decided by the EXACT
+    integer cross-product a*N_b > b*N_a).
+
+    Terms with an empty cell or pooled count below ``min_total`` are
+    excluded (0 ln 0 handling and rare-noise cap, mirrored in the
+    oracle). One tokenize pass, integer cells, fixed ln composition,
+    9 dp pre-round + term tiebreak into a distributed TakeOrdered —
+    the log_odds_terms scale shape."""
+    toks = docs.select(
+        F.col("source").startswith(family_prefix).alias("fam"),
+        F.explode(T.word_tokens(F.col("text"))).alias("w"),
+    )
+    counts = toks.groupBy("w").agg(
+        F.sum(F.col("fam").cast("long")).alias("a"),
+        F.sum((~F.col("fam")).cast("long")).alias("b"),
+    )
+    totals = counts.agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb")
+    )
+    j = (
+        counts.filter(
+            (F.col("a") > 0)
+            & (F.col("b") > 0)
+            & ((F.col("a") + F.col("b")) >= min_total)
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    a, b = F.col("a").cast("double"), F.col("b").cast("double")
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    ea = na * (a + b) / (na + nb)
+    eb = nb * (a + b) / (na + nb)
+    g2 = F.lit(2.0) * (a * F.log(a / ea) + b * F.log(b / eb))
+    signed = F.when(
+        F.col("a") * F.col("nb") > F.col("b") * F.col("na"), F.round(g2, 9)
+    ).otherwise(-F.round(g2, 9)) + F.lit(0.0)
+    return (
+        j.select(
+            F.col("w").alias("term"),
+            F.col("a").cast("long").alias("count_family"),
+            F.col("b").cast("long").alias("count_rest"),
+            signed.alias("g2_signed"),
+        )
+        .orderBy(F.desc(F.abs(F.col("g2_signed"))), F.asc("term"))
+        .limit(top_k)
+    )

@@ -363,6 +363,12 @@ HEADLINE = [
     "template_prefix_report",
     "robust_zscore_docs",
     "quality_gate_pareto",
+    "odds_ratio_ci_report",
+    "changepoint_daily_mean",
+    "sprt_daily_audit",
+    "topk_spender_churn",
+    "cohens_kappa_gates",
+    "g2_keyness_terms",
 ]
 
 

@@ -256,3 +256,142 @@ def test_quality_gate_pareto_single_knockout(spark):
         5.0 / 8.0
     )
     assert out["symbol_ratio"]["n_fail"] == 0
+
+
+# --- wave 2 ---
+
+
+def test_odds_ratio_exact_cells(spark):
+    from avro_sql_spark.operators.profile import odds_ratio_ci_report
+
+    # users hash into arms; values 0/10 around the mean 5 -> cells are
+    # above-mean counts; construct enough users that all 4 cells fill
+    rows = []
+    for u in range(200):
+        v = 10.0 if u % 2 == 0 else 0.0
+        rows.append((u, dt.datetime(2024, 1, 1), u, "t", v))
+    out = odds_ratio_ci_report(_events(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    total = (
+        r["n_a_success"] + r["n_a_failure"] + r["n_b_success"] + r["n_b_failure"]
+    )
+    assert total == 200
+    # the arm split is independent of the value split -> OR ~ 1, CI
+    # must straddle it
+    assert r["ci_lo"] <= r["odds_ratio"] <= r["ci_hi"]
+    assert not r["significant_5pct"]
+
+
+def test_changepoint_finds_the_step(spark):
+    from avro_sql_spark.operators.profile import changepoint_daily_mean
+
+    # means 1,1,1,9,9,9 -> best split after day 3
+    rows = []
+    eid = 0
+    for day, m in enumerate([1.0, 1.0, 1.0, 9.0, 9.0, 9.0]):
+        rows.append((eid, dt.datetime(2024, 1, 1 + day), 1, "a", m))
+        eid += 1
+    r = changepoint_daily_mean(_events(spark, rows)).collect()[0]
+    assert r["n_days"] == 6
+    assert r["split_day"] == "2024-01-03"
+    assert r["mean_before"] == pytest.approx(1.0)
+    assert r["mean_after"] == pytest.approx(9.0)
+    # SSB = 3*(1-5)^2 + 3*(9-5)^2 = 96
+    assert r["ssb"] == pytest.approx(96.0)
+
+
+def test_sprt_continues_on_null_rate_and_accepts_h1_on_high(spark):
+    from avro_sql_spark.operators.profile import sprt_daily_audit
+
+    # 1 purchase in 5 events/day (20% - between p0 and p1): tiny daily
+    # LLR, few days -> no crossing
+    rows = []
+    eid = 0
+    for day in range(3):
+        for i in range(5):
+            et = "purchase" if i == 0 else "view"
+            rows.append((eid, dt.datetime(2024, 1, 1 + day), 1, et, 0.0))
+            eid += 1
+    r = sprt_daily_audit(_events(spark, rows)).collect()[0]
+    assert r["n_days"] == 3
+    assert r["decision"] == "continue" and r["crossing_day"] is None
+    # all-purchase days: LLR per day = 10*ln(p1/p0) ~ 2.0 -> crosses
+    # ln(19) on day 2
+    rows2 = []
+    eid = 0
+    for day in range(4):
+        for i in range(10):
+            rows2.append(
+                (eid, dt.datetime(2024, 1, 1 + day), 1, "purchase", 0.0)
+            )
+            eid += 1
+    r2 = sprt_daily_audit(_events(spark, rows2)).collect()[0]
+    assert r2["decision"] == "accept_h1"
+    assert r2["crossing_day"] == "2024-01-02"
+
+
+def test_topk_churn_stable_and_shuffled_sets(spark):
+    from avro_sql_spark.operators.profile import topk_spender_churn
+
+    # day 1 and 2: same 3 users -> jaccard 1; day 3: disjoint users
+    rows = []
+    eid = 0
+    for day, users in enumerate([[1, 2, 3], [1, 2, 3], [7, 8, 9]]):
+        for u in users:
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1 + day), u, "a", float(u))
+            )
+            eid += 1
+    out = topk_spender_churn(_events(spark, rows), k=3).collect()
+    assert len(out) == 2
+    assert out[0]["n_common"] == 3 and out[0]["jaccard"] == pytest.approx(1.0)
+    assert out[1]["n_common"] == 0 and out[1]["jaccard"] == pytest.approx(0.0)
+
+
+def test_kappa_perfect_agreement_is_one(spark):
+    from avro_sql_spark.operators.text import cohens_kappa_gates
+
+    # a mix where both gates always agree: good docs (both pass) and
+    # punctuation-soup garbage (fails gopher AND at least two q3
+    # components) -> po = 1, kappa = 1
+    garbage = "?? !! ;; ,, .. ?? !! ;; ,, .. ?? !!"
+    docs = _docs(
+        spark,
+        [(i, GOOD, "s", len(GOOD)) for i in range(6)]
+        + [(10 + i, garbage, "s", len(garbage)) for i in range(4)],
+    )
+    r = cohens_kappa_gates(docs).collect()[0]
+    assert r["n_docs"] == 10
+    assert r["p_observed"] == pytest.approx(1.0)
+    assert r["kappa"] == pytest.approx(1.0)
+
+
+def test_g2_keyness_flags_the_discriminative_term(spark):
+    from avro_sql_spark.operators.text import g2_keyness_terms
+
+    # family docs say "alpha" everywhere, rest say "beta"; shared
+    # filler is non-key
+    fam = "alpha common filler words here " * 8
+    rest = "beta common filler words here " * 8
+    docs = _docs(
+        spark,
+        [(i, fam, "src1a", len(fam)) for i in range(5)]
+        + [(10 + i, rest, "src9", len(rest)) for i in range(5)],
+    )
+    out = g2_keyness_terms(docs, min_total=10).collect()
+    by_term = {r["term"]: r for r in out}
+    # alpha/beta have an empty cell -> excluded; the shared fillers
+    # have identical rates -> G2 = 0
+    assert "alpha" not in by_term and "beta" not in by_term
+    assert all(abs(r["g2_signed"]) < 1e-9 for r in out)
+    # now make "alpha" present-but-rare in rest so it keeps both cells
+    docs2 = _docs(
+        spark,
+        [(i, fam, "src1a", len(fam)) for i in range(5)]
+        + [(10 + i, rest + " alpha", "src9", len(rest)) for i in range(5)],
+    )
+    out2 = g2_keyness_terms(docs2, min_total=10).collect()
+    top = out2[0]
+    assert top["term"] == "alpha"
+    assert top["g2_signed"] > 0  # family-leaning sign carried

@@ -121,6 +121,9 @@ ITERATIVE_ENTRIES = [
     "page_hinkley_drift",
     "ses_backtest_daily",
     "template_prefix_report",
+    "changepoint_daily_mean",
+    "sprt_daily_audit",
+    "topk_spender_churn",
 ]
 
 
