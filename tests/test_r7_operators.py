@@ -395,3 +395,96 @@ def test_g2_keyness_flags_the_discriminative_term(spark):
     top = out2[0]
     assert top["term"] == "alpha"
     assert top["g2_signed"] > 0  # family-leaning sign carried
+
+
+# --- invariants on seeded pseudo-random series ---
+
+
+def _rand_events(spark, n_days=12, per_day=9, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    eid = 0
+    for day in range(n_days):
+        for _ in range(rng.randrange(2, 2 * per_day)):
+            rows.append(
+                (
+                    eid,
+                    dt.datetime(2024, 1, 1 + day, rng.randrange(24)),
+                    rng.randrange(40),
+                    rng.choice(["view", "click", "purchase"]),
+                    round(rng.uniform(0, 50), 3),
+                )
+            )
+            eid += 1
+    return rows
+
+
+def test_kendall_antisymmetry_under_value_negation(spark):
+    from avro_sql_spark.operators.profile import kendall_tau_daily
+
+    rows = _rand_events(spark)
+    t1 = kendall_tau_daily(_events(spark, rows)).collect()[0]
+    flipped = [(e, ts, u, et, -v) for (e, ts, u, et, v) in rows]
+    t2 = kendall_tau_daily(_events(spark, flipped)).collect()[0]
+    assert -1.0 <= t1["tau_b"] <= 1.0
+    # negating every value reverses each dv sign: tau flips exactly
+    assert t2["tau_b"] == pytest.approx(-t1["tau_b"], abs=2e-6)
+    assert t2["concordant"] == t1["discordant"]
+
+
+def test_page_hinkley_shift_invariance(spark):
+    from avro_sql_spark.operators.profile import page_hinkley_drift
+
+    rows = _rand_events(spark)
+    r1 = page_hinkley_drift(_events(spark, rows)).collect()[0]
+    shifted = [(e, ts, u, et, v + 100.0) for (e, ts, u, et, v) in rows]
+    r2 = page_hinkley_drift(_events(spark, shifted)).collect()[0]
+    assert r1["ph_stat"] >= 0.0
+    # deviations from the mean are shift-invariant
+    assert r2["ph_stat"] == pytest.approx(r1["ph_stat"], abs=2e-5)
+    assert r2["peak_day"] == r1["peak_day"]
+
+
+def test_changepoint_shift_invariance(spark):
+    from avro_sql_spark.operators.profile import changepoint_daily_mean
+
+    rows = _rand_events(spark)
+    r1 = changepoint_daily_mean(_events(spark, rows)).collect()[0]
+    shifted = [(e, ts, u, et, v + 25.0) for (e, ts, u, et, v) in rows]
+    r2 = changepoint_daily_mean(_events(spark, shifted)).collect()[0]
+    assert r1["ssb"] >= 0.0
+    assert r2["ssb"] == pytest.approx(r1["ssb"], abs=2e-4)
+    assert r2["split_day"] == r1["split_day"]
+    assert r2["mean_before"] == pytest.approx(r1["mean_before"] + 25.0, abs=1e-5)
+
+
+def test_ses_count_scaling_scales_maes(spark):
+    from avro_sql_spark.operators.profile import ses_backtest_daily
+
+    rows = _rand_events(spark, per_day=5, seed=11)
+    r1 = ses_backtest_daily(_events(spark, rows)).collect()[0]
+    # doubling every day's count doubles both forecasts and errors
+    doubled = rows + [
+        (10000 + e, ts, u, et, v) for (e, ts, u, et, v) in rows
+    ]
+    r2 = ses_backtest_daily(_events(spark, doubled)).collect()[0]
+    assert r2["ses_mae"] == pytest.approx(2.0 * r1["ses_mae"], abs=2e-6)
+    assert r2["naive_mae"] == pytest.approx(2.0 * r1["naive_mae"], abs=2e-6)
+    if r1["mae_ratio"] is not None:
+        assert r2["mae_ratio"] == pytest.approx(r1["mae_ratio"], abs=2e-6)
+
+
+def test_gumbel_p99_above_location_and_shift_equivariant(spark):
+    from avro_sql_spark.operators.profile import gumbel_daily_max_fit
+
+    rows = _rand_events(spark, seed=13)
+    r1 = gumbel_daily_max_fit(_events(spark, rows)).collect()[0]
+    assert r1["gumbel_beta"] >= 0.0
+    assert r1["daily_max_p99"] >= r1["gumbel_mu"]
+    shifted = [(e, ts, u, et, v + 10.0) for (e, ts, u, et, v) in rows]
+    r2 = gumbel_daily_max_fit(_events(spark, shifted)).collect()[0]
+    # location shifts, scale doesn't
+    assert r2["gumbel_beta"] == pytest.approx(r1["gumbel_beta"], abs=2e-5)
+    assert r2["gumbel_mu"] == pytest.approx(r1["gumbel_mu"] + 10.0, abs=2e-5)
