@@ -5356,10 +5356,14 @@ def gumbel_daily_max_fit(events: DataFrame) -> DataFrame:
     )
     n = F.col("n").cast("double")
     mean = F.col("sm").cast("double") / n
+    # nullif guard: with a single day n*(n-1)=0 and Spark's x/0 yields
+    # NULL while DuckDB's IEEE 0.0/0.0 yields NaN — nullif on BOTH
+    # sides makes the degenerate input NULL -> greatest(...) -> 0 in
+    # both engines (unreachable on sf testdata, guarded for parity)
     var = (
         F.col("n").cast("decimal(38,0)") * F.col("smm")
         - F.col("sm") * F.col("sm")
-    ).cast("double") / (n * (n - F.lit(1.0)))
+    ).cast("double") / F.nullif(n * (n - F.lit(1.0)), F.lit(0.0))
     sd = F.sqrt(F.greatest(var, F.lit(0.0)))
     beta = sd * F.lit(0.779696801233676)  # sqrt(6)/pi
     mu = mean - F.lit(0.5772156649015329) * beta  # Euler-Mascheroni

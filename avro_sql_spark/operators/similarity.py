@@ -323,32 +323,114 @@ def _pq_model(
     Column-by-Column construction costs ~ms of driver Py4J per node
     (thousands of nodes here) and the bench times construction. The
     generated ops are identical to the ivf_topk zip_with/aggregate
-    Column pattern, so the oracle arithmetic is unchanged."""
-    from .clustering import lloyd_centroids
+    Column pattern, so the oracle arithmetic is unchanged.
 
-    first = emb.select(vec_col).first()
-    if first is None or first[0] is None:
+    All m subspace codebooks train JOINTLY: one seed collect and ONE
+    assign+update job per Lloyd iteration over the checkpointed train
+    slice, instead of m independent lloyd_centroids loops (m seed jobs
+    + m*iterations assign/update jobs). Each Spark job here pays a
+    fresh whole-stage-codegen compile (the literals change every
+    iteration, so the codegen cache never hits) — at m=4,
+    iterations=2 the per-subspace form spent ~8 s of the 12.8 s
+    ann_ivf_pq bench entry in that fixed overhead. The joint form is
+    arithmetic-identical per subspace: the same unrolled
+    left-associated (v[i]-c)^2 sums as clustering._assign's <=256
+    fast branch, the same per-(subspace, cluster, dim) float avg over
+    the same rows, the same 9 dp centroid rounding — so the trained
+    books, and therefore the oracle replay, are unchanged."""
+    from ..errors import AvroSqlError
+
+    # one checkpoint materializes the bounded train slice; the cast to
+    # array<double> is hoisted here so every downstream term reads
+    # `_v` (the clustering._assign codegen-size lesson)
+    train = (
+        emb.orderBy(id_col)
+        .limit(train_limit)
+        .selectExpr(
+            f"`{id_col}` AS _tid", f"cast(`{vec_col}` as array<double>) AS _v"
+        )
+        .localCheckpoint(eager=True)
+    )
+    seed_rows = train.orderBy("_tid").limit(codebook_k).select("_v").collect()
+    if not seed_rows or seed_rows[0]["_v"] is None:
         raise ValueError("pq_topk: input has no vectors")
-    dim = len(first[0])
+    dim = len(seed_rows[0]["_v"])
     if dim % m != 0:
         raise ValueError(f"pq_topk: dim {dim} not divisible by m={m}")
     sd = dim // m
-    # materialize the tiny training slice ONCE: every Lloyd round of
-    # every subspace otherwise re-runs the orderBy+limit over the scan
-    train = (
-        emb.orderBy(id_col).limit(train_limit).select(id_col, vec_col)
-        .localCheckpoint(eager=True)
-    )
-    books = [
-        lloyd_centroids(
-            train.select(id_col, F.slice(F.col(vec_col), s * sd + 1, sd).alias("sub")),
-            k=codebook_k,
-            iterations=train_iterations,
-            id_col=id_col,
-            vec_col="sub",
+    if len(seed_rows) < codebook_k:
+        # same error contract as the per-subspace lloyd_centroids path
+        raise AvroSqlError(
+            f"kmeans_lloyd: need at least k={codebook_k} rows, "
+            f"got {len(seed_rows)}"
         )
+    books = [
+        [list(r["_v"][s * sd : (s + 1) * sd]) for r in seed_rows]
         for s in range(m)
     ]
+    for _ in range(train_iterations):
+        # per-subspace subvector columns hoisted first, then one
+        # distance array per subspace in the compact 0.0-seeded
+        # aggregate/zip_with FOLD form — the IDENTICAL IEEE value as
+        # the unrolled left-associated sum (0.0 + x == x, same add
+        # order; clustering._assign's documented equivalence). The
+        # unrolled form optimizes row THROUGHPUT, but this frame is
+        # bounded at train_limit (<= 512) rows and its literals change
+        # every iteration, so whole-stage-codegen COMPILE time
+        # dominates — the ~50x-smaller fold text compiles in a
+        # fraction of the time and the interpreted evaluation over 512
+        # rows is noise
+        assigned = train.selectExpr(
+            "*",
+            *[f"slice(_v, {s * sd + 1}, {sd}) AS _sub{s}" for s in range(m)],
+        )
+        for s in range(m):
+            dists = ", ".join(
+                "aggregate(zip_with(_sub{s}, array({lits}),"
+                " (x, y) -> (x - y) * (x - y)), 0D,"
+                " (acc, x) -> acc + x)".format(
+                    s=s, lits=", ".join(f"{x!r}D" for x in c)
+                )
+                for c in books[s]
+            )
+            assigned = assigned.selectExpr("*", f"array({dists}) AS _dists{s}")
+        assigned = assigned.selectExpr(
+            "*",
+            *[
+                f"cast(array_position(_dists{s}, array_min(_dists{s})) - 1"
+                f" as int) AS _cl{s}"
+                for s in range(m)
+            ],
+        )
+        # ONE update job for all subspaces: posexplode the full vector,
+        # route element i to (subspace i div sd, local dim i mod sd,
+        # that subspace's cluster) — the per-group rows and their
+        # partition order match the per-subspace run, so the float avg
+        # partial sums (and the 9 dp round absorbing their noise) agree
+        ex = assigned.select(
+            *[F.col(f"_cl{s}") for s in range(m)],
+            F.posexplode(F.col("_v")).alias("i", "v"),
+        )
+        sub_ix = (F.col("i") / sd).cast("int")
+        rows = (
+            ex.select(
+                sub_ix.alias("s"),
+                F.element_at(
+                    F.array(*[F.col(f"_cl{s}") for s in range(m)]), sub_ix + 1
+                ).alias("cluster"),
+                (F.col("i") % sd).alias("il"),
+                "v",
+            )
+            .groupBy("s", "cluster", "il")
+            .agg(F.avg("v").alias("mv"))
+            .collect()
+        )  # m x k x sd cells — bounded driver state, never row count
+        # empty-cluster rule matches lloyd_centroids: a cluster that
+        # lost every point keeps its previous position
+        new_books = [[list(c) for c in books[s]] for s in range(m)]
+        for r in rows:
+            new_books[r["s"]][r["cluster"]][r["il"]] = round(r["mv"], 9)
+        books = new_books
 
     def _sub_dists_sql(vec_sql: str, s: int) -> str:
         sub = f"slice({vec_sql}, {s * sd + 1}, {sd})"

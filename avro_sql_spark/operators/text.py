@@ -2548,8 +2548,13 @@ def g2_keyness_terms(
     ea = na * (a + b) / (na + nb)
     eb = nb * (a + b) / (na + nb)
     g2 = F.lit(2.0) * (a * F.log(a / ea) + b * F.log(b / eb))
+    # sign via DECIMAL(38,0) cross-products: raw BIGINT a*nb can
+    # exceed int64 at corpus scale, where Spark (non-ANSI) wraps
+    # silently while the oracle would raise — the cochran_armitage
+    # dec() device, mirrored in the oracle
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     signed = F.when(
-        F.col("a") * F.col("nb") > F.col("b") * F.col("na"), F.round(g2, 9)
+        dec("a") * dec("nb") > dec("b") * dec("na"), F.round(g2, 9)
     ).otherwise(-F.round(g2, 9)) + F.lit(0.0)
     return (
         j.select(
