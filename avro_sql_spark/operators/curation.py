@@ -1393,3 +1393,97 @@ def weighted_reservoir_sample(
         )
         .orderBy("key", id_col)
     )
+
+
+def curriculum_plan(
+    docs: DataFrame,
+    n_stages: int = 4,
+    replay_frac: float = 0.2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-curriculum training schedule with spaced replay — the
+    stage-sequencing companion to :func:`quality_shards` (which only
+    TIERS the corpus) and :func:`epoch_plan` (which budgets epochs
+    per source): stage k trains fresh on quality shard k (shard 1 =
+    best, first) and replays a deterministic ``replay_frac`` hash
+    sample of every EARLIER shard — the standard anti-forgetting
+    mixture for curriculum LM training (Bengio et al. 2009's
+    curriculum + replay buffers).
+
+    Per stage: fresh/replay doc counts, fresh/replay char volumes,
+    and the replay share of the stage's mix.
+
+    Exactness: shard assignment is the oracled quality_shards
+    NTILE-over-(quality desc, id) device; replay membership is
+    row-local md5 arithmetic (the hash_unit pattern, salted with the
+    stage so a doc's replay draws are independent across stages);
+    sums are integers in DECIMAL(38,0); the one share division is
+    float. Scale shape: the ntile two-pass, then one explode bounded
+    by n_stages per row and one stage-keyed aggregate."""
+    sharded = quality_shards(docs, n_shards=n_stages, id_col=id_col)
+    st = sharded.select(
+        F.col(id_col), F.col("shard"), F.col("n_chars")
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(F.col("shard"), F.lit(n_stages))
+        ).alias("stage"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit(":curriculum:"),
+                        F.col("stage").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    ) / F.lit(1_000_000.0)
+    fresh = (F.col("stage") == F.col("shard")).cast("int")
+    kept = st.select(
+        "stage",
+        "n_chars",
+        fresh.alias("f"),
+        F.when(F.col("stage") == F.col("shard"), 1)
+        .when(u < F.lit(replay_frac), 1)
+        .otherwise(0)
+        .alias("k"),
+    ).filter(F.col("k") == 1)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = kept.groupBy("stage").agg(
+        F.sum("f").alias("n_fresh"),
+        F.sum(F.lit(1) - F.col("f")).alias("n_replay"),
+        F.sum(
+            F.when(F.col("f") == 1, dec("n_chars")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("chars_fresh"),
+        F.sum(
+            F.when(F.col("f") == 0, dec("n_chars")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("chars_replay"),
+    )
+    return agg.select(
+        F.col("stage").cast("long").alias("stage"),
+        F.col("n_fresh").cast("long").alias("n_fresh"),
+        F.col("n_replay").cast("long").alias("n_replay"),
+        F.col("chars_fresh").cast("long").alias("chars_fresh"),
+        F.col("chars_replay").cast("long").alias("chars_replay"),
+        (
+            F.round(
+                F.col("n_replay").cast("double")
+                / (F.col("n_fresh") + F.col("n_replay")).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("replay_share"),
+    ).orderBy("stage")

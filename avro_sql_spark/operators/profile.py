@@ -5781,3 +5781,514 @@ def topk_spender_churn(events: DataFrame, k: int = 20) -> DataFrame:
             + F.lit(0.0)
         ).alias("jaccard"),
     ).orderBy("day_index")
+
+
+def kruskal_wallis_nchars(docs: DataFrame) -> DataFrame:
+    """Kruskal-Wallis rank-sum test (Kruskal & Wallis 1952) of document
+    length (n_chars) across sources — the distribution-free ANOVA
+    behind "do the corpus sources differ in length profile at all?",
+    the gate question before per-pair Mann-Whitney drilling
+    (mann_whitney_matrix is the post-hoc companion).
+
+    H = 12/(N(N+1)) * sum_g R_g^2/n_g - 3(N+1) over average ranks,
+    divided by the tie correction C = 1 - sum_v(t_v^3 - t_v)/(N^3 - N).
+
+    Exactness: ranks never materialize per row — per distinct VALUE,
+    the average tied rank doubled is the integer 2*c_below + t_v + 1,
+    so each group's doubled rank sum R2_g accumulates in DECIMAL(38,0)
+    (sum of integer products), R2_g^2 stays exact decimal, and the
+    only float ops are the final per-group divisions and the H
+    assembly, composed identically in the oracle. Scale shape: one
+    groupBy(source, n_chars) aggregate (map-side combined), a window
+    over the bounded distinct-VALUE frame, a groups-sized final fold
+    — no per-row ranks, no global row sort."""
+    # NULL length/source rows are excluded on BOTH sides: Spark sorts
+    # NULLS FIRST ascending, DuckDB NULLS LAST — an unfiltered rank
+    # window would diverge
+    cells = (
+        docs.filter(
+            F.col("n_chars").isNotNull() & F.col("source").isNotNull()
+        )
+        .groupBy("source", "n_chars")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vals = (
+        cells.groupBy("n_chars")
+        .agg(F.sum("c").alias("tv"))
+        .select(
+            "n_chars",
+            "tv",
+            (
+                F.lit(2)
+                * (
+                    F.coalesce(
+                        F.sum("tv").over(
+                            Window.orderBy("n_chars").rowsBetween(
+                                Window.unboundedPreceding, -1
+                            )
+                        ),
+                        F.lit(0),
+                    )
+                )
+                + F.col("tv")
+                + F.lit(1)
+            ).alias("dr"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    groups = (
+        cells.join(vals.select("n_chars", "dr"), "n_chars")
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("ng"),
+            F.sum(dec(F.col("c")) * dec(F.col("dr"))).alias("r2"),
+        )
+    )
+    tie = vals.agg(
+        F.sum("tv").alias("n"),
+        F.sum(
+            dec(F.col("tv")) * dec(F.col("tv")) * dec(F.col("tv"))
+            - dec(F.col("tv"))
+        ).alias("tie_sum"),
+        F.count(F.lit(1)).alias("n_values"),
+    )
+    # r2 enters the quadratic as double x double (not decimal product
+    # then cast): past 2^53 the exact-decimal-then-cast route and the
+    # double-product route round differently, and DuckDB's is the
+    # latter — same-composition beats more-precision for the hash
+    # gate. Each group's term is 9 dp-quantized into DECIMAL(38,9)
+    # before the sum so the cross-group accumulation is order-free.
+    per_g = groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(
+            F.round(
+                F.col("r2").cast("double")
+                * F.col("r2").cast("double")
+                / F.col("ng").cast("double"),
+                9,
+            ).cast("decimal(38,9)")
+        ).alias("sum_rg"),
+    )
+    j = per_g.crossJoin(F.broadcast(tie))
+    nd = F.col("n").cast("double")
+    h_raw = (
+        F.lit(3.0) * F.col("sum_rg").cast("double") / (nd * (nd + F.lit(1.0)))
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    c_tie = F.lit(1.0) - F.col("tie_sum").cast("double") / (
+        nd * nd * nd - nd
+    )
+    return j.select(
+        F.col("n_groups").cast("long").alias("n_groups"),
+        F.col("n").cast("long").alias("n_total"),
+        (F.round(h_raw, 6) + F.lit(0.0)).alias("h_stat"),
+        (F.round(h_raw / F.nullif(c_tie, F.lit(0.0)), 6) + F.lit(0.0)).alias(
+            "h_tie_corrected"
+        ),
+    )
+
+
+def grubbs_daily_outlier(events: DataFrame) -> DataFrame:
+    """Grubbs' maximum-studentized-deviate statistic (Grubbs 1950) on
+    the daily event-count series — "is the most extreme day a genuine
+    outlier relative to normal daily volume?", the single-outlier
+    cousin of mad_outlier_days (which flags MANY days; Grubbs scores
+    the worst one).
+
+    G = max_d |c_d - mean| / sd, reported with the day that attains
+    it (earliest day on ties of the 9 dp-rounded deviation).
+
+    Exactness: daily counts are integers; mean and the (n*ss - S^2)
+    variance numerator accumulate in DECIMAL(38,0); deviations are
+    9 dp-rounded before the max/tiebreak so the argmax compares
+    exact decimals; sd and the final ratio are the only float ops,
+    composed identically in the oracle. Scale shape: one per-day
+    count, two scalar folds on the bounded day frame."""
+    daily = (
+        events.groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # day frame, forked into stats + argmax
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("c")).alias("sc"),
+        F.sum(dec("c") * dec("c")).alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("sc").cast("double") / n
+    var = (
+        F.col("n").cast("decimal(38,0)") * F.col("ss")
+        - F.col("sc") * F.col("sc")
+    ).cast("double") / F.nullif(n * (n - F.lit(1.0)), F.lit(0.0))
+    stats = s.select(
+        "n", mean.alias("mean"), F.sqrt(F.greatest(var, F.lit(0.0))).alias("sd")
+    )
+    dev = daily.crossJoin(F.broadcast(stats)).select(
+        "d",
+        "n",
+        "sd",
+        F.round(F.abs(F.col("c").cast("double") - F.col("mean")), 9).alias(
+            "dev9"
+        ),
+    )
+    ranked = dev.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.desc("dev9"), F.asc("d")))
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return ranked.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("d").cast("date").cast("string").alias("peak_day"),
+        (F.round(F.col("dev9"), 6) + F.lit(0.0)).alias("peak_abs_dev"),
+        (
+            F.round(
+                F.col("dev9").cast("double")
+                / F.nullif(F.col("sd"), F.lit(0.0)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("grubbs_g"),
+    )
+
+
+def durbin_watson_daily(events: DataFrame) -> DataFrame:
+    """Durbin-Watson first-order autocorrelation statistic (Durbin &
+    Watson 1950) of the daily mean event value around the period mean
+    — "are day-to-day value levels independent, or does today predict
+    tomorrow?" DW = sum_t (e_t - e_{t-1})^2 / sum_t e_t^2 over the
+    deviations e_t = daily mean - grand mean; DW ~ 2 means no
+    autocorrelation, -> 0 strong positive, -> 4 strong negative.
+
+    Exactness: deviations are 9 dp-quantized, then held as SCALED
+    BIGINT integers (dev * 1e9 — the jackknife_ratio_ci device, since
+    a (38,9) x (38,9) product would overflow precision 38 and the
+    engines diverge); both quadratic sums accumulate the integer
+    products in DECIMAL(38,0), the 1e18 scale factors cancel in the
+    ratio, and the single final division is the only float op. The
+    LAG materializes in its own select before the sums (DuckDB
+    windows cannot nest). Scale shape: one per-day aggregate; lag +
+    folds on the bounded day frame."""
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value"), 6).cast("decimal(38,6)")).alias(
+                "s"
+            ),
+        )
+        .localCheckpoint(eager=True)  # day frame, forked into tot + series
+    )
+    x9 = F.round(
+        F.col("s").cast("double") / F.col("n").cast("double"), 9
+    ).cast("decimal(38,9)")
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("nd"), F.sum(x9).alias("sx")
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "nd",
+        F.round(
+            (
+                x9.cast("double")
+                - F.col("sx").cast("double") / F.col("nd").cast("double")
+            )
+            * F.lit(1000000000.0),
+            0,
+        )
+        .cast("long")
+        .alias("e9"),
+    )
+    lagged = dev.select(
+        "nd",
+        "e9",
+        F.lag("e9").over(Window.orderBy("d")).alias("e9p"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = lagged.agg(
+        F.max("nd").alias("n_days"),
+        F.sum(dec("e9") * dec("e9")).alias("den"),
+        F.sum(
+            (dec("e9") - dec("e9p")) * (dec("e9") - dec("e9p"))
+        ).alias("num"),
+    )
+    return agg.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        (
+            F.round(
+                F.col("num").cast("double")
+                / F.nullif(F.col("den").cast("double"), F.lit(0.0)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("dw_stat"),
+    )
+
+
+def wald_iv_estimate(
+    events: DataFrame,
+    treat_type: str = "purchase",
+    outcome_type: str = "click",
+) -> DataFrame:
+    """Wald instrumental-variable estimator (the encouragement-design
+    workhorse: Angrist, Imbens & Rubin 1996) over a deterministic
+    50/50 user split: instrument z = md5-hash half of user_id,
+    treatment t = the user converted (any ``treat_type`` event),
+    outcome y = the user's summed ``outcome_type`` value.
+    wald_late = (E[y|z=1] - E[y|z=0]) / (E[t|z=1] - E[t|z=0]).
+
+    On a hash instrument the true effect is zero by construction —
+    this entry IS the estimator plumbing plus its A/A placebo reading
+    (the same role srm_audit plays for assignment): both ITT legs and
+    the ratio replay exactly, so a pipeline wiring real encouragement
+    data through it inherits a verified estimator.
+
+    Exactness: user aggregates are integer counts and DECIMAL(38,6)
+    value sums; the hash split is curation.hash_unit (md5 arithmetic,
+    engine-portable); the two ITT differences and the final ratio are
+    the only float ops. Scale shape: one user-keyed aggregate, then a
+    2-row fold."""
+    from .curation import hash_unit
+
+    users = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == treat_type, 1).otherwise(0)
+        ).alias("nt"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == outcome_type,
+                    F.round(F.col("value"), 6).cast("decimal(38,6)"),
+                )
+            ),
+            F.lit(0).cast("decimal(38,6)"),
+        ).alias("y"),
+    )
+    z = (hash_unit(F.col("user_id"), "iv") < F.lit(0.5)).cast("int")
+    arms = (
+        users.select(
+            z.alias("z"),
+            (F.col("nt") > 0).cast("long").alias("t"),
+            F.col("y"),
+        )
+        .groupBy("z")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("t").alias("st"),
+            F.sum("y").alias("sy"),
+        )
+    )
+    wide = arms.agg(
+        F.sum(F.when(F.col("z") == 1, F.col("n"))).alias("n1"),
+        F.sum(F.when(F.col("z") == 0, F.col("n"))).alias("n0"),
+        F.sum(F.when(F.col("z") == 1, F.col("st"))).alias("st1"),
+        F.sum(F.when(F.col("z") == 0, F.col("st"))).alias("st0"),
+        F.sum(F.when(F.col("z") == 1, F.col("sy"))).alias("sy1"),
+        F.sum(F.when(F.col("z") == 0, F.col("sy"))).alias("sy0"),
+    )
+    itt_y = F.col("sy1").cast("double") / F.col("n1").cast("double") - F.col(
+        "sy0"
+    ).cast("double") / F.col("n0").cast("double")
+    itt_t = F.col("st1").cast("double") / F.col("n1").cast("double") - F.col(
+        "st0"
+    ).cast("double") / F.col("n0").cast("double")
+    return wide.select(
+        F.col("n1").cast("long").alias("n_encouraged"),
+        F.col("n0").cast("long").alias("n_control"),
+        (F.round(itt_y, 6) + F.lit(0.0)).alias("itt_outcome"),
+        (F.round(itt_t, 6) + F.lit(0.0)).alias("itt_takeup"),
+        (
+            F.round(itt_y / F.nullif(itt_t, F.lit(0.0)), 6) + F.lit(0.0)
+        ).alias("wald_late"),
+    )
+
+
+def propensity_stratified_effect(
+    events: DataFrame,
+    treat_type: str = "purchase",
+    compare_type: str = "view",
+    outcome_type: str = "click",
+) -> DataFrame:
+    """Stratified treatment-effect estimate (Rosenbaum & Rubin 1984's
+    subclassification, on an observable activity score): treated =
+    users with more ``treat_type`` than ``compare_type`` events,
+    outcome = summed ``outcome_type`` value, strata = log2 bands of
+    total activity (the propensity proxy). ATT = sum over strata of
+    (treated share of stratum) x (treated mean - control mean),
+    reported against the naive unadjusted difference — the gap
+    between the two IS the activity confounding.
+
+    Exactness: per-user and per-stratum aggregates are integer counts
+    and DECIMAL(38,6) sums; each stratum's weighted difference is
+    9 dp-quantized into DECIMAL(38,9) so the cross-strata sum is
+    order-free; strata with an empty arm drop from the ATT (standard
+    common-support trim), counted in n_strata_used. Scale shape: one
+    user aggregate, one strata aggregate (bounded by log2 of max
+    activity), scalar assembly."""
+    users = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("na"),
+        F.sum(
+            F.when(F.col("event_type") == treat_type, 1).otherwise(0)
+        ).alias("ntreat"),
+        F.sum(
+            F.when(F.col("event_type") == compare_type, 1).otherwise(0)
+        ).alias("ncmp"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == outcome_type,
+                    F.round(F.col("value"), 6).cast("decimal(38,6)"),
+                )
+            ),
+            F.lit(0).cast("decimal(38,6)"),
+        ).alias("y"),
+    )
+    stratum = F.floor(
+        F.log(F.col("na").cast("double") + F.lit(1.0)) / F.log(F.lit(2.0))
+    ).cast("long")
+    t = (F.col("ntreat") > F.col("ncmp")).cast("int")
+    cells = (
+        users.select(stratum.alias("s"), t.alias("t"), "y")
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy"))
+    )
+    wide = cells.groupBy("s").agg(
+        F.sum(F.when(F.col("t") == 1, F.col("n"))).alias("n1"),
+        F.sum(F.when(F.col("t") == 0, F.col("n"))).alias("n0"),
+        F.sum(F.when(F.col("t") == 1, F.col("sy"))).alias("sy1"),
+        F.sum(F.when(F.col("t") == 0, F.col("sy"))).alias("sy0"),
+    )
+    both = wide.filter(F.col("n1").isNotNull() & F.col("n0").isNotNull())
+    tot = wide.agg(
+        F.coalesce(F.sum("n1"), F.lit(0)).alias("nt1"),
+        F.coalesce(F.sum("n0"), F.lit(0)).alias("nt0"),
+        F.coalesce(
+            F.sum("sy1"), F.lit(0).cast("decimal(38,6)")
+        ).alias("syt1"),
+        F.coalesce(
+            F.sum("sy0"), F.lit(0).cast("decimal(38,6)")
+        ).alias("syt0"),
+    )
+    used = both.agg(
+        F.count(F.lit(1)).alias("n_strata_used"),
+        F.sum("n1").alias("nu1"),
+    )
+    diff = F.col("sy1").cast("double") / F.col("n1").cast("double") - F.col(
+        "sy0"
+    ).cast("double") / F.col("n0").cast("double")
+    att_num = both.crossJoin(F.broadcast(used)).agg(
+        F.sum(
+            F.round(
+                F.col("n1").cast("double")
+                / F.col("nu1").cast("double")
+                * diff,
+                9,
+            ).cast("decimal(38,9)")
+        ).alias("att9")
+    )
+    naive = (
+        F.col("syt1").cast("double") / F.nullif(F.col("nt1").cast("double"), F.lit(0.0))
+        - F.col("syt0").cast("double")
+        / F.nullif(F.col("nt0").cast("double"), F.lit(0.0))
+    )
+    return (
+        att_num.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(used.select("n_strata_used")))
+        .select(
+            F.col("nt1").cast("long").alias("n_treated"),
+            F.col("nt0").cast("long").alias("n_control"),
+            F.col("n_strata_used").cast("long").alias("n_strata_used"),
+            (F.round(F.col("att9").cast("double"), 6) + F.lit(0.0)).alias(
+                "att"
+            ),
+            (F.round(naive, 6) + F.lit(0.0)).alias("naive_diff"),
+        )
+    )
+
+
+def fourier_tables(period: int) -> "tuple[list[float], list[float]]":
+    """cos/sin lookup tables for one seasonal period, computed ONCE in
+    plan-time Python and embedded as double literals in BOTH the Spark
+    plan and the DuckDB oracle (the similarity._plane_components
+    device) — neither engine evaluates trig at runtime, so the
+    libm-vs-Math.cos last-ulp divergence can never flip a rounding
+    boundary."""
+    import math
+
+    return (
+        [math.cos(2.0 * math.pi * k / period) for k in range(period)],
+        [math.sin(2.0 * math.pi * k / period) for k in range(period)],
+    )
+
+
+def periodogram_hourly_cycle(
+    events: DataFrame,
+    periods: "tuple[int, ...]" = (12, 24, 168),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Discrete-Fourier power at fixed seasonal candidate periods over
+    the hourly event-count series — "how much of traffic is the daily
+    (24 h), half-daily (12 h), and weekly (168 h) cycle?", the
+    frequency-domain companion to acf_hourly (which asks the same
+    question lag by lag): for period P the fundamental coefficient is
+    (sum_h c_h cos(2*pi*(h mod P)/P), sum_h c_h sin(...)), and the
+    reported amplitude ratio sqrt(sc^2 + ss^2) / sum(c) is the
+    fraction of total mass moving at that frequency (0 = flat, bigger
+    = stronger cycle).
+
+    Exactness: hour indices are exact integers (the acf_hourly
+    floor-epoch device); cos/sin come from the plan-time literal
+    tables (fourier_tables — no runtime trig); each product term is
+    9 dp-quantized into DECIMAL(38,9) so both Fourier sums are
+    order-free; the final sqrt/divide is the only float op. Missing
+    hours contribute zero to every sum, so no spine densification is
+    needed (unlike the ACF, whose lag join needs it). Scale shape:
+    one map-side-combined hourly aggregate, then one scalar fold —
+    the periods multiply literal-table size, not data passes."""
+    hourly = events.groupBy(
+        F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(3600))
+        .cast("long")
+        .alias("hi")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    aggs = [
+        F.count(F.lit(1)).alias("nh"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+    ]
+    for p in periods:
+        cos_t, sin_t = fourier_tables(p)
+        k = (F.col("hi") % F.lit(p)).cast("int")
+        for nm, tab in (("c", cos_t), ("s", sin_t)):
+            term = F.round(
+                F.col("c").cast("double")
+                * F.element_at(
+                    F.array(*[F.lit(float(x)) for x in tab]), k + 1
+                ),
+                9,
+            ).cast("decimal(38,9)")
+            aggs.append(F.sum(term).alias(f"{nm}{p}"))
+    # one aggregated row, forked into one select per period — pin it
+    # so the hourly aggregate runs once, not len(periods) times
+    folded = hourly.agg(*aggs).localCheckpoint(eager=True)
+    rows = []
+    for p in periods:
+        amp = (
+            F.sqrt(
+                F.col(f"c{p}").cast("double") * F.col(f"c{p}").cast("double")
+                + F.col(f"s{p}").cast("double")
+                * F.col(f"s{p}").cast("double")
+            )
+            / F.nullif(F.col("s").cast("double"), F.lit(0.0))
+        )
+        rows.append(
+            folded.select(
+                F.lit(p).cast("long").alias("period_hours"),
+                F.col("nh").cast("long").alias("n_hours"),
+                (F.round(amp, 6) + F.lit(0.0)).alias("amplitude_ratio"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("period_hours")

@@ -1716,3 +1716,160 @@ def embedding_isotropy(
             mu_norm_sq / F.nullif(mean_norm_sq, F.lit(0.0)), 6
         ).alias("isotropy_ratio"),
     )
+
+
+def ndcg_ivf_report(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """NDCG@k of the IVF path against exact brute force — the GRADED
+    companion to recall@k (ann_recall_report): recall counts how many
+    true neighbors the approximate path returns, NDCG@k also scores
+    WHERE it puts them (Järvelin & Kekäläinen 2002). A path can hold
+    recall while quietly shuffling the head of the ranking; this
+    report catches that.
+
+    Relevance of a returned neighbor is its graded truth position
+    (k+1-rank in the exact top-k, 0 if absent); DCG discounts by
+    log2(position+1); IDCG is assembled from the SAME truth rows, so
+    ndcg = dcg/idcg is 1.0 exactly when the approximate head equals
+    the exact head.
+
+    Exactness: relevances and ranks are integers from the already
+    oracle-replayable brute/IVF rankings; each DCG term is
+    9 dp-quantized into DECIMAL(38,9) so the per-query sum is
+    order-free; the ln-based log2 composition is written identically
+    in the oracle. Scale shape: both inputs are k-rows-per-query
+    frames — everything after the two top-k operators is
+    queries x k sized."""
+    truth = brute_force_topk(emb, queries, k, id_col=id_col, vec_col=vec_col)
+    cand = ivf_topk(
+        emb,
+        queries,
+        k,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        n_probe=n_probe,
+    )
+    rel = truth.select(
+        "query_id",
+        "neighbor_id",
+        (F.lit(k + 1) - F.col("rank")).alias("rel"),
+    )
+
+    def dcg_term(rel_col, rank_col):
+        return F.round(
+            rel_col.cast("double")
+            / (F.log(rank_col.cast("double") + F.lit(1.0)) / F.log(F.lit(2.0))),
+            9,
+        ).cast("decimal(38,9)")
+
+    # both post-top-k frames are queries x k rows — broadcast the
+    # lookup sides so no ranking result ever shuffles again
+    scored = (
+        cand.join(F.broadcast(rel), ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            "rank",
+            F.coalesce(F.col("rel"), F.lit(0)).alias("rel"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(dcg_term(F.col("rel"), F.col("rank"))).alias("dcg"),
+            F.sum((F.col("rel") > 0).cast("long")).alias("n_overlap"),
+        )
+    )
+    ideal = truth.groupBy("query_id").agg(
+        F.sum(
+            dcg_term(F.lit(k + 1) - F.col("rank"), F.col("rank"))
+        ).alias("idcg")
+    )
+    return (
+        scored.join(F.broadcast(ideal), "query_id")
+        .select(
+            "query_id",
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            (
+                F.round(
+                    F.col("dcg").cast("double")
+                    / F.nullif(F.col("idcg").cast("double"), F.lit(0.0)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def drift_split_report(
+    emb: DataFrame,
+    n_cells: int = 8,
+    train_limit: int = 512,
+    train_iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-distribution drift between two deterministic halves of
+    the corpus, read through a shared coarse quantizer — the
+    monitoring primitive behind "did the embedding distribution of
+    this week's crawl move?": train the deterministic Lloyd quantizer
+    on the REFERENCE half only (even ids — the stand-in for the
+    baseline snapshot), assign BOTH halves, and compare per-cell
+    occupancy shares. A drifted batch piles into different cells; the
+    per-cell |share_ref - share_cur| column is the term of the total-
+    variation distance (TV = half their sum).
+
+    Exactness: the quantizer is the shared deterministic Lloyd loop
+    (clustering.lloyd_centroids — lowest-id seeds and training rows,
+    fixed iterations, 9 dp-rounded updates), so cells replay in the
+    oracle; occupancy counts are integers; the share divisions are
+    the only float ops. Scale shape: bounded training slice, one
+    assignment scan, a cells-sized aggregate."""
+    from .clustering import _assign, lloyd_centroids
+
+    ref = emb.filter((F.col(id_col) % 2) == 0)
+    cents = lloyd_centroids(
+        ref.orderBy(id_col).limit(train_limit),
+        k=n_cells,
+        iterations=train_iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    assigned = _assign(emb, cents, vec_col).select(
+        ((F.col(id_col) % 2) == 0).cast("int").alias("a"),
+        F.col("cluster").alias("cell"),
+    )
+    counts = assigned.groupBy("cell").agg(
+        F.sum("a").alias("n_ref"),
+        F.sum(F.lit(1) - F.col("a")).alias("n_cur"),
+    )
+    tots = counts.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    p_ref = F.col("n_ref").cast("double") / F.nullif(
+        F.col("tr").cast("double"), F.lit(0.0)
+    )
+    p_cur = F.col("n_cur").cast("double") / F.nullif(
+        F.col("tc").cast("double"), F.lit(0.0)
+    )
+    return (
+        counts.crossJoin(F.broadcast(tots))
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            (F.round(p_ref, 6) + F.lit(0.0)).alias("share_ref"),
+            (F.round(p_cur, 6) + F.lit(0.0)).alias("share_cur"),
+            (F.round(F.abs(p_ref - p_cur), 6) + F.lit(0.0)).alias(
+                "abs_shift"
+            ),
+        )
+        .orderBy("cell")
+    )

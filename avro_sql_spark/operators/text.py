@@ -2566,3 +2566,174 @@ def g2_keyness_terms(
         .orderBy(F.desc(F.abs(F.col("g2_signed"))), F.asc("term"))
         .limit(top_k)
     )
+
+
+def ngram_novelty_report(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Cross-document n-gram novelty by source — the self-BLEU-style
+    diversity reading for training corpora (Zhu et al. 2018 measure
+    template-ness the same way): for each source, the fraction of its
+    (doc, distinct n-gram) incidences whose n-gram appears in exactly
+    one document corpus-wide. Low novelty = the source is template
+    boilerplate repeating shared n-grams; high = fresh text. The
+    per-source mean document frequency is reported alongside (how
+    shared the shared grams are).
+
+    Exactness: everything is integer counting on the shared distinct
+    n-gram shingle frame (functions.text.word_shingles — the same
+    gram universe the Jaccard/MinHash dedup entries replay); the two
+    final per-source ratios are the only float ops. Scale shape: one
+    explode -> df groupBy (map-side combined), one gram-keyed
+    equi-join back (both sides hash-partitioned on the gram, never
+    all-pairs), one per-source fold; the df frame carries no text,
+    only (gram, df)."""
+    from ..functions.text import word_shingles
+
+    grams = docs.select(
+        "doc_id",
+        F.col("source"),
+        F.explode(word_shingles(F.col("text"), n)).alias("g"),
+    )
+    df_counts = grams.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    joined = grams.join(df_counts, "g")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_incidences"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("novel"),
+            F.sum(F.col("df").cast("decimal(38,0)")).alias("sdf"),
+        )
+        .select(
+            "source",
+            F.col("n_incidences").cast("long").alias("n_incidences"),
+            F.col("novel").cast("long").alias("n_novel"),
+            (
+                F.round(
+                    F.col("novel").cast("double")
+                    / F.col("n_incidences").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("novelty_frac"),
+            (
+                F.round(
+                    F.col("sdf").cast("double")
+                    / F.col("n_incidences").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("mean_df"),
+        )
+        .orderBy("source")
+    )
+
+
+# the compact shared RAKE delimiter lexicon — embedded identically in
+# the DuckDB oracle (module constant so both sides import ONE list)
+RAKE_STOPWORDS = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+    "from", "has", "have", "he", "her", "his", "i", "if", "in", "is",
+    "it", "its", "not", "of", "on", "or", "our", "she", "that", "the",
+    "their", "they", "this", "to", "was", "we", "were", "will", "with",
+    "you",
+)
+
+
+def rake_keyphrases(
+    docs: DataFrame,
+    top_k: int = 20,
+    max_phrase_len: int = 4,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus —
+    the multi-word companion to textrank_keywords (single tokens):
+    candidate phrases are maximal runs of content tokens between
+    stopword/punctuation delimiters (the gaps-and-islands device:
+    island id = running delimiter count per doc); each phrase scores
+    sum over member words of deg(w)/freq(w), where freq counts the
+    word's occurrences in candidate phrases and deg adds the lengths
+    of the phrases containing it — long phrases with well-connected
+    words win.
+
+    Exactness: token runs, phrase strings, freq and deg are pure
+    integer/string operations on the shared single-space
+    tokenization; each deg/freq term is 9 dp-quantized into
+    DECIMAL(38,9) so per-phrase sums are order-free; identical
+    phrases share identical scores by construction, and the top-k
+    orders by the exact decimal score with a phrase tiebreak. Scale
+    shape: one posexplode, per-doc running-sum windows (partitioned
+    by doc, never global), word-keyed equi-joins, a distributed
+    TakeOrdered top-k."""
+    from pyspark.sql.window import Window as W
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("i", "w"),
+    )
+    delim = (~F.col("w").rlike("^[a-z]+$")) | F.col("w").isin(
+        *RAKE_STOPWORDS
+    )
+    fl = toks.select("doc_id", "i", "w", delim.cast("int").alias("dl"))
+    wisl = (
+        W.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    isl = fl.select("*", F.sum("dl").over(wisl).alias("g"))
+    cw = isl.filter(F.col("dl") == 0).select("doc_id", "g", "i", "w")
+    ph = (
+        cw.groupBy("doc_id", "g")
+        .agg(
+            F.count(F.lit(1)).alias("len"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("i").alias("i"), F.col("w").alias("w")
+                            )
+                        )
+                    ),
+                    lambda s: s["w"],
+                ),
+            ).alias("phrase"),
+        )
+        .filter(F.col("len") <= max_phrase_len)
+    )
+    cw2 = cw.join(ph.select("doc_id", "g", "len"), ["doc_id", "g"])
+    wstat = cw2.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("len").alias("deg")
+    )
+    terms = (
+        cw2.join(wstat, "w")
+        .groupBy("doc_id", "g")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("deg").cast("double")
+                    / F.col("freq").cast("double"),
+                    9,
+                ).cast("decimal(38,9)")
+            ).alias("s9")
+        )
+    )
+    return (
+        ph.join(terms, ["doc_id", "g"])
+        .groupBy("phrase")
+        .agg(
+            F.max("len").alias("nw"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("s9").alias("s9"),
+        )
+        .orderBy(F.desc("s9"), F.asc("phrase"))
+        .limit(top_k)
+        .select(
+            "phrase",
+            F.col("nw").cast("long").alias("n_words"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            (F.round(F.col("s9").cast("double"), 6) + F.lit(0.0)).alias(
+                "rake_score"
+            ),
+        )
+    )

@@ -369,6 +369,18 @@ HEADLINE = [
     "topk_spender_churn",
     "cohens_kappa_gates",
     "g2_keyness_terms",
+    # new in r8
+    "kruskal_wallis_nchars",
+    "grubbs_daily_outlier",
+    "durbin_watson_daily",
+    "ann_ndcg_ivf",
+    "wald_iv_estimate",
+    "propensity_stratified_effect",
+    "ngram_novelty_report",
+    "periodogram_hourly_cycle",
+    "embedding_drift_split",
+    "curriculum_plan",
+    "rake_keyphrases",
 ]
 
 
