@@ -4397,6 +4397,35 @@ def _rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rake_keyphrases(t["documents"])
 
 
+def _brown_forsythe_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe spread-homogeneity W for document length across
+    sources (profile.brown_forsythe_nchars; doubled order-stat
+    medians, integer deviation identities)."""
+    from avro_sql_spark.operators.profile import brown_forsythe_nchars
+
+    t = load_tables(spark, sf_dir, register=False)
+    return brown_forsythe_nchars(t["documents"])
+
+
+def _hurst_rs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent via rescaled-range analysis of daily counts
+    (profile.hurst_rs_daily; integer scaled deviations, 3-point
+    log-log fit)."""
+    from avro_sql_spark.operators.profile import hurst_rs_daily
+
+    t = load_tables(spark, sf_dir, register=False)
+    return hurst_rs_daily(t["events"])
+
+
+def _obrien_fleming_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O'Brien-Fleming sequential boundary audit of the daily
+    cumulative conversion share (profile.obrien_fleming_monitor)."""
+    from avro_sql_spark.operators.profile import obrien_fleming_monitor
+
+    t = load_tables(spark, sf_dir, register=False)
+    return obrien_fleming_monitor(t["events"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """HEAD-SWEEP RULE (empirically proven in r7 judging): the driver's
     per-round correctness sweep checks the FIRST ~50 entries of this
@@ -4502,6 +4531,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift_split": _embedding_drift_split,
         "curriculum_plan": _curriculum_plan,
         "rake_keyphrases": _rake_keyphrases,
+        "brown_forsythe_nchars": _brown_forsythe_nchars,
+        "hurst_rs_daily": _hurst_rs_daily,
+        "obrien_fleming_monitor": _obrien_fleming_monitor,
         # --- cumulative-green (driver rows r6 AND r7: this block was the
         # r6/r7 window, swept green twice at positions 0-49) ---
         "supplier_hhi": _supplier_hhi,
@@ -12793,6 +12825,135 @@ SELECT p.phrase,
        ROUND(CAST(MAX(t.s9) AS DOUBLE), 6) + 0 AS rake_score
 FROM phv p JOIN terms t USING (doc_id, g)
 GROUP BY 1 ORDER BY MAX(t.s9) DESC, phrase LIMIT 20
+""",
+        # doubled order-stat medians on the distinct-value frame;
+        # |2x - m2| integer deviations; per-group (n*q - s^2)
+        # identities 9 dp-quantized before the cross-group sums
+        "brown_forsythe_nchars": """
+WITH cells AS (SELECT source, n_chars, COUNT(*) AS c FROM documents
+               WHERE n_chars IS NOT NULL AND source IS NOT NULL
+               GROUP BY 1, 2),
+cum AS (SELECT source, n_chars, c,
+               SUM(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+               SUM(c) OVER (PARTITION BY source) AS ng
+        FROM cells),
+med AS (SELECT source,
+               MIN(CASE WHEN cum >= FLOOR((ng + 1) / 2.0)
+                        THEN n_chars END)
+               + MIN(CASE WHEN cum >= FLOOR(ng / 2.0 + 1)
+                          THEN n_chars END) AS m2
+        FROM cum GROUP BY 1),
+z AS (SELECT cells.source, c, ABS(2 * n_chars - m2) AS z2
+      FROM cells JOIN med USING (source)),
+g AS (SELECT source, SUM(c) AS ng,
+             SUM(CAST(c AS DECIMAL(38,0)) * CAST(z2 AS DECIMAL(38,0)))
+               AS s,
+             SUM(CAST(c AS DECIMAL(38,0)) * CAST(z2 AS DECIMAL(38,0))
+                 * CAST(z2 AS DECIMAL(38,0))) AS q
+      FROM z GROUP BY 1),
+f AS (SELECT COUNT(*) AS k, SUM(ng) AS n,
+             SUM(CAST(s AS DECIMAL(38,0))) AS st,
+             SUM(CAST(ROUND(
+               CAST(CAST(ng AS DECIMAL(38,0)) * q - s * s AS DOUBLE)
+               / (4.0 * CAST(ng AS DOUBLE)), 9) AS DECIMAL(38,9))) AS ssw,
+             SUM(CAST(ROUND(
+               CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               / (4.0 * CAST(ng AS DOUBLE)), 9) AS DECIMAL(38,9))) AS ssbp
+      FROM g)
+SELECT CAST(k AS BIGINT) AS n_groups, CAST(n AS BIGINT) AS n_total,
+       ROUND(CAST(ssbp AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+             / (4.0 * CAST(n AS DOUBLE)), 6) + 0 AS ss_between,
+       ROUND(CAST(ssw AS DOUBLE), 6) + 0 AS ss_within,
+       ROUND((CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+             / (CAST(k AS DOUBLE) - 1.0)
+             * (CAST(ssbp AS DOUBLE)
+                - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                / (4.0 * CAST(n AS DOUBLE)))
+             / nullif(CAST(ssw AS DOUBLE), 0.0), 6) + 0 AS bf_stat
+FROM f
+""",
+        # within-block deviations scaled by b stay integer; one float
+        # op per block, 9 dp-quantized; 3-point log-log fit
+        "hurst_rs_daily": """
+WITH daily AS (SELECT date_trunc('day', ts) AS d, COUNT(*) AS c
+               FROM events GROUP BY 1),
+idx AS (SELECT c, ROW_NUMBER() OVER (ORDER BY d) - 1 AS i FROM daily),
+sized AS (SELECT v.b, x.c, x.i,
+                 CAST(FLOOR(CAST(x.i AS DOUBLE) / v.b) AS BIGINT) AS blk
+          FROM idx x CROSS JOIN (VALUES (3), (5), (10)) v(b)),
+stats AS (SELECT b, blk, COUNT(*) AS nb,
+                 SUM(CAST(c AS DECIMAL(38,0))) AS s,
+                 SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+                   AS q
+          FROM sized GROUP BY 1, 2),
+comp AS (SELECT b, blk, s, q FROM stats WHERE nb = b),
+walk AS (SELECT z.b, z.blk, c2.s, c2.q,
+                SUM(CAST(z.b AS DECIMAL(38,0)) * CAST(z.c AS DECIMAL(38,0))
+                    - c2.s)
+                  OVER (PARTITION BY z.b, z.blk ORDER BY z.i) AS w
+         FROM sized z JOIN comp c2 USING (b, blk)),
+pb AS (SELECT b, blk, MAX(w) AS wmax, MIN(w) AS wmin,
+              MAX(s) AS s, MAX(q) AS q
+       FROM walk GROUP BY 1, 2),
+rs AS (SELECT b, CAST(ROUND(CAST(wmax - wmin AS DOUBLE)
+                 / nullif(SQRT(CAST(CAST(b AS DECIMAL(38,0)) * q - s * s
+                               AS DOUBLE)), 0.0), 9)
+                 AS DECIMAL(38,9)) AS rs9
+       FROM pb),
+ps AS (SELECT b, COUNT(*) AS n_blocks, SUM(rs9) AS srs FROM rs
+       WHERE rs9 IS NOT NULL GROUP BY 1),
+pts AS (SELECT b, n_blocks,
+               CAST(srs AS DOUBLE) / CAST(n_blocks AS DOUBLE) AS mean_rs
+        FROM ps),
+fit AS (SELECT COUNT(*) AS np,
+               SUM(CAST(ROUND(LN(CAST(b AS DOUBLE)), 9)
+                        AS DECIMAL(38,9))) AS sx,
+               SUM(CAST(ROUND(LN(mean_rs), 9) AS DECIMAL(38,9))) AS sy,
+               SUM(CAST(ROUND(LN(CAST(b AS DOUBLE)) * LN(mean_rs), 9)
+                        AS DECIMAL(38,9))) AS sxy,
+               SUM(CAST(ROUND(LN(CAST(b AS DOUBLE)) * LN(CAST(b AS DOUBLE)),
+                              9) AS DECIMAL(38,9))) AS sxx
+        FROM pts)
+SELECT CAST(np AS BIGINT) AS n_sizes,
+       ROUND((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / nullif(CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0),
+             6) + 0 AS hurst_h,
+       (SELECT ROUND(mean_rs, 6) + 0 FROM pts WHERE b = 3) AS mean_rs_3,
+       (SELECT ROUND(mean_rs, 6) + 0 FROM pts WHERE b = 5) AS mean_rs_5,
+       (SELECT ROUND(mean_rs, 6) + 0 FROM pts WHERE b = 10) AS mean_rs_10
+FROM fit
+""",
+        # cumulative integer counts; z and the C/sqrt(t) boundary are
+        # float compositions of shared literals; the crossing flag
+        # compares 9 dp-rounded magnitudes on both sides
+        "obrien_fleming_monitor": """
+WITH daily AS (SELECT date_trunc('day', ts) AS d, COUNT(*) AS n,
+                      SUM(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS x
+               FROM events GROUP BY 1),
+cum AS (SELECT d, SUM(n) OVER (ORDER BY d) AS nc,
+               SUM(x) OVER (ORDER BY d) AS xc,
+               SUM(n) OVER () AS nt
+        FROM daily)
+SELECT CAST(CAST(d AS DATE) AS VARCHAR) AS day,
+       CAST(nc AS BIGINT) AS n_cum, CAST(xc AS BIGINT) AS conv_cum,
+       ROUND((CAST(xc AS DOUBLE)
+              - CAST(nc AS DOUBLE) * CAST('0.2' AS DOUBLE))
+             / SQRT(CAST(nc AS DOUBLE) * CAST('0.2' AS DOUBLE)
+                    * CAST('0.8' AS DOUBLE)), 6) + 0 AS z_stat,
+       ROUND(CAST('2.2414027276049473' AS DOUBLE)
+             / SQRT(CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE)), 6) + 0
+         AS obf_boundary,
+       (ROUND(ABS((CAST(xc AS DOUBLE)
+                   - CAST(nc AS DOUBLE) * CAST('0.2' AS DOUBLE))
+                  / SQRT(CAST(nc AS DOUBLE) * CAST('0.2' AS DOUBLE)
+                         * CAST('0.8' AS DOUBLE))), 9)
+        >= ROUND(CAST('2.2414027276049473' AS DOUBLE)
+                 / SQRT(CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE)), 9))
+         AS crossed
+FROM cum ORDER BY day
 """,
         # no oracle (rows-only by design — sketch-/eigen-dependent,
         # approximate-by-construction, or sequential-fold):

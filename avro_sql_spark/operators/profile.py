@@ -6292,3 +6292,326 @@ def periodogram_hourly_cycle(
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("period_hours")
+
+
+def brown_forsythe_nchars(docs: DataFrame) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test (Brown & Forsythe
+    1974: Levene's statistic on deviations from the group MEDIAN) of
+    document length across sources — the scale-difference companion
+    to kruskal_wallis_nchars (location): sources can share a typical
+    length yet differ wildly in spread, which breaks length-balanced
+    packing.
+
+    W = ((N-k)/(k-1)) * SSB(z) / SSW(z) over z = |x - median_g|.
+
+    Exactness: group medians come from cumulative counts on the
+    distinct-VALUE frame, held DOUBLED (lo+hi order stats) so the
+    even-n half-step stays integer; z doubled is then an exact
+    integer |2x - m2|, both sums of squares reduce to integer
+    identities (n*S2 - S^2) per group, each group's contribution is
+    9 dp-quantized into DECIMAL(38,9) before the cross-group sums,
+    and the final assembly is the only float chain, composed
+    identically in the oracle. Scale shape: one groupBy(source,
+    n_chars), windows over the bounded distinct-value frame, a
+    groups-sized fold."""
+    cells = (
+        docs.filter(
+            F.col("n_chars").isNotNull() & F.col("source").isNotNull()
+        )
+        .groupBy("source", "n_chars")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # value frame, forked into
+        # median lookup + deviation fold
+    )
+    w = Window.partitionBy("source").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cells.select(
+        "source",
+        "n_chars",
+        "c",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(
+            Window.partitionBy("source").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("ng"),
+    )
+    lo = (F.col("ng") + 1) / F.lit(2)
+    hi = F.col("ng") / F.lit(2) + 1
+    med = cum.groupBy("source").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.floor(lo), F.col("n_chars")
+            )
+        ).alias("v_lo"),
+        F.min(
+            F.when(F.col("cum") >= F.floor(hi), F.col("n_chars"))
+        ).alias("v_hi"),
+    ).select(
+        "source", (F.col("v_lo") + F.col("v_hi")).alias("m2")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    z = cells.join(med, "source").select(
+        "source",
+        "c",
+        F.abs(F.lit(2) * F.col("n_chars") - F.col("m2")).alias("z2"),
+    )
+    g = z.groupBy("source").agg(
+        F.sum("c").alias("ng"),
+        F.sum(dec(F.col("c")) * dec(F.col("z2"))).alias("s"),
+        F.sum(
+            dec(F.col("c")) * dec(F.col("z2")) * dec(F.col("z2"))
+        ).alias("q"),
+    )
+    # per-group quadratic contributions, 9 dp-quantized (order-free):
+    # SSW_g = (n_g * q_g - s_g^2) / (4 n_g); SSB term = s_g^2 / (4 n_g)
+    ssw_g = F.round(
+        (dec(F.col("ng")) * F.col("q") - F.col("s") * F.col("s")).cast(
+            "double"
+        )
+        / (F.lit(4.0) * F.col("ng").cast("double")),
+        9,
+    ).cast("decimal(38,9)")
+    ssb_g = F.round(
+        F.col("s").cast("double")
+        * F.col("s").cast("double")
+        / (F.lit(4.0) * F.col("ng").cast("double")),
+        9,
+    ).cast("decimal(38,9)")
+    folded = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum(dec(F.col("s"))).alias("st"),
+        F.sum(ssw_g).alias("ssw"),
+        F.sum(ssb_g).alias("ssb_partial"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    # SSB = sum s_g^2/(4 n_g) - S^2/(4N)
+    ssb = F.col("ssb_partial").cast("double") - F.col("st").cast(
+        "double"
+    ) * F.col("st").cast("double") / (F.lit(4.0) * nd)
+    stat = (
+        (nd - kd)
+        / (kd - F.lit(1.0))
+        * ssb
+        / F.nullif(F.col("ssw").cast("double"), F.lit(0.0))
+    )
+    return folded.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("n").cast("long").alias("n_total"),
+        (F.round(ssb, 6) + F.lit(0.0)).alias("ss_between"),
+        (F.round(F.col("ssw").cast("double"), 6) + F.lit(0.0)).alias(
+            "ss_within"
+        ),
+        (F.round(stat, 6) + F.lit(0.0)).alias("bf_stat"),
+    )
+
+
+def hurst_rs_daily(
+    events: DataFrame,
+    block_sizes: "tuple[int, ...]" = (3, 5, 10),
+) -> DataFrame:
+    """Hurst exponent by rescaled-range analysis (Hurst 1951; the
+    Mandelbrot & Wallis 1969 R/S form) of the daily event-count
+    series — "is traffic volume mean-reverting (H < 0.5), a random
+    walk (H ~ 0.5), or long-range persistent (H > 0.5)?", the
+    long-memory companion to durbin_watson_daily's one-lag view.
+
+    For each block size b: split the day sequence into complete
+    blocks, compute R (range of within-block cumulative deviations
+    from the block mean) over S (population std), average R/S across
+    blocks, then fit log(R/S) ~ H log(b) by least squares over the
+    block sizes.
+
+    Exactness: within a block of integer counts, deviations SCALED BY
+    b are integers (b*x_i - sum), so cumulative sums, the range, and
+    the variance identity b*q - s^2 are all exact integers; each
+    block contributes ONE float op R_scaled/sqrt(b*q - s^2) (the b
+    factors cancel), 9 dp-quantized before the per-size mean; the
+    log-log slope is a 3-point closed form over shared ln
+    compositions. Scale shape: one per-day aggregate; per-block
+    windows partition by (size, block) on the bounded day frame."""
+    daily = (
+        events.groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # day frame, forked per block size
+    )
+    idx = daily.select(
+        "c",
+        (F.row_number().over(Window.orderBy("d")) - 1).alias("i"),
+    )
+    sized = idx.select(
+        "c",
+        "i",
+        F.explode(
+            F.array(*[F.lit(b) for b in block_sizes])
+        ).alias("b"),
+    ).select(
+        "b", "c", (F.col("i") / F.col("b")).cast("long").alias("blk"),
+        "i",
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = sized.groupBy("b", "blk").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(dec(F.col("c"))).alias("s"),
+        F.sum(dec(F.col("c")) * dec(F.col("c"))).alias("q"),
+    )
+    cumw = Window.partitionBy("b", "blk").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    walk = (
+        sized.join(
+            F.broadcast(
+                stats.filter(F.col("nb") == F.col("b")).select(
+                    "b", "blk", "s", "q"
+                )
+            ),
+            ["b", "blk"],
+        )
+        .select(
+            "b",
+            "blk",
+            "i",
+            "s",
+            "q",
+            # scaled deviation b*c - s: integer; cumulative walk exact
+            (dec(F.col("b")) * dec(F.col("c")) - F.col("s")).alias("dev"),
+        )
+        .select(
+            "b",
+            "blk",
+            "s",
+            "q",
+            F.sum(F.col("dev")).over(cumw).alias("w"),
+        )
+    )
+    per_block = walk.groupBy("b", "blk").agg(
+        F.max("w").alias("wmax"),
+        F.min("w").alias("wmin"),
+        F.max("s").alias("s"),
+        F.max("q").alias("q"),
+    )
+    # R/S per block: (wmax - wmin) / (b * sqrt(b*q - s^2)/b) — the b
+    # scale factors cancel into one sqrt
+    rs = per_block.select(
+        "b",
+        F.round(
+            (F.col("wmax") - F.col("wmin")).cast("double")
+            / F.nullif(
+                F.sqrt(
+                    (
+                        dec(F.col("b")) * F.col("q")
+                        - F.col("s") * F.col("s")
+                    ).cast("double")
+                ),
+                F.lit(0.0),
+            ),
+            9,
+        )
+        .cast("decimal(38,9)")
+        .alias("rs9"),
+    ).filter(F.col("rs9").isNotNull())
+    per_size = rs.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("rs9").alias("srs"),
+    )
+    pts = per_size.select(
+        "b",
+        "n_blocks",
+        (
+            F.col("srs").cast("double") / F.col("n_blocks").cast("double")
+        ).alias("mean_rs"),
+    ).localCheckpoint(eager=True)  # <= |block_sizes| rows, forked below
+    lx = F.log(F.col("b").cast("double"))
+    ly = F.log(F.col("mean_rs"))
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum(F.round(lx, 9).cast("decimal(38,9)")).alias("sx"),
+        F.sum(F.round(ly, 9).cast("decimal(38,9)")).alias("sy"),
+        F.sum(
+            F.round(lx * ly, 9).cast("decimal(38,9)")
+        ).alias("sxy"),
+        F.sum(F.round(lx * lx, 9).cast("decimal(38,9)")).alias("sxx"),
+    )
+    npd = F.col("np").cast("double")
+    slope = (
+        npd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / F.nullif(
+        npd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double"),
+        F.lit(0.0),
+    )
+    hurst = fit.select(
+        F.col("np").cast("long").alias("n_sizes"),
+        (F.round(slope, 6) + F.lit(0.0)).alias("hurst_h"),
+    )
+    wide = pts.groupBy().pivot("b", list(block_sizes)).agg(
+        F.first(F.round(F.col("mean_rs"), 6) + F.lit(0.0))
+    )
+    renamed = wide.select(
+        *[
+            F.col(str(b)).alias(f"mean_rs_{b}")
+            for b in block_sizes
+        ]
+    )
+    return hurst.crossJoin(F.broadcast(renamed))
+
+
+def obrien_fleming_monitor(
+    events: DataFrame,
+    conv_type: str = "purchase",
+    p0: float = 0.2,
+    obf_const: float = 2.2414027276049473,
+) -> DataFrame:
+    """Group-sequential monitoring audit with O'Brien-Fleming-shaped
+    boundaries (O'Brien & Fleming 1979, via the Lan-DeMets alpha-
+    spending approximation b(t) = C / sqrt(t)): at each interim day,
+    the cumulative conversion share is z-tested against H0 p = p0 and
+    compared to the boundary at that day's information fraction —
+    the "could we have called this early, under a spending rule that
+    spends almost nothing at the start?" companion to sprt_daily_audit
+    (whose SPRT spends evenly).
+
+    Exactness: cumulative counts are integer window sums over the
+    bounded day frame; z and the boundary are float compositions of
+    those integers with shared double literals; the crossing flag
+    compares the 9 dp-ROUNDED magnitudes (both engines compare the
+    same rounded values, per the rounded-filter rule). Scale shape:
+    one per-day aggregate, windows on the day frame."""
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == conv_type, 1).otherwise(0)
+        ).alias("x"),
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = daily.select(
+        "d",
+        F.sum("n").over(wcum).alias("nc"),
+        F.sum("x").over(wcum).alias("xc"),
+        F.sum("n").over(wall).alias("nt"),
+    )
+    ncd = F.col("nc").cast("double")
+    z = (F.col("xc").cast("double") - ncd * F.lit(p0)) / F.sqrt(
+        ncd * F.lit(p0) * F.lit(1.0 - p0)
+    )
+    t = ncd / F.col("nt").cast("double")
+    boundary = F.lit(obf_const) / F.sqrt(t)
+    z9 = F.round(F.abs(z), 9)
+    b9 = F.round(boundary, 9)
+    return cum.select(
+        F.col("d").cast("date").cast("string").alias("day"),
+        F.col("nc").cast("long").alias("n_cum"),
+        F.col("xc").cast("long").alias("conv_cum"),
+        (F.round(z, 6) + F.lit(0.0)).alias("z_stat"),
+        (F.round(boundary, 6) + F.lit(0.0)).alias("obf_boundary"),
+        (z9 >= b9).alias("crossed"),
+    ).orderBy("day")

@@ -381,6 +381,9 @@ HEADLINE = [
     "embedding_drift_split",
     "curriculum_plan",
     "rake_keyphrases",
+    "brown_forsythe_nchars",
+    "hurst_rs_daily",
+    "obrien_fleming_monitor",
 ]
 
 

@@ -312,3 +312,119 @@ def test_rake_stopwords_break_runs(spark):
     phrases = {r["phrase"] for r in out}
     assert "alpha beta" in phrases and "gamma delta" in phrases
     assert all("and" not in p.split() for p in phrases)
+
+
+# --------------------------------------------------------- brown-forsythe
+
+from avro_sql_spark.operators.profile import (  # noqa: E402
+    brown_forsythe_nchars,
+    hurst_rs_daily,
+    obrien_fleming_monitor,
+)
+
+
+def test_brown_forsythe_equal_spreads_near_zero(spark):
+    # both sources deviate identically from their medians -> SSB = 0
+    rows = [(i, "x", "a", n) for i, n in enumerate([10, 20, 30])]
+    rows += [(10 + i, "x", "b", n) for i, n in enumerate([110, 120, 130])]
+    r = brown_forsythe_nchars(_docs(spark, rows)).collect()[0]
+    assert r["n_groups"] == 2 and r["n_total"] == 6
+    assert r["ss_between"] == pytest.approx(0.0, abs=1e-9)
+    assert r["bf_stat"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_brown_forsythe_detects_spread_difference(spark):
+    # a is tight around its median, b is wide -> W > 0
+    rows = [(i, "x", "a", n) for i, n in enumerate([100, 101, 102])]
+    rows += [(10 + i, "x", "b", n) for i, n in enumerate([10, 100, 1000])]
+    r = brown_forsythe_nchars(_docs(spark, rows)).collect()[0]
+    assert r["bf_stat"] > 1.0
+    assert r["ss_within"] > 0.0
+
+
+def test_brown_forsythe_even_n_half_step_median(spark):
+    # n=4 per group: median is the average of the two middle order
+    # stats; doubled arithmetic keeps it exact
+    rows = [(i, "x", "a", n) for i, n in enumerate([1, 2, 4, 8])]
+    rows += [(10 + i, "x", "b", n) for i, n in enumerate([1, 2, 4, 8])]
+    r = brown_forsythe_nchars(_docs(spark, rows)).collect()[0]
+    # identical groups -> zero between-group spread difference
+    assert r["ss_between"] == pytest.approx(0.0, abs=1e-9)
+
+
+# ------------------------------------------------------------------ hurst
+
+
+def test_hurst_flat_series_degenerates_cleanly(spark):
+    # constant daily counts -> zero variance in every block -> all
+    # blocks drop, fit has no points, H is NULL and n_sizes 0
+    rows = []
+    for d in range(30):
+        rows.append((d, dt.datetime(2024, 1, 1 + (d % 28)), 1, "a", 1.0))
+    # use 30 distinct days via month wrap
+    rows = []
+    eid = 0
+    for d in range(30):
+        day = dt.datetime(2024, 1, 1) + dt.timedelta(days=d)
+        rows.append((eid, day, 1, "a", 1.0))
+        eid += 1
+    out = hurst_rs_daily(_events(spark, rows)).collect()
+    assert len(out) == 1
+    assert out[0]["n_sizes"] == 0
+
+
+def test_hurst_columns_and_range_on_noisy_series(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    eid = 0
+    for d in range(30):
+        day = dt.datetime(2024, 1, 1) + dt.timedelta(days=d)
+        for _ in range(1 + rng.randrange(6)):
+            rows.append((eid, day, 1, "a", 1.0))
+            eid += 1
+    r = hurst_rs_daily(_events(spark, rows)).collect()[0]
+    assert r["n_sizes"] == 3
+    for c in ("mean_rs_3", "mean_rs_5", "mean_rs_10"):
+        assert r[c] is not None and r[c] > 0
+    # R/S exponents live in (0, 1) for any finite series
+    assert -0.5 < r["hurst_h"] < 1.5
+
+
+# -------------------------------------------------------------------- OBF
+
+
+def test_obf_null_conversion_never_crosses(spark):
+    # conversion exactly at p0 = 0.2 every day -> z == 0 < boundary
+    rows = []
+    eid = 0
+    for d in range(10):
+        day = dt.datetime(2024, 1, 1) + dt.timedelta(days=d)
+        for i in range(5):
+            rows.append(
+                (eid, day, 1, "purchase" if i == 0 else "view", 1.0)
+            )
+            eid += 1
+    out = obrien_fleming_monitor(_events(spark, rows)).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["z_stat"] == pytest.approx(0.0)
+        assert not r["crossed"]
+
+
+def test_obf_strong_effect_crosses_late(spark):
+    # 100% conversion -> z grows with sqrt(n); the shrinking boundary
+    # must be crossed by the final interim
+    rows = []
+    eid = 0
+    for d in range(10):
+        day = dt.datetime(2024, 1, 1) + dt.timedelta(days=d)
+        for _ in range(20):
+            rows.append((eid, day, 1, "purchase", 1.0))
+            eid += 1
+    out = obrien_fleming_monitor(_events(spark, rows)).collect()
+    assert out[-1]["crossed"]
+    # boundary decreases as information accrues
+    bs = [r["obf_boundary"] for r in out]
+    assert bs == sorted(bs, reverse=True)
