@@ -1233,8 +1233,16 @@ def diameter_double_sweep(
     rounds, ``max_hops``-bounded — hops beyond the bound are absent and
     the estimate is then itself a lower bound, stated in the output
     name); all outputs are integers. Requires a symmetric edge list
-    (copurchase_edges emits both directions)."""
-    sym = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    (copurchase_edges emits both directions).
+
+    The edge frame is localCheckpoint-ed ONCE up front: every BFS round
+    joins the frontier against it, so without the checkpoint each of the
+    up-to-2*max_hops rounds re-derives the whole edge list from its
+    lineage (for copurchase_edges that is the full basket self-pairing
+    aggregate per round — measured 11.3 s -> ~3 s at sf0.1)."""
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
     start = sym.agg(F.min("src").alias("node"))
     d1 = bfs_distances(sym, start, max_hops=max_hops).localCheckpoint(
         eager=True

@@ -751,8 +751,13 @@ def ann_recall_report(
     Scale shape: ground truth and candidates are the operators' own
     bounded top-k outputs (k rows per query), so the comparison joins
     touch k x |queries| rows regardless of corpus size."""
-    truth = brute_force_topk(emb, queries, k, id_col, vec_col).select(
-        "query_id", "neighbor_id"
+    # k x |queries| bounded, but consumed FOUR times (twice per
+    # recall_vs_truth call, two calls) — checkpoint so the exact
+    # brute-force scan over the corpus runs once, not four times
+    truth = (
+        brute_force_topk(emb, queries, k, id_col, vec_col)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
     )
     lsh = recall_vs_truth(
         truth,
@@ -778,8 +783,10 @@ def recall_vs_truth(truth: DataFrame, cand: DataFrame, method: str) -> DataFrame
     # both frames are k x |queries| bounded, but they arrive behind
     # checkpoint-truncated lineage with no stats, so AQE plans SMJ —
     # broadcast explicitly (the r5 plan audit found 2-4 SMJs per recall
-    # entry, all on these bounded joins)
-    truth = truth.select("query_id", "neighbor_id")
+    # entry, all on these bounded joins). truth feeds BOTH the hits
+    # join and the per-query denominator: checkpoint the bounded frame
+    # so a brute-force truth subtree computes once, not twice
+    truth = truth.select("query_id", "neighbor_id").localCheckpoint(eager=True)
     hits = truth.join(
         F.broadcast(cand.select("query_id", "neighbor_id")),
         ["query_id", "neighbor_id"],
