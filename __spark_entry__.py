@@ -826,10 +826,20 @@ def _leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction) instead of asserting it."""
     t = load_tables(spark, sf_dir, register=False)
     docs = t["documents"]
-    clusters = dedup.near_dup_clusters(docs)
-    pairs = dedup.minhash_candidate_pairs(docs).filter(
-        F.col("est_jaccard") >= 0.5
+    # build the >=0.5 pair frame ONCE and feed it to both the CC loop
+    # and the report's cross-split receipt — near_dup_clusters(docs)
+    # would re-run the banded self-join + dedup a second time for the
+    # identical pair set (the signature cache only shares the per-doc
+    # signatures, not the band join). Checkpoint: the CC loop consumes
+    # it every round. Identical pairs -> identical clusters -> the
+    # oracle is untouched.
+    pairs = (
+        dedup.minhash_candidate_pairs(docs)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .localCheckpoint(eager=True)
     )
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    clusters = dedup.connected_components(nodes, pairs)
     return curation.leakage_safe_split(clusters, pairs)
 
 

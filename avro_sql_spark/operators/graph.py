@@ -573,7 +573,13 @@ def personalized_pagerank(
             )
         )
         if (i + 1) < iterations:
-            ranks = ranks.localCheckpoint()
+            # lazy: each round's ranks has a SINGLE consumer (next
+            # round's contribs join — tele/e/outdeg are checkpointed
+            # separately), so the plan deepens linearly and all round
+            # materializations fold into the one final action instead
+            # of one construction job per round (pagerank's
+            # eager_checkpoint=False rationale)
+            ranks = ranks.localCheckpoint(eager=False)
     if round_to is not None:
         ranks = ranks.select("node", F.round("pr", round_to).alias("pr"))
     return ranks
@@ -1170,7 +1176,12 @@ def community_modularity(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = label_propagation(und, rounds=rounds, src_col="a", dst_col="b")
+    # three consumers (la, lb, dc) and label_propagation leaves its
+    # LAST round unmaterialized — checkpoint so the final vote round
+    # (join + window argmax) computes once, not three times
+    labels = label_propagation(
+        und, rounds=rounds, src_col="a", dst_col="b"
+    ).localCheckpoint(eager=True)
     la = labels.select(F.col("id").alias("a"), F.col("community").alias("ca"))
     lb = labels.select(F.col("id").alias("b"), F.col("community").alias("cb"))
     mono = (

@@ -1660,7 +1660,11 @@ def textrank_keywords(
             ).alias("tr"),
         )
         if (i + 1) < iterations:
-            ranks = ranks.localCheckpoint()
+            # lazy: each round's ranks has ONE consumer (next round's
+            # broadcast), so the 10-round chain folds into the final
+            # action — one job instead of one construction job per
+            # round (pagerank's eager_checkpoint=False rationale)
+            ranks = ranks.localCheckpoint(eager=False)
     return (
         ranks.select("word", F.round("tr", 6).alias("textrank"))
         .orderBy(F.desc("textrank"), F.asc("word"))
@@ -2593,16 +2597,34 @@ def ngram_novelty_report(docs: DataFrame, n: int = 3) -> DataFrame:
         F.col("source"),
         F.explode(word_shingles(F.col("text"), n)).alias("g"),
     )
-    df_counts = grams.groupBy("g").agg(
-        F.countDistinct("doc_id").alias("df")
+    # two-level aggregation instead of joining per-gram df back onto
+    # the FULL string-keyed incidence frame (which also re-ran the
+    # tokenize+explode scan a second time): shingles are DISTINCT per
+    # doc (word_shingles), so count per (gram, source) = docs in that
+    # source containing the gram, df = its gram-level sum, and every
+    # per-source sum folds over the gram×source frame with identical
+    # integers — n_incidences = Σc, novel = Σ_{df=1} c, sdf = Σ c·df.
+    # The gram-keyed join now carries gram-domain rows, not incidences,
+    # and the scan+explode runs once (guide §2.3: aggregate before you
+    # shuffle, shuffle the proxy not the payload).
+    per_gs = grams.groupBy("g", "source").agg(F.count(F.lit(1)).alias("c"))
+    # df via an unordered window sum over the gram partition: one
+    # exchange on g, no second aggregate + join back (per-gram groups
+    # are doc-bounded, so no window skew)
+    joined = per_gs.withColumn(
+        "df", F.sum("c").over(Window.partitionBy("g"))
     )
-    joined = grams.join(df_counts, "g")
     return (
         joined.groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_incidences"),
-            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("novel"),
-            F.sum(F.col("df").cast("decimal(38,0)")).alias("sdf"),
+            F.sum("c").alias("n_incidences"),
+            F.sum(
+                F.when(F.col("df") == 1, F.col("c")).otherwise(F.lit(0))
+            ).alias("novel"),
+            F.sum(
+                F.col("c").cast("decimal(38,0)")
+                * F.col("df").cast("decimal(38,0)")
+            ).alias("sdf"),
         )
         .select(
             "source",
