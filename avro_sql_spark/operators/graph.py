@@ -174,7 +174,11 @@ def connected_components_star(
             d.join(lmins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("m").alias("a"), F.col("v").alias("b"))
-            .distinct()
+            # no distinct here: small's trailing distinct canonicalizes
+            # the round's output, and both consumers below (min-agg,
+            # join) are multiplicity-insensitive — dropping the
+            # intermediate dedup removes one full exchange per round
+            # with a bit-identical round result
         )
         # small-star: edges are (a < b), so grouping by b IS the
         # smaller-neighbor star; attach m = min neighbor; emit (m, v)
@@ -189,9 +193,12 @@ def connected_components_star(
             .localCheckpoint(eager=True)
         )
         new_n = small.count()
+        # both frames are DISTINCT sets; with equal counts, set
+        # equality == emptiness of one anti-join (no need for
+        # exceptAll's two-sided multiset sort)
         changed = (
             new_n != n_edges
-            or small.exceptAll(e).limit(1).count() > 0
+            or small.join(e, ["a", "b"], "left_anti").limit(1).count() > 0
         )
         e = small
         n_edges = new_n
