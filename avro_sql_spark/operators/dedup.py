@@ -29,7 +29,7 @@ bounds it).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint
@@ -598,9 +598,28 @@ def connected_components(
     loop exits early once no label changes. Deterministic (min is
     order-free), so with deterministic edges the result is
     SQL-oracle-checkable (recursive reachability CTE)."""
+    # symmetrize in ONE pass over the pair frame: each pair row emits
+    # both directions through an exploded 2-element array. Callers pass
+    # DERIVED pair frames (banded MinHash joins, prefix self-joins with
+    # exact verification), and the former two-branch union re-executed
+    # that whole derivation once per direction — union subtrees only
+    # share work at exchange boundaries and the verification tail has
+    # none (measured: the exact-Jaccard verify pass ran twice in
+    # jaccard_dup_clusters, ~2 s of its ~7 s)
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .cache()
     )
@@ -630,14 +649,18 @@ def connected_components(
             # logical plan doesn't deepen by one join per round — with
             # plain cache, analysis time and recovery cost grow linearly
             # in iterations, which is what kills long CC runs at scale.
+            # LAZY: the convergence count below computes every partition
+            # (a full aggregate, no limit short-circuit), so it doubles
+            # as the materializing job — one job per round, not an eager
+            # checkpoint job plus a probe job.
             # Tradeoff: localCheckpoint blocks live on executors only, so
             # losing an executor mid-loop fails the job (the truncated
             # lineage can't recompute). On a real cluster set
             # spark.sparkContext.setCheckpointDir(...) and swap this for
             # reliable .checkpoint() to survive executor loss.
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.filter("_chg").limit(1).count()
+        changed = new_labels.filter("_chg").count()
         backing.unpersist()
         backing = new_labels
         labels = new_labels.drop("_chg")
@@ -878,20 +901,26 @@ def jaccard_pairs_prefix(
     without changing the answer. Verification attaches the full (hashed,
     sorted) shingle arrays only to surviving candidate pairs and
     computes the intersection in-row (``array_intersect``), no second
-    shingle shuffle. The shingle frame and the per-doc array frame each
-    feed multiple consumers and are cached per the module contract."""
-    sh = (
-        _shingles(docs, id_col, text_col, shingle, out_id="id")
-        .select("id", F.xxhash64("s_raw").alias("s"))
-        .cache()
+    shingle shuffle. The per-doc array frame feeds multiple consumers
+    (prefix explode + both verification sides) and is cached per the
+    module contract; the shingle frame has a single consumer since the
+    df window replaced the groupBy+join and needs no cache."""
+    sh = _shingles(docs, id_col, text_col, shingle, out_id="id").select(
+        "id", F.xxhash64("s_raw").alias("s")
     )
-    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     # deterministic global order: (doc frequency asc, hash asc); each
-    # doc's shingles sorted into that order, prefix = first p entries
-    ranked = (
-        sh.join(dfreq, "s")
-        .groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("rs"))
+    # doc's shingles sorted into that order, prefix = first p entries.
+    # df is attached with a count-over-window instead of the former
+    # groupBy(s)+join-back: ONE s-keyed exchange of the shingle rows
+    # instead of two (and no cache of the shingle frame needed — it now
+    # has a single consumer). Skew exposure is unchanged: the join this
+    # replaces shuffled the same rows by the same key; the window adds
+    # only an in-partition sort. Same integers, same rows.
+    wdf = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+    )
+    ranked = wdf.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("df", "s"))).alias("rs")
     )
     arr = F.transform(F.col("rs"), lambda r: r["s"])
     n = F.size("rs")
