@@ -73,6 +73,7 @@ def hilbert_index(
     cols: list[str],
     bits: int = 16,
     out_col: str = "hval",
+    coords: "list[Column] | None" = None,
 ) -> DataFrame:
     """2-D Hilbert-curve index over two columns — the locality curve
     lakehouses reach for past Z-order (Delta/Iceberg both ship it):
@@ -92,7 +93,10 @@ def hilbert_index(
     chain needs projections)."""
     if len(cols) != 2:
         raise ValueError("hilbert_index is the 2-D curve; pass two columns")
-    sx, sy = _scaled_coords(df, cols, bits)
+    # ``coords``: callers that also build a Morton key (skipping_report)
+    # pass the _scaled_coords result in, so the stats aggregate behind
+    # it runs ONCE per audit instead of once per curve
+    sx, sy = coords if coords is not None else _scaled_coords(df, cols, bits)
     # the passthrough column list is FIXED across levels: carry it as a
     # Python list instead of re-reading ``out.columns`` per level —
     # each .columns call forces full analysis of the growing plan, so
@@ -149,28 +153,35 @@ def skipping_report(
     file must be scanned iff its [min, max] box intersects the
     predicate rectangle — exactly the parquet footer-stats test.
 
-    Scale shape: file assignment is :func:`curation.exact_ntile` — SQL
-    NTILE semantics from a two-pass range-partitioned rank, so no task
-    ever sorts more than one range partition (the old form was
-    ``ntile().over(Window.orderBy(...))`` — the whole projection through
-    ONE task per layout, the classic 100x scale killer). Everything
+    Scale shape: file assignment is SQL NTILE semantics from ONE
+    two-pass range-partitioned rank shared by every layout (rows explode
+    into (layout, key) copies; the layout index leads the range order so
+    each layout's block is contiguous and its NTILE replays from the
+    global rank) — no task ever sorts more than one range partition, and
+    the audit pays one shuffle instead of one per layout (the oldest
+    form was ``ntile().over(Window.orderBy(...))`` — the whole
+    projection through ONE task per layout, the classic 100x scale
+    killer). Everything
     downstream of the per-file min/max aggregate is arithmetic on
     n_files x grid^2 rows — driver-negligible, oracle-replayable (the
     z-value is the same integer interleave as :func:`zvalue`, and the
     NTILE remainder rule is replayed bit-exactly)."""
-    from .curation import exact_ntile
+    from .curation import global_rank
 
     if len(cols) != 2:
         raise ValueError("skipping_report audits exactly two columns")
     c0, c1 = cols
-    # the hilbert layout pays two extra passes (its own scale stats +
-    # the 16-level projection chain), so it is opt-in via ``layouts``
+    # ONE scale-stats aggregate feeds both curves (zvalue and
+    # hilbert_index each used to run their own)
+    coords = _scaled_coords(df, cols, bits)
+    # the hilbert layout pays one extra pass (the 16-level projection
+    # chain), so it is opt-in via ``layouts``
     src = (
-        hilbert_index(df, cols, bits, out_col="__hv")
+        hilbert_index(df, cols, bits, out_col="__hv", coords=coords)
         if "hilbert" in layouts
         else df
     )
-    z = zvalue(df, cols, bits).alias("__z")
+    z = interleave_bits(coords, bits).alias("__z")
     # the tiebreak column makes each NTILE ordering TOTAL: rows tied on
     # the layout key (same price cell, same curve cell) would otherwise
     # land in engine-dependent files and flake the per-file min/max
@@ -181,29 +192,68 @@ def skipping_report(
         *(["__hv"] if "hilbert" in layouts else []),
         F.col(tiebreak_col).alias("tb"),
     ).localCheckpoint(eager=False)
-    # ^ one materialization (lazy — folds into the first action): every
-    # layout's exact_ntile range-shuffles a
-    # projection of this frame, and without the checkpoint the 16-level
-    # Hilbert chain + the z-interleave re-evaluate once per layout per
-    # branch (measured 2x on the 3-layout audit at sf0.1)
-    keys = {"linear": ["x", "tb"], "zorder": ["__z", "tb"], "hilbert": ["__hv", "tb"]}
-    parts = []
-    for name in layouts:
-        proj = base.select(
-            *dict.fromkeys(["x", "y", *keys[name]])  # dedup (linear keys on x)
+    # ^ one materialization (lazy — folds into the range sampling pass):
+    # without it the 16-level Hilbert chain + the z-interleave would
+    # re-evaluate for the range-partitioner sample AND the shuffle write
+    #
+    # ALL layouts rank in ONE global_rank pass: each row explodes into
+    # (layout_index, key) copies, and because the layout index leads the
+    # range-sort order the layout blocks are CONTIGUOUS in the total
+    # order — the per-layout rank is just (global rank) - li * n_rows,
+    # and the SQL NTILE remainder rule is replayed on that rank with
+    # exact_ntile's own arithmetic. One range shuffle / checkpoint /
+    # partition-counts pass instead of one per layout (same bytes
+    # through the single shuffle; formerly 3 shuffles + 3 checkpoints +
+    # 3 counts jobs for the 3-layout audit). The curve keys ride in a
+    # separate LONG field beside the double linear key (no cross-type
+    # cast, so any ``bits`` stays exact); the unused field is a constant
+    # per layout and never affects the within-layout order.
+    keyed = {
+        "linear": (F.col("x"), F.lit(0).cast("long")),
+        "zorder": (F.lit(0.0), F.col("__z").cast("long")),
+        "hilbert": (F.lit(0.0), F.col("__hv").cast("long")),
+    }
+    lay = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("li"),
+                    keyed[name][0].alias("kd"),
+                    keyed[name][1].alias("kl"),
+                )
+                for i, name in enumerate(layouts)
+            ]
         )
-        assigned = exact_ntile(
-            proj, [F.col(k) for k in keys[name]], n_files, out_col="f"
+    ).alias("L")
+    e = base.select("x", "y", "tb", lay).select(
+        "x", "y", "tb", "L.li", "L.kd", "L.kl"
+    )
+    ranked = global_rank(
+        e,
+        [F.col("li"), F.col("kd"), F.col("kl"), F.col("tb")],
+        rank_col="_r",
+        total_col="_N",
+    )
+    n_rows = F.expr(f"_N div {len(layouts)}")  # exact: _N = n_layouts * n
+    r = F.col("_r") - F.col("li").cast("long") * n_rows
+    k = F.lit(n_files).cast("long")
+    q = F.floor(n_rows / k).cast("long")
+    rem = (n_rows % k).cast("long")
+    big = (q + F.lit(1)) * rem
+    tile = F.when(r <= big, F.floor((r + q) / (q + F.lit(1)))).otherwise(
+        rem + F.floor((r - big + q - F.lit(1)) / q)
+    )
+    lay_name = F.element_at(
+        F.array(*[F.lit(nm) for nm in layouts]), F.col("li") + 1
+    )
+    boxes = (
+        ranked.select(
+            lay_name.alias("layout"), tile.cast("int").alias("f"), "x", "y"
         )
-        files = (
-            assigned.groupBy("f")
-            .agg(F.min("x").alias("mnx"), F.max("x").alias("mxx"),
-                 F.min("y").alias("mny"), F.max("y").alias("mxy"))
-        )
-        parts.append(files.select(F.lit(name).alias("layout"), "*"))
-    boxes = parts[0]
-    for p in parts[1:]:
-        boxes = boxes.unionByName(p)
+        .groupBy("layout", "f")
+        .agg(F.min("x").alias("mnx"), F.max("x").alias("mxx"),
+             F.min("y").alias("mny"), F.max("y").alias("mxy"))
+    )
     # global bounds (1 row) -> grid x grid predicate rectangles, built
     # in-row from a sequence — no driver collect
     bounds = df.agg(
