@@ -409,90 +409,129 @@ def key_locality_report(
     Layouts: ``linear_key`` (clustered by the lookup key — containment
     ~1 file), ``linear_other`` (clustered by an unrelated column — the
     key smears everywhere), ``zorder`` (the compromise that keeps BOTH
-    range scans and point lookups bounded). File assignment is
-    :func:`curation.exact_ntile` (two-pass, no single-task sort);
+    range scans and point lookups bounded). File assignment is SQL
+    NTILE semantics from one fused two-pass range rank shared by all
+    three layouts (no single-task sort);
     containment counts are exact integers; per-key means accumulate in
     DECIMAL; the bloom fpr uses exp/ln doubles on exact integer counts
     (the kaplan_meier-proven cross-engine pair). The metadata frames
     are n_files- and n_keys-bounded."""
-    from .curation import exact_ntile
+    from .curation import global_rank
 
     z = zvalue(df, [key_col, other_col], bits).alias("__z")
     # one scan: the projected frame (including the bit-interleaved
-    # z-value) is materialized once and forked into the three layout
-    # passes instead of re-scanning parquet per layout
+    # z-value) is materialized once (lazy — folds into the range
+    # sampling pass) and feeds the single fused ranking below
     base = df.select(
         F.col(key_col).alias("k"),
         F.col(other_col).cast("double").alias("o"),
         z,
         F.col(tiebreak_col).alias("tb"),
-    ).localCheckpoint(eager=True)
-    keys = {
-        "linear_key": ["k", "tb"],
-        "linear_other": ["o", "tb"],
-        "zorder": ["__z", "tb"],
+    ).localCheckpoint(eager=False)
+    # ALL layouts rank in ONE global_rank pass (the skipping_report
+    # device): rows explode into (layout_index, sort-key) copies, the
+    # layout index leads the range order so layout blocks are
+    # contiguous, and each layout's NTILE replays from the global rank
+    # as r - li*n with exact_ntile's own remainder arithmetic. One
+    # range shuffle / checkpoint / counts pass instead of three, and
+    # ONE distinct over (layout, key, file) instead of one per layout.
+    # Each layout's sort key keeps its ORIGINAL type in its own struct
+    # field (the unused fields are NULL constants within a layout and
+    # never affect the within-layout order), so the fusion is exact
+    # for any orderable key type.
+    layouts = ["linear_key", "linear_other", "zorder"]
+    k_type = base.schema["k"].dataType
+    keyed = {
+        "linear_key": (F.col("k"), F.lit(None).cast("double"), F.lit(None).cast("long")),
+        "linear_other": (F.lit(None).cast(k_type), F.col("o"), F.lit(None).cast("long")),
+        "zorder": (F.lit(None).cast(k_type), F.lit(None).cast("double"), F.col("__z")),
     }
-    parts = []
-    for name, ks in keys.items():
-        assigned = exact_ntile(
-            base.select(*dict.fromkeys(["k", *ks])),
-            [F.col(c) for c in ks],
-            n_files,
-            out_col="f",
+    lay = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("li"),
+                    keyed[name][0].alias("ko"),
+                    keyed[name][1].alias("oo"),
+                    keyed[name][2].alias("zo"),
+                )
+                for i, name in enumerate(layouts)
+            ]
         )
-        # the distinct (key, file) incidence pairs feed BOTH the
-        # per-file and the per-key views: dedupe once (one shuffle on
-        # the pair) instead of two expand-heavy countDistinct aggs
-        # re-reading the assignment
-        pairs = (
-            assigned.select("k", "f").distinct().localCheckpoint(eager=True)
+    ).alias("L")
+    e = base.select("k", "tb", lay).select(
+        "k", "tb", "L.li", "L.ko", "L.oo", "L.zo"
+    )
+    ranked = global_rank(
+        e,
+        [F.col("li"), F.col("ko"), F.col("oo"), F.col("zo"), F.col("tb")],
+        rank_col="_r",
+        total_col="_N",
+    )
+    n_rows = F.expr(f"_N div {len(layouts)}")  # exact: _N = n_layouts * n
+    r = F.col("_r") - F.col("li").cast("long") * n_rows
+    kf = F.lit(n_files).cast("long")
+    q = F.floor(n_rows / kf).cast("long")
+    rem = (n_rows % kf).cast("long")
+    big = (q + F.lit(1)) * rem
+    tile = F.when(r <= big, F.floor((r + q) / (q + F.lit(1)))).otherwise(
+        rem + F.floor((r - big + q - F.lit(1)) / q)
+    )
+    lay_name = F.element_at(
+        F.array(*[F.lit(nm) for nm in layouts]), F.col("li") + 1
+    )
+    # the distinct (layout, key, file) incidence pairs feed BOTH the
+    # per-file and the per-key views: dedupe once (one shuffle on the
+    # triple) instead of two expand-heavy countDistinct aggs re-reading
+    # the assignment
+    pairs = (
+        ranked.select(
+            lay_name.alias("layout"), "k", tile.cast("int").alias("f")
         )
-        per_file = pairs.groupBy("f").agg(
-            F.count(F.lit(1)).alias("nk")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    per_file = pairs.groupBy("layout", "f").agg(F.count(F.lit(1)).alias("nk"))
+    # per-file bloom fpr on exact distinct-key counts; m sized by the
+    # AVERAGE file's key count (one filter budget per file)
+    m = F.lit(float(bloom_bits_per_key)) * F.col("nk").cast("double")
+    fpr = F.pow(
+        F.lit(1.0)
+        - F.exp(F.lit(float(-bloom_hashes)) * F.col("nk").cast("double") / m),
+        F.lit(float(bloom_hashes)),
+    )
+    blooms = per_file.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("nf"),
+        F.sum(F.round(fpr, 9).cast("decimal(38,9)")).alias("s_fpr"),
+    )
+    containment = (
+        pairs.groupBy("layout", "k")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cf").alias("s_cf"),
+            F.max("cf").alias("max_files_per_key"),
         )
-        # per-file bloom fpr on exact distinct-key counts; m sized by the
-        # AVERAGE file's key count (one filter budget per file)
-        m = F.lit(float(bloom_bits_per_key)) * F.col("nk").cast("double")
-        fpr = F.pow(
-            F.lit(1.0)
-            - F.exp(
-                F.lit(float(-bloom_hashes)) * F.col("nk").cast("double") / m
+    )
+    return (
+        containment.join(F.broadcast(blooms), "layout")
+        .select(
+            "layout",
+            F.lit(n_files).alias("n_files"),
+            "n_keys",
+            F.round(F.col("s_cf").cast("double") / F.col("n_keys"), 6).alias(
+                "avg_files_per_key"
             ),
-            F.lit(float(bloom_hashes)),
+            "max_files_per_key",
+            F.round(
+                (F.col("nf").cast("double") - F.col("s_cf").cast("double") / F.col("n_keys"))
+                * (F.col("s_fpr").cast("double") / F.col("nf")),
+                6,
+            ).alias("expected_bloom_fp_files"),
         )
-        blooms = per_file.agg(
-            F.count(F.lit(1)).alias("nf"),
-            F.sum(F.round(fpr, 9).cast("decimal(38,9)")).alias("s_fpr"),
-        )
-        containment = (
-            pairs.groupBy("k")
-            .agg(F.count(F.lit(1)).alias("cf"))
-            .agg(
-                F.count(F.lit(1)).alias("n_keys"),
-                F.sum("cf").alias("s_cf"),
-                F.max("cf").alias("max_files_per_key"),
-            )
-        )
-        parts.append(
-            containment.crossJoin(F.broadcast(blooms)).select(
-                F.lit(name).alias("layout"),
-                F.lit(n_files).alias("n_files"),
-                "n_keys",
-                F.round(F.col("s_cf").cast("double") / F.col("n_keys"), 6).alias(
-                    "avg_files_per_key"
-                ),
-                "max_files_per_key",
-                F.round(
-                    (F.col("nf").cast("double") - F.col("s_cf").cast("double") / F.col("n_keys"))
-                    * (F.col("s_fpr").cast("double") / F.col("nf")),
-                    6,
-                ).alias("expected_bloom_fp_files"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("layout")
+        .orderBy("layout")
+    )
 
 
 def file_overlap_depth(
