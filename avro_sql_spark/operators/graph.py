@@ -317,9 +317,19 @@ def copurchase_edges(
         .filter(F.col("c") >= min_count)
         .select("pa", "pb")
     )
+    # symmetrize in ONE pass: each undirected pair row emits both
+    # directions through an exploded 2-element array (the
+    # connected_components device) — the former two-branch union
+    # re-ran the post-exchange aggregate+filter tail per direction in
+    # every consumer that doesn't cache the edge frame
     return pairs.select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst")
-    ).unionByName(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+                F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 def triangle_count(
