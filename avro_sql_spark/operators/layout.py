@@ -571,15 +571,22 @@ def file_overlap_depth(
             .groupBy("f")
             .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
         )
+        # both sweep events per file box in ONE pass (the former
+        # two-branch union re-ran the NTILE+min/max tail per event kind)
         events = boxes.select(
-            F.col("mn").alias("val"), F.lit(0).alias("closing"),
-            F.col("f"), F.lit(1).alias("delta"),
-        ).unionByName(
-            boxes.select(
-                F.col("mx").alias("val"), F.lit(1).alias("closing"),
-                F.col("f"), F.lit(-1).alias("delta"),
-            )
-        )
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("mn").alias("val"), F.lit(0).alias("closing"),
+                        F.col("f"), F.lit(1).alias("delta"),
+                    ),
+                    F.struct(
+                        F.col("mx").alias("val"), F.lit(1).alias("closing"),
+                        F.col("f"), F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e.val", "e.closing", "e.f", "e.delta")
         w = (
             Window.orderBy("val", F.desc("closing"), "f")
             .rowsBetween(Window.unboundedPreceding, 0)

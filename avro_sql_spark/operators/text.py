@@ -1627,9 +1627,21 @@ def textrank_keywords(
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("wt"))
     )
+    # symmetrize in ONE pass over the co-occurrence aggregate (the
+    # connected_components device): the former two-branch union re-ran
+    # the aggregate tail once per direction in both edge consumers
     edges = und.select(
-        F.col("a").alias("src"), F.col("b").alias("dst"), "wt"
-    ).unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "wt"))
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("src"), F.col("b").alias("dst"), F.col("wt")
+                ),
+                F.struct(
+                    F.col("b").alias("src"), F.col("a").alias("dst"), F.col("wt")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.wt")
     wdeg = edges.groupBy("src").agg(F.sum("wt").alias("wd"))
     coef = (
         edges.join(wdeg, "src")
