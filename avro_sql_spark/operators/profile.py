@@ -1626,16 +1626,19 @@ def theilsen_trend(
     )
     w = Window.partitionBy("g").orderBy("slope", "hi", "hj")
     ranked = pairs.withColumn("rk", F.row_number().over(w))
-    counts = pairs.groupBy("g").agg(F.count(F.lit(1)).alias("n_pairs"))
+    # the pair count needs no second pass over the pairwise frame: the
+    # hj > hi self-join emits EVERY unordered hour pair exactly once,
+    # so n_pairs = C(n_hours, 2) — integer arithmetic on the (bounded)
+    # per-group hour count, and the pairs subtree keeps one consumer
     nh = hours.groupBy("g").agg(F.count(F.lit(1)).alias("n_hours"))
+    nprs = (F.col("n_hours") * (F.col("n_hours") - 1) / 2).cast("long")
     med = (
-        ranked.join(F.broadcast(counts), "g")
+        ranked.join(F.broadcast(nh.select("g", "n_hours", nprs.alias("n_pairs"))), "g")
         .filter(F.col("rk") == F.floor((F.col("n_pairs") + 1) / 2).cast("long"))
-        .select("g", "n_pairs", F.col("slope").alias("s"))
+        .select("g", "n_hours", "n_pairs", F.col("slope").alias("s"))
     )
     return (
-        med.join(F.broadcast(nh), "g")
-        .select(
+        med.select(
             F.col("g").alias(group_col),
             "n_hours",
             "n_pairs",
@@ -3510,14 +3513,20 @@ def markov_removal_attribution(
         F.max("i").over(Window.partitionBy("user_id")).alias("last_i"),
         F.col("conv_i").isNotNull().alias("converted"),
     )
-    tails = (
-        steps.filter(
-            (F.col("i") == F.col("last_i")) & ~F.col("converted")
-        ).select(F.col("d").alias("s"), F.lit("NULL").alias("d"))
-    )
+    # each step row emits its (s, d) edge plus — for the last step of a
+    # non-converted path — the tail edge (d, NULL), in ONE pass: the
+    # former union's tail branch re-ran the whole window pipeline
+    tail_edge = F.when(
+        (F.col("i") == F.col("last_i")) & ~F.col("converted"),
+        F.array(F.struct(F.col("d").alias("s"), F.lit("NULL").alias("d"))),
+    ).otherwise(F.array().cast("array<struct<s:string,d:string>>"))
     trans = (
-        steps.select("s", "d")
-        .unionByName(tails)
+        steps.select(
+            F.explode(
+                F.concat(F.array(F.struct("s", "d")), tail_edge)
+            ).alias("e")
+        )
+        .select("e.s", "e.d")
         .groupBy("s", "d")
         .agg(F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)  # states²-bounded
