@@ -2602,12 +2602,28 @@ def ngram_novelty_report(docs: DataFrame, n: int = 3) -> DataFrame:
     equi-join back (both sides hash-partitioned on the gram, never
     all-pairs), one per-source fold; the df frame carries no text,
     only (gram, df)."""
-    from ..functions.text import word_shingles
+    from ..functions.text import word_ngrams_of
+    from .dedup import _spread
 
-    grams = docs.select(
-        "doc_id",
-        F.col("source"),
-        F.explode(word_shingles(F.col("text"), n)).alias("g"),
+    # tokenize ONCE into a materialized array column before the gram
+    # transform (word_shingles(text, n) would inline its split() into
+    # every element_at of every gram — Catalyst does no CSE inside
+    # higher-order-function lambdas — re-splitting the text n times per
+    # shingle), and spread the compacted scan across the cluster first
+    # so the per-doc gram compute parallelizes (the _shingles recipe;
+    # identical gram multiset: array_distinct over the same transform)
+    grams = (
+        _spread(docs, "doc_id")
+        .select(
+            "doc_id",
+            F.col("source"),
+            F.split(F.lower(F.col("text")), " ").alias("w"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(word_ngrams_of(F.col("w"), n))).alias("g"),
+        )
     )
     # two-level aggregation instead of joining per-gram df back onto
     # the FULL string-keyed incidence frame (which also re-ran the
