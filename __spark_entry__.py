@@ -1284,10 +1284,18 @@ def _minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines compute identically (mae/bias at 4 dp so double-sum
     ordering cannot flip a rounding boundary)."""
     t = load_tables(spark, sf_dir, register=False)
-    est = dedup.minhash_candidate_pairs(t["documents"])
-    exact = dedup.ngram_jaccard_pairs(t["documents"], threshold=0.0).select(
-        "id_a", "id_b", F.col("jaccard").alias("exact_jaccard")
-    )
+    # the candidate-pair frame feeds BOTH the report's left side and the
+    # exact-Jaccard restriction below: pin one materialization (bounded
+    # by the LSH banding output) so the MinHash pipeline runs once —
+    # lazy, so it folds into the first action instead of a separate job
+    est = dedup.minhash_candidate_pairs(t["documents"]).localCheckpoint(eager=False)
+    # exact Jaccard ONLY for the candidate pairs (candidates=est): the
+    # left join below never reads any other pair, and a candidate pair
+    # sharing no shingle is absent from the full join too — identical
+    # rows, minus the corpus-wide Σ df² pair-generation shuffle
+    exact = dedup.ngram_jaccard_pairs(
+        t["documents"], threshold=0.0, candidates=est
+    ).select("id_a", "id_b", F.col("jaccard").alias("exact_jaccard"))
     j = est.join(exact, ["id_a", "id_b"], "left").na.fill({"exact_jaccard": 0.0})
     decile = F.least(F.floor(F.col("est_jaccard") * 10), F.lit(9)).alias("est_decile")
     return (

@@ -277,6 +277,7 @@ def ngram_jaccard_pairs(
     shingle: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle:
     explode shingles, self-join on shingle, count intersections, divide by
@@ -290,7 +291,19 @@ def ngram_jaccard_pairs(
     set), capping any bucket at max_doc_freq². Jaccard is then computed
     over the retained-shingle universe on both sides of the ratio, so
     the score stays a true set Jaccard (of the filtered sets) rather
-    than a mixed-denominator estimate."""
+    than a mixed-denominator estimate.
+
+    ``candidates``: an optional (id_a, id_b) frame (id_a < id_b, the
+    family's pair orientation). When given, the exact Jaccard is
+    computed ONLY for those pairs — the intersection comes from joining
+    each candidate's two shingle sets instead of the full shingle
+    self-join, so the pair-generation shuffle is candidate-bounded
+    instead of Σ df² (the calibration pattern: score the LSH candidate
+    list exactly without paying the all-sharing-pairs join). Pairs
+    sharing no shingle simply emit no row — identical to the full join,
+    which never generates them either. Sizes still count the FULL
+    retained-shingle sets, so each pair's score is bit-identical to the
+    unrestricted computation."""
     # shingles are hashed to 64-bit ints BEFORE the self-join: the join
     # key shuffles as 8 bytes instead of a 20-40 byte string — at scale
     # the pair join is shuffle-bound, so key width is the cost. xxhash64
@@ -315,12 +328,35 @@ def ngram_jaccard_pairs(
         # the filtered table again feeds sizes + both join sides
         sh = sh.join(F.broadcast(hot), "s", "left_anti").cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if candidates is not None:
+        cand = candidates.select("id_a", "id_b")
+        # restrict both shingle sides to docs that appear in a candidate
+        # pair before any wide join — the b-side equi-join then shuffles
+        # candidate-doc shingles only, never the corpus
+        ids_a = cand.select(F.col("id_a").alias("id"))
+        ids_b = cand.select(F.col("id_b").alias("id"))
+        sh_a = sh.join(ids_a.distinct(), "id", "left_semi")
+        sh_b = sh.join(ids_b.distinct(), "id", "left_semi")
+        inter = (
+            sh_a.select(F.col("id").alias("id_a"), "s")
+            .join(cand, "id_a")
+            .join(
+                sh_b.select(F.col("id").alias("b_id"), F.col("s").alias("b_s")),
+                (F.col("id_b") == F.col("b_id")) & (F.col("s") == F.col("b_s")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        inter = (
+            sh.alias("a")
+            .join(
+                sh.alias("b"),
+                (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
     return (

@@ -56,6 +56,24 @@ def test_ngram_jaccard_identical_docs(docs):
     assert (1, 4) not in pairs or pairs[(1, 4)] < 0.2
 
 
+def test_ngram_jaccard_candidate_restriction(spark, docs):
+    """candidates= must reproduce the full computation exactly on the
+    requested pairs (same jaccard bit-for-bit, pairs sharing no shingle
+    absent from both) and emit nothing else."""
+    full = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+            dedup.ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 4)], "id_a INT, id_b INT"
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           dedup.ngram_jaccard_pairs(
+               docs, threshold=0.0, candidates=cand
+           ).collect()}
+    want = {p: j for p, j in full.items()
+            if p in {(1, 2), (1, 3), (1, 4), (2, 4)}}
+    assert got == want
+
+
 def test_minhash_estimates_jaccard(docs):
     pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
              dedup.minhash_candidate_pairs(docs).collect()}
