@@ -91,6 +91,12 @@ def lloyd_centroids(
     (similarity.ivf_topk): k lowest-id seeds, fixed iteration count,
     9dp-rounded centroid updates. Returns the final k x d centroid
     list — bounded driver state, broadcast back as literals."""
+    # the training frame is read by 1 + iterations separate driver jobs
+    # (seed collect + one assignment aggregate per iteration); pin ONE
+    # materialization so each job reads the frozen blocks instead of
+    # re-deriving the input subtree (for the IVF quantizer that subtree
+    # is a global sort-limit over the corpus — re-run per job otherwise)
+    emb = emb.localCheckpoint(eager=False)
     seeds = (
         emb.orderBy(id_col)
         .limit(k)

@@ -579,7 +579,7 @@ def embedding_near_duplicates(
         head = emb.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
         dim = len(head[0]) if head is not None else 1
         bucketed = emb.withColumn(
-            "bucket", hyperplane_signature(F.col(vec_col), planes, dim=dim)
+            "bucket", hyperplane_signature(f"`{vec_col}`", planes, dim=dim)
         )
         return bucketed.groupBy("bucket").applyInPandas(gram, out_schema)
 

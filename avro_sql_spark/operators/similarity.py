@@ -91,18 +91,33 @@ def hyperplane_signature(vec, planes: int = 16, seed: int = 0, dim: int = 64) ->
     ``tables`` (or lower ``planes``) to trade candidates for recall.
     ``dim`` must match the vector length (callers probe one row); the
     literal-array form trades the dynamic-dim flexibility for codegen
-    with no hash calls and an oracle-replayable plan."""
+    with no hash calls and an oracle-replayable plan.
+
+    ``vec`` is a SQL snippet string (a quoted column reference at every
+    call site). The whole packed signature is built as ONE parsed SQL
+    expression — the Column-API form issued ~planes x dim ``lit()`` /
+    lambda Py4J round-trips per table per side (~2 s of pure driver
+    time per LSH entry at 4 tables x 2 sides — the _centroid_dists
+    lesson), while one ``F.expr`` parse is milliseconds. Each per-plane
+    dot is the IDENTICAL 0.0-seeded ascending zip_with fold with the
+    same per-element double cast, and the bit-pack is the same integer
+    OR of the same CASE terms, so every bucket id is bit-identical."""
     comps = _plane_components(planes, dim, seed)
-    sig = F.lit(0).cast("long")
+    vec_sql = vec
+    terms = []
     for p in range(planes):
-        arr = F.expr("array(" + ", ".join(f"{c!r}D" for c in comps[p]) + ")")
-        dot_p = F.aggregate(
-            F.zip_with(vec, arr, lambda v, c: v.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        lits = ", ".join(f"{c!r}D" for c in comps[p])
+        dot = (
+            f"aggregate(zip_with({vec_sql}, array({lits}),"
+            " (v, c) -> cast(v as double) * c), 0D, (acc, x) -> acc + x)"
         )
-        sig = sig.bitwiseOR(F.when(dot_p > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long"))
-    return sig
+        terms.append(
+            f"(case when {dot} > 0 then cast({1 << p} as bigint)"
+            " else cast(0 as bigint) end)"
+        )
+    if not terms:
+        return F.lit(0).cast("long")
+    return F.expr(" | ".join(terms))
 
 
 def lsh_bucketed_ann(
@@ -137,7 +152,7 @@ def lsh_bucketed_ann(
             F.posexplode(
                 F.array(
                     *[
-                        hyperplane_signature(F.col(vec_col), planes, seed=t, dim=_dim)
+                        hyperplane_signature(f"`{vec_col}`", planes, seed=t, dim=_dim)
                         for t in range(tables)
                     ]
                 )
@@ -762,11 +777,14 @@ def ann_recall_report(
     touch k x |queries| rows regardless of corpus size."""
     # k x |queries| bounded, but consumed FOUR times (twice per
     # recall_vs_truth call, two calls) — checkpoint so the exact
-    # brute-force scan over the corpus runs once, not four times
+    # brute-force scan over the corpus runs once, not four times. LAZY:
+    # an eager checkpoint here is a synchronous construction job that
+    # serializes with the IVF training collects; lazy still pins one
+    # materialization at the first action
     truth = (
         brute_force_topk(emb, queries, k, id_col, vec_col)
         .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     lsh = recall_vs_truth(
         truth,
@@ -794,8 +812,10 @@ def recall_vs_truth(truth: DataFrame, cand: DataFrame, method: str) -> DataFrame
     # broadcast explicitly (the r5 plan audit found 2-4 SMJs per recall
     # entry, all on these bounded joins). truth feeds BOTH the hits
     # join and the per-query denominator: checkpoint the bounded frame
-    # so a brute-force truth subtree computes once, not twice
-    truth = truth.select("query_id", "neighbor_id").localCheckpoint(eager=True)
+    # so a brute-force truth subtree computes once, not twice — lazy,
+    # so the materialization folds into the first action instead of a
+    # blocking construction job
+    truth = truth.select("query_id", "neighbor_id").localCheckpoint(eager=False)
     hits = truth.join(
         F.broadcast(cand.select("query_id", "neighbor_id")),
         ["query_id", "neighbor_id"],

@@ -361,7 +361,7 @@ def test_hyperplane_bucket_partitioning_invariant(spark):
 
     def buckets(frame):
         out = frame.select(
-            "vec_id", hyperplane_signature(F.col("embedding"), planes=6, dim=16).alias("b")
+            "vec_id", hyperplane_signature("`embedding`", planes=6, dim=16).alias("b")
         )
         return {r["vec_id"]: r["b"] for r in out.collect()}
 
