@@ -3249,21 +3249,24 @@ def _corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, register=False)
     docs = t["documents"]
-    # each stage feeds BOTH the next stage and its own count — eager
+    # each stage feeds BOTH the next stage and its own count — a LAZY
     # localCheckpoint makes every stage compute once (without it the 5
     # counts re-run the whole upstream chain, including the near-dup CC
-    # iterations: measured 9.8 s -> ~3 s at sf0.1)
-    q = docs.filter(gopher_pass(F.col("text"))).localCheckpoint(eager=True)
-    ex = dedup.dedup_exact(q).localCheckpoint(eager=True)
+    # iterations: measured 9.8 s -> ~3 s at sf0.1) while folding the
+    # stage materializations into the jobs that first consume them
+    # (near-dup's own CC jobs, then the one terminal count union)
+    # instead of four synchronous construction barriers
+    q = docs.filter(gopher_pass(F.col("text"))).localCheckpoint(eager=False)
+    ex = dedup.dedup_exact(q).localCheckpoint(eager=False)
     labels = dedup.near_dup_clusters(ex, est_threshold=0.5)
     nd = ex.join(
         labels.filter(F.col("id") == F.col("cluster_id"))
         .select(F.col("id").alias("doc_id")),
         "doc_id",
         "left_semi",
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     test = curation.deterministic_split(docs).filter(F.col("split") == "test")
-    dec = dedup.decontaminate(nd, test, method="exact").localCheckpoint(eager=True)
+    dec = dedup.decontaminate(nd, test, method="exact").localCheckpoint(eager=False)
     stages = [
         (0, "raw", docs), (1, "quality", q), (2, "exact_dedup", ex),
         (3, "near_dup", nd), (4, "decontam", dec),

@@ -97,8 +97,15 @@ def train_bpe_state(
     tokenizer-application pass needs (see :func:`bpe_fertility`).
     Driver state is the merge list only; each round is one pair-count
     aggregate over the vocabulary-sized word table plus an in-row
-    rewrite, localCheckpointed so N merges never deepen the plan."""
-    words = word_freq_tokens(docs, text_col).localCheckpoint()
+    rewrite, localCheckpointed LAZILY so N merges never deepen the
+    plan while each round costs exactly ONE job (the top-pair collect
+    materializes that round's rewritten words) — and a caller that
+    never consumes the final word table (train_bpe) never pays the
+    last rewrite at all. The superseded rounds' blocks stay pinned
+    until the frame goes out of scope (vocabulary-sized rows x
+    n_merges — bounded; an explicit unpersist would drop blocks whose
+    lineage the checkpoint already truncated)."""
+    words = word_freq_tokens(docs, text_col).localCheckpoint(eager=False)
     merges = []
     for rank in range(n_merges):
         top = (
@@ -111,9 +118,9 @@ def train_bpe_state(
             break
         t = top[0]
         merges.append((rank, t["left"], t["right"], t["left"] + t["right"], t["n"]))
-        prev = words
-        words = _apply_merge(words, t["left"], t["right"]).localCheckpoint()
-        prev.unpersist()  # release the superseded round's blocks
+        words = _apply_merge(words, t["left"], t["right"]).localCheckpoint(
+            eager=False
+        )
     return merges, words
 
 

@@ -1074,7 +1074,16 @@ def quantile_normalize_report(
     the global order statistics come from :func:`global_rank` (two-pass
     range-partitioned — no single-partition sort); the map is ONE
     skinny equi-join on the computed global rank. Nothing driver-side
-    beyond global_rank's partitions-row offset frame."""
+    beyond global_rank's partitions-row offset frame. The skinny
+    (group, id, score) projection is lazily checkpoint-pinned up
+    front: FOUR consumers read it (within-group rank, group sizes,
+    total, global-rank input), and when the caller's score column is
+    itself an expensive subtree (the unigram-LM fluency entry) each
+    consumer would otherwise re-derive it wherever exchange reuse
+    misses."""
+    scored = scored.select(group_col, id_col, score_col).localCheckpoint(
+        eager=False
+    )
     wg = Window.partitionBy(group_col).orderBy(score_col, id_col)
     r = scored.select(group_col, id_col, score_col).withColumn(
         "r", F.row_number().over(wg)

@@ -253,7 +253,9 @@ def label_propagation(
         edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: materialized by the first round's job; the sym union's
+        # two branches then read the same frozen blocks
+        .localCheckpoint(eager=False)
     )
     sym = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
         e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
@@ -262,7 +264,7 @@ def label_propagation(
         sym.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("community"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("id").orderBy(F.desc("n"), F.asc("community"))
     for r in range(rounds):
@@ -277,7 +279,10 @@ def label_propagation(
             .select("id", "community")
         )
         if (r + 1) < rounds:
-            labels = labels.localCheckpoint(eager=True)
+            # lazy: each round's labels frame has one consumer (the
+            # next round's join) — the checkpoint only bounds plan
+            # growth, it need not be a synchronous job
+            labels = labels.localCheckpoint(eager=False)
     return labels.orderBy("id")
 
 
@@ -364,9 +369,11 @@ def triangle_count(
         .distinct()
         # consumed by degrees, orientation, and the edge count;
         # localCheckpoint (same hygiene as pagerank/connected_components)
-        # both materializes once and truncates the upstream edge-build
-        # lineage so the three consumers' plans stay shallow
-        .localCheckpoint(eager=True)
+        # materializes once and truncates the upstream edge-build
+        # lineage so the three consumers' plans stay shallow — LAZY, so
+        # the materialization folds into the terminal job instead of a
+        # synchronous construction barrier
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("n"))
@@ -384,7 +391,7 @@ def triangle_count(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(lower_first, F.col("degb")).otherwise(F.col("dega")).alias("dv"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     x = oriented.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
     y = oriented.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
     wedges = x.join(y, "u").filter(
@@ -440,16 +447,20 @@ def kcore_peel(
 
     Scale shape per round: ONE degree aggregate (map-side combined) +
     TWO node-keyed semi-joins pruning the edge list; the edge frame
-    localCheckpoints per round so lineage stays flat."""
+    localCheckpoints per round (lazily) so lineage stays flat while ALL
+    per-round stats fold into one terminal job — the former
+    distinct().count() + count() driver round-trips per round (3 jobs x
+    rounds) are now one union of per-round single-row aggregates over
+    the checkpointed edge frames (n_edges = endpoint rows div 2,
+    n_nodes = distinct endpoints — same integers, zero extra passes)."""
     a, b = F.col(src_col), F.col(dst_col)
     e = (
         edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    spark = edges.sparkSession
-    out = []
+    out = None
     for r in range(1, rounds + 1):
         deg = (
             e.select(F.col("a").alias("id"))
@@ -462,16 +473,19 @@ def kcore_peel(
             e.join(alive.withColumnRenamed("id", "a"), "a", "left_semi")
             .join(alive.withColumnRenamed("id", "b"), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        n_nodes = (
+        stats = (
             e.select(F.col("a").alias("id"))
             .unionAll(e.select(F.col("b").alias("id")))
-            .distinct()
-            .count()
+            .agg(
+                F.count_distinct(F.col("id")).alias("n_nodes"),
+                (F.count(F.lit(1)) / F.lit(2)).cast("bigint").alias("n_edges"),
+            )
+            .select(F.lit(r).cast("int").alias("round"), "n_nodes", "n_edges")
         )
-        out.append((r, n_nodes, e.count()))
-    return spark.createDataFrame(out, "round int, n_nodes bigint, n_edges bigint")
+        out = stats if out is None else out.unionAll(stats)
+    return out.orderBy("round")
 
 
 def bfs_distances(
@@ -497,11 +511,14 @@ def bfs_distances(
     ``node_col`` (a stated precondition: duplicate seed rows would
     yield duplicate dist=0 output rows; every in-repo caller passes a
     distinct or limit-1 seed frame). Frames localCheckpoint per round
-    (the iterative-algorithm hygiene every loop in this repo follows);
-    the per-round frontier count is the only driver value."""
+    LAZILY (the iterative-algorithm hygiene every loop in this repo
+    follows), so the frontier-emptiness count is the round's ONLY
+    driver job — it materializes that round's frontier and, through
+    the lazy chain, the cumulative dist union (formerly 3 eager jobs
+    per round: frontier checkpoint, count, union checkpoint)."""
     dist = seeds.select(
         F.col(node_col), F.lit(0).cast("int").alias("dist")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     frontier = dist
     for r in range(max_hops):
         cand = (
@@ -515,13 +532,11 @@ def bfs_distances(
                 F.col(node_col),
                 F.lit(r + 1).cast("int").alias("dist"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if new.count() == 0:
             break
-        nxt = dist.unionByName(new).localCheckpoint()
-        dist.unpersist()
-        dist = nxt
+        dist = dist.unionByName(new).localCheckpoint(eager=False)
         frontier = new
     return dist.orderBy(node_col)
 
@@ -651,14 +666,16 @@ def scc_labels(
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
         .distinct()
-        .localCheckpoint()
+        # lazy: the convergence count right below materializes it —
+        # one job per round instead of checkpoint + count
+        .localCheckpoint(eager=False)
     )
     prev = reach.count()
     converged = False
     for _ in range(rounds):
-        nxt = reach.unionByName(_hop(reach)).distinct().localCheckpoint()
-        reach.unpersist()
-        reach = nxt
+        reach = reach.unionByName(_hop(reach)).distinct().localCheckpoint(
+            eager=False
+        )
         cnt = reach.count()
         if cnt == prev:
             converged = True
@@ -778,20 +795,31 @@ def markov_stationary(
     sum to 1 nor be stationary. Chains with absorbing states need a
     dangling-mass redistribution like personalized_pagerank's, which is
     a different operator contract."""
-    # checkpoint the (bounded) transition frame: 8 unrolled rounds each
-    # consume it, and an uncheckpointed upstream (lag window + two
-    # aggregates) would re-derive per round — a 50-exchange plan for a
-    # 25-row matrix. The state vector is states-bounded: broadcast it.
+    # checkpoint the (bounded) transition frame LAZILY: 8 unrolled
+    # rounds each consume it, and an uncheckpointed upstream (lag
+    # window + two aggregates) would re-derive per round — a
+    # 50-exchange plan for a 25-row matrix; the precondition probe
+    # below materializes it. The state vector is states-bounded:
+    # broadcast it.
     t = transitions.select(
         F.col(src_col).alias("s"), F.col(dst_col).alias("d"), F.col(p_col).alias("p")
-    ).localCheckpoint(eager=True)
-    nodes = t.select(F.col("s").alias("node")).distinct()
-    dangling = (
-        t.select(F.col("d").alias("node"))
-        .distinct()
-        .join(nodes, "node", "left_anti")
-        .count()
+    ).localCheckpoint(eager=False)
+    # ONE endpoint pass yields both the state count and the dangling
+    # probe (formerly a distinct count + an anti-join count — two more
+    # driver jobs over the same bounded frame)
+    ends = t.select(F.col("s").alias("node"), F.lit(1).alias("is_src")).unionAll(
+        t.select(F.col("d").alias("node"), F.lit(0).alias("is_src"))
     )
+    probe = (
+        ends.groupBy("node")
+        .agg(F.max("is_src").alias("has_out"))
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.sum(F.lit(1) - F.col("has_out")).alias("n_dangling"),
+        )
+        .collect()[0]
+    )
+    dangling = int(probe["n_dangling"] or 0)
     if dangling:
         raise ValueError(
             f"markov_stationary: {dangling} state(s) appear only as dst "
@@ -799,7 +827,8 @@ def markov_stationary(
             "silently drain each iteration; add self-loops or use a "
             "dangling-mass redistribution (personalized_pagerank)"
         )
-    n = nodes.count()
+    nodes = t.select(F.col("s").alias("node")).distinct()
+    n = int(probe["n_all"])
     pi = nodes.select("node", F.lit(1.0 / n).alias("pi"))
     for _ in range(iterations):
         pi = (
@@ -913,7 +942,7 @@ def local_clustering_curve(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(lower_first, F.col("degb")).otherwise(F.col("dega")).alias("dv"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     x = oriented.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
     y = oriented.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
     wedges = x.join(y, "u").filter(

@@ -448,45 +448,75 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     marketing/retention pipelines act on.
 
     Exactness & scale: quartile = ceil(4·rank/n) on the two-pass
-    range-partitioned rank (curation.global_rank, one per dimension —
-    never NTILE, whose remainder distribution differs from the integer
-    ceil and whose window is a single-task sort), ranks totally ordered
-    by (metric, user_id), monetary accumulated in DECIMAL(38,6). The
-    output is bounded by 4³ cells."""
+    range-partitioned rank (curation.global_rank — never NTILE, whose
+    remainder distribution differs from the integer ceil and whose
+    window is a single-task sort), ranks totally ordered by
+    (metric, user_id), monetary accumulated in DECIMAL(38,6). The
+    output is bounded by 4³ cells.
+
+    ONE fused rank pass for all three dimensions (the key_locality /
+    skipping-audit device): each user row explodes into three
+    (metric_index, rec, freq, mon) rows where only its own metric is
+    non-NULL, and a single global_rank over (mi, rec, freq, mon,
+    user_id) ranks every dimension — within a metric's block the other
+    metrics' fields are constant NULL, so the order reduces to
+    (metric, user_id), and the per-metric rank replays as
+    rank − mi·n (n = total/3 from the same counts frame). One range
+    shuffle + one sampling pass instead of three, and the two
+    user-keyed rank joins collapse into one pivot aggregate."""
     from .curation import global_rank
 
     t = load_tables(spark, sf_dir, register=False)
-    u = (
-        t["events"]
-        .groupBy("user_id")
-        .agg(
-            F.max("ts").alias("rec"),
-            F.count(F.lit(1)).alias("freq"),
-            F.sum(
-                F.round(F.coalesce(F.col("value"), F.lit(0.0)), 6).cast(
-                    "decimal(38,6)"
-                )
-            ).alias("mon"),
-        )
-        .cache()
+    u = t["events"].groupBy("user_id").agg(
+        F.max("ts").alias("rec"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(
+            F.round(F.coalesce(F.col("value"), F.lit(0.0)), 6).cast(
+                "decimal(38,6)"
+            )
+        ).alias("mon"),
     )
-    n = u.agg(F.count(F.lit(1)).alias("n"))
-    # rank each dimension INDEPENDENTLY on a slim (user, metric)
-    # projection and join back on the user key: chaining global_rank
-    # calls would feed each rank's two consumers (ranking + offsets)
-    # the whole previous rank pipeline, re-deriving it exponentially
-    ranked = None
-    for metric, rank_col in (("rec", "rk_r"), ("freq", "rk_f"), ("mon", "rk_m")):
-        r = global_rank(
-            u.select("user_id", metric),
-            [F.asc(metric), F.asc("user_id")],
-            rank_col=rank_col,
-        ).select("user_id", rank_col)
-        ranked = r if ranked is None else ranked.join(r, "user_id")
-    q = ranked.crossJoin(F.broadcast(n)).select(
-        F.expr("CAST((rk_r * 4 + n - 1) DIV n AS INT)").alias("r_q"),
-        F.expr("CAST((rk_f * 4 + n - 1) DIV n AS INT)").alias("f_q"),
-        F.expr("CAST((rk_m * 4 + n - 1) DIV n AS INT)").alias("m_q"),
+    tnull = F.lit(None).cast(dict(u.dtypes)["rec"])
+    lnull = F.lit(None).cast("bigint")
+    mnull = F.lit(None).cast("decimal(38,6)")
+    ex = u.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("mi"), F.col("rec").alias("rec"),
+                    lnull.alias("freq"), mnull.alias("mon"), F.col("user_id"),
+                ),
+                F.struct(
+                    F.lit(1).alias("mi"), tnull.alias("rec"),
+                    F.col("freq").alias("freq"), mnull.alias("mon"),
+                    F.col("user_id"),
+                ),
+                F.struct(
+                    F.lit(2).alias("mi"), tnull.alias("rec"),
+                    lnull.alias("freq"), F.col("mon").alias("mon"),
+                    F.col("user_id"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    ranked = global_rank(
+        ex,
+        [F.asc("mi"), F.asc("rec"), F.asc("freq"), F.asc("mon"), F.asc("user_id")],
+        rank_col="_gr",
+        total_col="_tot",
+    )
+    n = F.expr("_tot DIV 3")
+    rk = F.col("_gr") - F.col("mi").cast("bigint") * n
+    per = ranked.select(
+        "user_id",
+        "mi",
+        (rk * 4 + n - F.lit(1)).alias("_num"),
+        n.alias("_den"),
+    ).selectExpr("user_id", "mi", "CAST(_num DIV _den AS INT) AS qt")
+    q = per.groupBy("user_id").agg(
+        F.max(F.when(F.col("mi") == 0, F.col("qt"))).alias("r_q"),
+        F.max(F.when(F.col("mi") == 1, F.col("qt"))).alias("f_q"),
+        F.max(F.when(F.col("mi") == 2, F.col("qt"))).alias("m_q"),
     )
     return (
         q.groupBy("r_q", "f_q", "m_q")

@@ -364,16 +364,18 @@ def _pq_model(
     books, and therefore the oracle replay, are unchanged."""
     from ..errors import AvroSqlError
 
-    # one checkpoint materializes the bounded train slice; the cast to
-    # array<double> is hoisted here so every downstream term reads
-    # `_v` (the clustering._assign codegen-size lesson)
+    # one LAZY checkpoint pins the bounded train slice (the seed
+    # collect right below materializes it — no separate construction
+    # job); the cast to array<double> is hoisted here so every
+    # downstream term reads `_v` (the clustering._assign codegen-size
+    # lesson)
     train = (
         emb.orderBy(id_col)
         .limit(train_limit)
         .selectExpr(
             f"`{id_col}` AS _tid", f"cast(`{vec_col}` as array<double>) AS _v"
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     seed_rows = train.orderBy("_tid").limit(codebook_k).select("_v").collect()
     if not seed_rows or seed_rows[0]["_v"] is None:
@@ -573,12 +575,25 @@ def ivf_pq_topk(
 
     Returns (query_id, neighbor_id, adist, rank): top-``k`` per query
     by ADC distance within probed cells (ties to lower neighbor id)."""
-    centroids = _coarse_centroids(
-        emb, n_cells, coarse_train_limit, train_iterations, id_col, vec_col
-    )
-    _sub_dists_sql, _code_sql = _pq_model(
-        emb, m, codebook_k, id_col, vec_col, pq_train_limit, train_iterations
-    )
+    # the two quantizer trainings are INDEPENDENT sequential driver-job
+    # chains over bounded slices of the same input; submitting them
+    # from two driver threads lets the scheduler interleave their jobs
+    # (wall = max instead of sum — the overlap-independent-jobs pattern)
+    # while each training's own loop stays sequential, so the trained
+    # books are bit-identical to the serial run
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_coarse = pool.submit(
+            _coarse_centroids,
+            emb, n_cells, coarse_train_limit, train_iterations, id_col, vec_col,
+        )
+        fut_pq = pool.submit(
+            _pq_model,
+            emb, m, codebook_k, id_col, vec_col, pq_train_limit, train_iterations,
+        )
+        centroids = fut_coarse.result()
+        _sub_dists_sql, _code_sql = fut_pq.result()
     n = emb.sparkSession.sparkContext.defaultParallelism
     codes = emb.repartition(n, F.col(id_col)).select(
         F.col(id_col).alias("neighbor_id"),
