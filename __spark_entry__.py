@@ -2482,24 +2482,35 @@ def _bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir, register=False)
-    write_bucketed(
-        t["orders"].select("o_orderkey", "o_orderpriority"),
-        "gate_b_orders",
-        ["o_orderkey"],
-        num_buckets=16,
-        sort_cols=["o_orderkey"],
-    )
-    write_bucketed(
-        t["lineitem"].select(
-            F.col("l_orderkey").alias("o_orderkey"),
-            "l_extendedprice",
-            "l_discount",
-        ),
-        "gate_b_lineitem",
-        ["o_orderkey"],
-        num_buckets=16,
-        sort_cols=["o_orderkey"],
-    )
+    # the two bucketed writes are independent table jobs — submit them
+    # from two driver threads so the second's tasks back-fill the
+    # first's write tail (wall = max instead of sum); each write's own
+    # layout is deterministic regardless of scheduling
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fo = pool.submit(
+            write_bucketed,
+            t["orders"].select("o_orderkey", "o_orderpriority"),
+            "gate_b_orders",
+            ["o_orderkey"],
+            num_buckets=16,
+            sort_cols=["o_orderkey"],
+        )
+        fl = pool.submit(
+            write_bucketed,
+            t["lineitem"].select(
+                F.col("l_orderkey").alias("o_orderkey"),
+                "l_extendedprice",
+                "l_discount",
+            ),
+            "gate_b_lineitem",
+            ["o_orderkey"],
+            num_buckets=16,
+            sort_cols=["o_orderkey"],
+        )
+        fo.result()
+        fl.result()
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

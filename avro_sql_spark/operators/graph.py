@@ -61,9 +61,12 @@ def pagerank(
     action — one job instead of one per round; keep the eager default
     whenever dangling redistribution (two consumers per round) or a
     large iteration budget is in play."""
+    # lazy: the eager nodes checkpoint right below consumes e, so the
+    # edge frame materializes once inside that job instead of paying
+    # its own synchronous construction job first
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -149,13 +152,16 @@ def connected_components_star(
         edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: the edge count below materializes it in one job
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("a").alias("id"))
         .unionAll(e.select(F.col("b").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: only the FINAL label join consumes it — reading the
+        # pinned edge blocks, not the upstream edge derivation
+        .localCheckpoint(eager=False)
     )
     n_edges = e.count()
     for _ in range(max_rounds):
@@ -190,7 +196,9 @@ def connected_components_star(
             .filter(F.col("a") != F.col("b"))
             .unionAll(smins.select(F.col("m").alias("a"), F.col("b").alias("b")))
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy: the convergence count right below materializes the
+            # round — one job per round instead of checkpoint + count
+            .localCheckpoint(eager=False)
         )
         new_n = small.count()
         # both frames are DISTINCT sets; with equal counts, set
@@ -561,9 +569,12 @@ def personalized_pagerank(
     structurally zero — the precondition :func:`copurchase_edges`
     guarantees; directed graphs need the dangling redistribution the
     uniform variant implements."""
+    # lazy: the seed count below (and then the first round's join)
+    # materializes the pinned edge frame once; eager pins here were
+    # three synchronous construction jobs serializing with each other
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -582,9 +593,13 @@ def personalized_pagerank(
             "node",
             F.when(F.col("_s"), F.lit(1.0 / ns)).otherwise(F.lit(0.0)).alias("t"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od")).localCheckpoint()
+    outdeg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("od"))
+        .localCheckpoint(eager=False)
+    )
     ranks = tele.select("node", F.col("t").alias("pr"))
     for i in range(iterations):
         contribs = (
@@ -1015,7 +1030,9 @@ def hits_supplier_authority(
             F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
         )
         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("w"))
-        .localCheckpoint(eager=True)
+        # lazy: the first half-round's aggregate materializes it; the
+        # remaining rounds read the frozen blocks
+        .localCheckpoint(eager=False)
     )
     # asymmetric join strategy: the authority frame is SUPPLIER-sized
     # (dimension-small at any SF) -> broadcast it into the hub step, so
@@ -1042,7 +1059,8 @@ def hits_supplier_authority(
         )
     # auth forks into the max branch and the output branch — pin one
     # materialization so the 3-round chain doesn't execute twice
-    auth = auth.localCheckpoint(eager=True)
+    # (lazy: the terminal action's first consumer materializes it)
+    auth = auth.localCheckpoint(eager=False)
     mx = auth.agg(F.max("a").alias("mx"))
     return (
         auth.crossJoin(F.broadcast(mx))

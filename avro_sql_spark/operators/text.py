@@ -844,25 +844,27 @@ def tf_cosine_pairs(
         .select(F.col(id_col), F.explode(word_ngrams_of(F.col("w"), n)).alias("g"))
         .select(F.col(id_col), gram_hash.alias("term"))
     )
-    # three consumers read the (doc, gram, tf) frame (df cap, norms,
-    # postings): persist it once — MEMORY_AND_DISK, skinny 24-byte rows
-    # — instead of re-running the tokenize+explode scan per branch
-    tf = (
-        toks.groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
+    # the df cap and the per-doc norm both ATTACH per-key aggregates to
+    # the (doc, gram, tf) frame: compute each as a WINDOW over its key
+    # in one linear pipeline (count over term, then sum over doc) —
+    # the former shape (persist + per-key aggregate + join back, twice)
+    # paid a cache materialization, a broadcast build, and two extra
+    # passes over the gram frame for the same integers
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    w_term = Window.partitionBy("term")
+    w_doc = Window.partitionBy(id_col)
+    tfn = (
+        tf.withColumn("_df", F.count(F.lit(1)).over(w_term))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+        # norms cover the SAME capped gram space as before (the cap
+        # filter runs first), and sum(tf*tf) over the doc partition is
+        # the identical integer the aggregate+join produced
+        .withColumn(
+            "nrm",
+            F.sqrt(F.sum(F.col("tf") * F.col("tf")).over(w_doc).cast("double")),
+        )
     )
-    rare = (
-        tf.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("term")
-    )
-    tf = tf.join(F.broadcast(rare), "term")
-    norms = tf.groupBy(id_col).agg(
-        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nrm")
-    )
-    tfn = tf.join(norms, id_col)
     # posting-list pair generation (the canonical MapReduce similarity
     # join): group each gram's postings — bounded by max_df AFTER the
     # rare prefilter, so the collected array is never hot — sort by doc
