@@ -187,13 +187,15 @@ def quality_shards_sampled(
     sample = scored.filter(hash_unit(F.col(id_col), salt) < rate).select(
         F.col(id_col).alias("_sid"), "quality"
     )
+    # the sample size rides along from global_rank's own partition-
+    # counts frame (total_col) — the former separate count aggregate
+    # re-ran the scored-sample subtree a second time
     ranked = global_rank(
-        sample, [F.desc("quality"), F.asc("_sid")], rank_col="rk"
+        sample, [F.desc("quality"), F.asc("_sid")], rank_col="rk", total_col="m"
     )
-    m = sample.agg(F.count(F.lit(1)).alias("m"))
     # cut_j = quality at rank ceil(j*m/n_shards) = (j*m + n-1) DIV n
     cuts = (
-        ranked.crossJoin(F.broadcast(m))
+        ranked
         .groupBy()
         .agg(
             *[

@@ -801,19 +801,30 @@ def ann_recall_report(
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=False)
     )
-    lsh = recall_vs_truth(
-        truth,
-        lsh_bucketed_ann(emb, queries, k, id_col, vec_col, planes=planes, tables=tables),
-        "lsh_bucketed",
-    )
-    ivf = recall_vs_truth(
-        truth,
-        ivf_topk(
-            emb, queries, k=k, id_col=id_col, vec_col=vec_col,
-            n_cells=n_cells, n_probe=n_probe,
-        ),
-        "ivf",
-    )
+    # materialize the exact-truth checkpoint from a SECOND driver
+    # thread while the main thread runs the IVF coarse training's
+    # sequential collect jobs (overlap-independent-jobs): the
+    # brute-force scoring pass shares the otherwise-idle cluster with
+    # the training jobs, and the terminal action then reads the truth
+    # blocks instead of computing them after training
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut_truth = pool.submit(truth.count)
+        lsh = recall_vs_truth(
+            truth,
+            lsh_bucketed_ann(emb, queries, k, id_col, vec_col, planes=planes, tables=tables),
+            "lsh_bucketed",
+        )
+        ivf = recall_vs_truth(
+            truth,
+            ivf_topk(
+                emb, queries, k=k, id_col=id_col, vec_col=vec_col,
+                n_cells=n_cells, n_probe=n_probe,
+            ),
+            "ivf",
+        )
+        fut_truth.result()
     return lsh.unionByName(ivf).orderBy("method")
 
 
