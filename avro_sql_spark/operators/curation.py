@@ -631,9 +631,12 @@ def global_rank(
     partition; the only global structure is the partitions-row offset
     frame on the driver-side broadcast.
 
-    The ranged frame is localCheckpoint-ed (eager) before it forks into
-    the rank branch and the offsets branch. This is correctness, not an
-    optimization: ``repartitionByRange`` SAMPLES its partition
+    The ranged frame is localCheckpoint-ed LAZILY before it forks into
+    the rank branch and the offsets branch: the checkpoint pins exactly
+    ONE RDD, which the first consuming action materializes, and both
+    branches then read that single frozen partitioning. This is
+    correctness, not an optimization: ``repartitionByRange`` SAMPLES
+    its partition
     boundaries, and when the two branches don't hit Catalyst's
     exchange-reuse (any payload column beyond the order keys makes the
     pruned subtrees differ), each branch re-executes the range shuffle

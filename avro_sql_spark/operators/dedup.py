@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint
+from ._pins import unpersist_checkpoint
 
 # MinHash permutation family: h_i(s) = (a_i * x(s) + b_i) mod P, the
 # textbook 2-universal family over the Mersenne prime P = 2^31-1, with
@@ -697,7 +698,12 @@ def connected_components(
             .localCheckpoint(eager=False)
         )
         changed = new_labels.filter("_chg").count()
+        # round 0's backing is a .cache() frame (DataFrame.unpersist
+        # clears it); later rounds' are localCheckpoints, whose blocks
+        # only an RDD-level unpersist drops (DataFrame.unpersist is a
+        # silent no-op on a checkpointed frame — found in r9)
         backing.unpersist()
+        unpersist_checkpoint(backing)
         backing = new_labels
         labels = new_labels.drop("_chg")
         if changed == 0:

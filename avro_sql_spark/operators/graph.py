@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._pins import unpersist_checkpoint
+
 
 def pagerank(
     edges: DataFrame,
@@ -80,6 +82,9 @@ def pagerank(
         raise AvroSqlError("pagerank: empty edge list")
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od")).localCheckpoint()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    prev_ckpt = None  # last round's eager checkpoint, unpersisted once
+    # the next eager checkpoint has materialized (its only consumers
+    # are inside that round's ranks computation)
     for i in range(iterations):
         contribs = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -113,6 +118,15 @@ def pagerank(
         )
         if (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=eager_checkpoint)
+            if eager_checkpoint:
+                # this checkpoint is materialized NOW, and building it
+                # was the previous checkpoint's last read — safe to
+                # drop those blocks (lazy mode materializes nothing
+                # until the terminal action, so there is nothing to
+                # unpersist mid-loop there)
+                if prev_ckpt is not None:
+                    unpersist_checkpoint(prev_ckpt)
+                prev_ckpt = ranks
     if round_to is not None:
         ranks = ranks.select("node", F.round("pr", round_to).alias("pr"))
     return ranks
@@ -164,6 +178,9 @@ def connected_components_star(
         .localCheckpoint(eager=False)
     )
     n_edges = e.count()
+    e0 = e  # nodes' lazy checkpoint reads e0's blocks at the FINAL
+    # label join — e0 must stay pinned for the operator's lifetime;
+    # every later round's superseded edge frame is dropped below
     for _ in range(max_rounds):
         # large-star: group the symmetrized neighborhood of u; attach
         # m = min(N(u) ∪ {u}); emit (m, v) for every neighbor v > u.
@@ -208,6 +225,11 @@ def connected_components_star(
             new_n != n_edges
             or small.join(e, ["a", "b"], "left_anti").limit(1).count() > 0
         )
+        # this round's count + anti-probe were the previous edge
+        # frame's last consumers — drop its blocks (materialize-then-
+        # unpersist; e0 stays pinned for the nodes checkpoint)
+        if e is not e0:
+            unpersist_checkpoint(e)
         e = small
         n_edges = new_n
         if not changed:
@@ -461,6 +483,15 @@ def kcore_peel(
     rounds) are now one union of per-round single-row aggregates over
     the checkpointed edge frames (n_edges = endpoint rows div 2,
     n_nodes = distinct endpoints — same integers, zero extra passes)."""
+    if rounds < 1:
+        # the unioned-aggregates accumulator below starts from None; a
+        # zero-round call would return None.orderBy (AttributeError)
+        # where the old createDataFrame path returned an empty frame
+        # with the documented schema — keep that contract
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            [], "round int, n_nodes bigint, n_edges bigint"
+        )
     a, b = F.col(src_col), F.col(dst_col)
     e = (
         edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
@@ -523,11 +554,23 @@ def bfs_distances(
     follows), so the frontier-emptiness count is the round's ONLY
     driver job — it materializes that round's frontier and, through
     the lazy chain, the cumulative dist union (formerly 3 eager jobs
-    per round: frontier checkpoint, count, union checkpoint)."""
+    per round: frontier checkpoint, count, union checkpoint).
+
+    Superseded checkpoints are unpersisted one round late (dedup.py's
+    materialize-then-unpersist ordering): round r's count materializes
+    this round's frontier AND the pending dist union, so the frames
+    retired when that union was BUILT (last round's dist + frontier)
+    have no live consumer left and their blocks are dropped — pinned
+    storage stays ~2 rounds deep instead of growing with hop count.
+    NOTE: localCheckpoint blocks live on executors only; losing an
+    executor mid-loop fails the job (truncated lineage can't
+    recompute). On a real cluster set setCheckpointDir(...) and swap
+    for reliable .checkpoint() to survive executor loss."""
     dist = seeds.select(
         F.col(node_col), F.lit(0).cast("int").alias("dist")
     ).localCheckpoint(eager=False)
     frontier = dist
+    retired: list[DataFrame] = []
     for r in range(max_hops):
         cand = (
             frontier.join(edges, frontier[node_col] == edges[src_col])
@@ -542,10 +585,20 @@ def bfs_distances(
             )
             .localCheckpoint(eager=False)
         )
-        if new.count() == 0:
+        grew = new.count() > 0
+        # the count above materialized the pending dist checkpoint —
+        # the frames it superseded are dead now
+        for f in retired:
+            unpersist_checkpoint(f)
+        retired = []
+        if not grew:
             break
+        prev_dist, prev_frontier = dist, frontier
         dist = dist.unionByName(new).localCheckpoint(eager=False)
         frontier = new
+        retired = [prev_dist] if prev_frontier is prev_dist else [
+            prev_dist, prev_frontier
+        ]
     return dist.orderBy(node_col)
 
 
@@ -688,10 +741,17 @@ def scc_labels(
     prev = reach.count()
     converged = False
     for _ in range(rounds):
+        superseded = reach
         reach = reach.unionByName(_hop(reach)).distinct().localCheckpoint(
             eager=False
         )
         cnt = reach.count()
+        # the count materialized this round's closure; the previous
+        # round's checkpoint has no consumer left (every later read —
+        # nodes, mutual, the verification hop — goes through the new
+        # frame) — drop its blocks (dedup.py's materialize-then-
+        # unpersist ordering; bounds pinned storage at ~2 rounds)
+        unpersist_checkpoint(superseded)
         if cnt == prev:
             converged = True
             break

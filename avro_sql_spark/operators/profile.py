@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ._pins import unpersist_checkpoint
+
 
 def _stats_exprs(cols: list[str], approx: bool) -> list:
     out = [F.count(F.lit(1)).alias("n_rows")]
@@ -3604,6 +3606,13 @@ def markov_removal_attribution(
         )
         if (r + 1) < rounds:
             a = a.localCheckpoint(eager=True)
+            # the eager checkpoint materialized NOW, and building it
+            # was the previous round's checkpoint's last read — drop
+            # those blocks (materialize-then-unpersist; bounds pinned
+            # storage at one (variants x states) frame)
+            if r > 0:
+                unpersist_checkpoint(prev_a)
+            prev_a = a
     b = a.filter(F.col("s") == "START").select(
         F.col("removed"), F.col("a").alias("b")
     )

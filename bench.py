@@ -387,6 +387,22 @@ HEADLINE = [
 ]
 
 
+def sweep_persisted_rdds(spark) -> int:
+    """Unpersist every RDD still pinned on the executors and return how
+    many there were. catalog.clearCache() only drops CATALOG-cached
+    relations; localCheckpoint/persist blocks are RDD-level state it
+    never touches, so without this sweep the lazily-checkpointed loop
+    frames of earlier entries stay resident for the rest of the
+    342-entry run (a storage-level leak at bench scale, and a memory
+    bias on later entries). Runs OUTSIDE the timed window, next to
+    clearCache."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()  # py4j JavaMap
+    rdds = [jmap[k] for k in list(jmap.keys())]
+    for jrdd in rdds:
+        jrdd.unpersist()
+    return len(rdds)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -399,6 +415,7 @@ def main() -> None:
     # warmup pass: JIT/codegen/parquet-footer caches - report steady state
     for name in HEADLINE:
         spark.catalog.clearCache()
+        sweep_persisted_rdds(spark)
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     # two timed passes, keep the per-query minimum: single-machine runs
     # have multi-second scheduler/GC noise that would otherwise dominate.
@@ -414,8 +431,10 @@ def main() -> None:
             # (simhash pairs, dsir) must not leave frames resident to
             # skew LATER queries' memory, nor hit their own materialized
             # cache from the previous pass — each timing is the
-            # query's real standalone cost
+            # query's real standalone cost. The RDD sweep additionally
+            # drops localCheckpoint blocks (clearCache never does).
             spark.catalog.clearCache()
+            sweep_persisted_rdds(spark)
             start = time.perf_counter()
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -57,9 +57,12 @@ def main() -> None:
                     df._jdf.queryExecution(), "formatted"))
 
     timings: dict[str, float] = {}
+    from bench import sweep_persisted_rdds
+
     for _ in range(passes):
         for name in names:
             spark.catalog.clearCache()
+            sweep_persisted_rdds(spark)
             spark.sparkContext.setJobDescription(f"timed:{name}")
             start = time.perf_counter()
             df = queries[name](spark, sf_dir)
