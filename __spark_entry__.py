@@ -3154,7 +3154,16 @@ def _hilbert_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from avro_sql_spark.operators.layout import hilbert_index
 
     t = load_tables(spark, sf_dir, register=False)
-    orders = t["orders"].select("o_totalprice", "o_custkey")
+    # spread the curve fold across cores: a single-row-group parquet
+    # file scans as ONE task (guide §2.5 input skew — repartition right
+    # after the read, carrying only the two audit columns); the segment
+    # rollup is min/max/count — order-free, so placement can't change
+    # the result
+    orders = (
+        t["orders"]
+        .select("o_totalprice", "o_custkey")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     h = hilbert_index(orders, ["o_totalprice", "o_custkey"], bits=16)
     return (
         h.select(

@@ -26,13 +26,17 @@ from pyspark.sql import DataFrame
 
 
 def unpersist_checkpoint(df: DataFrame, blocking: bool = False) -> None:
-    """Unpersist the RDD(s) behind a localCheckpoint-ed ``df``.
+    """Unpersist the RDD behind a localCheckpoint-ed ``df``.
 
-    Walks the analyzed plan's leaves and unpersists every LogicalRDD
-    leaf at the RDD level (py4j). Non-LogicalRDD leaves are ignored,
-    so calling this on a non-checkpointed frame is a no-op."""
-    leaves = df._jdf.queryExecution().analyzed().collectLeaves()
-    for i in range(leaves.size()):
-        leaf = leaves.apply(i)
-        if leaf.getClass().getSimpleName() == "LogicalRDD":
-            leaf.rdd().unpersist(blocking)
+    STRICT on purpose: acts only when the frame's analyzed plan IS the
+    LogicalRDD a localCheckpoint call returned. Walking to arbitrary
+    LogicalRDD *leaves* would also unpersist UPSTREAM checkpoints a
+    caller passed in and still owns (found the hard way in r9:
+    corpus_funnel hands checkpoint-backed inputs to
+    connected_components, whose round-1 retiree is a plain .cache()
+    frame built ON those inputs — a leaf walk killed the caller's
+    blocks mid-query). On any other frame this is a no-op; cached
+    frames are DataFrame.unpersist()'s job."""
+    plan = df._jdf.queryExecution().analyzed()
+    if plan.getClass().getSimpleName() == "LogicalRDD":
+        plan.rdd().unpersist(blocking)

@@ -82,48 +82,49 @@ def hilbert_index(
     at the same file count.
 
     The standard xy2d recurrence (one rotate-and-reflect per curve
-    level) is expressed as ``bits`` CHAINED PROJECTIONS — each level is
-    one ``select`` that rewrites (x, y, d) columns — so the plan stays
-    a linear DAG of narrow maps; inlining the recurrence as one nested
-    Column expression would copy the growing (x, y) subtrees per level
-    (the 2^bits expression blowup _centroid_dists documents). All
-    integer compares/shifts/adds: bit-exact in any engine, so the
-    DuckDB oracle replays the same chain as nested CTEs. Returns the
-    frame with ``out_col`` appended (a DataFrame, not a Column — the
-    chain needs projections)."""
+    level) is rendered as ONE parsed SQL ``aggregate`` fold over
+    ``sequence(bits-1, 0, -1)`` with a named_struct (x, y, d)
+    accumulator — the lambda is a LOOP at runtime, so the expression
+    stays constant-size (no 2^bits subtree copying), and the whole
+    index is a single projection instead of ``bits`` chained selects.
+    The chained-projection form cost ~1.3 s of driver py4j round-trips
+    per call at bits=16 AND made every downstream checkpoint/action
+    re-analyze a 16-select-deep plan (measured r9: skipping audit
+    construction 3.6 s, 1.3 s of it this chain, ~1.4 s planning the
+    chain-backed checkpoints — the _centroid_dists F.expr lesson
+    applied to construction, guide §4). Per level the fold computes
+    the IDENTICAL integer compares/shifts/adds in the same order, so
+    every index value is bit-identical to the old chain (asserted in
+    tests) and the DuckDB oracle's nested-CTE replay still matches.
+    Returns the frame with ``out_col`` appended."""
     if len(cols) != 2:
         raise ValueError("hilbert_index is the 2-D curve; pass two columns")
     # ``coords``: callers that also build a Morton key (skipping_report)
     # pass the _scaled_coords result in, so the stats aggregate behind
     # it runs ONCE per audit instead of once per curve
     sx, sy = coords if coords is not None else _scaled_coords(df, cols, bits)
-    # the passthrough column list is FIXED across levels: carry it as a
-    # Python list instead of re-reading ``out.columns`` per level —
-    # each .columns call forces full analysis of the growing plan, so
-    # the chain's construction was O(levels^2) in analyzer work
-    # (measured ~3 s of driver time at bits=16 on the 3-layout audit)
     keep = list(df.columns)
-    out = df.select("*", sx.alias("_hx"), sy.alias("_hy"),
-                    F.lit(0).cast("long").alias("_hd"))
-    for level in range(bits - 1, -1, -1):
-        s = 1 << level
-        rx = (F.col("_hx").bitwiseAND(F.lit(s)) > 0).cast("long")
-        ry = (F.col("_hy").bitwiseAND(F.lit(s)) > 0).cast("long")
-        d = F.col("_hd") + F.lit(s) * F.lit(s) * (
-            (F.lit(3) * rx).bitwiseXOR(ry)
-        )
-        # rotate: reflect when rx==1 (within the ry==0 branch), then swap
-        nx = F.when(ry == 0,
-                    F.when(rx == 1, F.lit(s - 1) - F.col("_hy"))
-                    .otherwise(F.col("_hy"))).otherwise(F.col("_hx"))
-        ny = F.when(ry == 0,
-                    F.when(rx == 1, F.lit(s - 1) - F.col("_hx"))
-                    .otherwise(F.col("_hx"))).otherwise(F.col("_hy"))
-        out = out.select(
-            *keep,
-            nx.alias("_hx"), ny.alias("_hy"), d.alias("_hd"),
-        )
-    return out.select(*keep, F.col("_hd").alias(out_col))
+    # per-level recurrence, inlined with s = 1 << lvl:
+    #   rx = (x & s) > 0 ; ry = (y & s) > 0
+    #   d += s*s*((3*rx) XOR ry)
+    #   (x, y) = ry ? (x, y) : rx ? (s-1-y, s-1-x) : (y, x)
+    s_ = "shiftleft(cast(1 as bigint), lvl)"
+    rx = f"((acc.x & {s_}) > 0)"
+    ry = f"((acc.y & {s_}) > 0)"
+    fold = (
+        f"aggregate(sequence({bits - 1}, 0, -1), "
+        "named_struct('x', _hx, 'y', _hy, 'd', cast(0 as bigint)), "
+        "(acc, lvl) -> named_struct("
+        f"'x', (case when {ry} then acc.x when {rx} then ({s_} - 1 - acc.y) else acc.y end), "
+        f"'y', (case when {ry} then acc.y when {rx} then ({s_} - 1 - acc.x) else acc.x end), "
+        f"'d', (acc.d + ({s_} * {s_}) * "
+        f"((cast(3 as bigint) * (case when {rx} then cast(1 as bigint) else cast(0 as bigint) end))"
+        f" ^ (case when {ry} then cast(1 as bigint) else cast(0 as bigint) end)))"
+        "), acc -> acc.d)"
+    )
+    return df.select("*", sx.alias("_hx"), sy.alias("_hy")).select(
+        *keep, F.expr(fold).alias(out_col)
+    )
 
 
 def skipping_report(
@@ -174,12 +175,25 @@ def skipping_report(
     # ONE scale-stats aggregate feeds both curves (zvalue and
     # hilbert_index each used to run their own)
     coords = _scaled_coords(df, cols, bits)
-    # the hilbert layout pays one extra pass (the 16-level projection
-    # chain), so it is opt-in via ``layouts``
+    # audit columns only — project BEFORE any exchange (guide §2.3)
+    need = df.select(c0, c1, tiebreak_col)
+    if "hilbert" in layouts:
+        # spread the 16-level curve fold across cores BEFORE it runs:
+        # a single-row-group parquet file scans as ONE task no matter
+        # the split count (guide §2.5 input skew — repartition right
+        # after the read), and the fold is the audit's heaviest
+        # per-row compute (measured r9: the range-sample job that
+        # materializes base ran 1.2 s on one core). The exchange
+        # carries only the 3 projected audit columns; rows are
+        # re-ranked by a TOTAL order downstream, so round-robin
+        # placement cannot affect results.
+        need = need.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # the hilbert layout pays one extra pass (the 16-level fold), so
+    # it is opt-in via ``layouts``
     src = (
-        hilbert_index(df, cols, bits, out_col="__hv", coords=coords)
+        hilbert_index(need, cols, bits, out_col="__hv", coords=coords)
         if "hilbert" in layouts
-        else df
+        else need
     )
     z = interleave_bits(coords, bits).alias("__z")
     # the tiebreak column makes each NTILE ordering TOTAL: rows tied on

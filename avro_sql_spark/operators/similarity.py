@@ -279,6 +279,7 @@ def ivf_topk(
     round_to: int = 6,
     train_limit: int = 100_000,
     train_iterations: int = 2,
+    centroids: "list[list[float]] | None" = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means coarse quantizer -> assign each
     corpus vector to its nearest centroid cell -> a query scans only its
@@ -298,9 +299,14 @@ def ivf_topk(
     result (cells, probes, candidates, ranks) replays in an ANSI-SQL
     oracle; reruns build identical cells by construction.
     """
-    centroids = _coarse_centroids(
-        emb, n_cells, train_limit, train_iterations, id_col, vec_col
-    )
+    # ``centroids``: a caller that already ran the identical
+    # _coarse_centroids training (to overlap it with other driver
+    # work — ann_recall_report) passes the result in; None trains
+    # here, exactly as before
+    if centroids is None:
+        centroids = _coarse_centroids(
+            emb, n_cells, train_limit, train_iterations, id_col, vec_col
+        )
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -809,23 +815,80 @@ def ann_recall_report(
     # blocks instead of computing them after training
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=1) as pool:
+    with ThreadPoolExecutor(max_workers=2) as pool:
         fut_truth = pool.submit(truth.count)
-        lsh = recall_vs_truth(
-            truth,
-            lsh_bucketed_ann(emb, queries, k, id_col, vec_col, planes=planes, tables=tables),
-            "lsh_bucketed",
+        # the IVF coarse training (seed collect + per-iteration
+        # aggregates — the entry's only sequential job chain) runs on
+        # a THIRD driver thread while the main thread pays the LSH
+        # leg's plan-construction py4j round-trips; both overlap the
+        # truth materialization. Identical deterministic training —
+        # ivf_topk just receives the result instead of re-running it.
+        fut_cents = pool.submit(
+            _coarse_centroids, emb, n_cells, 100_000, 2, id_col, vec_col
         )
-        ivf = recall_vs_truth(
-            truth,
-            ivf_topk(
-                emb, queries, k=k, id_col=id_col, vec_col=vec_col,
-                n_cells=n_cells, n_probe=n_probe,
-            ),
-            "ivf",
-        )
+        lsh_cand = lsh_bucketed_ann(
+            emb, queries, k, id_col, vec_col, planes=planes, tables=tables
+        ).select("query_id", "neighbor_id")
+        ivf_cand = ivf_topk(
+            emb, queries, k=k, id_col=id_col, vec_col=vec_col,
+            n_cells=n_cells, n_probe=n_probe, centroids=fut_cents.result(),
+        ).select("query_id", "neighbor_id")
         fut_truth.result()
-    return lsh.unionByName(ivf).orderBy("method")
+    # BOTH method legs' recalls from ONE union + two aggregations,
+    # replacing two recall_vs_truth subtrees (per leg: a cand
+    # broadcast-exchange, a hits join, a hits-agg broadcast, a per-q
+    # join — each broadcast a separate driver job; this entry is
+    # job-overhead-bound, 31 jobs/run measured in r9). Equivalence:
+    # every frame is a DISTINCT (query_id, neighbor_id) set (top-k
+    # outputs are row_number-filtered), so per-query set-intersection
+    # counts via max-flags + sums are exactly the old hits-join counts;
+    # n_truth>0 filter == "queries present in truth", the old per_q
+    # domain; na.fill(0) is the natural sum-of-zeros here.
+    tagged = (
+        truth.select("query_id", "neighbor_id", F.lit(0).alias("src"))
+        .unionByName(
+            lsh_cand.select("query_id", "neighbor_id", F.lit(1).alias("src"))
+        )
+        .unionByName(
+            ivf_cand.select("query_id", "neighbor_id", F.lit(2).alias("src"))
+        )
+    )
+    flags = tagged.groupBy("query_id", "neighbor_id").agg(
+        F.max((F.col("src") == 0).cast("int")).alias("t"),
+        F.max((F.col("src") == 1).cast("int")).alias("l"),
+        F.max((F.col("src") == 2).cast("int")).alias("i"),
+    )
+    per_q = (
+        flags.groupBy("query_id")
+        .agg(
+            F.sum("t").alias("n_truth"),
+            F.sum(F.col("t") * F.col("l")).alias("h_lsh"),
+            F.sum(F.col("t") * F.col("i")).alias("h_ivf"),
+        )
+        .filter(F.col("n_truth") > 0)
+    )
+    per_qm = per_q.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lsh_bucketed").alias("method"),
+                    (F.col("h_lsh") / F.col("n_truth")).alias("recall"),
+                ),
+                F.struct(
+                    F.lit("ivf").alias("method"),
+                    (F.col("h_ivf") / F.col("n_truth")).alias("recall"),
+                ),
+            )
+        ).alias("m")
+    ).select("m.method", "m.recall")
+    return (
+        per_qm.groupBy("method")
+        .agg(
+            F.round(F.avg("recall"), 6).alias("mean_recall"),
+            F.round(F.min("recall"), 6).alias("worst_recall"),
+        )
+        .orderBy("method")
+    )
 
 
 def recall_vs_truth(truth: DataFrame, cand: DataFrame, method: str) -> DataFrame:

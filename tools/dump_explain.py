@@ -1,5 +1,5 @@
 """Dump `.explain("formatted")` for named queries() entries to
-plans/r08/<name>_<tag>.txt — the optimization round's before/after plan
+plans/r09/<name>_<tag>.txt — the optimization round's before/after plan
 evidence. Planning only (no job execution) except where an entry's
 construction itself runs jobs (iterative operators).
 
@@ -28,7 +28,7 @@ def main() -> None:
     spark = get_spark("avro-sql-spark-explain", cpus=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
-    out_dir = os.path.join(ROOT, "plans", "r08")
+    out_dir = os.path.join(ROOT, "plans", "r09")
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         spark.catalog.clearCache()

@@ -8,7 +8,7 @@ Usage:
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS
 (default 32) — identical to bench.py. --explain additionally writes
-plans/r08/<name>_current.txt with the formatted plan.
+plans/r09/<name>_current.txt with the formatted plan.
 """
 
 from __future__ import annotations
@@ -49,9 +49,9 @@ def main() -> None:
         df = queries[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         if explain:
-            os.makedirs(os.path.join(ROOT, "plans", "r08"), exist_ok=True)
+            os.makedirs(os.path.join(ROOT, "plans", "r09"), exist_ok=True)
             with open(
-                os.path.join(ROOT, "plans", "r08", f"{name}_current.txt"), "w"
+                os.path.join(ROOT, "plans", "r09", f"{name}_current.txt"), "w"
             ) as f:
                 f.write(df._sc._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "formatted"))
