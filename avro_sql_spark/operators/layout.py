@@ -728,6 +728,16 @@ def bloom_fpr_audit(
 
     m_bits = n_longs * 63
     base = df.select(F.col(key_col).alias("k"), F.col(order_col).alias("ob"))
+    # (f, k) is consumed three times (bitmap build, anti-join probe
+    # membership, per-file key counts). Deliberately NOT checkpointed:
+    # re-tried in r9 with plan evidence (the anti-join is SMJ with or
+    # without the pin, and both crossJoins carry explicit broadcast
+    # hints, so the r8 "stats loss flips the join" failure mode did
+    # not apply) — and the pinned form still measured 3.6 -> 6.4 s:
+    # one 5.0 s stage appears that the unpinned plan does not have,
+    # i.e. runtime AQE exchange reuse covers the repeated subtrees
+    # cheaper than checkpoint-block re-reads here. Twice-confirmed
+    # negative result; see OPTIMIZATION_r09.md.
     files = exact_ntile(
         base, [F.col("ob"), F.col("k")], n_files, out_col="f"
     ).select("f", "k").distinct()
@@ -775,9 +785,15 @@ def bloom_fpr_audit(
         ]
 
     member_bits = files.select("f", *bitmap_longs(positions(F.col("k"))))
-    blooms = member_bits.groupBy("f").agg(
-        *[F.bit_or(f"b{j}").alias(f"m{j}") for j in range(n_longs)]
+    # per-file key count rides the SAME aggregate as the bitmaps:
+    # files is a distinct (f, k) set, so count(1) == countDistinct(k)
+    # — the separate nkeys pass (a third full exact_ntile re-derivation)
+    # is gone (guide §2.4)
+    blooms_nk = member_bits.groupBy("f").agg(
+        *[F.bit_or(f"b{j}").alias(f"m{j}") for j in range(n_longs)],
+        F.count(F.lit(1)).alias("nk"),
     )
+    blooms = blooms_nk.drop("nk")
     # the probe key's bitmap depends only on k: compute the 5-md5 fold
     # ONCE per sampled key BEFORE the files crossJoin (inside it, each
     # key would recompute the fold n_files times — measured 16x md5
@@ -788,16 +804,27 @@ def bloom_fpr_audit(
         .filter(hash_unit(F.col("k"), salt) < F.lit(probe_rate))
         .select("k", *bitmap_longs(positions(F.col("k"))))
     )
-    pb = probe_keys.crossJoin(F.broadcast(blooms)).join(
-        files, ["f", "k"], "left_anti"
-    )
+    # NO anti-join: a member key's bits are all set in its own file's
+    # bitmap by construction (bit_or of exactly those positions), so
+    # every (f, k) ∈ files pair among the sampled keys tests positive
+    # with certainty — Bloom filters have no false negatives. Probing
+    # ALL (sampled key × file) pairs and subtracting the sampled member
+    # -pair count gives bit-identical n_probes / n_false_positives
+    # while deleting the SortMergeJoin LeftAnti that sorted the wide
+    # (key + n_longs bitmap) probe side, and the files subtree it
+    # re-derived (was the plan's one SMJ; r9 plan pair).
+    pb = probe_keys.crossJoin(F.broadcast(blooms))
     might = None
     for j in range(n_longs):
         c = F.col(f"m{j}").bitwiseAND(F.col(f"b{j}")) == F.col(f"b{j}")
         might = c if might is None else (might & c)
     counted = pb.select(might.cast("long").alias("fp"))
-    nkeys = files.groupBy("f").agg(F.countDistinct("k").alias("nk"))
-    theo = nkeys.select(
+    # sampled member pairs: the probe_keys sampling predicate verbatim,
+    # applied to files — a scalar aggregate, not a join
+    ms = files.filter(hash_unit(F.col("k"), salt) < F.lit(probe_rate)).agg(
+        F.count(F.lit(1)).alias("ms")
+    )
+    theo = blooms_nk.select(
         F.round(
             F.pow(
                 F.lit(1.0)
@@ -817,8 +844,18 @@ def bloom_fpr_audit(
     )
     return (
         counted.agg(
-            F.count(F.lit(1)).alias("n_probes"),
-            F.sum("fp").alias("n_false_positives"),
+            F.count(F.lit(1)).alias("np_all"),
+            F.sum("fp").alias("mp"),
+        )
+        .crossJoin(F.broadcast(ms))
+        .select(
+            (F.col("np_all") - F.col("ms")).alias("n_probes"),
+            # preserve the old sum-over-empty NULL: with zero surviving
+            # probes the anti-joined frame aggregated sum(fp) over no
+            # rows
+            F.when(F.col("np_all") - F.col("ms") == 0, F.lit(None))
+            .otherwise(F.col("mp") - F.col("ms"))
+            .alias("n_false_positives"),
         )
         .crossJoin(F.broadcast(theo))
         .select(
