@@ -3284,9 +3284,9 @@ def _corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("doc_id")),
         "doc_id",
         "left_semi",
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     test = curation.deterministic_split(docs).filter(F.col("split") == "test")
-    dec = dedup.decontaminate(nd, test, method="exact").localCheckpoint(eager=False)
+    dec = dedup.decontaminate(nd, test, method="exact").localCheckpoint(eager=True)
     stages = [
         (0, "raw", docs), (1, "quality", q), (2, "exact_dedup", ex),
         (3, "near_dup", nd), (4, "decontam", dec),

@@ -844,22 +844,30 @@ def tf_cosine_pairs(
         .select(F.col(id_col), F.explode(word_ngrams_of(F.col("w"), n)).alias("g"))
         .select(F.col(id_col), gram_hash.alias("term"))
     )
-    # the df cap and the per-doc norm both ATTACH per-key aggregates to
-    # the (doc, gram, tf) frame: compute each as a WINDOW over its key
-    # in one linear pipeline (count over term, then sum over doc) —
-    # the former shape (persist + per-key aggregate + join back, twice)
-    # paid a cache materialization, a broadcast build, and two extra
-    # passes over the gram frame for the same integers
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    w_term = Window.partitionBy("term")
+    # df CAP as a broadcast ANTI-join on the HOT-term set, not a
+    # count-over-term window: the window forced every posting of a
+    # hot gram (df >> max_df) to co-locate in a single window task
+    # before the filter discarded them — a skew bottleneck at scale on
+    # exactly the stop-word-like grams max_df exists to drop (r8
+    # ADVICE). The df aggregate is map-side combined (hot postings
+    # shrink to one partial per map task), terms OVER the cap are few
+    # by definition (boilerplate), and the anti-join drops their
+    # postings map-side before any further shuffle — the
+    # ngram_jaccard_pairs hot-set pattern (guide §2.5).
+    hot = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("term")
+    )
     w_doc = Window.partitionBy(id_col)
     tfn = (
-        tf.withColumn("_df", F.count(F.lit(1)).over(w_term))
-        .filter(F.col("_df") <= max_df)
-        .drop("_df")
+        tf.join(F.broadcast(hot), "term", "left_anti")
         # norms cover the SAME capped gram space as before (the cap
         # filter runs first), and sum(tf*tf) over the doc partition is
-        # the identical integer the aggregate+join produced
+        # the identical integer either cap form produces; the doc
+        # window partition is document-bounded — never hot
         .withColumn(
             "nrm",
             F.sqrt(F.sum(F.col("tf") * F.col("tf")).over(w_doc).cast("double")),
