@@ -328,7 +328,15 @@ def copurchase_edges(
     items, C(7,2) <= 21 pairs per order), so the pair frame is linear
     in the fact table; min_count prunes the long tail before the
     symmetric union doubles it."""
-    baskets = lineitem.groupBy("l_orderkey").agg(
+    from ._scan import spread_groupby_scan
+
+    # compacted-input guard: the collect_set PARTIAL otherwise runs
+    # single-core in a one-split scan stage (guide §2.5); the spread
+    # reuses the groupBy's own exchange, so shuffle count is unchanged
+    src = spread_groupby_scan(
+        lineitem.select("l_orderkey", "l_partkey"), "l_orderkey"
+    )
+    baskets = src.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
     m = F.size("ps")

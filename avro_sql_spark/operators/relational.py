@@ -1851,8 +1851,16 @@ def copurchase_pairs(
     risk here. The basket frame is cached (three consumers: pairs,
     per-part counts, total), per the cache contract."""
     li = load_tables(spark, sf_dir, register=False)["lineitem"]
+    from ._scan import spread_groupby_scan
+
+    # compacted-input guard (see graph.copurchase_edges): spreads the
+    # collect_set partial off the single scan core, reusing the
+    # groupBy's own exchange
+    src = spread_groupby_scan(
+        li.select("l_orderkey", "l_partkey"), "l_orderkey"
+    )
     baskets = (
-        li.groupBy("l_orderkey")
+        src.groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
         .cache()
     )
