@@ -4477,7 +4477,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     since their last row) lead; the next round's window queues directly
     behind them; the cumulative-green core follows. Never leave an
     already-swept block at the head."""
-    return {
+    base = {
+        # --- r8 window (swept green 50/50 in CORRECTNESS_r08; rotated
+        # out of the head by the _R9_HEAD reorder below) — original
+        # block comment kept for provenance: ---
         # --- r8 window (positions 0-49): rotated to the HEAD per the
         # head-sweep rule above. 35 never-driver-checked r5 stragglers
         # + 14 never-checked r6 entries + the stale-row dsir_weights
@@ -4860,6 +4863,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": relational.token_topk,
         "customer_order_span": relational.customer_order_span,
         "events_gap_fill": relational.events_gap_fill,
+    }
+    # --- r9 window (positions 0-49), per the head-sweep rule: the 16
+    # r7 statistics operators + 14 r8 operators with NO driver row yet
+    # (positions 0-29), then 20 entries whose code changed in r9 commits
+    # be3eaa4/06e9b28/3d369c9/0f676ec/41e0558 (loop unpersist ordering,
+    # fused recall pass, hilbert one-expression fold, bloom probe-all
+    # rewrite, tf-cosine anti-join cap, corpus_funnel eager pins,
+    # compacted-scan spread) — all verified bit-strict against the
+    # DuckDB oracle at sf0.001/0.01/0.1 locally; the driver row is the
+    # re-verification. CODE FROZEN until CORRECTNESS_r09 lands. The
+    # reorder is by NAME over the literal dict above so no entry can be
+    # added, dropped, or renamed by the rotation itself. ---
+    head = [
+        # never driver-checked: r7 statistics block
+        "kendall_tau_daily", "page_hinkley_drift", "gumbel_daily_max_fit",
+        "ses_backtest_daily", "user_path_entropy",
+        "hoeffding_adequacy_report", "mcnemar_gate_compare",
+        "template_prefix_report", "robust_zscore_docs",
+        "quality_gate_pareto", "odds_ratio_ci_report",
+        "changepoint_daily_mean", "sprt_daily_audit", "topk_spender_churn",
+        "cohens_kappa_gates", "g2_keyness_terms",
+        # never driver-checked: r8-new block
+        "kruskal_wallis_nchars", "grubbs_daily_outlier",
+        "durbin_watson_daily", "ann_ndcg_ivf", "wald_iv_estimate",
+        "propensity_stratified_effect", "ngram_novelty_report",
+        "periodogram_hourly_cycle", "embedding_drift_split",
+        "curriculum_plan", "rake_keyphrases", "brown_forsythe_nchars",
+        "hurst_rs_daily", "obrien_fleming_monitor",
+        # r9 code-changed entries (re-verification rows)
+        "ann_recall", "bloom_fpr_audit", "skipping_effectiveness_hilbert",
+        "hilbert_layout_report", "tf_cosine_pairs", "corpus_funnel",
+        "kcore_summary", "copurchase_pairs", "degree_assortativity",
+        "copurchase_components", "copurchase_bfs", "copurchase_pagerank",
+        "markov_removal_attribution", "bpe_merges", "bpe_fertility",
+        "jaccard_dup_clusters", "triangle_census", "link_prediction_topk",
+        "event_type_scc", "local_clustering_curve",
+    ]
+    assert len(head) == 50 and len(set(head)) == 50
+    return {n: base[n] for n in head} | {
+        n: f for n, f in base.items() if n not in set(head)
     }
 
 
