@@ -4898,7 +4898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_components", "copurchase_bfs", "copurchase_pagerank",
         "markov_removal_attribution", "bpe_merges", "bpe_fertility",
         "jaccard_dup_clusters", "triangle_census", "link_prediction_topk",
-        "event_type_scc", "local_clustering_curve",
+        "event_type_scc", "poisson_bootstrap_ci",
     ]
     assert len(head) == 50 and len(set(head)) == 50
     return {n: base[n] for n in head} | {

@@ -73,3 +73,18 @@ def spread_groupby_scan(df: DataFrame, *keys: "Column | str") -> DataFrame:
     if _scan_row_groups(df, n) >= n:
         return df
     return df.repartition(n, *keys)
+
+
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Round-robin variant for expensive NON-grouped scan-stage work
+    (tokenize/explode/regex chains with no key to reuse): adds one
+    genuinely new exchange carrying the projected input, but only when
+    the probe proves the scan is narrower than the cluster — the
+    compacted-input case where the whole chain would otherwise run on
+    one core. On splittable input at scale this is a no-op and the
+    chain stays exchange-free."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if _scan_row_groups(df, n) >= n:
+        return df
+    return df.repartition(n)

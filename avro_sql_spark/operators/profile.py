@@ -4368,8 +4368,16 @@ def poisson_bootstrap_ci(
         F.count(F.lit(1)).alias("n_events"), F.sum("qv").alias("sv")
     )
     from .curation import hash_unit
+    from ._scan import spread_scan
 
-    reps = ev.withColumn(
+    # compacted-input guard (guide §2.5): the replicate explode, the
+    # n_replicates md5 draws per row, and the (g, b) partial aggregate
+    # all live in the scan stage — single-core on a one-row-group file;
+    # the spread carries the 3 projected columns once and is a no-op on
+    # splittable input. Row placement cannot change the result: the
+    # draws are keyed on (event_id, b) and the replicate sums are
+    # order-free decimal accumulations.
+    reps = spread_scan(ev).withColumn(
         "b", F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1)))
     )
     u = hash_unit(F.concat_ws(":", F.col("event_id"), F.col("b")), salt)
